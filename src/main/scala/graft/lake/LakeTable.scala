@@ -1,0 +1,326 @@
+package graft.lake
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** A keyed, partitioned, versioned table on Parquet + a JSON commit
+  * timeline — the native rebuild of the Hudi table format the reference
+  * depends on (written via package.scala:15-81, read via
+  * ODS2DWD.scala:30-56).
+  *
+  * Semantics reproduced:
+  *  - record identity = concat of key columns (ComplexKeyGenerator,
+  *    reference package.scala:52);
+  *  - precombine versioning: within a batch and on merge the row with the
+  *    greater precombine value wins, incoming wins ties
+  *    (DefaultHoodieRecordPayload, reference HudiConfig.scala:45);
+  *  - global index: an upsert whose partition value changed moves the row
+  *    to the new partition (reference HudiConfig.scala:47-48) — automatic
+  *    here because matching is by key across all partitions;
+  *  - COW: upsert/delete rewrite only the data files that actually contain
+  *    matched keys; all other files are carried by reference in the commit;
+  *  - hidden meta columns `_record_key`, `_commit_time` (reference's
+  *    `_hoodie_record_key`/`_hoodie_commit_time`, package.scala:166-168);
+  *    carried-over rows keep their original `_commit_time`;
+  *  - snapshot / incremental `(begin, end]` / read-optimized queries
+  *    (reference ODS2DWD.scala:51-56) plus time travel `snapshotAsOf`.
+  *
+  * Scale design (100 TB target): writes touch only matched files, found by
+  * a two-step prune — (1) driver-side key-range overlap against per-file
+  * min/max key stats from commit metadata (no data read), then (2) one
+  * distributed left-semi join over just the `_record_key` column of the
+  * candidate files. Shuffles are limited to the incoming batch + matched
+  * files, never the whole table. Reads hand Catalyst a plain Parquet
+  * relation (explicit schema + basePath) so filter pushdown, column
+  * pruning, and hive-style partition pruning all stay active.
+  */
+class LakeTable private (val spark: SparkSession, val path: String) {
+  import LakeTable._
+
+  private val tablePath = new Path(path)
+  private val fs: FileSystem =
+    tablePath.getFileSystem(spark.sessionState.newHadoopConf())
+  private var _meta: TableMeta = TableMeta.load(fs, tablePath)
+  val timeline = new Timeline(fs, tablePath)
+
+  def meta: TableMeta = _meta
+
+  /** User-column schema (set on first write). */
+  def userSchema: Option[StructType] =
+    if (_meta.schemaJson.isEmpty) None
+    else Some(DataType.fromJson(_meta.schemaJson).asInstanceOf[StructType])
+
+  /** User columns + meta columns, the physical schema of data files. */
+  def fullSchema: StructType = {
+    val u = userSchema.getOrElse(
+      throw new IllegalStateException(s"table ${_meta.name} has no schema yet"))
+    StructType(u.fields ++ Seq(
+      StructField(RecordKeyCol, StringType, nullable = false),
+      StructField(CommitTimeCol, StringType, nullable = false)))
+  }
+
+  def latestCommit: Option[String] = timeline.latestInstant()
+
+  // ---------------------------------------------------------------- reads
+
+  /** Latest view of the table (meta columns included). */
+  def snapshot(): DataFrame = snapshotAsOf(MaxInstant)
+
+  /** Time travel: the table as of `instant` (inclusive). */
+  def snapshotAsOf(instant: String): DataFrame =
+    readFiles(timeline.liveFiles(instant).map(_.path))
+
+  /** Snapshot without meta columns (reference package.scala:165-169). */
+  def snapshotUser(): DataFrame = snapshot().drop(RecordKeyCol, CommitTimeCol)
+
+  /** Rows committed in `(begin, end]` — the reference's incremental query
+    * (QUERY_TYPE_INCREMENTAL, BEGIN/END_INSTANTTIME, ODS2DWD.scala:51-56).
+    * `begin = "earliest"` reads from the start of the timeline.
+    */
+  def incremental(begin: String, end: String = MaxInstant): DataFrame = {
+    val b = if (begin == Timeline.Earliest) "" else begin
+    readFiles(timeline.addedBetween(b, end).map(_.path))
+      .filter(col(CommitTimeCol) > lit(b) && col(CommitTimeCol) <= lit(end))
+  }
+
+  /** MOR read-optimized view; == snapshot for COW tables
+    * (reference MSK2Hudi.scala:5 imports it but only COW paths use it).
+    */
+  def readOptimized(): DataFrame = snapshot()
+
+  private def absolute(rel: String): String = new Path(tablePath, rel).toString
+
+  private def readFiles(relPaths: Seq[String]): DataFrame =
+    if (relPaths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], fullSchema)
+    else
+      spark.read
+        .schema(fullSchema)
+        .option("basePath", path)
+        .parquet(relPaths.map(absolute): _*)
+
+  // --------------------------------------------------------------- writes
+
+  /** Append without key matching (Hudi `insert` op, reference
+    * HudiOP.scala:4; may produce duplicate keys like Hudi insert does).
+    */
+  def insert(data: DataFrame): String = {
+    val instant = timeline.nextInstant()
+    val incoming = withMeta(alignUser(data), instant)
+    val stats = stageWrite(incoming, instant)
+    timeline.commit(CommitMeta(instant, "insert", stats, Seq.empty))
+    instant
+  }
+
+  /** Keyed upsert with precombine resolution (Hudi `upsert`, reference
+    * package.scala:23 + HudiConfig.scala:45-48).
+    */
+  def upsert(data: DataFrame): String = {
+    val instant = timeline.nextInstant()
+    val aligned = alignUser(data)
+    val userCols = aligned.columns.toSeq
+    val fieldOrder = userCols :+ CommitTimeCol
+    // within-batch precombine dedup: keep the max-precombine row per key.
+    // max_by aggregates with partial (map-side) combine — cheaper at scale
+    // than the window-function formulation.
+    val incoming = withMeta(aligned, instant)
+      .groupBy(col(RecordKeyCol))
+      .agg(max_by(struct(fieldOrder.map(col): _*), col(_meta.precombineField)).as("_s"))
+      .select(col(RecordKeyCol) +: fieldOrder.map(c => col(s"_s.`$c`").as(c)): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK) // reference Y2, package.scala:66
+    try {
+      if (incoming.isEmpty) {
+        timeline.commit(CommitMeta(instant, "upsert", Seq.empty, Seq.empty))
+        return instant
+      }
+      val matched = matchedFiles(incoming.select(col(RecordKeyCol)))
+      val out =
+        if (matched.isEmpty) incoming
+        else {
+          val pc = _meta.precombineField
+          val eS = readFiles(matched)
+            .select(col(RecordKeyCol), struct(fieldOrder.map(col): _*).as("e"))
+          val iS = incoming
+            .select(col(RecordKeyCol), struct(fieldOrder.map(col): _*).as("i"))
+          eS.join(iS, Seq(RecordKeyCol), "full_outer")
+            .select(col(RecordKeyCol),
+              when(col("i").isNull, col("e"))
+                .when(col("e").isNull, col("i"))
+                .when(col(s"e.`$pc`") > col(s"i.`$pc`"), col("e"))
+                .otherwise(col("i")).as("r"))
+            .select(col(RecordKeyCol) +: fieldOrder.map(c => col(s"r.`$c`").as(c)): _*)
+        }
+      val stats = stageWrite(out, instant)
+      timeline.commit(CommitMeta(instant, "upsert", stats, matched))
+      instant
+    } finally incoming.unpersist()
+  }
+
+  /** Delete by key: rows of `data` name the keys to remove (Hudi `delete`,
+    * reference HudiOP.scala:6). Only files containing matched keys are
+    * rewritten; survivors keep their original `_commit_time`.
+    */
+  def delete(data: DataFrame): String = {
+    val instant = timeline.nextInstant()
+    val keys = withKeyOnly(data).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val matched = matchedFiles(keys)
+      if (matched.isEmpty) {
+        timeline.commit(CommitMeta(instant, "delete", Seq.empty, Seq.empty))
+        return instant
+      }
+      val survivors = readFiles(matched).join(keys, Seq(RecordKeyCol), "left_anti")
+      val stats = stageWrite(survivors, instant)
+      timeline.commit(CommitMeta(instant, "delete", stats, matched))
+      instant
+    } finally keys.unpersist()
+  }
+
+  /** Table service: physically delete files removed more than
+    * `retainCommits` commits ago (reference clean/archive knobs,
+    * HudiConfig.scala:33-37). Incremental reads older than the retained
+    * window stop working — same footgun as the reference's
+    * `keep 2 commits` default, documented in SURVEY §7.
+    */
+  def clean(retainCommits: Int = 2): Unit = {
+    val inst = timeline.instants()
+    if (inst.size <= retainCommits) return
+    val cutoff = inst(inst.size - retainCommits - 1)
+    val liveNow = timeline.liveFiles().map(_.path).toSet
+    val deletable = inst.filter(_ <= cutoff).map(timeline.read)
+      .flatMap(_.added.map(_.path))
+      .filterNot(liveNow.contains)
+    deletable.foreach(rel => fs.delete(new Path(tablePath, rel), false))
+    if (deletable.nonEmpty) {
+      val instant = timeline.nextInstant()
+      timeline.commit(CommitMeta(instant, "clean", Seq.empty, deletable))
+    }
+  }
+
+  // -------------------------------------------------------------- helpers
+
+  /** Strip meta cols if present, capture schema on first write. */
+  private def alignUser(data: DataFrame): DataFrame = {
+    val clean = data.drop(RecordKeyCol, CommitTimeCol)
+    userSchema match {
+      case Some(s) => clean.select(s.fieldNames.map(col).toIndexedSeq: _*)
+      case None =>
+        _meta = _meta.copy(schemaJson = clean.schema.json)
+        TableMeta.save(fs, tablePath, _meta)
+        clean
+    }
+  }
+
+  /** Null-key guard + key/commit meta columns. concat of casted key cols =
+    * the reference's ComplexKeyGenerator (package.scala:52); rows with any
+    * null key column are dropped (reference generates the same filter,
+    * genPrimaryKeyFilter package.scala:185-188).
+    */
+  private def withMeta(df: DataFrame, instant: String): DataFrame =
+    withKeyCol(df).withColumn(CommitTimeCol, lit(instant))
+
+  private def withKeyCol(df: DataFrame): DataFrame = {
+    val keyCols = _meta.recordKeyFields
+    df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn(RecordKeyCol,
+        concat_ws(KeySep, keyCols.map(c => col(c).cast(StringType)): _*))
+  }
+
+  private def withKeyOnly(df: DataFrame): DataFrame =
+    if (df.columns.contains(RecordKeyCol)) df.select(col(RecordKeyCol)).distinct()
+    else withKeyCol(df).select(col(RecordKeyCol)).distinct()
+
+  /** Files that contain at least one incoming key. Step 1 prunes by
+    * key-range overlap using commit-metadata stats only (no I/O); step 2
+    * confirms by a left-semi join over the candidates' key column.
+    * Returns relative paths.
+    */
+  private def matchedFiles(incomingKeys: DataFrame): Seq[String] = {
+    val live = timeline.liveFiles()
+    if (live.isEmpty) return Seq.empty
+    val bounds = incomingKeys.agg(
+      min(RecordKeyCol).as("mn"), max(RecordKeyCol).as("mx")).head()
+    if (bounds.isNullAt(0)) return Seq.empty // empty batch
+    val (mn, mx) = (bounds.getString(0), bounds.getString(1))
+    val candidates = live.filter(f => !(f.maxKey < mn || f.minKey > mx))
+    if (candidates.isEmpty) return Seq.empty
+    import spark.implicits._
+    val hit = readFiles(candidates.map(_.path))
+      .select(col(RecordKeyCol), input_file_name().as("_f"))
+      .join(incomingKeys.select(col(RecordKeyCol)), Seq(RecordKeyCol), "left_semi")
+      .select(col("_f")).distinct().as[String].collect()
+    // map absolute URIs back to relative paths by unique suffix
+    candidates.map(_.path).filter(rel => hit.exists(_.endsWith("/" + rel))).toSeq
+  }
+
+  /** Write `out` (user cols + meta cols) into hive-style partition dirs,
+    * collect per-file key stats, and move files to their final
+    * `<instant>_<n>.parquet` names. Returns the added-file stats.
+    */
+  private def stageWrite(out: DataFrame, instant: String): Seq[FileStat] = {
+    val ordered = out.select(fullSchema.fieldNames.map(col).toIndexedSeq: _*)
+    val staging = new Path(tablePath, s"_lake/staging/$instant")
+    val w = ordered.write.mode("overwrite")
+    val w2 =
+      if (_meta.partitionFields.nonEmpty) w.partitionBy(_meta.partitionFields: _*)
+      else w
+    w2.parquet(staging.toString)
+
+    val marker = s"_lake/staging/$instant/"
+    val statRows = spark.read
+      .schema(fullSchema)
+      .option("basePath", staging.toString)
+      .parquet(staging.toString)
+      .groupBy(input_file_name().as("_f"))
+      .agg(count(lit(1)).as("n"),
+        min(RecordKeyCol).as("mn"), max(RecordKeyCol).as("mx"))
+      .collect()
+
+    var i = 0
+    val stats = statRows.toSeq.flatMap { r =>
+      val f = r.getString(0)
+      val rel = f.substring(f.indexOf(marker) + marker.length)
+      val partition =
+        if (rel.contains("/")) rel.substring(0, rel.lastIndexOf("/")) else ""
+      if (r.getLong(1) == 0L) None
+      else {
+        val finalName = f"${instant}_$i%05d.parquet"
+        i += 1
+        val finalRel = if (partition.isEmpty) finalName else s"$partition/$finalName"
+        val dst = new Path(tablePath, finalRel)
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(new Path(staging, rel), dst))
+          throw new IllegalStateException(s"publish rename failed: $rel")
+        Some(FileStat(finalRel, partition, r.getLong(1), r.getString(2), r.getString(3)))
+      }
+    }
+    fs.delete(staging, true)
+    stats
+  }
+}
+
+object LakeTable {
+  val RecordKeyCol = "_record_key"
+  val CommitTimeCol = "_commit_time"
+  val KeySep = "|"
+  val MaxInstant = "99999999999999999"
+
+  def create(spark: SparkSession, path: String, meta: TableMeta): LakeTable = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!TableMeta.exists(fs, p)) TableMeta.save(fs, p, meta)
+    new LakeTable(spark, path)
+  }
+
+  def load(spark: SparkSession, path: String): LakeTable =
+    new LakeTable(spark, path)
+
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    TableMeta.exists(fs, p)
+  }
+}

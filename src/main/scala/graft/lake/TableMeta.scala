@@ -1,0 +1,79 @@
+package graft.lake
+
+import graft.util.Json
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import java.nio.charset.StandardCharsets
+
+/** Table-properties descriptor of a lake table.
+  *
+  * Mirrors the reference's table identity surface: record key columns
+  * (comma list → ComplexKeyGenerator, reference package.scala:24,52),
+  * precombine column (package.scala:25, HudiConfig.scala:30), hive-style
+  * partition columns (package.scala:51-56), and table type COW/MOR
+  * (HudiConfig.scala:17-26). Same shape as the reference's unused
+  * conf/TableInfo.scala:3.
+  *
+  * @param tableType "cow" (read-merge-rewrite on upsert) — "mor" reserved.
+  */
+case class TableMeta(
+    name: String,
+    recordKeyFields: Seq[String],
+    precombineField: String,
+    partitionFields: Seq[String] = Seq.empty,
+    tableType: String = "cow",
+    /** Spark StructType.json of the user columns; captured on first write.
+      * Supplying it back at read time keeps partition-directory values
+      * typed exactly (no partition-type inference surprises).
+      */
+    schemaJson: String = ""
+)
+
+/** Per-data-file statistics recorded in each commit — drives file pruning
+  * on upsert (the role of Hudi's bloom/key-range index,
+  * reference HudiConfig.scala:47-48). Paths are relative to the table root.
+  */
+case class FileStat(
+    path: String,
+    partition: String, // "p1=v1/p2=v2" or "" for unpartitioned
+    numRecords: Long,
+    minKey: String,
+    maxKey: String
+)
+
+/** One commit on the timeline (reference: Hudi instant + commit metadata,
+  * instants `yyyyMMddHHmmssSSS` at ODS2DWD.scala:16).
+  */
+case class CommitMeta(
+    instant: String,
+    operation: String, // insert | upsert | delete | clean
+    added: Seq[FileStat] = Seq.empty,
+    removed: Seq[String] = Seq.empty
+)
+
+object TableMeta {
+  val MetaFile = "_lake/table.json"
+
+  def save(fs: FileSystem, tablePath: Path, meta: TableMeta): Unit = {
+    val p = new Path(tablePath, MetaFile)
+    val out = fs.create(p, true)
+    try out.write(Json.write(meta).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def load(fs: FileSystem, tablePath: Path): TableMeta = {
+    val p = new Path(tablePath, MetaFile)
+    val in = fs.open(p)
+    try {
+      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes)
+      Json.read(new String(bytes, StandardCharsets.UTF_8), classOf[TableMeta])
+    } finally in.close()
+  }
+
+  def exists(fs: FileSystem, tablePath: Path): Boolean =
+    fs.exists(new Path(tablePath, MetaFile))
+
+  def hadoopConf(): Configuration = new Configuration()
+}

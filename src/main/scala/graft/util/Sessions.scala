@@ -1,0 +1,26 @@
+package graft.util
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory — the reference's util/SparkHelper.scala:9-53
+  * (Kryo, CBO on, dev/prod master switch), re-expressed for Spark 4:
+  * AQE is default-on; we pin shuffle partitions to the local core count
+  * (the reference used a `repartition(16)` knob instead,
+  * Config.scala:20) and let AQE coalesce from there.
+  */
+object Sessions {
+
+  def local(appName: String = "graft", cores: String = "32"): SparkSession =
+    builder(appName).master(s"local[$cores]").getOrCreate()
+
+  def builder(appName: String): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+}

@@ -1,0 +1,144 @@
+package graft.lake
+
+import graft.util.Sessions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class LakeTableSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Sessions.local("lake-test", "4")
+  import scala.jdk.CollectionConverters._
+
+  def tmp(): String = Files.createTempDirectory("laketbl").toString + "/t"
+
+  def mkTable(path: String): LakeTable =
+    LakeTable.create(spark, path,
+      TableMeta("t", Seq("id", "sub"), "ts", Seq("part")))
+
+  def df(rows: (Int, String, Long, String, Double)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "sub", "ts", "part", "v")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("insert + snapshot round-trip") {
+    val t = mkTable(tmp())
+    t.insert(df((1, "a", 10L, "p1", 1.0), (2, "b", 10L, "p2", 2.0)))
+    val snap = t.snapshot()
+    assert(snap.count() == 2)
+    assert(snap.columns.contains("_record_key"))
+    assert(snap.select("part").distinct().count() == 2)
+    // partition column type survives the round trip
+    assert(snap.schema("part").dataType.typeName == "string")
+    assert(snap.schema("id").dataType.typeName == "integer")
+  }
+
+  test("upsert: precombine keeps greater ts; within-batch dedup; tie → incoming") {
+    val t = mkTable(tmp())
+    t.upsert(df((1, "a", 10L, "p1", 1.0), (1, "a", 20L, "p1", 2.0))) // in-batch dedup
+    assert(t.snapshot().count() == 1)
+    assert(t.snapshot().select("v").head().getDouble(0) == 2.0)
+    t.upsert(df((1, "a", 15L, "p1", 99.0))) // stale: existing ts=20 wins
+    assert(t.snapshot().select("v").head().getDouble(0) == 2.0)
+    t.upsert(df((1, "a", 20L, "p1", 3.0))) // tie: incoming wins
+    assert(t.snapshot().select("v").head().getDouble(0) == 3.0)
+    t.upsert(df((1, "a", 30L, "p1", 4.0))) // newer wins
+    assert(t.snapshot().select("v").head().getDouble(0) == 4.0)
+    assert(t.snapshot().count() == 1)
+  }
+
+  test("global index: upsert moves a row whose partition changed") {
+    val t = mkTable(tmp())
+    t.upsert(df((1, "a", 10L, "p1", 1.0), (2, "b", 10L, "p1", 2.0)))
+    t.upsert(df((1, "a", 20L, "p2", 5.0))) // same key, new partition
+    val snap = t.snapshot().orderBy("id")
+    assert(snap.count() == 2)
+    val r = snap.filter(col("id") === 1).head()
+    assert(r.getAs[String]("part") == "p2")
+    assert(r.getAs[Double]("v") == 5.0)
+    // no ghost left in p1
+    assert(t.snapshot().filter(col("id") === 1).count() == 1)
+  }
+
+  test("incremental read returns only rows committed in (begin, end]") {
+    val t = mkTable(tmp())
+    val c1 = t.upsert(df((1, "a", 10L, "p1", 1.0), (2, "b", 10L, "p1", 2.0)))
+    val c2 = t.upsert(df((2, "b", 20L, "p1", 22.0), (3, "c", 20L, "p2", 3.0)))
+    val inc = t.incremental(c1, c2)
+    assert(inc.count() == 2) // updated 2 + new 3; unchanged 1 excluded
+    assert(inc.select("id").collect().map(_.getInt(0)).toSet == Set(2, 3))
+    // earliest..end == snapshot content
+    assert(t.incremental("earliest", c2).count() == 3)
+    // carried-over row kept its original commit time
+    val row1 = t.snapshot().filter(col("id") === 1).head()
+    assert(row1.getAs[String]("_commit_time") == c1)
+  }
+
+  test("delete removes keys, survivors keep commit time") {
+    val t = mkTable(tmp())
+    val c1 = t.upsert(df((1, "a", 10L, "p1", 1.0), (2, "b", 10L, "p1", 2.0)))
+    t.delete(df((1, "a", 0L, "p1", 0.0)))
+    val snap = t.snapshot()
+    assert(snap.count() == 1)
+    assert(snap.head().getAs[Int]("id") == 2)
+    assert(snap.head().getAs[String]("_commit_time") == c1)
+  }
+
+  test("upsert replay is idempotent; distinct-key batches commute") {
+    val t = mkTable(tmp())
+    val batch = df((1, "a", 10L, "p1", 1.0), (2, "b", 10L, "p2", 2.0))
+    t.upsert(batch)
+    val s1 = t.snapshot().drop("_commit_time").orderBy("id").collect().toSeq
+    t.upsert(batch) // replay — keyed write converges
+    val s2 = t.snapshot().drop("_commit_time").orderBy("id").collect().toSeq
+    assert(s1 == s2)
+    assert(t.snapshot().count() == 2)
+  }
+
+  test("time travel: snapshotAsOf sees historical state") {
+    val t = mkTable(tmp())
+    val c1 = t.upsert(df((1, "a", 10L, "p1", 1.0)))
+    t.upsert(df((1, "a", 20L, "p1", 2.0)))
+    assert(t.snapshotAsOf(c1).select("v").head().getDouble(0) == 1.0)
+    assert(t.snapshot().select("v").head().getDouble(0) == 2.0)
+  }
+
+  test("null-key rows are dropped (PK-not-null guard)") {
+    val t = mkTable(tmp())
+    val s = spark
+    import s.implicits._
+    val d = Seq((Some(1), "a", 10L, "p1", 1.0), (None, "x", 10L, "p1", 9.0))
+      .toDF("id", "sub", "ts", "part", "v")
+    t.upsert(d)
+    assert(t.snapshot().count() == 1)
+  }
+
+  test("snapshot == snapshot(t1) + incremental(t1,t2) applied (merge algebra)") {
+    val t = mkTable(tmp())
+    val c1 = t.upsert(df((1, "a", 10L, "p1", 1.0), (2, "b", 10L, "p1", 2.0)))
+    val c2 = t.upsert(df((2, "b", 20L, "p1", 22.0), (3, "c", 20L, "p2", 3.0)))
+    val base = t.snapshotAsOf(c1).select("id", "sub", "ts", "part", "v")
+    val delta = t.incremental(c1, c2).select("id", "sub", "ts", "part", "v")
+    // apply delta over base by key, delta wins
+    val applied = base.join(delta.select("id", "sub"), Seq("id", "sub"), "left_anti")
+      .union(delta)
+    val snapNow = t.snapshot().select("id", "sub", "ts", "part", "v")
+    assert(applied.exceptAll(snapNow).isEmpty && snapNow.exceptAll(applied).isEmpty)
+  }
+
+  test("clean removes unreferenced old files but keeps live data") {
+    val t = mkTable(tmp())
+    t.upsert(df((1, "a", 10L, "p1", 1.0)))
+    t.upsert(df((1, "a", 20L, "p1", 2.0)))
+    t.upsert(df((1, "a", 30L, "p1", 3.0)))
+    t.clean(retainCommits = 1)
+    assert(t.snapshot().count() == 1)
+    assert(t.snapshot().select("v").head().getDouble(0) == 3.0)
+  }
+}

@@ -1,13 +1,183 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{LakeQueries, Relational, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is an operator from SURVEY §2 (or a
+  * BASELINE.json extension operator) and, where SQL-expressible, has a
+  * DuckDB oracle in [[oracleSql]] with identical column names/aliases.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q7StarJoin(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SURVEY §2.2-2.5 relational surface
+    "q1_pricing_summary" -> (Relational.q1PricingSummary _),
+    "q2_dim_join" -> (Relational.q2DimJoin _),
+    "q3_additive_merge" -> (Relational.q3AdditiveMerge _),
+    "q4_filter_project" -> (Relational.q4FilterProject _),
+    "q5_distinct" -> (Relational.q5Distinct _),
+    "q6_topk" -> (Relational.q6TopK _),
+    "q7_star_join" -> (Relational.q7StarJoin _),
+    "q8_window_dedup" -> (Relational.q8WindowDedup _),
+    "q9_from_json" -> (Relational.q9FromJson _),
+    "q10_date_buckets" -> (Relational.q10DateBuckets _),
+    "q11_pk_filter" -> (Relational.q11PkFilter _),
+    "q12_cast_agg" -> (Relational.q12CastAgg _),
+    "q13_semi_anti" -> (Relational.q13SemiAnti _),
+    "q14_set_ops" -> (Relational.q14SetOps _),
+    // SURVEY §2.1 lake-table format ops (S3/S4/K1) through the oracle gate
+    "lake_merge_snapshot" -> (LakeQueries.lakeMergeSnapshot _),
+    "lake_incremental" -> (LakeQueries.lakeIncremental _),
+    "lake_delete" -> (LakeQueries.lakeDelete _),
+    // extension operators: text analysis / dedup
+    "text_stats" -> (TextAnalysis.textStats _),
+    "text_exact_dedup" -> (TextAnalysis.exactDedup _),
+    "text_quality" -> (TextAnalysis.qualityScore _)
+  )
+
+  private val lakeCtes =
+    """WITH src AS (
+      |  SELECT *, CAST(epoch(l_shipdate) AS BIGINT) AS created_ts FROM lineitem
+      |), b1 AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY l_orderkey, l_linenumber
+      |      ORDER BY l_shipdate DESC, l_partkey DESC, l_suppkey DESC,
+      |               l_quantity DESC, l_extendedprice DESC) AS rn
+      |    FROM src) t WHERE rn = 1
+      |), b2 AS (
+      |  SELECT l_orderkey, l_linenumber, l_quantity + 1000 AS l_quantity,
+      |         l_returnflag, created_ts + 1 AS created_ts
+      |  FROM b1 WHERE l_orderkey < 500
+      |)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_dim_join" ->
+      """SELECT COALESCE(p_brand, 'NA') AS brand,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS cnt
+        |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY brand""".stripMargin,
+    "q3_additive_merge" ->
+      """WITH cur AS (
+        |  SELECT l_returnflag, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS cur_sum
+        |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01' GROUP BY 1),
+        |inc AS (
+        |  SELECT l_returnflag, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS inc_sum
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' GROUP BY 1)
+        |SELECT inc.l_returnflag,
+        |  CAST(inc.inc_sum + COALESCE(cur.cur_sum, 0) AS DOUBLE) AS total_qty
+        |FROM inc LEFT JOIN cur USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+    "q4_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+        |  AND l_shipdate < TIMESTAMP '1997-09-01' AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber, revenue""".stripMargin,
+    "q5_distinct" ->
+      "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority",
+    "q6_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q7_star_join" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q8_window_dedup" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate DESC, l_partkey DESC, l_suppkey DESC,
+        |             l_quantity DESC, l_extendedprice DESC) AS rn
+        |  FROM lineitem) t
+        |WHERE rn = 1 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q9_from_json" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(*) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q10_date_buckets" ->
+      """SELECT strftime(ts, '%Y%m%d') AS logday,
+        |  lpad(CAST(EXTRACT(hour FROM ts) AS VARCHAR), 2, '0') ||
+        |  lpad(CAST((EXTRACT(minute FROM ts) // 10) * 10 AS VARCHAR), 2, '0') AS hm,
+        |  COUNT(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY logday, hm""".stripMargin,
+    "q11_pk_filter" ->
+      """SELECT COUNT(*) AS cnt FROM lineitem
+        |WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL""".stripMargin,
+    "q12_cast_agg" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS cnt
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q13_semi_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q14_set_ops" ->
+      """SELECT o_custkey FROM (
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+        |   UNION
+        |   SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+        |  EXCEPT
+        |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |) t ORDER BY o_custkey""".stripMargin,
+    "lake_merge_snapshot" ->
+      s"""$lakeCtes
+         |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts
+         |FROM b1 WHERE l_orderkey >= 500
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts FROM b2
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "lake_incremental" ->
+      s"""$lakeCtes
+         |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts
+         |FROM b2 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "lake_delete" ->
+      s"""$lakeCtes
+         |SELECT l_returnflag, COUNT(*) AS cnt,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         |FROM b1 WHERE NOT (l_orderkey BETWEEN 100 AND 199)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_stats" ->
+      """SELECT lang, COUNT(*) AS docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS sum_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_exact_dedup" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+        |FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+        |ORDER BY keep_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(floor(n_chars * 100 / len(string_split(text, ' '))) AS BIGINT) AS mean_wlen_x100,
+        |  CAST(len(string_split(text, ' ')) < 5 AS INT) AS too_short
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

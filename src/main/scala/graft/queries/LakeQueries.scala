@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.lake.{LakeTable, TableMeta}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.file.Files
+
+/** Queries that drive the LakeTable machinery itself (S3/S4/K1 of SURVEY
+  * §2.1) and are still DuckDB-oracle-checkable: the oracle SQL expresses
+  * the *semantics* of the keyed upsert / incremental read, and the Spark
+  * side produces them through the actual table format.
+  *
+  * Input prep is made fully deterministic (the synthetic lineitem has
+  * duplicate record keys): batch1 = latest row per key under a total
+  * ordering; batch2 = a keyed update slice with a strictly newer
+  * precombine, so merge outcomes are unambiguous.
+  */
+object LakeQueries {
+
+  /** Deterministic keyed batch1 + created_ts precombine column. */
+  private def batch1(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey", "l_linenumber")
+      .orderBy(col("l_shipdate").desc, col("l_partkey").desc,
+        col("l_suppkey").desc, col("l_quantity").desc,
+        col("l_extendedprice").desc)
+    Relational.t(s, dir, "lineitem")
+      .withColumn("created_ts",
+        col("l_shipdate").cast("timestamp_ltz").cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  private def batch2(b1: DataFrame): DataFrame =
+    b1.filter(col("l_orderkey") < 500)
+      .withColumn("l_quantity", col("l_quantity") + 1000)
+      .withColumn("created_ts", col("created_ts") + 1)
+
+  private def freshTable(s: SparkSession): LakeTable = {
+    val work = Files.createTempDirectory("graft_lakeq").toString
+    LakeTable.create(s, s"$work/t",
+      TableMeta("lakeq", Seq("l_orderkey", "l_linenumber"), "created_ts",
+        Seq("l_returnflag")))
+  }
+
+  private val outCols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+    "l_returnflag", "created_ts")
+
+  /** K1 upsert → S3 snapshot: two commits merged by key+precombine. */
+  def lakeMergeSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val t = freshTable(s)
+    val b1 = batch1(s, dir)
+    t.upsert(b1)
+    t.upsert(batch2(b1))
+    t.snapshot().select(outCols.map(col): _*)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** S4 incremental read `(c1, c2]` surfaces exactly the updated rows. */
+  def lakeIncremental(s: SparkSession, dir: String): DataFrame = {
+    val t = freshTable(s)
+    val b1 = batch1(s, dir)
+    val c1 = t.upsert(b1)
+    val c2 = t.upsert(batch2(b1))
+    t.incremental(c1, c2).select(outCols.map(col): _*)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** K1 delete op: keys vanish, survivors keep their data. */
+  def lakeDelete(s: SparkSession, dir: String): DataFrame = {
+    val t = freshTable(s)
+    val b1 = batch1(s, dir)
+    t.upsert(b1)
+    t.delete(b1.filter(col("l_orderkey").between(100, 199)))
+    t.snapshot()
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+}

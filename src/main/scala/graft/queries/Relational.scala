@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The relational query pack — every DataFrame operation the reference's
+  * pipelines perform (SURVEY §2.2-2.5), expressed Spark-first and paired
+  * with a DuckDB oracle in [[graft.SparkEntry.oracleSql]].
+  *
+  * Determinism rules (the driver hash-compares against DuckDB):
+  *  - monetary sums go through DECIMAL so they are exact and
+  *    order-independent, then cast to double for a stable output type;
+  *  - every result is fully ordered;
+  *  - every computed column is aliased identically in Spark and SQL.
+  */
+object Relational {
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val dec = DecimalType(18, 2)
+  private val dec6 = DecimalType(22, 6)
+
+  /** `events` with its TIMESTAMP(NANOS) column restored to a timestamp.
+    * Read as epoch-nanos long (legacy.parquet.nanosAsLong), then integer-
+    * divided to micros — double division would lose precision at 1e18.
+    */
+  def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** A1 pricing summary (DWD2DM.scala:32-34 shape, TPC-H Q1 flavored). */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec6))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** J1 fact→dim left-outer enrichment + nvl (ODS2DWD.scala:58-62). */
+  def q2DimJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")),
+        col("l_partkey") === col("p_partkey"), "left")
+      .groupBy(coalesce(col("p_brand"), lit("NA")).as("brand"))
+      .agg(
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy("brand")
+
+  /** J2 additive merge: delta agg ⟕ current agg, summed with nvl
+    * (DWD2DM.scala:75-79 — manual incremental view maintenance).
+    */
+  def q3AdditiveMerge(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val cutoff = lit("1997-01-01").cast("timestamp_ntz")
+    val cur = li.filter(col("l_shipdate") < cutoff)
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast(dec)).as("cur_sum"))
+    val inc = li.filter(col("l_shipdate") >= cutoff)
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast(dec)).as("inc_sum"))
+    inc.join(cur, Seq("l_returnflag"), "left")
+      .select(col("l_returnflag"),
+        (col("inc_sum") + coalesce(col("cur_sum"), lit(0).cast(dec)))
+          .cast("double").as("total_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** P5/P6 row-level projection with filter pushdown: revenue per row. */
+  def q4FilterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-09-01").cast("timestamp_ntz") &&
+        col("l_discount") > lit(0.05))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("l_orderkey", "l_linenumber", "revenue")
+
+  /** A4 distinct (package.scala:148). */
+  def q5Distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select("o_orderpriority").distinct()
+      .orderBy("o_orderpriority")
+
+  /** Top-k by total order (sort + limit; beyond reference's bare limit
+    * Hive2Hudi.scala:25 — deterministic via full tiebreak).
+    */
+  def q6TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  /** Multi-way star join: revenue by nation (dims broadcast). */
+  def q7StarJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec6))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("cnt"))
+      .orderBy("r_name", "n_name")
+
+  /** The precombine keep-latest device (SURVEY §2.4 note): latest row per
+    * record key via row_number over a fully-deterministic ordering.
+    */
+  def q8WindowDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_orderkey", "l_linenumber")
+      .orderBy(col("l_shipdate").desc, col("l_partkey").desc,
+        col("l_suppkey").desc, col("l_quantity").desc,
+        col("l_extendedprice").desc)
+    t(s, dir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"), col("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** P2/P3 from_json parse + nested access (Log2Hudi.scala:69). */
+  def q9FromJson(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("j",
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+      .groupBy("event_type")
+      .agg(sum(col("j.k").cast("long")).as("sum_k"), count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+
+  /** P5 ingest-time partition buckets: day + 10-minute floor
+    * (Log2Hudi.scala:70-75, README.md:148) applied to event time.
+    */
+  def q10DateBuckets(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(
+        date_format(col("ts"), "yyyyMMdd").as("logday"),
+        concat(lpad(hour(col("ts")).cast("string"), 2, "0"),
+          lpad((floor(minute(col("ts")) / 10) * 10).cast("string"), 2, "0"))
+          .as("hm"),
+        col("event_id"))
+      .groupBy("logday", "hm")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("logday", "hm")
+
+  /** P8 generated PK-not-null predicate (package.scala:185-188). */
+  def q11PkFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey").isNotNull && col("l_linenumber").isNotNull)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** P6 casts + agg on a different table. */
+  def q12CastAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(
+        sum(col("o_totalprice").cast(dec)).cast("double").as("sum_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** Semi/anti joins (beyond reference surface; completes join algebra):
+    * customers with orders but no high-price order.
+    */
+  def q13SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(o.filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** Set ops: union/except on projections (SURVEY §2.5 notes the rebuild
+    * introduces union for COW rewrite; exposed as a query op too).
+    */
+  def q14SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val hi = o.filter(col("o_totalprice") > 200000).select("o_custkey")
+    val recent = o.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp_ntz"))
+      .select("o_custkey")
+    hi.union(recent).distinct()
+      .except(o.filter(col("o_orderstatus") === "F").select("o_custkey").distinct())
+      .orderBy("o_custkey")
+  }
+}

@@ -107,18 +107,18 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   /** Append without key matching (Hudi `insert` op, reference
     * HudiOP.scala:4; may produce duplicate keys like Hudi insert does).
     */
-  def insert(data: DataFrame): String = {
+  def insert(data: DataFrame, extra: Map[String, String] = Map.empty): String = {
     val instant = timeline.nextInstant()
     val incoming = withMeta(alignUser(data), instant)
     val stats = stageWrite(incoming, instant)
-    timeline.commit(CommitMeta(instant, "insert", stats, Seq.empty))
+    timeline.commit(CommitMeta(instant, "insert", stats, Seq.empty, extra))
     instant
   }
 
   /** Keyed upsert with precombine resolution (Hudi `upsert`, reference
     * package.scala:23 + HudiConfig.scala:45-48).
     */
-  def upsert(data: DataFrame): String = {
+  def upsert(data: DataFrame, extra: Map[String, String] = Map.empty): String = {
     val instant = timeline.nextInstant()
     val aligned = alignUser(data)
     val userCols = aligned.columns.toSeq
@@ -133,7 +133,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       .persist(StorageLevel.MEMORY_AND_DISK) // reference Y2, package.scala:66
     try {
       if (incoming.isEmpty) {
-        timeline.commit(CommitMeta(instant, "upsert", Seq.empty, Seq.empty))
+        timeline.commit(CommitMeta(instant, "upsert", Seq.empty, Seq.empty, extra))
         return instant
       }
       val matched = matchedFiles(incoming.select(col(RecordKeyCol)))
@@ -154,7 +154,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
             .select(col(RecordKeyCol) +: fieldOrder.map(c => col(s"r.`$c`").as(c)): _*)
         }
       val stats = stageWrite(out, instant)
-      timeline.commit(CommitMeta(instant, "upsert", stats, matched))
+      timeline.commit(CommitMeta(instant, "upsert", stats, matched, extra))
       instant
     } finally incoming.unpersist()
   }
@@ -163,18 +163,18 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * reference HudiOP.scala:6). Only files containing matched keys are
     * rewritten; survivors keep their original `_commit_time`.
     */
-  def delete(data: DataFrame): String = {
+  def delete(data: DataFrame, extra: Map[String, String] = Map.empty): String = {
     val instant = timeline.nextInstant()
     val keys = withKeyOnly(data).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val matched = matchedFiles(keys)
       if (matched.isEmpty) {
-        timeline.commit(CommitMeta(instant, "delete", Seq.empty, Seq.empty))
+        timeline.commit(CommitMeta(instant, "delete", Seq.empty, Seq.empty, extra))
         return instant
       }
       val survivors = readFiles(matched).join(keys, Seq(RecordKeyCol), "left_anti")
       val stats = stageWrite(survivors, instant)
-      timeline.commit(CommitMeta(instant, "delete", stats, matched))
+      timeline.commit(CommitMeta(instant, "delete", stats, matched, extra))
       instant
     } finally keys.unpersist()
   }
@@ -206,7 +206,11 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   private def alignUser(data: DataFrame): DataFrame = {
     val clean = data.drop(RecordKeyCol, CommitTimeCol)
     userSchema match {
-      case Some(s) => clean.select(s.fieldNames.map(col).toIndexedSeq: _*)
+      // cast to the stored schema: arithmetic can widen types between
+      // writes (e.g. decimal sums), but the table schema is authoritative
+      case Some(s) =>
+        clean.select(s.fields.toIndexedSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
       case None =>
         _meta = _meta.copy(schemaJson = clean.schema.json)
         TableMeta.save(fs, tablePath, _meta)

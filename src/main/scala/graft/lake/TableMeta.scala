@@ -49,7 +49,13 @@ case class CommitMeta(
     instant: String,
     operation: String, // insert | upsert | delete | clean
     added: Seq[FileStat] = Seq.empty,
-    removed: Seq[String] = Seq.empty
+    removed: Seq[String] = Seq.empty,
+    /** Pipeline-supplied metadata committed atomically with the data —
+      * e.g. the incremental-read watermark of an additive-merge pipeline,
+      * making replays after a crash double-count-safe (SURVEY §7 hard
+      * part 5; the reference's DWD2DM.scala:77 is NOT replay-safe).
+      */
+    extra: Map[String, String] = Map.empty
 )
 
 object TableMeta {

@@ -1,0 +1,94 @@
+package graft.pipelines
+
+import graft.cdc.{CanalParser, CdcOp, CdcRecord}
+import graft.lake.{LakeTable, TableMeta}
+import graft.util.Sessions
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{MapType, StringType}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CDC stream (Canal binlog envelopes) → lake table with per-op routing
+  * (reference KDS2Hudi.scala:83-147 + cdc/CanalParser.scala:11-32).
+  *
+  * Unlike the reference — which parses Canal driver-side — the parse runs
+  * as a typed `Dataset[String] → Dataset[CdcRecord]` flatMap on executors
+  * (SURVEY §2.8), so a 100 TB backlog parses in parallel. Row payloads are
+  * string-typed maps (Canal emits all values as strings); they are cast
+  * column-wise to the target table schema.
+  */
+object CdcIngest {
+
+  /** Distributed parse of raw Canal JSON lines. */
+  def parse(lines: Dataset[String]): Dataset[CdcRecord] = {
+    import lines.sparkSession.implicits._
+    lines.flatMap(CanalParser.parse _)
+  }
+
+  /** Cast the string-map payloads of `records` to the table schema. */
+  def typedRows(spark: SparkSession, records: Dataset[CdcRecord],
+      table: LakeTable): DataFrame = {
+    import spark.implicits._
+    val schema = table.fullSchema // user cols only below; meta cols dropped
+    val userFields = table.userSchema.get.fields
+    records.flatMap(_.rows).toDF("row")
+      .select(from_json(col("row"), MapType(StringType, StringType)).as("m"))
+      .select(userFields.toIndexedSeq.map(f =>
+        col("m").getItem(f.name).cast(f.dataType).as(f.name)): _*)
+  }
+
+  def applyBatch(spark: SparkSession, batch: DataFrame, cfg: PipelineConfig,
+      table: LakeTable): Unit = {
+    import spark.implicits._
+    var recs = parse(batch.select(col("value").cast("string")).as[String])
+    if (cfg.cdcTableFilter.nonEmpty) // package.scala:158 equality filter
+      recs = recs.filter(col("table") === cfg.cdcTableFilter).as[CdcRecord]
+    val cached = recs.persist() // multi-action fan-out, reference Y2
+    try {
+      // ops must apply in a fixed order within a batch: deletes last would
+      // resurrect nothing; reference applies per-record op streams — here
+      // insert+upsert merge first, then deletes.
+      for (op <- Seq(CdcOp.Insert, CdcOp.Upsert, CdcOp.Delete)) {
+        val sub = cached.filter(col("op") === op).as[CdcRecord]
+        if (!sub.isEmpty) {
+          val rows = typedRows(spark, sub, table)
+          op match {
+            case CdcOp.Insert | CdcOp.Upsert => table.upsert(rows)
+            case CdcOp.Delete                => table.delete(rows)
+          }
+        }
+      }
+    } finally { cached.unpersist(); () }
+  }
+
+  def run(spark: SparkSession, cfg: PipelineConfig): StreamingQuery = {
+    val table = LakeTable.create(spark, cfg.tablePath,
+      TableMeta(cfg.tableName, cfg.recordKeyFields, cfg.precombineField,
+        cfg.partitionFields, cfg.tableType))
+    require(table.userSchema.isDefined || cfg.sampleJson.nonEmpty,
+      "CDC target needs an existing schema or --sample-json")
+    if (table.userSchema.isEmpty) {
+      // bootstrap schema from a sample row JSON (all-string Canal payloads
+      // keep declared types via the sample's inferred schema)
+      import spark.implicits._
+      val inferred = spark.read.json(Seq(cfg.sampleJson).toDS())
+      table.insert(inferred.limit(0))
+    }
+    spark.readStream.format("text").load(cfg.inboxDir)
+      .writeStream
+      .queryName(s"cdc-${cfg.tableName}")
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(Trigger.ProcessingTime(s"${cfg.triggerSeconds} seconds"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) applyBatch(spark, batch, cfg, table)
+      }
+      .start()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = PipelineConfig.parse(args)
+    val spark = Sessions.local("cdc-ingest")
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, cfg).awaitTermination()
+  }
+}

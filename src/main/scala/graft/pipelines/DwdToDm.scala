@@ -1,0 +1,96 @@
+package graft.pipelines
+
+import graft.lake.{LakeTable, TableMeta}
+import graft.util.Sessions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** DWD → DM: incremental aggregation with additive merge (reference
+  * DWD2DM.scala:22-97) — manual incremental-view maintenance:
+  * `new_total = delta_sum + nvl(old_total, 0)`.
+  *
+  * Replay safety (SURVEY §7 hard part 5): the reference double-counts if
+  * a delta batch is re-applied after a crash. Here the begin-watermark is
+  * committed atomically with the DM upsert (`extra`), and resume reads it
+  * back from the timeline.
+  *
+  * Scale: the delta aggregation is a partial (map-side combined) hash agg
+  * over only the incremental files; the merge join touches the DM table
+  * keyed by the grouping columns — both shuffle-bounded by delta size,
+  * not table size.
+  */
+object DwdToDm {
+
+  val WatermarkKey = "dwd.watermark"
+  private val dec = DecimalType(27, 2)
+
+  private def sumName(cfg: PipelineConfig) = s"${cfg.aggCol}_sum"
+
+  def aggregate(df: DataFrame, cfg: PipelineConfig): DataFrame =
+    df.groupBy(cfg.aggKeys.map(col): _*)
+      .agg(sum(col(cfg.aggCol).cast(dec)).as(sumName(cfg))) // A1
+
+  def resumeWatermark(dm: LakeTable): Option[String] =
+    dm.timeline.instants().reverse.iterator
+      .map(dm.timeline.read)
+      .flatMap(_.extra.get(WatermarkKey))
+      .nextOption()
+
+  /** Delta agg ⟕ current DM, additive merge (DWD2DM.scala:75-79). */
+  def merge(delta: DataFrame, current: DataFrame, cfg: PipelineConfig): DataFrame = {
+    val s = sumName(cfg)
+    delta.as("i")
+      .join(current.select((cfg.aggKeys :+ s).map(col): _*).as("c"),
+        cfg.aggKeys, "left") // J2 composite-key left join
+      .select(
+        cfg.aggKeys.map(col) :+
+          (col(s"i.$s") + coalesce(col(s"c.$s"), lit(0).cast(dec))).as(s): _*)
+  }
+
+  def iteration(spark: SparkSession, cfg: PipelineConfig, dwd: LakeTable,
+      dm: LakeTable, begin: String): String = {
+    val end = dwd.latestCommit.getOrElse(return begin)
+    if (begin == end) return begin
+    val inc = dwd.incremental(begin, end).drop("_record_key", "_commit_time")
+    if (inc.isEmpty) return end
+    val delta = aggregate(inc, cfg)
+    val merged = merge(delta, dm.snapshotUser(), cfg)
+      .withColumn(cfg.precombineField, lit(System.currentTimeMillis()))
+    dm.upsert(merged, extra = Map(WatermarkKey -> end))
+    end
+  }
+
+  def run(spark: SparkSession, cfg: PipelineConfig): Unit = {
+    val dwd = LakeTable.load(spark, cfg.sourceTablePath)
+    val dm = LakeTable.create(spark, cfg.tablePath,
+      TableMeta(cfg.tableName, cfg.recordKeyFields, cfg.precombineField,
+        cfg.partitionFields, cfg.tableType))
+    var begin = resumeWatermark(dm) match {
+      case Some(w) => w
+      case None =>
+        // init: full snapshot aggregation (DWD2DM.scala:28-41)
+        val end = dwd.latestCommit.getOrElse("earliest")
+        if (end != "earliest") {
+          val init = aggregate(dwd.snapshotUser(), cfg)
+            .withColumn(cfg.precombineField, lit(System.currentTimeMillis()))
+          dm.upsert(init, extra = Map(WatermarkKey -> end))
+        }
+        end
+    }
+    var iter = 0
+    while (cfg.maxIterations < 0 || iter < cfg.maxIterations) { // T6
+      if (iter > 0) Thread.sleep(cfg.pollIntervalMs)
+      begin = iteration(spark, cfg, dwd, dm, begin)
+      iter += 1
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = PipelineConfig.parse(args)
+    val spark = Sessions.local("dwd-to-dm")
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, cfg)
+    spark.stop()
+  }
+}

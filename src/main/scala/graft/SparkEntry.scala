@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{LakeQueries, Relational, TextAnalysis}
+import graft.queries.{Dedup, LakeQueries, Relational, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -35,11 +35,40 @@ object SparkEntry {
     "lake_merge_snapshot" -> (LakeQueries.lakeMergeSnapshot _),
     "lake_incremental" -> (LakeQueries.lakeIncremental _),
     "lake_delete" -> (LakeQueries.lakeDelete _),
-    // extension operators: text analysis / dedup
+    // extension operators: text analysis / dedup / similarity / multimodal
     "text_stats" -> (TextAnalysis.textStats _),
     "text_exact_dedup" -> (TextAnalysis.exactDedup _),
-    "text_quality" -> (TextAnalysis.qualityScore _)
+    "text_quality" -> (TextAnalysis.qualityScore _),
+    "text_langid" -> (TextAnalysis.langId _),
+    "text_fingerprint" -> (Dedup.fingerprints _),
+    "mm_features" -> (TextAnalysis.mmFeatures _),
+    "dedup_jaccard_pairs" -> (Dedup.jaccardPairs _),
+    "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
+    "dedup_simhash" -> (Dedup.simhashPairs _), // rows-only (engine hash)
+    "sim_topk_bruteforce" -> (Similarity.topKBruteForce _),
+    "sim_lsh_topk" -> (Similarity.lshTopK _) // rows-only (engine hash)
   )
+
+  /** Exact n-gram-Jaccard pair SQL — oracle for BOTH dedup_jaccard_pairs
+    * (same algorithm) and dedup_minhash_lsh (LSH recall ≈ 1 at these
+    * similarities, exact-verified).
+    */
+  private val jaccardPairsSql =
+    """WITH docs AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+      |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t
+      |  WHERE len(words) >= 3
+      |), ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM docs)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  COUNT(*) / (a.n + b.n - COUNT(*)) AS jaccard
+      |FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |GROUP BY a.doc_id, b.doc_id, a.n, b.n
+      |HAVING COUNT(*) / (a.n + b.n - COUNT(*)) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  private val cosineFold =
+    "list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE))), (a, x) -> a + x)"
 
   private val lakeCtes =
     """WITH src AS (
@@ -178,6 +207,50 @@ object SparkEntry {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |  CAST(floor(n_chars * 100 / len(string_split(text, ' '))) AS BIGINT) AS mean_wlen_x100,
         |  CAST(len(string_split(text, ' ')) < 5 AS INT) AS too_short
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH h AS (SELECT lang,
+        |  len(list_filter(string_split(text,' '), w -> w IN ('column','sort','window'))) AS h_en,
+        |  len(list_filter(string_split(text,' '), w -> w IN ('order','query','customer'))) AS h_fr,
+        |  len(list_filter(string_split(text,' '), w -> w IN ('part','hash','line'))) AS h_es,
+        |  len(list_filter(string_split(text,' '), w -> w IN ('small','data','scan'))) AS h_de,
+        |  len(list_filter(string_split(text,' '), w -> w IN ('group','merge','vector'))) AS h_zh
+        |  FROM documents),
+        |p AS (SELECT lang,
+        |  CASE WHEN h_en >= greatest(h_en,h_fr,h_es,h_de,h_zh) THEN 'en'
+        |       WHEN h_fr >= greatest(h_en,h_fr,h_es,h_de,h_zh) THEN 'fr'
+        |       WHEN h_es >= greatest(h_en,h_fr,h_es,h_de,h_zh) THEN 'es'
+        |       WHEN h_de >= greatest(h_en,h_fr,h_es,h_de,h_zh) THEN 'de'
+        |       ELSE 'zh' END AS predicted FROM h)
+        |SELECT lang, predicted, COUNT(*) AS cnt FROM p
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ' '),
+        |        w -> CAST(length(w)*31 + ascii(w)*7 + ascii(reverse(w))*13 AS BIGINT))),
+        |    (a, x) -> (a * 257 + x) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_features" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  substr(md5(text), 1, 8) AS sig
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_jaccard_pairs" -> jaccardPairsSql,
+    "dedup_minhash_lsh" -> jaccardPairsSql,
+    "sim_topk_bruteforce" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < 3),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id,
+         |    ${cosineFold.format("e.embedding", "q.qv")} /
+         |    (sqrt(${cosineFold.format("e.embedding", "e.embedding")}) *
+         |     sqrt(${cosineFold.format("q.qv", "q.qv")})) AS sim
+         |  FROM e, q WHERE e.vec_id <> q.query_id),
+         |r AS (SELECT query_id, vec_id, sim,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS INT) AS rk
+         |  FROM scored)
+         |SELECT query_id, vec_id, sim, rk FROM r WHERE rk <= 10
+         |ORDER BY query_id, rk""".stripMargin
   )
 }

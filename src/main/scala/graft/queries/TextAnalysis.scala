@@ -34,6 +34,49 @@ object TextAnalysis {
       .select("keep_id", "dup_cnt")
       .orderBy("keep_id")
 
+  /** Language-ID by marker-token scoring (n-gram/stopword heuristic,
+    * deterministic): hits per language's marker set, argmax with a fixed
+    * tie order, emitted as a confusion matrix against the labeled lang.
+    * (The synthetic corpus shares one vocabulary across langs, so accuracy
+    * is incidental — the operator contract is the deterministic scoring.)
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("column", "sort", "window"),
+    "fr" -> Seq("order", "query", "customer"),
+    "es" -> Seq("part", "hash", "line"),
+    "de" -> Seq("small", "data", "scan"),
+    "zh" -> Seq("group", "merge", "vector"))
+
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.markerHits
+    val hitCols = langMarkers.map { case (l, m) =>
+      markerHits(col("text"), m).as(s"h_$l")
+    }
+    val mx = greatest(langMarkers.map { case (l, _) => col(s"h_$l") }: _*)
+    val predicted = langMarkers.init.foldRight(
+      lit(langMarkers.last._1): org.apache.spark.sql.Column) {
+      case ((l, _), rest) => when(col(s"h_$l") >= mx, l).otherwise(rest)
+    }
+    Relational.t(s, dir, "documents")
+      .select(col("lang") +: hitCols: _*)
+      .withColumn("predicted", predicted)
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** Multimodal-column plumbing, portable slice: treat the text as an
+    * opaque binary payload (the real image/audio decode path is stubbed —
+    * see graft.multimodal); extract byte-level features through the
+    * binary column.
+    */
+  def mmFeatures(s: SparkSession, dir: String): DataFrame =
+    Relational.t(s, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        substring(md5(col("text").cast("binary")), 1, 8).as("sig"))
+      .orderBy("doc_id")
+
   /** Quality score: deterministic integer-arithmetic heuristics so the
     * oracle matches exactly — mean word length (chars*100/tokens) and a
     * short-doc flag. (Float-free on purpose.)

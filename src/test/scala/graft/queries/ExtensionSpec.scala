@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.multimodal.{MediaRecord, Multimodal}
+import graft.util.Sessions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Sessions.local("ext-test", "4")
+  val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("minhash LSH finds every exact-jaccard pair (recall 1.0 here)") {
+    val exact = Dedup.jaccardPairs(spark, sf).select("id_a", "id_b").collect().toSet
+    val lsh = Dedup.minhashLsh(spark, sf).select("id_a", "id_b").collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact)
+  }
+
+  test("simhash near-dup pairs overlap heavily with jaccard pairs") {
+    val jac = Dedup.jaccardPairs(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashPairs(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // near-identical docs (j≥0.95 in this corpus) should be hamming-close
+    val found = jac.count(sim.contains)
+    assert(found >= jac.size / 2,
+      s"simhash found only $found of ${jac.size} jaccard pairs")
+  }
+
+  test("LSH ANN top-k: decent recall vs brute force, and exact sims agree") {
+    val bf = Similarity.topKBruteForce(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshTopK(spark, sf).collect()
+    val annSet = ann.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.count(annSet.contains).toDouble / bf.size
+    assert(recall >= 0.2, s"ANN recall $recall too low") // random vectors: LSH
+    // buckets prune hard; recall target is modest by design at 64-dim random
+    assert(ann.forall(_.getDouble(2) <= 1.0 + 1e-9))
+  }
+
+  test("multimodal: batched stub decode through typed Dataset plumbing") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
+    val media = docs.select(col("doc_id"), col("text"), col("source")).as[(Long, String, String)]
+      .map { case (id, text, source) =>
+        MediaRecord(id, "image", text.getBytes("UTF-8"),
+          Map("source" -> source, "codec" -> "stub"))
+      }
+    val feats = Multimodal.extractFeatures(media, batchSize = 16)
+    val rows = feats.collect()
+    assert(rows.length == 100)
+    assert(rows.forall(_.features.length == Multimodal.FeatureDim))
+    assert(rows.forall(f => f.features.forall(v => v >= -1.0f && v <= 1.0f)))
+    // deterministic: same payload → same signature/features
+    val again = Multimodal.extractFeatures(media, batchSize = 7).collect()
+    assert(rows.sortBy(_.media_id).map(_.content_sig).toSeq ==
+      again.sortBy(_.media_id).map(_.content_sig).toSeq)
+    // features feed similarity search (downstream composition)
+    val fdf = feats.toDF()
+    val sims = fdf.alias("a").crossJoin(fdf.alias("b"))
+      .filter(col("a.media_id") < col("b.media_id"))
+      .select(Similarity.cosine(col("a.features"), col("b.features")).as("sim"))
+    assert(sims.agg(max("sim")).head().getDouble(0) <= 1.0 + 1e-9)
+  }
+}

@@ -25,13 +25,28 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature: for each of `k` seeds, the minimum of
-    * xxhash64(shingle, seed) over the shingle set. One array expression
-    * per row — no shuffle, no UDF.
+  /** MinHash signature: for each of `k` derived hash functions, the
+    * minimum over the shingle set.
+    *
+    * NOTE (perf): higher-order array functions evaluate interpreted —
+    * outside whole-stage codegen — so a per-row
+    * `transform(seeds, s -> array_min(transform(sh, hash)))` costs
+    * k·|sh| interpreted lambda calls and dominated the benchmark (188 s
+    * at sf0.1). Prefer [[graft.queries.Dedup.minhashSignatures]], which
+    * explodes shingles and computes the k minima as codegen'd aggregate
+    * expressions with map-side partial combine. This per-row variant is
+    * kept for small inputs / single-doc scoring.
     */
-  def minhashSignature(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      s => array_min(transform(sh, x => xxhash64(x, s))))
+  def minhashSignature(sh: Column, k: Int): Column = {
+    // two real hashes per shingle; g_i = h1 XOR rot_i(h2) (same family as
+    // graft.queries.Dedup.derivedHash, ANSI-overflow-free)
+    val withHashes = transform(sh,
+      x => struct(xxhash64(x).as("h1"), xxhash64(x, lit(1)).as("h2")))
+    array((0 until k).map(i =>
+      array_min(transform(withHashes,
+        p => graft.queries.Dedup.derivedHash(
+          p.getField("h1"), p.getField("h2"), i)))): _*)
+  }
 
   /** LSH bands: the signature split into `bands` arrays of `rowsPerBand`.
     * Docs sharing any band become near-dup candidates.

@@ -78,6 +78,7 @@ object Similarity {
   def lshTopK(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Relational.t(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism) // bucket calc is CPU-bound
     val bucketed = e.select(col("vec_id"), col("embedding"),
       posexplode(expr(s"sequence(0, ${NumTables - 1})")).as(Seq("tbl", "toff")))
       .withColumn("bucket", lshBucketOffset(col("embedding"), col("toff")))

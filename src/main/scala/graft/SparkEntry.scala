@@ -33,6 +33,7 @@ object SparkEntry {
     "q14_set_ops" -> (Relational.q14SetOps _),
     // SURVEY §2.1 lake-table format ops (S3/S4/K1) through the oracle gate
     "lake_merge_snapshot" -> (LakeQueries.lakeMergeSnapshot _),
+    "lake_mor_snapshot" -> (LakeQueries.lakeMorSnapshot _),
     "lake_incremental" -> (LakeQueries.lakeIncremental _),
     "lake_delete" -> (LakeQueries.lakeDelete _),
     // extension operators: text analysis / dedup / similarity / multimodal
@@ -177,6 +178,13 @@ object SparkEntry {
         |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
         |) t ORDER BY o_custkey""".stripMargin,
     "lake_merge_snapshot" ->
+      s"""$lakeCtes
+         |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts
+         |FROM b1 WHERE l_orderkey >= 500
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts FROM b2
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "lake_mor_snapshot" ->
       s"""$lakeCtes
          |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts
          |FROM b1 WHERE l_orderkey >= 500

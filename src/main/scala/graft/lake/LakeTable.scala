@@ -66,12 +66,35 @@ class LakeTable private (val spark: SparkSession, val path: String) {
 
   // ---------------------------------------------------------------- reads
 
-  /** Latest view of the table (meta columns included). */
+  /** Latest view of the table (meta columns included). For MOR tables
+    * with outstanding delta files this is the merge-on-read view: base ∪
+    * delta resolved to the latest row per key by (precombine,
+    * commit-time) — one keyed shuffle, the read-side cost MOR trades for
+    * its cheap writes.
+    */
   def snapshot(): DataFrame = snapshotAsOf(MaxInstant)
 
   /** Time travel: the table as of `instant` (inclusive). */
-  def snapshotAsOf(instant: String): DataFrame =
-    readFiles(timeline.liveFiles(instant).map(_.path))
+  def snapshotAsOf(instant: String): DataFrame = {
+    val live = timeline.liveFiles(instant)
+    val df = readFiles(live.map(_.path))
+    if (live.exists(_.isDelta)) resolveLatest(df) else df
+  }
+
+  /** Latest-row resolution for merge-on-read: keep the max
+    * (precombine, _commit_time) row per key — same payload ordering as
+    * the COW merge (greater precombine wins, later commit wins ties).
+    */
+  private def resolveLatest(df: DataFrame): DataFrame = {
+    val fields = fullSchema.fieldNames.filter(_ != RecordKeyCol).toSeq
+    df.groupBy(col(RecordKeyCol))
+      .agg(max_by(struct(fields.map(col): _*),
+        struct(col(_meta.precombineField), col(CommitTimeCol))).as("_r"))
+      .select(fullSchema.fieldNames.toIndexedSeq.map {
+        case RecordKeyCol => col(RecordKeyCol)
+        case f            => col(s"_r.`$f`").as(f)
+      }: _*) // keep the physical column order of a plain file read
+  }
 
   /** Snapshot without meta columns (reference package.scala:165-169). */
   def snapshotUser(): DataFrame = snapshot().drop(RecordKeyCol, CommitTimeCol)
@@ -86,10 +109,12 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       .filter(col(CommitTimeCol) > lit(b) && col(CommitTimeCol) <= lit(end))
   }
 
-  /** MOR read-optimized view; == snapshot for COW tables
-    * (reference MSK2Hudi.scala:5 imports it but only COW paths use it).
+  /** MOR read-optimized view: base files only, skipping un-compacted
+    * deltas (reference MSK2Hudi.scala:5 / SURVEY S5). == snapshot for
+    * COW.
     */
-  def readOptimized(): DataFrame = snapshot()
+  def readOptimized(): DataFrame =
+    readFiles(timeline.liveFiles().filterNot(_.isDelta).map(_.path))
 
   private def absolute(rel: String): String = new Path(tablePath, rel).toString
 
@@ -101,6 +126,9 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         .schema(fullSchema)
         .option("basePath", path)
         .parquet(relPaths.map(absolute): _*)
+        // the reader surfaces partition columns last regardless of the
+        // requested schema — restore the declared column order
+        .select(fullSchema.fieldNames.toIndexedSeq.map(col): _*)
 
   // --------------------------------------------------------------- writes
 
@@ -134,6 +162,16 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     try {
       if (incoming.isEmpty) {
         timeline.commit(CommitMeta(instant, "upsert", Seq.empty, Seq.empty, extra))
+        return instant
+      }
+      if (_meta.tableType == "mor") {
+        // merge-on-read: append the deduped batch as delta files — no
+        // matched-file lookup, no rewrite; readers resolve by key. This
+        // is the cheap-write path the reference selects with
+        // tableType=MOR (MSK2Hudi.scala:42, HudiConfig.scala:17-26).
+        val stats = stageWrite(incoming, instant, kind = "delta")
+        timeline.commit(CommitMeta(instant, "deltacommit", stats, Seq.empty, extra))
+        maybeCompactInline()
         return instant
       }
       val matched = matchedFiles(incoming.select(col(RecordKeyCol)))
@@ -172,11 +210,46 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         timeline.commit(CommitMeta(instant, "delete", Seq.empty, Seq.empty, extra))
         return instant
       }
-      val survivors = readFiles(matched).join(keys, Seq(RecordKeyCol), "left_anti")
-      val stats = stageWrite(survivors, instant)
+      // rewrite matched files without the deleted keys. For MOR, base and
+      // delta survivors are rewritten into files of their own kind so the
+      // layering (and the read-optimized view) stays consistent.
+      val byKind = timeline.liveFiles().filter(f => matched.contains(f.path))
+        .groupBy(f => if (f.isDelta) "delta" else "base")
+      val stats = byKind.toSeq.sortBy(_._1).flatMap { case (kind, files) =>
+        val survivors = readFiles(files.map(_.path))
+          .join(keys, Seq(RecordKeyCol), "left_anti")
+        stageWrite(survivors, s"$instant${if (kind == "delta") "d" else ""}", kind = kind)
+      }
       timeline.commit(CommitMeta(instant, "delete", stats, matched, extra))
       instant
     } finally keys.unpersist()
+  }
+
+  /** MOR table service: merge base + delta into fresh base files
+    * (Hudi compaction; inline cadence per `inlineCompactMax`, reference
+    * HudiConfig.scala:22-23). Rows keep their original `_commit_time`, so
+    * incremental reads spanning a compaction stay correct.
+    */
+  def compact(): Option[String] = {
+    val live = timeline.liveFiles()
+    if (!live.exists(_.isDelta)) return None
+    val instant = timeline.nextInstant()
+    val resolved = resolveLatest(readFiles(live.map(_.path)))
+    val stats = stageWrite(resolved, instant, kind = "base")
+    timeline.commit(CommitMeta(instant, "compact", stats, live.map(_.path)))
+    Some(instant)
+  }
+
+  private def maybeCompactInline(): Unit = {
+    val max = _meta.inlineCompactMax
+    if (max <= 0) return
+    val inst = timeline.instants()
+    val sinceCompact = inst.reverse.takeWhile(i =>
+      timeline.read(i).operation != "compact")
+    if (sinceCompact.count(i => timeline.read(i).operation == "deltacommit") >= max) {
+      compact()
+      ()
+    }
   }
 
   /** Table service: physically delete files removed more than
@@ -264,7 +337,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * collect per-file key stats, and move files to their final
     * `<instant>_<n>.parquet` names. Returns the added-file stats.
     */
-  private def stageWrite(out: DataFrame, instant: String): Seq[FileStat] = {
+  private def stageWrite(out: DataFrame, instant: String,
+      kind: String = "base"): Seq[FileStat] = {
     val ordered = out.select(fullSchema.fieldNames.map(col).toIndexedSeq: _*)
     val staging = new Path(tablePath, s"_lake/staging/$instant")
     val w = ordered.write.mode("overwrite")
@@ -298,7 +372,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         fs.mkdirs(dst.getParent)
         if (!fs.rename(new Path(staging, rel), dst))
           throw new IllegalStateException(s"publish rename failed: $rel")
-        Some(FileStat(finalRel, partition, r.getLong(1), r.getString(2), r.getString(3)))
+        Some(FileStat(finalRel, partition, r.getLong(1), r.getString(2),
+          r.getString(3), kind))
       }
     }
     fs.delete(staging, true)

@@ -23,6 +23,10 @@ case class TableMeta(
     precombineField: String,
     partitionFields: Seq[String] = Seq.empty,
     tableType: String = "cow",
+    /** MOR only: compact inline after this many delta commits (reference
+      * `inlineMax`, default 20 at Config.scala:24; 0 disables).
+      */
+    inlineCompactMax: Int = 0,
     /** Spark StructType.json of the user columns; captured on first write.
       * Supplying it back at read time keeps partition-directory values
       * typed exactly (no partition-type inference surprises).
@@ -39,8 +43,15 @@ case class FileStat(
     partition: String, // "p1=v1/p2=v2" or "" for unpartitioned
     numRecords: Long,
     minKey: String,
-    maxKey: String
-)
+    maxKey: String,
+    /** "base" | "delta" — MOR delta files carry not-yet-compacted upserts
+      * (Hudi's log files, reference HudiConfig.scala:17-26); null in
+      * commits written before this field existed ⇒ treat as base.
+      */
+    kind: String = "base"
+) {
+  def isDelta: Boolean = kind == "delta"
+}
 
 /** One commit on the timeline (reference: Hudi instant + commit metadata,
   * instants `yyyyMMddHHmmssSSS` at ODS2DWD.scala:16).

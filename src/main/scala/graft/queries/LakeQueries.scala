@@ -37,11 +37,11 @@ object LakeQueries {
       .withColumn("l_quantity", col("l_quantity") + 1000)
       .withColumn("created_ts", col("created_ts") + 1)
 
-  private def freshTable(s: SparkSession): LakeTable = {
+  private def freshTable(s: SparkSession, tableType: String = "cow"): LakeTable = {
     val work = Files.createTempDirectory("graft_lakeq").toString
     LakeTable.create(s, s"$work/t",
       TableMeta("lakeq", Seq("l_orderkey", "l_linenumber"), "created_ts",
-        Seq("l_returnflag")))
+        Seq("l_returnflag"), tableType))
   }
 
   private val outCols = Seq("l_orderkey", "l_linenumber", "l_quantity",
@@ -53,6 +53,20 @@ object LakeQueries {
     val b1 = batch1(s, dir)
     t.upsert(b1)
     t.upsert(batch2(b1))
+    t.snapshot().select(outCols.map(col): _*)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Same contract through the MOR path: delta-append writes + read-time
+    * key resolution + compaction must produce the identical table state
+    * (oracle shared with [[lakeMergeSnapshot]]).
+    */
+  def lakeMorSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val t = freshTable(s, tableType = "mor")
+    val b1 = batch1(s, dir)
+    t.upsert(b1)
+    t.upsert(batch2(b1))
+    t.compact() // exercise compaction too; snapshot is identical either way
     t.snapshot().select(outCols.map(col): _*)
       .orderBy("l_orderkey", "l_linenumber")
   }

@@ -1,0 +1,100 @@
+package graft.lake
+
+import graft.util.Sessions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class MorTableSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Sessions.local("mor-test", "4")
+
+  override def afterAll(): Unit = spark.stop()
+
+  def mkTable(inlineMax: Int = 0): LakeTable =
+    LakeTable.create(spark,
+      Files.createTempDirectory("mortbl").toString + "/t",
+      TableMeta("m", Seq("id"), "ts", Seq("part"), tableType = "mor",
+        inlineCompactMax = inlineMax))
+
+  def df(rows: (Int, Long, String, Double)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "ts", "part", "v")
+  }
+
+  test("MOR upsert appends deltas; snapshot merges; readOptimized skips them") {
+    val t = mkTable()
+    t.insert(df((1, 10L, "p1", 1.0), (2, 10L, "p1", 2.0))) // base
+    t.upsert(df((2, 20L, "p1", 22.0), (3, 20L, "p2", 3.0))) // delta
+    // snapshot = merged view
+    val snap = t.snapshot().orderBy("id")
+    assert(snap.count() == 3)
+    assert(snap.filter(col("id") === 2).head().getAs[Double]("v") == 22.0)
+    // read-optimized = base only (stale id=2, no id=3)
+    val ro = t.readOptimized().orderBy("id")
+    assert(ro.count() == 2)
+    assert(ro.filter(col("id") === 2).head().getAs[Double]("v") == 2.0)
+    // the delta commit rewrote nothing
+    val lastCommit = t.timeline.read(t.latestCommit.get)
+    assert(lastCommit.operation == "deltacommit" && lastCommit.removed.isEmpty)
+  }
+
+  test("MOR precombine ordering: greater ts wins, later commit wins ties") {
+    val t = mkTable()
+    t.upsert(df((1, 20L, "p1", 1.0)))
+    t.upsert(df((1, 10L, "p1", 99.0))) // stale delta: loses on read
+    assert(t.snapshot().head().getAs[Double]("v") == 1.0)
+    t.upsert(df((1, 20L, "p1", 7.0))) // tie on ts: later commit wins
+    assert(t.snapshot().head().getAs[Double]("v") == 7.0)
+  }
+
+  test("compaction merges to base; snapshot unchanged; incremental survives") {
+    val t = mkTable()
+    val c1 = t.upsert(df((1, 10L, "p1", 1.0), (2, 10L, "p1", 2.0)))
+    val c2 = t.upsert(df((2, 20L, "p1", 22.0)))
+    val before = t.snapshot().orderBy("id").drop("_commit_time").collect().toSeq
+    assert(t.compact().isDefined)
+    val after = t.snapshot().orderBy("id").drop("_commit_time").collect().toSeq
+    assert(before == after)
+    // all live files are base now; readOptimized == snapshot
+    assert(t.readOptimized().count() == 2)
+    assert(t.readOptimized().filter(col("id") === 2).head().getAs[Double]("v") == 22.0)
+    // incremental across the compaction still yields only (c1, c2] rows
+    val inc = t.incremental(c1, c2)
+    assert(inc.select("id").collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("inline compaction triggers after N delta commits") {
+    val t = mkTable(inlineMax = 2)
+    t.upsert(df((1, 10L, "p1", 1.0)))
+    t.upsert(df((2, 10L, "p1", 2.0)))
+    // second deltacommit hits the max → auto-compact
+    val ops = t.timeline.instants().map(t.timeline.read(_).operation)
+    assert(ops.contains("compact"), s"ops were $ops")
+    assert(t.readOptimized().count() == 2)
+  }
+
+  test("MOR delete removes keys from base and delta layers") {
+    val t = mkTable()
+    t.insert(df((1, 10L, "p1", 1.0), (2, 10L, "p1", 2.0)))
+    t.upsert(df((2, 20L, "p1", 22.0), (3, 20L, "p1", 3.0)))
+    t.delete(df((2, 0L, "p1", 0.0)))
+    val snap = t.snapshot().orderBy("id")
+    assert(snap.select("id").collect().map(_.getInt(0)).toSeq == Seq(1, 3))
+    // read-optimized must not resurrect the deleted base row
+    assert(!t.readOptimized().select("id").collect().map(_.getInt(0)).contains(2))
+  }
+
+  test("global index via resolution: partition move on MOR") {
+    val t = mkTable()
+    t.insert(df((1, 10L, "p1", 1.0)))
+    t.upsert(df((1, 20L, "p2", 5.0)))
+    val snap = t.snapshot()
+    assert(snap.count() == 1)
+    assert(snap.head().getAs[String]("part") == "p2")
+  }
+}

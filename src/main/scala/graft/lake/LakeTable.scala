@@ -116,6 +116,15 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   def readOptimized(): DataFrame =
     readFiles(timeline.liveFiles().filterNot(_.isDelta).map(_.path))
 
+  /** Register this table's current snapshot in the session catalog —
+    * the stand-in for the reference's Hive meta sync
+    * (HudiConfig.scala:38-44, package.scala:31-34; no HMS here). Readers
+    * can then `spark.sql("SELECT ... FROM <name>")` like the reference's
+    * temp-view flow (ODS2DWD.scala:32,41).
+    */
+  def syncToCatalog(name: String = _meta.name): Unit =
+    snapshot().createOrReplaceTempView(name)
+
   private def absolute(rel: String): String = new Path(tablePath, rel).toString
 
   private def readFiles(relPaths: Seq[String]): DataFrame =

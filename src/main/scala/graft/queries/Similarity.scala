@@ -19,14 +19,24 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object Similarity {
 
-  /** dot(a, b) in double via zip_with + sequential fold. */
+  /** dot(a, b) in double via zip_with + sequential fold (the composed-
+    * built-ins baseline; kept for reference and cross-checking the native
+    * expression).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, z) => acc + z)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine via the native codegen'd expression — bit-identical to
+    * [[cosineHof]] (same accumulation order) but inside whole-stage
+    * codegen.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
 
   /** Exact top-k cosine neighbors for each query vector (vec_id < 3),
     * excluding self. Output fully ordered; ties broken by vec_id.

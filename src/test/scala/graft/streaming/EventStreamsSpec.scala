@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.util.Sessions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Sessions.local("stream-spec", "4")
+
+  override def afterAll(): Unit = spark.stop()
+
+  def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("windowed counts with watermark drop late rows beyond 30 minutes") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventStreams.windowedCounts(df)
+      .writeStream.format("memory").queryName("wc")
+      .outputMode("append").start()
+    mem.addData((1L, ts(0), "a", 1.0), (2L, ts(5), "a", 2.0), (3L, ts(12), "b", 3.0))
+    q.processAllAvailable()
+    // advance event time far ahead → closes earlier windows
+    mem.addData((4L, ts(59), "a", 1.0))
+    q.processAllAvailable()
+    // this row is > 30 min late vs max event time → dropped by watermark
+    mem.addData((5L, ts(0), "a", 100.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("wc").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(out.contains(("2026-01-01 10:00:00.0", "a", 2L))) // late row NOT counted
+    assert(out.contains(("2026-01-01 10:10:00.0", "b", 1L)))
+  }
+
+  test("flatMapGroupsWithState dedups replayed event ids per user") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.dedupByEventId(mem.toDS())
+      .writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+    mem.addData(
+      EventStreams.Event(1, ts(0), 7, "a", 1.0),
+      EventStreams.Event(2, ts(1), 7, "a", 2.0))
+    q.processAllAvailable()
+    mem.addData( // replay id=1 for same user + same id for another user
+      EventStreams.Event(1, ts(2), 7, "a", 9.0),
+      EventStreams.Event(1, ts(2), 8, "a", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dd").select("event_id", "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(out == Seq((1L, 7L), (1L, 8L), (2L, 7L))) // replay suppressed
+  }
+
+  test("mapGroupsWithState keeps running user totals") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.userTotals(mem.toDS())
+      .writeStream.format("memory").queryName("ut")
+      .outputMode("update").start()
+    mem.addData(EventStreams.Event(1, ts(0), 7, "a", 1.0))
+    q.processAllAvailable()
+    mem.addData(EventStreams.Event(2, ts(1), 7, "a", 2.5))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("ut").filter(col("user_id") === 7)
+      .orderBy(col("events").desc).head()
+    assert(last.getAs[Long]("events") == 2L)
+    assert(last.getAs[Double]("total") == 3.5)
+  }
+}

@@ -154,8 +154,15 @@ class LakeTable private (val spark: SparkSession, val path: String) {
 
   /** Keyed upsert with precombine resolution (Hudi `upsert`, reference
     * package.scala:23 + HudiConfig.scala:45-48).
+    *
+    * @param combine dedup the batch by key first (keep max precombine) —
+    *   Hudi's `combine.before.upsert`. Pass false ONLY when the batch is
+    *   known key-unique (e.g. already windowed/deduped upstream): it
+    *   skips a full-batch shuffle, but duplicate keys would fan out the
+    *   merge join and corrupt the table.
     */
-  def upsert(data: DataFrame, extra: Map[String, String] = Map.empty): String = {
+  def upsert(data: DataFrame, extra: Map[String, String] = Map.empty,
+      combine: Boolean = true): String = {
     val instant = timeline.nextInstant()
     val aligned = alignUser(data)
     val userCols = aligned.columns.toSeq
@@ -163,10 +170,12 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     // within-batch precombine dedup: keep the max-precombine row per key.
     // max_by aggregates with partial (map-side) combine — cheaper at scale
     // than the window-function formulation.
-    val incoming = withMeta(aligned, instant)
-      .groupBy(col(RecordKeyCol))
-      .agg(max_by(struct(fieldOrder.map(col): _*), col(_meta.precombineField)).as("_s"))
-      .select(col(RecordKeyCol) +: fieldOrder.map(c => col(s"_s.`$c`").as(c)): _*)
+    val keyed = withMeta(aligned, instant)
+    val incoming = (if (!combine) keyed
+      else keyed
+        .groupBy(col(RecordKeyCol))
+        .agg(max_by(struct(fieldOrder.map(col): _*), col(_meta.precombineField)).as("_s"))
+        .select(col(RecordKeyCol) +: fieldOrder.map(c => col(s"_s.`$c`").as(c)): _*))
       .persist(StorageLevel.MEMORY_AND_DISK) // reference Y2, package.scala:66
     try {
       if (incoming.isEmpty) {
@@ -348,7 +357,16 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     */
   private def stageWrite(out: DataFrame, instant: String,
       kind: String = "base"): Seq[FileStat] = {
-    val ordered = out.select(fullSchema.fieldNames.map(col).toIndexedSeq: _*)
+    val ordered0 = out.select(fullSchema.fieldNames.map(col).toIndexedSeq: _*)
+    // File sizing: cluster rows by (partition dirs, key-hash bucket) so a
+    // small batch lands in few well-filled files (AQE coalesces the tiny
+    // shuffle) while a large partition still writes WriteBuckets files in
+    // parallel. Without this, every write task emits a sliver file per
+    // partition value (tasks × partitions small files — a 100 TB
+    // metadata problem as much as a local-bench one).
+    val ordered =
+      ordered0.repartition((_meta.partitionFields.map(col) :+
+        pmod(xxhash64(col(RecordKeyCol)), lit(WriteBuckets))): _*)
     val staging = new Path(tablePath, s"_lake/staging/$instant")
     val w = ordered.write.mode("overwrite")
     val w2 =
@@ -395,6 +413,9 @@ object LakeTable {
   val CommitTimeCol = "_commit_time"
   val KeySep = "|"
   val MaxInstant = "99999999999999999"
+
+  /** Max data files a single write produces per partition value. */
+  val WriteBuckets = 8
 
   def create(spark: SparkSession, path: String, meta: TableMeta): LakeTable = {
     val p = new Path(path)

@@ -47,12 +47,22 @@ object LakeQueries {
   private val outCols = Seq("l_orderkey", "l_linenumber", "l_quantity",
     "l_returnflag", "created_ts")
 
+  /** Run `body` with the (window-deduped) batch1 persisted — it feeds
+    * both commits, and recomputing the 600k-row window shuffle per use
+    * doubles every lake query's cost.
+    */
+  private def withBatch1[T](s: SparkSession, dir: String)(body: DataFrame => T): T = {
+    val b1 = batch1(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try body(b1) finally { b1.unpersist(); () }
+  }
+
   /** K1 upsert → S3 snapshot: two commits merged by key+precombine. */
   def lakeMergeSnapshot(s: SparkSession, dir: String): DataFrame = {
     val t = freshTable(s)
-    val b1 = batch1(s, dir)
-    t.upsert(b1)
-    t.upsert(batch2(b1))
+    withBatch1(s, dir) { b1 =>
+      t.upsert(b1, combine = false) // b1 is key-unique by construction
+      t.upsert(batch2(b1), combine = false)
+    }
     t.snapshot().select(outCols.map(col): _*)
       .orderBy("l_orderkey", "l_linenumber")
   }
@@ -63,9 +73,10 @@ object LakeQueries {
     */
   def lakeMorSnapshot(s: SparkSession, dir: String): DataFrame = {
     val t = freshTable(s, tableType = "mor")
-    val b1 = batch1(s, dir)
-    t.upsert(b1)
-    t.upsert(batch2(b1))
+    withBatch1(s, dir) { b1 =>
+      t.upsert(b1, combine = false) // b1 is key-unique by construction
+      t.upsert(batch2(b1), combine = false)
+    }
     t.compact() // exercise compaction too; snapshot is identical either way
     t.snapshot().select(outCols.map(col): _*)
       .orderBy("l_orderkey", "l_linenumber")
@@ -74,9 +85,9 @@ object LakeQueries {
   /** S4 incremental read `(c1, c2]` surfaces exactly the updated rows. */
   def lakeIncremental(s: SparkSession, dir: String): DataFrame = {
     val t = freshTable(s)
-    val b1 = batch1(s, dir)
-    val c1 = t.upsert(b1)
-    val c2 = t.upsert(batch2(b1))
+    val (c1, c2) = withBatch1(s, dir) { b1 =>
+      (t.upsert(b1, combine = false), t.upsert(batch2(b1), combine = false))
+    }
     t.incremental(c1, c2).select(outCols.map(col): _*)
       .orderBy("l_orderkey", "l_linenumber")
   }
@@ -84,9 +95,10 @@ object LakeQueries {
   /** K1 delete op: keys vanish, survivors keep their data. */
   def lakeDelete(s: SparkSession, dir: String): DataFrame = {
     val t = freshTable(s)
-    val b1 = batch1(s, dir)
-    t.upsert(b1)
-    t.delete(b1.filter(col("l_orderkey").between(100, 199)))
+    withBatch1(s, dir) { b1 =>
+      t.upsert(b1, combine = false)
+      t.delete(b1.filter(col("l_orderkey").between(100, 199)))
+    }
     t.snapshot()
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("cnt"),

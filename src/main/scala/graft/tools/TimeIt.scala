@@ -35,6 +35,27 @@ object TimeIt {
     time("full jaccardPairs")(Dedup.jaccardPairs(spark, dir).count())
     time("full simhashPairs")(Dedup.simhashPairs(spark, dir).count())
     time("lshTopK")(Similarity.lshTopK(spark, dir).count())
+
+    // lake_delete step breakdown
+    {
+      import graft.lake.{LakeTable, TableMeta}
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_orderkey", "l_linenumber")
+        .orderBy(col("l_shipdate").desc, col("l_partkey").desc,
+          col("l_suppkey").desc, col("l_quantity").desc, col("l_extendedprice").desc)
+      val b1 = Relational.t(spark, dir, "lineitem")
+        .withColumn("created_ts", col("l_shipdate").cast("timestamp_ltz").cast("long"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        .persist()
+      time("b1 materialize")(b1.count())
+      val work = java.nio.file.Files.createTempDirectory("lt").toString
+      val t = LakeTable.create(spark, s"$work/t",
+        TableMeta("x", Seq("l_orderkey", "l_linenumber"), "created_ts", Seq("l_returnflag")))
+      time("upsert b1")({ t.upsert(b1, combine = false); 0L })
+      time("delete slice")({ t.delete(b1.filter(col("l_orderkey").between(100, 199))); 0L })
+      time("snapshot agg")(t.snapshot().groupBy("l_returnflag").count().count())
+      b1.unpersist()
+    }
     spark.stop()
   }
 }

@@ -17,6 +17,7 @@ object Sessions {
     SparkSession
       .builder()
       .appName(appName)
+      .withExtensions(new graft.GraftExtensions)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.adaptive.enabled", "true")

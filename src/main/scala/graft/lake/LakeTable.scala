@@ -144,7 +144,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   /** Append without key matching (Hudi `insert` op, reference
     * HudiOP.scala:4; may produce duplicate keys like Hudi insert does).
     */
-  def insert(data: DataFrame, extra: Map[String, String] = Map.empty): String = {
+  def insert(data: DataFrame, extra: Map[String, String] = Map.empty): String = timeline.withLock() {
     val instant = timeline.nextInstant()
     val incoming = withMeta(alignUser(data), instant)
     val stats = stageWrite(incoming, instant)
@@ -162,7 +162,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     *   merge join and corrupt the table.
     */
   def upsert(data: DataFrame, extra: Map[String, String] = Map.empty,
-      combine: Boolean = true): String = {
+      combine: Boolean = true): String = timeline.withLock() {
     val instant = timeline.nextInstant()
     val aligned = alignUser(data)
     val userCols = aligned.columns.toSeq
@@ -219,7 +219,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * reference HudiOP.scala:6). Only files containing matched keys are
     * rewritten; survivors keep their original `_commit_time`.
     */
-  def delete(data: DataFrame, extra: Map[String, String] = Map.empty): String = {
+  def delete(data: DataFrame, extra: Map[String, String] = Map.empty): String = timeline.withLock() {
     val instant = timeline.nextInstant()
     val keys = withKeyOnly(data).persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -248,7 +248,10 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * HudiConfig.scala:22-23). Rows keep their original `_commit_time`, so
     * incremental reads spanning a compaction stay correct.
     */
-  def compact(): Option[String] = {
+  def compact(): Option[String] = timeline.withLock() { compactLocked() }
+
+  /** Compaction body — caller must hold the writer lock. */
+  private def compactLocked(): Option[String] = {
     val live = timeline.liveFiles()
     if (!live.exists(_.isDelta)) return None
     val instant = timeline.nextInstant()
@@ -265,10 +268,16 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val sinceCompact = inst.reverse.takeWhile(i =>
       timeline.read(i).operation != "compact")
     if (sinceCompact.count(i => timeline.read(i).operation == "deltacommit") >= max) {
-      compact()
+      compactLocked() // already under the writer lock (called from upsert)
       ()
     }
   }
+
+  /** Timeline archival (reference keep.min/max.commits): roll history
+    * older than `keepCommits` into a checkpoint; see Timeline.archive.
+    */
+  def archiveTimeline(keepCommits: Int): Seq[String] =
+    timeline.withLock() { timeline.archive(keepCommits) }
 
   /** Table service: physically delete files removed more than
     * `retainCommits` commits ago (reference clean/archive knobs,
@@ -276,7 +285,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * window stop working — same footgun as the reference's
     * `keep 2 commits` default, documented in SURVEY §7.
     */
-  def clean(retainCommits: Int = 2): Unit = {
+  def clean(retainCommits: Int = 2): Unit = timeline.withLock() {
     val inst = timeline.instants()
     if (inst.size <= retainCommits) return
     val cutoff = inst(inst.size - retainCommits - 1)
@@ -367,14 +376,17 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val ordered =
       ordered0.repartition((_meta.partitionFields.map(col) :+
         pmod(xxhash64(col(RecordKeyCol)), lit(WriteBuckets))): _*)
-    val staging = new Path(tablePath, s"_lake/staging/$instant")
+    // unique per attempt: even if two writers ever raced to the same
+    // instant, their staging areas cannot collide
+    val staging = new Path(tablePath,
+      s"_lake/staging/${instant}_${java.util.UUID.randomUUID().toString.take(8)}")
     val w = ordered.write.mode("overwrite")
     val w2 =
       if (_meta.partitionFields.nonEmpty) w.partitionBy(_meta.partitionFields: _*)
       else w
     w2.parquet(staging.toString)
 
-    val marker = s"_lake/staging/$instant/"
+    val marker = staging.getName + "/"
     val statRows = spark.read
       .schema(fullSchema)
       .option("basePath", staging.toString)

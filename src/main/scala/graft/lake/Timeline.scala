@@ -49,6 +49,75 @@ class Timeline(fs: FileSystem, tablePath: Path) {
     } finally in.close()
   }
 
+  /** Coarse single-writer lock: atomic create of `_lake/lock`
+    * (FileSystem.create with overwrite=false is atomic on HDFS/local; on
+    * S3 swap for a conditional-put). Replaces the reference's Zookeeper
+    * OCC lock (package.scala:38-47). Stale locks (older than
+    * `staleAfterMs`) are broken — the lazy failed-writes policy
+    * (HudiConfig's LAZY clean analog).
+    */
+  def withLock[T](staleAfterMs: Long = 10 * 60 * 1000L)(body: => T): T = {
+    val lockPath = new Path(tablePath, "_lake/lock")
+    fs.mkdirs(new Path(tablePath, "_lake"))
+    // LocalFileSystem.create(overwrite=false) is exists()-then-create —
+    // NOT atomic, so two local writers could both "acquire" it. Use NIO's
+    // atomic createFile for file:// and FileSystem.create for HDFS
+    // (where create(false) is atomic at the NameNode).
+    def tryAcquire(): Boolean =
+      if (fs.getScheme == "file") {
+        val p = java.nio.file.Paths.get(
+          fs.makeQualified(lockPath).toUri.getPath)
+        try { java.nio.file.Files.createFile(p); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        try { fs.create(lockPath, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      }
+    val deadline = System.currentTimeMillis() + 60 * 1000L
+    var acquired = false
+    while (!acquired) {
+      if (tryAcquire()) acquired = true
+      else {
+        val stale =
+          try System.currentTimeMillis() -
+            fs.getFileStatus(lockPath).getModificationTime > staleAfterMs
+          catch { case _: java.io.IOException => false }
+        if (stale) fs.delete(lockPath, false)
+        else if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"could not acquire writer lock $lockPath within 60s")
+        else Thread.sleep(100)
+      }
+    }
+    try body
+    finally { fs.delete(lockPath, false); () }
+  }
+
+  /** Archive commits older than the newest `keepCommits` into
+    * `_lake/timeline/archive/`, leaving a checkpoint commit at the
+    * archival boundary that carries the net live-file set of the archived
+    * history — snapshots stay reconstructible from the active timeline
+    * alone (reference archival knobs HudiConfig.scala:35-37). Incremental
+    * / time-travel reads older than the boundary stop working — the same
+    * retention footgun SURVEY §7 documents for the reference's
+    * keep-2-commits default.
+    */
+  def archive(keepCommits: Int): Seq[String] = {
+    val inst = instants()
+    if (inst.size <= keepCommits) return Seq.empty
+    val toArchive = inst.dropRight(keepCommits)
+    val boundary = toArchive.last
+    val netLive = liveFiles(boundary) // live set of the archived prefix
+    val dest = new Path(dir, "archive")
+    fs.mkdirs(dest)
+    toArchive.foreach { i =>
+      fs.rename(new Path(dir, i + Timeline.Suffix),
+        new Path(dest, i + Timeline.Suffix))
+    }
+    commit(CommitMeta(boundary, "archive-checkpoint", netLive, Seq.empty))
+    toArchive
+  }
+
   /** Atomically publish a commit: write to a temp name, then rename. */
   def commit(meta: CommitMeta): Unit = {
     fs.mkdirs(dir)

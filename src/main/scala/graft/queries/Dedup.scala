@@ -46,6 +46,11 @@ object Dedup {
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), shingles(col("text"), N).as("sh"))
       .filter(size(col("sh")) > 0)
+      // the shingle projection is interpreted (higher-order fn) and this
+      // frame appears in 3 plan branches (index + two verify joins) —
+      // cache it instead of shingling three times. Size ≈ corpus × n-gram
+      // factor; at 100 TB swap for a staged write of the shingled view.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact n-gram Jaccard pairs ≥ 0.8 via prefix-filtered inverted index
     * (PPJoin-style). A naive shingle self-join explodes as Σ df² on
@@ -68,10 +73,14 @@ object Dedup {
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
       .filter(col("rk") <= col("n") - ceil(lit(Threshold) * col("n")) + 1)
-      .select("doc_id", "s")
+      .select("doc_id", "n", "s")
     val cands = prefix.alias("a")
       .join(prefix.alias("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          // length filter: J ≥ t ⟹ t·|A| ≤ |B| ≤ |A|/t — prunes
+          // size-mismatched pairs before the exact verify
+          col("b.n") >= ceil(lit(Threshold) * col("a.n")) &&
+          col("b.n") <= floor(col("a.n") / lit(Threshold)))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     cands

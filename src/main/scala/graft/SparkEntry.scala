@@ -31,6 +31,8 @@ object SparkEntry {
     "q12_cast_agg" -> (Relational.q12CastAgg _),
     "q13_semi_anti" -> (Relational.q13SemiAnti _),
     "q14_set_ops" -> (Relational.q14SetOps _),
+    "q15_rollup" -> (Relational.q15Rollup _),
+    "q16_percentiles" -> (Relational.q16Percentiles _),
     // SURVEY §2.1 lake-table format ops (S3/S4/K1) through the oracle gate
     "lake_merge_snapshot" -> (LakeQueries.lakeMergeSnapshot _),
     "lake_mor_snapshot" -> (LakeQueries.lakeMorSnapshot _),
@@ -177,6 +179,18 @@ object SparkEntry {
         |  EXCEPT
         |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
         |) t ORDER BY o_custkey""".stripMargin,
+    "q15_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q16_percentiles" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.9) AS p90
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "lake_merge_snapshot" ->
       s"""$lakeCtes
          |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts

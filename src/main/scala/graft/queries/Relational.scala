@@ -168,6 +168,32 @@ object Relational {
         count(lit(1)).as("cnt"))
       .orderBy("o_orderstatus", "o_orderpriority")
 
+  /** Rollup: hierarchical subtotals (beyond reference surface — completes
+    * the aggregation algebra for analytics users). Null grouping keys
+    * from the rollup are labeled explicitly so ordering is deterministic.
+    */
+  def q15Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("cnt"))
+      .orderBy("rf", "ls")
+
+  /** Exact percentiles per group (continuous interpolation — Spark
+    * `percentile` and DuckDB `quantile_cont` share the definition).
+    */
+  def q16Percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"))
+      .orderBy("o_orderstatus")
+
   /** Semi/anti joins (beyond reference surface; completes join algebra):
     * customers with orders but no high-price order.
     */

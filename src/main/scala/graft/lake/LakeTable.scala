@@ -77,7 +77,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   /** Time travel: the table as of `instant` (inclusive). */
   def snapshotAsOf(instant: String): DataFrame = {
     val live = timeline.liveFiles(instant)
-    val df = readFiles(live.map(_.path))
+    val df = readStats(live)
     if (live.exists(_.isDelta)) resolveLatest(df) else df
   }
 
@@ -105,7 +105,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     */
   def incremental(begin: String, end: String = MaxInstant): DataFrame = {
     val b = if (begin == Timeline.Earliest) "" else begin
-    readFiles(timeline.addedBetween(b, end).map(_.path))
+    readStats(timeline.addedBetween(b, end))
       .filter(col(CommitTimeCol) > lit(b) && col(CommitTimeCol) <= lit(end))
   }
 
@@ -114,7 +114,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * COW.
     */
   def readOptimized(): DataFrame =
-    readFiles(timeline.liveFiles().filterNot(_.isDelta).map(_.path))
+    readStats(timeline.liveFiles().filterNot(_.isDelta))
 
   /** Register this table's current snapshot in the session catalog —
     * the stand-in for the reference's Hive meta sync
@@ -127,17 +127,38 @@ class LakeTable private (val spark: SparkSession, val path: String) {
 
   private def absolute(rel: String): String = new Path(tablePath, rel).toString
 
-  private def readFiles(relPaths: Seq[String]): DataFrame =
-    if (relPaths.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], fullSchema)
-    else
-      spark.read
-        .schema(fullSchema)
-        .option("basePath", path)
-        .parquet(relPaths.map(absolute): _*)
-        // the reader surfaces partition columns last regardless of the
-        // requested schema — restore the declared column order
-        .select(fullSchema.fieldNames.toIndexedSeq.map(col): _*)
+  /** Build a DataFrame over `stats` through a metadata-backed FileIndex:
+    * no filesystem listing at plan time, partition pruning served from
+    * commit metadata (see [[LakeFileIndex]]).
+    */
+  private def readStats(stats: Seq[FileStat]): DataFrame = {
+    if (stats.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], fullSchema)
+    val partSchema = StructType(
+      _meta.partitionFields.map(f => fullSchema(fullSchema.fieldIndex(f))))
+    val dataSchema = StructType(
+      fullSchema.fields.filterNot(f => _meta.partitionFields.contains(f.name)))
+    val index = new LakeFileIndex(spark, tablePath, stats, partSchema)
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, partSchema, dataSchema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      Map.empty)(spark)
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(relation)
+      // relation output is dataSchema ++ partitionSchema — restore the
+      // declared column order
+      .select(fullSchema.fieldNames.toIndexedSeq.map(col): _*)
+  }
+
+  private def readFiles(relPaths: Seq[String]): DataFrame = {
+    val byPath = timeline.liveFiles().map(f => f.path -> f).toMap
+    readStats(relPaths.map(p => byPath.getOrElse(p,
+      FileStat(p, partitionOf(p), 0L, "", ""))))
+  }
+
+  /** Partition dir string of a relative file path. */
+  private def partitionOf(rel: String): String =
+    if (rel.contains("/")) rel.substring(0, rel.lastIndexOf("/")) else ""
 
   // --------------------------------------------------------------- writes
 
@@ -409,10 +430,12 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         val finalRel = if (partition.isEmpty) finalName else s"$partition/$finalName"
         val dst = new Path(tablePath, finalRel)
         fs.mkdirs(dst.getParent)
-        if (!fs.rename(new Path(staging, rel), dst))
+        val src = new Path(staging, rel)
+        val size = fs.getFileStatus(src).getLen
+        if (!fs.rename(src, dst))
           throw new IllegalStateException(s"publish rename failed: $rel")
         Some(FileStat(finalRel, partition, r.getLong(1), r.getString(2),
-          r.getString(3), kind))
+          r.getString(3), kind, size))
       }
     }
     fs.delete(staging, true)

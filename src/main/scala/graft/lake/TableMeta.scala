@@ -48,7 +48,11 @@ case class FileStat(
       * (Hudi's log files, reference HudiConfig.scala:17-26); null in
       * commits written before this field existed ⇒ treat as base.
       */
-    kind: String = "base"
+    kind: String = "base",
+    /** Physical size — lets readers build a file index from commit
+      * metadata alone (no filesystem listing) with honest plan stats.
+      */
+    sizeBytes: Long = 0L
 ) {
   def isDelta: Boolean = kind == "delta"
 }

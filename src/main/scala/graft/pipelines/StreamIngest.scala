@@ -24,7 +24,10 @@ object StreamIngest {
 
   def resolveSchema(spark: SparkSession, cfg: PipelineConfig): StructType =
     if (cfg.sampleJson.nonEmpty) {
-      // Log2Hudi.scala:50-51: infer from a single sample record
+      // Log2Hudi.scala:50-51: infer from a single sample record,
+      // validated first (util/Meta.scala:10-20)
+      require(graft.util.Json.isValidObject(cfg.sampleJson),
+        "--sample-json is not a valid JSON object")
       import spark.implicits._
       spark.read.json(Seq(cfg.sampleJson).toDS()).schema
     } else {

@@ -18,4 +18,11 @@ object Json {
   def write(value: Any): String = mapper.writeValueAsString(value)
 
   def read[T](s: String, clazz: Class[T]): T = mapper.readValue(s, clazz)
+
+  /** Sample-JSON validation (reference util/Meta.scala:10-20 validates the
+    * schema sample with a Gson round-trip before inferring from it).
+    */
+  def isValidObject(s: String): Boolean =
+    try { val n = mapper.readTree(s); n != null && n.isObject }
+    catch { case _: Exception => false }
 }

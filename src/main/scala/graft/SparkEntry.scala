@@ -49,6 +49,8 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhashPairs _), // rows-only (engine hash)
     "sim_topk_bruteforce" -> (Similarity.topKBruteForce _),
+    "dedup_cosine_pairs" -> (Similarity.cosinePairs _),
+    "text_tokens_bpe" -> (TextAnalysis.tokenCounts _),
     "sim_lsh_topk" -> (Similarity.lshTopK _) // rows-only (engine hash)
   )
 
@@ -260,6 +262,22 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_jaccard_pairs" -> jaccardPairsSql,
     "dedup_minhash_lsh" -> jaccardPairsSql,
+    "dedup_cosine_pairs" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosineFold.format("a.embedding", "b.embedding")} /
+         |  (sqrt(${cosineFold.format("a.embedding", "a.embedding")}) *
+         |   sqrt(${cosineFold.format("b.embedding", "b.embedding")})) AS sim
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE ${cosineFold.format("a.embedding", "b.embedding")} /
+         |  (sqrt(${cosineFold.format("a.embedding", "a.embedding")}) *
+         |   sqrt(${cosineFold.format("b.embedding", "b.embedding")})) >= 0.45
+         |ORDER BY id_a, id_b""".stripMargin,
+    "text_tokens_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "sim_topk_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < 3),

@@ -58,6 +58,26 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a, b) with
+    * cosine ≥ threshold. Brute-force all-pairs through the native
+    * codegen'd expression — at N embeddings this is N²/2 fused
+    * 64-multiply loops, the right baseline below ~10⁵ vectors; beyond
+    * that the LSH-bucketed candidate path ([[lshTopK]]'s bucketing)
+    * bounds the pair space. Threshold is tuned to the corpus (isotropic
+    * random vectors cluster near sim≈0.33).
+    */
+  def cosinePairs(s: SparkSession, dir: String): DataFrame = {
+    val e = Relational.t(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= 0.45)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
     * a fixed-seed hash mapped to [-1, 1). Engine-internal (xxhash64) — the
     * LSH path has no SQL oracle by design.

@@ -13,6 +13,20 @@ object TextAnalysis {
   /** Token count: whitespace split (documents are space-separated). */
   def tokens = size(split(col("text"), " "))
 
+  /** Token counting, BPE-ish: word pieces / digits / punctuation runs via
+    * the GPT-style pre-tokenizer regex (simplified to the character
+    * classes present in this corpus). Counted per doc alongside the
+    * whitespace tokenization.
+    */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    Relational.t(s, dir, "documents")
+      .select(col("doc_id"),
+        tokens.cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+          .cast("long").as("bpe_tokens"))
+      .orderBy("doc_id")
+
   /** Per-language corpus stats: doc count, chars, tokens. */
   def textStats(s: SparkSession, dir: String): DataFrame =
     Relational.t(s, dir, "documents")

@@ -66,14 +66,19 @@ object Dedup {
   def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = docsWithShingles(s, dir)
+    // ex and prefix each feed two join branches (self-joins) — cache the
+    // small occurrence/prefix frames so the df-rank window and frequency
+    // agg run once, not once per branch
     val ex = docs.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
     val prefix = ex.join(dfreq, "s")
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
       .filter(col("rk") <= col("n") - ceil(lit(Threshold) * col("n")) + 1)
       .select("doc_id", "n", "s")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = prefix.alias("a")
       .join(prefix.alias("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
@@ -83,10 +88,17 @@ object Dedup {
           col("b.n") <= floor(col("a.n") / lit(Threshold)))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+    // count-based exact verify over the skinny (doc, shingle) occurrence
+    // table — joining the fat shingle arrays per candidate pair would
+    // shuffle |pairs| × array-size bytes; this shuffles 16-byte rows.
     cands
-      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .join(ex.select(col("doc_id").as("id_a"), col("n").as("na"), col("s")), "id_a")
+      .join(ex.select(col("doc_id").as("id_b"), col("n").as("nb"), col("s")),
+        Seq("id_b", "s"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard",
+        col("shared") / (col("na") + col("nb") - col("shared")))
       .filter(col("jaccard") >= Threshold)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")

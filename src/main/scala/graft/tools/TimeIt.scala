@@ -36,6 +36,38 @@ object TimeIt {
     time("full simhashPairs")(Dedup.simhashPairs(spark, dir).count())
     time("lshTopK")(Similarity.lshTopK(spark, dir).count())
 
+    // jaccard stage breakdown
+    {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Relational.t(spark, dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0).persist()
+      time("jac: docs cache")(docs.count())
+      val ex = docs.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s")).persist()
+      time("jac: ex cache")(ex.count())
+      val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      time("jac: dfreq")(dfreq.count())
+      val prefix = ex.join(dfreq, "s")
+        .withColumn("rk", row_number().over(Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+        .filter(col("rk") <= col("n") - ceil(lit(0.8) * col("n")) + 1)
+        .select("doc_id", "n", "s").persist()
+      time("jac: prefix")(prefix.count())
+      val cands = prefix.alias("a").join(prefix.alias("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") >= ceil(lit(0.8) * col("a.n")) && col("b.n") <= floor(col("a.n") / lit(0.8)))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct().persist()
+      time("jac: cands")(cands.count())
+      val ver = cands
+        .join(ex.select(col("doc_id").as("id_a"), col("n").as("na"), col("s")), "id_a")
+        .join(ex.select(col("doc_id").as("id_b"), col("n").as("nb"), col("s")), Seq("id_b", "s"))
+        .groupBy("id_a", "id_b", "na", "nb").agg(count(lit(1)).as("shared"))
+        .withColumn("jaccard", col("shared") / (col("na") + col("nb") - col("shared")))
+        .filter(col("jaccard") >= 0.8)
+      time("jac: verify")(ver.count())
+      docs.unpersist(); ex.unpersist(); prefix.unpersist(); cands.unpersist()
+    }
+
     // lake_delete step breakdown
     {
       import graft.lake.{LakeTable, TableMeta}

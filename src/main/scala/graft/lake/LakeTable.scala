@@ -306,7 +306,23 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * window stop working — same footgun as the reference's
     * `keep 2 commits` default, documented in SURVEY §7.
     */
+  /** Remove staging directories left by crashed writes (they are
+    * pre-commit, so deleting them can never lose committed data). Only
+    * dirs older than `olderThanMs` are touched, to avoid racing a live
+    * writer's staging area.
+    */
+  def cleanOrphanedStaging(olderThanMs: Long = 60 * 60 * 1000L): Int = {
+    val stagingRoot = new Path(tablePath, "_lake/staging")
+    if (!fs.exists(stagingRoot)) return 0
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val orphans = fs.listStatus(stagingRoot)
+      .filter(_.getModificationTime < cutoff)
+    orphans.foreach(st => fs.delete(st.getPath, true))
+    orphans.length
+  }
+
   def clean(retainCommits: Int = 2): Unit = timeline.withLock() {
+    cleanOrphanedStaging()
     val inst = timeline.instants()
     if (inst.size <= retainCommits) return
     val cutoff = inst(inst.size - retainCommits - 1)

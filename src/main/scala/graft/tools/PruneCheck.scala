@@ -20,6 +20,16 @@ object PruneCheck {
     println("[prune] files scanned = " + q.queryExecution.executedPlan.collectLeaves()
       .map(_.metrics.get("numFiles").map(_.value).getOrElse(-1L)).mkString(","))
     println("[prune] total live files = " + t.timeline.liveFiles().size)
+    // incremental read: _commit_time filter must reach the parquet scan
+    val c1 = t.latestCommit.get
+    t.upsert(li.filter(col("l_orderkey") < 50)
+      .withColumn("created_ts", col("created_ts") + 1))
+    val inc = t.incremental(c1)
+    inc.collect()
+    val incPlan = inc.queryExecution.executedPlan.toString
+    val scanBlock = incPlan.linesIterator.filter(l =>
+      l.contains("PushedFilters") || l.contains("DataFilters")).mkString(" | ")
+    println("[prune] incremental " + scanBlock.replaceAll("#\\d+", "").take(600))
     spark.stop()
   }
 }

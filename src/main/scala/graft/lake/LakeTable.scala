@@ -339,15 +339,41 @@ class LakeTable private (val spark: SparkSession, val path: String) {
 
   // -------------------------------------------------------------- helpers
 
-  /** Strip meta cols if present, capture schema on first write. */
+  /** Strip meta cols if present; capture schema on first write; evolve it
+    * on later writes (schema-on-write evolution):
+    *  - new incoming columns are appended to the table schema as nullable
+    *    fields — existing files simply read them as null (the parquet
+    *    reader null-fills absent columns under an explicit schema);
+    *  - columns missing from the batch are null-filled (key, precombine,
+    *    and partition columns excepted — those must be present);
+    *  - existing columns are cast to the stored type (the table schema is
+    *    authoritative; arithmetic widening between writes won't drift it).
+    */
   private def alignUser(data: DataFrame): DataFrame = {
     val clean = data.drop(RecordKeyCol, CommitTimeCol)
     userSchema match {
-      // cast to the stored schema: arithmetic can widen types between
-      // writes (e.g. decimal sums), but the table schema is authoritative
       case Some(s) =>
-        clean.select(s.fields.toIndexedSeq.map(f =>
-          col(f.name).cast(f.dataType).as(f.name)): _*)
+        val incoming = clean.schema
+        val newFields = incoming.fields.filterNot(f => s.fieldNames.contains(f.name))
+          .map(_.copy(nullable = true))
+        val evolved =
+          if (newFields.isEmpty) s
+          else {
+            val e = StructType(s.fields ++ newFields)
+            _meta = _meta.copy(schemaJson = e.json)
+            TableMeta.save(fs, tablePath, _meta)
+            e
+          }
+        val required = (_meta.recordKeyFields :+ _meta.precombineField) ++
+          _meta.partitionFields
+        evolved.fields.toIndexedSeq.map { f =>
+          if (incoming.fieldNames.contains(f.name))
+            col(f.name).cast(f.dataType).as(f.name)
+          else if (required.contains(f.name))
+            throw new IllegalArgumentException(
+              s"batch is missing required column ${f.name}")
+          else lit(null).cast(f.dataType).as(f.name)
+        } match { case cols => clean.select(cols: _*) }
       case None =>
         _meta = _meta.copy(schemaJson = clean.schema.json)
         TableMeta.save(fs, tablePath, _meta)

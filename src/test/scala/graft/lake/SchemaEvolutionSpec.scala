@@ -1,0 +1,57 @@
+package graft.lake
+
+import graft.util.Sessions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class SchemaEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Sessions.local("evo-test", "4")
+
+  override def afterAll(): Unit = spark.stop()
+
+  def mk(): LakeTable = LakeTable.create(spark,
+    Files.createTempDirectory("evo").toString + "/t",
+    TableMeta("e", Seq("id"), "ts", Seq("part")))
+
+  test("new column appends to schema; old rows read as null") {
+    val s = spark
+    import s.implicits._
+    val t = mk()
+    t.upsert(Seq((1, 10L, "p1", 1.0)).toDF("id", "ts", "part", "v"))
+    // second batch carries an extra column
+    t.upsert(Seq((2, 10L, "p1", 2.0, "hello"))
+      .toDF("id", "ts", "part", "v", "note"))
+    val snap = t.snapshot().orderBy("id")
+    assert(snap.columns.contains("note"))
+    assert(snap.filter(col("id") === 1).head().getAs[String]("note") == null)
+    assert(snap.filter(col("id") === 2).head().getAs[String]("note") == "hello")
+    // reloaded table sees the evolved schema
+    val t2 = LakeTable.load(spark, t.path)
+    assert(t2.userSchema.get.fieldNames.contains("note"))
+  }
+
+  test("batch missing an optional column is null-filled; update still merges") {
+    val s = spark
+    import s.implicits._
+    val t = mk()
+    t.upsert(Seq((1, 10L, "p1", 1.0, "x")).toDF("id", "ts", "part", "v", "note"))
+    t.upsert(Seq((1, 20L, "p1", 9.0)).toDF("id", "ts", "part", "v")) // no note
+    val r = t.snapshot().head()
+    assert(r.getAs[Double]("v") == 9.0)
+    assert(r.getAs[String]("note") == null) // newest version wins wholesale
+  }
+
+  test("batch missing a required column fails loudly") {
+    val s = spark
+    import s.implicits._
+    val t = mk()
+    t.upsert(Seq((1, 10L, "p1", 1.0)).toDF("id", "ts", "part", "v"))
+    val bad = Seq((2, "p1", 2.0)).toDF("id", "part", "v") // no ts (precombine)
+    assertThrows[IllegalArgumentException](t.upsert(bad))
+  }
+}

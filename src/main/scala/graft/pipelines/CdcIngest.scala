@@ -37,6 +37,36 @@ object CdcIngest {
         col("m").getItem(f.name).cast(f.dataType).as(f.name)): _*)
   }
 
+  /** DMS-style two-level envelope `{data: struct, metadata: struct}`
+    * (reference KDS2Hudi.scala:36-81, hand-declared schema; SURVEY A2):
+    * expand `data.*`, route by `metadata.operation`
+    * (insert/update → upsert, delete → delete — KDS2Hudi.scala:117-136).
+    */
+  def applyDmsBatch(spark: SparkSession, batch: DataFrame,
+      table: LakeTable): Unit = {
+    import org.apache.spark.sql.types._
+    val dataSchema = table.userSchema.get
+    val envelope = StructType(Seq(
+      StructField("data", dataSchema),
+      StructField("metadata", StructType(Seq(
+        StructField("operation", StringType),
+        StructField("record-type", StringType),
+        StructField("table-name", StringType),
+        StructField("timestamp", StringType))))))
+    val parsed = batch
+      .select(from_json(col("value").cast("string"), envelope).as("e")) // P1+P2
+      .where(col("e.data").isNotNull) // P9
+      .select(col("e.metadata.operation").as("_op"), col("e.data.*")) // P3
+      .persist()
+    try {
+      val upserts = parsed.filter(col("_op").isin("insert", "update", "load"))
+        .drop("_op")
+      if (!upserts.isEmpty) { table.upsert(upserts); () }
+      val deletes = parsed.filter(col("_op") === "delete").drop("_op")
+      if (!deletes.isEmpty) { table.delete(deletes); () }
+    } finally { parsed.unpersist(); () }
+  }
+
   def applyBatch(spark: SparkSession, batch: DataFrame, cfg: PipelineConfig,
       table: LakeTable): Unit = {
     import spark.implicits._
@@ -80,7 +110,10 @@ object CdcIngest {
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(Trigger.ProcessingTime(s"${cfg.triggerSeconds} seconds"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) applyBatch(spark, batch, cfg, table)
+        if (!batch.isEmpty) {
+          if (cfg.cdcFormat == "dms") applyDmsBatch(spark, batch, table)
+          else applyBatch(spark, batch, cfg, table)
+        }
       }
       .start()
   }

@@ -42,7 +42,9 @@ case class PipelineConfig(
     aggKeys: Seq[String] = Seq.empty,
     aggCol: String = "",
     // CdcIngest source table filter (reference package.scala:158)
-    cdcTableFilter: String = ""
+    cdcTableFilter: String = "",
+    // CdcIngest envelope format: "canal" (binlog) | "dms" (KDS2Hudi shape)
+    cdcFormat: String = "canal"
 ) {
   def tablePath: String =
     if (targetTablePath.nonEmpty) targetTablePath
@@ -92,6 +94,7 @@ object PipelineConfig {
         case "--agg-keys"          => c.copy(aggKeys = list(v))
         case "--agg-col"           => c.copy(aggCol = v)
         case "--cdc-table-filter"  => c.copy(cdcTableFilter = v)
+        case "--cdc-format"        => c.copy(cdcFormat = v)
         case other =>
           throw new IllegalArgumentException(s"unknown flag: $other")
       }

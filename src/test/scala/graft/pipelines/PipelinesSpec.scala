@@ -150,6 +150,38 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(CanalParser.parse("not json").isEmpty)
   }
 
+  test("CdcIngest dms envelope: {data, metadata} routed by operation") {
+    val work = tmp()
+    Files.createDirectories(Paths.get(s"$work/inbox"))
+    def dms(op: String, id: Int, name: String, ts: Long) =
+      s"""{"data":{"id":$id,"name":"$name","ts":$ts},"metadata":{"operation":"$op","record-type":"data","table-name":"users","timestamp":"t"}}"""
+    val events = Seq(
+      dms("load", 1, "alice", 100),
+      dms("insert", 2, "bob", 100),
+      dms("update", 1, "alice2", 200),
+      dms("delete", 2, "bob", 300))
+    Files.write(Paths.get(s"$work/inbox/dms1.json"), events.mkString("\n").getBytes)
+
+    val q = CdcIngest.run(spark, PipelineConfig(
+      inboxDir = s"$work/inbox",
+      checkpointDir = s"$work/ckpt",
+      triggerSeconds = 1,
+      sampleJson = """{"id":1,"name":"x","ts":100}""",
+      targetTablePath = s"$work/users_dms",
+      tableName = "users_dms",
+      recordKeyFields = Seq("id"),
+      precombineField = "ts",
+      cdcFormat = "dms"))
+    q.processAllAvailable()
+    q.stop()
+
+    val t = LakeTable.load(spark, s"$work/users_dms")
+    val rows = t.snapshot().orderBy("id").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("id") == 1L)
+    assert(rows(0).getAs[String]("name") == "alice2")
+  }
+
   test("CdcIngest: canal stream → insert/update/delete applied in order") {
     val work = tmp()
     Files.createDirectories(Paths.get(s"$work/inbox"))

@@ -99,6 +99,45 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exported.columns.contains("l_quantity_sum"))
   }
 
+  test("medallion over MOR tables: cheap-write ODS, merged reads downstream") {
+    val work = tmp()
+    BatchLoad.run(spark, PipelineConfig(
+      sourcePath = s"$sf/lineitem.parquet",
+      targetTablePath = s"$work/ods",
+      tableName = "ods_mor",
+      tableType = "mor",
+      recordKeyFields = Seq("l_orderkey", "l_linenumber"),
+      partitionFields = Seq("l_returnflag"),
+      repartitionNum = 4))
+    val ods = LakeTable.load(spark, s"$work/ods")
+    val n0 = ods.snapshot().count()
+    // update slice lands as a delta commit; snapshot still merged
+    val upd = ods.snapshotUser().filter(col("l_orderkey") < 100)
+      .withColumn("l_quantity", col("l_quantity") + 500)
+      .withColumn("created_ts", col("created_ts") + 1)
+    ods.upsert(upd)
+    assert(ods.snapshot().count() == n0)
+    assert(ods.timeline.read(ods.latestCommit.get).operation == "deltacommit")
+    // DWD join reads the merged view
+    OdsToDwd.run(spark, PipelineConfig(
+      sourceTablePath = s"$work/ods",
+      dimTablePath = s"$sf/part.parquet",
+      targetTablePath = s"$work/dwd",
+      tableName = "dwd_mor", tableType = "mor",
+      recordKeyFields = Seq("l_orderkey", "l_linenumber"),
+      partitionFields = Seq("l_returnflag"),
+      joinLeftKey = "l_partkey", joinRightKey = "p_partkey",
+      dimSelect = Seq("p_brand"),
+      maxIterations = 1, pollIntervalMs = 1))
+    val dwd = LakeTable.load(spark, s"$work/dwd")
+    assert(dwd.snapshot().count() == n0)
+    assert(dwd.snapshot().filter(col("l_quantity") > 500).count() > 0) // updates flowed
+    // compaction keeps the downstream view identical
+    val before = dwd.snapshot().count()
+    dwd.compact()
+    assert(dwd.snapshot().count() == before)
+  }
+
   test("StreamIngest: inbox JSON lines → lake table with logday/hm") {
     val work = tmp()
     val sample = """{"event_id":1,"user_id":2,"event_type":"login","value":1.5,"ts":100}"""

@@ -102,11 +102,19 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   /** Rows committed in `(begin, end]` — the reference's incremental query
     * (QUERY_TYPE_INCREMENTAL, BEGIN/END_INSTANTTIME, ODS2DWD.scala:51-56).
     * `begin = "earliest"` reads from the start of the timeline.
+    *
+    * On MOR tables the read set can contain several delta versions of the
+    * same key; like Hudi's incremental query on MERGE_ON_READ (which
+    * merges log blocks), the in-range rows are resolved to the latest
+    * version per key, so consumers see one merged row per changed key —
+    * never intermediate versions.
     */
   def incremental(begin: String, end: String = MaxInstant): DataFrame = {
     val b = if (begin == Timeline.Earliest) "" else begin
-    readStats(timeline.addedBetween(b, end))
+    val files = timeline.addedBetween(b, end)
+    val df = readStats(files)
       .filter(col(CommitTimeCol) > lit(b) && col(CommitTimeCol) <= lit(end))
+    if (files.exists(_.isDelta)) resolveLatest(df) else df
   }
 
   /** MOR read-optimized view: base files only, skipping un-compacted
@@ -326,10 +334,21 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val inst = timeline.instants()
     if (inst.size <= retainCommits) return
     val cutoff = inst(inst.size - retainCommits - 1)
-    val liveNow = timeline.liveFiles().map(_.path).toSet
-    val deletable = inst.filter(_ <= cutoff).map(timeline.read)
-      .flatMap(_.added.map(_.path))
-      .filterNot(liveNow.contains)
+    // A file is physically deletable only when the commit that REMOVED it
+    // is at or before the cutoff: every retained instant t > cutoff then
+    // already sees it as logically removed, so snapshotAsOf / incremental
+    // over the retained window never opens it (Hudi KEEP_LATEST_COMMITS
+    // keeps the file slices the last N commits can reach). Selecting by
+    // add-instant instead would delete files still live at retained
+    // instants and break time travel within the retention window.
+    val commits = inst.map(timeline.read)
+    val alreadyCleaned =
+      commits.filter(_.operation == "clean").flatMap(_.removed).toSet
+    val deletable = commits
+      .filter(c => c.instant <= cutoff && c.operation != "clean")
+      .flatMap(_.removed)
+      .distinct
+      .filterNot(alreadyCleaned.contains)
     deletable.foreach(rel => fs.delete(new Path(tablePath, rel), false))
     if (deletable.nonEmpty) {
       val instant = timeline.nextInstant()

@@ -49,48 +49,124 @@ class Timeline(fs: FileSystem, tablePath: Path) {
     } finally in.close()
   }
 
-  /** Coarse single-writer lock: atomic create of `_lake/lock`
-    * (FileSystem.create with overwrite=false is atomic on HDFS/local; on
-    * S3 swap for a conditional-put). Replaces the reference's Zookeeper
-    * OCC lock (package.scala:38-47). Stale locks (older than
-    * `staleAfterMs`) are broken — the lazy failed-writes policy
-    * (HudiConfig's LAZY clean analog).
+  /** Coarse single-writer lock: atomic create of `_lake/lock` holding a
+    * per-acquisition UUID token. Replaces the reference's Zookeeper OCC
+    * lock (package.scala:38-47). Safety properties:
+    *
+    *  - **ownership**: the holder releases only a lock that still carries
+    *    its own token — if the lock was broken and re-acquired by someone
+    *    else mid-write, the original holder's release is a no-op instead
+    *    of deleting the new holder's lock;
+    *  - **heartbeat**: a daemon thread refreshes the lock mtime every
+    *    `staleAfterMs / 4` while the body runs, so a long write (large COW
+    *    rewrite, compaction) is never mistaken for a crashed holder;
+    *  - **single-winner stale break**: a stale lock (no heartbeat for
+    *    `staleAfterMs` — the lazy failed-writes policy, HudiConfig's LAZY
+    *    clean analog) is broken by *renaming* it to a unique grave name;
+    *    rename of a now-missing source fails, so of N waiters exactly one
+    *    wins the break. If the grave turns out fresh after all (the
+    *    check-then-rename race), it is renamed straight back.
     */
   def withLock[T](staleAfterMs: Long = 10 * 60 * 1000L)(body: => T): T = {
     val lockPath = new Path(tablePath, "_lake/lock")
     fs.mkdirs(new Path(tablePath, "_lake"))
+    val token = java.util.UUID.randomUUID().toString
+
+    def readToken(p: Path): Option[String] =
+      try {
+        val in = fs.open(p)
+        try {
+          val len = fs.getFileStatus(p).getLen.toInt
+          val bytes = new Array[Byte](len)
+          in.readFully(bytes)
+          Some(new String(bytes, StandardCharsets.UTF_8))
+        } finally in.close()
+      } catch { case _: java.io.IOException => None }
+
     // LocalFileSystem.create(overwrite=false) is exists()-then-create —
     // NOT atomic, so two local writers could both "acquire" it. Use NIO's
-    // atomic createFile for file:// and FileSystem.create for HDFS
-    // (where create(false) is atomic at the NameNode).
+    // atomic createFile (O_CREAT|O_EXCL) for file:// and
+    // FileSystem.create for HDFS (atomic at the NameNode); on S3 swap for
+    // a conditional put. The token body is written just after the atomic
+    // create; a concurrently-observed empty lock is simply "held, owner
+    // unknown" — never treated as ours, broken only by mtime staleness.
     def tryAcquire(): Boolean =
       if (fs.getScheme == "file") {
         val p = java.nio.file.Paths.get(
           fs.makeQualified(lockPath).toUri.getPath)
-        try { java.nio.file.Files.createFile(p); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        try {
+          java.nio.file.Files.createFile(p)
+          java.nio.file.Files.write(p, token.getBytes(StandardCharsets.UTF_8))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
       } else {
-        try { fs.create(lockPath, false).close(); true }
-        catch { case _: java.io.IOException => false }
+        try {
+          val out = fs.create(lockPath, false)
+          try out.write(token.getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
       }
+
+    def breakIfStale(): Unit = {
+      val stale =
+        try System.currentTimeMillis() -
+          fs.getFileStatus(lockPath).getModificationTime > staleAfterMs
+        catch { case _: java.io.IOException => false }
+      if (!stale) return
+      val grave = new Path(tablePath, s"_lake/.lock.broken.$token")
+      val won = try fs.rename(lockPath, grave)
+        catch { case _: java.io.IOException => false }
+      if (won) {
+        // re-verify after winning the break: if the file we renamed was
+        // actually fresh (its holder created/heartbeated it between our
+        // staleness check and the rename), put it straight back.
+        val freshAfterAll =
+          try System.currentTimeMillis() -
+            fs.getFileStatus(grave).getModificationTime <= staleAfterMs
+          catch { case _: java.io.IOException => false }
+        if (freshAfterAll && fs.rename(grave, lockPath)) ()
+        else { fs.delete(grave, true); () }
+      }
+    }
+
     val deadline = System.currentTimeMillis() + 60 * 1000L
     var acquired = false
     while (!acquired) {
       if (tryAcquire()) acquired = true
       else {
-        val stale =
-          try System.currentTimeMillis() -
-            fs.getFileStatus(lockPath).getModificationTime > staleAfterMs
-          catch { case _: java.io.IOException => false }
-        if (stale) fs.delete(lockPath, false)
-        else if (System.currentTimeMillis() > deadline)
+        breakIfStale()
+        if (!acquired && System.currentTimeMillis() > deadline)
           throw new IllegalStateException(
             s"could not acquire writer lock $lockPath within 60s")
-        else Thread.sleep(100)
+        if (!acquired) Thread.sleep(100)
       }
     }
+
+    @volatile var held = true
+    val heartbeat = new Thread(() => {
+      val interval = math.max(staleAfterMs / 4, 1000L)
+      var run = true
+      while (run && held) {
+        try Thread.sleep(interval)
+        catch { case _: InterruptedException => run = false }
+        if (run && held && readToken(lockPath).contains(token))
+          try fs.setTimes(lockPath, System.currentTimeMillis(), -1)
+          catch { case _: java.io.IOException => () }
+      }
+    }, s"lake-lock-heartbeat-${tablePath.getName}")
+    heartbeat.setDaemon(true)
+    heartbeat.start()
+
     try body
-    finally { fs.delete(lockPath, false); () }
+    finally {
+      held = false
+      heartbeat.interrupt()
+      // release only our own lock: if it was broken and re-acquired by a
+      // new holder, leave the new holder's lock alone.
+      if (readToken(lockPath).contains(token)) fs.delete(lockPath, false)
+      ()
+    }
   }
 
   /** Archive commits older than the newest `keepCommits` into

@@ -54,17 +54,33 @@ object CdcIngest {
         StructField("table-name", StringType),
         StructField("timestamp", StringType))))))
     val parsed = batch
-      .select(from_json(col("value").cast("string"), envelope).as("e")) // P1+P2
+      .select(from_json(col("value").cast("string"), envelope).as("e"), // P1+P2
+        monotonically_increasing_id().as("_pos"))
       .where(col("e.data").isNotNull) // P9
-      .select(col("e.metadata.operation").as("_op"), col("e.data.*")) // P3
+      .select(col("e.metadata.operation").as("_op"),
+        col("e.metadata.timestamp").as("_ts"), col("_pos"), col("e.data.*")) // P3
+    // Resolve the FINAL operation per key within the batch before routing:
+    // applying "all upserts then all deletes" would leave a key deleted
+    // even when a delete is followed by a re-insert later in the stream.
+    // Per-record order is recovered from metadata.timestamp (DMS commit
+    // ts), tie-broken by arrival position in the batch.
+    val keyFields = table.meta.recordKeyFields
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyFields.map(col): _*)
+      .orderBy(col("_ts").desc_nulls_last, col("_pos").desc)
+    val finalOps = parsed
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_ts", "_pos")
       .persist()
     try {
-      val upserts = parsed.filter(col("_op").isin("insert", "update", "load"))
+      val upserts = finalOps.filter(col("_op").isin("insert", "update", "load"))
         .drop("_op")
-      if (!upserts.isEmpty) { table.upsert(upserts); () }
-      val deletes = parsed.filter(col("_op") === "delete").drop("_op")
+      // key-unique by construction after the window — skip combine
+      if (!upserts.isEmpty) { table.upsert(upserts, combine = false); () }
+      val deletes = finalOps.filter(col("_op") === "delete").drop("_op")
       if (!deletes.isEmpty) { table.delete(deletes); () }
-    } finally { parsed.unpersist(); () }
+    } finally { finalOps.unpersist(); () }
   }
 
   def applyBatch(spark: SparkSession, batch: DataFrame, cfg: PipelineConfig,

@@ -55,8 +55,11 @@ object DwdToDm {
     val inc = dwd.incremental(begin, end).drop("_record_key", "_commit_time")
     if (inc.isEmpty) return end
     val delta = aggregate(inc, cfg)
+    // precombine = the source watermark instant: monotone across
+    // iterations and identical on replay of the same delta, so a crashed
+    // and re-run iteration converges instead of racing wall-clock.
     val merged = merge(delta, dm.snapshotUser(), cfg)
-      .withColumn(cfg.precombineField, lit(System.currentTimeMillis()))
+      .withColumn(cfg.precombineField, lit(end.toLong))
     dm.upsert(merged, extra = Map(WatermarkKey -> end))
     end
   }
@@ -69,11 +72,15 @@ object DwdToDm {
     var begin = resumeWatermark(dm) match {
       case Some(w) => w
       case None =>
-        // init: full snapshot aggregation (DWD2DM.scala:28-41)
+        // init: full snapshot aggregation (DWD2DM.scala:28-41), pinned to
+        // the recorded watermark: aggregating the LIVE snapshot would
+        // include a DWD commit landing between latestCommit and the scan,
+        // which the next incremental(begin = end) re-reads — double count.
         val end = dwd.latestCommit.getOrElse("earliest")
         if (end != "earliest") {
-          val init = aggregate(dwd.snapshotUser(), cfg)
-            .withColumn(cfg.precombineField, lit(System.currentTimeMillis()))
+          val init = aggregate(dwd.snapshotAsOf(end)
+            .drop(LakeTable.RecordKeyCol, LakeTable.CommitTimeCol), cfg)
+            .withColumn(cfg.precombineField, lit(end.toLong))
           dm.upsert(init, extra = Map(WatermarkKey -> end))
         }
         end

@@ -34,7 +34,7 @@ object OdsToDwd {
       dwd: LakeTable, begin: String): String = {
     val end = ods.latestCommit.getOrElse(return begin)
     if (begin == end) return begin
-    val inc = ods.incremental(begin, end).drop("_record_key", "_commit_time")
+    val inc = ods.incremental(begin, end).drop("_record_key")
     if (inc.isEmpty) return end
     val dimDf =
       if (LakeTable.exists(spark, cfg.dimTablePath))
@@ -42,11 +42,17 @@ object OdsToDwd {
       else spark.read.parquet(cfg.dimTablePath)
     val enrichCols = cfg.dimSelect.map(c =>
       coalesce(col(c), lit(cfg.dimDefault)).as(c)) // nvl defaults, P13
+    // Precombine for the DWD upsert preserves the SOURCE commit ordering
+    // (the ODS `_commit_time` of each row) rather than a per-batch
+    // constant: if one batch carries several source commits, or a batch
+    // is replayed, the downstream max-precombine merge still resolves
+    // deterministically to the newest source version.
     val joined = inc
       .join(broadcast(dimDf.select((cfg.joinRightKey +: cfg.dimSelect).distinct.map(col): _*)),
         inc(cfg.joinLeftKey) === dimDf(cfg.joinRightKey), "left") // J1
       .select(inc.columns.map(inc(_)).toIndexedSeq ++ enrichCols: _*)
-      .withColumn(cfg.precombineField, lit(System.currentTimeMillis()))
+      .withColumn(cfg.precombineField, col(LakeTable.CommitTimeCol).cast("long"))
+      .drop(LakeTable.CommitTimeCol)
     dwd.upsert(joined, extra = Map(WatermarkKey -> end))
     end
   }

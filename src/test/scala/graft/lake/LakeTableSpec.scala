@@ -141,4 +141,22 @@ class LakeTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.snapshot().count() == 1)
     assert(t.snapshot().select("v").head().getDouble(0) == 3.0)
   }
+
+  test("clean honors retention: time travel at retained instants survives") {
+    val t = mkTable(tmp())
+    val c1 = t.upsert(df((1, "a", 10L, "p1", 1.0)))
+    val c2 = t.upsert(df((1, "a", 20L, "p1", 2.0))) // removes c1's file
+    val c3 = t.upsert(df((1, "a", 30L, "p1", 3.0))) // removes c2's file
+    // retain the last 3 commits: c2's file was removed by c3, which is
+    // INSIDE the retained window, so it must not be physically deleted —
+    // snapshotAsOf(c2) is part of the retention contract.
+    t.clean(retainCommits = 3)
+    assert(t.snapshotAsOf(c2).select("v").head().getDouble(0) == 2.0)
+    assert(t.snapshotAsOf(c1).select("v").head().getDouble(0) == 1.0)
+    // with retention 1, only files whose REMOVING commit is at or before
+    // the cutoff go; the latest state always survives
+    t.clean(retainCommits = 1)
+    assert(t.snapshot().select("v").head().getDouble(0) == 3.0)
+    assert(t.snapshotAsOf(c3).select("v").head().getDouble(0) == 3.0)
+  }
 }

@@ -89,6 +89,24 @@ class MorTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!t.readOptimized().select("id").collect().map(_.getInt(0)).contains(2))
   }
 
+  test("MOR incremental merges in-range delta versions to latest per key") {
+    val t = mkTable()
+    val c0 = t.insert(df((1, 10L, "p1", 1.0), (2, 10L, "p1", 2.0)))
+    t.upsert(df((1, 20L, "p1", 11.0))) // v2 of key 1
+    t.upsert(df((1, 30L, "p1", 111.0), (2, 20L, "p1", 22.0))) // v3 / v2
+    val c3 = t.latestCommit.get
+    val inc = t.incremental(c0, c3).orderBy("id")
+    // one row per changed key, resolved to the latest in-range version —
+    // never the intermediate v2 of key 1
+    assert(inc.count() == 2)
+    assert(inc.collect().map(r => r.getAs[Int]("id") -> r.getAs[Double]("v"))
+      .toSeq == Seq(1 -> 111.0, 2 -> 22.0))
+    // stale in-range delta loses to a greater-precombine in-range row
+    t.upsert(df((2, 15L, "p1", 999.0)))
+    val inc2 = t.incremental(c0, t.latestCommit.get).filter(col("id") === 2)
+    assert(inc2.head().getAs[Double]("v") == 22.0)
+  }
+
   test("global index via resolution: partition move on MOR") {
     val t = mkTable()
     t.insert(df((1, 10L, "p1", 1.0)))

@@ -131,6 +131,13 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
       maxIterations = 1, pollIntervalMs = 1))
     val dwd = LakeTable.load(spark, s"$work/dwd")
     assert(dwd.snapshot().count() == n0)
+    // every DWD row must carry the MERGED quantity of the ODS view — a
+    // stale delta version leaking through incremental() would mismatch
+    val mismatched = dwd.snapshotUser()
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .exceptAll(ods.snapshotUser()
+        .select("l_orderkey", "l_linenumber", "l_quantity"))
+    assert(mismatched.isEmpty)
     assert(dwd.snapshot().filter(col("l_quantity") > 500).count() > 0) // updates flowed
     // compaction keeps the downstream view identical
     val before = dwd.snapshot().count()
@@ -219,6 +226,41 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length == 1)
     assert(rows(0).getAs[Long]("id") == 1L)
     assert(rows(0).getAs[String]("name") == "alice2")
+  }
+
+  test("CdcIngest dms: delete then re-insert of a key in ONE batch survives") {
+    val work = tmp()
+    Files.createDirectories(Paths.get(s"$work/inbox"))
+    def dms(op: String, id: Int, name: String, ts: Long, cts: String) =
+      s"""{"data":{"id":$id,"name":"$name","ts":$ts},"metadata":{"operation":"$op","record-type":"data","table-name":"users","timestamp":"$cts"}}"""
+    val events = Seq(
+      dms("insert", 1, "alice", 100, "2026-01-01T00:00:01"),
+      dms("delete", 1, "alice", 100, "2026-01-01T00:00:02"),
+      dms("insert", 1, "alice-reborn", 300, "2026-01-01T00:00:03"),
+      dms("insert", 2, "bob", 100, "2026-01-01T00:00:04"),
+      dms("delete", 2, "bob", 100, "2026-01-01T00:00:05"))
+    Files.write(Paths.get(s"$work/inbox/dms1.json"), events.mkString("\n").getBytes)
+
+    val q = CdcIngest.run(spark, PipelineConfig(
+      inboxDir = s"$work/inbox",
+      checkpointDir = s"$work/ckpt",
+      triggerSeconds = 1,
+      sampleJson = """{"id":1,"name":"x","ts":100}""",
+      targetTablePath = s"$work/users_reborn",
+      tableName = "users_reborn",
+      recordKeyFields = Seq("id"),
+      precombineField = "ts",
+      cdcFormat = "dms"))
+    q.processAllAvailable()
+    q.stop()
+
+    // id=1: delete → re-insert ⇒ lives with the re-inserted payload;
+    // id=2: insert → delete ⇒ gone.
+    val t = LakeTable.load(spark, s"$work/users_reborn")
+    val rows = t.snapshot().collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("id") == 1L)
+    assert(rows(0).getAs[String]("name") == "alice-reborn")
   }
 
   test("CdcIngest: canal stream → insert/update/delete applied in order") {

@@ -37,8 +37,13 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // queries persist intermediates for their own multi-branch plans;
+      // drop them afterwards so one query's cache does not squeeze the
+      // next query's execution memory (measure each plan, not the leak)
+      spark.catalog.clearCache()
       // a failed query must not masquerade as a fast one
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) elapsed else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

@@ -2,7 +2,7 @@ package graft.lake
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType, StructField, StructType}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
@@ -59,7 +59,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       throw new IllegalStateException(s"table ${_meta.name} has no schema yet"))
     StructType(u.fields ++ Seq(
       StructField(RecordKeyCol, StringType, nullable = false),
-      StructField(CommitTimeCol, StringType, nullable = false)))
+      StructField(CommitTimeCol, StringType, nullable = false),
+      StructField(DeletedCol, BooleanType, nullable = true)))
   }
 
   def latestCommit: Option[String] = timeline.latestInstant()
@@ -78,16 +79,44 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   def snapshotAsOf(instant: String): DataFrame = {
     val live = timeline.liveFiles(instant)
     val df = readStats(live)
-    if (live.exists(_.isDelta)) resolveLatest(df) else df
+    if (live.exists(_.isDelta)) resolveLatest(df, tombstoneBarrier(live))
+    else df
+  }
+
+  /** Per-key latest tombstone commit time, read from ONLY the live files
+    * whose commit stats report tombstone rows (small delete deltas) —
+    * `None` when no tombstones exist, so tombstone-free reads skip the
+    * resolution join entirely.
+    */
+  private def tombstoneBarrier(live: Seq[FileStat]): Option[DataFrame] = {
+    val tombFiles = live.filter(_.tombstones > 0)
+    if (tombFiles.isEmpty) None
+    else Some(readStats(tombFiles)
+      .filter(coalesce(col(DeletedCol), lit(false)))
+      .groupBy(col(RecordKeyCol))
+      .agg(max(col(CommitTimeCol)).as("_del_t")))
   }
 
   /** Latest-row resolution for merge-on-read: keep the max
     * (precombine, _commit_time) row per key — same payload ordering as
     * the COW merge (greater precombine wins, later commit wins ties).
+    * With a tombstone `barrier` (MOR deletes), a data row is only
+    * considered if committed AFTER the key's latest tombstone: the delete
+    * kills all earlier versions regardless of precombine, and a later
+    * re-insert revives the key — Hudi delete-block semantics.
     */
-  private def resolveLatest(df: DataFrame): DataFrame = {
+  private def resolveLatest(df: DataFrame,
+      barrier: Option[DataFrame] = None): DataFrame = {
+    val data = df.filter(!coalesce(col(DeletedCol), lit(false)))
+    val alive = barrier match {
+      case None => data
+      case Some(t) =>
+        data.join(t, Seq(RecordKeyCol), "left")
+          .filter(col("_del_t").isNull || col(CommitTimeCol) > col("_del_t"))
+          .drop("_del_t")
+    }
     val fields = fullSchema.fieldNames.filter(_ != RecordKeyCol).toSeq
-    df.groupBy(col(RecordKeyCol))
+    alive.groupBy(col(RecordKeyCol))
       .agg(max_by(struct(fields.map(col): _*),
         struct(col(_meta.precombineField), col(CommitTimeCol))).as("_r"))
       .select(fullSchema.fieldNames.toIndexedSeq.map {
@@ -97,7 +126,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   }
 
   /** Snapshot without meta columns (reference package.scala:165-169). */
-  def snapshotUser(): DataFrame = snapshot().drop(RecordKeyCol, CommitTimeCol)
+  def snapshotUser(): DataFrame =
+    snapshot().drop(RecordKeyCol, CommitTimeCol, DeletedCol)
 
   /** Rows committed in `(begin, end]` — the reference's incremental query
     * (QUERY_TYPE_INCREMENTAL, BEGIN/END_INSTANTTIME, ODS2DWD.scala:51-56).
@@ -114,7 +144,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val files = timeline.addedBetween(b, end)
     val df = readStats(files)
       .filter(col(CommitTimeCol) > lit(b) && col(CommitTimeCol) <= lit(end))
-    if (files.exists(_.isDelta)) resolveLatest(df) else df
+    if (files.exists(_.isDelta)) resolveLatest(df, tombstoneBarrier(files))
+    else df
   }
 
   /** MOR read-optimized view: base files only, skipping un-compacted
@@ -195,7 +226,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val instant = timeline.nextInstant()
     val aligned = alignUser(data)
     val userCols = aligned.columns.toSeq
-    val fieldOrder = userCols :+ CommitTimeCol
+    val fieldOrder = userCols :+ CommitTimeCol :+ DeletedCol
     // within-batch precombine dedup: keep the max-precombine row per key.
     // max_by aggregates with partial (map-side) combine — cheaper at scale
     // than the window-function formulation.
@@ -207,7 +238,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         .select(col(RecordKeyCol) +: fieldOrder.map(c => col(s"_s.`$c`").as(c)): _*))
       .persist(StorageLevel.MEMORY_AND_DISK) // reference Y2, package.scala:66
     try {
-      if (incoming.isEmpty) {
+      val (nRows, mnKey, mxKey) = batchBounds(incoming)
+      if (nRows == 0) {
         timeline.commit(CommitMeta(instant, "upsert", Seq.empty, Seq.empty, extra))
         return instant
       }
@@ -221,7 +253,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         maybeCompactInline()
         return instant
       }
-      val matched = matchedFiles(incoming.select(col(RecordKeyCol)))
+      val matched = matchedFiles(incoming.select(col(RecordKeyCol)), mnKey, mxKey)
       val out =
         if (matched.isEmpty) incoming
         else {
@@ -245,28 +277,46 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   }
 
   /** Delete by key: rows of `data` name the keys to remove (Hudi `delete`,
-    * reference HudiOP.scala:6). Only files containing matched keys are
-    * rewritten; survivors keep their original `_commit_time`.
+    * reference HudiOP.scala:6).
+    *
+    * COW: only files containing matched keys are rewritten; survivors
+    * keep their original `_commit_time`.
+    *
+    * MOR: appends a small tombstone delta file (`_deleted = true` rows) —
+    * no file lookup, no rewrite, the same cheap-append write path as a
+    * MOR upsert (Hudi's delete blocks in log files). Readers drop every
+    * row version at or before the tombstone; a later upsert of the key
+    * revives it; compaction physically removes tombstoned rows.
     */
   def delete(data: DataFrame, extra: Map[String, String] = Map.empty): String = timeline.withLock() {
     val instant = timeline.nextInstant()
+    if (_meta.tableType == "mor") {
+      val u = userSchema.getOrElse(
+        throw new IllegalStateException("delete on a table with no schema"))
+      val keyed =
+        if (data.columns.contains(RecordKeyCol)) data.select(col(RecordKeyCol))
+        else withKeyCol(data).select(col(RecordKeyCol))
+      val tomb = keyed.distinct().select(
+        u.fields.toIndexedSeq.map(f => lit(null).cast(f.dataType).as(f.name)) ++
+          Seq(col(RecordKeyCol), lit(instant).as(CommitTimeCol),
+            lit(true).as(DeletedCol)): _*)
+      val stats = stageWrite(tomb, instant, kind = "delta")
+      timeline.commit(CommitMeta(instant, "delete", stats, Seq.empty, extra))
+      return instant
+    }
     val keys = withKeyOnly(data).persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val matched = matchedFiles(keys)
+      val (nKeys, mnKey, mxKey) = batchBounds(keys)
+      val matched =
+        if (nKeys == 0) Seq.empty else matchedFiles(keys, mnKey, mxKey)
       if (matched.isEmpty) {
         timeline.commit(CommitMeta(instant, "delete", Seq.empty, Seq.empty, extra))
         return instant
       }
-      // rewrite matched files without the deleted keys. For MOR, base and
-      // delta survivors are rewritten into files of their own kind so the
-      // layering (and the read-optimized view) stays consistent.
-      val byKind = timeline.liveFiles().filter(f => matched.contains(f.path))
-        .groupBy(f => if (f.isDelta) "delta" else "base")
-      val stats = byKind.toSeq.sortBy(_._1).flatMap { case (kind, files) =>
-        val survivors = readFiles(files.map(_.path))
-          .join(keys, Seq(RecordKeyCol), "left_anti")
-        stageWrite(survivors, s"$instant${if (kind == "delta") "d" else ""}", kind = kind)
-      }
+      // rewrite matched files without the deleted keys
+      val survivors = readFiles(matched)
+        .join(keys, Seq(RecordKeyCol), "left_anti")
+      val stats = stageWrite(survivors, instant)
       timeline.commit(CommitMeta(instant, "delete", stats, matched, extra))
       instant
     } finally keys.unpersist()
@@ -284,7 +334,10 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val live = timeline.liveFiles()
     if (!live.exists(_.isDelta)) return None
     val instant = timeline.nextInstant()
-    val resolved = resolveLatest(readFiles(live.map(_.path)))
+    // tombstoned keys are dropped by the barrier join, so compaction
+    // physically removes deleted rows AND their tombstones
+    val resolved = resolveLatest(readFiles(live.map(_.path)),
+      tombstoneBarrier(live))
     val stats = stageWrite(resolved, instant, kind = "base")
     timeline.commit(CommitMeta(instant, "compact", stats, live.map(_.path)))
     Some(instant)
@@ -293,10 +346,12 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   private def maybeCompactInline(): Unit = {
     val max = _meta.inlineCompactMax
     if (max <= 0) return
-    val inst = timeline.instants()
-    val sinceCompact = inst.reverse.takeWhile(i =>
-      timeline.read(i).operation != "compact")
-    if (sinceCompact.count(i => timeline.read(i).operation == "deltacommit") >= max) {
+    val ops = timeline.instants().reverse
+      .map(i => timeline.read(i).operation)
+      .takeWhile(_ != "compact")
+    // tombstone deletes are delta appends too — they count toward the
+    // compaction debt like Hudi's log-block commits
+    if (ops.count(o => o == "deltacommit" || o == "delete") >= max) {
       compactLocked() // already under the writer lock (called from upsert)
       ()
     }
@@ -369,7 +424,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     *    authoritative; arithmetic widening between writes won't drift it).
     */
   private def alignUser(data: DataFrame): DataFrame = {
-    val clean = data.drop(RecordKeyCol, CommitTimeCol)
+    val clean = data.drop(RecordKeyCol, CommitTimeCol, DeletedCol)
     userSchema match {
       case Some(s) =>
         val incoming = clean.schema
@@ -407,6 +462,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     */
   private def withMeta(df: DataFrame, instant: String): DataFrame =
     withKeyCol(df).withColumn(CommitTimeCol, lit(instant))
+      .withColumn(DeletedCol, lit(false))
 
   private def withKeyCol(df: DataFrame): DataFrame = {
     val keyCols = _meta.recordKeyFields
@@ -419,18 +475,28 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     if (df.columns.contains(RecordKeyCol)) df.select(col(RecordKeyCol)).distinct()
     else withKeyCol(df).select(col(RecordKeyCol)).distinct()
 
+  /** One pass over the batch: (row count, min key, max key). Replaces an
+    * isEmpty probe + a separate bounds aggregation — one Spark job that
+    * also materializes the batch's cache for the writes that follow.
+    */
+  private def batchBounds(df: DataFrame): (Long, String, String) = {
+    val r = df.agg(count(lit(1)).as("c"),
+      min(RecordKeyCol).as("mn"), max(RecordKeyCol).as("mx")).head()
+    (r.getLong(0),
+      if (r.isNullAt(1)) null else r.getString(1),
+      if (r.isNullAt(2)) null else r.getString(2))
+  }
+
   /** Files that contain at least one incoming key. Step 1 prunes by
     * key-range overlap using commit-metadata stats only (no I/O); step 2
     * confirms by a left-semi join over the candidates' key column.
-    * Returns relative paths.
+    * Returns relative paths. `mn`/`mx` are the incoming batch's key
+    * bounds from [[batchBounds]].
     */
-  private def matchedFiles(incomingKeys: DataFrame): Seq[String] = {
+  private def matchedFiles(incomingKeys: DataFrame, mn: String,
+      mx: String): Seq[String] = {
     val live = timeline.liveFiles()
-    if (live.isEmpty) return Seq.empty
-    val bounds = incomingKeys.agg(
-      min(RecordKeyCol).as("mn"), max(RecordKeyCol).as("mx")).head()
-    if (bounds.isNullAt(0)) return Seq.empty // empty batch
-    val (mn, mx) = (bounds.getString(0), bounds.getString(1))
+    if (live.isEmpty || mn == null) return Seq.empty
     val candidates = live.filter(f => !(f.maxKey < mn || f.minKey > mx))
     if (candidates.isEmpty) return Seq.empty
     import spark.implicits._
@@ -449,69 +515,83 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   private def stageWrite(out: DataFrame, instant: String,
       kind: String = "base"): Seq[FileStat] = {
     val ordered0 = out.select(fullSchema.fieldNames.map(col).toIndexedSeq: _*)
-    // File sizing: cluster rows by (partition dirs, key-hash bucket) so a
-    // small batch lands in few well-filled files (AQE coalesces the tiny
-    // shuffle) while a large partition still writes WriteBuckets files in
-    // parallel. Without this, every write task emits a sliver file per
-    // partition value (tasks × partitions small files — a 100 TB
-    // metadata problem as much as a local-bench one).
-    val ordered =
-      ordered0.repartition((_meta.partitionFields.map(col) :+
-        pmod(xxhash64(col(RecordKeyCol)), lit(WriteBuckets))): _*)
-    // unique per attempt: even if two writers ever raced to the same
-    // instant, their staging areas cannot collide
-    val staging = new Path(tablePath,
-      s"_lake/staging/${instant}_${java.util.UUID.randomUUID().toString.take(8)}")
-    val w = ordered.write.mode("overwrite")
-    val w2 =
-      if (_meta.partitionFields.nonEmpty) w.partitionBy(_meta.partitionFields: _*)
-      else w
-    w2.parquet(staging.toString)
+      // range partitioning SAMPLES its input before shuffling — without a
+      // cache that re-executes the (expensive) merge/anti-join plan twice
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // File clustering: range-partition by (partition dirs, record key) and
+    // sort within tasks, so (a) a small batch lands in few well-filled
+    // files (AQE coalesces the sampled shuffle — without this every write
+    // task emits a sliver file per partition value: tasks × partitions
+    // small files, a 100 TB metadata problem), and (b) each data file
+    // covers a NARROW, sorted key range. Tight per-file min/max key stats
+    // make the driver-side candidate prune in matchedFiles effective — a
+    // keyed update/delete touching few keys rewrites few files instead of
+    // every hash-scattered file — and sorted keys give parquet row-group
+    // stats that skip at scan (Hudi's sort-mode/clustering analog).
+    val clusterCols = _meta.partitionFields.map(col) :+ col(RecordKeyCol)
+    val ordered = ordered0
+      .repartitionByRange(clusterCols: _*)
+      .sortWithinPartitions(clusterCols: _*)
+    try {
+      // unique per attempt: even if two writers ever raced to the same
+      // instant, their staging areas cannot collide
+      val staging = new Path(tablePath,
+        s"_lake/staging/${instant}_${java.util.UUID.randomUUID().toString.take(8)}")
+      val w = ordered.write.mode("overwrite")
+      val w2 =
+        if (_meta.partitionFields.nonEmpty) w.partitionBy(_meta.partitionFields: _*)
+        else w
+      w2.parquet(staging.toString)
 
-    val marker = staging.getName + "/"
-    val statRows = spark.read
-      .schema(fullSchema)
-      .option("basePath", staging.toString)
-      .parquet(staging.toString)
-      .groupBy(input_file_name().as("_f"))
-      .agg(count(lit(1)).as("n"),
-        min(RecordKeyCol).as("mn"), max(RecordKeyCol).as("mx"))
-      .collect()
+      val marker = staging.getName + "/"
+      val statRows = spark.read
+        .schema(fullSchema)
+        .option("basePath", staging.toString)
+        .parquet(staging.toString)
+        .groupBy(input_file_name().as("_f"))
+        .agg(count(lit(1)).as("n"),
+          min(RecordKeyCol).as("mn"), max(RecordKeyCol).as("mx"),
+          sum(when(coalesce(col(DeletedCol), lit(false)), 1L).otherwise(0L))
+            .as("tomb"))
+        .collect()
 
-    var i = 0
-    val stats = statRows.toSeq.flatMap { r =>
-      val f = r.getString(0)
-      val rel = f.substring(f.indexOf(marker) + marker.length)
-      val partition =
-        if (rel.contains("/")) rel.substring(0, rel.lastIndexOf("/")) else ""
-      if (r.getLong(1) == 0L) None
-      else {
-        val finalName = f"${instant}_$i%05d.parquet"
-        i += 1
-        val finalRel = if (partition.isEmpty) finalName else s"$partition/$finalName"
-        val dst = new Path(tablePath, finalRel)
-        fs.mkdirs(dst.getParent)
-        val src = new Path(staging, rel)
-        val size = fs.getFileStatus(src).getLen
-        if (!fs.rename(src, dst))
-          throw new IllegalStateException(s"publish rename failed: $rel")
-        Some(FileStat(finalRel, partition, r.getLong(1), r.getString(2),
-          r.getString(3), kind, size))
+      var i = 0
+      val stats = statRows.toSeq.flatMap { r =>
+        val f = r.getString(0)
+        val rel = f.substring(f.indexOf(marker) + marker.length)
+        val partition =
+          if (rel.contains("/")) rel.substring(0, rel.lastIndexOf("/")) else ""
+        if (r.getLong(1) == 0L) None
+        else {
+          val finalName = f"${instant}_$i%05d.parquet"
+          i += 1
+          val finalRel = if (partition.isEmpty) finalName else s"$partition/$finalName"
+          val dst = new Path(tablePath, finalRel)
+          fs.mkdirs(dst.getParent)
+          val src = new Path(staging, rel)
+          val size = fs.getFileStatus(src).getLen
+          if (!fs.rename(src, dst))
+            throw new IllegalStateException(s"publish rename failed: $rel")
+          Some(FileStat(finalRel, partition, r.getLong(1), r.getString(2),
+            r.getString(3), kind, size, tombstones = r.getLong(4)))
+        }
       }
-    }
-    fs.delete(staging, true)
-    stats
+      fs.delete(staging, true)
+      stats
+    } finally { ordered0.unpersist(); () }
   }
 }
 
 object LakeTable {
   val RecordKeyCol = "_record_key"
   val CommitTimeCol = "_commit_time"
+
+  /** MOR delete-tombstone marker (true on tombstone delta rows; false/null
+    * on data rows — absent columns in pre-existing files read as null).
+    */
+  val DeletedCol = "_deleted"
   val KeySep = "|"
   val MaxInstant = "99999999999999999"
-
-  /** Max data files a single write produces per partition value. */
-  val WriteBuckets = 8
 
   def create(spark: SparkSession, path: String, meta: TableMeta): LakeTable = {
     val p = new Path(path)

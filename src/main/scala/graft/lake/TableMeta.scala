@@ -52,7 +52,14 @@ case class FileStat(
     /** Physical size — lets readers build a file index from commit
       * metadata alone (no filesystem listing) with honest plan stats.
       */
-    sizeBytes: Long = 0L
+    sizeBytes: Long = 0L,
+    /** Rows in this file that are delete tombstones (MOR delete writes
+      * them as delta rows with `_deleted = true` — Hudi's delete blocks).
+      * Readers only mount the tombstone-resolution join when a live file
+      * reports a non-zero count, so COW tables and tombstone-free MOR
+      * reads pay nothing. Missing in old commits ⇒ 0.
+      */
+    tombstones: Long = 0L
 ) {
   def isDelta: Boolean = kind == "delta"
 }

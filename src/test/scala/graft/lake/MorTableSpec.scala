@@ -78,15 +78,38 @@ class MorTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.readOptimized().count() == 2)
   }
 
-  test("MOR delete removes keys from base and delta layers") {
+  test("MOR delete is a tombstone append; snapshot hides, compaction purges") {
     val t = mkTable()
     t.insert(df((1, 10L, "p1", 1.0), (2, 10L, "p1", 2.0)))
     t.upsert(df((2, 20L, "p1", 22.0), (3, 20L, "p1", 3.0)))
-    t.delete(df((2, 0L, "p1", 0.0)))
+    val del = t.delete(df((2, 0L, "p1", 0.0)))
+    // the delete wrote a tombstone delta — nothing rewritten or removed
+    val delCommit = t.timeline.read(del)
+    assert(delCommit.removed.isEmpty)
+    assert(delCommit.added.forall(f => f.isDelta && f.tombstones > 0))
     val snap = t.snapshot().orderBy("id")
     assert(snap.select("id").collect().map(_.getInt(0)).toSeq == Seq(1, 3))
-    // read-optimized must not resurrect the deleted base row
+    // read-optimized is allowed to lag (base-only view, like Hudi RO);
+    // after compaction the deleted row and its tombstone are purged
+    t.compact()
     assert(!t.readOptimized().select("id").collect().map(_.getInt(0)).contains(2))
+    assert(t.snapshot().select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+    assert(t.timeline.liveFiles().forall(_.tombstones == 0))
+  }
+
+  test("MOR delete then re-insert revives the key (tombstone barrier)") {
+    val t = mkTable()
+    t.insert(df((1, 50L, "p1", 1.0)))
+    t.delete(df((1, 0L, "p1", 0.0)))
+    assert(t.snapshot().count() == 0)
+    // re-insert with a SMALLER precombine than the pre-delete row: the
+    // tombstone kills the old version, so the new row must win
+    t.upsert(df((1, 10L, "p1", 7.0)))
+    val r = t.snapshot().collect()
+    assert(r.length == 1 && r(0).getAs[Double]("v") == 7.0)
+    // incremental across delete+reinsert surfaces the live row
+    val inc = t.incremental(Timeline.Earliest)
+    assert(inc.count() == 1 && inc.head().getAs[Double]("v") == 7.0)
   }
 
   test("MOR incremental merges in-range delta versions to latest per key") {

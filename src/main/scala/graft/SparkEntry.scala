@@ -51,7 +51,10 @@ object SparkEntry {
     "sim_topk_bruteforce" -> (Similarity.topKBruteForce _),
     "dedup_cosine_pairs" -> (Similarity.cosinePairs _),
     "text_tokens_bpe" -> (TextAnalysis.tokenCounts _),
-    "sim_lsh_topk" -> (Similarity.lshTopK _) // rows-only (engine hash)
+    "sim_lsh_topk" -> (Similarity.lshTopK _), // rows-only (engine hash)
+    // IVF ANN: k-means cells + nprobe search; probing all cells is exactly
+    // brute force (ExtensionSpec asserts), default probe is rows-only here
+    "sim_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir))
   )
 
   /** Exact n-gram-Jaccard pair SQL — oracle for BOTH dedup_jaccard_pairs

@@ -141,7 +141,13 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     */
   def incremental(begin: String, end: String = MaxInstant): DataFrame = {
     val b = if (begin == Timeline.Earliest) "" else begin
+    // file-level commit-range prune: a rewrite/delete output added inside
+    // the range can consist ENTIRELY of carried-over rows with pre-range
+    // commit times — its maxCommit stat proves no row can pass the filter,
+    // so skip opening it (row-group stats would skip too, but only after
+    // the file is opened and its footer read)
     val files = timeline.addedBetween(b, end)
+      .filter(f => f.maxCommit == null || f.maxCommit > b)
     val df = readStats(files)
       .filter(col(CommitTimeCol) > lit(b) && col(CommitTimeCol) <= lit(end))
     if (files.exists(_.isDelta)) resolveLatest(df, tombstoneBarrier(files))
@@ -552,7 +558,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         .agg(count(lit(1)).as("n"),
           min(RecordKeyCol).as("mn"), max(RecordKeyCol).as("mx"),
           sum(when(coalesce(col(DeletedCol), lit(false)), 1L).otherwise(0L))
-            .as("tomb"))
+            .as("tomb"),
+          min(CommitTimeCol).as("minc"), max(CommitTimeCol).as("maxc"))
         .collect()
 
       var i = 0
@@ -573,7 +580,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
           if (!fs.rename(src, dst))
             throw new IllegalStateException(s"publish rename failed: $rel")
           Some(FileStat(finalRel, partition, r.getLong(1), r.getString(2),
-            r.getString(3), kind, size, tombstones = r.getLong(4)))
+            r.getString(3), kind, size, tombstones = r.getLong(4),
+            minCommit = r.getString(5), maxCommit = r.getString(6)))
         }
       }
       fs.delete(staging, true)

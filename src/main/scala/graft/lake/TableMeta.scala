@@ -59,7 +59,16 @@ case class FileStat(
       * reports a non-zero count, so COW tables and tombstone-free MOR
       * reads pay nothing. Missing in old commits ⇒ 0.
       */
-    tombstones: Long = 0L
+    tombstones: Long = 0L,
+    /** Row-level `_commit_time` range inside the file. A COW rewrite (or
+      * delete) carries survivor rows that keep their ORIGINAL commit
+      * times, so a file's row commit range is wider than its add instant;
+      * incremental reads skip files whose maxCommit falls at or before
+      * the range start without opening them. Missing in old commits ⇒
+      * null ⇒ never skipped.
+      */
+    minCommit: String = null,
+    maxCommit: String = null
 ) {
   def isDelta: Boolean = kind == "delta"
 }

@@ -142,6 +142,35 @@ class LakeTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.snapshot().select("v").head().getDouble(0) == 3.0)
   }
 
+  test("incremental prunes carried-over rewrite files by commit-range stats") {
+    val t = mkTable(tmp())
+    val c1 = t.upsert(df((1, "a", 10L, "p1", 1.0), (2, "b", 10L, "p1", 2.0),
+      (3, "c", 10L, "p1", 3.0)))
+    val c2 = t.delete(df((1, "a", 0L, "p1", 0.0)))
+    // the delete's rewrite output holds ONLY carried-over rows — its
+    // recorded row commit range must prove that, so incremental (c1, c2]
+    // can skip the file without opening it
+    val rewritten = t.timeline.read(c2).added
+    assert(rewritten.nonEmpty)
+    assert(rewritten.forall(f => f.maxCommit != null && f.maxCommit <= c1))
+    assert(t.incremental(c1, c2).count() == 0)
+    // and a genuine update in range is still surfaced
+    val c3 = t.upsert(df((2, "b", 20L, "p1", 22.0)))
+    assert(t.incremental(c1, c3).select("id").collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("in-flight commit temp files are invisible to readers") {
+    val t = mkTable(tmp())
+    t.upsert(df((1, "a", 10L, "p1", 1.0)))
+    // simulate a writer that crashed mid-commit: partial temp file present
+    val dir = Files.createDirectories(java.nio.file.Paths.get(
+      t.path.stripPrefix("file:"), "_lake", "timeline"))
+    Files.write(dir.resolve(".99999999999999999.inflight"),
+      "{not json".getBytes)
+    assert(t.timeline.instants().size == 1)
+    assert(t.snapshot().count() == 1)
+  }
+
   test("clean honors retention: time travel at retained instants survives") {
     val t = mkTable(tmp())
     val c1 = t.upsert(df((1, "a", 10L, "p1", 1.0)))

@@ -46,6 +46,24 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ann.forall(_.getDouble(2) <= 1.0 + 1e-9))
   }
 
+  test("IVF ANN: full probe == brute force exactly; default probe has recall") {
+    val bf = Similarity.topKBruteForce(spark, sf).collect()
+    // probing every cell degenerates to exhaustive search — results must
+    // be IDENTICAL (same rows, same order, same sims)
+    val full = Similarity.ivfTopK(spark, sf, probe = Similarity.IvfCells).collect()
+    assert(full.length == bf.length)
+    assert(full.zip(bf).forall { case (a, b) =>
+      a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1) &&
+        math.abs(a.getDouble(2) - b.getDouble(2)) < 1e-12 })
+    // the default probe touches probe/cells of the corpus; recall floor is
+    // modest because these synthetic vectors are isotropic (no clusters)
+    val bfSet = bf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.ivfTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bfSet.count(ann.contains).toDouble / bfSet.size
+    assert(recall >= 0.2, s"IVF recall $recall too low")
+  }
+
   test("multimodal: batched stub decode through typed Dataset plumbing") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)

@@ -1,0 +1,139 @@
+package graft.sources
+
+import graft.lake.{LakeTable, TableMeta, Timeline}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** `spark.read.format("graft-lake")` / `df.write.format("graft-lake")` —
+  * the ergonomic surface the reference uses against Hudi
+  * (`spark.read.format("hudi").option(QUERY_TYPE...)`, ODS2DWD.scala:51-56;
+  * `df.write.format("hudi").options(...)`, package.scala:71-73), mapped
+  * onto [[LakeTable]].
+  *
+  * Read options (mirroring the reference's Hudi option names in spirit):
+  *  - `query.type`: `snapshot` (default) | `incremental` | `read_optimized`
+  *  - `begin` / `end`: incremental instant range `(begin, end]`
+  *    (reference BEGIN/END_INSTANTTIME); `begin = "earliest"` from start
+  *  - `as.of`: time travel to an instant (snapshot only)
+  *
+  * Write options (reference HudiConfig.scala:17-56 surface):
+  *  - `operation`: `upsert` (default) | `insert` | `delete`
+  *    (reference HudiOP.scala:4-7; default op is `insert` in the
+  *    reference's Config.scala:25 — upsert here because it is the safe
+  *    keyed default)
+  *  - `table.name`, `recordkey.field` (comma list), `precombine.field`,
+  *    `partition.fields` (comma list), `table.type` (`cow` | `mor`) —
+  *    used when the table does not exist yet.
+  *
+  * The scan delegates to the LakeTable read path (commit-metadata file
+  * index), so partition pruning and parquet pushdown behave exactly like
+  * the library API; filters are additionally applied best-effort inside
+  * the relation (Spark re-evaluates them above, correctness never depends
+  * on the translation).
+  */
+class LakeDataSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-lake"
+
+  private def path(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-lake requires a path (load(path) or option(\"path\", ...))"))
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val t = LakeTable.load(spark, path(parameters))
+    val df = parameters.getOrElse("query.type", "snapshot") match {
+      case "incremental" =>
+        t.incremental(
+          parameters.getOrElse("begin", Timeline.Earliest),
+          parameters.getOrElse("end", LakeTable.MaxInstant))
+      case "read_optimized" => t.readOptimized()
+      case "snapshot" | null =>
+        parameters.get("as.of") match {
+          case Some(i) => t.snapshotAsOf(i)
+          case None    => t.snapshot()
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unknown query.type $other")
+    }
+    LakeRelation(spark, df)
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val p = path(parameters)
+    val table =
+      if (LakeTable.exists(spark, p)) LakeTable.load(spark, p)
+      else LakeTable.create(spark, p, TableMeta(
+        name = parameters.getOrElse("table.name",
+          p.substring(p.lastIndexOf('/') + 1)),
+        recordKeyFields = parameters.getOrElse("recordkey.field",
+          throw new IllegalArgumentException(
+            "recordkey.field required to create a table"))
+          .split(",").map(_.trim).toSeq,
+        precombineField = parameters.getOrElse("precombine.field",
+          throw new IllegalArgumentException(
+            "precombine.field required to create a table")),
+        partitionFields = parameters.get("partition.fields")
+          .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty),
+        tableType = parameters.getOrElse("table.type", "cow"),
+        inlineCompactMax =
+          parameters.getOrElse("compact.inline.max", "0").toInt))
+    parameters.getOrElse("operation", "upsert") match {
+      case "upsert" => table.upsert(data)
+      case "insert" => table.insert(data)
+      case "delete" => table.delete(data)
+      case other =>
+        throw new IllegalArgumentException(s"unknown operation $other")
+    }
+    LakeRelation(spark, table.snapshot())
+  }
+}
+
+/** BaseRelation over an already-planned LakeTable DataFrame. buildScan
+  * applies pruning/filters onto that plan; `needConversion = false` hands
+  * Spark the InternalRow RDD directly (no per-row conversion).
+  */
+case class LakeRelation(spark: SparkSession, df: DataFrame)
+    extends BaseRelation with PrunedFilteredScan {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+  override def schema: StructType = df.schema
+
+  override def needConversion: Boolean = false
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val pruned =
+      if (requiredColumns.isEmpty) df
+      else df.select(requiredColumns.toIndexedSeq.map(col): _*)
+    // best-effort pushdown; untranslated filters are re-applied by Spark
+    val filtered = filters.flatMap(translate).foldLeft(pruned)(_.filter(_))
+    filtered.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+
+  private def translate(f: Filter): Option[org.apache.spark.sql.Column] =
+    f match {
+      case EqualTo(a, v)            => Some(col(a) === v)
+      case GreaterThan(a, v)        => Some(col(a) > v)
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
+      case LessThan(a, v)           => Some(col(a) < v)
+      case LessThanOrEqual(a, v)    => Some(col(a) <= v)
+      case In(a, vs)                => Some(col(a).isInCollection(vs.toSeq))
+      case IsNull(a)                => Some(col(a).isNull)
+      case IsNotNull(a)             => Some(col(a).isNotNull)
+      case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+      case And(l, r) =>
+        for (lc <- translate(l); rc <- translate(r)) yield lc && rc
+      case Or(l, r) =>
+        for (lc <- translate(l); rc <- translate(r)) yield lc || rc
+      case Not(c) => translate(c).map(!_)
+      case _      => None
+    }
+}

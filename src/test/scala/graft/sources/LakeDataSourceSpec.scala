@@ -1,0 +1,84 @@
+package graft.sources
+
+import graft.lake.LakeTable
+import graft.util.Sessions
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The `format("graft-lake")` surface — read/write option parity with the
+  * reference's `format("hudi")` usage (ODS2DWD.scala:51-56,
+  * package.scala:71-73).
+  */
+class LakeDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Sessions.local("dsv1-test", "4")
+
+  override def afterAll(): Unit = spark.stop()
+
+  def tmp(): String = Files.createTempDirectory("lakedsv").toString + "/t"
+
+  def df(rows: (Int, Long, String, Double)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "ts", "part", "v")
+  }
+
+  test("write creates table from options; read round-trips snapshot") {
+    val p = tmp()
+    df((1, 10L, "p1", 1.0), (2, 10L, "p2", 2.0))
+      .write.format("graft-lake")
+      .option("recordkey.field", "id")
+      .option("precombine.field", "ts")
+      .option("partition.fields", "part")
+      .mode(SaveMode.Append)
+      .save(p)
+    val back = spark.read.format("graft-lake").load(p)
+    assert(back.count() == 2)
+    assert(back.columns.contains("_record_key"))
+    // upsert through the format API merges by key
+    df((2, 20L, "p2", 22.0)).write.format("graft-lake")
+      .mode(SaveMode.Append).save(p)
+    val merged = spark.read.format("graft-lake").load(p)
+    assert(merged.count() == 2)
+    assert(merged.filter(col("id") === 2).head().getAs[Double]("v") == 22.0)
+  }
+
+  test("incremental and time-travel query options") {
+    val p = tmp()
+    val t = LakeTable.create(spark, p,
+      graft.lake.TableMeta("x", Seq("id"), "ts", Seq("part")))
+    val c1 = t.upsert(df((1, 10L, "p1", 1.0), (2, 10L, "p1", 2.0)))
+    val c2 = t.upsert(df((2, 20L, "p1", 22.0), (3, 20L, "p2", 3.0)))
+    val inc = spark.read.format("graft-lake")
+      .option("query.type", "incremental")
+      .option("begin", c1).option("end", c2)
+      .load(p)
+    assert(inc.select("id").collect().map(_.getInt(0)).toSet == Set(2, 3))
+    val asOf = spark.read.format("graft-lake")
+      .option("as.of", c1).load(p)
+    assert(asOf.count() == 2)
+    assert(asOf.filter(col("id") === 2).head().getAs[Double]("v") == 2.0)
+  }
+
+  test("delete operation; filters and pruning pass through") {
+    val p = tmp()
+    df((1, 10L, "p1", 1.0), (2, 10L, "p1", 2.0), (3, 10L, "p2", 3.0))
+      .write.format("graft-lake")
+      .option("recordkey.field", "id")
+      .option("precombine.field", "ts")
+      .option("partition.fields", "part")
+      .mode(SaveMode.Append).save(p)
+    df((2, 0L, "p1", 0.0)).write.format("graft-lake")
+      .option("operation", "delete")
+      .mode(SaveMode.Append).save(p)
+    val back = spark.read.format("graft-lake").load(p)
+    assert(back.select("id").collect().map(_.getInt(0)).toSet == Set(1, 3))
+    // pruned + filtered scan returns correct values
+    val one = back.filter(col("part") === "p2").select("id", "v").collect()
+    assert(one.length == 1 && one(0).getInt(0) == 3 && one(0).getDouble(1) == 3.0)
+  }
+}

@@ -363,6 +363,31 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     }
   }
 
+  /** Table service: rewrite the live file set clustered (range-
+    * partitioned + sorted) by `sortCols` within each partition dir — the
+    * sort-order/clustering service of modern table formats (Hudi
+    * clustering, z-order-lite). Filters on `sortCols` then skip whole
+    * files via parquet row-group min/max; snapshot content is unchanged
+    * (rows keep their `_commit_time`, so incremental reads across a
+    * clustering stay correct, and the rewrite is pruned from them by its
+    * commit-range stats). Trade-off: files are no longer key-clustered,
+    * so the next keyed upsert's file prune is wider until it rewrites.
+    */
+  def cluster(sortCols: Seq[String]): Option[String] = timeline.withLock() {
+    require(sortCols.nonEmpty, "cluster needs at least one sort column")
+    val live = timeline.liveFiles()
+    if (live.isEmpty) return None
+    val instant = timeline.nextInstant()
+    val resolved =
+      if (live.exists(_.isDelta))
+        resolveLatest(readFiles(live.map(_.path)), tombstoneBarrier(live))
+      else readStats(live)
+    val stats = stageWrite(resolved, instant, kind = "base",
+      clusterBy = sortCols)
+    timeline.commit(CommitMeta(instant, "cluster", stats, live.map(_.path)))
+    Some(instant)
+  }
+
   /** Timeline archival (reference keep.min/max.commits): roll history
     * older than `keepCommits` into a checkpoint; see Timeline.archive.
     */
@@ -519,7 +544,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * `<instant>_<n>.parquet` names. Returns the added-file stats.
     */
   private def stageWrite(out: DataFrame, instant: String,
-      kind: String = "base"): Seq[FileStat] = {
+      kind: String = "base", clusterBy: Seq[String] = Seq.empty): Seq[FileStat] = {
     val ordered0 = out.select(fullSchema.fieldNames.map(col).toIndexedSeq: _*)
       // range partitioning SAMPLES its input before shuffling — without a
       // cache that re-executes the (expensive) merge/anti-join plan twice
@@ -534,7 +559,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     // keyed update/delete touching few keys rewrites few files instead of
     // every hash-scattered file — and sorted keys give parquet row-group
     // stats that skip at scan (Hudi's sort-mode/clustering analog).
-    val clusterCols = _meta.partitionFields.map(col) :+ col(RecordKeyCol)
+    val clusterCols = _meta.partitionFields.map(col) ++
+      (if (clusterBy.nonEmpty) clusterBy.map(col) else Seq(col(RecordKeyCol)))
     val ordered = ordered0
       .repartitionByRange(clusterCols: _*)
       .sortWithinPartitions(clusterCols: _*)

@@ -159,6 +159,23 @@ class LakeTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.incremental(c1, c3).select("id").collect().map(_.getInt(0)).toSeq == Seq(2))
   }
 
+  test("cluster service: files sorted by chosen column, snapshot unchanged") {
+    val t = mkTable(tmp())
+    val c1 = t.upsert(df((1, "a", 10L, "p1", 3.0), (2, "b", 10L, "p1", 1.0),
+      (3, "c", 10L, "p1", 2.0), (4, "d", 10L, "p2", 9.0)))
+    val before = t.snapshot().orderBy("id").drop("_deleted").collect().toSeq
+    val inst = t.cluster(Seq("v"))
+    assert(inst.isDefined)
+    val after = t.snapshot().orderBy("id").drop("_deleted").collect().toSeq
+    assert(before == after)
+    assert(t.timeline.read(inst.get).operation == "cluster")
+    // rows keep original commit times → incremental across clustering and
+    // commit-range pruning both hold
+    assert(t.snapshot().select("_commit_time").distinct().head().getString(0) == c1)
+    assert(t.timeline.read(inst.get).added.forall(_.maxCommit <= c1))
+    assert(t.incremental(c1).count() == 0)
+  }
+
   test("in-flight commit temp files are invisible to readers") {
     val t = mkTable(tmp())
     t.upsert(df((1, "a", 10L, "p1", 1.0)))

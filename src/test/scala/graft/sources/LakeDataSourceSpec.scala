@@ -64,6 +64,38 @@ class LakeDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(asOf.filter(col("id") === 2).head().getAs[Double]("v") == 2.0)
   }
 
+  test("writeStream.format(graft-lake): keyed streaming sink with batch watermark") {
+    val work = Files.createTempDirectory("lakesink").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$work/inbox"))
+    Files.write(java.nio.file.Paths.get(s"$work/inbox/b1.json"),
+      Seq("""{"id":1,"ts":10,"part":"p1","v":1.0}""",
+        """{"id":2,"ts":10,"part":"p1","v":2.0}""").mkString("\n").getBytes)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id INT, ts BIGINT, part STRING, v DOUBLE")
+    val q = spark.readStream.schema(schema).json(s"$work/inbox")
+      .writeStream.format("graft-lake")
+      .option("checkpointLocation", s"$work/ckpt")
+      .option("path", s"$work/t")
+      .option("recordkey.field", "id")
+      .option("precombine.field", "ts")
+      .option("partition.fields", "part")
+      .start()
+    q.processAllAvailable()
+    // second batch: update id=2, insert id=3 — keyed convergence
+    Files.write(java.nio.file.Paths.get(s"$work/inbox/b2.json"),
+      Seq("""{"id":2,"ts":20,"part":"p1","v":22.0}""",
+        """{"id":3,"ts":20,"part":"p2","v":3.0}""").mkString("\n").getBytes)
+    q.processAllAvailable()
+    q.stop()
+    val t = LakeTable.load(spark, s"$work/t")
+    assert(t.snapshot().count() == 3)
+    assert(t.snapshot().filter(col("id") === 2).head().getAs[Double]("v") == 22.0)
+    // each applied micro-batch recorded its id with the commit
+    val batchIds = t.timeline.instants().map(t.timeline.read)
+      .flatMap(_.extra.get("stream.batch.id"))
+    assert(batchIds == Seq("0", "1"))
+  }
+
   test("delete operation; filters and pruning pass through") {
     val p = tmp()
     df((1, 10L, "p1", 1.0), (2, 10L, "p1", 2.0), (3, 10L, "p2", 3.0))

@@ -96,6 +96,29 @@ class LakeDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batchIds == Seq("0", "1"))
   }
 
+  test("SQL catalog: CREATE TABLE USING graft-lake, query, drop") {
+    val p = tmp()
+    df((1, 10L, "p1", 1.0), (2, 20L, "p2", 2.0))
+      .write.format("graft-lake")
+      .option("recordkey.field", "id")
+      .option("precombine.field", "ts")
+      .mode(SaveMode.Append).save(p)
+    // the catalog analog of the reference's Hive meta sync (K4): a real
+    // catalog table over the lake path, queryable by name in SQL
+    spark.sql(s"CREATE TABLE lake_sql_t USING `graft-lake` OPTIONS (path '$p')")
+    try {
+      val rows = spark.sql(
+        "SELECT id, v FROM lake_sql_t WHERE part = 'p2'").collect()
+      assert(rows.length == 1 && rows(0).getInt(0) == 2)
+      // writes through the library become visible after REFRESH TABLE —
+      // the standard external-table contract (the catalog caches the
+      // resolved relation, exactly as it does for parquet/Hudi tables)
+      LakeTable.load(spark, p).upsert(df((3, 30L, "p1", 3.0)))
+      spark.sql("REFRESH TABLE lake_sql_t")
+      assert(spark.sql("SELECT COUNT(*) FROM lake_sql_t").head().getLong(0) == 3)
+    } finally spark.sql("DROP TABLE lake_sql_t")
+  }
+
   test("delete operation; filters and pruning pass through") {
     val p = tmp()
     df((1, 10L, "p1", 1.0), (2, 10L, "p1", 2.0), (3, 10L, "p2", 3.0))

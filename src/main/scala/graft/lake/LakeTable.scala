@@ -297,8 +297,12 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   def delete(data: DataFrame, extra: Map[String, String] = Map.empty): String = timeline.withLock() {
     val instant = timeline.nextInstant()
     if (_meta.tableType == "mor") {
-      val u = userSchema.getOrElse(
-        throw new IllegalStateException("delete on a table with no schema"))
+      val u = userSchema.getOrElse {
+        // nothing ever written ⇒ nothing to delete (same no-op contract
+        // as the COW path on an empty table)
+        timeline.commit(CommitMeta(instant, "delete", Seq.empty, Seq.empty, extra))
+        return instant
+      }
       val keyed =
         if (data.columns.contains(RecordKeyCol)) data.select(col(RecordKeyCol))
         else withKeyCol(data).select(col(RecordKeyCol))

@@ -114,6 +114,44 @@ class UpsertPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("model-based: random upsert/delete sequences match a Map model (cow + mor)") {
+    // an op is an upsert batch or a delete of a key subset; the reference
+    // model folds them in order: upsert keeps max-ts per key (later batch
+    // wins ties), delete removes the key unconditionally, a later upsert
+    // re-creates it — MOR tombstone barriers must be indistinguishable
+    // from COW physical rewrites under this model.
+    sealed trait Op
+    case class Up(rows: List[R]) extends Op
+    case class Del(ids: List[Int]) extends Op
+    val opGen: Gen[Op] = Gen.frequency(
+      3 -> batchGen.map(Up.apply),
+      2 -> Gen.nonEmptyListOf(Gen.choose(0, 30)).map(Del.apply))
+    forAllSeeded(Gen.listOfN(6, opGen), n = 2) { ops =>
+      val results = for (tt <- Seq("cow", "mor")) yield {
+        val t = mkTable(tt)
+        val model = ops.foldLeft(Map.empty[Int, Long]) {
+          case (m, Up(rows)) =>
+            t.upsert(toDf(rows))
+            rows.foldLeft(m)((acc, r) =>
+              if (acc.get(r.id).exists(_ > r.ts)) acc else acc.updated(r.id, r.ts))
+          case (m, Del(ids)) =>
+            t.delete(toDf(ids.map(i => R(i, 0L, "p1", 0.0))))
+            m -- ids
+        }
+        val got = t.snapshot().select("id", "ts").collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        assert(got == model, s"tableType=$tt")
+        // compaction must not change the answer
+        t.compact()
+        val afterCompact = t.snapshot().select("id", "ts").collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        assert(afterCompact == model, s"tableType=$tt post-compact")
+        model
+      }
+      assert(results.distinct.size == 1) // cow and mor agree with each other
+    }
+  }
+
   test("incremental algebra: snapshot(t2) == snapshot(t1) ⊕ incremental(t1,t2)") {
     forAllSeeded(Gen.zip(batchGen, batchGen), n = 3) { case (b1, b2) =>
       val t = mkTable()

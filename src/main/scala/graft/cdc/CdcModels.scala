@@ -22,12 +22,15 @@ case class CanalEnvelope(
 
 /** Normalized CDC record (reference cdc/model/HudiDataModel.scala:3-8):
   * target db/table, lake write op, and the row payloads as JSON strings.
+  * `ts` is the binlog execution timestamp (CanalEnvelope.ts) — it orders
+  * operations on the same key within a micro-batch.
   */
 case class CdcRecord(
     database: String,
     table: String,
     op: String, // insert | upsert | delete (reference HudiOP.scala:3-7)
-    rows: Seq[String]
+    rows: Seq[String],
+    ts: Long = 0L
 )
 
 object CdcOp {

@@ -25,16 +25,21 @@ object CdcIngest {
     lines.flatMap(CanalParser.parse _)
   }
 
-  /** Cast the string-map payloads of `records` to the table schema. */
+  /** Cast the string-map payloads of `records` to the table schema,
+    * keeping per-row op/ordering columns (`_op`, `_ts`, `_pos`).
+    */
   def typedRows(spark: SparkSession, records: Dataset[CdcRecord],
       table: LakeTable): DataFrame = {
-    import spark.implicits._
-    val schema = table.fullSchema // user cols only below; meta cols dropped
     val userFields = table.userSchema.get.fields
-    records.flatMap(_.rows).toDF("row")
-      .select(from_json(col("row"), MapType(StringType, StringType)).as("m"))
-      .select(userFields.toIndexedSeq.map(f =>
-        col("m").getItem(f.name).cast(f.dataType).as(f.name)): _*)
+    records.toDF()
+      .select(col("op").as("_op"), col("ts").as("_ts"),
+        explode(col("rows")).as("row"))
+      .withColumn("_pos", monotonically_increasing_id())
+      .select(Seq(col("_op"), col("_ts"), col("_pos"),
+        from_json(col("row"), MapType(StringType, StringType)).as("m")): _*)
+      .select(col("_op") +: col("_ts") +: col("_pos") +:
+        userFields.toIndexedSeq.map(f =>
+          col("m").getItem(f.name).cast(f.dataType).as(f.name)): _*)
   }
 
   /** DMS-style two-level envelope `{data: struct, metadata: struct}`
@@ -89,22 +94,26 @@ object CdcIngest {
     var recs = parse(batch.select(col("value").cast("string")).as[String])
     if (cfg.cdcTableFilter.nonEmpty) // package.scala:158 equality filter
       recs = recs.filter(col("table") === cfg.cdcTableFilter).as[CdcRecord]
-    val cached = recs.persist() // multi-action fan-out, reference Y2
+    // Resolve the FINAL operation per key within the batch (binlog ts,
+    // then stream position) before routing — same contract as the DMS
+    // path: an insert→delete ends deleted, a delete→re-insert survives,
+    // regardless of how ops interleave inside one micro-batch.
+    val keyFields = table.meta.recordKeyFields
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyFields.map(col): _*)
+      .orderBy(col("_ts").desc, col("_pos").desc)
+    val finalOps = typedRows(spark, recs, table)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_ts", "_pos")
+      .persist() // multi-action fan-out, reference Y2
     try {
-      // ops must apply in a fixed order within a batch: deletes last would
-      // resurrect nothing; reference applies per-record op streams — here
-      // insert+upsert merge first, then deletes.
-      for (op <- Seq(CdcOp.Insert, CdcOp.Upsert, CdcOp.Delete)) {
-        val sub = cached.filter(col("op") === op).as[CdcRecord]
-        if (!sub.isEmpty) {
-          val rows = typedRows(spark, sub, table)
-          op match {
-            case CdcOp.Insert | CdcOp.Upsert => table.upsert(rows)
-            case CdcOp.Delete                => table.delete(rows)
-          }
-        }
-      }
-    } finally { cached.unpersist(); () }
+      val upserts = finalOps
+        .filter(col("_op").isin(CdcOp.Insert, CdcOp.Upsert)).drop("_op")
+      if (!upserts.isEmpty) { table.upsert(upserts, combine = false); () }
+      val deletes = finalOps.filter(col("_op") === CdcOp.Delete).drop("_op")
+      if (!deletes.isEmpty) { table.delete(deletes); () }
+    } finally { finalOps.unpersist(); () }
   }
 
   def run(spark: SparkSession, cfg: PipelineConfig): StreamingQuery = {

@@ -296,4 +296,37 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(0).getAs[Long]("id") == 1L)
     assert(rows(0).getAs[String]("name") == "alice2") // update applied
   }
+
+  test("CdcIngest canal: delete then re-insert in ONE batch survives") {
+    val work = tmp()
+    Files.createDirectories(Paths.get(s"$work/inbox"))
+    def canal(typ: String, ts: Long, rows: String) =
+      s"""{"data":[$rows],"database":"db1","es":$ts,"id":1,"isDdl":false,"pkNames":["id"],"table":"users","ts":$ts,"type":"$typ"}"""
+    val events = Seq(
+      canal("INSERT", 1, """{"id":"1","name":"alice","ts":"100"}"""),
+      canal("DELETE", 2, """{"id":"1","name":"alice","ts":"100"}"""),
+      canal("INSERT", 3, """{"id":"1","name":"alice-reborn","ts":"300"}"""),
+      canal("INSERT", 4, """{"id":"2","name":"bob","ts":"100"}"""),
+      canal("DELETE", 5, """{"id":"2","name":"bob","ts":"100"}"""))
+    Files.write(Paths.get(s"$work/inbox/cdc1.json"), events.mkString("\n").getBytes)
+
+    val q = CdcIngest.run(spark, PipelineConfig(
+      inboxDir = s"$work/inbox",
+      checkpointDir = s"$work/ckpt",
+      triggerSeconds = 1,
+      sampleJson = """{"id":1,"name":"x","ts":100}""",
+      targetTablePath = s"$work/users_rr",
+      tableName = "users_rr",
+      recordKeyFields = Seq("id"),
+      precombineField = "ts",
+      cdcTableFilter = "users"))
+    q.processAllAvailable()
+    q.stop()
+
+    val t = LakeTable.load(spark, s"$work/users_rr")
+    val rows = t.snapshot().collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("id") == 1L)
+    assert(rows(0).getAs[String]("name") == "alice-reborn")
+  }
 }

@@ -41,6 +41,44 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t2.timeline.instants().size == 5)
   }
 
+  test("writer lock excludes across PROCESSES (separate JVMs)") {
+    val work = java.nio.file.Files.createTempDirectory("lockprobe")
+    val tableDir = work.resolve("t").toString
+    val logFile = work.resolve("events.log").toString
+    val classDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    val cp = s"$classDir:/opt/spark/jars/*"
+    def spawn(): Process = new ProcessBuilder(
+      "java", "-cp", cp,
+      "--add-opens", "java.base/java.lang=ALL-UNNAMED",
+      "--add-opens", "java.base/java.nio=ALL-UNNAMED",
+      "--add-opens", "java.base/sun.nio.ch=ALL-UNNAMED",
+      "--add-opens", "java.base/java.util=ALL-UNNAMED",
+      "graft.tools.LockProbe", tableDir, logFile, "5", "30")
+      .redirectErrorStream(true).start()
+    val procs = Seq.fill(3)(spawn())
+    procs.foreach { p =>
+      val out = new String(p.getInputStream.readAllBytes())
+      assert(p.waitFor() == 0, s"probe failed: $out")
+    }
+    // parse "<pid> enter|exit <nanos>" lines; holds must never overlap
+    val events = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(logFile)).toArray(Array.empty[String])
+      .map(_.split(" ")).map(a => (a(0), a(1), a(2).toLong))
+      .sortBy(_._3)
+    assert(events.count(_._2 == "enter") == 15)
+    assert(events.count(_._2 == "exit") == 15)
+    var holder: Option[String] = None
+    events.foreach {
+      case (pid, "enter", _) =>
+        assert(holder.isEmpty, s"$pid entered while $holder held the lock")
+        holder = Some(pid)
+      case (pid, "exit", _) =>
+        assert(holder.contains(pid))
+        holder = None
+      case _ =>
+    }
+  }
+
   test("stale lock is broken, not deadlocked") {
     val path = Files.createTempDirectory("conc2").toString + "/t"
     val t = LakeTable.create(spark, path,

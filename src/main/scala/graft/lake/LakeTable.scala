@@ -455,8 +455,12 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     *    reader null-fills absent columns under an explicit schema);
     *  - columns missing from the batch are null-filled (key, precombine,
     *    and partition columns excepted — those must be present);
-    *  - existing columns are cast to the stored type (the table schema is
-    *    authoritative; arithmetic widening between writes won't drift it).
+    *  - an incoming column STRICTLY WIDER than the stored type (int→long,
+    *    int/long→double, float→double, decimal scale-up) widens the table
+    *    schema — Spark 4's parquet readers apply widening conversions, so
+    *    files written with the narrower type stay readable in place;
+    *  - otherwise existing columns are cast to the stored type (the table
+    *    schema is authoritative; narrowing never drifts it).
     */
   private def alignUser(data: DataFrame): DataFrame = {
     val clean = data.drop(RecordKeyCol, CommitTimeCol, DeletedCol)
@@ -465,10 +469,17 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         val incoming = clean.schema
         val newFields = incoming.fields.filterNot(f => s.fieldNames.contains(f.name))
           .map(_.copy(nullable = true))
+        val widened = s.fields.map { f =>
+          incoming.fields.find(_.name == f.name) match {
+            case Some(in) if isWidening(f.dataType, in.dataType) =>
+              f.copy(dataType = in.dataType)
+            case _ => f
+          }
+        }
         val evolved =
-          if (newFields.isEmpty) s
+          if (newFields.isEmpty && widened.toSeq == s.fields.toSeq) s
           else {
-            val e = StructType(s.fields ++ newFields)
+            val e = StructType(widened ++ newFields)
             _meta = _meta.copy(schemaJson = e.json)
             TableMeta.save(fs, tablePath, _meta)
             e
@@ -487,6 +498,27 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         _meta = _meta.copy(schemaJson = clean.schema.json)
         TableMeta.save(fs, tablePath, _meta)
         clean
+    }
+  }
+
+  /** Lossless type promotions the parquet readers can apply to existing
+    * files (Spark 4 widening conversions): int family upward, int→double,
+    * float→double, decimal precision growth at equal-or-greater scale
+    * headroom.
+    */
+  private def isWidening(stored: DataType, in: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (stored, in) match {
+      case (ByteType, ShortType | IntegerType | LongType)       => true
+      case (ShortType, IntegerType | LongType)                  => true
+      case (IntegerType, LongType)                              => true
+      case (ByteType | ShortType | IntegerType, DoubleType)     => true
+      case (FloatType, DoubleType)                              => true
+      case (a: DecimalType, b: DecimalType) =>
+        // same scale, more precision — the only decimal promotion the
+        // parquet widening reader applies to existing files in place
+        b.scale == a.scale && b.precision > a.precision
+      case _ => false
     }
   }
 

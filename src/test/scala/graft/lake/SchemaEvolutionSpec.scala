@@ -46,6 +46,37 @@ class SchemaEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[String]("note") == null) // newest version wins wholesale
   }
 
+  test("type widening: int→long and float→double evolve the schema in place") {
+    val s = spark
+    import s.implicits._
+    val t = mk()
+    t.upsert(Seq((1, 10L, "p1", 1, 1.5f)).toDF("id", "ts", "part", "n", "x"))
+    assert(t.userSchema.get("n").dataType.typeName == "integer")
+    // a later batch carries wider types — schema widens, old files stay
+    // readable through the parquet widening reader
+    t.upsert(Seq((2, 10L, "p1", 5000000000L, 2.5d))
+      .toDF("id", "ts", "part", "n", "x"))
+    val t2 = LakeTable.load(spark, t.path)
+    assert(t2.userSchema.get("n").dataType.typeName == "long")
+    assert(t2.userSchema.get("x").dataType.typeName == "double")
+    val snap = t2.snapshot().orderBy("id").collect()
+    assert(snap.map(_.getAs[Long]("n")).toSeq == Seq(1L, 5000000000L))
+    assert(snap(0).getAs[Double]("x") == 1.5 && snap(1).getAs[Double]("x") == 2.5)
+    // and the widened table still merges updates on old keys
+    t2.upsert(Seq((1, 20L, "p1", 7L, 9.0d)).toDF("id", "ts", "part", "n", "x"))
+    assert(t2.snapshot().filter(col("id") === 1).head().getAs[Long]("n") == 7L)
+  }
+
+  test("narrowing does NOT drift the schema (incoming cast down)") {
+    val s = spark
+    import s.implicits._
+    val t = mk()
+    t.upsert(Seq((1, 10L, "p1", 10L)).toDF("id", "ts", "part", "n"))
+    t.upsert(Seq((2, 10L, "p1", 3)).toDF("id", "ts", "part", "n")) // int batch
+    assert(t.userSchema.get("n").dataType.typeName == "long")
+    assert(t.snapshot().filter(col("id") === 2).head().getAs[Long]("n") == 3L)
+  }
+
   test("batch missing a required column fails loudly") {
     val s = spark
     import s.implicits._

@@ -60,6 +60,18 @@ object EventStreams {
     out.reverseIterator
   }
 
+  /** Watermark-bounded exact dedup on a key column set — built-in
+    * dropDuplicatesWithinWatermark state that EXPIRES with the watermark,
+    * the scale-safe default for unbounded streams (dedupByEventId's
+    * custom state grows forever; use it only when replays can arrive
+    * arbitrarily late). This is streaming exact-dedup for a training-data
+    * ingest: duplicate records within the lateness window emit once.
+    */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      delay: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Running per-user totals via mapGroupsWithState (Update mode). */
   def userTotals(events: Dataset[Event]): Dataset[UserSession] = {
     import events.sparkSession.implicits._

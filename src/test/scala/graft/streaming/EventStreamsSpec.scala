@@ -41,6 +41,25 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.contains(("2026-01-01 10:10:00.0", "b", 1L)))
   }
 
+  test("dropDuplicatesWithinWatermark: replays within the window emit once") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventStreams.dedupWithinWatermark(df, Seq("event_id"))
+      .writeStream.format("memory").queryName("ddw")
+      .outputMode("append").start()
+    mem.addData((1L, ts(0), "a", 1.0), (2L, ts(1), "a", 2.0),
+      (1L, ts(2), "a", 1.0)) // in-batch duplicate
+    q.processAllAvailable()
+    mem.addData((2L, ts(3), "a", 2.0), (3L, ts(4), "b", 3.0)) // replayed 2
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("ddw").select("event_id").collect().map(_.getLong(0))
+    assert(ids.sorted.toSeq == Seq(1L, 2L, 3L)) // each id exactly once
+  }
+
   test("flatMapGroupsWithState dedups replayed event ids per user") {
     val s = spark
     import s.implicits._

@@ -127,19 +127,30 @@ object Dedup {
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val shingled = docsWithShingles(s, dir)
-    val docs = shingled.join(minhashSignatures(shingled, NumHashes), "doc_id")
-    val banded = docs.select(col("doc_id"),
-      posexplode(lshBands(col("sig"), Bands, RowsPerBand)).as(Seq("band", "bsig")))
+    val banded = shingled
+      .join(minhashSignatures(shingled, NumHashes), "doc_id")
+      .select(col("doc_id"),
+        posexplode(lshBands(col("sig"), Bands, RowsPerBand)).as(Seq("band", "bsig")))
     val cands = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+    // count-based exact verify over the skinny (doc, shingle) occurrence
+    // table — joining the fat shingle ARRAYS per candidate pair shuffles
+    // |pairs| × array-size bytes; this shuffles 16-byte rows (same
+    // formulation as jaccardPairs' verify).
+    val ex = shingled.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
     cands
-      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .join(ex.select(col("doc_id").as("id_a"), col("n").as("na"), col("s")), "id_a")
+      .join(ex.select(col("doc_id").as("id_b"), col("n").as("nb"), col("s")),
+        Seq("id_b", "s"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard",
+        col("shared") / (col("na") + col("nb") - col("shared")))
       .filter(col("jaccard") >= Threshold)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")

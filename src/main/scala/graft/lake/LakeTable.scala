@@ -268,12 +268,35 @@ class LakeTable private (val spark: SparkSession, val path: String) {
             .select(col(RecordKeyCol), struct(fieldOrder.map(col): _*).as("e"))
           val iS = incoming
             .select(col(RecordKeyCol), struct(fieldOrder.map(col): _*).as("i"))
-          eS.join(iS, Seq(RecordKeyCol), "full_outer")
-            .select(col(RecordKeyCol),
-              when(col("i").isNull, col("e"))
-                .when(col("e").isNull, col("i"))
-                .when(col(s"e.`$pc`") > col(s"i.`$pc`"), col("e"))
-                .otherwise(col("i")).as("r"))
+          val winner = when(col("i").isNull, col("e"))
+            .when(col("e").isNull, col("i"))
+            .when(col(s"e.`$pc`") > col(s"i.`$pc`"), col("e"))
+            .otherwise(col("i")).as("r")
+          val mergedKeyed =
+            if (nRows > BroadcastMergeMaxRows)
+              // big batch: sort-merge full outer on the key — both sides
+              // shuffle, the right plan when the update set is a large
+              // fraction of the matched files
+              eS.join(iS, Seq(RecordKeyCol), "full_outer")
+                .select(col(RecordKeyCol), winner)
+            else {
+              // small batch (the streaming-CDC steady state): two
+              // broadcast map-side joins instead of shuffling every row
+              // of the matched files — existing ⟕ incoming resolves
+              // updates, and incoming rows whose key is nowhere in the
+              // candidates' key column are appended as new
+              val hitKeys = readFiles(matched)
+                .select(col(RecordKeyCol))
+                .join(broadcast(incoming.select(col(RecordKeyCol))),
+                  Seq(RecordKeyCol), "left_semi")
+                .distinct()
+              eS.join(broadcast(iS), Seq(RecordKeyCol), "left")
+                .select(col(RecordKeyCol), winner)
+                .unionAll(
+                  iS.join(broadcast(hitKeys), Seq(RecordKeyCol), "left_anti")
+                    .select(col(RecordKeyCol), col("i").as("r")))
+            }
+          mergedKeyed
             .select(col(RecordKeyCol) +: fieldOrder.map(c => col(s"r.`$c`").as(c)): _*)
         }
       val stats = stageWrite(out, instant)
@@ -660,6 +683,15 @@ object LakeTable {
     * on data rows — absent columns in pre-existing files read as null).
     */
   val DeletedCol = "_deleted"
+
+  /** Row-count ceiling for the broadcast upsert-merge plan: batches at or
+    * below it merge via two broadcast map-side joins (no shuffle of the
+    * matched files' rows); larger batches use the sort-merge full outer.
+    * Sized so the broadcast side stays tens of MB for typical row widths.
+    * A mutable knob so tests can force either plan; production leaves the
+    * default.
+    */
+  private[graft] var BroadcastMergeMaxRows = 250_000L
   val KeySep = "|"
   val MaxInstant = "99999999999999999"
 

@@ -159,6 +159,28 @@ class LakeTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.incremental(c1, c3).select("id").collect().map(_.getInt(0)).toSeq == Seq(2))
   }
 
+  test("broadcast and sort-merge upsert plans produce identical tables") {
+    val rows1 = (1 to 200).map(i => (i, i.toString, 10L, s"p${i % 3}", i * 1.0))
+    val rows2 = (150 to 250).map(i => (i, i.toString, 20L, s"p${i % 3}", i * 2.0))
+    def build(): Seq[(Int, String, Long, Double)] = {
+      val t = mkTable(tmp())
+      t.upsert(df(rows1: _*))
+      t.upsert(df(rows2: _*))
+      t.snapshot().select("id", "sub", "ts", "v").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    }
+    val saved = LakeTable.BroadcastMergeMaxRows
+    try {
+      LakeTable.BroadcastMergeMaxRows = Long.MaxValue // force broadcast plan
+      val viaBroadcast = build()
+      LakeTable.BroadcastMergeMaxRows = 0L // force sort-merge full outer
+      val viaSortMerge = build()
+      assert(viaBroadcast == viaSortMerge)
+      assert(viaBroadcast.size == 250)
+    } finally LakeTable.BroadcastMergeMaxRows = saved
+  }
+
   test("cluster service: files sorted by chosen column, snapshot unchanged") {
     val t = mkTable(tmp())
     val c1 = t.upsert(df((1, "a", 10L, "p1", 3.0), (2, "b", 10L, "p1", 1.0),

@@ -42,6 +42,12 @@ object Bench {
       // drop them afterwards so one query's cache does not squeeze the
       // next query's execution memory (measure each plan, not the leak)
       spark.catalog.clearCache()
+      // Spark's ContextCleaner releases shuffle files / broadcasts via
+      // weak references — on a large mostly-idle heap GC may not run for
+      // the whole suite, so 30+ queries of shuffle state accumulate and
+      // stall random later queries. One explicit GC per query keeps the
+      // cleanup outside the timed regions.
+      System.gc()
       // a failed query must not masquerade as a fast one
       name -> (if (ok) elapsed else -1.0)
     }

@@ -346,9 +346,11 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         timeline.commit(CommitMeta(instant, "delete", Seq.empty, Seq.empty, extra))
         return instant
       }
-      // rewrite matched files without the deleted keys
+      // rewrite matched files without the deleted keys; the key set is
+      // bounded by the delete batch → broadcast the anti join (map-side,
+      // no shuffle of the survivors)
       val survivors = readFiles(matched)
-        .join(keys, Seq(RecordKeyCol), "left_anti")
+        .join(broadcast(keys), Seq(RecordKeyCol), "left_anti")
       val stats = stageWrite(survivors, instant)
       timeline.commit(CommitMeta(instant, "delete", stats, matched, extra))
       instant

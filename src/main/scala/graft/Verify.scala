@@ -19,8 +19,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // free per-query persisted intermediates (see Bench)
+      // free per-query persisted intermediates and accumulated shuffle
+      // state (see Bench — ContextCleaner needs a GC to fire)
       spark.catalog.clearCache()
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

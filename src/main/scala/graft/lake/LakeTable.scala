@@ -72,6 +72,13 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * delta resolved to the latest row per key by (precombine,
     * commit-time) — one keyed shuffle, the read-side cost MOR trades for
     * its cheap writes.
+    *
+    * Note on partition pruning: on a pure-base (COW or compacted) read,
+    * a filter on a partition column prunes files via the metadata index.
+    * On a MOR merged read it cannot be pushed below the key resolution —
+    * under the global index a key's versions may span partitions, so
+    * pre-merge pruning could elect a stale winner; Catalyst correctly
+    * applies such filters after the merge. Compact to restore pruning.
     */
   def snapshot(): DataFrame = snapshotAsOf(MaxInstant)
 

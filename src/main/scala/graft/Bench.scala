@@ -54,7 +54,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // stdout goes through sbt's logger ([info] prefixes); also drop the
+    // bare JSON line in the working directory so it is machine-readable
+    // without de-prefixing
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_last.json"), json + "\n")
+    catch { case _: Exception => () }
     spark.stop()
   }
 }

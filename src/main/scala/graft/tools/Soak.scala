@@ -51,6 +51,12 @@ object Soak {
     val c2 = time("wide update (1% of keys, all files)")(
       t.upsert(wide, combine = false))
 
+    val bulk = big.filter(pmod(col("l_orderkey"), lit(4)) === 0)
+      .withColumn("l_quantity", col("l_quantity") + 3)
+      .withColumn("created_ts", col("created_ts") + 3)
+    time("bulk update (25% of keys, sort-merge path)")(
+      t.upsert(bulk, combine = false))
+
     val narrow = big.filter(col("l_orderkey").between(1000, 1199))
       .withColumn("l_quantity", col("l_quantity") + 2)
       .withColumn("created_ts", col("created_ts") + 2)

@@ -23,7 +23,8 @@ object CanalParser {
       catch { case _: Exception => return None }
     if (env == null || env.isDdl || env.data == null || env.`type` == null) None
     else opMap.get(env.`type`).map { op =>
-      CdcRecord(env.database, env.table, op, env.data.map(Json.write), env.ts)
+      CdcRecord(env.database, env.table, op, env.data.map(Json.write),
+        env.ts, env.id)
     }
   }
 }

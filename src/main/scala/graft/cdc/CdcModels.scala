@@ -22,15 +22,19 @@ case class CanalEnvelope(
 
 /** Normalized CDC record (reference cdc/model/HudiDataModel.scala:3-8):
   * target db/table, lake write op, and the row payloads as JSON strings.
-  * `ts` is the binlog execution timestamp (CanalEnvelope.ts) — it orders
-  * operations on the same key within a micro-batch.
+  * `ts` is the binlog execution timestamp (CanalEnvelope.ts) and `seq`
+  * the binlog event id (CanalEnvelope.id): together with the row's index
+  * inside the envelope they give a total, DATA-DERIVED order of
+  * operations on the same key within a micro-batch — no dependence on
+  * Spark partition layout.
   */
 case class CdcRecord(
     database: String,
     table: String,
     op: String, // insert | upsert | delete (reference HudiOP.scala:3-7)
     rows: Seq[String],
-    ts: Long = 0L
+    ts: Long = 0L,
+    seq: Long = 0L
 )
 
 object CdcOp {

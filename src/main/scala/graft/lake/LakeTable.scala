@@ -353,11 +353,15 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         timeline.commit(CommitMeta(instant, "delete", Seq.empty, Seq.empty, extra))
         return instant
       }
-      // rewrite matched files without the deleted keys; the key set is
-      // bounded by the delete batch → broadcast the anti join (map-side,
-      // no shuffle of the survivors)
+      // rewrite matched files without the deleted keys. Typical deletes
+      // carry few keys → broadcast the anti join (map-side, no shuffle of
+      // the survivors); a bulk purge (GDPR sweep) can exceed the broadcast
+      // limit, so big key sets fall back to a shuffled left_anti — same
+      // size gate as the upsert merge plan.
+      val delKeys =
+        if (nKeys <= BroadcastMergeMaxRows) broadcast(keys) else keys
       val survivors = readFiles(matched)
-        .join(broadcast(keys), Seq(RecordKeyCol), "left_anti")
+        .join(delKeys, Seq(RecordKeyCol), "left_anti")
       val stats = stageWrite(survivors, instant)
       timeline.commit(CommitMeta(instant, "delete", stats, matched, extra))
       instant
@@ -388,9 +392,11 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   private def maybeCompactInline(): Unit = {
     val max = _meta.inlineCompactMax
     if (max <= 0) return
+    // a cluster rewrite merges outstanding deltas exactly like a
+    // compaction — both reset the delta debt
     val ops = timeline.instants().reverse
       .map(i => timeline.read(i).operation)
-      .takeWhile(_ != "compact")
+      .takeWhile(o => o != "compact" && o != "cluster")
     // tombstone deletes are delta appends too — they count toward the
     // compaction debt like Hudi's log-block commits
     if (ops.count(o => o == "deltacommit" || o == "delete") >= max) {

@@ -17,16 +17,51 @@ import java.nio.charset.StandardCharsets
 class Timeline(fs: FileSystem, tablePath: Path) {
   private val dir = new Path(tablePath, "_lake/timeline")
 
-  /** Sorted ascending list of committed instants. */
-  def instants(): Seq[String] = {
+  /** Parsed-commit cache, keyed by instant and validated by (length,
+    * mtime) from the SAME directory listing every timeline query already
+    * performs — so a warm read path costs one `listStatus` and zero file
+    * opens / JSON parses. Commit files are immutable with one exception:
+    * `archive` rewrites the boundary instant as a checkpoint — the
+    * validation catches that (content differs → length/mtime differ) and
+    * re-parses. At 100 TB-scale commit counts this turns `liveFiles` from
+    * O(commits) driver round-trips into O(1) listings.
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Timeline.Entry]()
+
+  /** Committed-commit file statuses, sorted ascending by instant. */
+  private def listCommits(): Seq[org.apache.hadoop.fs.FileStatus] = {
     if (!fs.exists(dir)) return Seq.empty
     fs.listStatus(dir)
-      .map(_.getPath.getName)
-      .filter(_.endsWith(Timeline.Suffix))
-      .map(_.stripSuffix(Timeline.Suffix))
-      .sorted
+      .filter(_.getPath.getName.endsWith(Timeline.Suffix))
+      .sortBy(_.getPath.getName)
       .toSeq
   }
+
+  private def parseCommit(p: Path, len: Long): CommitMeta = {
+    val in = fs.open(p)
+    try {
+      val bytes = new Array[Byte](len.toInt)
+      in.readFully(bytes)
+      Json.read(new String(bytes, StandardCharsets.UTF_8), classOf[CommitMeta])
+    } finally in.close()
+  }
+
+  private def readAt(st: org.apache.hadoop.fs.FileStatus): CommitMeta = {
+    val instant = st.getPath.getName.stripSuffix(Timeline.Suffix)
+    val cur = cache.get(instant)
+    if (cur != null && cur.len == st.getLen &&
+        cur.mtime == st.getModificationTime) cur.meta
+    else {
+      val m = parseCommit(st.getPath, st.getLen)
+      cache.put(instant, Timeline.Entry(st.getLen, st.getModificationTime, m))
+      m
+    }
+  }
+
+  /** Sorted ascending list of committed instants. */
+  def instants(): Seq[String] =
+    listCommits().map(_.getPath.getName.stripSuffix(Timeline.Suffix))
 
   def latestInstant(): Option[String] = instants().lastOption
 
@@ -39,15 +74,8 @@ class Timeline(fs: FileSystem, tablePath: Path) {
     }
   }
 
-  def read(instant: String): CommitMeta = {
-    val p = new Path(dir, instant + Timeline.Suffix)
-    val in = fs.open(p)
-    try {
-      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-      in.readFully(bytes)
-      Json.read(new String(bytes, StandardCharsets.UTF_8), classOf[CommitMeta])
-    } finally in.close()
-  }
+  def read(instant: String): CommitMeta =
+    readAt(fs.getFileStatus(new Path(dir, instant + Timeline.Suffix)))
 
   /** Coarse single-writer lock: atomic create of `_lake/lock` holding a
     * per-acquisition UUID token. Replaces the reference's Zookeeper OCC
@@ -183,14 +211,24 @@ class Timeline(fs: FileSystem, tablePath: Path) {
     if (inst.size <= keepCommits) return Seq.empty
     val toArchive = inst.dropRight(keepCommits)
     val boundary = toArchive.last
+    val metas = toArchive.map(read)
     val netLive = liveFiles(boundary) // live set of the archived prefix
+    // The checkpoint must also carry the cumulative REMOVED set of the
+    // archived history (minus files a clean already physically deleted):
+    // clean() derives deletable files from active commits' removed lists,
+    // so dropping the archived removal records would leave those files
+    // orphaned on disk forever — logically dead but never cleanable.
+    val cleaned = metas.filter(_.operation == "clean")
+      .flatMap(_.removed).toSet
+    val removedNet = metas.filterNot(_.operation == "clean")
+      .flatMap(_.removed).distinct.filterNot(cleaned.contains)
     val dest = new Path(dir, "archive")
     fs.mkdirs(dest)
     toArchive.foreach { i =>
       fs.rename(new Path(dir, i + Timeline.Suffix),
         new Path(dest, i + Timeline.Suffix))
     }
-    commit(CommitMeta(boundary, "archive-checkpoint", netLive, Seq.empty))
+    commit(CommitMeta(boundary, "archive-checkpoint", netLive, removedNet))
     toArchive
   }
 
@@ -204,12 +242,25 @@ class Timeline(fs: FileSystem, tablePath: Path) {
     val finalPath = new Path(dir, meta.instant + Timeline.Suffix)
     if (!fs.rename(tmp, finalPath))
       throw new IllegalStateException(s"commit rename failed for ${meta.instant}")
+    // warm the cache with the just-published commit (read-after-write
+    // without re-opening the file)
+    try {
+      val st = fs.getFileStatus(finalPath)
+      cache.put(meta.instant,
+        Timeline.Entry(st.getLen, st.getModificationTime, meta))
+    } catch { case _: java.io.IOException => () }
   }
+
+  /** Parsed commits at instants `<= asOf`, one directory listing. */
+  private def commitsUpTo(asOf: String): Seq[CommitMeta] =
+    listCommits()
+      .filter(_.getPath.getName.stripSuffix(Timeline.Suffix) <= asOf)
+      .map(readAt)
 
   /** Commits in `(begin, end]`; begin="000..0"/"earliest" ⇒ from start. */
   def between(begin: String, end: String): Seq[CommitMeta] = {
     val b = if (begin == "earliest") "" else begin
-    instants().filter(i => i > b && i <= end).map(read)
+    commitsUpTo(end).filter(_.instant > b)
   }
 
   /** Files added by commits in `(begin, end]` and not removed by any commit
@@ -218,15 +269,18 @@ class Timeline(fs: FileSystem, tablePath: Path) {
     * `_commit_time` and are filtered out row-wise by the reader.
     */
   def addedBetween(begin: String, end: String): Seq[FileStat] = {
-    val removedAll = instants().filter(_ <= end).map(read).flatMap(_.removed).toSet
-    between(begin, end).flatMap(_.added).filterNot(f => removedAll.contains(f.path))
+    val b = if (begin == "earliest") "" else begin
+    val commits = commitsUpTo(end)
+    val removedAll = commits.flatMap(_.removed).toSet
+    commits.filter(_.instant > b)
+      .flatMap(_.added).filterNot(f => removedAll.contains(f.path))
   }
 
   /** Live file set (relative paths) as of `asOf` (inclusive); files added
     * then later removed (COW rewrite / delete / clean) are excluded.
     */
   def liveFiles(asOf: String = "99999999999999999"): Seq[FileStat] = {
-    val commits = instants().filter(_ <= asOf).map(read)
+    val commits = commitsUpTo(asOf)
     val removed = commits.flatMap(_.removed).toSet
     commits.flatMap(_.added).filterNot(f => removed.contains(f.path))
   }
@@ -235,4 +289,7 @@ class Timeline(fs: FileSystem, tablePath: Path) {
 object Timeline {
   val Suffix = ".commit.json"
   val Earliest = "earliest"
+
+  /** Cache entry: commit parse validated by file (length, mtime). */
+  private[lake] case class Entry(len: Long, mtime: Long, meta: CommitMeta)
 }

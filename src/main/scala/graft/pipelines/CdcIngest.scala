@@ -25,19 +25,26 @@ object CdcIngest {
     lines.flatMap(CanalParser.parse _)
   }
 
-  /** Cast the string-map payloads of `records` to the table schema,
-    * keeping per-row op/ordering columns (`_op`, `_ts`, `_pos`).
+  /** Cast the string-map payloads of parsed envelopes to the table
+    * schema, keeping per-row op/ordering columns. `records` carries one
+    * row per envelope: the CdcRecord fields plus its source position
+    * (`_src`, `_line`). The resulting order tuple (binlog ts, binlog
+    * event id, source file, line, row index inside the envelope) is
+    * deterministic — resolution never depends on how Spark happened to
+    * partition the batch.
     */
-  def typedRows(spark: SparkSession, records: Dataset[CdcRecord],
+  def typedRows(spark: SparkSession, records: DataFrame,
       table: LakeTable): DataFrame = {
     val userFields = table.userSchema.get.fields
-    records.toDF()
-      .select(col("op").as("_op"), col("ts").as("_ts"),
-        explode(col("rows")).as("row"))
-      .withColumn("_pos", monotonically_increasing_id())
-      .select(Seq(col("_op"), col("_ts"), col("_pos"),
+    records
+      .select(col("op").as("_op"), col("ts").as("_ts"), col("seq").as("_seq"),
+        col("_src"), col("_line"),
+        posexplode(col("rows")).as(Seq("_idx", "row")))
+      .select(Seq(col("_op"), col("_ts"), col("_seq"), col("_src"),
+        col("_line"), col("_idx"),
         from_json(col("row"), MapType(StringType, StringType)).as("m")): _*)
-      .select(col("_op") +: col("_ts") +: col("_pos") +:
+      .select(Seq(col("_op"), col("_ts"), col("_seq"), col("_src"),
+        col("_line"), col("_idx")) ++
         userFields.toIndexedSeq.map(f =>
           col("m").getItem(f.name).cast(f.dataType).as(f.name)): _*)
   }
@@ -58,25 +65,39 @@ object CdcIngest {
         StructField("record-type", StringType),
         StructField("table-name", StringType),
         StructField("timestamp", StringType))))))
+    // Per-record order within a file: _line = row_number by read order
+    // inside each source file. Within a file split Spark reads lines in
+    // offset order and `monotonically_increasing_id` is ascending within
+    // a partition, with split/partition indexes following file offsets —
+    // so (_src, _line) is a DETERMINISTIC per-record position, unlike a
+    // bare monotonically_increasing_id whose cross-partition order is
+    // arbitrary. (A real Kinesis source would use the shard sequence
+    // number here; the file stand-in uses file name + line.)
+    val wLine = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_src")).orderBy(monotonically_increasing_id())
     val parsed = batch
       .select(from_json(col("value").cast("string"), envelope).as("e"), // P1+P2
-        monotonically_increasing_id().as("_pos"))
+        input_file_name().as("_src"))
+      .withColumn("_line", row_number().over(wLine))
       .where(col("e.data").isNotNull) // P9
       .select(col("e.metadata.operation").as("_op"),
-        col("e.metadata.timestamp").as("_ts"), col("_pos"), col("e.data.*")) // P3
+        col("e.metadata.timestamp").as("_ts"), col("_src"), col("_line"),
+        col("e.data.*")) // P3
     // Resolve the FINAL operation per key within the batch before routing:
     // applying "all upserts then all deletes" would leave a key deleted
     // even when a delete is followed by a re-insert later in the stream.
     // Per-record order is recovered from metadata.timestamp (DMS commit
-    // ts), tie-broken by arrival position in the batch.
+    // ts, microsecond precision), tie-broken by source position (later
+    // file, later line wins — inbox files are named monotonically by the
+    // producer).
     val keyFields = table.meta.recordKeyFields
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyFields.map(col): _*)
-      .orderBy(col("_ts").desc_nulls_last, col("_pos").desc)
+      .orderBy(col("_ts").desc_nulls_last, col("_src").desc, col("_line").desc)
     val finalOps = parsed
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-      .drop("_rn", "_ts", "_pos")
+      .drop("_rn", "_ts", "_src", "_line")
       .persist()
     try {
       val upserts = finalOps.filter(col("_op").isin("insert", "update", "load"))
@@ -91,21 +112,36 @@ object CdcIngest {
   def applyBatch(spark: SparkSession, batch: DataFrame, cfg: PipelineConfig,
       table: LakeTable): Unit = {
     import spark.implicits._
-    var recs = parse(batch.select(col("value").cast("string")).as[String])
+    // envelope source position (file name + line within file) — the
+    // LAST-resort tiebreak for degenerate binlogs whose events share both
+    // ts and event id; see the DMS path for the line-order reasoning
+    val wLine = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_src")).orderBy(monotonically_increasing_id())
+    var recs = batch
+      .select(col("value").cast("string").as("value"),
+        input_file_name().as("_src"))
+      .withColumn("_line", row_number().over(wLine))
+      .as[(String, String, Int)]
+      .flatMap { case (v, src, line) => CanalParser.parse(v).map(r =>
+        (r.database, r.table, r.op, r.rows, r.ts, r.seq, src, line)) }
+      .toDF("database", "table", "op", "rows", "ts", "seq", "_src", "_line")
     if (cfg.cdcTableFilter.nonEmpty) // package.scala:158 equality filter
-      recs = recs.filter(col("table") === cfg.cdcTableFilter).as[CdcRecord]
+      recs = recs.filter(col("table") === cfg.cdcTableFilter)
     // Resolve the FINAL operation per key within the batch (binlog ts,
-    // then stream position) before routing — same contract as the DMS
-    // path: an insert→delete ends deleted, a delete→re-insert survives,
-    // regardless of how ops interleave inside one micro-batch.
+    // then binlog event id, then source position, then row index in the
+    // envelope — deterministic under any partition layout) before
+    // routing — same contract as the DMS path: an insert→delete ends
+    // deleted, a delete→re-insert survives, regardless of how ops
+    // interleave inside one micro-batch.
     val keyFields = table.meta.recordKeyFields
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyFields.map(col): _*)
-      .orderBy(col("_ts").desc, col("_pos").desc)
+      .orderBy(col("_ts").desc, col("_seq").desc, col("_src").desc,
+        col("_line").desc, col("_idx").desc)
     val finalOps = typedRows(spark, recs, table)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-      .drop("_rn", "_ts", "_pos")
+      .drop("_rn", "_ts", "_seq", "_src", "_line", "_idx")
       .persist() // multi-action fan-out, reference Y2
     try {
       val upserts = finalOps

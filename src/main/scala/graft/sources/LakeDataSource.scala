@@ -119,7 +119,29 @@ class LakeDataSource extends RelationProvider
 
 class LakeSink(spark: SparkSession, parameters: Map[String, String],
     provider: LakeDataSource) extends Sink {
-  val BatchKey = "stream.batch.id"
+  import LakeSink.BatchKeyPrefix
+
+  /** Stable id of the owning streaming query, found by sink identity in
+    * the session's active queries (a v1 `Sink` IS the `StreamExecution`'s
+    * sink table, and `createSink` makes a fresh instance per query
+    * start). The id comes from the checkpoint's metadata file, so it is
+    * the right replay namespace: same across restarts of one checkpoint,
+    * fresh after a checkpoint wipe.
+    */
+  private lazy val queryId: Option[String] =
+    spark.streams.active.collectFirst {
+      case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper
+          if w.streamingQuery.sink eq this =>
+        w.id.toString
+    }
+
+  /** Per-query watermark key. Namespacing by query id keeps two streams
+    * into one table from eating each other's batch ids, and keeps a
+    * checkpoint reset (batch ids restart at 0) from silently dropping
+    * live batches against a stale global watermark.
+    */
+  private lazy val batchKey: String =
+    queryId.map(q => s"$BatchKeyPrefix.$q").getOrElse(BatchKeyPrefix)
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val p = parameters.getOrElse("path", throw new IllegalArgumentException(
@@ -128,16 +150,20 @@ class LakeSink(spark: SparkSession, parameters: Map[String, String],
     if (exists) {
       val t = LakeTable.load(spark, p)
       val applied = t.timeline.instants().reverseIterator
-        .map(t.timeline.read).flatMap(_.extra.get(BatchKey)).nextOption()
+        .map(t.timeline.read).flatMap(_.extra.get(batchKey)).nextOption()
       if (applied.exists(_.toLong >= batchId)) return // replayed batch
     }
     // the micro-batch frame is streaming-tagged — re-plan it as batch
     // rows, then reuse the batch write path (table creation + operation)
     val batchDf = org.apache.spark.sql.graft.ColumnBridge.asBatch(data)
     provider.createRelation(spark.sqlContext, SaveMode.Append,
-      parameters + ("stream.extra" -> s"$BatchKey=$batchId"), batchDf)
+      parameters + ("stream.extra" -> s"$batchKey=$batchId"), batchDf)
     ()
   }
+}
+
+object LakeSink {
+  val BatchKeyPrefix = "stream.batch.id"
 }
 
 /** BaseRelation over an already-planned LakeTable DataFrame. buildScan

@@ -181,6 +181,64 @@ class LakeTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally LakeTable.BroadcastMergeMaxRows = saved
   }
 
+  test("delete: broadcast and shuffled anti-join paths produce identical tables") {
+    val rows = (1 to 300).map(i => (i, i.toString, 10L, s"p${i % 3}", i * 1.0))
+    val delRows = (1 to 200).map(i => (i, i.toString, 0L, s"p${i % 3}", 0.0))
+    def build(): Seq[Int] = {
+      val t = mkTable(tmp())
+      t.upsert(df(rows: _*))
+      t.delete(df(delRows: _*))
+      t.snapshot().select("id").collect().map(_.getInt(0)).sorted.toSeq
+    }
+    val saved = LakeTable.BroadcastMergeMaxRows
+    try {
+      LakeTable.BroadcastMergeMaxRows = Long.MaxValue // small-batch: broadcast
+      val viaBroadcast = build()
+      // bulk-purge path: key set above the broadcast gate → shuffled
+      // left_anti (the 100 TB GDPR-sweep plan; an unconditional broadcast
+      // would OOM the driver there)
+      LakeTable.BroadcastMergeMaxRows = 0L
+      val viaShuffle = build()
+      assert(viaBroadcast == viaShuffle)
+      assert(viaBroadcast == (201 to 300).toSeq)
+    } finally LakeTable.BroadcastMergeMaxRows = saved
+  }
+
+  /** Parquet data files physically on disk (excludes `_lake` metadata). */
+  private def dataFilesOnDisk(path: String): Seq[String] = {
+    val root = java.nio.file.Paths.get(path.stripPrefix("file:"))
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    java.nio.file.Files.walk(root).forEach { p =>
+      val rel = root.relativize(p).toString
+      if (rel.endsWith(".parquet") && !rel.startsWith("_lake")) out += rel
+    }
+    out.toSeq
+  }
+
+  test("archive then clean physically deletes files removed by archived commits") {
+    val path = tmp()
+    val t = mkTable(path)
+    // five rewrites of one key: each commit's file removes its predecessor
+    (1 to 5).foreach(i => t.upsert(df((1, "a", i * 10L, "p1", i.toDouble))))
+    assert(dataFilesOnDisk(path).size == 5)
+    // archive c1..c3 → their removal records (files of c1, c2) now live
+    // only in the checkpoint; without carrying them forward those two
+    // files would be orphaned forever
+    t.archiveTimeline(keepCommits = 2)
+    t.clean(retainCommits = 1)
+    // deletable: c1/c2's files (removed by archived commits, via the
+    // checkpoint) + c3's file (removed by c4 ≤ cutoff). c4's file is
+    // retained (removed by c5, inside the retention window) + c5's live.
+    val left = dataFilesOnDisk(path)
+    assert(left.size == 2, s"expected 2 files, found: $left")
+    assert(t.snapshot().select("v").head().getDouble(0) == 5.0)
+    // a later clean advances the cutoff (the clean commit aged c5 past
+    // it) and removes c4's file; already-cleaned files are NOT re-deleted
+    t.clean(retainCommits = 1)
+    assert(dataFilesOnDisk(path).size == 1)
+    assert(t.snapshot().select("v").head().getDouble(0) == 5.0)
+  }
+
   test("cluster service: files sorted by chosen column, snapshot unchanged") {
     val t = mkTable(tmp())
     val c1 = t.upsert(df((1, "a", 10L, "p1", 3.0), (2, "b", 10L, "p1", 1.0),

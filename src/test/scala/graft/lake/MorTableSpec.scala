@@ -78,6 +78,23 @@ class MorTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.readOptimized().count() == 2)
   }
 
+  test("cluster rewrite resets the inline-compaction debt counter") {
+    val t = mkTable(inlineMax = 2)
+    t.insert(df((1, 10L, "p1", 1.0), (2, 10L, "p1", 2.0)))
+    t.upsert(df((1, 20L, "p1", 11.0))) // delta debt: 1
+    // clustering merges the outstanding delta exactly like a compaction
+    assert(t.cluster(Seq("v")).isDefined)
+    // first delta AFTER the cluster: debt is 1 again — counting across
+    // the cluster rewrite would see 2 and fire an unnecessary compaction
+    t.upsert(df((2, 20L, "p1", 22.0)))
+    assert(t.timeline.read(t.latestCommit.get).operation == "deltacommit")
+    // second post-cluster delta reaches the threshold → compaction fires
+    t.upsert(df((1, 30L, "p1", 111.0)))
+    assert(t.timeline.read(t.latestCommit.get).operation == "compact")
+    val snap = t.snapshot().orderBy("id").collect()
+    assert(snap.map(_.getAs[Double]("v")).toSeq == Seq(111.0, 22.0))
+  }
+
   test("MOR delete is a tombstone append; snapshot hides, compaction purges") {
     val t = mkTable()
     t.insert(df((1, 10L, "p1", 1.0), (2, 10L, "p1", 2.0)))

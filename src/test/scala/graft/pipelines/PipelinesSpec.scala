@@ -263,6 +263,82 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(0).getAs[String]("name") == "alice-reborn")
   }
 
+  def mkCdcTable(path: String): LakeTable = {
+    val s = spark
+    import s.implicits._
+    val t = LakeTable.create(spark, path,
+      graft.lake.TableMeta("users", Seq("id"), "ts"))
+    t.insert(spark.read.json(Seq("""{"id":1,"name":"x","ts":100}""").toDS())
+      .limit(0))
+    t
+  }
+
+  test("canal same-timestamp ops resolve by binlog event id, not partition layout") {
+    // INSERT (binlog id=1) then DELETE (binlog id=2), SAME binlog ts: the
+    // delete is the later binlog event and must win under EVERY partition
+    // placement of the two envelopes — ordering is data-derived, not
+    // monotonically_increasing_id.
+    def canal(typ: String, binlogId: Long, rows: String) =
+      s"""{"data":[$rows],"database":"db1","es":1,"id":$binlogId,"isDdl":false,"pkNames":["id"],"table":"users","ts":100,"type":"$typ"}"""
+    val ins = canal("INSERT", 1, """{"id":"1","name":"alice","ts":"100"}""")
+    val del = canal("DELETE", 2, """{"id":"1","name":"alice","ts":"100"}""")
+    val s = spark
+    import s.implicits._
+    for (order <- Seq(Seq(ins, del), Seq(del, ins))) {
+      val t = mkCdcTable(tmp() + "/t")
+      // two envelopes forced into two different source partitions
+      val batch = spark.sparkContext.parallelize(order, 2).toDF("value")
+      CdcIngest.applyBatch(spark, batch, PipelineConfig(), t)
+      assert(t.snapshot().count() == 0,
+        s"same-ts insert+delete must resolve to the later binlog event (order=$order)")
+    }
+    // and the mirror case: DELETE(id=1) then INSERT(id=2) → key survives
+    val del1 = canal("DELETE", 1, """{"id":"1","name":"alice","ts":"100"}""")
+    val ins2 = canal("INSERT", 2, """{"id":"1","name":"reborn","ts":"100"}""")
+    for (order <- Seq(Seq(del1, ins2), Seq(ins2, del1))) {
+      val t = mkCdcTable(tmp() + "/t")
+      val batch = spark.sparkContext.parallelize(order, 2).toDF("value")
+      CdcIngest.applyBatch(spark, batch, PipelineConfig(), t)
+      val rows = t.snapshot().collect()
+      assert(rows.length == 1 && rows(0).getAs[String]("name") == "reborn")
+    }
+  }
+
+  test("canal multi-row envelope: later row index wins for the same key") {
+    // one UPDATE envelope carrying two versions of key 1 — the later row
+    // in the envelope is the later binlog change
+    val env =
+      """{"data":[{"id":"1","name":"v1","ts":"100"},{"id":"1","name":"v2","ts":"100"}],"database":"db1","es":1,"id":7,"isDdl":false,"pkNames":["id"],"table":"users","ts":100,"type":"UPDATE"}"""
+    val s = spark
+    import s.implicits._
+    val t = mkCdcTable(tmp() + "/t")
+    CdcIngest.applyBatch(spark, Seq(env).toDF("value"), PipelineConfig(), t)
+    val rows = t.snapshot().collect()
+    assert(rows.length == 1 && rows(0).getAs[String]("name") == "v2")
+  }
+
+  test("dms same-timestamp ops resolve by source file position, deterministically") {
+    def dms(op: String, name: String) =
+      s"""{"data":{"id":1,"name":"$name","ts":100},"metadata":{"operation":"$op","record-type":"data","table-name":"users","timestamp":"2026-01-01T00:00:01"}}"""
+    // delete in the EARLIER file, insert in the LATER file → key survives
+    val work1 = tmp()
+    Files.createDirectories(Paths.get(s"$work1/in"))
+    Files.write(Paths.get(s"$work1/in/f1.json"), dms("delete", "a").getBytes)
+    Files.write(Paths.get(s"$work1/in/f2.json"), dms("insert", "late").getBytes)
+    val t1 = mkCdcTable(s"$work1/t")
+    CdcIngest.applyDmsBatch(spark, spark.read.text(s"$work1/in"), t1)
+    val rows = t1.snapshot().collect()
+    assert(rows.length == 1 && rows(0).getAs[String]("name") == "late")
+    // insert in the earlier file, delete in the later file → key gone
+    val work2 = tmp()
+    Files.createDirectories(Paths.get(s"$work2/in"))
+    Files.write(Paths.get(s"$work2/in/f1.json"), dms("insert", "a").getBytes)
+    Files.write(Paths.get(s"$work2/in/f2.json"), dms("delete", "a").getBytes)
+    val t2 = mkCdcTable(s"$work2/t")
+    CdcIngest.applyDmsBatch(spark, spark.read.text(s"$work2/in"), t2)
+    assert(t2.snapshot().count() == 0)
+  }
+
   test("CdcIngest: canal stream → insert/update/delete applied in order") {
     val work = tmp()
     Files.createDirectories(Paths.get(s"$work/inbox"))

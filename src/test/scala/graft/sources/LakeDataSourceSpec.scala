@@ -90,10 +90,69 @@ class LakeDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t = LakeTable.load(spark, s"$work/t")
     assert(t.snapshot().count() == 3)
     assert(t.snapshot().filter(col("id") === 2).head().getAs[Double]("v") == 22.0)
-    // each applied micro-batch recorded its id with the commit
-    val batchIds = t.timeline.instants().map(t.timeline.read)
-      .flatMap(_.extra.get("stream.batch.id"))
-    assert(batchIds == Seq("0", "1"))
+    // each applied micro-batch recorded its id with the commit, under a
+    // key namespaced by the owning query's id
+    val extras = t.timeline.instants().map(t.timeline.read).flatMap(_.extra)
+    val batchKeys = extras.filter(_._1.startsWith("stream.batch.id."))
+    assert(batchKeys.map(_._2) == Seq("0", "1"))
+    assert(batchKeys.map(_._1).distinct.size == 1) // one query, one key
+  }
+
+  test("sink watermark is per-query: second stream and checkpoint reset keep writing") {
+    val work = Files.createTempDirectory("lakesink2").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id INT, ts BIGINT, part STRING, v DOUBLE")
+    def write(inbox: String, name: String, rows: String*): Unit = {
+      Files.createDirectories(java.nio.file.Paths.get(inbox))
+      Files.write(java.nio.file.Paths.get(s"$inbox/$name"),
+        rows.mkString("\n").getBytes)
+    }
+    def stream(inbox: String, ckpt: String) =
+      spark.readStream.schema(schema).json(inbox)
+        .writeStream.format("graft-lake")
+        .option("checkpointLocation", ckpt)
+        .option("path", s"$work/t")
+        .option("recordkey.field", "id")
+        .option("precombine.field", "ts")
+        .option("partition.fields", "part")
+        .start()
+
+    // stream A applies its batches 0..1
+    write(s"$work/inA", "a1.json", """{"id":1,"ts":10,"part":"p1","v":1.0}""")
+    val qa = stream(s"$work/inA", s"$work/ckptA")
+    qa.processAllAvailable()
+    write(s"$work/inA", "a2.json", """{"id":2,"ts":10,"part":"p1","v":2.0}""")
+    qa.processAllAvailable()
+    qa.stop()
+
+    // stream B into the SAME table starts at batch 0 — a global watermark
+    // (already at 1) would silently swallow it
+    write(s"$work/inB", "b1.json", """{"id":3,"ts":10,"part":"p2","v":3.0}""")
+    val qb = stream(s"$work/inB", s"$work/ckptB")
+    qb.processAllAvailable()
+    qb.stop()
+    val t = LakeTable.load(spark, s"$work/t")
+    assert(t.snapshot().count() == 3)
+
+    // checkpoint reset of stream A: batch ids restart at 0 under a FRESH
+    // query id — its rows must land, not be treated as replays
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$work/ckptA"))
+    write(s"$work/inA", "a3.json", """{"id":4,"ts":10,"part":"p1","v":4.0}""")
+    val qa2 = stream(s"$work/inA", s"$work/ckptA")
+    qa2.processAllAvailable()
+    qa2.stop()
+    // the reset query re-reads the whole inbox (ids 1,2,4) — keyed
+    // convergence dedups 1 and 2, and the new id=4 row must be present
+    assert(t.snapshot().count() == 4)
+    assert(t.snapshot().filter(col("id") === 4).count() == 1)
+    // and a genuine replay within ONE query is still skipped: the applied
+    // batch-id watermarks are monotonic per query key
+    val perKey = t.timeline.instants().map(t.timeline.read).flatMap(_.extra)
+      .filter(_._1.startsWith("stream.batch.id."))
+      .groupBy(_._1).view.mapValues(_.map(_._2.toLong)).toMap
+    assert(perKey.size == 3) // three distinct query ids
+    perKey.values.foreach(ids => assert(ids == ids.sorted && ids.distinct == ids))
   }
 
   test("SQL catalog: CREATE TABLE USING graft-lake, query, drop") {

@@ -54,7 +54,12 @@ object SparkEntry {
     "sim_lsh_topk" -> (Similarity.lshTopK _), // rows-only (engine hash)
     // IVF ANN: k-means cells + nprobe search; probing all cells is exactly
     // brute force (ExtensionSpec asserts), default probe is rows-only here
-    "sim_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir))
+    "sim_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+    // full-probe IVF: same plan shape as sim_ivf_topk but probing every
+    // cell — must be EXACTLY the brute-force result, so it shares that
+    // oracle and puts the IVF machinery itself under the hash gate
+    "sim_ivf_full" ->
+      ((s, dir) => Similarity.ivfTopK(s, dir, probe = Similarity.IvfCells))
   )
 
   /** Exact n-gram-Jaccard pair SQL — oracle for BOTH dedup_jaccard_pairs
@@ -94,7 +99,8 @@ object SparkEntry {
       |  FROM b1 WHERE l_orderkey < 500
       |)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -295,5 +301,8 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, vec_id, sim, rk FROM r WHERE rk <= 10
          |ORDER BY query_id, rk""".stripMargin
-  )
+    )
+    // full-probe IVF ≡ brute force — same oracle, by construction
+    base + ("sim_ivf_full" -> base("sim_topk_bruteforce"))
+  }
 }

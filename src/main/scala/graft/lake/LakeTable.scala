@@ -186,10 +186,20 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   private def readStats(stats: Seq[FileStat]): DataFrame = {
     if (stats.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], fullSchema)
+    // renamed columns: files written before a rename keep the old
+    // physical name — read BOTH names (absent ones null-fill under an
+    // explicit schema) and coalesce below. A file never contains both
+    // (writes emit only the current name, retired names can't be
+    // re-added), so coalesce picks exactly the stored value.
+    val ghosts = _meta.renamedFrom.toSeq.flatMap { case (cur, olds) =>
+      val dt = fullSchema(fullSchema.fieldIndex(cur)).dataType
+      olds.map(o => StructField(o, dt, nullable = true))
+    }
+    val physSchema = StructType(fullSchema.fields ++ ghosts)
     val partSchema = StructType(
       _meta.partitionFields.map(f => fullSchema(fullSchema.fieldIndex(f))))
     val dataSchema = StructType(
-      fullSchema.fields.filterNot(f => _meta.partitionFields.contains(f.name)))
+      physSchema.fields.filterNot(f => _meta.partitionFields.contains(f.name)))
     val index = new LakeFileIndex(spark, tablePath, stats, partSchema)
     val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       index, partSchema, dataSchema, None,
@@ -198,8 +208,14 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .baseRelationToDataFrame(relation)
       // relation output is dataSchema ++ partitionSchema — restore the
-      // declared column order
-      .select(fullSchema.fieldNames.toIndexedSeq.map(col): _*)
+      // declared column order, resolving renamed columns across file
+      // generations
+      .select(fullSchema.fieldNames.toIndexedSeq.map { n =>
+        _meta.renamedFrom.get(n) match {
+          case Some(olds) => coalesce((n +: olds).map(col): _*).as(n)
+          case None       => col(n)
+        }
+      }: _*)
   }
 
   private def readFiles(relPaths: Seq[String]): DataFrame = {
@@ -222,6 +238,20 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val incoming = withMeta(alignUser(data), instant)
     val stats = stageWrite(incoming, instant)
     timeline.commit(CommitMeta(instant, "insert", stats, Seq.empty, extra))
+    instant
+  }
+
+  /** Atomically replace the whole table content (SQL `INSERT OVERWRITE`):
+    * one commit that adds the staged batch and removes every previously
+    * live file. Readers see the old snapshot until the commit publishes;
+    * time travel to pre-overwrite instants keeps working until `clean`.
+    */
+  def overwrite(data: DataFrame, extra: Map[String, String] = Map.empty): String = timeline.withLock() {
+    val instant = timeline.nextInstant()
+    val incoming = withMeta(alignUser(data), instant)
+    val previous = timeline.liveFiles().map(_.path)
+    val stats = stageWrite(incoming, instant)
+    timeline.commit(CommitMeta(instant, "overwrite", stats, previous, extra))
     instant
   }
 
@@ -484,6 +514,71 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     }
   }
 
+  // ------------------------------------------------- schema evolution DDL
+
+  /** Physical names retired by renames — still present in old data files,
+    * never allowed back as user columns.
+    */
+  private def retiredNames: Set[String] = _meta.renamedFrom.values.flatten.toSet
+
+  /** Metadata-only column rename — no data rewrite. Old files keep the
+    * old physical name; reads coalesce the current and prior names (see
+    * [[readStats]]), writes emit only the new name, and the next
+    * compaction/clustering retires the old name physically. Record-key
+    * and precombine columns may be renamed (their VALUES, including the
+    * stored `_record_key`, are unchanged); partition columns cannot —
+    * their name is baked into the directory layout.
+    */
+  def renameColumn(oldName: String, newName: String): Unit = timeline.withLock() {
+    val u = userSchema.getOrElse(
+      throw new IllegalStateException("table has no schema yet"))
+    require(u.fieldNames.contains(oldName), s"no such column: $oldName")
+    require(!u.fieldNames.contains(newName), s"column exists: $newName")
+    require(!_meta.partitionFields.contains(oldName),
+      s"cannot rename partition column $oldName (directory layout bakes its name)")
+    require(!_meta.droppedColumns.contains(newName) && !retiredNames.contains(newName),
+      s"$newName was previously dropped/renamed away; old files still hold it")
+    // nullable: pre-rename files don't contain the new physical name —
+    // the reader null-fills it there and the coalesce restores the value
+    val evolved = StructType(u.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName, nullable = true) else f))
+    val priorChain = _meta.renamedFrom.getOrElse(oldName, Seq.empty)
+    _meta = _meta.copy(
+      schemaJson = evolved.json,
+      recordKeyFields =
+        _meta.recordKeyFields.map(n => if (n == oldName) newName else n),
+      precombineField =
+        if (_meta.precombineField == oldName) newName else _meta.precombineField,
+      renamedFrom =
+        (_meta.renamedFrom - oldName) + (newName -> (oldName +: priorChain)))
+    TableMeta.save(fs, tablePath, _meta)
+  }
+
+  /** Metadata-only column drop — no data rewrite. Old files keep the
+    * column's bytes until compaction/clustering rewrites them; reads use
+    * the evolved schema, so the column simply stops being materialized
+    * (column pruning makes the residue free). The name is tombstoned:
+    * re-adding it would resurrect stale values from old files. Key,
+    * precombine, and partition columns cannot be dropped.
+    */
+  def dropColumn(name: String): Unit = timeline.withLock() {
+    val u = userSchema.getOrElse(
+      throw new IllegalStateException("table has no schema yet"))
+    require(u.fieldNames.contains(name), s"no such column: $name")
+    val protected_ = (_meta.recordKeyFields :+ _meta.precombineField) ++
+      _meta.partitionFields
+    require(!protected_.contains(name),
+      s"cannot drop $name: key/precombine/partition columns are required")
+    val evolved = StructType(u.fields.filterNot(_.name == name))
+    _meta = _meta.copy(
+      schemaJson = evolved.json,
+      droppedColumns =
+        (_meta.droppedColumns ++ (name +: _meta.renamedFrom.getOrElse(name,
+          Seq.empty))).distinct,
+      renamedFrom = _meta.renamedFrom - name)
+    TableMeta.save(fs, tablePath, _meta)
+  }
+
   // -------------------------------------------------------------- helpers
 
   /** Strip meta cols if present; capture schema on first write; evolve it
@@ -501,11 +596,24 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     *    schema is authoritative; narrowing never drifts it).
     */
   private def alignUser(data: DataFrame): DataFrame = {
-    val clean = data.drop(RecordKeyCol, CommitTimeCol, DeletedCol)
+    val clean0 = data.drop(RecordKeyCol, CommitTimeCol, DeletedCol)
+    // a batch still carrying a column's PRE-RENAME name (e.g. a lagging
+    // CDC stream) writes into the current name
+    val renameLookup = _meta.renamedFrom.toSeq
+      .flatMap { case (cur, olds) => olds.map(_ -> cur) }.toMap
+    val clean = renameLookup.foldLeft(clean0) { case (d, (o, c)) =>
+      if (d.columns.contains(o) && !d.columns.contains(c))
+        d.withColumnRenamed(o, c)
+      else d
+    }
     userSchema match {
       case Some(s) =>
         val incoming = clean.schema
         val newFields = incoming.fields.filterNot(f => s.fieldNames.contains(f.name))
+          // dropped/retired names never re-enter the schema — old files
+          // still hold their stale values
+          .filterNot(f => _meta.droppedColumns.contains(f.name) ||
+            retiredNames.contains(f.name))
           .map(_.copy(nullable = true))
         val widened = s.fields.map { f =>
           incoming.fields.find(_.name == f.name) match {

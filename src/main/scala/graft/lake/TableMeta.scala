@@ -31,7 +31,19 @@ case class TableMeta(
       * Supplying it back at read time keeps partition-directory values
       * typed exactly (no partition-type inference surprises).
       */
-    schemaJson: String = ""
+    schemaJson: String = "",
+    /** Names removed by [[LakeTable.dropColumn]] — tombstoned so a later
+      * batch cannot re-add the name and resurrect stale values still
+      * sitting in old data files.
+      */
+    droppedColumns: Seq[String] = Seq.empty,
+    /** Rename history: current column name → the prior physical names it
+      * replaced (newest first). Old data files keep the old physical
+      * name; reads coalesce current-then-prior names, writes emit only
+      * the current name, and compaction/clustering rewrites retire the
+      * old name physically.
+      */
+    renamedFrom: Map[String, Seq[String]] = Map.empty
 )
 
 /** Per-data-file statistics recorded in each commit — drives file pruning

@@ -165,6 +165,8 @@ object CdcIngest {
       val inferred = spark.read.json(Seq(cfg.sampleJson).toDS())
       table.insert(inferred.limit(0))
     }
+    // T4: per-batch progress logging (reference Log2Hudi.scala:40-48)
+    graft.streaming.ProgressListener.attach(spark, s"cdc-${cfg.tableName}")
     spark.readStream.format("text").load(cfg.inboxDir)
       .writeStream
       .queryName(s"cdc-${cfg.tableName}")

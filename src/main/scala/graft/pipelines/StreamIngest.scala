@@ -63,6 +63,8 @@ object StreamIngest {
     val table = LakeTable.create(spark, cfg.tablePath,
       TableMeta(cfg.tableName, cfg.recordKeyFields, cfg.precombineField,
         cfg.partitionFields, cfg.tableType))
+    // T4: per-batch progress logging (reference Log2Hudi.scala:40-48)
+    graft.streaming.ProgressListener.attach(spark, s"ingest-${cfg.tableName}")
     spark.readStream
       .format("text")
       .load(cfg.inboxDir)

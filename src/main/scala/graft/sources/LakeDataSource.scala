@@ -36,7 +36,7 @@ import org.apache.spark.sql.functions.col
   * the relation (Spark re-evaluates them above, correctness never depends
   * on the translation).
   */
-class LakeDataSource extends RelationProvider
+class LakeDataSource extends RelationProvider with SchemaRelationProvider
     with CreatableRelationProvider with StreamSinkProvider
     with DataSourceRegister {
 
@@ -46,11 +46,36 @@ class LakeDataSource extends RelationProvider
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-lake requires a path (load(path) or option(\"path\", ...))"))
 
-  override def createRelation(sqlContext: SQLContext,
-      parameters: Map[String, String]): BaseRelation = {
-    val spark = sqlContext.sparkSession
+  /** Load the table, or create it from the option surface; a declared SQL
+    * schema (CREATE TABLE cols) is captured as the user schema up front so
+    * the table is fully typed before its first write.
+    */
+  private def ensureTable(spark: SparkSession, p: String,
+      parameters: Map[String, String],
+      declared: Option[StructType]): LakeTable =
+    if (LakeTable.exists(spark, p)) LakeTable.load(spark, p)
+    else LakeTable.create(spark, p, TableMeta(
+      name = parameters.getOrElse("table.name",
+        p.substring(p.lastIndexOf('/') + 1)),
+      recordKeyFields = parameters.getOrElse("recordkey.field",
+        throw new IllegalArgumentException(
+          "recordkey.field required to create a table"))
+        .split(",").map(_.trim).toSeq,
+      precombineField = parameters.getOrElse("precombine.field",
+        throw new IllegalArgumentException(
+          "precombine.field required to create a table")),
+      partitionFields = parameters.get("partition.fields")
+        .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty),
+      tableType = parameters.getOrElse("table.type", "cow"),
+      inlineCompactMax =
+        parameters.getOrElse("compact.inline.max", "0").toInt,
+      schemaJson = declared.map(_.json).getOrElse("")))
+
+  /** The DataFrame a read under `parameters` resolves to right now. */
+  private def queryDf(spark: SparkSession,
+      parameters: Map[String, String]): DataFrame = {
     val t = LakeTable.load(spark, path(parameters))
-    val df = parameters.getOrElse("query.type", "snapshot") match {
+    parameters.getOrElse("query.type", "snapshot") match {
       case "incremental" =>
         t.incremental(
           parameters.getOrElse("begin", Timeline.Earliest),
@@ -64,44 +89,56 @@ class LakeDataSource extends RelationProvider
       case other =>
         throw new IllegalArgumentException(s"unknown query.type $other")
     }
-    LakeRelation(spark, df)
+  }
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    LakeRelation(spark, () => queryDf(spark, parameters), None,
+      parameters, this)
+  }
+
+  /** `CREATE TABLE t (cols...) USING graft-lake OPTIONS (...)` — the
+    * SQL-managed table path (the reference reaches the same ergonomics
+    * through Hive meta sync, HudiConfig.scala:38-44). The relation exposes
+    * exactly the declared user columns (no meta columns), so `INSERT
+    * INTO` / `INSERT OVERWRITE` / `SELECT` all line up with the DDL.
+    */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String], schema: StructType): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    ensureTable(spark, path(parameters), parameters, Some(schema))
+    LakeRelation(spark,
+      () => queryDf(spark, parameters)
+        .select(schema.fieldNames.toIndexedSeq.map(col): _*),
+      Some(schema), parameters, this)
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val spark = sqlContext.sparkSession
     val p = path(parameters)
-    val table =
-      if (LakeTable.exists(spark, p)) LakeTable.load(spark, p)
-      else LakeTable.create(spark, p, TableMeta(
-        name = parameters.getOrElse("table.name",
-          p.substring(p.lastIndexOf('/') + 1)),
-        recordKeyFields = parameters.getOrElse("recordkey.field",
-          throw new IllegalArgumentException(
-            "recordkey.field required to create a table"))
-          .split(",").map(_.trim).toSeq,
-        precombineField = parameters.getOrElse("precombine.field",
-          throw new IllegalArgumentException(
-            "precombine.field required to create a table")),
-        partitionFields = parameters.get("partition.fields")
-          .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty),
-        tableType = parameters.getOrElse("table.type", "cow"),
-        inlineCompactMax =
-          parameters.getOrElse("compact.inline.max", "0").toInt))
+    val table = ensureTable(spark, p, parameters, None)
     // commit-extra metadata riding with the write (e.g. the streaming
     // sink's batch-id watermark), encoded as a single "k=v" option
     val extra: Map[String, String] = parameters.get("stream.extra")
       .map { kv =>
         val Array(k, v) = kv.split("=", 2); Map(k -> v)
       }.getOrElse(Map.empty)
-    parameters.getOrElse("operation", "upsert") match {
-      case "upsert" => table.upsert(data, extra = extra)
-      case "insert" => table.insert(data, extra = extra)
-      case "delete" => table.delete(data, extra = extra)
+    // SaveMode.Overwrite with no explicit operation = full replace, the
+    // standard Spark overwrite contract; everything else defaults to the
+    // safe keyed upsert
+    val defaultOp = if (mode == SaveMode.Overwrite) "overwrite" else "upsert"
+    parameters.getOrElse("operation", defaultOp) match {
+      case "upsert"    => table.upsert(data, extra = extra)
+      case "insert"    => table.insert(data, extra = extra)
+      case "delete"    => table.delete(data, extra = extra)
+      case "overwrite" => table.overwrite(data, extra = extra)
       case other =>
         throw new IllegalArgumentException(s"unknown operation $other")
     }
-    LakeRelation(spark, table.snapshot())
+    LakeRelation(spark, () => queryDf(spark, parameters), None,
+      parameters, this)
   }
 
   /** `writeStream.format("graft-lake")` — a first-class streaming sink
@@ -166,26 +203,46 @@ object LakeSink {
   val BatchKeyPrefix = "stream.batch.id"
 }
 
-/** BaseRelation over an already-planned LakeTable DataFrame. buildScan
-  * applies pruning/filters onto that plan; `needConversion = false` hands
-  * Spark the InternalRow RDD directly (no per-row conversion).
+/** BaseRelation over a LakeTable read. `mkDf` re-plans the query at every
+  * scan, so catalog tables always serve the latest committed snapshot
+  * (the stateless-relation contract SQL `INSERT INTO` depends on — the
+  * session catalog caches the relation object across statements).
+  * buildScan applies pruning/filters onto that plan; `needConversion =
+  * false` hands Spark the InternalRow RDD directly (no per-row
+  * conversion). `declared` (SQL-managed tables) pins the schema to the
+  * DDL columns; without it the full table schema (meta columns included)
+  * is exposed.
   */
-case class LakeRelation(spark: SparkSession, df: DataFrame)
-    extends BaseRelation with PrunedFilteredScan {
+case class LakeRelation(spark: SparkSession, mkDf: () => DataFrame,
+    declared: Option[StructType], params: Map[String, String],
+    provider: LakeDataSource)
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   override def sqlContext: SQLContext = spark.sqlContext
-  override def schema: StructType = df.schema
+  override lazy val schema: StructType = declared.getOrElse(mkDf().schema)
 
   override def needConversion: Boolean = false
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
+    val df = mkDf()
     val pruned =
       if (requiredColumns.isEmpty) df
       else df.select(requiredColumns.toIndexedSeq.map(col): _*)
     // best-effort pushdown; untranslated filters are re-applied by Spark
     val filtered = filters.flatMap(translate).foldLeft(pruned)(_.filter(_))
     filtered.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+
+  /** SQL `INSERT INTO` (keyed upsert — or the operation option) and
+    * `INSERT OVERWRITE` (atomic full replace) against the catalog table.
+    */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    val op =
+      if (overwrite) "overwrite" else params.getOrElse("operation", "upsert")
+    provider.createRelation(spark.sqlContext, SaveMode.Append,
+      params + ("operation" -> op), data)
+    ()
   }
 
   private def translate(f: Filter): Option[org.apache.spark.sql.Column] =

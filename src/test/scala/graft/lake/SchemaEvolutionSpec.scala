@@ -77,6 +77,70 @@ class SchemaEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.snapshot().filter(col("id") === 2).head().getAs[Long]("n") == 3L)
   }
 
+  test("rename column: old files readable, writes use new name, old name maps") {
+    val s = spark
+    import s.implicits._
+    val t = mk()
+    t.upsert(Seq((1, 10L, "p1", 1.0)).toDF("id", "ts", "part", "v"))
+    t.renameColumn("v", "value")
+    // metadata-only: old file still holds physical "v", read as "value"
+    assert(t.userSchema.get.fieldNames.toSeq == Seq("id", "ts", "part", "value"))
+    assert(t.snapshot().filter(col("id") === 1).head().getAs[Double]("value") == 1.0)
+    // new writes under the new name merge with pre-rename rows
+    t.upsert(Seq((2, 10L, "p1", 2.0)).toDF("id", "ts", "part", "value"))
+    assert(t.snapshot().orderBy("id").collect()
+      .map(_.getAs[Double]("value")).toSeq == Seq(1.0, 2.0))
+    // a lagging producer still using the OLD name writes into the new one
+    t.upsert(Seq((3, 10L, "p1", 3.0)).toDF("id", "ts", "part", "v"))
+    val r3 = t.snapshot().filter(col("id") === 3).head()
+    assert(r3.getAs[Double]("value") == 3.0)
+    assert(!t.snapshot().columns.contains("v"))
+    // reload sees the evolved schema; updates across the rename merge by key
+    val t2 = LakeTable.load(spark, t.path)
+    t2.upsert(Seq((1, 20L, "p1", 11.0)).toDF("id", "ts", "part", "value"))
+    assert(t2.snapshot().filter(col("id") === 1).head().getAs[Double]("value") == 11.0)
+    // compaction-equivalent rewrite (cluster) retires the ghost physically
+    t2.cluster(Seq("id"))
+    assert(t2.snapshot().orderBy("id").collect()
+      .map(_.getAs[Double]("value")).toSeq == Seq(11.0, 2.0, 3.0))
+    // renaming a partition column is rejected
+    assertThrows[IllegalArgumentException](t2.renameColumn("part", "pt"))
+  }
+
+  test("rename a precombine column keeps merge semantics") {
+    val s = spark
+    import s.implicits._
+    val t = mk()
+    t.upsert(Seq((1, 10L, "p1", 1.0)).toDF("id", "ts", "part", "v"))
+    t.renameColumn("ts", "updated_at")
+    assert(LakeTable.load(spark, t.path).meta.precombineField == "updated_at")
+    // stale update loses against the pre-rename version's precombine
+    t.upsert(Seq((1, 5L, "p1", 99.0)).toDF("id", "updated_at", "part", "v"))
+    assert(t.snapshot().head().getAs[Double]("v") == 1.0)
+    t.upsert(Seq((1, 20L, "p1", 2.0)).toDF("id", "updated_at", "part", "v"))
+    assert(t.snapshot().head().getAs[Double]("v") == 2.0)
+  }
+
+  test("drop column: disappears from reads, tombstoned against re-add") {
+    val s = spark
+    import s.implicits._
+    val t = mk()
+    t.upsert(Seq((1, 10L, "p1", 1.0, "secret"))
+      .toDF("id", "ts", "part", "v", "note"))
+    t.dropColumn("note")
+    assert(!t.snapshot().columns.contains("note"))
+    assert(!LakeTable.load(spark, t.path).userSchema.get.fieldNames.contains("note"))
+    // a batch still carrying the dropped column does NOT resurrect it
+    t.upsert(Seq((2, 10L, "p1", 2.0, "zombie"))
+      .toDF("id", "ts", "part", "v", "note"))
+    assert(!t.snapshot().columns.contains("note"))
+    assert(t.snapshot().count() == 2)
+    // required columns cannot be dropped
+    assertThrows[IllegalArgumentException](t.dropColumn("id"))
+    assertThrows[IllegalArgumentException](t.dropColumn("ts"))
+    assertThrows[IllegalArgumentException](t.dropColumn("part"))
+  }
+
   test("batch missing a required column fails loudly") {
     val s = spark
     import s.implicits._

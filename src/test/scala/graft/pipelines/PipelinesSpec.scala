@@ -177,6 +177,17 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r1 = t.snapshot().filter(col("event_id") === 1).head()
     assert(r1.getAs[String]("event_type") == "upd") // precombine ts=9999 won
     assert(t.snapshot().filter(col("logday").isNull).count() == 0)
+
+    // T4: the progress listener observed the batches (delivery is async on
+    // the listener bus — poll briefly)
+    val pl = graft.streaming.ProgressListener.attach(spark, "ingest-events_lake")
+    val deadline = System.currentTimeMillis() + 10000
+    while (pl.batches.count(_.numInputRows > 0) < 2 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+    val seen = pl.batches.filter(_.numInputRows > 0)
+    assert(seen.size >= 2, s"expected >=2 non-empty batch progress events, got $seen")
+    assert(seen.forall(_.name == "ingest-events_lake"))
+    assert(seen.map(_.numInputRows).sum >= 41) // 20 + 21 input lines
   }
 
   test("CanalParser: DML parses, heartbeat/DDL → None") {

@@ -178,6 +178,40 @@ class LakeDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sql("DROP TABLE lake_sql_t")
   }
 
+  test("pure SQL lifecycle: CREATE TABLE with schema, INSERT, SELECT, OVERWRITE") {
+    val p = tmp()
+    spark.sql(
+      s"""CREATE TABLE lake_sql_full (id INT, ts BIGINT, part STRING, v DOUBLE)
+         |USING `graft-lake`
+         |OPTIONS (path '$p', 'recordkey.field' 'id',
+         |         'precombine.field' 'ts', 'partition.fields' 'part')""".stripMargin)
+    try {
+      // SQL-managed table exposes exactly the declared columns
+      assert(spark.table("lake_sql_full").columns.toSeq ==
+        Seq("id", "ts", "part", "v"))
+      spark.sql(
+        "INSERT INTO lake_sql_full VALUES (1, 10, 'p1', 1.0), (2, 10, 'p2', 2.0)")
+      assert(spark.sql("SELECT count(*) FROM lake_sql_full").head().getLong(0) == 2)
+      // INSERT is a keyed upsert: same key with greater ts replaces
+      spark.sql("INSERT INTO lake_sql_full VALUES (2, 20, 'p2', 22.0)")
+      val r2 = spark.sql(
+        "SELECT v FROM lake_sql_full WHERE id = 2").collect()
+      assert(r2.length == 1 && r2(0).getDouble(0) == 22.0)
+      // and the library API sees the same table
+      val t = LakeTable.load(spark, p)
+      assert(t.snapshot().count() == 2)
+      // INSERT OVERWRITE atomically replaces the content
+      spark.sql("INSERT OVERWRITE lake_sql_full VALUES (9, 90, 'p1', 9.0)")
+      val all = spark.sql(
+        "SELECT id, v FROM lake_sql_full ORDER BY id").collect()
+      assert(all.length == 1 && all(0).getInt(0) == 9 && all(0).getDouble(1) == 9.0)
+      assert(t.timeline.read(t.latestCommit.get).operation == "overwrite")
+      // pre-overwrite time travel still works through the library
+      val instants = t.timeline.instants()
+      assert(t.snapshotAsOf(instants(instants.size - 2)).count() == 2)
+    } finally spark.sql("DROP TABLE lake_sql_full")
+  }
+
   test("delete operation; filters and pruning pass through") {
     val p = tmp()
     df((1, 10L, "p1", 1.0), (2, 10L, "p1", 2.0), (3, 10L, "p2", 3.0))

@@ -372,6 +372,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
             lit(true).as(DeletedCol)): _*)
       val stats = stageWrite(tomb, instant, kind = "delta")
       timeline.commit(CommitMeta(instant, "delete", stats, Seq.empty, extra))
+      maybeCompactInline() // tombstone deltas count toward compaction debt
       return instant
     }
     val keys = withKeyOnly(data).persist(StorageLevel.MEMORY_AND_DISK)
@@ -419,18 +420,53 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     Some(instant)
   }
 
+  /** Partition-scoped compaction: merge base + deltas of ONLY the given
+    * partition dirs into fresh base files — the per-file-group compaction
+    * policy of log-structured table formats, so one hot partition's delta
+    * debt does not force a whole-table rewrite.
+    *
+    * Safe under the global index: resolution inside the subset can elect
+    * a version that a live delta OUTSIDE the subset supersedes — the
+    * read-side (precombine, commit-time) resolution still picks the
+    * newer version, because that delta stays live. Tombstone files are
+    * never removed by a scoped compaction (they mask keys globally, and
+    * a masked row may live outside the subset); they are still applied
+    * as a read barrier so masked rows are dropped from the rewritten
+    * base. Only a FULL [[compact]] physically purges tombstones.
+    */
+  def compactPartitions(parts: Set[String]): Option[String] =
+    timeline.withLock() { compactPartitionsLocked(parts) }
+
+  private def compactPartitionsLocked(parts: Set[String]): Option[String] = {
+    val live = timeline.liveFiles()
+    val target = live.filter(f =>
+      parts.contains(f.partition) && f.tombstones == 0)
+    if (!target.exists(_.isDelta)) return None
+    val instant = timeline.nextInstant()
+    val resolved = resolveLatest(readFiles(target.map(_.path)),
+      tombstoneBarrier(live)) // global barrier: masks from ANY partition
+    val stats = stageWrite(resolved, instant, kind = "base")
+    timeline.commit(CommitMeta(instant, "compact", stats, target.map(_.path)))
+    Some(instant)
+  }
+
   private def maybeCompactInline(): Unit = {
     val max = _meta.inlineCompactMax
     if (max <= 0) return
-    // a cluster rewrite merges outstanding deltas exactly like a
-    // compaction — both reset the delta debt
-    val ops = timeline.instants().reverse
-      .map(i => timeline.read(i).operation)
-      .takeWhile(o => o != "compact" && o != "cluster")
-    // tombstone deletes are delta appends too — they count toward the
-    // compaction debt like Hudi's log-block commits
-    if (ops.count(o => o == "deltacommit" || o == "delete") >= max) {
-      compactLocked() // already under the writer lock (called from upsert)
+    // Per-file-group debt: count OUTSTANDING delta files per partition
+    // dir (live-set counting self-resets at compact/cluster, which remove
+    // the deltas) and compact only the dirs at or past the threshold — a
+    // cold partition's file group is never rewritten because a hot one
+    // keeps taking updates. Tombstone deltas (global key maskers) cannot
+    // be purged by a scoped rewrite, so any tombstone debt at threshold
+    // escalates to a full compaction.
+    val live = timeline.liveFiles()
+    val deltas = live.filter(_.isDelta)
+    val hot = deltas.groupBy(_.partition).filter(_._2.size >= max).keySet
+    if (hot.nonEmpty) {
+      // already under the writer lock (called from upsert/delete)
+      if (deltas.exists(_.tombstones > 0)) compactLocked()
+      else compactPartitionsLocked(hot)
       ()
     }
   }
@@ -484,6 +520,37 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val orphans = fs.listStatus(stagingRoot)
       .filter(_.getModificationTime < cutoff)
     orphans.foreach(st => fs.delete(st.getPath, true))
+    orphans.length
+  }
+
+  /** Remove published-but-never-committed data files — the residue of a
+    * writer that crashed AFTER publishing its data files but BEFORE its
+    * commit (a same-instant retry self-cleans them; this sweeps the rest,
+    * e.g. when the clock moved the retry to a new instant). A file is an
+    * orphan iff NO active commit references it, as added (live or
+    * historical) or as removed-awaiting-clean. Safe under the writer
+    * lock — publishes also happen under it, so nothing is mid-publish
+    * while the sweep lists. O(data files on disk): an opt-in maintenance
+    * op, never on the write path.
+    */
+  def cleanOrphanedData(): Int = timeline.withLock() {
+    val commits = timeline.instants().map(timeline.read)
+    val referenced = (commits.flatMap(_.added.map(_.path)) ++
+      commits.flatMap(_.removed)).toSet
+    val rootUri = fs.makeQualified(tablePath).toUri.getPath
+    val orphans = scala.collection.mutable.ArrayBuffer[Path]()
+    val it = fs.listFiles(tablePath, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath.toUri.getPath
+      if (p.startsWith(rootUri + "/")) {
+        val rel = p.substring(rootUri.length + 1)
+        if (rel.endsWith(".parquet") && !rel.startsWith("_lake/") &&
+            !referenced.contains(rel))
+          orphans += st.getPath
+      }
+    }
+    orphans.foreach(p => fs.delete(p, false))
     orphans.length
   }
 
@@ -785,6 +852,14 @@ class LakeTable private (val spark: SparkSession, val path: String) {
           fs.mkdirs(dst.getParent)
           val src = new Path(staging, rel)
           val size = fs.getFileStatus(src).getLen
+          // Crash recovery: a writer that died AFTER publishing data files
+          // but BEFORE publishing its commit leaves files under this very
+          // instant name (the failed instant was never committed, so the
+          // retry computes it again). Any existing dst is therefore
+          // uncommitted garbage by construction — committed instants are
+          // strictly below every nextInstant() — and overwriting it both
+          // unblocks the retry and self-cleans the orphan.
+          if (fs.exists(dst)) fs.delete(dst, false)
           if (!fs.rename(src, dst))
             throw new IllegalStateException(s"publish rename failed: $rel")
           Some(FileStat(finalRel, partition, r.getLong(1), r.getString(2),

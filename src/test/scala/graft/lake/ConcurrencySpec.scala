@@ -79,6 +79,51 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("concurrent FULL upsert workloads across processes converge exactly") {
+    val work = java.nio.file.Files.createTempDirectory("upsertprobe")
+    val tableDir = work.resolve("t").toString
+    val t = LakeTable.create(spark, tableDir,
+      TableMeta("up", Seq("id"), "ts", Seq("part")))
+    t.upsert(df((1, 1L, "p1", 0.0))) // capture schema before spawning
+    val classDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    val cp = s"$classDir:/opt/spark/jars/*"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def spawn(procId: Int): Process = new ProcessBuilder(
+      (Seq("java", "-cp", cp, "-Xmx2g", "-Dspark.ui.enabled=false") ++
+        addOpens ++
+        Seq("graft.tools.UpsertProbe", tableDir, procId.toString, "3", "20")): _*)
+      .redirectErrorStream(true).start()
+    val procs = Seq(spawn(1), spawn(2))
+    procs.foreach { p =>
+      val out = new String(p.getInputStream.readAllBytes())
+      assert(p.waitFor() == 0, s"probe failed: ${out.takeRight(4000)}")
+    }
+    val t2 = LakeTable.load(spark, tableDir)
+    // nothing lost: 2 (create+schema) is 2 commits? schema capture is 1
+    // upsert; then 2 procs × 3 rounds
+    assert(t2.timeline.instants().size == 1 + 6)
+    // exact final state: initial key + 2 × 20 probe keys, each at its
+    // LAST round's values — regardless of commit interleaving
+    assert(t2.snapshot().count() == 1 + 40)
+    val rows = t2.snapshot().filter(col("id") >= 1000)
+      .select("id", "ts", "v").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows.size == 40)
+    rows.foreach { case (id, ts, v) =>
+      val i = id % 1000
+      assert(ts == 3L, s"key $id ended at round $ts")
+      assert(v == 300.0 + i, s"key $id ended with v=$v")
+    }
+  }
+
   test("stale lock is broken, not deadlocked") {
     val path = Files.createTempDirectory("conc2").toString + "/t"
     val t = LakeTable.create(spark, path,

@@ -256,6 +256,40 @@ class LakeTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.incremental(c1).count() == 0)
   }
 
+  test("commit publish failure: invisible to readers, retry converges, orphans sweepable") {
+    val path = tmp()
+    val t = mkTable(path)
+    t.upsert(df((1, "a", 10L, "p1", 1.0)))
+    // pin the next instant: latest = far-future F ⇒ next is always F+1
+    t.timeline.commit(CommitMeta("00099999999999990", "insert"))
+    // block the commit publish (directory squatting on the inflight temp
+    // path makes fs.create throw) — simulates a writer dying between
+    // data-file publish and commit publish
+    val blocker = java.nio.file.Paths.get(path.stripPrefix("file:"),
+      "_lake", "timeline", ".00099999999999991.inflight")
+    Files.createDirectories(blocker)
+    assertThrows[Exception](t.upsert(df((2, "b", 20L, "p1", 2.0))))
+    // the failed write published data files but no commit — readers are
+    // untouched
+    assert(t.snapshot().count() == 1)
+    assert(t.timeline.instants().size == 2)
+    // retry at the SAME instant overwrites the poisoned file names and
+    // converges
+    java.nio.file.Files.delete(blocker)
+    t.upsert(df((2, "b", 20L, "p1", 2.0)))
+    assert(t.snapshot().count() == 2)
+    assert(t.snapshot().filter(col("id") === 2).head().getAs[Double]("v") == 2.0)
+    // a DIFFERENT failed instant's residue is invisible but on disk —
+    // the orphan sweep removes exactly it
+    val ghost = java.nio.file.Paths.get(path.stripPrefix("file:"),
+      "part=p1", "00099999999999989_00000.parquet")
+    java.nio.file.Files.write(ghost, Array[Byte](1, 2, 3))
+    assert(t.snapshot().count() == 2)
+    assert(t.cleanOrphanedData() == 1)
+    assert(!java.nio.file.Files.exists(ghost))
+    assert(t.snapshot().count() == 2) // committed data untouched
+  }
+
   test("in-flight commit temp files are invisible to readers") {
     val t = mkTable(tmp())
     t.upsert(df((1, "a", 10L, "p1", 1.0)))

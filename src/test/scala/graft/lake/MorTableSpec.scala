@@ -95,6 +95,47 @@ class MorTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(snap.map(_.getAs[Double]("v")).toSeq == Seq(111.0, 22.0))
   }
 
+  test("inline compaction is per file group: only the hot partition rewrites") {
+    val t = mkTable(inlineMax = 2)
+    t.insert(df((1, 10L, "p1", 1.0), (2, 10L, "p2", 2.0)))
+    t.upsert(df((2, 20L, "p2", 22.0))) // cold partition: 1 delta, under max
+    val coldDelta = t.timeline.read(t.latestCommit.get).added.map(_.path)
+    t.upsert(df((1, 20L, "p1", 11.0))) // p1 debt 1
+    t.upsert(df((1, 30L, "p1", 111.0))) // p1 debt 2 → scoped compact
+    val compacts = t.timeline.instants().map(t.timeline.read)
+      .filter(_.operation == "compact")
+    assert(compacts.size == 1)
+    // the rewrite touched ONLY p1 files; the cold p2 delta is still live
+    assert(compacts.head.removed.forall(_.startsWith("part=p1/")))
+    val liveNow = t.timeline.liveFiles().map(_.path)
+    assert(coldDelta.forall(liveNow.contains))
+    // snapshot correctness across the scoped rewrite
+    val snap = t.snapshot().orderBy("id").collect()
+    assert(snap.map(_.getAs[Double]("v")).toSeq == Seq(111.0, 22.0))
+    // and p1 is now clean: its files are base, read-optimized sees them
+    assert(t.readOptimized().filter(col("part") === "p1")
+      .head().getAs[Double]("v") == 111.0)
+  }
+
+  test("scoped compaction + global-index partition move resolves correctly") {
+    val t = mkTable()
+    t.insert(df((1, 10L, "p1", 1.0), (2, 10L, "p1", 2.0)))
+    t.upsert(df((1, 15L, "p1", 5.0))) // stale delta in p1
+    // key 1 then moves to p2 via a newer delta (global index)
+    t.upsert(df((1, 20L, "p2", 9.0)))
+    // compact ONLY p1: it elects its ts=15 version into base, but the
+    // newer p2 delta stays live and must still win at read
+    assert(t.compactPartitions(Set("part=p1")).isDefined)
+    val r1 = t.snapshot().filter(col("id") === 1).head()
+    assert(r1.getAs[String]("part") == "p2" && r1.getAs[Double]("v") == 9.0)
+    assert(t.snapshot().count() == 2)
+    // full compaction afterwards purges the superseded copy physically
+    t.compact()
+    val r1b = t.snapshot().filter(col("id") === 1).head()
+    assert(r1b.getAs[String]("part") == "p2" && r1b.getAs[Double]("v") == 9.0)
+    assert(t.snapshot().count() == 2)
+  }
+
   test("MOR delete is a tombstone append; snapshot hides, compaction purges") {
     val t = mkTable()
     t.insert(df((1, 10L, "p1", 1.0), (2, 10L, "p1", 2.0)))

@@ -825,32 +825,59 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       w2.parquet(staging.toString)
 
       val marker = staging.getName + "/"
-      val statRows = spark.read
-        .schema(fullSchema)
-        .option("basePath", staging.toString)
-        .parquet(staging.toString)
-        .groupBy(input_file_name().as("_f"))
-        .agg(count(lit(1)).as("n"),
-          min(RecordKeyCol).as("mn"), max(RecordKeyCol).as("mx"),
-          sum(when(coalesce(col(DeletedCol), lit(false)), 1L).otherwise(0L))
-            .as("tomb"),
-          min(CommitTimeCol).as("minc"), max(CommitTimeCol).as("maxc"))
-        .collect()
+      def relOf(p: Path): String = {
+        val s = p.toString; s.substring(s.indexOf(marker) + marker.length)
+      }
+      val stagedFiles: Seq[Path] = {
+        val buf = scala.collection.mutable.ArrayBuffer[Path]()
+        val it = fs.listFiles(staging, true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getPath.getName.endsWith(".parquet")) buf += st.getPath
+        }
+        buf.sortBy(_.toString).toSeq
+      }
+      // Per-file stats from parquet FOOTERS — no second pass over the
+      // written data (at 100 TB the old re-scan doubled write I/O). Falls
+      // back to the exact Spark aggregate for the whole batch if any
+      // footer lacks usable statistics (e.g. very long keys truncate
+      // binary stats away).
+      val conf = spark.sessionState.newHadoopConf()
+      val viaFooter = stagedFiles.map(p => FooterStats.read(conf, p).map(p -> _))
+      val partsList: Seq[(Path, FooterStats.Parts)] =
+        if (viaFooter.forall(_.isDefined)) viaFooter.flatten
+        else spark.read
+          .schema(fullSchema)
+          .option("basePath", staging.toString)
+          .parquet(staging.toString)
+          .groupBy(input_file_name().as("_f"))
+          .agg(count(lit(1)).as("n"),
+            min(RecordKeyCol).as("mn"), max(RecordKeyCol).as("mx"),
+            sum(when(coalesce(col(DeletedCol), lit(false)), 1L).otherwise(0L))
+              .as("tomb"),
+            min(CommitTimeCol).as("minc"), max(CommitTimeCol).as("maxc"))
+          .collect().toSeq
+          .map { r =>
+            val f = r.getString(0)
+            val rel = f.substring(f.indexOf(marker) + marker.length)
+            new Path(staging, rel) -> FooterStats.Parts(r.getLong(1),
+              r.getString(2), r.getString(3), r.getString(5), r.getString(6),
+              r.getLong(4))
+          }
+          .sortBy(x => x._1.toString)
 
       var i = 0
-      val stats = statRows.toSeq.flatMap { r =>
-        val f = r.getString(0)
-        val rel = f.substring(f.indexOf(marker) + marker.length)
+      val stats = partsList.flatMap { case (src, p) =>
+        val rel = relOf(src)
         val partition =
           if (rel.contains("/")) rel.substring(0, rel.lastIndexOf("/")) else ""
-        if (r.getLong(1) == 0L) None
+        if (p.rows == 0L) None
         else {
           val finalName = f"${instant}_$i%05d.parquet"
           i += 1
           val finalRel = if (partition.isEmpty) finalName else s"$partition/$finalName"
           val dst = new Path(tablePath, finalRel)
           fs.mkdirs(dst.getParent)
-          val src = new Path(staging, rel)
           val size = fs.getFileStatus(src).getLen
           // Crash recovery: a writer that died AFTER publishing data files
           // but BEFORE publishing its commit leaves files under this very
@@ -862,9 +889,9 @@ class LakeTable private (val spark: SparkSession, val path: String) {
           if (fs.exists(dst)) fs.delete(dst, false)
           if (!fs.rename(src, dst))
             throw new IllegalStateException(s"publish rename failed: $rel")
-          Some(FileStat(finalRel, partition, r.getLong(1), r.getString(2),
-            r.getString(3), kind, size, tombstones = r.getLong(4),
-            minCommit = r.getString(5), maxCommit = r.getString(6)))
+          Some(FileStat(finalRel, partition, p.rows, p.minKey, p.maxKey,
+            kind, size, tombstones = p.tombstones,
+            minCommit = p.minCommit, maxCommit = p.maxCommit))
         }
       }
       fs.delete(staging, true)

@@ -256,6 +256,25 @@ class LakeTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.incremental(c1).count() == 0)
   }
 
+  test("footer-derived file stats match a direct scan of written files") {
+    val t = mkTable(tmp())
+    val rows = (1 to 300).map(i => (i, s"s$i", 10L + i, s"p${i % 3}", i * 1.0))
+    t.upsert(df(rows: _*))
+    t.upsert(df((5, "s5", 500L, "p2", 9.9))) // a rewrite commit too
+    t.timeline.instants().map(t.timeline.read).filter(_.added.nonEmpty)
+      .flatMap(_.added).foreach { f =>
+        val real = spark.read
+          .parquet(new org.apache.hadoop.fs.Path(t.path, f.path).toString)
+          .select("_record_key", "_commit_time").collect()
+        assert(f.numRecords == real.length, s"rows of ${f.path}")
+        assert(f.minKey == real.map(_.getString(0)).min, s"minKey of ${f.path}")
+        assert(f.maxKey == real.map(_.getString(0)).max, s"maxKey of ${f.path}")
+        assert(f.minCommit == real.map(_.getString(1)).min, s"minCommit of ${f.path}")
+        assert(f.maxCommit == real.map(_.getString(1)).max, s"maxCommit of ${f.path}")
+        assert(f.tombstones == 0L)
+      }
+  }
+
   test("commit publish failure: invisible to readers, retry converges, orphans sweepable") {
     val path = tmp()
     val t = mkTable(path)

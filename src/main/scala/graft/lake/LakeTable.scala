@@ -746,9 +746,27 @@ class LakeTable private (val spark: SparkSession, val path: String) {
 
   private def withKeyCol(df: DataFrame): DataFrame = {
     val keyCols = _meta.recordKeyFields
+    def component(c: String): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.types._
+      // the TABLE schema decides the key component's type (a delete batch
+      // may carry differently-typed columns; key identity must not depend
+      // on the batch's accidental types), falling back to the batch type
+      // before the first write
+      val dt = userSchema.flatMap(s => s.fields.find(_.name == c))
+        .orElse(df.schema.fields.find(_.name == c)).map(_.dataType)
+      val typed = dt.map(d => col(c).cast(d)).getOrElse(col(c))
+      val integral = dt match {
+        case Some(ByteType | ShortType | IntegerType | LongType) => true
+        case _                                                   => false
+      }
+      // fixed-width encoding: string order == numeric order, so the
+      // range-clustered files' min/max key stats stay numerically tight
+      if (_meta.keyEncoding == "padded" && integral)
+        lpad(typed.cast(StringType), 20, "0")
+      else typed.cast(StringType)
+    }
     df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
-      .withColumn(RecordKeyCol,
-        concat_ws(KeySep, keyCols.map(c => col(c).cast(StringType)): _*))
+      .withColumn(RecordKeyCol, concat_ws(KeySep, keyCols.map(component): _*))
   }
 
   private def withKeyOnly(df: DataFrame): DataFrame =

@@ -43,7 +43,19 @@ case class TableMeta(
       * the current name, and compaction/clustering rewrites retire the
       * old name physically.
       */
-    renamedFrom: Map[String, Seq[String]] = Map.empty
+    renamedFrom: Map[String, Seq[String]] = Map.empty,
+    /** `_record_key` encoding, fixed at table creation (an encoding
+      * change on a live table would orphan existing keys):
+      *  - "plain": string concat of key values (the reference's
+      *    ComplexKeyGenerator shape) — string order, so numeric keys
+      *    interleave ("100|1" < "1|1") and file key ranges go loose;
+      *  - "padded": integral key components zero-padded to fixed width —
+      *    string order == numeric order, so range-clustered files get
+      *    TIGHT min/max key stats and keyed writes prune far fewer files.
+      *    Best for non-negative numeric keys (negatives stay correct —
+      *    the encoding is injective — but prune poorly).
+      */
+    keyEncoding: String = "plain"
 )
 
 /** Per-data-file statistics recorded in each commit — drives file pruning

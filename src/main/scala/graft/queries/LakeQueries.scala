@@ -41,7 +41,10 @@ object LakeQueries {
     val work = Files.createTempDirectory("graft_lakeq").toString
     LakeTable.create(s, s"$work/t",
       TableMeta("lakeq", Seq("l_orderkey", "l_linenumber"), "created_ts",
-        Seq("l_returnflag"), tableType))
+        Seq("l_returnflag"), tableType,
+        // numeric keys → fixed-width encoding, so the keyed-update file
+        // prune stays numerically tight (see TableMeta.keyEncoding)
+        keyEncoding = "padded"))
   }
 
   private val outCols = Seq("l_orderkey", "l_linenumber", "l_quantity",

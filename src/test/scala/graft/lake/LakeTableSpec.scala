@@ -256,6 +256,43 @@ class LakeTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.incremental(c1).count() == 0)
   }
 
+  test("padded key encoding: same results, numerically tight file pruning") {
+    // mixed-width numeric keys interleave in string order ("100" < "99"),
+    // so a numerically narrow update batch looks string-wide and defeats
+    // the stats prune; the padded encoding restores numeric locality.
+    def build(encoding: String): (Seq[(Int, Double)], Int, Int) = {
+      val path = tmp()
+      val t = LakeTable.create(spark, path,
+        TableMeta("k", Seq("id"), "ts", Seq.empty, keyEncoding = encoding))
+      spark.conf.set("spark.sql.adaptive.enabled", "false") // stable file count
+      try {
+        t.upsert(df((1 to 999).map(i => (i, i.toString, 10L, "p", i * 1.0)): _*))
+        // candidate set the key-range stats admit for a narrow numeric
+        // batch — replicate matchedFiles' overlap test on commit metadata
+        val bounds = t.snapshot().filter(col("id").between(95, 105))
+          .agg(min("_record_key"), max("_record_key")).head()
+        val (mn, mx) = (bounds.getString(0), bounds.getString(1))
+        val live = t.timeline.liveFiles()
+        val candidates = live.count(f => !(f.maxKey < mn || f.minKey > mx))
+        t.upsert(df((95 to 105).map(i => (i, i.toString, 20L, "p", -i * 1.0)): _*))
+        val out = t.snapshot().select("id", "v").collect()
+          .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).toSeq
+        (out, candidates, live.size)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    val (plainOut, plainCand, plainTotal) = build("plain")
+    val (padOut, padCand, padTotal) = build("padded")
+    assert(plainOut == padOut) // encoding is invisible to query results
+    assert(plainOut.slice(94, 105).forall(_._2 < 0)) // updates applied
+    assert(plainTotal > 4 && padTotal > 4, "need several files to compare")
+    // plain: the "105".."95" string range spans nearly every file;
+    // padded: string order == numeric order, the narrow range hits ~1
+    assert(plainCand > plainTotal / 2,
+      s"expected the plain prune to be loose: $plainCand/$plainTotal")
+    assert(padCand <= 2,
+      s"padded candidates $padCand/$padTotal vs plain $plainCand/$plainTotal")
+  }
+
   test("footer-derived file stats match a direct scan of written files") {
     val t = mkTable(tmp())
     val rows = (1 to 300).map(i => (i, s"s$i", 10L + i, s"p${i % 3}", i * 1.0))

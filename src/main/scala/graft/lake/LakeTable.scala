@@ -123,12 +123,25 @@ class LakeTable private (val spark: SparkSession, val path: String) {
           .drop("_del_t")
     }
     val fields = fullSchema.fieldNames.filter(_ != RecordKeyCol).toSeq
-    alive.groupBy(col(RecordKeyCol))
+    // Partition index scope: the key embeds the partition prefix, so also
+    // grouping by the partition columns is semantically identical — but it
+    // makes them grouping ATTRIBUTES of the output, which lets Catalyst
+    // push a partition filter below the aggregation and prune files even
+    // on a merged MOR read. Impossible under the global scope, where one
+    // key's versions may span partitions and pre-merge pruning could
+    // elect a stale winner (see the class doc note).
+    val partLocal =
+      _meta.indexScope == "partition" && _meta.partitionFields.nonEmpty
+    val groupCols =
+      if (partLocal) (_meta.partitionFields :+ RecordKeyCol).map(col)
+      else Seq(col(RecordKeyCol))
+    alive.groupBy(groupCols: _*)
       .agg(max_by(struct(fields.map(col): _*),
         struct(col(_meta.precombineField), col(CommitTimeCol))).as("_r"))
       .select(fullSchema.fieldNames.toIndexedSeq.map {
         case RecordKeyCol => col(RecordKeyCol)
-        case f            => col(s"_r.`$f`").as(f)
+        case f if partLocal && _meta.partitionFields.contains(f) => col(f)
+        case f => col(s"_r.`$f`").as(f)
       }: _*) // keep the physical column order of a plain file read
   }
 
@@ -343,7 +356,9 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   }
 
   /** Delete by key: rows of `data` name the keys to remove (Hudi `delete`,
-    * reference HudiOP.scala:6).
+    * reference HudiOP.scala:6). Under `indexScope = "partition"` the
+    * batch must also carry the partition columns — they are part of the
+    * record's identity there (missing columns fail analysis loudly).
     *
     * COW: only files containing matched keys are rewritten; survivors
     * keep their original `_commit_time`.
@@ -745,7 +760,15 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       .withColumn(DeletedCol, lit(false))
 
   private def withKeyCol(df: DataFrame): DataFrame = {
-    val keyCols = _meta.recordKeyFields
+    // partition index scope: identity = (partition values, key values) —
+    // prefixing the partition components makes every keyed code path
+    // (matching, merge, delete, file pruning) partition-local with no
+    // further special-casing, because keys from different partitions can
+    // never collide and sort into disjoint ranges per partition dir.
+    val keyCols =
+      if (_meta.indexScope == "partition")
+        _meta.partitionFields ++ _meta.recordKeyFields
+      else _meta.recordKeyFields
     def component(c: String): org.apache.spark.sql.Column = {
       import org.apache.spark.sql.types._
       // the TABLE schema decides the key component's type (a delete batch
@@ -761,11 +784,19 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       }
       // fixed-width encoding: string order == numeric order, so the
       // range-clustered files' min/max key stats stay numerically tight
-      if (_meta.keyEncoding == "padded" && integral)
-        lpad(typed.cast(StringType), 20, "0")
-      else typed.cast(StringType)
+      val enc =
+        if (_meta.keyEncoding == "padded" && integral)
+          lpad(typed.cast(StringType), 20, "0")
+        else typed.cast(StringType)
+      // partition components may be null (hive default partition); keep
+      // the key arity stable with the same sentinel the dirs use
+      if (_meta.partitionFields.contains(c))
+        coalesce(enc, lit("__HIVE_DEFAULT_PARTITION__"))
+      else enc
     }
-    df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+    // the PK-not-null guard applies to the RECORD key fields only —
+    // partition components of a partition-scoped key may be null
+    df.filter(_meta.recordKeyFields.map(col(_).isNotNull).reduce(_ && _))
       .withColumn(RecordKeyCol, concat_ws(KeySep, keyCols.map(component): _*))
   }
 

@@ -55,7 +55,22 @@ case class TableMeta(
       *    Best for non-negative numeric keys (negatives stay correct —
       *    the encoding is injective — but prune poorly).
       */
-    keyEncoding: String = "plain"
+    keyEncoding: String = "plain",
+    /** Record-identity scope, fixed at table creation:
+      *  - "global" (reference parity, HudiConfig.scala:47-48 GLOBAL index):
+      *    a key is unique across the whole table; an upsert whose
+      *    partition value changed MOVES the row. Key matching must
+      *    consider every partition, and merged MOR reads resolve keys
+      *    table-wide (partition filters cannot prune below the merge).
+      *  - "partition" (Hudi's default non-global index): identity =
+      *    (partition values, key) — the record key embeds the partition
+      *    prefix. Same user key in two partitions = two rows; a
+      *    partition change INSERTS rather than moves. In exchange, key
+      *    matching and MOR key resolution are partition-local, so
+      *    partition filters prune files even under merged reads — the
+      *    100 TB-friendly scope when keys never migrate.
+      */
+    indexScope: String = "global"
 )
 
 /** Per-data-file statistics recorded in each commit — drives file pruning

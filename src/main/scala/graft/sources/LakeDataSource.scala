@@ -27,8 +27,9 @@ import org.apache.spark.sql.functions.col
   *    reference's Config.scala:25 — upsert here because it is the safe
   *    keyed default)
   *  - `table.name`, `recordkey.field` (comma list), `precombine.field`,
-  *    `partition.fields` (comma list), `table.type` (`cow` | `mor`) —
-  *    used when the table does not exist yet.
+  *    `partition.fields` (comma list), `table.type` (`cow` | `mor`),
+  *    `key.encoding` (`plain` | `padded`), `index.scope`
+  *    (`global` | `partition`) — used when the table does not exist yet.
   *
   * The scan delegates to the LakeTable read path (commit-metadata file
   * index), so partition pruning and parquet pushdown behave exactly like
@@ -69,7 +70,9 @@ class LakeDataSource extends RelationProvider with SchemaRelationProvider
       tableType = parameters.getOrElse("table.type", "cow"),
       inlineCompactMax =
         parameters.getOrElse("compact.inline.max", "0").toInt,
-      schemaJson = declared.map(_.json).getOrElse("")))
+      schemaJson = declared.map(_.json).getOrElse(""),
+      keyEncoding = parameters.getOrElse("key.encoding", "plain"),
+      indexScope = parameters.getOrElse("index.scope", "global")))
 
   /** The DataFrame a read under `parameters` resolves to right now. */
   private def queryDf(spark: SparkSession,

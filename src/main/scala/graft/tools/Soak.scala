@@ -10,11 +10,13 @@ import java.nio.file.Files
   * sf0.1 lineitem by key-shifted unions (~600k × mult rows), then drives
   * bootstrap upsert → wide update slice → narrow update → delete →
   * incremental → snapshot, printing per-step seconds and file counts.
-  * Usage: runMain graft.tools.Soak [mult]
+  * Usage: runMain graft.tools.Soak [mult] [keyEncoding] [indexScope]
   */
 object Soak {
   def main(args: Array[String]): Unit = {
     val mult = if (args.nonEmpty) args(0).toInt else 5
+    val keyEncoding = if (args.length > 1) args(1) else "plain"
+    val indexScope = if (args.length > 2) args(2) else "global"
     val spark = Sessions.local("soak", "32")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -39,9 +41,11 @@ object Soak {
     println(s"[soak] rows = $n")
 
     val work = Files.createTempDirectory("soak").toString
+    println(s"[soak] keyEncoding=$keyEncoding indexScope=$indexScope")
     val t = LakeTable.create(spark, s"$work/t",
       TableMeta("soak", Seq("l_orderkey", "l_linenumber"), "created_ts",
-        Seq("l_returnflag"), "cow"))
+        Seq("l_returnflag"), "cow",
+        keyEncoding = keyEncoding, indexScope = indexScope))
     val c1 = time("bootstrap upsert")(t.upsert(big, combine = false))
     println(s"[soak] files after bootstrap = ${t.timeline.liveFiles().size}")
 

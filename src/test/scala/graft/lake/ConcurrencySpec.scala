@@ -124,6 +124,51 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("concurrent MOR upsert workloads race inline compaction safely") {
+    val work = java.nio.file.Files.createTempDirectory("morprobe")
+    val tableDir = work.resolve("t").toString
+    val t = LakeTable.create(spark, tableDir,
+      TableMeta("upm", Seq("id"), "ts", Seq("part"), tableType = "mor",
+        inlineCompactMax = 3))
+    t.upsert(df((1, 1L, "p1", 0.0))) // capture schema before spawning
+    val classDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    val cp = s"$classDir:/opt/spark/jars/*"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def spawn(procId: Int): Process = new ProcessBuilder(
+      (Seq("java", "-cp", cp, "-Xmx2g", "-Dspark.ui.enabled=false") ++
+        addOpens ++
+        Seq("graft.tools.UpsertProbe", tableDir, procId.toString, "3", "20")): _*)
+      .redirectErrorStream(true).start()
+    val procs = Seq(spawn(1), spawn(2))
+    procs.foreach { p =>
+      val out = new String(p.getInputStream.readAllBytes())
+      assert(p.waitFor() == 0, s"probe failed: ${out.takeRight(4000)}")
+    }
+    val t2 = LakeTable.load(spark, tableDir)
+    // delta appends from both JVMs interleaved with inline compactions —
+    // the merged view must still converge exactly
+    val ops = t2.timeline.instants().map(t2.timeline.read(_).operation)
+    assert(ops.count(_ == "deltacommit") >= 1)
+    assert(ops.contains("compact"),
+      s"expected inline compaction to fire under contention: $ops")
+    assert(t2.snapshot().count() == 1 + 40)
+    val rows = t2.snapshot().filter(col("id") >= 1000)
+      .select("id", "ts", "v").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows.size == 40)
+    rows.foreach { case (id, ts, v) =>
+      assert(ts == 3L && v == 300.0 + id % 1000, s"key $id ended at ($ts, $v)")
+    }
+  }
+
   test("stale lock is broken, not deadlocked") {
     val path = Files.createTempDirectory("conc2").toString + "/t"
     val t = LakeTable.create(spark, path,

@@ -890,9 +890,21 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       // written data (at 100 TB the old re-scan doubled write I/O). Falls
       // back to the exact Spark aggregate for the whole batch if any
       // footer lacks usable statistics (e.g. very long keys truncate
-      // binary stats away).
+      // binary stats away). Small commits read footers on the driver;
+      // big commits fan the O(files) footer round-trips out to executors.
       val conf = spark.sessionState.newHadoopConf()
-      val viaFooter = stagedFiles.map(p => FooterStats.read(conf, p).map(p -> _))
+      val viaFooter: Seq[Option[(Path, FooterStats.Parts)]] =
+        if (stagedFiles.size <= FooterReadFanoutThreshold)
+          stagedFiles.map(p => FooterStats.read(conf, p).map(p -> _))
+        else {
+          val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+          val names = stagedFiles.map(_.toString)
+          spark.sparkContext
+            .parallelize(names, math.min(names.size, 64))
+            .map(n => n -> FooterStats.read(serConf.value, new Path(n)))
+            .collect().toSeq.sortBy(_._1)
+            .map { case (n, parts) => parts.map(new Path(n) -> _) }
+        }
       val partsList: Seq[(Path, FooterStats.Parts)] =
         if (viaFooter.forall(_.isDefined)) viaFooter.flatten
         else spark.read
@@ -966,6 +978,11 @@ object LakeTable {
     * default.
     */
   private[graft] var BroadcastMergeMaxRows = 250_000L
+
+  /** Commits publishing more files than this read their footers via a
+    * distributed job instead of a sequential driver loop.
+    */
+  private[graft] var FooterReadFanoutThreshold = 64
   val KeySep = "|"
   val MaxInstant = "99999999999999999"
 

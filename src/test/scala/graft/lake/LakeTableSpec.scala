@@ -296,7 +296,13 @@ class LakeTableSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("footer-derived file stats match a direct scan of written files") {
     val t = mkTable(tmp())
     val rows = (1 to 300).map(i => (i, s"s$i", 10L + i, s"p${i % 3}", i * 1.0))
-    t.upsert(df(rows: _*))
+    // first write through the DISTRIBUTED footer-read path, second via the
+    // driver loop — both must yield the same exact stats
+    val saved = LakeTable.FooterReadFanoutThreshold
+    try {
+      LakeTable.FooterReadFanoutThreshold = 0
+      t.upsert(df(rows: _*))
+    } finally LakeTable.FooterReadFanoutThreshold = saved
     t.upsert(df((5, "s5", 500L, "p2", 9.9))) // a rewrite commit too
     t.timeline.instants().map(t.timeline.read).filter(_.added.nonEmpty)
       .flatMap(_.added).foreach { f =>

@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.lake.{LakeTable, TableMeta, Timeline}
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
@@ -39,7 +39,7 @@ import org.apache.spark.sql.functions.col
   */
 class LakeDataSource extends RelationProvider with SchemaRelationProvider
     with CreatableRelationProvider with StreamSinkProvider
-    with DataSourceRegister {
+    with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-lake"
 
@@ -144,6 +144,40 @@ class LakeDataSource extends RelationProvider with SchemaRelationProvider
       parameters, this)
   }
 
+  /** `readStream.format("graft-lake")` — a streaming SOURCE over the
+    * commit timeline: offsets are commit instants and every micro-batch
+    * is an incremental read `(begin, end]`, so consumers get a real
+    * change feed with checkpointed exactly-once progress. This replaces
+    * the reference's driver poll-loop incremental batching (T6,
+    * ODS2DWD.scala:64-71) with Structured Streaming's own machinery.
+    *
+    * Options: `start.at` = `earliest` (default — replay the whole
+    * timeline) | `latest` (only commits after stream start) | an instant.
+    * The schema is pinned at query start; consumers lagging past the
+    * clean retention window fail loudly (same contract as Hudi's
+    * incremental source).
+    */
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val t = LakeTable.load(sqlContext.sparkSession, path(parameters))
+    (shortName(), schema.getOrElse(t.fullSchema))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val p = path(parameters)
+    val t = LakeTable.load(spark, p)
+    val startAt = parameters.get("start.at") match {
+      case None | Some("earliest") => ""
+      case Some("latest")          => t.latestCommit.getOrElse("")
+      case Some(instant)           => instant
+    }
+    new LakeStreamSource(spark, p, startAt)
+  }
+
   /** `writeStream.format("graft-lake")` — a first-class streaming sink
     * replacing the reference's hand-rolled foreachBatch → Hudi write
     * (Log2Hudi.scala:62-83, T1). Each micro-batch is one keyed commit;
@@ -204,6 +238,45 @@ class LakeSink(spark: SparkSession, parameters: Map[String, String],
 
 object LakeSink {
   val BatchKeyPrefix = "stream.batch.id"
+}
+
+/** Streaming-source offset: a committed instant (zero-padded epoch
+  * millis, so lexicographic order == commit order).
+  */
+case class LakeSourceOffset(instant: String)
+    extends org.apache.spark.sql.execution.streaming.Offset {
+  override def json: String = instant
+}
+
+/** v1 streaming Source over a lake table's timeline. `getOffset` reports
+  * the latest committed instant; `getBatch` serves
+  * `incremental(begin, end]`, eagerly batch-planned and re-tagged as a
+  * streaming frame (see ColumnBridge.asStreamBatch — the MOR in-range
+  * key resolution must stay a BATCH aggregation, not become a
+  * state-store streaming agg). After a restart the engine replays
+  * offsets as `SerializedOffset`, so offsets are only ever compared via
+  * `json` — never by class.
+  */
+class LakeStreamSource(spark: SparkSession, path: String, startAt: String)
+    extends Source {
+
+  private val table = LakeTable.load(spark, path)
+
+  override val schema: StructType = table.fullSchema
+
+  override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
+    table.latestCommit.filter(_ > startAt).map(LakeSourceOffset(_))
+
+  override def getBatch(
+      start: Option[org.apache.spark.sql.execution.streaming.Offset],
+      end: org.apache.spark.sql.execution.streaming.Offset): org.apache.spark.sql.DataFrame = {
+    val begin = start.map(_.json).getOrElse(startAt)
+    val batch = table.incremental(
+      if (begin.isEmpty) Timeline.Earliest else begin, end.json)
+    org.apache.spark.sql.graft.ColumnBridge.asStreamBatch(batch)
+  }
+
+  override def stop(): Unit = ()
 }
 
 /** BaseRelation over a LakeTable read. `mkDf` re-plans the query at every

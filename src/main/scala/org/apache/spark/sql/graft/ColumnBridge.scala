@@ -24,4 +24,18 @@ object ColumnBridge {
       df.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
         .queryExecution.toRdd, df.schema, isStreaming = false)
   }
+
+  /** The inverse direction, for a v1 streaming Source's getBatch: wrap a
+    * batch-planned DataFrame as a streaming-tagged frame whose leaf is
+    * the batch plan's RDD (the KafkaSource shape). The inner plan stays a
+    * BATCH plan — crucially, any aggregates inside it are planned by the
+    * batch planner, not turned into state-store streaming aggregations by
+    * IncrementalExecution.
+    */
+  def asStreamBatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
+        .queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

@@ -213,6 +213,37 @@ class LakeDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     q2.stop()
   }
 
+  test("table-to-table streaming: lake source → transform → lake sink") {
+    val work = Files.createTempDirectory("lake2lake").toString
+    val ods = LakeTable.create(spark, s"$work/ods",
+      graft.lake.TableMeta("ods", Seq("id"), "ts", Seq("part")))
+    ods.upsert(df((1, 10L, "p1", 1.0), (2, 10L, "p1", 2.0)))
+    // one Structured Streaming query wires the medallion hop: the ODS
+    // change feed, a projection, and the keyed DWD sink — checkpointed
+    // end to end, replacing the reference's poll-loop ODS→DWD program
+    val q = spark.readStream.format("graft-lake").load(s"$work/ods")
+      .select(col("id"), col("ts"), col("part"),
+        (col("v") * 10).as("v10"))
+      .writeStream.format("graft-lake")
+      .option("checkpointLocation", s"$work/ckpt")
+      .option("path", s"$work/dwd")
+      .option("recordkey.field", "id")
+      .option("precombine.field", "ts")
+      .option("partition.fields", "part")
+      .start()
+    q.processAllAvailable()
+    val dwd = LakeTable.load(spark, s"$work/dwd")
+    assert(dwd.snapshot().count() == 2)
+    // upstream update + insert converge downstream BY KEY (not append)
+    ods.upsert(df((2, 20L, "p1", 22.0), (3, 20L, "p2", 3.0)))
+    q.processAllAvailable()
+    q.stop()
+    val snap = dwd.snapshot().orderBy("id").collect()
+    assert(snap.length == 3)
+    assert(snap(1).getAs[Double]("v10") == 220.0) // updated, not duplicated
+    assert(snap(2).getAs[Double]("v10") == 30.0)
+  }
+
   test("streaming source start.at=latest skips history") {
     val work = Files.createTempDirectory("lakesrc2").toString
     val t = LakeTable.create(spark, s"$work/t",

@@ -33,6 +33,7 @@ object SparkEntry {
     "q14_set_ops" -> (Relational.q14SetOps _),
     "q15_rollup" -> (Relational.q15Rollup _),
     "q16_percentiles" -> (Relational.q16Percentiles _),
+    "q17_window_funcs" -> (Relational.q17WindowFuncs _),
     // SURVEY §2.1 lake-table format ops (S3/S4/K1) through the oracle gate
     "lake_merge_snapshot" -> (LakeQueries.lakeMergeSnapshot _),
     "lake_mor_snapshot" -> (LakeQueries.lakeMorSnapshot _),
@@ -202,6 +203,16 @@ object SparkEntry {
         |  quantile_cont(o_totalprice, 0.5) AS p50,
         |  quantile_cont(o_totalprice, 0.9) AS p90
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q17_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER w AS INT) AS rn,
+        |  CAST(lag(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS DOUBLE) AS prev_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
     "lake_merge_snapshot" ->
       s"""$lakeCtes
          |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts

@@ -538,6 +538,32 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     orphans.length
   }
 
+  /** Roll the table back to `instant` (Hudi savepoint-restore): drop
+    * every later commit and physically delete the files those commits
+    * added. Refuses when the target state is no longer reconstructible —
+    * a later `clean` may have deleted files that were live at `instant`
+    * (the same retention contract that bounds time travel). Irreversible:
+    * the rolled-back commits and their data are gone.
+    */
+  def restore(instant: String): Unit = timeline.withLock() {
+    val all = timeline.instants()
+    require(all.contains(instant), s"unknown instant $instant")
+    val drop = all.filter(_ > instant)
+    if (drop.isEmpty) return
+    // verify the restored live set still exists on disk (a clean after a
+    // later rewrite may have removed it)
+    val missing = timeline.liveFiles(instant)
+      .filterNot(f => fs.exists(new Path(tablePath, f.path)))
+    require(missing.isEmpty,
+      s"cannot restore to $instant: ${missing.size} file(s) cleaned away, " +
+        s"e.g. ${missing.take(3).map(_.path).mkString(", ")}")
+    val dropped = drop.map(timeline.read)
+    timeline.dropCommits(drop)
+    // delete the rolled-back commits' data files (now unreferenced)
+    dropped.flatMap(_.added.map(_.path)).distinct
+      .foreach(rel => fs.delete(new Path(tablePath, rel), false))
+  }
+
   /** Remove published-but-never-committed data files — the residue of a
     * writer that crashed AFTER publishing its data files but BEFORE its
     * commit (a same-instant retry self-cleans them; this sweeps the rest,

@@ -257,6 +257,16 @@ class Timeline(fs: FileSystem, tablePath: Path) {
       .filter(_.getPath.getName.stripSuffix(Timeline.Suffix) <= asOf)
       .map(readAt)
 
+  /** Remove commit files from the active timeline (restore/rollback).
+    * Caller must hold the writer lock and own the correctness argument.
+    */
+  private[lake] def dropCommits(instants: Seq[String]): Unit =
+    instants.foreach { i =>
+      fs.delete(new Path(dir, i + Timeline.Suffix), false)
+      cache.remove(i)
+      ()
+    }
+
   /** Commits in `(begin, end]`; begin="000..0"/"earliest" ⇒ from start. */
   def between(begin: String, end: String): Seq[CommitMeta] = {
     val b = if (begin == "earliest") "" else begin

@@ -207,6 +207,28 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Analytic window functions over per-customer order history (beyond
+    * reference surface; the window machinery itself backs q8/precombine):
+    * order rank, previous order's price (lag), and a running total —
+    * rank/lag/cumulative-sum share exact semantics with DuckDB. Monetary
+    * values stay DECIMAL through the running sum for exactness.
+    */
+  def q17WindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        lag(col("o_totalprice").cast(dec), 1).over(w).cast("double")
+          .as("prev_price"),
+        sum(col("o_totalprice").cast(dec))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_total"))
+      .orderBy("o_custkey", "rn")
+  }
+
   /** Set ops: union/except on projections (SURVEY §2.5 notes the rebuild
     * introduces union for COW rewrite; exposed as a query op too).
     */

@@ -318,6 +318,34 @@ class LakeTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
   }
 
+  test("restore rolls back to an instant; refuses when retention broke it") {
+    val path = tmp()
+    val t = mkTable(path)
+    val c1 = t.upsert(df((1, "a", 10L, "p1", 1.0)))
+    val c2 = t.upsert(df((1, "a", 20L, "p1", 2.0), (2, "b", 20L, "p1", 5.0)))
+    val c3 = t.upsert(df((1, "a", 30L, "p1", 3.0)))
+    val c3Files = t.timeline.read(c3).added.map(_.path)
+    t.restore(c2)
+    assert(t.timeline.latestInstant().contains(c2))
+    val snap = t.snapshot().orderBy("id").collect()
+    assert(snap.map(_.getAs[Double]("v")).toSeq == Seq(2.0, 5.0))
+    // the rolled-back commit's data files are physically gone (c1's
+    // rewritten-away file stays — still needed for time travel to c1)
+    val onDisk = dataFilesOnDisk(path)
+    assert(c3Files.forall(f => !onDisk.contains(f)), s"leftover: $c3Files")
+    assert(t.snapshotAsOf(c1).select("v").head().getDouble(0) == 1.0)
+    t.upsert(df((3, "c", 40L, "p1", 7.0)))
+    assert(t.snapshot().count() == 3)
+    // a restore target whose files were cleaned away is refused
+    val t2 = mkTable(tmp())
+    val d1 = t2.upsert(df((1, "a", 10L, "p1", 1.0)))
+    t2.upsert(df((1, "a", 20L, "p1", 2.0)))
+    t2.upsert(df((1, "a", 30L, "p1", 3.0)))
+    t2.clean(retainCommits = 1) // c1's file is removed-and-aged → deleted
+    assertThrows[IllegalArgumentException](t2.restore(d1))
+    assert(t2.snapshot().select("v").head().getDouble(0) == 3.0)
+  }
+
   test("commit publish failure: invisible to readers, retry converges, orphans sweepable") {
     val path = tmp()
     val t = mkTable(path)

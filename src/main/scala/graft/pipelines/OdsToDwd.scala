@@ -57,6 +57,52 @@ object OdsToDwd {
     end
   }
 
+  /** The same hop as ONE Structured Streaming query: lake change-feed
+    * source → stream-static broadcast dim join → keyed lake sink.
+    * Replaces the hand-rolled poll loop with checkpointed exactly-once
+    * progress (offsets = ODS commits; the sink's per-query batch-id
+    * watermark absorbs replays). Trade-off vs [[run]]: the dim SNAPSHOT
+    * is pinned at stream start (stream-static joins re-execute a fixed
+    * static plan per micro-batch) — restart the query to refresh the
+    * dim; the poll loop re-reads it every iteration instead.
+    */
+  def runStreaming(spark: SparkSession,
+      cfg: PipelineConfig): org.apache.spark.sql.streaming.StreamingQuery = {
+    val dimDf =
+      if (LakeTable.exists(spark, cfg.dimTablePath))
+        LakeTable.load(spark, cfg.dimTablePath).snapshotUser()
+      else spark.read.parquet(cfg.dimTablePath)
+    val dimSel =
+      dimDf.select((cfg.joinRightKey +: cfg.dimSelect).distinct.map(col): _*)
+    val enrichCols = cfg.dimSelect.map(c =>
+      coalesce(col(c), lit(cfg.dimDefault)).as(c)) // nvl defaults, P13
+    val src = spark.readStream.format("graft-lake")
+      .load(cfg.sourceTablePath)
+      .drop(LakeTable.RecordKeyCol)
+    val userCols = src.columns.filterNot(c =>
+      c == LakeTable.CommitTimeCol || c == LakeTable.DeletedCol)
+    val joined = src
+      .join(broadcast(dimSel),
+        src(cfg.joinLeftKey) === dimSel(cfg.joinRightKey), "left") // J1
+      .select(userCols.map(src(_)).toIndexedSeq ++ enrichCols :+
+        src(LakeTable.CommitTimeCol): _*)
+      // source-commit-time precombine, same rationale as [[iteration]]
+      .withColumn(cfg.precombineField, col(LakeTable.CommitTimeCol).cast("long"))
+      .drop(LakeTable.CommitTimeCol)
+    graft.streaming.ProgressListener.attach(spark, s"ods2dwd-${cfg.tableName}")
+    joined.writeStream.format("graft-lake")
+      .queryName(s"ods2dwd-${cfg.tableName}")
+      .option("checkpointLocation", cfg.checkpointDir)
+      .option("path", cfg.tablePath)
+      .option("recordkey.field", cfg.recordKeyFields.mkString(","))
+      .option("precombine.field", cfg.precombineField)
+      .option("partition.fields", cfg.partitionFields.mkString(","))
+      .option("table.type", cfg.tableType)
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(s"${cfg.triggerSeconds} seconds"))
+      .start()
+  }
+
   def run(spark: SparkSession, cfg: PipelineConfig): Unit = {
     val ods = LakeTable.load(spark, cfg.sourceTablePath)
     val dwd = LakeTable.create(spark, cfg.tablePath,
@@ -75,7 +121,7 @@ object OdsToDwd {
     val cfg = PipelineConfig.parse(args)
     val spark = Sessions.local("ods-to-dwd")
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, cfg)
-    spark.stop()
+    if (cfg.streamingMode) runStreaming(spark, cfg).awaitTermination() // T7
+    else { run(spark, cfg); spark.stop() }
   }
 }

@@ -31,6 +31,10 @@ case class PipelineConfig(
     targetTablePath: String = "",
     pollIntervalMs: Long = 30000L, // reference Config.scala:38
     maxIterations: Int = -1, // bounded loops for tests (SURVEY §7.4)
+    /** OdsToDwd: use the graft-lake streaming source instead of the
+      * reference's poll loop (T6 upgraded to Structured Streaming).
+      */
+    streamingMode: Boolean = false,
     outputDir: String = "",
     limitRows: Int = -1,
     // OdsToDwd dim-join shape (reference ODS2DWD.scala:58-62)
@@ -85,6 +89,7 @@ object PipelineConfig {
         case "--target-table-path" => c.copy(targetTablePath = v)
         case "--poll-interval-ms"  => c.copy(pollIntervalMs = v.toLong)
         case "--max-iterations"    => c.copy(maxIterations = v.toInt)
+        case "--streaming"         => c.copy(streamingMode = v.toBoolean)
         case "--output-dir"        => c.copy(outputDir = v)
         case "--limit-rows"        => c.copy(limitRows = v.toInt)
         case "--join-left-key"     => c.copy(joinLeftKey = v)

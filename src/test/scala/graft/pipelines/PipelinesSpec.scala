@@ -145,6 +145,47 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dwd.snapshot().count() == before)
   }
 
+  test("OdsToDwd streaming mode: change feed → dim join → keyed DWD sink") {
+    val work = tmp()
+    // ODS bootstrap through the batch loader
+    BatchLoad.run(spark, PipelineConfig(
+      sourcePath = s"$sf/lineitem.parquet",
+      targetTablePath = s"$work/ods",
+      tableName = "ods_s",
+      recordKeyFields = Seq("l_orderkey", "l_linenumber"),
+      partitionFields = Seq("l_returnflag"),
+      repartitionNum = 4))
+    val ods = LakeTable.load(spark, s"$work/ods")
+    val odsRows = ods.snapshot().count()
+    val cfg = PipelineConfig(
+      sourceTablePath = s"$work/ods",
+      dimTablePath = s"$sf/part.parquet",
+      targetTablePath = s"$work/dwd",
+      checkpointDir = s"$work/ckpt",
+      tableName = "dwd_s",
+      recordKeyFields = Seq("l_orderkey", "l_linenumber"),
+      partitionFields = Seq("l_returnflag"),
+      joinLeftKey = "l_partkey", joinRightKey = "p_partkey",
+      dimSelect = Seq("p_brand"),
+      triggerSeconds = 1)
+    val q = OdsToDwd.runStreaming(spark, cfg)
+    q.processAllAvailable()
+    val dwd = LakeTable.load(spark, s"$work/dwd")
+    assert(dwd.snapshot().count() == odsRows)
+    assert(dwd.snapshot().filter(col("p_brand").isNull).count() == 0)
+    // new ODS commit flows through with enrichment, converging by key
+    val add = spark.read.parquet(s"$sf/lineitem.parquet").limit(5)
+      .withColumn("l_orderkey", col("l_orderkey") + 20000000L)
+      .withColumn("created_ts", lit(System.currentTimeMillis()))
+    ods.upsert(add)
+    q.processAllAvailable()
+    q.stop()
+    assert(LakeTable.load(spark, s"$work/dwd").snapshot().count() == odsRows + 5)
+    assert(LakeTable.load(spark, s"$work/dwd").snapshot()
+      .filter(col("l_orderkey") >= 20000000L)
+      .filter(col("p_brand").isNull).count() == 0)
+  }
+
   test("StreamIngest: inbox JSON lines → lake table with logday/hm") {
     val work = tmp()
     val sample = """{"event_id":1,"user_id":2,"event_type":"login","value":1.5,"ts":100}"""

@@ -64,6 +64,55 @@ object DwdToDm {
     end
   }
 
+  /** The same hop driven by the graft-lake streaming source: each
+    * micro-batch is an exact commit range `(begin, end]` (the first one
+    * replays the whole timeline — the init aggregation falls out for
+    * free), foreachBatch applies the SAME additive merge, and the
+    * commit-extra watermark keeps a checkpoint-replayed batch from
+    * double-counting — end-to-end exactly-once on top of at-least-once
+    * delivery.
+    */
+  def runStreaming(spark: SparkSession,
+      cfg: PipelineConfig): org.apache.spark.sql.streaming.StreamingQuery = {
+    val dm = LakeTable.create(spark, cfg.tablePath,
+      TableMeta(cfg.tableName, cfg.recordKeyFields, cfg.precombineField,
+        cfg.partitionFields, cfg.tableType))
+    graft.streaming.ProgressListener.attach(spark, s"dwd2dm-${cfg.tableName}")
+    spark.readStream.format("graft-lake").load(cfg.sourceTablePath)
+      .writeStream
+      .queryName(s"dwd2dm-${cfg.tableName}")
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(s"${cfg.triggerSeconds} seconds"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val batch = org.apache.spark.sql.graft.ColumnBridge.asBatch(b)
+            .persist() // feeds the watermark probe AND the delta agg
+          try {
+            val end = batch.agg(max(col(LakeTable.CommitTimeCol)))
+              .head().getString(0)
+            val wm = resumeWatermark(dm).getOrElse("")
+            if (end > wm) { // replayed batch: already merged, skip
+              val inc = batch.drop(LakeTable.RecordKeyCol,
+                LakeTable.CommitTimeCol, LakeTable.DeletedCol)
+              val delta = aggregate(inc, cfg)
+              // very first batch: no DM schema yet — merge against empty
+              val current =
+                if (dm.userSchema.isDefined) dm.snapshotUser()
+                else spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  delta.schema)
+              val merged = merge(delta, current, cfg)
+                .withColumn(cfg.precombineField, lit(end.toLong))
+              dm.upsert(merged, extra = Map(WatermarkKey -> end))
+              ()
+            }
+          } finally { batch.unpersist(); () }
+        }
+      }
+      .start()
+  }
+
   def run(spark: SparkSession, cfg: PipelineConfig): Unit = {
     val dwd = LakeTable.load(spark, cfg.sourceTablePath)
     val dm = LakeTable.create(spark, cfg.tablePath,
@@ -97,7 +146,7 @@ object DwdToDm {
     val cfg = PipelineConfig.parse(args)
     val spark = Sessions.local("dwd-to-dm")
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, cfg)
-    spark.stop()
+    if (cfg.streamingMode) runStreaming(spark, cfg).awaitTermination() // T7
+    else { run(spark, cfg); spark.stop() }
   }
 }

@@ -186,6 +186,43 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("p_brand").isNull).count() == 0)
   }
 
+  test("DwdToDm streaming mode: additive merge over the change feed") {
+    val work = tmp()
+    BatchLoad.run(spark, PipelineConfig(
+      sourcePath = s"$sf/lineitem.parquet",
+      targetTablePath = s"$work/dwd",
+      tableName = "dwd_sm",
+      recordKeyFields = Seq("l_orderkey", "l_linenumber"),
+      partitionFields = Seq("l_returnflag"),
+      repartitionNum = 4))
+    val dwd = LakeTable.load(spark, s"$work/dwd")
+    val cfg = PipelineConfig(
+      sourceTablePath = s"$work/dwd",
+      targetTablePath = s"$work/dm",
+      checkpointDir = s"$work/ckpt",
+      tableName = "dm_sm",
+      recordKeyFields = Seq("l_returnflag"),
+      aggKeys = Seq("l_returnflag"), aggCol = "l_quantity",
+      triggerSeconds = 1)
+    val q = DwdToDm.runStreaming(spark, cfg)
+    q.processAllAvailable()
+    def expectAgg() = dwd.snapshotUser().groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(27,2)")).as("expect"))
+    def mismatches() = LakeTable.load(spark, s"$work/dm").snapshotUser()
+      .join(expectAgg(), "l_returnflag")
+      .filter(col("l_quantity_sum") =!= col("expect"))
+    // init batch = full-history aggregation
+    assert(mismatches().isEmpty)
+    // fresh-key rows stream through the additive merge
+    val add = spark.read.parquet(s"$sf/lineitem.parquet").limit(10)
+      .withColumn("l_orderkey", col("l_orderkey") + 30000000L)
+      .withColumn("created_ts", lit(System.currentTimeMillis()))
+    dwd.upsert(add)
+    q.processAllAvailable()
+    q.stop()
+    assert(mismatches().isEmpty) // additive merge == recomputed full agg
+  }
+
   test("StreamIngest: inbox JSON lines → lake table with logday/hm") {
     val work = tmp()
     val sample = """{"event_id":1,"user_id":2,"event_type":"login","value":1.5,"ts":100}"""

@@ -3,13 +3,21 @@ package graft.tools
 import graft.lake.LakeTable
 import graft.util.Sessions
 
-/** Table inspection CLI.
+/** Table inspection + maintenance CLI.
   *
   * Usage:
-  *   runMain graft.tools.LakeCli describe   <tablePath>
-  *   runMain graft.tools.LakeCli history    <tablePath>
-  *   runMain graft.tools.LakeCli partitions <tablePath>
-  *   runMain graft.tools.LakeCli show       <tablePath> [n]
+  *   runMain graft.tools.LakeCli describe    <tablePath>
+  *   runMain graft.tools.LakeCli history     <tablePath>
+  *   runMain graft.tools.LakeCli partitions  <tablePath>
+  *   runMain graft.tools.LakeCli show        <tablePath> [n]
+  *   runMain graft.tools.LakeCli compact     <tablePath> [partitionDir...]
+  *   runMain graft.tools.LakeCli cluster     <tablePath> <col>[,col...]
+  *   runMain graft.tools.LakeCli clean       <tablePath> [retainCommits]
+  *   runMain graft.tools.LakeCli sweep       <tablePath>        # orphaned data
+  *   runMain graft.tools.LakeCli archive     <tablePath> [keepCommits]
+  *   runMain graft.tools.LakeCli restore     <tablePath> <instant>
+  *   runMain graft.tools.LakeCli rename-col  <tablePath> <old> <new>
+  *   runMain graft.tools.LakeCli drop-col    <tablePath> <col>
   */
 object LakeCli {
   def main(args: Array[String]): Unit = {
@@ -57,6 +65,36 @@ object LakeCli {
       case "show" =>
         val n = if (args.length > 2) args(2).toInt else 20
         t.snapshot().show(n, truncate = false)
+      case "compact" =>
+        val done =
+          if (args.length > 2) t.compactPartitions(args.drop(2).toSet)
+          else t.compact()
+        println(done.fold("nothing to compact")(i => s"compacted at $i"))
+      case "cluster" =>
+        require(args.length > 2, "cluster needs sort columns")
+        val done = t.cluster(args(2).split(",").map(_.trim).toSeq)
+        println(done.fold("empty table")(i => s"clustered at $i"))
+      case "clean" =>
+        t.clean(if (args.length > 2) args(2).toInt else 2)
+        println("clean done")
+      case "sweep" =>
+        println(s"removed ${t.cleanOrphanedData()} orphaned data file(s)")
+      case "archive" =>
+        val archived =
+          t.archiveTimeline(if (args.length > 2) args(2).toInt else 10)
+        println(s"archived ${archived.size} commit(s)")
+      case "restore" =>
+        require(args.length > 2, "restore needs an instant")
+        t.restore(args(2))
+        println(s"restored to ${args(2)}")
+      case "rename-col" =>
+        require(args.length > 3, "rename-col needs <old> <new>")
+        t.renameColumn(args(2), args(3))
+        println(s"renamed ${args(2)} -> ${args(3)}")
+      case "drop-col" =>
+        require(args.length > 2, "drop-col needs a column")
+        t.dropColumn(args(2))
+        println(s"dropped ${args(2)}")
       case other => sys.error(s"unknown command: $other")
     }
     spark.stop()

@@ -34,6 +34,8 @@ object SparkEntry {
     "q15_rollup" -> (Relational.q15Rollup _),
     "q16_percentiles" -> (Relational.q16Percentiles _),
     "q17_window_funcs" -> (Relational.q17WindowFuncs _),
+    "q18_above_avg" -> (Relational.q18AboveAvg _),
+    "q19_sessionize" -> (Relational.q19Sessionize _),
     // SURVEY §2.1 lake-table format ops (S3/S4/K1) through the oracle gate
     "lake_merge_snapshot" -> (LakeQueries.lakeMergeSnapshot _),
     "lake_mor_snapshot" -> (LakeQueries.lakeMorSnapshot _),
@@ -213,6 +215,29 @@ object SparkEntry {
         |FROM orders WHERE o_custkey < 200
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, rn""".stripMargin,
+    "q18_above_avg" ->
+      """WITH c AS (
+        |  SELECT o_custkey, COUNT(*) AS cnt,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+        |  FROM orders GROUP BY 1)
+        |SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+        |FROM orders o JOIN c USING (o_custkey)
+        |WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * c.cnt > c.s
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q19_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT user_id, event_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL THEN 1
+        |       WHEN us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT user_id, us,
+        |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS sid
+        |  FROM m)
+        |SELECT user_id, sid, COUNT(*) AS n_events,
+        |  MIN(us) AS start_us, MAX(us) AS end_us
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, sid""".stripMargin,
     "lake_merge_snapshot" ->
       s"""$lakeCtes
          |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts

@@ -229,6 +229,49 @@ object Relational {
       .orderBy("o_custkey", "rn")
   }
 
+  /** Correlated scalar subquery, decorrelated the scale-friendly way
+    * (beyond reference surface): orders priced above their customer's
+    * average. The comparison is kept in EXACT integer/decimal algebra
+    * (`price · n > sum` instead of `price > sum/n`), so the row set is
+    * bit-deterministic across engines — no division rounding at the
+    * decision boundary.
+    */
+  def q18AboveAvg(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = o.groupBy("o_custkey")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast(dec)).as("s"))
+    o.join(c, "o_custkey")
+      .filter(col("o_totalprice").cast(dec) * col("cnt") > col("s"))
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Gap-based sessionization over the event stream (the canonical
+    * events-at-scale operator, beyond reference surface): a session
+    * breaks after 30 idle minutes. Composed from lag + running sum —
+    * wholly within window machinery both engines define identically;
+    * gaps are compared in exact epoch MICROSECONDS (no timestamp-cast
+    * truncation at the boundary).
+    */
+  def q19Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val GapUs = 30L * 60 * 1000000
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val e = events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    e.withColumn("brk",
+      when(col("us") - lag(col("us"), 1).over(w) > GapUs, 1)
+        .when(lag(col("us"), 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("sid",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("int"))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      .orderBy("user_id", "sid")
+  }
+
   /** Set ops: union/except on projections (SURVEY §2.5 notes the rebuild
     * introduces union for COW rewrite; exposed as a query op too).
     */

@@ -31,6 +31,22 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Streaming gap sessionization via Spark's NATIVE session_window — the
+    * stream counterpart of the batch q19_sessionize oracle: a session
+    * closes after `gap` idle time, merges any rows that chain within it,
+    * and emits once the watermark passes the session end (bounded state,
+    * the 100 TB-safe formulation; a hand-rolled flatMapGroupsWithState
+    * sessionizer would carry unbounded per-key state).
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"))
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SeenState(ids: Set[Long])

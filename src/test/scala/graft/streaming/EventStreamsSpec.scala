@@ -41,6 +41,33 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.contains(("2026-01-01 10:10:00.0", "b", 1L)))
   }
 
+  test("session_window: gaps split sessions, chained rows merge, state bounded") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id")
+    val q = EventStreams.sessionCounts(df, gap = "10 minutes")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    // user 1: rows at 10:00, 10:05, 10:12 chain into ONE session (each
+    // gap < 10m); the row at 10:40 starts a new one. user 2: one row.
+    mem.addData((1L, ts(0), 1L), (2L, ts(5), 1L), (3L, ts(12), 1L),
+      (4L, ts(40), 1L), (5L, ts(3), 2L))
+    q.processAllAvailable()
+    // push event time far ahead so the watermark closes every session
+    mem.addData((9L, Timestamp.valueOf("2026-01-01 12:00:00"), 9L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess")
+      .select("user_id", "n_events", "sess_start", "sess_end").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).toString, r.getTimestamp(3).toString)).toSet
+    assert(out.contains((1L, 3L, "2026-01-01 10:00:00.0", "2026-01-01 10:22:00.0")))
+    assert(out.contains((1L, 1L, "2026-01-01 10:40:00.0", "2026-01-01 10:50:00.0")))
+    assert(out.contains((2L, 1L, "2026-01-01 10:03:00.0", "2026-01-01 10:13:00.0")))
+  }
+
   test("dropDuplicatesWithinWatermark: replays within the window emit once") {
     val s = spark
     import s.implicits._

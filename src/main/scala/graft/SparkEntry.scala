@@ -36,6 +36,7 @@ object SparkEntry {
     "q17_window_funcs" -> (Relational.q17WindowFuncs _),
     "q18_above_avg" -> (Relational.q18AboveAvg _),
     "q19_sessionize" -> (Relational.q19Sessionize _),
+    "q20_pivot" -> (Relational.q20Pivot _),
     // SURVEY §2.1 lake-table format ops (S3/S4/K1) through the oracle gate
     "lake_merge_snapshot" -> (LakeQueries.lakeMergeSnapshot _),
     "lake_mor_snapshot" -> (LakeQueries.lakeMorSnapshot _),
@@ -238,6 +239,13 @@ object SparkEntry {
         |  MIN(us) AS start_us, MAX(us) AS end_us
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, sid""".stripMargin,
+    "q20_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (o_orderstatus = 'F') AS "F",
+        |  COUNT(*) FILTER (o_orderstatus = 'O') AS "O",
+        |  COUNT(*) FILTER (o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "lake_merge_snapshot" ->
       s"""$lakeCtes
          |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts

@@ -272,6 +272,19 @@ object Relational {
       .orderBy("user_id", "sid")
   }
 
+  /** Pivot (beyond reference surface): order counts per priority,
+    * reshaped to one column per order status. An explicit value list
+    * keeps the output schema static (a values-discovering pivot would
+    * need an extra distinct pass anyway — always pin the list at scale).
+    */
+  def q20Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy("o_orderpriority")
+
   /** Set ops: union/except on projections (SURVEY §2.5 notes the rebuild
     * introduces union for COW rewrite; exposed as a query op too).
     */

@@ -37,6 +37,8 @@ object SparkEntry {
     "q18_above_avg" -> (Relational.q18AboveAvg _),
     "q19_sessionize" -> (Relational.q19Sessionize _),
     "q20_pivot" -> (Relational.q20Pivot _),
+    "q21_asof_join" -> (Relational.q21AsofJoin _),
+    "q22_range_join" -> (Relational.q22RangeJoin _),
     // SURVEY §2.1 lake-table format ops (S3/S4/K1) through the oracle gate
     "lake_merge_snapshot" -> (LakeQueries.lakeMergeSnapshot _),
     "lake_mor_snapshot" -> (LakeQueries.lakeMorSnapshot _),
@@ -246,6 +248,23 @@ object SparkEntry {
         |  COUNT(*) FILTER (o_orderstatus = 'P') AS "P"
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q21_asof_join" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+        |  epoch_us(c.ts) AS click_us,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q22_range_join" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us FROM events),
+        |err AS (SELECT event_id, epoch_us(ts) AS lo,
+        |               epoch_us(ts) + 300000000 AS hi
+        |        FROM events WHERE event_type = 'error')
+        |SELECT err.event_id, COUNT(*) AS n_events
+        |FROM err JOIN e ON e.us >= err.lo AND e.us < err.hi
+        |GROUP BY err.event_id
+        |ORDER BY err.event_id""".stripMargin,
     "lake_merge_snapshot" ->
       s"""$lakeCtes
          |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts

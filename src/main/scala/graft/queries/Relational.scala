@@ -285,6 +285,49 @@ object Relational {
       .na.fill(0L, Seq("F", "O", "P"))
       .orderBy("o_orderpriority")
 
+  /** As-of join (beyond reference surface): each purchase event attributed
+    * to the same user's latest at-or-before click. Runs through
+    * [[graft.operators.AsOfJoin]] — union + running-max window, one shuffle
+    * on user_id — the scale shape; the DuckDB oracle uses its native
+    * ASOF LEFT JOIN, an independent formulation of the same semantics.
+    */
+  def q21AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    graft.operators.AsOfJoin
+      .asOfPrior(purchases, clicks, Seq("user_id"),
+        leftTs = "purchase_us", rightTs = "us", prefix = "click_")
+      .withColumn("gap_us", col("purchase_us") - col("click_us"))
+      .orderBy("event_id")
+  }
+
+  /** Range join (beyond reference surface): events counted into each error
+    * event's 5-minute blast window — a pure point-in-interval join with no
+    * equality key. Runs through [[graft.operators.RangeJoin]]'s
+    * bin-replication equi-join; the oracle states the naive inequality
+    * join. Inner join suffices: every error's own event lands in its own
+    * window, so no group is lost.
+    */
+  def q22RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val WinUs = 5L * 60 * 1000000
+    val ev = events(s, dir)
+    val pts = ev.select(unix_micros(col("ts")).as("us"))
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"),
+        unix_micros(col("ts")).as("lo"),
+        (unix_micros(col("ts")) + WinUs).as("hi"))
+    graft.operators.RangeJoin
+      .pointInInterval(pts, "us", errs, "lo", "hi", binWidth = WinUs)
+      .groupBy(col("err_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("err_id").as("event_id"), col("n_events"))
+      .orderBy("event_id")
+  }
+
   /** Set ops: union/except on projections (SURVEY §2.5 notes the rebuild
     * introduces union for COW rewrite; exposed as a query op too).
     */

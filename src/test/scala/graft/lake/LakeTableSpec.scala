@@ -380,6 +380,43 @@ class LakeTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.snapshot().count() == 2) // committed data untouched
   }
 
+  test("data-file rename failure mid-publish: partial residue invisible, retry converges") {
+    val path = tmp()
+    val t = mkTable(path)
+    t.upsert(df((1, "a", 10L, "p1", 1.0)))
+    // pin the next instant (latest = far-future F ⇒ next is always F+1),
+    // making the publish destinations' names predictable
+    t.timeline.commit(CommitMeta("00099999999999990", "insert"))
+    // squat the p2 destination with a NON-EMPTY directory: delete(dst,
+    // recursive=false) throws, so the publish loop dies AFTER p1's file
+    // was already renamed into place — a mid-publish crash with partial
+    // data-file residue
+    val blocker = java.nio.file.Paths.get(path.stripPrefix("file:"),
+      "part=p2", "00099999999999991_00001.parquet")
+    Files.createDirectories(blocker)
+    Files.write(blocker.resolve("squat"), Array[Byte](1))
+    assertThrows[Exception](t.upsert(
+      df((2, "b", 20L, "p1", 2.0), (3, "c", 20L, "p2", 3.0))))
+    // partial residue: p1's file IS on disk under the failed instant...
+    val partial = java.nio.file.Paths.get(path.stripPrefix("file:"),
+      "part=p1", "00099999999999991_00000.parquet")
+    assert(java.nio.file.Files.exists(partial))
+    // ...but no commit was published, so readers see nothing of it
+    assert(t.snapshot().count() == 1)
+    assert(t.timeline.instants().size == 2)
+    // the failed attempt also left its staging dir; the sweep reclaims it
+    assert(t.cleanOrphanedStaging(olderThanMs = 0L) >= 1)
+    // retry: same instant recomputed, partial residue overwritten, exact
+    java.nio.file.Files.delete(blocker.resolve("squat"))
+    java.nio.file.Files.delete(blocker)
+    t.upsert(df((2, "b", 20L, "p1", 2.0), (3, "c", 20L, "p2", 3.0)))
+    assert(t.snapshot().count() == 3)
+    assert(t.snapshot().filter(col("id") === 2).head().getAs[Double]("v") == 2.0)
+    assert(t.snapshot().filter(col("id") === 3).head().getAs[Double]("v") == 3.0)
+    // nothing dangling: a full orphan sweep finds zero unreferenced files
+    assert(t.cleanOrphanedData() == 0)
+  }
+
   test("in-flight commit temp files are invisible to readers") {
     val t = mkTable(tmp())
     t.upsert(df((1, "a", 10L, "p1", 1.0)))

@@ -41,16 +41,38 @@ object Dedup {
     * fan out to the full core count before the heavy projection, exactly
     * as a many-file 100 TB scan would parallelize naturally.
     */
-  private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
-    Relational.t(s, dir, "documents")
+  /** Session conf: when set, the shingled corpus is STAGED to parquet
+    * under this directory instead of persisted to executor memory/disk.
+    * The shingled view is corpus × n-gram-factor sized; at 100 TB it
+    * cannot live in the cache layer, but a one-time staged write makes
+    * every downstream branch an ordinary column-pruned parquet scan (and
+    * survives executor loss — cached blocks don't).
+    */
+  val StageDirConf = "spark.graft.dedup.stageDir"
+
+  private def docsWithShingles(s: SparkSession, dir: String): DataFrame = {
+    val shingled = Relational.t(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), shingles(col("text"), N).as("sh"))
       .filter(size(col("sh")) > 0)
-      // the shingle projection is interpreted (higher-order fn) and this
-      // frame appears in 3 plan branches (index + two verify joins) —
-      // cache it instead of shingling three times. Size ≈ corpus × n-gram
-      // factor; at 100 TB swap for a staged write of the shingled view.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    s.conf.getOption(StageDirConf) match {
+      case Some(stage) =>
+        // deterministic per input dir, so repeat queries reuse the stage
+        val sub = s"$stage/shingled_${math.abs(dir.hashCode).toString}"
+        val fs = new org.apache.hadoop.fs.Path(sub)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(sub, "_SUCCESS")))
+          shingled.write.mode("overwrite").parquet(sub)
+        s.read.parquet(sub)
+      case None =>
+        // the shingle projection is interpreted (higher-order fn) and this
+        // frame appears in 3 plan branches (index + two verify joins) —
+        // cache it instead of shingling three times. Size ≈ corpus ×
+        // n-gram factor: fine to executor-cache at test scale, stage via
+        // [[StageDirConf]] beyond that.
+        shingled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+  }
 
   /** Exact n-gram Jaccard pairs ≥ 0.8 via prefix-filtered inverted index
     * (PPJoin-style). A naive shingle self-join explodes as Σ df² on

@@ -88,4 +88,24 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(Similarity.cosine(col("a.features"), col("b.features")).as("sim"))
     assert(sims.agg(max("sim")).head().getDouble(0) <= 1.0 + 1e-9)
   }
+
+  test("dedup staged-shingle path produces identical pairs to the cached path") {
+    val cached = Dedup.jaccardPairs(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stage = java.nio.file.Files.createTempDirectory("dedupstage").toString
+    spark.conf.set(Dedup.StageDirConf, stage)
+    try {
+      val staged = Dedup.jaccardPairs(spark, sf)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(staged == cached)
+      // the stage materialized and is reused on a second run
+      assert(new java.io.File(stage).listFiles().nonEmpty)
+      val again = Dedup.minhashLsh(spark, sf)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(again == cached) // recall 1.0 on this corpus, staged input
+    } finally spark.conf.unset(Dedup.StageDirConf)
+  }
 }

@@ -49,6 +49,7 @@ object SparkEntry {
     "text_exact_dedup" -> (TextAnalysis.exactDedup _),
     "text_quality" -> (TextAnalysis.qualityScore _),
     "text_langid" -> (TextAnalysis.langId _),
+    "text_curate" -> (TextAnalysis.curate _),
     "text_fingerprint" -> (Dedup.fingerprints _),
     "mm_features" -> (TextAnalysis.mmFeatures _),
     "dedup_jaccard_pairs" -> (Dedup.jaccardPairs _),
@@ -72,19 +73,22 @@ object SparkEntry {
     * (same algorithm) and dedup_minhash_lsh (LSH recall ≈ 1 at these
     * similarities, exact-verified).
     */
-  private val jaccardPairsSql =
+  private val jaccardPairsCtes =
     """WITH docs AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
       |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t
       |  WHERE len(words) >= 3
-      |), ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM docs)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  COUNT(*) / (a.n + b.n - COUNT(*)) AS jaccard
-      |FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-      |GROUP BY a.doc_id, b.doc_id, a.n, b.n
-      |HAVING COUNT(*) / (a.n + b.n - COUNT(*)) >= 0.8
-      |ORDER BY id_a, id_b""".stripMargin
+      |), ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM docs),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    COUNT(*) / (a.n + b.n - COUNT(*)) AS jaccard
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+      |  HAVING COUNT(*) / (a.n + b.n - COUNT(*)) >= 0.8)""".stripMargin
+
+  private val jaccardPairsSql = jaccardPairsCtes +
+    "\nSELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b"
 
   private val cosineFold =
     "list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE))), (a, x) -> a + x)"
@@ -332,6 +336,32 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  substr(md5(text), 1, 8) AS sig
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_curate" -> (jaccardPairsCtes +
+      """,
+        |q AS (SELECT doc_id, text,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |      FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        |k AS (SELECT md5(text) AS h, MIN(doc_id) AS keep FROM q GROUP BY 1),
+        |e AS (SELECT q.doc_id, q.text, q.n_tokens
+        |      FROM q JOIN k ON md5(q.text) = k.h AND q.doc_id = k.keep),
+        |d AS (SELECT DISTINCT id_b FROM pairs),
+        |surv AS (SELECT e.* FROM e LEFT JOIN d ON e.doc_id = d.id_b
+        |         WHERE d.id_b IS NULL),
+        |hits AS (SELECT doc_id, n_tokens,
+        |  len(list_filter(string_split(text,' '), w -> w IN ('column','sort','window'))) AS h_en,
+        |  len(list_filter(string_split(text,' '), w -> w IN ('order','query','customer'))) AS h_fr,
+        |  len(list_filter(string_split(text,' '), w -> w IN ('part','hash','line'))) AS h_es,
+        |  len(list_filter(string_split(text,' '), w -> w IN ('small','data','scan'))) AS h_de,
+        |  len(list_filter(string_split(text,' '), w -> w IN ('group','merge','vector'))) AS h_zh
+        |  FROM surv)
+        |SELECT doc_id,
+        |  CASE WHEN h_en >= greatest(h_en,h_fr,h_es,h_de,h_zh) THEN 'en'
+        |       WHEN h_fr >= greatest(h_en,h_fr,h_es,h_de,h_zh) THEN 'fr'
+        |       WHEN h_es >= greatest(h_en,h_fr,h_es,h_de,h_zh) THEN 'es'
+        |       WHEN h_de >= greatest(h_en,h_fr,h_es,h_de,h_zh) THEN 'de'
+        |       ELSE 'zh' END AS predicted,
+        |  n_tokens
+        |FROM hits ORDER BY doc_id""".stripMargin),
     "dedup_jaccard_pairs" -> jaccardPairsSql,
     "dedup_minhash_lsh" -> jaccardPairsSql,
     "dedup_cosine_pairs" ->

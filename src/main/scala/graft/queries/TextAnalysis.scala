@@ -79,6 +79,48 @@ object TextAnalysis {
       .orderBy("lang", "predicted")
   }
 
+  /** Per-document predicted language (argmax of marker hits, fixed tie
+    * order — the per-row core of [[langId]], reusable in pipelines).
+    */
+  def predictedLang(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import graft.functions.TextFunctions.markerHits
+    val hits = langMarkers.map { case (l, m) => l -> markerHits(text, m) }
+    val mx = greatest(hits.map(_._2): _*)
+    hits.init.foldRight(lit(hits.last._1): org.apache.spark.sql.Column) {
+      case ((l, h), rest) => when(h >= mx, l).otherwise(rest)
+    }
+  }
+
+  /** The composed corpus-curation pipeline — what a training-data run
+    * actually executes, as ONE declarative plan Catalyst optimizes
+    * end-to-end:
+    *
+    *   1. quality gate (≥ 5 tokens),
+    *   2. exact dedup — keep the min doc_id per content hash
+    *      (hash-groupBy + semi join: map-side combinable, no global sort),
+    *   3. near-dedup — drop the greater doc_id of every exact-Jaccard
+    *      ≥ 0.8 pair from [[Dedup.jaccardPairs]] (computed on the full
+    *      corpus, sub-quadratic prefix-filtered index; anti join to drop),
+    *   4. language tag the survivors.
+    *
+    * Every stage is oracle-expressible, so the WHOLE pipeline sits under
+    * the DuckDB hash gate — not just its pieces.
+    */
+  def curate(s: SparkSession, dir: String): DataFrame = {
+    val q = Relational.t(s, dir, "documents")
+      .filter(tokens >= 5)
+      .select(col("doc_id"), col("text"), tokens.cast("long").as("n_tokens"))
+      .withColumn("h", md5(col("text")))
+    val keep = q.groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+    val nearDups = Dedup.jaccardPairs(s, dir)
+      .select(col("id_b").as("doc_id")).distinct()
+    q.join(keep, Seq("h", "doc_id"), "left_semi")
+      .join(nearDups, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), predictedLang(col("text")).as("predicted"),
+        col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal-column plumbing, portable slice: treat the text as an
     * opaque binary payload (the real image/audio decode path is stubbed —
     * see graft.multimodal); extract byte-level features through the

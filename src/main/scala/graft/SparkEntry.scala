@@ -39,6 +39,7 @@ object SparkEntry {
     "q20_pivot" -> (Relational.q20Pivot _),
     "q21_asof_join" -> (Relational.q21AsofJoin _),
     "q22_range_join" -> (Relational.q22RangeJoin _),
+    "q23_grouping_sets" -> (Relational.q23GroupingSets _),
     // SURVEY §2.1 lake-table format ops (S3/S4/K1) through the oracle gate
     "lake_merge_snapshot" -> (LakeQueries.lakeMergeSnapshot _),
     "lake_mor_snapshot" -> (LakeQueries.lakeMorSnapshot _),
@@ -252,6 +253,14 @@ object SparkEntry {
         |  COUNT(*) FILTER (o_orderstatus = 'P') AS "P"
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q23_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY rf, ls""".stripMargin,
     "q21_asof_join" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
         |  epoch_us(c.ts) AS click_us,

@@ -183,6 +183,24 @@ object Relational {
         col("sum_qty"), col("cnt"))
       .orderBy("rf", "ls")
 
+  /** Grouping sets beyond rollup's prefix lattice: two sibling groupings
+    * {(returnflag), (linestatus)} in ONE pass over the fact table (Spark
+    * expands then aggregates — one scan, one shuffle, vs two scans for a
+    * UNION ALL of group-bys).
+    */
+  def q23GroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("cnt"))
+      .orderBy("rf", "ls")
+
   /** Exact percentiles per group (continuous interpolation — Spark
     * `percentile` and DuckDB `quantile_cont` share the definition).
     */

@@ -32,9 +32,29 @@ object FooterStats {
 
   /** One file's stats; mirror of the [[FileStat]] fields derived at write. */
   case class Parts(rows: Long, minKey: String, maxKey: String,
-      minCommit: String, maxCommit: String, tombstones: Long)
+      minCommit: String, maxCommit: String, tombstones: Long,
+      cols: Map[String, Seq[String]] = Map.empty)
 
-  def read(conf: Configuration, file: Path): Option[Parts] = {
+  /** Spark types whose parquet footer statistics order consistently with
+    * Catalyst comparison and survive a string round-trip. Timestamps
+    * qualify only when written as INT64 (micros) — INT96 stats are
+    * unordered and rejected by the physical-type check in [[colRange]].
+    */
+  def zoneMappable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           FloatType | DoubleType | StringType | BooleanType |
+           TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+  }
+
+  def read(conf: Configuration, file: Path): Option[Parts] =
+    read(conf, file, Seq.empty)
+
+  def read(conf: Configuration, file: Path,
+      zoneCols: Seq[String]): Option[Parts] = {
     import scala.jdk.CollectionConverters._
     val reader =
       try ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
@@ -82,11 +102,74 @@ object FooterStats {
         if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
       }
 
+      // Zone maps for user columns — strictly best-effort: any block
+      // without usable stats, any non-comparable physical type (INT96
+      // timestamps), any surprise → the column is simply omitted.
+      // Omission only costs pruning opportunity, never correctness.
+      def colRange(name: String): Option[(String, String)] =
+        try {
+          import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+          val chunks = blocks.map(b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == name))
+          // the PHYSICAL type decides how block ranges merge — "9" vs
+          // "10" must compare numerically for INT columns, bytewise for
+          // BINARY. INT96 (legacy timestamps) has no ordered stats.
+          val ptype = chunks.headOption.flatten
+            .map(_.getPrimitiveType.getPrimitiveTypeName)
+          // timestamp stats are usable only in MICROS — Catalyst literals
+          // are epoch-micros, a MILLIS/NANOS-unit stat would prune in the
+          // wrong domain
+          val unitOk = chunks.headOption.flatten.forall(
+            _.getPrimitiveType.getLogicalTypeAnnotation match {
+              case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit ==
+                  org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS
+              case _ => true
+            })
+          if (chunks.exists(_.isEmpty) || ptype.isEmpty ||
+              ptype.contains(INT96) || !unitOk) None
+          else {
+            val pt = ptype.get
+            val per = chunks.map(_.get).map(c =>
+              Option(c.getStatistics).filter(s => !s.isEmpty && s.hasNonNullValue)
+                .map { s =>
+                  if (pt == BINARY || pt == FIXED_LEN_BYTE_ARRAY)
+                    (new String(s.getMinBytes, StandardCharsets.UTF_8),
+                      new String(s.getMaxBytes, StandardCharsets.UTF_8))
+                  else (s.genericGetMin.toString, s.genericGetMax.toString)
+                })
+            if (per.exists(_.isEmpty)) None
+            else {
+              val vs = per.flatten
+              val numeric = pt == INT32 || pt == INT64 ||
+                pt == FLOAT || pt == DOUBLE
+              if (numeric)
+                Some((vs.map(_._1).minBy(BigDecimal(_)),
+                  vs.map(_._2).maxBy(BigDecimal(_))))
+              else {
+                // unsigned bytewise order (parquet's binary comparator ==
+                // Catalyst's UTF8String order); Java String.min would
+                // compare UTF-16 code units and could NARROW the range
+                import org.apache.spark.unsafe.types.UTF8String
+                def lo(a: String, b: String) =
+                  if (UTF8String.fromString(a).compareTo(
+                    UTF8String.fromString(b)) <= 0) a else b
+                Some((vs.map(_._1).reduce(lo),
+                  vs.map(_._2).reduce((a, b) => if (lo(a, b) == a) b else a)))
+              }
+            }
+          }
+        } catch { case _: Exception => None }
+
+      val zones: Map[String, Seq[String]] = zoneCols.flatMap { c =>
+        colRange(c).map(r => c -> Seq(r._1, r._2))
+      }.toMap
+
       for {
         (mnK, mxK) <- strRange(LakeTable.RecordKeyCol)
         (mnC, mxC) <- strRange(LakeTable.CommitTimeCol)
         tb <- tombs
-      } yield Parts(rows, mnK, mxK, mnC, mxC, tb)
+      } yield Parts(rows, mnK, mxK, mnC, mxC, tb, zones)
     } catch {
       case _: Exception => None
     } finally reader.close()

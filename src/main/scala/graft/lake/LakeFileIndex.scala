@@ -72,30 +72,41 @@ class LakeFileIndex(
     })
   }
 
-  private lazy val directories: Seq[PartitionDirectory] =
+  private lazy val directories: Seq[(PartitionDirectory, Seq[FileStat])] =
     files.groupBy(_.partition).toSeq.map { case (part, stats) =>
       val fsStats = stats.map { f =>
         FileStatusWithMetadata(new FileStatus(
           f.sizeBytes, false, 1, 128L * 1024 * 1024, 0L,
           new Path(tablePath, f.path)))
       }
-      PartitionDirectory(partitionRow(part), fsStats)
+      (PartitionDirectory(partitionRow(part), fsStats), stats)
     }
 
   override def listFiles(partitionFilters: Seq[Expression],
-      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
-    if (partitionFilters.isEmpty || partitionSchema.isEmpty) directories
-    else {
-      // bind the filter's attribute references to partition-row ordinals
-      val bound = partitionFilters.reduce(And).transform {
-        case a: AttributeReference =>
-          val idx = partitionSchema.indexWhere(_.name == a.name)
-          BoundReference(idx, partitionSchema(idx).dataType, nullable = true)
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val afterPart =
+      if (partitionFilters.isEmpty || partitionSchema.isEmpty) directories
+      else {
+        // bind the filter's attribute references to partition-row ordinals
+        val bound = partitionFilters.reduce(And).transform {
+          case a: AttributeReference =>
+            val idx = partitionSchema.indexWhere(_.name == a.name)
+            BoundReference(idx, partitionSchema(idx).dataType, nullable = true)
+        }
+        val predicate = Predicate.create(bound, Nil)
+        predicate.initialize(0)
+        directories.filter(d => predicate.eval(d._1.values))
       }
-      val predicate = Predicate.create(bound, Nil)
-      predicate.initialize(0)
-      directories.filter(d => predicate.eval(d.values))
+    if (dataFilters.isEmpty) afterPart.map(_._1)
+    else afterPart.flatMap { case (dir, stats) =>
+      val zipped = dir.files.zip(stats)
+        .filter { case (_, st) =>
+          dataFilters.forall(f => ZonePrune.couldMatch(st, f))
+        }
+      if (zipped.isEmpty) None
+      else Some(PartitionDirectory(dir.values, zipped.map(_._1)))
     }
+  }
 
   override def inputFiles: Array[String] =
     files.map(f => new Path(tablePath, f.path).toString).toArray

@@ -919,15 +919,25 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       // binary stats away). Small commits read footers on the driver;
       // big commits fan the O(files) footer round-trips out to executors.
       val conf = spark.sessionState.newHadoopConf()
+      // zone-map columns: every mappable user data column (meta and
+      // partition columns have dedicated pruning paths), capped so commit
+      // metadata stays O(small) per file on very wide tables
+      val zoneCols: Seq[String] = fullSchema.fields.toSeq
+        .filterNot(f => Seq(RecordKeyCol, CommitTimeCol, DeletedCol)
+          .contains(f.name))
+        .filterNot(f => _meta.partitionFields.contains(f.name))
+        .filter(f => FooterStats.zoneMappable(f.dataType))
+        .map(_.name)
+        .take(ZoneMapMaxColumns)
       val viaFooter: Seq[Option[(Path, FooterStats.Parts)]] =
         if (stagedFiles.size <= FooterReadFanoutThreshold)
-          stagedFiles.map(p => FooterStats.read(conf, p).map(p -> _))
+          stagedFiles.map(p => FooterStats.read(conf, p, zoneCols).map(p -> _))
         else {
           val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
           val names = stagedFiles.map(_.toString)
           spark.sparkContext
             .parallelize(names, math.min(names.size, 64))
-            .map(n => n -> FooterStats.read(serConf.value, new Path(n)))
+            .map(n => n -> FooterStats.read(serConf.value, new Path(n), zoneCols))
             .collect().toSeq.sortBy(_._1)
             .map { case (n, parts) => parts.map(new Path(n) -> _) }
         }
@@ -978,7 +988,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
             throw new IllegalStateException(s"publish rename failed: $rel")
           Some(FileStat(finalRel, partition, p.rows, p.minKey, p.maxKey,
             kind, size, tombstones = p.tombstones,
-            minCommit = p.minCommit, maxCommit = p.maxCommit))
+            minCommit = p.minCommit, maxCommit = p.maxCommit,
+            cols = p.cols))
         }
       }
       fs.delete(staging, true)
@@ -1009,6 +1020,12 @@ object LakeTable {
     * distributed job instead of a sequential driver loop.
     */
   private[graft] var FooterReadFanoutThreshold = 64
+
+  /** Zone maps cover at most this many user columns per file (commit
+    * metadata is read on every query plan — keep it bounded on very wide
+    * tables; the leading columns win, mirroring their index priority).
+    */
+  private[graft] var ZoneMapMaxColumns = 16
   val KeySep = "|"
   val MaxInstant = "99999999999999999"
 

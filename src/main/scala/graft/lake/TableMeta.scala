@@ -107,9 +107,26 @@ case class FileStat(
       * null ⇒ never skipped.
       */
     minCommit: String = null,
-    maxCommit: String = null
+    maxCommit: String = null,
+    /** Zone maps: per-column `name -> [min, max]` for user data columns,
+      * read from the parquet footer at publish time (exact or
+      * conservatively widened — see [[FooterStats]]). Values are encoded
+      * in Catalyst-internal form as strings (ints/longs verbatim, dates
+      * as epoch days, timestamps as epoch micros) and parsed back against
+      * the attribute type at prune time. Best-effort: a column may be
+      * absent (truncated stats, unsupported physical type, legacy
+      * commit ⇒ null map) — absent means "cannot prune", never
+      * "no rows". Drives data-filter file skipping in [[LakeFileIndex]].
+      */
+    cols: Map[String, Seq[String]] = Map.empty
 ) {
   def isDelta: Boolean = kind == "delta"
+
+  /** Null-safe accessor — commits written before zone maps existed
+    * deserialize with a null `cols`.
+    */
+  def colRanges: Map[String, Seq[String]] =
+    if (cols == null) Map.empty else cols
 }
 
 /** One commit on the timeline (reference: Hudi instant + commit metadata,

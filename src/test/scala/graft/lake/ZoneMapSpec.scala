@@ -1,0 +1,147 @@
+package graft.lake
+
+import graft.util.Sessions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class ZoneMapSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Sessions.local("zonemap-test", "4")
+
+  override def afterAll(): Unit = spark.stop()
+
+  def tmp(): String = Files.createTempDirectory("zonemap").toString + "/t"
+
+  // ---- ZonePrune unit semantics over a synthetic FileStat ----
+
+  private val st = FileStat("f", "", 10, "k10", "k50",
+    cols = Map(
+      "v" -> Seq("100.5", "200.25"),
+      "n" -> Seq("-20", "30"),
+      "s" -> Seq("bb", "dd")))
+
+  private val v = AttributeReference("v", DoubleType)()
+  private val n = AttributeReference("n", LongType)()
+  private val s = AttributeReference("s", StringType)()
+  private val key = AttributeReference(LakeTable.RecordKeyCol, StringType)()
+
+  private def lit(x: Any): Literal = Literal(x)
+
+  test("zone prune: comparison operators against numeric ranges") {
+    assert(ZonePrune.couldMatch(st, EqualTo(v, lit(150.0))))
+    assert(!ZonePrune.couldMatch(st, EqualTo(v, lit(99.0))))
+    assert(!ZonePrune.couldMatch(st, EqualTo(v, lit(200.26))))
+    assert(ZonePrune.couldMatch(st, EqualTo(lit(100.5), v))) // boundary, flipped
+    assert(!ZonePrune.couldMatch(st, GreaterThan(v, lit(200.25)))) // hi !> v
+    assert(ZonePrune.couldMatch(st, GreaterThanOrEqual(v, lit(200.25))))
+    assert(!ZonePrune.couldMatch(st, LessThan(v, lit(100.5)))) // lo !< v
+    assert(ZonePrune.couldMatch(st, LessThanOrEqual(v, lit(100.5))))
+    // long range incl. negatives; int literal against long attr
+    assert(ZonePrune.couldMatch(st, EqualTo(n, lit(-20L))))
+    assert(!ZonePrune.couldMatch(st, LessThan(n, lit(-20L))))
+    assert(ZonePrune.couldMatch(st, GreaterThan(lit(31L), n))) // some row < 31
+    assert(ZonePrune.couldMatch(st, LessThan(lit(29L), n))) // some row > 29
+    assert(!ZonePrune.couldMatch(st, LessThan(lit(30L), n))) // none > 30
+  }
+
+  test("zone prune: strings, record key, In/Or/And, unknowns stay safe") {
+    assert(ZonePrune.couldMatch(st, EqualTo(s, lit("cc"))))
+    assert(!ZonePrune.couldMatch(st, EqualTo(s, lit("aa"))))
+    assert(!ZonePrune.couldMatch(st, GreaterThan(s, lit("dd"))))
+    // record-key range rides the same path
+    assert(ZonePrune.couldMatch(st, EqualTo(key, lit("k30"))))
+    assert(!ZonePrune.couldMatch(st, EqualTo(key, lit("z"))))
+    // In: any member inside keeps the file
+    assert(ZonePrune.couldMatch(st, In(v, Seq(lit(1.0), lit(150.0)))))
+    assert(!ZonePrune.couldMatch(st, In(v, Seq(lit(1.0), lit(2.0)))))
+    // And prunes if either side proves impossible; Or needs both
+    assert(!ZonePrune.couldMatch(st,
+      And(EqualTo(v, lit(150.0)), EqualTo(n, lit(99L)))))
+    assert(ZonePrune.couldMatch(st,
+      Or(EqualTo(v, lit(1.0)), EqualTo(n, lit(0L)))))
+    assert(!ZonePrune.couldMatch(st,
+      Or(EqualTo(v, lit(1.0)), EqualTo(n, lit(99L)))))
+    // unknown column / no stats / exotic expression ⇒ never prune
+    val unknown = AttributeReference("nope", LongType)()
+    assert(ZonePrune.couldMatch(st, EqualTo(unknown, lit(1L))))
+    assert(ZonePrune.couldMatch(st, IsNotNull(v)))
+    assert(ZonePrune.couldMatch(st, StartsWith(s, lit("zz"))))
+    // NaN literal must not prune
+    assert(ZonePrune.couldMatch(st, EqualTo(v, lit(Double.NaN))))
+    // legacy FileStat with null cols map
+    val legacy = FileStat("f", "", 10, "a", "b", cols = null)
+    assert(ZonePrune.couldMatch(legacy, EqualTo(v, lit(1.0))))
+  }
+
+  // ---- end-to-end: write path records zones, read path skips files ----
+
+  test("zone maps recorded at write and pruning files at plan time") {
+    val s2 = spark
+    import s2.implicits._
+    val t = LakeTable.create(spark, tmp(),
+      TableMeta("z", Seq("id"), "ts", Seq.empty))
+    // two commits with disjoint value ranges → two file generations
+    t.insert((1 to 100).map(i => (i, 1L, i.toDouble, s"a$i"))
+      .toDF("id", "ts", "v", "tag"))
+    t.insert((101 to 200).map(i => (i, 1L, 1000.0 + i, s"b$i"))
+      .toDF("id", "ts", "v", "tag"))
+    val live = t.timeline.liveFiles()
+    assert(live.forall(f => f.colRanges.contains("v") &&
+      f.colRanges.contains("tag") && f.colRanges.contains("ts")))
+    assert(!live.exists(_.colRanges.contains(LakeTable.RecordKeyCol)))
+
+    def filesScanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numFiles").map(_.value)).sum
+    }
+    val all = filesScanned(t.snapshot())
+    assert(all == live.size)
+    // v > 1100 lives only in commit-2 files
+    val hi = t.snapshot().filter(col("v") > 1100.0)
+    val hiFiles = filesScanned(hi)
+    assert(hiFiles < all, s"expected pruning: $hiFiles vs $all")
+    assert(hi.count() == 100)
+    // string zone: tag starting commit-1 only — equality on an exact value
+    val one = filesScanned(t.snapshot().filter(col("tag") === "a50"))
+    assert(one < all)
+    // impossible predicate scans zero files and still answers correctly
+    val none = t.snapshot().filter(col("v") > 99999.0)
+    assert(filesScanned(none) == 0)
+    assert(none.count() == 0)
+    // pruned query results match the unpruned semantics exactly
+    val expect = t.snapshot().collect()
+      .filter(r => r.getAs[Double]("v") > 1100.0).map(_.getAs[Int]("id")).toSet
+    assert(hi.collect().map(_.getAs[Int]("id")).toSet == expect)
+  }
+
+  test("zone maps survive the JSON round trip and upsert rewrites") {
+    val s2 = spark
+    import s2.implicits._
+    val path = tmp()
+    val t = LakeTable.create(spark, path,
+      TableMeta("z2", Seq("id"), "ts", Seq("part")))
+    t.upsert(Seq((1, 1L, "p1", 5.0), (2, 1L, "p1", 7.0))
+      .toDF("id", "ts", "part", "v"))
+    t.upsert(Seq((1, 2L, "p1", 9.0)).toDF("id", "ts", "part", "v"))
+    // reload from disk: a fresh reader sees the same ranges
+    val t2 = LakeTable.load(spark, path)
+    val f = t2.timeline.liveFiles()
+    assert(f.nonEmpty)
+    val vr = f.flatMap(_.colRanges.get("v"))
+    assert(vr.nonEmpty)
+    // rewritten file carries the merged range [7.0, 9.0] (5.0 lost to
+    // precombine) — bounds parse as doubles and bracket the survivors
+    val los = vr.map(r => r(0).toDouble)
+    val his = vr.map(r => r(1).toDouble)
+    assert(los.min >= 5.0 && his.max <= 9.0 && his.max >= 9.0)
+    assert(t2.snapshot().count() == 2)
+  }
+}

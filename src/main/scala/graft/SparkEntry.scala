@@ -45,6 +45,7 @@ object SparkEntry {
     "lake_mor_snapshot" -> (LakeQueries.lakeMorSnapshot _),
     "lake_incremental" -> (LakeQueries.lakeIncremental _),
     "lake_delete" -> (LakeQueries.lakeDelete _),
+    "lake_zonemap_filter" -> (LakeQueries.lakeZonemapFilter _),
     // extension operators: text analysis / dedup / similarity / multimodal
     "text_stats" -> (TextAnalysis.textStats _),
     "text_exact_dedup" -> (TextAnalysis.exactDedup _),
@@ -302,6 +303,14 @@ object SparkEntry {
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          |FROM b1 WHERE NOT (l_orderkey BETWEEN 100 AND 199)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "lake_zonemap_filter" ->
+      s"""$lakeCtes
+         |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts
+         |FROM b1 WHERE l_orderkey >= 500 AND l_quantity > 1000
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts
+         |FROM b2 WHERE l_quantity > 1000
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "text_stats" ->
       """SELECT lang, COUNT(*) AS docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

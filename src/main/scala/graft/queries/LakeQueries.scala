@@ -109,6 +109,25 @@ object LakeQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Selective snapshot read through the zone maps: the predicate is on a
+    * NON-key, non-partition column (`l_quantity`), so neither partition
+    * pruning nor key-range pruning applies — only the per-file column
+    * ranges recorded at write can skip files. Only the upsert-rewritten
+    * files contain quantities > 1000 (batch2 adds 1000), so the plan
+    * scans those and drops every untouched batch1 file at PLAN time.
+    * The oracle states the same filter over the merged view.
+    */
+  def lakeZonemapFilter(s: SparkSession, dir: String): DataFrame = {
+    val t = freshTable(s)
+    withBatch1(s, dir) { b1 =>
+      t.upsert(b1, combine = false)
+      t.upsert(batch2(b1), combine = false)
+    }
+    t.snapshot().filter(col("l_quantity") > 1000.0)
+      .select(outCols.map(col): _*)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** K1 delete op: keys vanish, survivors keep their data. */
   def lakeDelete(s: SparkSession, dir: String): DataFrame = {
     val t = freshTable(s)

@@ -88,6 +88,40 @@ object EventStreams {
     events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-stream interval join: each purchase attributed to clicks by
+    * the same user within the preceding `windowMinutes` — the streaming
+    * counterpart of the batch as-of/range joins (q21/q22).
+    *
+    * Scale contract: BOTH sides carry watermarks and the join condition
+    * bounds the event-time distance, so Spark can expire join state —
+    * without the time constraint a stream-stream join buffers both
+    * streams forever. State ≈ each side's rows within
+    * (watermark delay + window) per user — bounded, checkpointed.
+    * `joinType` "inner" emits on match; "leftOuter" additionally emits
+    * unmatched purchases (null click columns) once the watermark proves
+    * no matching click can still arrive.
+    */
+  def attributionJoin(events: DataFrame, windowMinutes: Int = 60,
+      delay: String = "30 minutes",
+      joinType: String = "inner"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", delay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", delay)
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") -
+          expr(s"INTERVAL $windowMinutes MINUTES"),
+      joinType)
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("value"), col("click_id"), col("click_ts"))
+  }
+
   /** Running per-user totals via mapGroupsWithState (Update mode). */
   def userTotals(events: Dataset[Event]): Dataset[UserSession] = {
     import events.sparkSession.implicits._

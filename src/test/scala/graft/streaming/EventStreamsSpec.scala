@@ -127,4 +127,58 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(last.getAs[Long]("events") == 2L)
     assert(last.getAs[Double]("total") == 3.5)
   }
+
+  test("stream-stream interval join attributes purchases to recent clicks") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val df = mem.toDF()
+    val q = EventStreams.attributionJoin(df, windowMinutes = 10)
+      .writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    mem.addData(
+      EventStreams.Event(1, ts(0), 7, "click", 0.0),
+      EventStreams.Event(2, ts(5), 7, "purchase", 9.5), // 5 min after → match
+      EventStreams.Event(3, ts(20), 7, "purchase", 1.0), // 20 min after → no
+      EventStreams.Event(4, ts(3), 8, "purchase", 2.0)) // other user → no
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("attr")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((2L, 1L)))
+  }
+
+  test("left-outer interval join emits unmatched purchases after watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.attributionJoin(mem.toDF(), windowMinutes = 10,
+        delay = "10 minutes", joinType = "leftOuter")
+      .writeStream.format("memory").queryName("attr_lo")
+      .outputMode("append").start()
+    mem.addData(
+      EventStreams.Event(1, ts(0), 7, "click", 0.0),
+      EventStreams.Event(2, ts(5), 7, "purchase", 9.5), // matches
+      EventStreams.Event(3, ts(6), 9, "purchase", 4.0)) // no click: outer row
+    q.processAllAvailable()
+    // push event time far ahead on BOTH branches — the global watermark
+    // is the MIN over all watermark nodes, so advancing only the click
+    // side would leave the purchase-side watermark (and state cleanup)
+    // behind. Next batch's cleanup then emits the outer row for id=3.
+    mem.addData(EventStreams.Event(4, ts(59), 1, "click", 0.0),
+      EventStreams.Event(5, ts(59), 1, "purchase", 0.0))
+    q.processAllAvailable()
+    mem.addData(EventStreams.Event(6, ts(59), 2, "click", 0.0),
+      EventStreams.Event(7, ts(59), 2, "purchase", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attr_lo")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(rows.contains((2L, 1L)))
+    assert(rows.contains((3L, -1L)), s"expected outer row: $rows")
+  }
 }

@@ -3,7 +3,7 @@ package graft.lake
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BooleanType, DataType, StringType, StructField, StructType}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 /** A keyed, partitioned, versioned table on Parquet + a JSON commit
@@ -511,6 +511,70 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     Some(instant)
   }
 
+  /** Z-ORDER clustering rewrite: lays files along a space-filling curve
+    * over several numeric columns so the per-file zone maps stay tight on
+    * EVERY participating column at once — a lexicographic `cluster(a, b)`
+    * sort gives b's zone maps no locality beyond ties in a.
+    *
+    * Bucketization is equi-depth (one multi-column `approxQuantile` pass
+    * computes 2^bitsPerCol boundaries per column on the driver — a few KB
+    * — so skewed distributions still spread across the curve), then the
+    * per-column bucket ids are bit-interleaved into the sort key. A
+    * maintenance rewrite like [[cluster]]: rows keep their commit times,
+    * so time travel and incremental reads are unaffected.
+    */
+  def clusterZOrder(cols: Seq[String],
+      bitsPerCol: Int = 8): Option[String] = timeline.withLock() {
+    require(cols.size >= 2,
+      "z-order needs >= 2 columns; use cluster() for a single sort column")
+    require(cols.size * bitsPerCol <= 30,
+      s"cols*bitsPerCol must fit an int, got ${cols.size * bitsPerCol} bits")
+    cols.foreach { c =>
+      val dt = fullSchema(fullSchema.fieldIndex(c)).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"z-order column $c must be numeric (got $dt); derive a numeric " +
+          "proxy column for dates/strings first")
+    }
+    val live = timeline.liveFiles()
+    if (live.isEmpty) None
+    else {
+      val instant = timeline.nextInstant()
+      val resolved =
+        (if (live.exists(_.isDelta))
+          resolveLatest(readFiles(live.map(_.path)), tombstoneBarrier(live))
+        else readStats(live))
+          // two passes below (quantiles, then the staged write)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nb = 1 << bitsPerCol
+        val probs = (1 until nb).map(_.toDouble / nb).toArray
+        val doubled = resolved.select(
+          cols.map(c => col(c).cast("double").as(c)): _*)
+        val bounds = doubled.stat.approxQuantile(cols.toArray, probs, 0.01)
+        // bucket_c = #boundaries <= value (equi-depth rank, 0..nb-1);
+        // nulls sort first (bucket 0)
+        val buckets = cols.zip(bounds.toSeq).map { case (c, bs) =>
+          val arr = array(bs.distinct.sorted.map(lit): _*)
+          coalesce(
+            aggregate(arr, lit(0), (acc, b) =>
+              acc + when(col(c).cast("double") >= b, 1).otherwise(0)),
+            lit(0))
+        }
+        // interleave: bit j of column i's bucket → output bit j*k + i,
+        // so all columns contribute equally at every granularity
+        val k = cols.size
+        val zval = (for (i <- 0 until k; j <- 0 until bitsPerCol) yield
+          shiftleft(shiftright(buckets(i), j).bitwiseAND(lit(1)), j * k + i))
+          .reduce(_ + _)
+        val stats = stageWrite(resolved, instant, kind = "base",
+          clusterExprs = Seq(zval))
+        timeline.commit(
+          CommitMeta(instant, "cluster", stats, live.map(_.path)))
+        Some(instant)
+      } finally { resolved.unpersist(); () }
+    }
+  }
+
   /** Timeline archival (reference keep.min/max.commits): roll history
     * older than `keepCommits` into a checkpoint; see Timeline.archive.
     */
@@ -868,7 +932,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * `<instant>_<n>.parquet` names. Returns the added-file stats.
     */
   private def stageWrite(out: DataFrame, instant: String,
-      kind: String = "base", clusterBy: Seq[String] = Seq.empty): Seq[FileStat] = {
+      kind: String = "base", clusterBy: Seq[String] = Seq.empty,
+      clusterExprs: Seq[Column] = Seq.empty): Seq[FileStat] = {
     val ordered0 = out.select(fullSchema.fieldNames.map(col).toIndexedSeq: _*)
       // range partitioning SAMPLES its input before shuffling — without a
       // cache that re-executes the (expensive) merge/anti-join plan twice
@@ -884,7 +949,9 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     // every hash-scattered file — and sorted keys give parquet row-group
     // stats that skip at scan (Hudi's sort-mode/clustering analog).
     val clusterCols = _meta.partitionFields.map(col) ++
-      (if (clusterBy.nonEmpty) clusterBy.map(col) else Seq(col(RecordKeyCol)))
+      (if (clusterExprs.nonEmpty) clusterExprs
+      else if (clusterBy.nonEmpty) clusterBy.map(col)
+      else Seq(col(RecordKeyCol)))
     val ordered = ordered0
       .repartitionByRange(clusterCols: _*)
       .sortWithinPartitions(clusterCols: _*)

@@ -12,6 +12,7 @@ import graft.util.Sessions
   *   runMain graft.tools.LakeCli show        <tablePath> [n]
   *   runMain graft.tools.LakeCli compact     <tablePath> [partitionDir...]
   *   runMain graft.tools.LakeCli cluster     <tablePath> <col>[,col...]
+  *   runMain graft.tools.LakeCli zorder      <tablePath> <col>,<col>[,col...]
   *   runMain graft.tools.LakeCli clean       <tablePath> [retainCommits]
   *   runMain graft.tools.LakeCli sweep       <tablePath>        # orphaned data
   *   runMain graft.tools.LakeCli archive     <tablePath> [keepCommits]
@@ -74,6 +75,10 @@ object LakeCli {
         require(args.length > 2, "cluster needs sort columns")
         val done = t.cluster(args(2).split(",").map(_.trim).toSeq)
         println(done.fold("empty table")(i => s"clustered at $i"))
+      case "zorder" =>
+        require(args.length > 2, "zorder needs curve columns")
+        val done = t.clusterZOrder(args(2).split(",").map(_.trim).toSeq)
+        println(done.fold("empty table")(i => s"z-ordered at $i"))
       case "clean" =>
         t.clean(if (args.length > 2) args(2).toInt else 2)
         println("clean done")

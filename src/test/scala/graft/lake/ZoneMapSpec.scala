@@ -122,6 +122,43 @@ class ZoneMapSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hi.collect().map(_.getAs[Int]("id")).toSet == expect)
   }
 
+  test("z-order clustering makes zone maps prune on BOTH curve columns") {
+    val s2 = spark
+    import s2.implicits._
+    val t = LakeTable.create(spark, tmp(),
+      TableMeta("zo", Seq("id"), "ts", Seq.empty))
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // stable file count
+    try {
+      // 64×64 grid; id = row-major order, so key-ordered files are tight
+      // on v1 but span ALL of v2
+      val grid = for (i <- 0 until 64; j <- 0 until 64)
+        yield (i * 64 + j, 1L, i.toDouble, j.toDouble)
+      t.insert(grid.toDF("id", "ts", "v1", "v2"))
+
+      def filesScanned(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        df.queryExecution.executedPlan.collectLeaves()
+          .flatMap(_.metrics.get("numFiles").map(_.value)).sum
+      }
+      val all = t.timeline.liveFiles().size.toLong
+      assert(all > 8, s"need many files for a meaningful prune test: $all")
+      val v2Before = filesScanned(t.snapshot().filter(col("v2") < 4.0))
+      assert(v2Before == all, "key-ordered layout cannot prune on v2")
+      val before = t.snapshot().orderBy("id").drop("_deleted").collect().toSeq
+
+      assert(t.clusterZOrder(Seq("v1", "v2"), bitsPerCol = 5).isDefined)
+      val allZ = t.timeline.liveFiles().size.toLong
+      val v1After = filesScanned(t.snapshot().filter(col("v1") < 4.0))
+      val v2After = filesScanned(t.snapshot().filter(col("v2") < 4.0))
+      assert(v1After < allZ / 2, s"v1 prune after z-order: $v1After/$allZ")
+      assert(v2After < allZ / 2, s"v2 prune after z-order: $v2After/$allZ")
+      // the rewrite changed layout only — same rows, same values
+      val after = t.snapshot().orderBy("id").drop("_deleted").collect().toSeq
+      assert(after == before)
+      assert(t.snapshot().filter(col("v2") < 4.0).count() == 64 * 4)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("zone maps survive the JSON round trip and upsert rewrites") {
     val s2 = spark
     import s2.implicits._

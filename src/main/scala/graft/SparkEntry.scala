@@ -40,6 +40,7 @@ object SparkEntry {
     "q21_asof_join" -> (Relational.q21AsofJoin _),
     "q22_range_join" -> (Relational.q22RangeJoin _),
     "q23_grouping_sets" -> (Relational.q23GroupingSets _),
+    "q24_explode" -> (Relational.q24Explode _),
     // SURVEY §2.1 lake-table format ops (S3/S4/K1) through the oracle gate
     "lake_merge_snapshot" -> (LakeQueries.lakeMergeSnapshot _),
     "lake_mor_snapshot" -> (LakeQueries.lakeMorSnapshot _),
@@ -254,6 +255,11 @@ object SparkEntry {
         |  COUNT(*) FILTER (o_orderstatus = 'P') AS "P"
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q24_explode" ->
+      """SELECT token, COUNT(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE len(token) > 0
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 25""".stripMargin,
     "q23_grouping_sets" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
         |  COALESCE(l_linestatus, 'ALL') AS ls,

@@ -346,6 +346,23 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Generate/explode (beyond reference surface): token frequency over
+    * `documents` — explode the split array, count, top-25. The Generate
+    * operator runs inside whole-stage codegen and the count is map-side
+    * combined, so the shuffle carries (token, partial count), not the
+    * exploded corpus: the safe shape at 100 TB (an explode THEN shuffle
+    * of raw tokens would multiply the corpus by tokens-per-doc).
+    * Deterministic top-k: ties broken by the token itself.
+    */
+  def q24Explode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(25)
+
   /** Set ops: union/except on projections (SURVEY §2.5 notes the rebuild
     * introduces union for COW rewrite; exposed as a query op too).
     */

@@ -80,6 +80,62 @@ class ZoneMapSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ZonePrune.couldMatch(legacy, EqualTo(v, lit(1.0))))
   }
 
+  test("zone prune soundness fuzz: a pruned file never contains a matching row") {
+    val rnd = new scala.util.Random(42)
+    def randStr(): String = List.fill(rnd.nextInt(3) + 1)(
+      ('a' + rnd.nextInt(4)).toChar).mkString
+    for (round <- 1 to 500) {
+      // random row set; bounds derived EXACTLY like the writer would
+      val vs = Seq.fill(rnd.nextInt(6) + 1)(rnd.nextInt(40) - 20.0)
+      val ss = Seq.fill(rnd.nextInt(6) + 1)(randStr())
+      val st = FileStat("f", "", vs.size, "a", "b", cols = Map(
+        "v" -> Seq(vs.min.toString, vs.max.toString),
+        "s" -> Seq(ss.min, ss.max)))
+      val va = AttributeReference("v", DoubleType)()
+      val sa = AttributeReference("s", StringType)()
+      def numPred(): (Expression, Double => Boolean) = {
+        val c = rnd.nextInt(40) - 20.0
+        rnd.nextInt(5) match {
+          case 0 => (EqualTo(va, Literal(c)), (x: Double) => x == c)
+          case 1 => (LessThan(va, Literal(c)), (x: Double) => x < c)
+          case 2 => (LessThanOrEqual(va, Literal(c)), (x: Double) => x <= c)
+          case 3 => (GreaterThan(va, Literal(c)), (x: Double) => x > c)
+          case _ => (GreaterThanOrEqual(va, Literal(c)), (x: Double) => x >= c)
+        }
+      }
+      def strPred(): (Expression, String => Boolean) = {
+        val c = randStr()
+        rnd.nextInt(3) match {
+          case 0 => (EqualTo(sa, Literal(c)), (x: String) => x == c)
+          case 1 => (LessThan(sa, Literal(c)), (x: String) => x < c)
+          case _ => (GreaterThan(sa, Literal(c)), (x: String) => x > c)
+        }
+      }
+      val (pn, fn) = numPred()
+      val (ps, fs2) = strPred()
+      val rowsMatch = Map[Expression, Boolean](
+        pn -> vs.exists(fn),
+        ps -> ss.exists(fs2),
+        And(pn, ps) -> (vs.exists(fn) && ss.exists(fs2)),
+        Or(pn, ps) -> (vs.exists(fn) || ss.exists(fs2)))
+      rowsMatch.foreach { case (e, anyRow) =>
+        // soundness: pruned ⇒ genuinely no matching row. (The converse —
+        // kept but no row matches — is allowed: And over independent
+        // column ranges is conservative by construction.)
+        if (!ZonePrune.couldMatch(st, e))
+          assert(!anyRow, s"round $round unsound prune: $e over v=$vs s=$ss")
+      }
+      // single-column INEQUALITIES are exact against true min/max bounds
+      // (equality can only be exact with a full value index, not a range)
+      if (!pn.isInstanceOf[EqualTo])
+        assert(ZonePrune.couldMatch(st, pn) == vs.exists(fn),
+          s"round $round: $pn not exact over $vs")
+      if (!ps.isInstanceOf[EqualTo])
+        assert(ZonePrune.couldMatch(st, ps) == ss.exists(fs2),
+          s"round $round: $ps not exact over $ss")
+    }
+  }
+
   // ---- end-to-end: write path records zones, read path skips files ----
 
   test("zone maps recorded at write and pruning files at plan time") {

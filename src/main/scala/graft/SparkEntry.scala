@@ -41,6 +41,8 @@ object SparkEntry {
     "q22_range_join" -> (Relational.q22RangeJoin _),
     "q23_grouping_sets" -> (Relational.q23GroupingSets _),
     "q24_explode" -> (Relational.q24Explode _),
+    "q25_unpivot" -> (Relational.q25Unpivot _),
+    "q26_full_outer" -> (Relational.q26FullOuter _),
     // SURVEY §2.1 lake-table format ops (S3/S4/K1) through the oracle gate
     "lake_merge_snapshot" -> (LakeQueries.lakeMergeSnapshot _),
     "lake_mor_snapshot" -> (LakeQueries.lakeMorSnapshot _),
@@ -260,6 +262,28 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |WHERE len(token) > 0
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 25""".stripMargin,
+    "q25_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'qty' AS measure, qty AS val FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'price' AS measure, price AS val FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'disc' AS measure, disc AS val FROM w
+        |ORDER BY l_returnflag, measure""".stripMargin,
+    "q26_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+        |           FROM customer WHERE c_acctbal > 7500 GROUP BY 1),
+        |s AS (SELECT s_nationkey AS snk, COUNT(*) AS n_supp
+        |      FROM supplier WHERE s_acctbal < 500 GROUP BY 1)
+        |SELECT COALESCE(nk, snk) AS nationkey,
+        |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON nk = snk
+        |ORDER BY nationkey""".stripMargin,
     "q23_grouping_sets" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
         |  COALESCE(l_linestatus, 'ALL') AS ls,

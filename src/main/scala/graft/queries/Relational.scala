@@ -363,6 +363,40 @@ object Relational {
       .orderBy(col("cnt").desc, col("token"))
       .limit(25)
 
+  /** Unpivot/melt (beyond reference surface): wide per-flag measure
+    * columns reshaped to long (measure, val) rows — the inverse of
+    * q20_pivot, via the native Expand-based `unpivot` (no UDFs, no
+    * per-measure scans; one pass emits all three measures).
+    */
+  def q25Unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        sum(col("l_quantity").cast(dec)).cast("double").as("qty"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("price"),
+        sum(col("l_discount").cast(dec)).cast("double").as("disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("disc")), "measure", "val")
+      .orderBy("l_returnflag", "measure")
+
+  /** Full-outer join (beyond reference surface): high-balance customers
+    * vs low-balance suppliers per nation — either side may be absent, the
+    * coalesced counts keep the row. Small agg-then-join: both sides
+    * reduce to ≤ nation-count rows before the join, so the shuffle is
+    * trivial no matter the input scale.
+    */
+  def q26FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_acctbal") > 7500)
+      .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+    val sup = t(s, dir, "supplier").filter(col("s_acctbal") < 500)
+      .groupBy(col("s_nationkey").as("snk")).agg(count(lit(1)).as("n_supp"))
+    c.join(sup, col("nk") === col("snk"), "full_outer")
+      .select(coalesce(col("nk"), col("snk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
   /** Set ops: union/except on projections (SURVEY §2.5 notes the rebuild
     * introduces union for COW rewrite; exposed as a query op too).
     */

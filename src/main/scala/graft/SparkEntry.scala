@@ -49,6 +49,8 @@ object SparkEntry {
     "lake_incremental" -> (LakeQueries.lakeIncremental _),
     "lake_delete" -> (LakeQueries.lakeDelete _),
     "lake_zonemap_filter" -> (LakeQueries.lakeZonemapFilter _),
+    "lake_time_travel" -> (LakeQueries.lakeTimeTravel _),
+    "lake_read_optimized" -> (LakeQueries.lakeReadOptimized _),
     // extension operators: text analysis / dedup / similarity / multimodal
     "text_stats" -> (TextAnalysis.textStats _),
     "text_exact_dedup" -> (TextAnalysis.exactDedup _),
@@ -333,6 +335,16 @@ object SparkEntry {
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          |FROM b1 WHERE NOT (l_orderkey BETWEEN 100 AND 199)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "lake_time_travel" ->
+      s"""$lakeCtes
+         |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts
+         |FROM b1
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "lake_read_optimized" ->
+      s"""$lakeCtes
+         |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts
+         |FROM b1
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "lake_zonemap_filter" ->
       s"""$lakeCtes
          |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts

@@ -128,6 +128,33 @@ object LakeQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** S3 time travel: `snapshotAsOf(c1)` after a second commit must
+    * reproduce exactly the pre-update table — the oracle is batch1 alone.
+    */
+  def lakeTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val t = freshTable(s)
+    val c1 = withBatch1(s, dir) { b1 =>
+      val c = t.upsert(b1, combine = false)
+      t.upsert(batch2(b1), combine = false)
+      c
+    }
+    t.snapshotAsOf(c1).select(outCols.map(col): _*)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** S5 read-optimized MOR view: base files only — the not-yet-compacted
+    * batch2 deltas must be invisible, so the oracle is batch1 alone.
+    */
+  def lakeReadOptimized(s: SparkSession, dir: String): DataFrame = {
+    val t = freshTable(s, tableType = "mor")
+    withBatch1(s, dir) { b1 =>
+      t.insert(b1) // bulk load writes BASE files (key-unique input)
+      t.upsert(batch2(b1), combine = false) // delta append, not compacted
+    }
+    t.readOptimized().select(outCols.map(col): _*)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** K1 delete op: keys vanish, survivors keep their data. */
   def lakeDelete(s: SparkSession, dir: String): DataFrame = {
     val t = freshTable(s)

@@ -486,6 +486,37 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     }
   }
 
+  /** Table service: small-file bin-packing (the OPTIMIZE/file-sizing
+    * maintenance op). Partitions holding `minFiles`+ BASE files under
+    * `targetBytes` get exactly those files rewritten into key-clustered,
+    * well-filled ones; everything else — big files, cold partitions,
+    * MOR deltas (compaction's job) — is untouched. Rows pass through
+    * verbatim (same `_commit_time`, same precombine values), so merged
+    * MOR reads, incremental reads and time travel resolve identically;
+    * the commit removes only the packed files. At 100 TB the small-file
+    * population is the metadata + task-granularity killer (every file is
+    * a plan entry and a read task); packing is O(picked bytes), never
+    * O(table).
+    */
+  def packSmallFiles(targetBytes: Long = 128L * 1024 * 1024,
+      minFiles: Int = 2): Option[String] = timeline.withLock() {
+    require(targetBytes > 0 && minFiles >= 2,
+      s"need targetBytes > 0 and minFiles >= 2, got ($targetBytes, $minFiles)")
+    val live = timeline.liveFiles()
+    val picked = live
+      .filter(f => !f.isDelta && f.tombstones == 0 &&
+        f.sizeBytes > 0 && f.sizeBytes < targetBytes)
+      .groupBy(_.partition).filter(_._2.size >= minFiles)
+      .values.flatten.toSeq
+    if (picked.isEmpty) None
+    else {
+      val instant = timeline.nextInstant()
+      val stats = stageWrite(readStats(picked), instant, kind = "base")
+      timeline.commit(CommitMeta(instant, "pack", stats, picked.map(_.path)))
+      Some(instant)
+    }
+  }
+
   /** Table service: rewrite the live file set clustered (range-
     * partitioned + sorted) by `sortCols` within each partition dir — the
     * sort-order/clustering service of modern table formats (Hudi

@@ -13,6 +13,7 @@ import graft.util.Sessions
   *   runMain graft.tools.LakeCli compact     <tablePath> [partitionDir...]
   *   runMain graft.tools.LakeCli cluster     <tablePath> <col>[,col...]
   *   runMain graft.tools.LakeCli zorder      <tablePath> <col>,<col>[,col...]
+  *   runMain graft.tools.LakeCli pack        <tablePath> [targetBytes]
   *   runMain graft.tools.LakeCli clean       <tablePath> [retainCommits]
   *   runMain graft.tools.LakeCli sweep       <tablePath>        # orphaned data
   *   runMain graft.tools.LakeCli archive     <tablePath> [keepCommits]
@@ -75,6 +76,10 @@ object LakeCli {
         require(args.length > 2, "cluster needs sort columns")
         val done = t.cluster(args(2).split(",").map(_.trim).toSeq)
         println(done.fold("empty table")(i => s"clustered at $i"))
+      case "pack" =>
+        val target = if (args.length > 2) args(2).toLong else 128L * 1024 * 1024
+        val done = t.packSmallFiles(target)
+        println(done.fold("nothing to pack")(i => s"packed at $i"))
       case "zorder" =>
         require(args.length > 2, "zorder needs curve columns")
         val done = t.clusterZOrder(args(2).split(",").map(_.trim).toSeq)

@@ -380,6 +380,34 @@ class LakeTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.snapshot().count() == 2) // committed data untouched
   }
 
+  test("packSmallFiles: bin-packs small base files, leaves state semantics intact") {
+    val t = mkTable(tmp())
+    // four small commits into one partition → four sliver files
+    val c1 = t.upsert(df((1, "a", 10L, "p1", 1.0)))
+    t.upsert(df((2, "b", 10L, "p1", 2.0)))
+    t.upsert(df((3, "c", 10L, "p1", 3.0)))
+    val c4 = t.upsert(df((4, "d", 10L, "p2", 9.0))) // lone file in p2
+    val before = t.snapshot().orderBy("id").drop("_deleted").collect().toSeq
+    val liveBefore = t.timeline.liveFiles()
+    assert(liveBefore.count(_.partition == "part=p1") == 3)
+
+    val inst = t.packSmallFiles(targetBytes = 10L * 1024 * 1024)
+    assert(inst.isDefined)
+    val liveAfter = t.timeline.liveFiles()
+    // p1's slivers merged; p2's lone file untouched (below minFiles)
+    assert(liveAfter.count(_.partition == "part=p1") == 1)
+    assert(liveAfter.filter(_.partition == "part=p2") ==
+      liveBefore.filter(_.partition == "part=p2"))
+    // content identical; rows keep commit times → time travel and
+    // incremental reads are unaffected by the rewrite
+    assert(t.snapshot().orderBy("id").drop("_deleted").collect().toSeq == before)
+    assert(t.incremental(c4).count() == 0)
+    assert(t.snapshotAsOf(c1).count() == 1)
+    assert(t.timeline.read(inst.get).operation == "pack")
+    // idempotent: nothing left to pack
+    assert(t.packSmallFiles(targetBytes = 10L * 1024 * 1024).isEmpty)
+  }
+
   test("data-file rename failure mid-publish: partial residue invisible, retry converges") {
     val path = tmp()
     val t = mkTable(path)

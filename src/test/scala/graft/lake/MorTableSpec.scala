@@ -196,4 +196,26 @@ class MorTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(snap.count() == 1)
     assert(snap.head().getAs[String]("part") == "p2")
   }
+
+  test("packSmallFiles on MOR packs bases only; outstanding deltas still merge") {
+    val t = mkTable()
+    t.insert(df((1, 10L, "p1", 1.0), (2, 10L, "p1", 2.0))) // base
+    t.insert(df((3, 10L, "p1", 3.0)))                      // second base
+    t.upsert(df((2, 20L, "p1", 22.0)))                     // delta, unmerged
+    val deltasBefore = t.timeline.liveFiles().filter(_.isDelta)
+    assert(deltasBefore.nonEmpty)
+    val merged = t.snapshot().orderBy("id").drop("_deleted").collect().toSeq
+
+    assert(t.packSmallFiles(targetBytes = 10L * 1024 * 1024).isDefined)
+    val liveAfter = t.timeline.liveFiles()
+    // deltas untouched; the two base files became one
+    assert(liveAfter.filter(_.isDelta) == deltasBefore)
+    assert(liveAfter.count(f => !f.isDelta) == 1)
+    // merge resolution identical over the packed base
+    assert(t.snapshot().orderBy("id").drop("_deleted").collect().toSeq == merged)
+    assert(t.snapshot().filter(col("id") === 2).head().getAs[Double]("v") == 22.0)
+    // read-optimized still shows the packed stale base value
+    assert(t.readOptimized().filter(col("id") === 2)
+      .head().getAs[Double]("v") == 2.0)
+  }
 }

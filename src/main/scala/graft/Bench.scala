@@ -14,6 +14,13 @@ object Bench {
     val spark = graft.util.Sessions.builder("graft-bench")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // make shuffle cleanup synchronous on the cleaner thread: the GC we
+      // force between queries then finishes its file deletion inside the
+      // untimed gap instead of racing the next query's execution (the
+      // "random query stalls 5-10x" pattern — BENCH_r04's text_curate
+      // 27s-vs-6s outlier)
+      .config("spark.cleaner.referenceTracking.blocking", "true")
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -48,6 +55,10 @@ object Bench {
       // stall random later queries. One explicit GC per query keeps the
       // cleanup outside the timed regions.
       System.gc()
+      // the ContextCleaner drains its reference queue asynchronously even
+      // after the GC returns — give it a beat so deletion I/O lands in
+      // this untimed gap, not under the next query
+      Thread.sleep(250)
       // a failed query must not masquerade as a fast one
       name -> (if (ok) elapsed else -1.0)
     }

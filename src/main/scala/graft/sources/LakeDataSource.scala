@@ -44,55 +44,16 @@ class LakeDataSource extends RelationProvider with SchemaRelationProvider
   override def shortName(): String = "graft-lake"
 
   private def path(parameters: Map[String, String]): String =
-    parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graft-lake requires a path (load(path) or option(\"path\", ...))"))
+    LakeDataSource.path(parameters)
 
-  /** Load the table, or create it from the option surface; a declared SQL
-    * schema (CREATE TABLE cols) is captured as the user schema up front so
-    * the table is fully typed before its first write.
-    */
   private def ensureTable(spark: SparkSession, p: String,
       parameters: Map[String, String],
       declared: Option[StructType]): LakeTable =
-    if (LakeTable.exists(spark, p)) LakeTable.load(spark, p)
-    else LakeTable.create(spark, p, TableMeta(
-      name = parameters.getOrElse("table.name",
-        p.substring(p.lastIndexOf('/') + 1)),
-      recordKeyFields = parameters.getOrElse("recordkey.field",
-        throw new IllegalArgumentException(
-          "recordkey.field required to create a table"))
-        .split(",").map(_.trim).toSeq,
-      precombineField = parameters.getOrElse("precombine.field",
-        throw new IllegalArgumentException(
-          "precombine.field required to create a table")),
-      partitionFields = parameters.get("partition.fields")
-        .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty),
-      tableType = parameters.getOrElse("table.type", "cow"),
-      inlineCompactMax =
-        parameters.getOrElse("compact.inline.max", "0").toInt,
-      schemaJson = declared.map(_.json).getOrElse(""),
-      keyEncoding = parameters.getOrElse("key.encoding", "plain"),
-      indexScope = parameters.getOrElse("index.scope", "global")))
+    LakeDataSource.ensureTable(spark, p, parameters, declared)
 
-  /** The DataFrame a read under `parameters` resolves to right now. */
   private def queryDf(spark: SparkSession,
-      parameters: Map[String, String]): DataFrame = {
-    val t = LakeTable.load(spark, path(parameters))
-    parameters.getOrElse("query.type", "snapshot") match {
-      case "incremental" =>
-        t.incremental(
-          parameters.getOrElse("begin", Timeline.Earliest),
-          parameters.getOrElse("end", LakeTable.MaxInstant))
-      case "read_optimized" => t.readOptimized()
-      case "snapshot" | null =>
-        parameters.get("as.of") match {
-          case Some(i) => t.snapshotAsOf(i)
-          case None    => t.snapshot()
-        }
-      case other =>
-        throw new IllegalArgumentException(s"unknown query.type $other")
-    }
-  }
+      parameters: Map[String, String]): DataFrame =
+    LakeDataSource.queryDf(spark, parameters)
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -120,26 +81,12 @@ class LakeDataSource extends RelationProvider with SchemaRelationProvider
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val spark = sqlContext.sparkSession
-    val p = path(parameters)
-    val table = ensureTable(spark, p, parameters, None)
-    // commit-extra metadata riding with the write (e.g. the streaming
-    // sink's batch-id watermark), encoded as a single "k=v" option
-    val extra: Map[String, String] = parameters.get("stream.extra")
-      .map { kv =>
-        val Array(k, v) = kv.split("=", 2); Map(k -> v)
-      }.getOrElse(Map.empty)
     // SaveMode.Overwrite with no explicit operation = full replace, the
     // standard Spark overwrite contract; everything else defaults to the
     // safe keyed upsert
     val defaultOp = if (mode == SaveMode.Overwrite) "overwrite" else "upsert"
-    parameters.getOrElse("operation", defaultOp) match {
-      case "upsert"    => table.upsert(data, extra = extra)
-      case "insert"    => table.insert(data, extra = extra)
-      case "delete"    => table.delete(data, extra = extra)
-      case "overwrite" => table.overwrite(data, extra = extra)
-      case other =>
-        throw new IllegalArgumentException(s"unknown operation $other")
-    }
+    LakeDataSource.runOperation(spark, parameters,
+      parameters.getOrElse("operation", defaultOp), data)
     LakeRelation(spark, () => queryDf(spark, parameters), None,
       parameters, this)
   }
@@ -189,6 +136,86 @@ class LakeDataSource extends RelationProvider with SchemaRelationProvider
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: OutputMode): Sink =
     new LakeSink(sqlContext.sparkSession, parameters, this)
+}
+
+/** Option-surface helpers shared by the V1 provider above and the DSv2
+  * provider ([[LakeDataSourceV2]]) — one parsing/creation/read-resolution
+  * path, two API surfaces.
+  */
+object LakeDataSource {
+
+  def path(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-lake requires a path (load(path) or option(\"path\", ...))"))
+
+  /** Load the table, or create it from the option surface; a declared SQL
+    * schema (CREATE TABLE cols) is captured as the user schema up front so
+    * the table is fully typed before its first write.
+    */
+  def ensureTable(spark: SparkSession, p: String,
+      parameters: Map[String, String],
+      declared: Option[StructType]): LakeTable =
+    if (LakeTable.exists(spark, p)) LakeTable.load(spark, p)
+    else LakeTable.create(spark, p, TableMeta(
+      name = parameters.getOrElse("table.name",
+        p.substring(p.lastIndexOf('/') + 1)),
+      recordKeyFields = parameters.getOrElse("recordkey.field",
+        throw new IllegalArgumentException(
+          "recordkey.field required to create a table"))
+        .split(",").map(_.trim).toSeq,
+      precombineField = parameters.getOrElse("precombine.field",
+        throw new IllegalArgumentException(
+          "precombine.field required to create a table")),
+      partitionFields = parameters.get("partition.fields")
+        .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty),
+      tableType = parameters.getOrElse("table.type", "cow"),
+      inlineCompactMax =
+        parameters.getOrElse("compact.inline.max", "0").toInt,
+      schemaJson = declared.map(_.json).getOrElse(""),
+      keyEncoding = parameters.getOrElse("key.encoding", "plain"),
+      indexScope = parameters.getOrElse("index.scope", "global")))
+
+  /** The DataFrame a read under `parameters` resolves to right now. */
+  def queryDf(spark: SparkSession,
+      parameters: Map[String, String]): DataFrame = {
+    val t = LakeTable.load(spark, path(parameters))
+    parameters.getOrElse("query.type", "snapshot") match {
+      case "incremental" =>
+        t.incremental(
+          parameters.getOrElse("begin", Timeline.Earliest),
+          parameters.getOrElse("end", LakeTable.MaxInstant))
+      case "read_optimized" => t.readOptimized()
+      case "snapshot" | null =>
+        parameters.get("as.of") match {
+          case Some(i) => t.snapshotAsOf(i)
+          case None    => t.snapshot()
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unknown query.type $other")
+    }
+  }
+
+  /** Apply batch `operation` semantics to `data` (shared by the V1
+    * CreatableRelationProvider and the DSv2 V1Write fallback).
+    */
+  def runOperation(spark: SparkSession, parameters: Map[String, String],
+      op: String, data: DataFrame): Unit = {
+    val p = path(parameters)
+    val table = ensureTable(spark, p, parameters, None)
+    val extra: Map[String, String] = parameters.get("stream.extra")
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2); Map(k -> v)
+      }.getOrElse(Map.empty)
+    op match {
+      case "upsert"    => table.upsert(data, extra = extra)
+      case "insert"    => table.insert(data, extra = extra)
+      case "delete"    => table.delete(data, extra = extra)
+      case "overwrite" => table.overwrite(data, extra = extra)
+      case other =>
+        throw new IllegalArgumentException(s"unknown operation $other")
+    }
+    ()
+  }
 }
 
 class LakeSink(spark: SparkSession, parameters: Map[String, String],

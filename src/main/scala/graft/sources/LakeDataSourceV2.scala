@@ -1,0 +1,193 @@
+package graft.sources
+
+import graft.lake.LakeTable
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 `TableProvider` for the lake format —
+  * `format("graft-lake-v2")` / `CREATE TABLE ... USING graft-lake-v2` —
+  * the connector API the reference's Hudi dependency exposes on modern
+  * Spark (the reference itself stays on the v1 option surface,
+  * package.scala:71-73; this provider brings the same tables to the v2
+  * catalog plumbing: `DataSourceV2Relation` plans, capability checks,
+  * `AppendData`/`OverwriteByExpression` logical writes).
+  *
+  * Deliberately a THIN surface: scans and writes go through Spark's
+  * official v1-fallback shims ([[V1Scan]] / [[V1Write]]), so both API
+  * generations share ONE proven read/write path ([[LakeTable]] via
+  * [[LakeDataSource]]'s helpers) — no second implementation to drift.
+  * Streaming stays on the v1 short name (`graft-lake`), which carries the
+  * timeline source and the batch-watermarked sink.
+  *
+  * Schema handling: `supportsExternalMetadata` means `save()` hands the
+  * INPUT frame's schema to [[LakeDataSourceV2.getTable]] (validation is
+  * trivially satisfied; the lake layer reconciles adds/widening itself),
+  * while SQL `INSERT INTO` resolves against the catalog-declared schema,
+  * so Spark reorders and casts `VALUES` tuples to the DDL columns before
+  * the write — exactly the v1 `InsertableRelation` contract.
+  */
+class LakeDataSourceV2 extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-lake-v2"
+
+  /** Accept DDL-declared schemas (CREATE TABLE cols) without re-inference. */
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val params = options.asCaseSensitiveMap().asScala.toMap
+    LakeDataSource.queryDf(SparkSession.active, params).schema
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new LakeV2Table(schema, properties.asScala.toMap)
+}
+
+/** One lake table through v2 eyes. `schema` is the inferred (full, meta
+  * columns included) or DDL-declared (user columns only) shape; `params`
+  * carries the option surface (`path`, `recordkey.field`, ...).
+  */
+class LakeV2Table(tableSchema: StructType, params: Map[String, String])
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = params.getOrElse("path", "graft-lake-v2")
+
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): util.Set[TableCapability] = util.EnumSet.of(
+    TableCapability.BATCH_READ,
+    // BATCH_WRITE satisfies the writer's capability check; the Write we
+    // build is a V1Write, so physical planning takes the official v1
+    // fallback exec (V1_BATCH_WRITE declares that contract)
+    TableCapability.BATCH_WRITE,
+    TableCapability.V1_BATCH_WRITE,
+    TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeV2ScanBuilder(tableSchema,
+      params ++ options.asCaseSensitiveMap().asScala)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new LakeV2WriteBuilder(params ++ info.options().asCaseSensitiveMap().asScala)
+}
+
+/** Column-prune + filter pushdown land on the same delegated DataFrame
+  * scan the v1 relation uses. Filters are reported back as residual
+  * (Spark re-evaluates them above the scan), so an untranslatable
+  * predicate can never cost correctness — identical contract to
+  * [[LakeRelation.buildScan]].
+  */
+class LakeV2ScanBuilder(full: StructType, params: Map[String, String])
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // v2 hands us the pruned shape; empty projection (e.g. COUNT(*))
+    // keeps one column so the row RDD stays well-formed
+    required = if (requiredSchema.isEmpty) StructType(full.take(1))
+    else requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters // all residual: pushdown is a speedup, never the correctness path
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new LakeV2Scan(required, pushed, params)
+}
+
+class LakeV2Scan(required: StructType, pushed: Array[Filter],
+    params: Map[String, String]) extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graft-lake-v2 ${params.getOrElse("path", "")} " +
+      s"[${required.fieldNames.mkString(",")}] pushed=${pushed.length}"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val rel = new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = required
+      override def needConversion: Boolean = false
+      override def buildScan(): RDD[Row] = {
+        val spark = context.sparkSession
+        val p = LakeDataSource.path(params)
+        val base: DataFrame =
+          if (LakeTable.exists(spark, p)) LakeDataSource.queryDf(spark, params)
+          else // DDL-declared table before its first write: empty, typed
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row], required)
+        val projected =
+          base.select(required.fieldNames.toIndexedSeq.map(col): _*)
+        val filtered = pushed.flatMap(LakeV2Scan.translate)
+          .foldLeft(projected)(_.filter(_))
+        filtered.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+      }
+    }
+    rel.asInstanceOf[T]
+  }
+}
+
+object LakeV2Scan {
+  import org.apache.spark.sql.sources._
+
+  /** Best-effort v1-Filter → Column translation (same table as the v1
+    * relation; kept separate so each file reads standalone).
+    */
+  def translate(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === v)
+    case GreaterThan(a, v)        => Some(col(a) > v)
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
+    case LessThan(a, v)           => Some(col(a) < v)
+    case LessThanOrEqual(a, v)    => Some(col(a) <= v)
+    case In(a, vs)                => Some(col(a).isInCollection(vs.toSeq))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case And(l, r) =>
+      for (lc <- translate(l); rc <- translate(r)) yield lc && rc
+    case Or(l, r) =>
+      for (lc <- translate(l); rc <- translate(r)) yield lc || rc
+    case Not(c) => translate(c).map(!_)
+    case _      => None
+  }
+}
+
+/** v2 write → the keyed batch operations, via the official [[V1Write]]
+  * fallback. `INSERT INTO` / append = the `operation` option (default
+  * upsert); `INSERT OVERWRITE` arrives as `truncate()` and maps to the
+  * atomic full-replace commit.
+  */
+class LakeV2WriteBuilder(params: Map[String, String])
+    extends WriteBuilder with SupportsTruncate {
+
+  private var op: String = params.getOrElse("operation", "upsert")
+
+  override def truncate(): WriteBuilder = { op = "overwrite"; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit =
+          LakeDataSource.runOperation(data.sparkSession, params,
+            if (overwrite) "overwrite" else op, data)
+      }
+  }
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Dedup, LakeQueries, Relational, Similarity, TextAnalysis}
+import graft.queries.{Curation, Dedup, LakeQueries, Relational, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -66,6 +66,14 @@ object SparkEntry {
     "dedup_cosine_pairs" -> (Similarity.cosinePairs _),
     "text_tokens_bpe" -> (TextAnalysis.tokenCounts _),
     "sim_lsh_topk" -> (Similarity.lshTopK _), // rows-only (engine hash)
+    // corpus-selection pack: deterministic sampling, budgeted selection,
+    // decontamination, term profiling, embedding audit
+    "curate_sample_hash" -> (Curation.hashSample _),
+    "curate_sample_stratified" -> (Curation.stratifiedSample _),
+    "curate_token_budget" -> ((s, dir) => Curation.tokenBudget(s, dir)),
+    "curate_decontaminate" -> (Curation.decontaminate _),
+    "text_tfidf_topk" -> (Curation.tfidfTopTerms _),
+    "emb_norms" -> (Curation.embeddingNorms _),
     // IVF ANN: k-means cells + nprobe search; probing all cells is exactly
     // brute force (ExtensionSpec asserts), default probe is rows-only here
     "sim_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
@@ -440,6 +448,59 @@ object SparkEntry {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "curate_sample_hash" ->
+      """SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1000'
+        |ORDER BY doc_id""".stripMargin,
+    "curate_sample_stratified" ->
+      """SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang, CAST(row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+    "curate_token_budget" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    floor(n_chars * 100 / len(string_split(text, ' '))) AS q
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY lang ORDER BY q DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM q)
+        |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 5000 ORDER BY lang, cum_tokens""".stripMargin,
+    "curate_decontaminate" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+        |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t
+        |  WHERE len(words) >= 3
+        |), bench AS (
+        |  SELECT DISTINCT unnest(sh) AS s FROM docs WHERE doc_id % 97 = 0
+        |), corp AS (
+        |  SELECT doc_id, unnest(sh) AS s FROM docs WHERE doc_id % 97 <> 0)
+        |SELECT corp.doc_id, COUNT(*) AS n_hits
+        |FROM corp JOIN bench USING (s)
+        |GROUP BY corp.doc_id ORDER BY doc_id""".stripMargin,
+    "text_tfidf_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+        |       WHERE len(token) > 0 GROUP BY 1, 2),
+        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |r AS (SELECT doc_id, token, tf, df,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tf DESC, df ASC, token) AS INT) AS rk
+        |  FROM tf JOIN dfreq USING (token))
+        |SELECT doc_id, token, tf, df, rk FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
+    "emb_norms" ->
+      s"""SELECT vec_id,
+         |  sqrt(${cosineFold.format("embedding", "embedding")}) AS norm
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "sim_topk_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < 3),

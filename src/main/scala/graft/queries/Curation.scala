@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.functions.TextFunctions.shingles
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Corpus SELECTION operators — the half of a training-data pipeline that
+  * decides WHICH documents make the training set (dedup decides which to
+  * drop; these decide which to keep): deterministic sampling, stratified
+  * sampling, token-budget selection, benchmark decontamination, TF-IDF
+  * term profiling, and embedding-norm auditing.
+  *
+  * Scale rules applied throughout: per-row work is codegen'd expression
+  * arithmetic (md5 / split / window ranks — no UDFs); every operator is a
+  * single declarative plan; the one join against a small reference set
+  * (decontamination) broadcasts it. Sampling is HASH-deterministic, not
+  * `rand()`-based: the same row set is selected on every run, on any
+  * cluster layout — reproducibility is a first-class requirement for
+  * training-data builds (and it is what makes the DuckDB oracle possible).
+  */
+object Curation {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Relational.t(s, dir, "documents")
+
+  private def tokens: Column = size(split(col("text"), " "))
+
+  /** Deterministic ~1/16 Bernoulli sample: keep a doc iff the first 4 hex
+    * chars of md5(doc_id) land under 0x1000. Hash-of-key sampling beats
+    * `TABLESAMPLE`/`rand()` for pipelines: membership is a pure function
+    * of the row, so reruns, retries, and different partitionings all
+    * select the identical sample.
+    */
+  def hashSample(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("bucket", substring(md5(col("doc_id").cast("string")), 1, 4))
+      .filter(col("bucket") < "1000")
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy("doc_id")
+
+  /** Stratified deterministic sample: the hash-order first 20 docs PER
+    * LANGUAGE — equal representation regardless of how skewed the corpus
+    * is across strata. One hash-ranked window per stratum; at scale this
+    * is a single shuffle on the stratum key.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .select(col("doc_id"), col("lang"), col("rk"))
+      .orderBy("lang", "rk")
+  }
+
+  /** Token-budget selection: per language, take documents in
+    * quality-descending order until the running token count passes the
+    * budget — the "best N tokens per language" mix rule of an LLM data
+    * recipe. Quality is the integer mean-word-length heuristic
+    * ([[TextAnalysis.qualityScore]]); the running sum is one window
+    * aggregate per stratum.
+    */
+  def tokenBudget(s: SparkSession, dir: String, budget: Long = 5000L): DataFrame = {
+    val quality = floor(col("n_chars") * 100 / tokens)
+    val w = Window.partitionBy("lang")
+      .orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        tokens.cast("long").as("n_tokens"), quality.as("q"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("lang", "cum_tokens")
+  }
+
+  /** Benchmark decontamination: flag corpus docs sharing any word-3-gram
+    * with the benchmark set (here: doc_id ≡ 0 mod 97 stands in for an
+    * eval benchmark). The benchmark's distinct shingle set is broadcast —
+    * eval suites are kilobytes-to-megabytes against a 100 TB corpus, so
+    * the scan stays map-only: no shuffle of corpus shingles at all.
+    * Emits (doc_id, n_hits) per contaminated doc — the drop list.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir)
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val bench = sh.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("sh")).as("s")).distinct()
+    val corpus = sh.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    corpus.join(broadcast(bench), "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Top-3 TF-IDF terms per document, integer-rank form: rank by
+    * (tf DESC, df ASC, term) — the same ordering tf·log(N/df) induces for
+    * fixed tf, with no float in the compare, so the result is exactly
+    * reproducible across engines. Term df is one map-side-combinable
+    * aggregation over the exploded token stream.
+    */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("token"))
+    tf.join(dfreq, "token")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
+  /** Per-vector L2 norms over the embedding column — the audit pass
+    * before cosine workloads (catches unnormalized / zero vectors). The
+    * fold runs left-to-right inside codegen'd `aggregate`, giving
+    * bit-identical IEEE results to the oracle's list_reduce.
+    */
+  def embeddingNorms(s: SparkSession, dir: String): DataFrame =
+    Relational.t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))).as("norm"))
+      .orderBy("vec_id")
+}

@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.util.Sessions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-selection pack: determinism, stratum bounds, budget invariants,
+  * and the plan shapes that matter at 100 TB (decontamination must
+  * broadcast the benchmark side, never shuffle the corpus shingles).
+  */
+class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Sessions.local("curation-test", "4")
+  val dir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("hash sample is deterministic and ~1/16") {
+    val a = Curation.hashSample(spark, dir).collect()
+    val b = Curation.hashSample(spark, dir).collect()
+    assert(a.toSeq == b.toSeq) // pure function of the rows
+    val total = Relational.t(spark, dir, "documents").count()
+    assert(a.length > 0 && a.length < total / 4)
+    assert(a.forall(_.getAs[String]("bucket") < "1000"))
+  }
+
+  test("stratified sample: at most 20 per language, every language present") {
+    val rows = Curation.stratifiedSample(spark, dir).collect()
+    val perLang = rows.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    val langs = Relational.t(spark, dir, "documents")
+      .select("lang").distinct().count()
+    assert(perLang.size == langs)
+    assert(perLang.values.forall(_ <= 20))
+    // ranks are 1..k contiguous per stratum
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to rs.length))
+    }
+  }
+
+  test("token budget: per-language running totals stay within budget") {
+    val rows = Curation.tokenBudget(spark, dir, budget = 5000L).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+      val cums = rs.map(r => (r.getAs[Long]("cum_tokens"), r.getAs[Long]("n_tokens")))
+      assert(cums.forall(_._1 <= 5000L))
+      // cum is the running sum of the selected prefix
+      assert(cums.map(_._1).max == cums.map(_._2).sum)
+    }
+    // the budget actually binds: fewer docs than the corpus
+    assert(rows.length < Relational.t(spark, dir, "documents").count())
+  }
+
+  test("decontamination broadcasts the benchmark side and flags real overlaps") {
+    val df = Curation.decontaminate(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark join must broadcast, got:\n$plan")
+    val flagged = df.collect()
+    assert(flagged.forall(_.getAs[Long]("n_hits") > 0))
+    assert(flagged.forall(_.getAs[Long]("doc_id") % 97 != 0)) // benchmark excluded
+  }
+
+  test("tfidf top terms: ranks contiguous, tf dominates ordering") {
+    val rows = Curation.tfidfTopTerms(spark, dir).collect()
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Int]("rk")).toSeq == (1 to rs.length))
+      // tf never increases as rank worsens
+      val tfs = sorted.map(_.getAs[Long]("tf"))
+      assert(tfs.zip(tfs.tail).forall { case (hi, lo) => hi >= lo })
+    }
+  }
+
+  test("embedding norms are positive and match a direct computation") {
+    val rows = Curation.embeddingNorms(spark, dir).collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Double]("norm") > 0.0))
+    val direct = Relational.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).head()
+    val exp = math.sqrt(direct.getAs[Seq[Float]]("embedding")
+      .foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    val got = rows.find(_.getAs[Long]("vec_id") == direct.getAs[Long]("vec_id")).get
+      .getAs[Double]("norm")
+    assert(got == exp) // bit-identical left fold
+  }
+}

@@ -1,0 +1,98 @@
+package graft.sources
+
+import graft.lake.LakeTable
+import graft.util.Sessions
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The `spark.sql.catalog.lake` V2 catalog: full SQL table lifecycle by
+  * NAME against a warehouse of lake tables — the catalog-native analog
+  * of the reference's Hive meta sync.
+  */
+class LakeCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val warehouse: String = Files.createTempDirectory("lakecat").toString
+
+  lazy val spark: SparkSession = Sessions.builder("lakecat-test")
+    .master("local[4]")
+    .config("spark.sql.catalog.lake", classOf[LakeCatalog].getName)
+    .config("spark.sql.catalog.lake.warehouse", warehouse)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("namespace + table lifecycle: create, insert-as-upsert, select, drop") {
+    spark.sql("CREATE NAMESPACE lake.ods")
+    spark.sql(
+      """CREATE TABLE lake.ods.users (id INT, ts BIGINT, part STRING, v DOUBLE)
+        |PARTITIONED BY (part)
+        |OPTIONS ('recordkey.field' 'id', 'precombine.field' 'ts')""".stripMargin)
+    assert(spark.sql("SHOW TABLES IN lake.ods").collect()
+      .map(_.getString(1)).contains("users"))
+    // typed empty read before first write
+    assert(spark.sql("SELECT * FROM lake.ods.users").count() == 0)
+    spark.sql(
+      "INSERT INTO lake.ods.users VALUES (1, 10, 'p1', 1.0), (2, 10, 'p2', 2.0)")
+    spark.sql("INSERT INTO lake.ods.users VALUES (2, 20, 'p2', 22.0)")
+    val rows = spark.sql(
+      "SELECT id, v FROM lake.ods.users ORDER BY id").collect()
+    assert(rows.map(r => (r.getInt(0), r.getDouble(1))).toSeq ==
+      Seq((1, 1.0), (2, 22.0))) // keyed upsert, not append
+    // partition spec flowed from PARTITIONED BY into the lake layout
+    val t = LakeTable.load(spark, s"$warehouse/ods/users")
+    assert(t.meta.partitionFields == Seq("part"))
+    assert(t.snapshot().count() == 2)
+    // INSERT OVERWRITE replaces
+    spark.sql("INSERT OVERWRITE lake.ods.users VALUES (9, 90, 'p1', 9.0)")
+    assert(spark.sql("SELECT id FROM lake.ods.users").collect()
+      .map(_.getInt(0)).toSeq == Seq(9))
+    assert(spark.sql("DROP TABLE lake.ods.users").collect().isEmpty)
+    assert(spark.sql("SHOW TABLES IN lake.ods").collect().isEmpty)
+  }
+
+  test("ALTER TABLE RENAME/DROP COLUMN are metadata-only evolution commits") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.dwd")
+    spark.sql(
+      """CREATE TABLE lake.dwd.m (id INT, ts BIGINT, part STRING, v DOUBLE)
+        |OPTIONS ('recordkey.field' 'id', 'precombine.field' 'ts')""".stripMargin)
+    spark.sql("INSERT INTO lake.dwd.m VALUES (1, 10, 'p1', 1.5)")
+    val files = spark.sql(s"SELECT * FROM lake.dwd.m").inputFiles.length
+    spark.sql("ALTER TABLE lake.dwd.m RENAME COLUMN v TO score")
+    // old data readable under the new name; NO data files rewritten
+    val r = spark.sql("SELECT id, score FROM lake.dwd.m").collect()
+    assert(r.length == 1 && r(0).getDouble(1) == 1.5)
+    spark.sql("ALTER TABLE lake.dwd.m DROP COLUMN part")
+    assert(!spark.table("lake.dwd.m").columns.contains("part"))
+    assert(spark.sql("SELECT id, score FROM lake.dwd.m").count() == 1)
+  }
+
+  test("RENAME TABLE moves the directory; data follows the name") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.tmp")
+    spark.sql(
+      """CREATE TABLE lake.tmp.a (id INT, ts BIGINT, v DOUBLE)
+        |OPTIONS ('recordkey.field' 'id', 'precombine.field' 'ts')""".stripMargin)
+    spark.sql("INSERT INTO lake.tmp.a VALUES (7, 1, 7.0)")
+    spark.sql("ALTER TABLE lake.tmp.a RENAME TO tmp.b")
+    assert(spark.sql("SELECT id FROM lake.tmp.b").head().getInt(0) == 7)
+    val names = spark.sql("SHOW TABLES IN lake.tmp").collect().map(_.getString(1))
+    assert(names.contains("b") && !names.contains("a"))
+  }
+
+  test("catalog and library APIs see one table state") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.x")
+    spark.sql(
+      """CREATE TABLE lake.x.t (id INT, ts BIGINT, v DOUBLE)
+        |OPTIONS ('recordkey.field' 'id', 'precombine.field' 'ts')""".stripMargin)
+    spark.sql("INSERT INTO lake.x.t VALUES (1, 1, 1.0)")
+    // library write lands in the catalog view (relation re-plans per scan)
+    val t = LakeTable.load(spark, s"$warehouse/x/t")
+    val s = spark
+    import s.implicits._
+    t.upsert(Seq((2, 1L, 2.0)).toDF("id", "ts", "v"))
+    spark.sql("REFRESH TABLE lake.x.t")
+    assert(spark.sql("SELECT count(*) FROM lake.x.t").head().getLong(0) == 2)
+  }
+}

@@ -74,6 +74,8 @@ object SparkEntry {
     "curate_decontaminate" -> (Curation.decontaminate _),
     "text_tfidf_topk" -> (Curation.tfidfTopTerms _),
     "emb_norms" -> (Curation.embeddingNorms _),
+    "text_scrub_pii" -> (TextAnalysis.scrubPii _),
+    "text_stopwords" -> (TextAnalysis.stopwordFilter _),
     // IVF ANN: k-means cells + nprobe search; probing all cells is exactly
     // brute force (ExtensionSpec asserts), default probe is rows-only here
     "sim_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
@@ -501,6 +503,33 @@ object SparkEntry {
       s"""SELECT vec_id,
          |  sqrt(${cosineFold.format("embedding", "embedding")}) AS norm
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "text_scrub_pii" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com or +1 555 ' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+        |  FROM documents),
+        |ne AS (SELECT doc_id, aug,
+        |  regexp_replace(aug, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+        |                 '<EMAIL>', 'g') AS no_email
+        |  FROM aug)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(no_email,
+        |    '\+?[0-9][0-9 -]{6,}[0-9]')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(no_email, '\+?[0-9][0-9 -]{6,}[0-9]',
+        |      '<PHONE>', 'g')) AS sig
+        |FROM ne ORDER BY doc_id""".stripMargin,
+    "text_stopwords" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |k AS (SELECT doc_id, toks,
+        |        list_filter(toks, w -> w NOT IN ('a', 'the')) AS kept FROM t)
+        |SELECT doc_id,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+        |  md5(array_to_string(kept, ' ')) AS sig
+        |FROM k ORDER BY doc_id""".stripMargin,
     "sim_topk_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < 3),

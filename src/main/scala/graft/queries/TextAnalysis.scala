@@ -133,6 +133,51 @@ object TextAnalysis {
         substring(md5(col("text").cast("binary")), 1, 8).as("sig"))
       .orderBy("doc_id")
 
+  /** PII scrubbing — email + phone masking, the redaction pass every
+    * training-data pipeline runs before tokenization. Pure codegen'd
+    * regexp expressions (no UDF). The synthetic corpus carries no PII,
+    * so the query plants one deterministic email + phone per document
+    * first (derived from doc_id — clearly marked, same on both engines);
+    * the OPERATOR is the generic scrub chain, exercised end to end and
+    * hash-gated on the scrubbed output.
+    */
+  private val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val PhoneRe = "\\+?[0-9][0-9 -]{6,}[0-9]"
+
+  def scrubPii(s: SparkSession, dir: String): DataFrame = {
+    val augmented = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or +1 555 "),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    Relational.t(s, dir, "documents")
+      .withColumn("aug", augmented)
+      .withColumn("no_email", regexp_replace(col("aug"), EmailRe, "<EMAIL>"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("no_email"), lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        md5(regexp_replace(col("no_email"), PhoneRe, "<PHONE>")).as("sig"))
+      .orderBy("doc_id")
+  }
+
+  /** Stopword filtering: drop closed-class tokens before shingling /
+    * tokenization. Higher-order array filter — per-row, no shuffle; the
+    * kept-text hash sits under the oracle gate.
+    */
+  val Stopwords: Seq[String] = Seq("a", "the")
+
+  def stopwordFilter(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val kept = filter(toks, t => !t.isInCollection(Stopwords))
+    Relational.t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(kept).cast("long").as("n_kept"),
+        (size(toks) - size(kept)).cast("long").as("n_removed"),
+        md5(array_join(kept, " ")).as("sig"))
+      .orderBy("doc_id")
+  }
+
   /** Quality score: deterministic integer-arithmetic heuristics so the
     * oracle matches exactly — mean word length (chars*100/tokens) and a
     * short-doc flag. (Float-free on purpose.)

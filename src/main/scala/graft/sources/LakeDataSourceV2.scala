@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.lake.LakeTable
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -59,11 +59,31 @@ class LakeDataSourceV2 extends TableProvider with DataSourceRegister {
   * carries the option surface (`path`, `recordkey.field`, ...).
   */
 class LakeV2Table(tableSchema: StructType, params: Map[String, String])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsMetadataColumns {
 
   override def name(): String = params.getOrElse("path", "graft-lake-v2")
 
   override def schema(): StructType = tableSchema
+
+  /** The lake meta columns as REAL v2 metadata columns: hidden from
+    * `SELECT *` on DDL-declared tables, explicitly selectable as
+    * `_record_key` / `_commit_time` (the reference reads the same pair as
+    * ordinary Hudi output columns, package.scala:166-168). Tables whose
+    * schema already carries them (DataFrame-born, full-shape) expose
+    * nothing extra.
+    */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(graft.lake.LakeTable.RecordKeyCol, graft.lake.LakeTable.CommitTimeCol)
+      .filterNot(tableSchema.fieldNames.contains)
+      .map { n =>
+        new MetadataColumn {
+          override def name(): String = n
+          override def dataType(): org.apache.spark.sql.types.DataType =
+            org.apache.spark.sql.types.StringType
+          override def comment(): String = "graft-lake commit metadata"
+        }
+      }
 
   override def capabilities(): util.Set[TableCapability] = util.EnumSet.of(
     TableCapability.BATCH_READ,

@@ -81,6 +81,23 @@ class LakeCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(names.contains("b") && !names.contains("a"))
   }
 
+  test("metadata columns: hidden from SELECT *, selectable by name") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.meta")
+    spark.sql(
+      """CREATE TABLE lake.meta.t (id INT, ts BIGINT, v DOUBLE)
+        |OPTIONS ('recordkey.field' 'id', 'precombine.field' 'ts')""".stripMargin)
+    spark.sql("INSERT INTO lake.meta.t VALUES (1, 10, 1.0), (2, 10, 2.0)")
+    // SELECT * stays at the declared columns
+    assert(spark.sql("SELECT * FROM lake.meta.t").columns.toSeq ==
+      Seq("id", "ts", "v"))
+    // the lake meta pair is reachable as v2 metadata columns
+    val rows = spark.sql(
+      "SELECT id, _record_key, _commit_time FROM lake.meta.t ORDER BY id")
+      .collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("1", "2"))
+    assert(rows.forall(_.getString(2).nonEmpty))
+  }
+
   test("catalog and library APIs see one table state") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.x")
     spark.sql(

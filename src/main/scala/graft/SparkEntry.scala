@@ -76,6 +76,8 @@ object SparkEntry {
     "emb_norms" -> (Curation.embeddingNorms _),
     "text_scrub_pii" -> (TextAnalysis.scrubPii _),
     "text_stopwords" -> (TextAnalysis.stopwordFilter _),
+    "text_repetition" -> (Curation.repetitionScore _),
+    "curate_domain_mix" -> (Curation.domainMix _),
     // IVF ANN: k-means cells + nprobe search; probing all cells is exactly
     // brute force (ExtensionSpec asserts), default probe is rows-only here
     "sim_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
@@ -503,6 +505,22 @@ object SparkEntry {
       s"""SELECT vec_id,
          |  sqrt(${cosineFold.format("embedding", "embedding")}) AS norm
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |g AS (SELECT doc_id, CAST(len(words) - 2 AS BIGINT) AS n_sh,
+        |        CAST(len(list_distinct(list_transform(range(1, len(words) - 1),
+        |          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS BIGINT) AS n_uniq
+        |      FROM t WHERE len(words) >= 3)
+        |SELECT doc_id, n_sh, n_uniq,
+        |  CAST(floor((n_sh - n_uniq) * 10000 / n_sh) AS BIGINT) AS dup_bp
+        |FROM g WHERE n_sh > 0 ORDER BY doc_id""".stripMargin,
+    "curate_domain_mix" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE lang WHEN 'en' THEN '8000' WHEN 'fr' THEN '4000'
+        |            WHEN 'es' THEN '2000' WHEN 'de' THEN '1000'
+        |            ELSE '0800' END
+        |ORDER BY doc_id""".stripMargin,
     "text_scrub_pii" ->
       """WITH aug AS (
         |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) ||

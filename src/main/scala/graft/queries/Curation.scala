@@ -116,6 +116,46 @@ object Curation {
       .orderBy("doc_id", "rk")
   }
 
+  /** Repetitiveness quality signal (the Gopher-rules family): the share
+    * of duplicated word-3-grams inside each document, as integer basis
+    * points so the oracle compares exactly. High duplicate share marks
+    * boilerplate / generated spam for the quality gate. Pure per-row
+    * expression arithmetic — no shuffle at all.
+    */
+  def repetitionScore(s: SparkSession, dir: String): DataFrame = {
+    val n = size(split(col("text"), " ")) - 2 // total 3-grams, with repeats
+    docs(s, dir)
+      .withColumn("n_sh", n.cast("long"))
+      .filter(col("n_sh") > 0)
+      .withColumn("n_uniq", size(shingles(col("text"), 3)).cast("long"))
+      .select(col("doc_id"), col("n_sh"), col("n_uniq"),
+        floor((col("n_sh") - col("n_uniq")) * 10000 / col("n_sh"))
+          .as("dup_bp"))
+      .orderBy("doc_id")
+  }
+
+  /** Domain/language mixing: per-stratum deterministic keep-rates — the
+    * "data recipe" step that reweights a crawl toward a target language
+    * mix. Same md5-threshold mechanism as [[hashSample]], with the
+    * threshold a function of the stratum; membership stays a pure
+    * function of the row.
+    */
+  val MixWeights: Seq[(String, String)] = Seq(
+    "en" -> "8000", "fr" -> "4000", "es" -> "2000", "de" -> "1000",
+    "zh" -> "0800")
+
+  def domainMix(s: SparkSession, dir: String): DataFrame = {
+    val threshold = MixWeights.init.foldRight(
+      lit(MixWeights.last._2): Column) { case ((l, t), rest) =>
+      when(col("lang") === l, t).otherwise(rest)
+    }
+    docs(s, dir)
+      .withColumn("bucket", substring(md5(col("doc_id").cast("string")), 1, 4))
+      .filter(col("bucket") < threshold)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
   /** Per-vector L2 norms over the embedding column — the audit pass
     * before cosine workloads (catches unnormalized / zero vectors). The
     * fold runs left-to-right inside codegen'd `aggregate`, giving

@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.lake.LakeTable
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -60,7 +60,7 @@ class LakeDataSourceV2 extends TableProvider with DataSourceRegister {
   */
 class LakeV2Table(tableSchema: StructType, params: Map[String, String])
     extends Table with SupportsRead with SupportsWrite
-    with SupportsMetadataColumns {
+    with SupportsMetadataColumns with SupportsDelete {
 
   override def name(): String = params.getOrElse("path", "graft-lake-v2")
 
@@ -93,6 +93,27 @@ class LakeV2Table(tableSchema: StructType, params: Map[String, String])
     TableCapability.BATCH_WRITE,
     TableCapability.V1_BATCH_WRITE,
     TableCapability.TRUNCATE)
+
+  /** SQL `DELETE FROM ... WHERE ...`: resolve the matching rows against
+    * the current snapshot, then issue the keyed delete commit — the
+    * filter→keys resolution is the same distributed plan a read takes, so
+    * a predicate touching one partition prunes to that partition's files.
+    * Only fully-translatable predicates are accepted ([[canDeleteWhere]]);
+    * Spark fails the statement otherwise instead of deleting too much or
+    * too little. An empty predicate list (DELETE without WHERE / TRUNCATE)
+    * deletes every current row.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(LakeV2Scan.translate(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    val victims = filters.flatMap(LakeV2Scan.translate)
+      .foldLeft(LakeDataSource.queryDf(spark, params))(_.filter(_))
+    graft.lake.LakeTable.load(spark, LakeDataSource.path(params))
+      .delete(victims)
+    ()
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeV2ScanBuilder(tableSchema,
@@ -185,8 +206,10 @@ object LakeV2Scan {
       for (lc <- translate(l); rc <- translate(r)) yield lc && rc
     case Or(l, r) =>
       for (lc <- translate(l); rc <- translate(r)) yield lc || rc
-    case Not(c) => translate(c).map(!_)
-    case _      => None
+    case Not(c)        => translate(c).map(!_)
+    case _: AlwaysTrue  => Some(org.apache.spark.sql.functions.lit(true))
+    case _: AlwaysFalse => Some(org.apache.spark.sql.functions.lit(false))
+    case _              => None
   }
 }
 

@@ -98,6 +98,27 @@ class LakeCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.getString(2).nonEmpty))
   }
 
+  test("SQL DELETE FROM: filtered keyed delete through the catalog") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.del")
+    spark.sql(
+      """CREATE TABLE lake.del.t (id INT, ts BIGINT, part STRING, v DOUBLE)
+        |PARTITIONED BY (part)
+        |OPTIONS ('recordkey.field' 'id', 'precombine.field' 'ts')""".stripMargin)
+    spark.sql("""INSERT INTO lake.del.t VALUES
+      (1, 10, 'p1', 1.0), (2, 10, 'p1', 2.0), (3, 10, 'p2', 3.0)""")
+    spark.sql("DELETE FROM lake.del.t WHERE v > 1.5 AND part = 'p1'")
+    assert(spark.sql("SELECT id FROM lake.del.t ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 3))
+    // the delete is a first-class commit: time travel shows the pre-state
+    val t = LakeTable.load(spark, s"$warehouse/del/t")
+    assert(t.timeline.read(t.latestCommit.get).operation == "delete")
+    val instants = t.timeline.instants()
+    assert(t.snapshotAsOf(instants(instants.size - 2)).count() == 3)
+    // DELETE without WHERE empties the table
+    spark.sql("DELETE FROM lake.del.t")
+    assert(spark.sql("SELECT count(*) FROM lake.del.t").head().getLong(0) == 0)
+  }
+
   test("catalog and library APIs see one table state") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.x")
     spark.sql(

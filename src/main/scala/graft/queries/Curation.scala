@@ -83,9 +83,15 @@ object Curation {
     * Emits (doc_id, n_hits) per contaminated doc — the drop list.
     */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    // fan out before the CPU-bound interpreted shingle projection (a
+    // local single-file scan is one task; a 100 TB scan parallelizes by
+    // itself), and cache it — it feeds both the benchmark and corpus
+    // branches, and shingling twice doubled this query's cost
     val sh = docs(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bench = sh.filter(col("doc_id") % 97 === 0)
       .select(explode(col("sh")).as("s")).distinct()
     val corpus = sh.filter(col("doc_id") % 97 =!= 0)
@@ -125,6 +131,7 @@ object Curation {
   def repetitionScore(s: SparkSession, dir: String): DataFrame = {
     val n = size(split(col("text"), " ")) - 2 // total 3-grams, with repeats
     docs(s, dir)
+      .repartition(s.sparkContext.defaultParallelism) // single-file scan → fan out
       .withColumn("n_sh", n.cast("long"))
       .filter(col("n_sh") > 0)
       .withColumn("n_uniq", size(shingles(col("text"), 3)).cast("long"))

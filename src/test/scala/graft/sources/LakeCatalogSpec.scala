@@ -119,6 +119,34 @@ class LakeCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM lake.del.t").head().getLong(0) == 0)
   }
 
+  test("streaming sink writes into a catalog-managed table path") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.stream")
+    spark.sql(
+      """CREATE TABLE lake.stream.feed (id INT, ts BIGINT, part STRING, v DOUBLE)
+        |OPTIONS ('recordkey.field' 'id', 'precombine.field' 'ts',
+        |         'partition.fields' 'part')""".stripMargin)
+    val work = Files.createTempDirectory("catstream").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$work/inbox"))
+    Files.write(java.nio.file.Paths.get(s"$work/inbox/b1.json"),
+      Seq("""{"id":1,"ts":10,"part":"p1","v":1.0}""",
+        """{"id":2,"ts":10,"part":"p2","v":2.0}""").mkString("\n").getBytes)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id INT, ts BIGINT, part STRING, v DOUBLE")
+    val q = spark.readStream.schema(schema).json(s"$work/inbox")
+      .writeStream.format("graft-lake")
+      .option("checkpointLocation", s"$work/ckpt")
+      .option("path", s"$warehouse/stream/feed")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // the micro-batches landed as keyed commits in the NAMED table
+    spark.sql("REFRESH TABLE lake.stream.feed")
+    val rows = spark.sql(
+      "SELECT id, v FROM lake.stream.feed ORDER BY id").collect()
+    assert(rows.map(r => (r.getInt(0), r.getDouble(1))).toSeq ==
+      Seq((1, 1.0), (2, 2.0)))
+  }
+
   test("catalog and library APIs see one table state") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.x")
     spark.sql(

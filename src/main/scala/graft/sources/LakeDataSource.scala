@@ -195,6 +195,28 @@ object LakeDataSource {
     }
   }
 
+  /** Honest size/row statistics from commit metadata alone (no FS
+    * access, timeline parses are cached): the live files' recorded bytes
+    * and records. Without this, lake relations report Spark's
+    * `defaultSizeInBytes` (≈ Long.Max) and a small dimension table NEVER
+    * qualifies for a broadcast join — the single biggest plan decision
+    * at scale. Conservative for sliced reads (incremental / as-of see
+    * the full live size), which can only under-broadcast, never OOM.
+    */
+  def statsFor(spark: SparkSession,
+      parameters: Map[String, String]): Option[(Long, Long)] =
+    try {
+      val p = path(parameters)
+      if (!LakeTable.exists(spark, p)) None
+      else {
+        val live = LakeTable.load(spark, p).timeline.liveFiles()
+        // files from pre-sizeBytes commits report 0 — treat the stat as
+        // unavailable rather than claim a tiny table and mis-broadcast
+        if (live.exists(f => f.sizeBytes <= 0L && f.numRecords > 0L)) None
+        else Some((live.map(_.sizeBytes).sum, live.map(_.numRecords).sum))
+      }
+    } catch { case _: Exception => None }
+
   /** Apply batch `operation` semantics to `data` (shared by the V1
     * CreatableRelationProvider and the DSv2 V1Write fallback).
     */
@@ -325,6 +347,13 @@ case class LakeRelation(spark: SparkSession, mkDf: () => DataFrame,
   override lazy val schema: StructType = declared.getOrElse(mkDf().schema)
 
   override def needConversion: Boolean = false
+
+  /** Commit-metadata size stats → join-side decisions (broadcast) work
+    * for lake tables exactly as for parquet ones.
+    */
+  override def sizeInBytes: Long =
+    LakeDataSource.statsFor(spark, params).map(_._1)
+      .getOrElse(super.sizeInBytes)
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {

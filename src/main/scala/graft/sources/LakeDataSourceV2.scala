@@ -153,9 +153,25 @@ class LakeV2ScanBuilder(full: StructType, params: Map[String, String])
 }
 
 class LakeV2Scan(required: StructType, pushed: Array[Filter],
-    params: Map[String, String]) extends V1Scan {
+    params: Map[String, String])
+    extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Commit-metadata stats (bytes + rows) so the v2 plan gets the same
+    * broadcast-join eligibility as the v1 relation's `sizeInBytes`.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val s = LakeDataSource.statsFor(SparkSession.active, params)
+      override def sizeInBytes(): java.util.OptionalLong =
+        s.map(v => java.util.OptionalLong.of(v._1))
+          .getOrElse(java.util.OptionalLong.empty())
+      override def numRows(): java.util.OptionalLong =
+        s.map(v => java.util.OptionalLong.of(v._2))
+          .getOrElse(java.util.OptionalLong.empty())
+    }
 
   override def description(): String =
     s"graft-lake-v2 ${params.getOrElse("path", "")} " +

@@ -114,6 +114,29 @@ class LakeDataSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sql("DROP TABLE lake_v2_full")
   }
 
+  test("commit-metadata stats make small lake tables broadcast-joinable (v1 + v2)") {
+    val s = spark
+    import s.implicits._
+    val p = tmp()
+    df((1, 10L, "p1", 1.0), (2, 10L, "p2", 2.0), (3, 10L, "p2", 3.0))
+      .write.format("graft-lake")
+      .option("recordkey.field", "id")
+      .option("precombine.field", "ts")
+      .mode(SaveMode.Append).save(p)
+    // a "big" fact side, deliberately NOT a lake table
+    val fact = (1 to 10000).map(i => (i % 5 + 1, i.toDouble)).toDF("id", "x")
+    for (fmt <- Seq("graft-lake", "graft-lake-v2")) {
+      val dim = spark.read.format(fmt).load(p).select("id", "v")
+      val plan = fact.join(dim, "id").queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$fmt dim should broadcast from commit-metadata stats, got:\n$plan")
+    }
+    // and the reported size is the real few-KB file size, not defaultSizeInBytes
+    val rel = spark.read.format("graft-lake").load(p)
+    val bytes = rel.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(bytes > 0 && bytes < 10L * 1024 * 1024, s"stats sizeInBytes=$bytes")
+  }
+
   test("v2 delete operation") {
     val p = tmp()
     df((1, 10L, "p1", 1.0), (2, 10L, "p1", 2.0), (3, 10L, "p2", 3.0))

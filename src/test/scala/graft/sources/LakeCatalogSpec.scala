@@ -117,6 +117,11 @@ class LakeCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     // DELETE without WHERE empties the table
     spark.sql("DELETE FROM lake.del.t")
     assert(spark.sql("SELECT count(*) FROM lake.del.t").head().getLong(0) == 0)
+    // TRUNCATE TABLE rides the same SupportsDeleteV2 path
+    spark.sql("INSERT INTO lake.del.t VALUES (5, 50, 'p1', 5.0)")
+    assert(spark.sql("SELECT count(*) FROM lake.del.t").head().getLong(0) == 1)
+    spark.sql("TRUNCATE TABLE lake.del.t")
+    assert(spark.sql("SELECT count(*) FROM lake.del.t").head().getLong(0) == 0)
   }
 
   test("streaming sink writes into a catalog-managed table path") {

@@ -74,6 +74,7 @@ object SparkEntry {
     "curate_decontaminate" -> (Curation.decontaminate _),
     "text_tfidf_topk" -> (Curation.tfidfTopTerms _),
     "emb_norms" -> (Curation.embeddingNorms _),
+    "emb_quantize" -> (Curation.quantizeEmbeddings _),
     "text_scrub_pii" -> (TextAnalysis.scrubPii _),
     "text_stopwords" -> (TextAnalysis.stopwordFilter _),
     "text_repetition" -> (Curation.repetitionScore _),
@@ -505,6 +506,21 @@ object SparkEntry {
       s"""SELECT vec_id,
          |  sqrt(${cosineFold.format("embedding", "embedding")}) AS norm
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "emb_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id,
+        |    127.0 / list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS scale,
+        |    embedding
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, scale,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)) AS qv
+        |  FROM s)
+        |SELECT vec_id, scale,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), qv), (a, v) -> a + v) AS qsum,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), qv), (a, v) -> a + abs(v)) AS qabs
+        |FROM q ORDER BY vec_id""".stripMargin,
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |g AS (SELECT doc_id, CAST(len(words) - 2 AS BIGINT) AS n_sh,

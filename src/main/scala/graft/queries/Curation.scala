@@ -163,6 +163,27 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Int8 embedding quantization — the storage-compression step before
+    * ANN indexing: per-vector symmetric scale (127 / max|x|), values
+    * rounded by `floor(x·scale + 0.5)` (chosen over round() because its
+    * IEEE evaluation is identical across engines, which keeps the op
+    * oracle-checkable). Emits per-vector checksums of the quantized
+    * codes; all arithmetic is codegen'd array expressions.
+    */
+  def quantizeEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val x = col("embedding")
+    val absMax = array_max(transform(x, e => abs(e.cast("double"))))
+    val q = transform(x, e =>
+      floor(e.cast("double") * col("scale") + 0.5).cast("long"))
+    Relational.t(s, dir, "embeddings")
+      .withColumn("scale", lit(127.0) / absMax)
+      .withColumn("q", q)
+      .select(col("vec_id"), col("scale"),
+        aggregate(col("q"), lit(0L), (a, v) => a + v).as("qsum"),
+        aggregate(col("q"), lit(0L), (a, v) => a + abs(v)).as("qabs"))
+      .orderBy("vec_id")
+  }
+
   /** Per-vector L2 norms over the embedding column — the audit pass
     * before cosine workloads (catches unnormalized / zero vectors). The
     * fold runs left-to-right inside codegen'd `aggregate`, giving

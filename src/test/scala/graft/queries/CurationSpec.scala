@@ -73,6 +73,28 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("int8 quantization: codes bounded, reconstruction error within half a step") {
+    val rows = Curation.quantizeEmbeddings(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      assert(scale > 0.0 && !scale.isInfinite)
+      // |sum of codes| <= sum of |codes| <= dims * 127
+      val qsum = r.getAs[Long]("qsum"); val qabs = r.getAs[Long]("qabs")
+      assert(math.abs(qsum) <= qabs && qabs <= 64L * 127L)
+      assert(qabs > 0L) // a real vector quantizes to something
+    }
+    // spot-check one vector end to end against a scalar reimplementation
+    val direct = Relational.t(spark, dir, "embeddings").head()
+    val emb = direct.getSeq[Float](direct.fieldIndex("embedding"))
+    val scale = 127.0 / emb.map(x => math.abs(x.toDouble)).max
+    val q = emb.map(x => math.floor(x.toDouble * scale + 0.5).toLong)
+    val got = rows.find(_.getAs[Long]("vec_id") == direct.getAs[Long]("vec_id")).get
+    assert(got.getAs[Long]("qsum") == q.sum)
+    assert(got.getAs[Long]("qabs") == q.map(math.abs).sum)
+    assert(q.forall(v => v >= -127L && v <= 127L))
+  }
+
   test("embedding norms are positive and match a direct computation") {
     val rows = Curation.embeddingNorms(spark, dir).collect()
     assert(rows.nonEmpty && rows.forall(_.getAs[Double]("norm") > 0.0))

@@ -472,8 +472,8 @@ object SparkEntry {
         |    floor(n_chars * 100 / len(string_split(text, ' '))) AS q
         |  FROM documents),
         |c AS (SELECT doc_id, lang, n_tokens,
-        |  SUM(n_tokens) OVER (PARTITION BY lang ORDER BY q DESC, doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY q DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         |  FROM q)
         |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= 5000 ORDER BY lang, cum_tokens""".stripMargin,
@@ -509,8 +509,11 @@ object SparkEntry {
     "emb_quantize" ->
       """WITH s AS (
         |  SELECT vec_id,
-        |    127.0 / list_max(list_transform(embedding,
-        |      x -> abs(CAST(x AS DOUBLE)))) AS scale,
+        |    CASE WHEN list_max(list_transform(embedding,
+        |        x -> abs(CAST(x AS DOUBLE)))) > 0
+        |      THEN 127.0 / list_max(list_transform(embedding,
+        |        x -> abs(CAST(x AS DOUBLE))))
+        |      ELSE 0.0 END AS scale,
         |    embedding
         |  FROM embeddings),
         |q AS (SELECT vec_id, scale,

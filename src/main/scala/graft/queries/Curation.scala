@@ -83,22 +83,20 @@ object Curation {
     * Emits (doc_id, n_hits) per contaminated doc — the drop list.
     */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    // fan out before the CPU-bound interpreted shingle projection (a
-    // local single-file scan is one task; a 100 TB scan parallelizes by
-    // itself), and cache it — it feeds both the benchmark and corpus
-    // branches, and shingling twice doubled this query's cost
-    val sh = docs(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the shared word-3-gram shingle frame (same n as the dedup pack):
+    // staged to parquet when [[Dedup.StageDirConf]] is set, else fanned
+    // out + cached — it feeds both the benchmark and corpus branches,
+    // and shingling twice doubled this query's cost
+    val sh = Dedup.docsWithShingles(s, dir)
     val bench = sh.filter(col("doc_id") % 97 === 0)
       .select(explode(col("sh")).as("s")).distinct()
     val corpus = sh.filter(col("doc_id") % 97 =!= 0)
       .select(col("doc_id"), explode(col("sh")).as("s"))
-    corpus.join(broadcast(bench), "s")
+    val hits = corpus.join(broadcast(bench), "s")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
       .orderBy("doc_id")
+    // drop list is small — materialize it and release the shingle cache
+    Dedup.releaseAfter(hits, sh)
   }
 
   /** Top-3 TF-IDF terms per document, integer-rank form: rank by
@@ -176,7 +174,11 @@ object Curation {
     val q = transform(x, e =>
       floor(e.cast("double") * col("scale") + 0.5).cast("long"))
     Relational.t(s, dir, "embeddings")
-      .withColumn("scale", lit(127.0) / absMax)
+      // all-zero vector: absMax=0 would give scale=Inf and 0*Inf=NaN
+      // (whose BIGINT cast differs across engines) — pin scale to 0 so
+      // the codes are all-zero, mirrored in the DuckDB oracle
+      .withColumn("scale",
+        when(absMax > 0, lit(127.0) / absMax).otherwise(lit(0.0)))
       .withColumn("q", q)
       .select(col("vec_id"), col("scale"),
         aggregate(col("q"), lit(0L), (a, v) => a + v).as("qsum"),

@@ -50,7 +50,24 @@ object Dedup {
     */
   val StageDirConf = "spark.graft.dedup.stageDir"
 
-  private def docsWithShingles(s: SparkSession, dir: String): DataFrame = {
+  /** Materialize `result` eagerly (localCheckpoint), then drop the backing
+    * caches. The cache manager pins persisted plans until explicitly
+    * unpersisted, so a long-lived session (correctness runner, notebook)
+    * running these queries repeatedly would otherwise accumulate cached
+    * intermediate state forever; the checkpointed result instead owns its
+    * own blocks, which the ContextCleaner reclaims when the frame is
+    * dropped. Intended for small results (pair lists, drop lists) over
+    * large cached intermediates. When nothing is actually persisted
+    * (the staged-parquet shingle path) this is a lazy pass-through.
+    */
+  private[queries] def releaseAfter(result: DataFrame, cached: DataFrame*): DataFrame = {
+    val live = cached.filter(_.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE)
+    if (live.isEmpty) result
+    else try result.localCheckpoint(true) finally live.foreach(_.unpersist(false))
+  }
+
+  private[queries] def docsWithShingles(s: SparkSession, dir: String): DataFrame = {
     val shingled = Relational.t(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), shingles(col("text"), N).as("sh"))
@@ -113,7 +130,7 @@ object Dedup {
     // count-based exact verify over the skinny (doc, shingle) occurrence
     // table — joining the fat shingle arrays per candidate pair would
     // shuffle |pairs| × array-size bytes; this shuffles 16-byte rows.
-    cands
+    val verified = cands
       .join(ex.select(col("doc_id").as("id_a"), col("n").as("na"), col("s")), "id_a")
       .join(ex.select(col("doc_id").as("id_b"), col("n").as("nb"), col("s")),
         Seq("id_b", "s"))
@@ -124,6 +141,7 @@ object Dedup {
       .filter(col("jaccard") >= Threshold)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
+    releaseAfter(verified, ex, prefix, docs)
   }
 
   /** MinHash signatures computed the scale-friendly way: explode shingles
@@ -165,7 +183,7 @@ object Dedup {
     // formulation as jaccardPairs' verify).
     val ex = shingled.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("s"))
-    cands
+    val verified = cands
       .join(ex.select(col("doc_id").as("id_a"), col("n").as("na"), col("s")), "id_a")
       .join(ex.select(col("doc_id").as("id_b"), col("n").as("nb"), col("s")),
         Seq("id_b", "s"))
@@ -176,6 +194,7 @@ object Dedup {
       .filter(col("jaccard") >= Threshold)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
+    releaseAfter(verified, shingled)
   }
 
   /** SimHash near-dup pairs (Hamming distance ≤ 3), candidates banded on

@@ -229,7 +229,7 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("cell"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("vec_id").asc)
-    corpus.join(broadcast(qcells), Seq("cell"))
+    val topk = corpus.join(broadcast(qcells), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("embedding"), col("qv")).as("sim"))
@@ -237,5 +237,7 @@ object Similarity {
       .filter(col("rk") <= 10)
       .select("query_id", "vec_id", "sim", "rk")
       .orderBy("query_id", "rk")
+    // top-k is tiny — materialize it and release the embeddings cache
+    Dedup.releaseAfter(topk, e)
   }
 }

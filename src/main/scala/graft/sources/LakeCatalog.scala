@@ -98,8 +98,15 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
         k.stripPrefix(TableCatalog.OPTION_PREFIX) -> v
     } ++ props.view.filterKeys(!_.startsWith(TableCatalog.OPTION_PREFIX))
     // PARTITIONED BY (col, ...) — identity transforms become the lake
-    // partition fields; an explicit option wins
-    val partCols = partitions.toSeq.map(_.references().head.fieldNames().mkString("."))
+    // partition fields; an explicit option wins. Non-identity transforms
+    // (bucket(n, col), days(ts), ...) are rejected rather than silently
+    // degraded to an identity partition on the referenced column.
+    val partCols = partitions.toSeq.map { t =>
+      if (t.name() != "identity")
+        throw new UnsupportedOperationException(
+          s"graft-lake supports only identity partition transforms; got '$t'")
+      t.references().head.fieldNames().mkString(".")
+    }
     val withParts =
       if (partCols.nonEmpty && !opts.contains("partition.fields"))
         opts + ("partition.fields" -> partCols.mkString(","))

@@ -52,14 +52,42 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length < Relational.t(spark, dir, "documents").count())
   }
 
+  test("quantization of an all-zero embedding yields scale 0, not NaN codes") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("quant-zero").toString
+    Seq((1L, Array(0f, 0f, 0f), 0), (2L, Array(1f, -2f, 0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = Curation.quantizeEmbeddings(spark, tmp).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("scale"), r.getAs[Long]("qsum"), r.getAs[Long]("qabs"))).toMap
+    assert(rows(1L) == ((0.0, 0L, 0L))) // pinned, engine-portable
+    assert(rows(2L)._1 == 127.0 / 2.0 && rows(2L)._3 > 0L)
+  }
+
   test("decontamination broadcasts the benchmark side and flags real overlaps") {
-    val df = Curation.decontaminate(spark, dir)
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
-      s"benchmark join must broadcast, got:\n$plan")
-    val flagged = df.collect()
-    assert(flagged.forall(_.getAs[Long]("n_hits") > 0))
-    assert(flagged.forall(_.getAs[Long]("doc_id") % 97 != 0)) // benchmark excluded
+    // run via the staged-shingle path: nothing is persisted, so
+    // releaseAfter is a lazy pass-through and the join plan is
+    // inspectable (the cached path eagerly checkpoints the drop list,
+    // leaving only a checkpoint scan behind)
+    val stage = java.nio.file.Files.createTempDirectory("decon-stage").toString
+    spark.conf.set(Dedup.StageDirConf, stage)
+    try {
+      val df = Curation.decontaminate(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+        s"benchmark join must broadcast, got:\n$plan")
+      val flagged = df.collect()
+      assert(flagged.forall(_.getAs[Long]("n_hits") > 0))
+      assert(flagged.forall(_.getAs[Long]("doc_id") % 97 != 0)) // benchmark excluded
+      // cached path: same rows, and the shingle cache is released after
+      spark.conf.unset(Dedup.StageDirConf)
+      val cached = Curation.decontaminate(spark, dir).collect()
+      assert(cached.toSeq == flagged.toSeq)
+      assert(spark.sharedState.cacheManager.isEmpty,
+        "decontaminate must not leave cached intermediates behind")
+    } finally spark.conf.unset(Dedup.StageDirConf)
   }
 
   test("tfidf top terms: ranks contiguous, tf dominates ordering") {

@@ -152,6 +152,22 @@ class LakeCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((1, 1.0), (2, 2.0)))
   }
 
+  test("non-identity partition transforms are rejected, not degraded") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.rej")
+    for (part <- Seq("bucket(4, id)", "days(ts)")) {
+      val e = intercept[Exception] {
+        spark.sql(
+          s"""CREATE TABLE lake.rej.t (id INT, ts TIMESTAMP, v DOUBLE)
+             |PARTITIONED BY ($part)
+             |OPTIONS ('recordkey.field' 'id')""".stripMargin)
+      }
+      assert(e.getMessage.contains("identity"), s"for $part got: ${e.getMessage}")
+      // nothing half-created
+      assert(!spark.sql("SHOW TABLES IN lake.rej").collect()
+        .map(_.getString(1)).contains("t"))
+    }
+  }
+
   test("catalog and library APIs see one table state") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.x")
     spark.sql(

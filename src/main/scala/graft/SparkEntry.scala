@@ -51,6 +51,8 @@ object SparkEntry {
     "lake_zonemap_filter" -> (LakeQueries.lakeZonemapFilter _),
     "lake_time_travel" -> (LakeQueries.lakeTimeTravel _),
     "lake_read_optimized" -> (LakeQueries.lakeReadOptimized _),
+    // SQL MERGE INTO via the delta-based row-level operation path
+    "lake_merge_into" -> (LakeQueries.lakeMergeInto _),
     // extension operators: text analysis / dedup / similarity / multimodal
     "text_stats" -> (TextAnalysis.textStats _),
     "text_exact_dedup" -> (TextAnalysis.exactDedup _),
@@ -337,6 +339,20 @@ object SparkEntry {
          |FROM b1 WHERE l_orderkey >= 500
          |UNION ALL
          |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts FROM b2
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "lake_merge_into" ->
+      s"""$lakeCtes
+         |SELECT l_orderkey, l_linenumber, l_quantity + 2000 AS l_quantity,
+         |       l_returnflag, created_ts + 2 AS created_ts
+         |FROM b1 WHERE l_orderkey < 300
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts
+         |FROM b1 WHERE l_orderkey >= 400
+         |UNION ALL
+         |SELECT l_orderkey, CAST(l_linenumber + 100 AS INTEGER) AS l_linenumber,
+         |       l_quantity + 5000 AS l_quantity, l_returnflag,
+         |       created_ts + 3 AS created_ts
+         |FROM b1 WHERE l_orderkey >= 400 AND l_orderkey < 450
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "lake_incremental" ->
       s"""$lakeCtes

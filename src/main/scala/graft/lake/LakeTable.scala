@@ -880,7 +880,12 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     withKeyCol(df).withColumn(CommitTimeCol, lit(instant))
       .withColumn(DeletedCol, lit(false))
 
-  private def withKeyCol(df: DataFrame): DataFrame = {
+  /** The record-key expression for a batch of the given schema —
+    * shared by the DataFrame write paths ([[withKeyCol]]) and the
+    * task-level row-level-operation writers (which bind it against the
+    * incoming row schema and evaluate it per row; see LakeRowLevel).
+    */
+  private[graft] def keyColumnFor(batchSchema: StructType): Column = {
     // partition index scope: identity = (partition values, key values) —
     // prefixing the partition components makes every keyed code path
     // (matching, merge, delete, file pruning) partition-local with no
@@ -897,7 +902,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       // on the batch's accidental types), falling back to the batch type
       // before the first write
       val dt = userSchema.flatMap(s => s.fields.find(_.name == c))
-        .orElse(df.schema.fields.find(_.name == c)).map(_.dataType)
+        .orElse(batchSchema.fields.find(_.name == c)).map(_.dataType)
       val typed = dt.map(d => col(c).cast(d)).getOrElse(col(c))
       val integral = dt match {
         case Some(ByteType | ShortType | IntegerType | LongType) => true
@@ -915,11 +920,14 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         coalesce(enc, lit("__HIVE_DEFAULT_PARTITION__"))
       else enc
     }
+    concat_ws(KeySep, keyCols.map(component): _*)
+  }
+
+  private def withKeyCol(df: DataFrame): DataFrame =
     // the PK-not-null guard applies to the RECORD key fields only —
     // partition components of a partition-scoped key may be null
     df.filter(_meta.recordKeyFields.map(col(_).isNotNull).reduce(_ && _))
-      .withColumn(RecordKeyCol, concat_ws(KeySep, keyCols.map(component): _*))
-  }
+      .withColumn(RecordKeyCol, keyColumnFor(df.schema))
 
   private def withKeyOnly(df: DataFrame): DataFrame =
     if (df.columns.contains(RecordKeyCol)) df.select(col(RecordKeyCol)).distinct()
@@ -996,7 +1004,20 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         if (_meta.partitionFields.nonEmpty) w.partitionBy(_meta.partitionFields: _*)
         else w
       w2.parquet(staging.toString)
+      publishStaged(staging, instant, kind)
+    } finally { ordered0.unpersist(); () }
+  }
 
+  /** Publish a staging directory laid out like the table (hive partition
+    * dirs, physical schema = fullSchema minus partition columns): collect
+    * per-file stats, move the files to their final `<instant>_<n>.parquet`
+    * names, and delete the staging dir. Shared by [[stageWrite]] and the
+    * row-level-operation write path (whose executors stage files
+    * directly).
+    */
+  private[graft] def publishStaged(staging: Path, instant: String,
+      kind: String): Seq[FileStat] = {
+    {
       val marker = staging.getName + "/"
       def relOf(p: Path): String = {
         val s = p.toString; s.substring(s.indexOf(marker) + marker.length)
@@ -1092,7 +1113,84 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       }
       fs.delete(staging, true)
       stats
-    } finally { ordered0.unpersist(); () }
+    }
+  }
+
+  // -------------------------------------------------- row-level operations
+
+  /** Begin a row-level operation (SQL MERGE INTO / UPDATE / delta DELETE):
+    * allocate the commit instant OPTIMISTICALLY — no lock is held while
+    * the (possibly long) distributed write job runs; [[rowLevelCommit]]
+    * validates under the lock that nothing committed in between.
+    */
+  private[graft] def rowLevelBegin(): String = timeline.nextInstant()
+
+  /** A fresh staging dir for a row-level operation's task writers. */
+  private[graft] def rowLevelStaging(instant: String): Path =
+    new Path(tablePath,
+      s"_lake/staging/${instant}_rl_${java.util.UUID.randomUUID().toString.take(8)}")
+
+  /** Publish a row-level operation: optimistic-concurrency check, orphan
+    * sweep (only files named by committed task messages publish — a
+    * retried task's first attempt may have left partials), publish +
+    * commit, then the table-type follow-up: COW tables compact the
+    * affected file groups inline so the no-deltas contract holds
+    * (read-optimized == snapshot), MOR tables fall under the normal
+    * inline-compaction debt policy.
+    */
+  private[graft] def rowLevelCommit(instant: String, staging: Path,
+      files: Seq[Path], op: String,
+      extra: Map[String, String] = Map.empty): Unit = timeline.withLock() {
+    if (timeline.latestInstant().exists(_ >= instant))
+      throw new java.util.ConcurrentModificationException(
+        s"row-level $op prepared at instant $instant, but the table has " +
+          "a commit at or after it; re-run the statement")
+    val keep = files.map(p => fs.makeQualified(p).toString).toSet
+    if (fs.exists(staging)) {
+      val it = fs.listFiles(staging, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet") &&
+            !keep.contains(fs.makeQualified(st.getPath).toString))
+          fs.delete(st.getPath, false)
+      }
+    }
+    val stats =
+      if (files.isEmpty) { fs.delete(staging, true); Seq.empty }
+      else publishStaged(staging, instant, kind = "delta")
+    timeline.commit(CommitMeta(instant, op, stats, Seq.empty, extra))
+    if (stats.nonEmpty) {
+      if (_meta.tableType == "cow") {
+        // the COW contract: no outstanding deltas after any write. A
+        // tombstone masks keys globally, so deletes escalate to a full
+        // compaction. Pure data deltas compact their own partitions PLUS
+        // the partitions of base files containing the merged keys: under
+        // the global index an update may have moved a key's partition
+        // value, and once the delta is compacted away nothing would
+        // resolve the stale version still sitting in the old partition's
+        // base file. matchedFiles' two-step prune (commit-metadata key
+        // ranges, then one semi-join over candidates) keeps this
+        // O(affected files), not O(table).
+        if (stats.exists(_.tombstones > 0)) { compactLocked(); () }
+        else {
+          val deltaKeys = readStats(stats).select(col(RecordKeyCol))
+          val mn = stats.map(_.minKey).min
+          val mx = stats.map(_.maxKey).max
+          val hit = matchedFiles(deltaKeys, mn, mx)
+            .filterNot(stats.map(_.path).contains)
+          val parts = (stats.map(_.partition) ++ hit.map(partitionOf)).toSet
+          compactPartitionsLocked(parts); ()
+        }
+      } else maybeCompactInline()
+    }
+  }
+
+  /** Abandon a row-level operation (job failure): nothing was committed,
+    * so dropping the pre-commit staging dir fully undoes it.
+    */
+  private[graft] def rowLevelAbort(staging: Path): Unit = {
+    fs.delete(staging, true)
+    ()
   }
 }
 

@@ -163,6 +163,68 @@ object LakeQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** SQL `MERGE INTO` through the lake catalog — the delta-based
+    * row-level operation path ([[graft.sources.LakeRowLevelOperation]]):
+    * one statement carrying matched-DELETE, matched-UPDATE and
+    * not-matched-INSERT clauses against the partitioned COW table. The
+    * oracle restates the outcome (updates applied, delete slice gone,
+    * inserts appended) in plain SQL over the same deterministic batch1.
+    * Built once per (JVM, sfDir) like [[cowFixture]]; the query itself
+    * measures the merged READ.
+    */
+  private val mergeFixtures = scala.collection.concurrent.TrieMap[String, String]()
+
+  def lakeMergeInto(s: SparkSession, dir: String): DataFrame = {
+    val path = mergeFixtures.getOrElseUpdate(dir, {
+      val wh = Files.createTempDirectory("graft_mergewh").toString
+      s.conf.set("spark.sql.catalog.graft_rl",
+        classOf[graft.sources.LakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_rl.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_rl.q")
+      val tPath = s"$wh/q/li"
+      withBatch1(s, dir) { b1 =>
+        val base = b1.select(outCols.map(col): _*)
+        val t = LakeTable.create(s, tPath,
+          TableMeta("q.li", Seq("l_orderkey", "l_linenumber"), "created_ts",
+            Seq("l_returnflag"), "cow", keyEncoding = "padded",
+            schemaJson = base.schema.json))
+        t.upsert(base, combine = false)
+        // one source frame, three intents: updates (< 300), deletes
+        // ([300, 400)), inserts (new identities for [400, 450))
+        val updates = base.filter(col("l_orderkey") < 300)
+          .withColumn("l_quantity", col("l_quantity") + 2000)
+          .withColumn("created_ts", col("created_ts") + 2)
+          .withColumn("op", lit("u"))
+        val deletes = base
+          .filter(col("l_orderkey").between(300, 399))
+          .withColumn("op", lit("d"))
+        val inserts = base
+          .filter(col("l_orderkey").between(400, 449))
+          .withColumn("l_linenumber",
+            (col("l_linenumber") + 100).cast("int"))
+          .withColumn("l_quantity", col("l_quantity") + 5000)
+          .withColumn("created_ts", col("created_ts") + 3)
+          .withColumn("op", lit("i"))
+        updates.unionAll(deletes).unionAll(inserts)
+          .createOrReplaceTempView("graft_merge_src")
+      }
+      s.sql(
+        """MERGE INTO graft_rl.q.li t USING graft_merge_src s
+          |ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
+          |WHEN MATCHED AND s.op = 'd' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET
+          |  t.l_quantity = s.l_quantity, t.created_ts = s.created_ts
+          |WHEN NOT MATCHED THEN INSERT
+          |  (l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts)
+          |  VALUES (s.l_orderkey, s.l_linenumber, s.l_quantity,
+          |          s.l_returnflag, s.created_ts)""".stripMargin)
+      tPath
+    })
+    LakeTable.load(s, path).snapshot()
+      .select(outCols.map(col): _*)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** K1 delete op: keys vanish, survivors keep their data. */
   def lakeDelete(s: SparkSession, dir: String): DataFrame = {
     val t = freshTable(s)

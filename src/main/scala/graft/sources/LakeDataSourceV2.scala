@@ -60,7 +60,8 @@ class LakeDataSourceV2 extends TableProvider with DataSourceRegister {
   */
 class LakeV2Table(tableSchema: StructType, params: Map[String, String])
     extends Table with SupportsRead with SupportsWrite
-    with SupportsMetadataColumns with SupportsDelete {
+    with SupportsMetadataColumns with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String = params.getOrElse("path", "graft-lake-v2")
 
@@ -81,6 +82,9 @@ class LakeV2Table(tableSchema: StructType, params: Map[String, String])
           override def name(): String = n
           override def dataType(): org.apache.spark.sql.types.DataType =
             org.apache.spark.sql.types.StringType
+          // physically never null — and `_record_key` doubles as the
+          // row-level operations' rowId, which Spark requires non-nullable
+          override def isNullable(): Boolean = false
           override def comment(): String = "graft-lake commit metadata"
         }
       }
@@ -121,6 +125,12 @@ class LakeV2Table(tableSchema: StructType, params: Map[String, String])
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new LakeV2WriteBuilder(params ++ info.options().asCaseSensitiveMap().asScala)
+
+  /** SQL MERGE INTO / UPDATE / non-metadata DELETE — see [[LakeRowLevelOperation]]. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new LakeRowLevelBuilder(params, info)
 }
 
 /** Column-prune + filter pushdown land on the same delegated DataFrame

@@ -690,10 +690,11 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     orphans.length
   }
 
-  def clean(retainCommits: Int = 2): Unit = timeline.withLock() {
+  /** @return number of physically deleted data files */
+  def clean(retainCommits: Int = 2): Int = timeline.withLock() {
     cleanOrphanedStaging()
     val inst = timeline.instants()
-    if (inst.size <= retainCommits) return
+    if (inst.size <= retainCommits) return 0
     val cutoff = inst(inst.size - retainCommits - 1)
     // A file is physically deletable only when the commit that REMOVED it
     // is at or before the cutoff: every retained instant t > cutoff then
@@ -715,6 +716,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       val instant = timeline.nextInstant()
       timeline.commit(CommitMeta(instant, "clean", Seq.empty, deletable))
     }
+    deletable.size
   }
 
   // ------------------------------------------------- schema evolution DDL

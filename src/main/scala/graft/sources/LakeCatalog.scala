@@ -37,7 +37,8 @@ import scala.jdk.CollectionConverters._
   * metadata-only schema-evolution commits, so they are O(1) operations
   * regardless of table size — nothing rewrites data files.
   */
-class LakeCatalog extends TableCatalog with SupportsNamespaces {
+class LakeCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -151,6 +152,29 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     if (!fs.rename(tableDir(oldIdent), dst))
       throw new IllegalStateException(s"rename $oldIdent -> $newIdent failed")
   }
+
+  // ---- ProcedureCatalog ----
+
+  /** `CALL <catalog>.system.<proc>(table => 'ns.tbl', ...)` — the table
+    * services as SQL stored procedures (see [[LakeProcedures]]). The
+    * `table` argument is a dotted identifier relative to this catalog's
+    * warehouse.
+    */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val ok = ident.namespace().sameElements(Array("system"))
+    (if (ok) LakeProcedures.load(ident.name(), name => {
+      val dir = nsDir(name.split('.').toSeq.init.toArray)
+      new Path(dir, name.split('.').last).toString
+    }) else None).getOrElse(throw new RuntimeException(
+      s"no such procedure: ${ident.namespace().mkString(".")}.${ident.name()}" +
+        s" (available: system.{${LakeProcedures.names.mkString(", ")}})"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      LakeProcedures.names.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
 
   // ---- SupportsNamespaces ----
 

@@ -1,0 +1,156 @@
+package graft.sources
+
+import graft.lake.LakeTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util.Collections
+import scala.jdk.CollectionConverters._
+
+/** SQL `CALL`-able table services for the lake catalog — the maintenance
+  * operations every table format ships as stored procedures (compaction,
+  * clustering, small-file packing, retention, rollback), exposed through
+  * Spark 4's `ProcedureCatalog` so they are one SQL statement instead of
+  * library calls:
+  *
+  * {{{
+  *   CALL lake.system.compact(table => 'ods.users')
+  *   CALL lake.system.cluster(table => 'ods.users', sort_cols => 'ts')
+  *   CALL lake.system.zorder(table => 'ods.users', cols => 'x,y')
+  *   CALL lake.system.pack_small_files(table => 'ods.users')
+  *   CALL lake.system.clean(table => 'ods.users', retain_commits => 4)
+  *   CALL lake.system.archive_timeline(table => 'ods.users', keep_commits => 10)
+  *   CALL lake.system.restore(table => 'ods.users', instant => '0...17')
+  *   CALL lake.system.cleanup_orphans(table => 'ods.users')
+  * }}}
+  *
+  * Each returns a one-row result (the service's commit instant or count),
+  * planned as a LocalScan. The reference reaches the same services only
+  * through Hudi's inline-write options (HudiConfig.scala:22-37); a SQL
+  * surface makes them schedulable from any SQL client.
+  */
+object LakeProcedures {
+
+  /** name -> (parameters, output schema, body(table, args) -> row values).
+    * `args` are the call's argument values aligned to the parameter
+    * order, strings already decoded.
+    */
+  private type Body = (LakeTable, Seq[Any]) => Seq[Any]
+
+  private def p(name: String, dt: DataType,
+      default: Option[String] = None): ProcedureParameter = {
+    val b = ProcedureParameter.in(name, dt)
+    default.foreach(b.defaultValue)
+    b.build()
+  }
+
+  private val instantOut = new StructType().add("instant", StringType)
+  private val countOut = new StructType().add("count", LongType)
+
+  private case class Spec(params: Seq[ProcedureParameter], out: StructType,
+      body: Body, description: String)
+
+  private val specs: Map[String, Spec] = Map(
+    "compact" -> Spec(
+      Seq(p("table", StringType), p("partitions", StringType, Some("NULL"))),
+      instantOut,
+      (t, args) => Seq(args(1) match {
+        case null => t.compact().orNull
+        case parts: String =>
+          t.compactPartitions(parts.split(",").map(_.trim).toSet).orNull
+      }),
+      "Merge MOR delta files into base files (whole table, or only the " +
+        "given comma-separated partition dirs)"),
+    "cluster" -> Spec(
+      Seq(p("table", StringType), p("sort_cols", StringType)),
+      instantOut,
+      (t, args) => Seq(t.cluster(
+        args(1).asInstanceOf[String].split(",").map(_.trim).toSeq).orNull),
+      "Rewrite live files range-clustered and sorted by the given columns"),
+    "zorder" -> Spec(
+      Seq(p("table", StringType), p("cols", StringType),
+        p("bits_per_col", IntegerType, Some("8"))),
+      instantOut,
+      (t, args) => Seq(t.clusterZOrder(
+        args(1).asInstanceOf[String].split(",").map(_.trim).toSeq,
+        args(2).asInstanceOf[Int]).orNull),
+      "Rewrite live files along a z-order curve over the given numeric columns"),
+    "pack_small_files" -> Spec(
+      Seq(p("table", StringType),
+        p("target_bytes", LongType, Some("134217728")),
+        p("min_files", IntegerType, Some("2"))),
+      instantOut,
+      (t, args) => Seq(t.packSmallFiles(args(1).asInstanceOf[Long],
+        args(2).asInstanceOf[Int]).orNull),
+      "Bin-pack partitions holding several under-sized base files"),
+    "clean" -> Spec(
+      Seq(p("table", StringType), p("retain_commits", IntegerType, Some("2"))),
+      countOut,
+      (t, args) => Seq(t.clean(args(1).asInstanceOf[Int]).toLong),
+      "Physically delete file versions removed before the retention window"),
+    "archive_timeline" -> Spec(
+      Seq(p("table", StringType), p("keep_commits", IntegerType)),
+      countOut,
+      (t, args) =>
+        Seq(t.archiveTimeline(args(1).asInstanceOf[Int]).size.toLong),
+      "Roll commits older than the newest keep_commits into the archive"),
+    "restore" -> Spec(
+      Seq(p("table", StringType), p("instant", StringType)),
+      instantOut,
+      (t, args) => { t.restore(args(1).asInstanceOf[String])
+        Seq(args(1)) },
+      "Roll the table back to an instant, deleting later commits and files"),
+    "cleanup_orphans" -> Spec(
+      Seq(p("table", StringType)),
+      countOut,
+      (t, args) =>
+        Seq((t.cleanOrphanedStaging() + t.cleanOrphanedData()).toLong),
+      "Remove crash residue: stale staging dirs and never-committed data files"))
+
+  def names: Seq[String] = specs.keys.toSeq.sorted
+
+  def load(procName: String,
+      tableDirOf: String => String): Option[UnboundProcedure] =
+    specs.get(procName).map { spec =>
+      new UnboundProcedure {
+        override def name(): String = procName
+        override def description(): String = spec.description
+        override def bind(inputType: StructType): BoundProcedure =
+          new BoundProcedure {
+            override def name(): String = procName
+            override def description(): String = spec.description
+            override def parameters(): Array[ProcedureParameter] =
+              spec.params.toArray
+            override def isDeterministic: Boolean = false
+            override def call(input: InternalRow): java.util.Iterator[Scan] = {
+              val args = spec.params.zipWithIndex.map { case (param, i) =>
+                if (input.isNullAt(i)) null
+                else param.dataType() match {
+                  case StringType  => input.getUTF8String(i).toString
+                  case IntegerType => input.getInt(i)
+                  case LongType    => input.getLong(i)
+                  case dt => input.get(i, dt)
+                }
+              }
+              val table = LakeTable.load(SparkSession.active,
+                tableDirOf(args.head.asInstanceOf[String]))
+              val values = spec.body(table, args)
+              val row = new GenericInternalRow(values.map {
+                case s: String => UTF8String.fromString(s)
+                case v         => v
+              }.toArray[Any])
+              val scan: Scan = new LocalScan {
+                override def rows(): Array[InternalRow] = Array(row)
+                override def readSchema(): StructType = spec.out
+              }
+              Collections.singletonList(scan).iterator()
+            }
+          }
+      }
+    }
+}

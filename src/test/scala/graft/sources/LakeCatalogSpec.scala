@@ -168,6 +168,55 @@ class LakeCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("CALL procedures: compact, clean, pack, cluster, restore, orphans") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.svc")
+    spark.sql(
+      """CREATE TABLE lake.svc.t (id INT, ts BIGINT, v DOUBLE)
+        |OPTIONS ('recordkey.field' 'id', 'precombine.field' 'ts',
+        |         'table.type' 'mor')""".stripMargin)
+    spark.sql("INSERT INTO lake.svc.t VALUES (1, 10, 1.0), (2, 10, 2.0)")
+    spark.sql("INSERT INTO lake.svc.t VALUES (2, 20, 22.0)")
+    val t = LakeTable.load(spark, s"$warehouse/svc/t")
+    assert(t.timeline.liveFiles().exists(_.isDelta))
+    // compact via SQL; returns the service commit instant
+    val inst = spark.sql("CALL lake.system.compact(table => 'svc.t')")
+      .head().getString(0)
+    assert(inst != null && !t.timeline.liveFiles().exists(_.isDelta))
+    // a second small base file (bulk-load insert), then bin-pack both
+    val s = spark
+    import s.implicits._
+    t.insert(Seq((3, 10L, 3.0)).toDF("id", "ts", "v"))
+    val packed = spark.sql(
+      "CALL lake.system.pack_small_files(table => 'svc.t')").head().getString(0)
+    assert(packed != null)
+    // retention: drop file versions older than the last 2 commits
+    val cleaned = spark.sql(
+      "CALL lake.system.clean(table => 'svc.t', retain_commits => 2)")
+      .head().getLong(0)
+    assert(cleaned > 0)
+    // cluster by a column; result readable and identical
+    val clustered = spark.sql(
+      "CALL lake.system.cluster(table => 'svc.t', sort_cols => 'ts')")
+      .head().getString(0)
+    assert(clustered != null)
+    assert(spark.sql("SELECT id, v FROM lake.svc.t ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSeq ==
+      Seq((1, 1.0), (2, 22.0), (3, 3.0)))
+    // restore to the clustering instant is a no-op rollback; orphan sweep
+    spark.sql(s"CALL lake.system.restore(table => 'svc.t', instant => '$clustered')")
+    assert(spark.sql("CALL lake.system.cleanup_orphans(table => 'svc.t')")
+      .head().getLong(0) == 0L)
+    // unknown procedure fails loudly with the available list
+    val e = intercept[Exception] {
+      spark.sql("CALL lake.system.nope(table => 'svc.t')")
+    }
+    // Spark wraps the catalog's error as FAILED_TO_LOAD_ROUTINE; ours
+    // (with the available-procedure list) rides along as the cause
+    assert(e.getMessage.contains("nope"))
+    assert(e.getCause != null &&
+      e.getCause.getMessage.contains("no such procedure"))
+  }
+
   test("catalog and library APIs see one table state") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.x")
     spark.sql(

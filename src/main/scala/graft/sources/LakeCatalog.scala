@@ -86,6 +86,34 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     new LakeV2Table(t.userSchema.getOrElse(t.fullSchema), Map("path" -> dir))
   }
 
+  /** SQL time travel — `SELECT ... FROM t VERSION AS OF '<instant>'`:
+    * the returned table's scans are pinned to `snapshotAsOf(version)`
+    * (the same contract as the read option `as.of`). Writes to a
+    * time-travel relation are rejected by Spark itself.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident).toString
+    if (!LakeTable.exists(spark, dir)) throw new NoSuchTableException(ident)
+    val t = LakeTable.load(spark, dir)
+    require(t.timeline.instants().contains(version),
+      s"no commit at instant $version in ${ident.name()}; " +
+        s"available: ${t.timeline.instants().mkString(", ")}")
+    new LakeV2Table(t.userSchema.getOrElse(t.fullSchema),
+      Map("path" -> dir, "as.of" -> version))
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands epoch MICROseconds; instants
+    * are zero-padded epoch millis, so the cutoff is a direct encode (the
+    * snapshot includes every commit at or before the timestamp).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident).toString
+    if (!LakeTable.exists(spark, dir)) throw new NoSuchTableException(ident)
+    val t = LakeTable.load(spark, dir)
+    new LakeV2Table(t.userSchema.getOrElse(t.fullSchema),
+      Map("path" -> dir, "as.of" -> f"${timestamp / 1000}%017d"))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {

@@ -217,6 +217,35 @@ class LakeCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       e.getCause.getMessage.contains("no such procedure"))
   }
 
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.tt")
+    spark.sql(
+      """CREATE TABLE lake.tt.t (id INT, ts BIGINT, v DOUBLE)
+        |OPTIONS ('recordkey.field' 'id', 'precombine.field' 'ts')""".stripMargin)
+    spark.sql("INSERT INTO lake.tt.t VALUES (1, 10, 1.0)")
+    val t = LakeTable.load(spark, s"$warehouse/tt/t")
+    val c1 = t.latestCommit.get
+    spark.sql("INSERT INTO lake.tt.t VALUES (1, 20, 11.0), (2, 20, 2.0)")
+    // current state vs pinned version
+    assert(spark.sql("SELECT count(*) FROM lake.tt.t").head().getLong(0) == 2)
+    assert(spark.sql(
+      s"SELECT v FROM lake.tt.t VERSION AS OF '$c1'").collect()
+      .map(_.getDouble(0)).toSeq == Seq(1.0))
+    // timestamp cutoff: instants are epoch millis — a timestamp right at
+    // c1 sees only the first commit
+    val tsSql = new java.sql.Timestamp(c1.toLong).toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM lake.tt.t TIMESTAMP AS OF '$tsSql'")
+      .head().getLong(0) == 1)
+    // unknown version fails loudly
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM lake.tt.t VERSION AS OF '123'").collect()
+    }
+    assert(e.getMessage.contains("no commit at instant") ||
+      (e.getCause != null &&
+        e.getCause.getMessage.contains("no commit at instant")))
+  }
+
   test("catalog and library APIs see one table state") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.x")
     spark.sql(

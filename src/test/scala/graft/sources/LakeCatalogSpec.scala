@@ -246,6 +246,33 @@ class LakeCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
         e.getCause.getMessage.contains("no commit at instant")))
   }
 
+  test("CTAS and the DataFrameWriterV2 writeTo API") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ct")
+    // CREATE TABLE AS SELECT carries the option surface
+    spark.sql(
+      """CREATE TABLE lake.ct.c
+        |OPTIONS ('recordkey.field' 'id', 'precombine.field' 'ts')
+        |AS SELECT id, ts, CAST(v AS DOUBLE) AS v
+        |FROM VALUES (1, 10L, 1.0), (2, 10L, 2.0) AS t(id, ts, v)""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM lake.ct.c").head().getLong(0) == 2)
+    // writeTo append routes through the same keyed upsert
+    val s = spark
+    import s.implicits._
+    Seq((2, 20L, 22.0), (3, 20L, 3.0)).toDF("id", "ts", "v")
+      .writeTo("lake.ct.c").append()
+    assert(spark.sql("SELECT id, v FROM lake.ct.c ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSeq ==
+      Seq((1, 1.0), (2, 22.0), (3, 3.0)))
+    // createOrReplace drops and re-creates the table from the frame
+    Seq((9, 90L, 9.0)).toDF("id", "ts", "v")
+      .writeTo("lake.ct.c").using("graft-lake-v2")
+      .tableProperty("recordkey.field", "id")
+      .tableProperty("precombine.field", "ts")
+      .createOrReplace()
+    assert(spark.sql("SELECT id FROM lake.ct.c").collect()
+      .map(_.getInt(0)).toSeq == Seq(9))
+  }
+
   test("catalog and library APIs see one table state") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.x")
     spark.sql(

@@ -63,6 +63,8 @@ object SparkEntry {
     "mm_features" -> (TextAnalysis.mmFeatures _),
     "dedup_jaccard_pairs" -> (Dedup.jaccardPairs _),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
+    // connected components over the near-dup pair graph -> dedup families
+    "dedup_clusters" -> (Dedup.dedupClusters _),
     "dedup_simhash" -> (Dedup.simhashPairs _), // rows-only (engine hash)
     "sim_topk_bruteforce" -> (Similarity.topKBruteForce _),
     "dedup_cosine_pairs" -> (Similarity.cosinePairs _),
@@ -111,6 +113,31 @@ object SparkEntry {
 
   private val jaccardPairsSql = jaccardPairsCtes +
     "\nSELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b"
+
+  /** Connected components over the pair graph as a recursive CTE:
+    * reach(doc_id, l) enumerates every label reachable from each node,
+    * min per node = the component's canonical id — the declarative
+    * statement of the engine's min-label propagation fixpoint.
+    */
+  private val dedupClustersSql =
+    jaccardPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(doc_id, l) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.doc_id),
+        |labels AS (
+        |  SELECT doc_id, MIN(l) AS cluster_id FROM reach GROUP BY doc_id),
+        |sizes AS (
+        |  SELECT cluster_id, COUNT(*) AS cluster_size
+        |  FROM labels GROUP BY cluster_id)
+        |SELECT l.doc_id, l.cluster_id, s.cluster_size,
+        |       l.doc_id = l.cluster_id AS is_canonical
+        |FROM labels l JOIN sizes s USING (cluster_id)
+        |ORDER BY l.doc_id""".stripMargin
 
   private val cosineFold =
     "list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE))), (a, x) -> a + x)"
@@ -453,6 +480,7 @@ object SparkEntry {
         |FROM hits ORDER BY doc_id""".stripMargin),
     "dedup_jaccard_pairs" -> jaccardPairsSql,
     "dedup_minhash_lsh" -> jaccardPairsSql,
+    "dedup_clusters" -> dedupClustersSql,
     "dedup_cosine_pairs" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -244,4 +244,50 @@ object Dedup {
     Relational.t(s, dir, "documents")
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
+
+  /** Near-dup CLUSTER formation — the step after pair-finding in a real
+    * dedup pipeline: connected components over the verified Jaccard pair
+    * graph, cluster id = min doc_id reachable (the canonical survivor),
+    * plus family size and the keep flag. Distributed min-label
+    * propagation: each round every node takes the min of its own and its
+    * neighbors' labels — two shuffles per round over the PAIR graph
+    * (tiny next to the corpus), rounds = component diameter (near-dup
+    * families are short chains). Each round's labels are eagerly
+    * localCheckpoint'ed: lineage stays O(1) instead of O(rounds), which
+    * is what makes iterative graph algorithms survive on Spark. For
+    * planet-scale graphs with giant components swap the update rule for
+    * large-star/small-star (alternating min-propagation that converges
+    * in O(log n) rounds); the harness below is unchanged.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(s, dir).select(col("id_a"), col("id_b"))
+    val edges = pairs.unionAll(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("src", "dst")
+      .localCheckpoint(true) // consumed every round — materialize once
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val minNbr = edges
+        .join(labels.select(col("doc_id").as("src"), col("label").as("nl")),
+          "src")
+        .groupBy(col("dst").as("doc_id")).agg(min(col("nl")).as("mn"))
+      val next = labels.join(minNbr, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("mn"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next.alias("n")
+        .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+    }
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"), (col("doc_id") === col("label")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
 }

@@ -21,6 +21,25 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh == exact)
   }
 
+  test("dedup clusters: pairs co-clustered, canonical is the min member") {
+    val pairs = Dedup.jaccardPairs(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(pairs.nonEmpty && byDoc.nonEmpty)
+    // every near-dup pair ends up in one family
+    pairs.foreach { case (a, b) => assert(byDoc(a)._1 == byDoc(b)._1) }
+    // the canonical member is the family's min doc_id, exactly one per
+    // family, and sizes are consistent
+    byDoc.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(members.keys.min == cid)
+      assert(members.count(_._2._3) == 1 && members(cid)._3)
+      assert(members.values.forall(_._2 == members.size))
+    }
+  }
+
   test("simhash near-dup pairs overlap heavily with jaccard pairs") {
     val jac = Dedup.jaccardPairs(spark, sf)
       .select("id_a", "id_b").collect()

@@ -268,6 +268,77 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     instant
   }
 
+  /** Replace-where (Delta's replaceWhere / SQL `INSERT INTO ... REPLACE
+    * WHERE` / static-partition `INSERT OVERWRITE ... PARTITION (...)`):
+    * atomically delete every row matching `cond` and insert `data` — one
+    * commit. Only files CONTAINING a matching row are rewritten; victim
+    * discovery is a distributed filter over the live files, so a
+    * partition-aligned predicate prunes to those partitions via the
+    * metadata index before any I/O. NULL-evaluating rows are kept (only
+    * rows where `cond` is definitely true are replaced). Tombstone delta
+    * files are never victims — they mask keys globally and removing one
+    * could resurrect rows outside the predicate — but they ARE applied
+    * as a read barrier, so masked rows don't survive into the rewrite.
+    */
+  def replaceWhere(cond: Column, data: DataFrame,
+      extra: Map[String, String] = Map.empty): String = timeline.withLock() {
+    val instant = timeline.nextInstant()
+    val incoming = withMeta(alignUser(data), instant)
+    val matchCond = coalesce(cond, lit(false))
+    val live = timeline.liveFiles()
+    val candidates = live.filterNot(_.tombstones > 0)
+    val victims: Seq[String] =
+      if (candidates.isEmpty) Seq.empty
+      else {
+        import spark.implicits._
+        val hit = readStats(candidates)
+          .filter(matchCond)
+          .select(input_file_name().as("_f")).distinct()
+          .as[String].collect()
+        candidates.map(_.path).filter(rel => hit.exists(_.endsWith("/" + rel)))
+      }
+    val out =
+      if (victims.isEmpty) incoming
+      else {
+        val vstats = candidates.filter(f => victims.contains(f.path))
+        // MOR victims resolve against the GLOBAL tombstone barrier (same
+        // partial-rewrite argument as compactPartitions: an outside
+        // delta still wins resolution because it stays live)
+        val resolved =
+          if (vstats.exists(_.isDelta))
+            resolveLatest(readStats(vstats), tombstoneBarrier(live))
+          else readStats(vstats)
+        incoming.unionByName(resolved.filter(!matchCond))
+      }
+    val stats = stageWrite(out, instant)
+    timeline.commit(CommitMeta(instant, "replacewhere", stats, victims, extra))
+    instant
+  }
+
+  /** Hive/Spark dynamic-partition-overwrite semantics (SQL `INSERT
+    * OVERWRITE` under partitionOverwriteMode=dynamic, `writeTo(...)
+    * .overwritePartitions()`): atomically replace exactly the partitions
+    * the incoming batch touches, leaving every other partition alone.
+    * Tombstone files are kept even when the default partition is
+    * replaced — they mask keys globally, not per-partition.
+    */
+  def overwritePartitions(data: DataFrame,
+      extra: Map[String, String] = Map.empty): String = timeline.withLock() {
+    require(_meta.partitionFields.nonEmpty,
+      "dynamic partition overwrite requires a partitioned table " +
+        "(unpartitioned tables: use overwrite())")
+    val instant = timeline.nextInstant()
+    val incoming = withMeta(alignUser(data), instant)
+    val stats = stageWrite(incoming, instant)
+    val parts = stats.map(_.partition).toSet
+    val removed = timeline.liveFiles()
+      .filter(f => parts.contains(f.partition) && f.tombstones == 0)
+      .map(_.path)
+    timeline.commit(
+      CommitMeta(instant, "overwritepartitions", stats, removed, extra))
+    instant
+  }
+
   /** Keyed upsert with precombine resolution (Hudi `upsert`, reference
     * package.scala:23 + HudiConfig.scala:45-48).
     *
@@ -1140,12 +1211,15 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * (read-optimized == snapshot), MOR tables fall under the normal
     * inline-compaction debt policy.
     */
-  private[graft] def rowLevelCommit(instant: String, staging: Path,
-      files: Seq[Path], op: String,
-      extra: Map[String, String] = Map.empty): Unit = timeline.withLock() {
+  /** OCC gate + task-retry orphan sweep + publish, shared by the staged
+    * distributed-writer commits (row-level ops, dynamic overwrite).
+    * Caller must hold the writer lock.
+    */
+  private def publishTaskStaged(instant: String, staging: Path,
+      files: Seq[Path], op: String, kind: String): Seq[FileStat] = {
     if (timeline.latestInstant().exists(_ >= instant))
       throw new java.util.ConcurrentModificationException(
-        s"row-level $op prepared at instant $instant, but the table has " +
+        s"$op prepared at instant $instant, but the table has " +
           "a commit at or after it; re-run the statement")
     val keep = files.map(p => fs.makeQualified(p).toString).toSet
     if (fs.exists(staging)) {
@@ -1157,9 +1231,15 @@ class LakeTable private (val spark: SparkSession, val path: String) {
           fs.delete(st.getPath, false)
       }
     }
-    val stats =
-      if (files.isEmpty) { fs.delete(staging, true); Seq.empty }
-      else publishStaged(staging, instant, kind = "delta")
+    if (files.isEmpty) { fs.delete(staging, true); Seq.empty }
+    else publishStaged(staging, instant, kind)
+  }
+
+  private[graft] def rowLevelCommit(instant: String, staging: Path,
+      files: Seq[Path], op: String,
+      extra: Map[String, String] = Map.empty): Unit = timeline.withLock() {
+    val stats = publishTaskStaged(instant, staging, files,
+      s"row-level $op", kind = "delta")
     timeline.commit(CommitMeta(instant, op, stats, Seq.empty, extra))
     if (stats.nonEmpty) {
       if (_meta.tableType == "cow") {
@@ -1193,6 +1273,25 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   private[graft] def rowLevelAbort(staging: Path): Unit = {
     fs.delete(staging, true)
     ()
+  }
+
+  /** Publish a task-staged dynamic partition overwrite: the staged base
+    * files replace every previous file of exactly the partitions they
+    * touch ([[overwritePartitions]] semantics, distributed-writer form).
+    */
+  private[graft] def dynamicOverwriteCommit(instant: String, staging: Path,
+      files: Seq[Path]): Unit = timeline.withLock() {
+    require(_meta.partitionFields.nonEmpty,
+      "dynamic partition overwrite requires a partitioned table " +
+        "(unpartitioned tables: use overwrite())")
+    val stats = publishTaskStaged(instant, staging, files,
+      "dynamic-partition-overwrite", kind = "base")
+    val parts = stats.map(_.partition).toSet
+    val removed = timeline.liveFiles()
+      .filter(f => parts.contains(f.partition) && f.tombstones == 0)
+      .map(_.path)
+    timeline.commit(
+      CommitMeta(instant, "overwritepartitions", stats, removed))
   }
 }
 

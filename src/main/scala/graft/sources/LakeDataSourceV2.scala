@@ -5,7 +5,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
@@ -67,6 +67,19 @@ class LakeV2Table(tableSchema: StructType, params: Map[String, String])
 
   override def schema(): StructType = tableSchema
 
+  /** The lake partition fields as identity transforms — Spark validates
+    * `INSERT OVERWRITE ... PARTITION (col = v)` clauses against this.
+    */
+  override def partitioning(): Array[Transform] =
+    try {
+      val spark = SparkSession.active
+      val p = LakeDataSource.path(params)
+      if (!LakeTable.exists(spark, p)) Array.empty
+      else LakeTable.load(spark, p).meta.partitionFields
+        .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
+        .toArray
+    } catch { case _: Exception => Array.empty }
+
   /** The lake meta columns as REAL v2 metadata columns: hidden from
     * `SELECT *` on DDL-declared tables, explicitly selectable as
     * `_record_key` / `_commit_time` (the reference reads the same pair as
@@ -96,7 +109,9 @@ class LakeV2Table(tableSchema: StructType, params: Map[String, String])
     // fallback exec (V1_BATCH_WRITE declares that contract)
     TableCapability.BATCH_WRITE,
     TableCapability.V1_BATCH_WRITE,
-    TableCapability.TRUNCATE)
+    TableCapability.TRUNCATE,
+    TableCapability.OVERWRITE_BY_FILTER,
+    TableCapability.OVERWRITE_DYNAMIC)
 
   /** SQL `DELETE FROM ... WHERE ...`: resolve the matching rows against
     * the current snapshot, then issue the keyed delete commit — the
@@ -124,7 +139,8 @@ class LakeV2Table(tableSchema: StructType, params: Map[String, String])
       params ++ options.asCaseSensitiveMap().asScala)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new LakeV2WriteBuilder(params ++ info.options().asCaseSensitiveMap().asScala)
+    new LakeV2WriteBuilder(
+      params ++ info.options().asCaseSensitiveMap().asScala, info)
 
   /** SQL MERGE INTO / UPDATE / non-metadata DELETE — see [[LakeRowLevelOperation]]. */
   override def newRowLevelOperationBuilder(
@@ -220,6 +236,7 @@ object LakeV2Scan {
     */
   def translate(f: Filter): Option[org.apache.spark.sql.Column] = f match {
     case EqualTo(a, v)            => Some(col(a) === v)
+    case EqualNullSafe(a, v)      => Some(col(a) <=> v)
     case GreaterThan(a, v)        => Some(col(a) > v)
     case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
     case LessThan(a, v)           => Some(col(a) < v)
@@ -241,22 +258,66 @@ object LakeV2Scan {
 
 /** v2 write → the keyed batch operations, via the official [[V1Write]]
   * fallback. `INSERT INTO` / append = the `operation` option (default
-  * upsert); `INSERT OVERWRITE` arrives as `truncate()` and maps to the
-  * atomic full-replace commit.
+  * upsert). The overwrite family:
+  *
+  *  - full `INSERT OVERWRITE` / `truncate()` (arrives as
+  *    `overwrite([AlwaysTrue])`) → the atomic full-replace commit;
+  *  - `INSERT OVERWRITE ... PARTITION (p = v)` / `INSERT INTO ...
+  *    REPLACE WHERE cond` → [[graft.lake.LakeTable.replaceWhere]]
+  *    (only files containing matching rows rewrite, one commit);
+  *    untranslatable predicates are REJECTED via `canOverwrite`, never
+  *    silently widened;
+  *  - dynamic partition overwrite (`partitionOverwriteMode=dynamic`,
+  *    `writeTo.overwritePartitions()`) →
+  *    [[graft.lake.LakeTable.overwritePartitions]] (replace exactly the
+  *    partitions the batch touches).
   */
-class LakeV2WriteBuilder(params: Map[String, String])
-    extends WriteBuilder with SupportsTruncate {
+class LakeV2WriteBuilder(params: Map[String, String], info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
   private var op: String = params.getOrElse("operation", "upsert")
+  private var replaceFilters: Option[Array[Filter]] = None
+  private var dynamic = false
 
-  override def truncate(): WriteBuilder = { op = "overwrite"; this }
+  override def canOverwrite(filters: Array[Filter]): Boolean =
+    filters.forall(LakeV2Scan.translate(_).isDefined)
 
-  override def build(): Write = new V1Write {
-    override def toInsertableRelation: InsertableRelation =
-      new InsertableRelation {
-        override def insert(data: DataFrame, overwrite: Boolean): Unit =
-          LakeDataSource.runOperation(data.sparkSession, params,
-            if (overwrite) "overwrite" else op, data)
-      }
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.isEmpty ||
+        filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+      op = "overwrite" // full replace (also the SupportsOverwrite truncate path)
+    else replaceFilters = Some(filters)
+    this
   }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamic = true
+    this
+  }
+
+  override def build(): Write =
+    // no V1 fallback exec exists for OverwritePartitionsDynamic — that
+    // path is a real BatchWrite over the task-level staged writers
+    if (dynamic) new LakeDynamicOverwriteWrite(params, info)
+    else new V1Write {
+      override def toInsertableRelation: InsertableRelation =
+        new InsertableRelation {
+          override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+            val spark = data.sparkSession
+            replaceFilters match {
+              case Some(filters) =>
+                val cond = filters.flatMap(LakeV2Scan.translate)
+                  .reduce(_ && _)
+                LakeDataSource
+                  .ensureTable(spark, LakeDataSource.path(params), params, None)
+                  .replaceWhere(cond, data)
+                ()
+              case None =>
+                LakeDataSource.runOperation(spark, params,
+                  if (overwrite) "overwrite" else op, data)
+            }
+          }
+        }
+    }
 }

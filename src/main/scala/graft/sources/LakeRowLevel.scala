@@ -139,36 +139,25 @@ case class LakeDeltaWriteSpec(
 
 case class LakeDeltaCommitMessage(files: Seq[String]) extends WriterCommitMessage
 
-class LakeDeltaBatchWrite(spark: SparkSession, params: Map[String, String],
-    info: LogicalWriteInfo, cmd: RowLevelOperation.Command)
-    extends DeltaBatchWrite {
-
-  private val table = LakeTable.load(spark, LakeDataSource.path(params))
-  private val instant = table.rowLevelBegin()
-  private val staging = table.rowLevelStaging(instant)
-
-  private def opName: String = cmd match {
-    case RowLevelOperation.Command.MERGE  => "merge"
-    case RowLevelOperation.Command.UPDATE => "update"
-    case _                                => "delete"
-  }
-
-  override def createBatchWriterFactory(
-      pInfo: PhysicalWriteInfo): DeltaWriterFactory = {
+object LakeDeltaWriteSpec {
+  /** Build the per-task write plan for `dataSchema` rows into `table`'s
+    * delta-file layout at `instant`. `deleteOnly` = the statement's
+    * write carries only row ids (no data columns; the writer only ever
+    * emits tombstones).
+    */
+  def build(spark: SparkSession, table: LakeTable, dataSchema: StructType,
+      deleteOnly: Boolean, instant: String,
+      stagingRoot: String): LakeDeltaWriteSpec = {
     val meta = table.meta
-    val dataSchema = info.schema()
     val full = table.fullSchema
     val metaCols =
       Set(LakeTable.RecordKeyCol, LakeTable.CommitTimeCol, LakeTable.DeletedCol)
-    // physical file shape == any other delta file: fullSchema minus the
-    // partition columns (their values live in the dir path), user fields
-    // nullable (tombstone rows null them all)
+    // physical file shape == any other lake data file: fullSchema minus
+    // the partition columns (their values live in the dir path), user
+    // fields nullable (tombstone rows null them all)
     val phys = StructType(full.fields
       .filterNot(f => meta.partitionFields.contains(f.name))
       .map(f => if (metaCols.contains(f.name)) f else f.copy(nullable = true)))
-    // a DELETE's write carries only row ids — no data columns, and its
-    // writer only ever emits tombstones (insert/update are never called)
-    val deleteOnly = cmd == RowLevelOperation.Command.DELETE
     val srcIdx = phys.fields.map { f =>
       if (metaCols.contains(f.name)) -1
       else dataSchema.fieldNames.indexOf(f.name) match {
@@ -179,7 +168,7 @@ class LakeDeltaBatchWrite(spark: SparkSession, params: Map[String, String],
       }
     }
     val (factory, serConf) = TaskWriteBridge.parquetFactory(spark, phys)
-    val spec = LakeDeltaWriteSpec(
+    LakeDeltaWriteSpec(
       physSchema = phys,
       srcIdx = srcIdx,
       physTypes = phys.fields.map(_.dataType),
@@ -200,17 +189,77 @@ class LakeDeltaBatchWrite(spark: SparkSession, params: Map[String, String],
         else meta.partitionFields.map(f =>
           TaskWriteBridge.bind(spark, col(f).cast("string"), dataSchema)).toArray,
       instant = instant,
-      stagingRoot = staging.toString,
+      stagingRoot = stagingRoot,
       factory = factory,
       conf = serConf)
-    new LakeDeltaWriterFactory(spec)
   }
+}
+
+class LakeDeltaBatchWrite(spark: SparkSession, params: Map[String, String],
+    info: LogicalWriteInfo, cmd: RowLevelOperation.Command)
+    extends DeltaBatchWrite {
+
+  private val table = LakeTable.load(spark, LakeDataSource.path(params))
+  private val instant = table.rowLevelBegin()
+  private val staging = table.rowLevelStaging(instant)
+
+  private def opName: String = cmd match {
+    case RowLevelOperation.Command.MERGE  => "merge"
+    case RowLevelOperation.Command.UPDATE => "update"
+    case _                                => "delete"
+  }
+
+  override def createBatchWriterFactory(
+      pInfo: PhysicalWriteInfo): DeltaWriterFactory =
+    new LakeDeltaWriterFactory(LakeDeltaWriteSpec.build(spark, table,
+      info.schema(), deleteOnly = cmd == RowLevelOperation.Command.DELETE,
+      instant, staging.toString))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.toSeq
       .collect { case m: LakeDeltaCommitMessage => m.files }
       .flatten.map(new Path(_))
     table.rowLevelCommit(instant, staging, files, opName)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    table.rowLevelAbort(staging)
+}
+
+/** Dynamic partition overwrite (`INSERT OVERWRITE` under
+  * partitionOverwriteMode=dynamic / `writeTo.overwritePartitions()`):
+  * Spark provides NO V1 fallback for `OverwritePartitionsDynamicExec`,
+  * so this is a real `BatchWrite` riding the same task-level writers as
+  * the row-level operations — every row is an insert, files land as
+  * BASE files, and the commit atomically removes the previous files of
+  * exactly the partitions the batch touched.
+  */
+class LakeDynamicOverwriteWrite(params: Map[String, String],
+    info: LogicalWriteInfo) extends Write {
+  override def description(): String = "graft-lake dynamic-partition-overwrite"
+  override def toBatch: BatchWrite = {
+    val spark = SparkSession.active
+    new LakeDynamicOverwriteBatchWrite(spark, params, info)
+  }
+}
+
+class LakeDynamicOverwriteBatchWrite(spark: SparkSession,
+    params: Map[String, String], info: LogicalWriteInfo) extends BatchWrite {
+
+  private val table = LakeTable.load(spark, LakeDataSource.path(params))
+  private val instant = table.rowLevelBegin()
+  private val staging = table.rowLevelStaging(instant)
+
+  override def createBatchWriterFactory(
+      pInfo: PhysicalWriteInfo): DataWriterFactory =
+    new LakeDeltaWriterFactory(LakeDeltaWriteSpec.build(spark, table,
+      info.schema(), deleteOnly = false, instant, staging.toString))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.toSeq
+      .collect { case m: LakeDeltaCommitMessage => m.files }
+      .flatten.map(new Path(_))
+    table.dynamicOverwriteCommit(instant, staging, files)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -273,6 +273,48 @@ class LakeCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getInt(0)).toSeq == Seq(9))
   }
 
+  test("REPLACE WHERE, static-partition and dynamic-partition overwrite") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ow")
+    spark.sql(
+      """CREATE TABLE lake.ow.t (id INT, ts BIGINT, part STRING, v DOUBLE)
+        |PARTITIONED BY (part)
+        |OPTIONS ('recordkey.field' 'id', 'precombine.field' 'ts')""".stripMargin)
+    spark.sql(
+      """INSERT INTO lake.ow.t VALUES
+        |(1, 10, 'a', 1.0), (2, 10, 'a', 2.0), (3, 10, 'b', 3.0)""".stripMargin)
+    // static partition overwrite: only part=a is replaced
+    spark.sql(
+      "INSERT OVERWRITE lake.ow.t PARTITION (part = 'a') VALUES (7, 70, 7.0)")
+    assert(spark.sql("SELECT id, part FROM lake.ow.t ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((3, "b"), (7, "a")))
+    // arbitrary REPLACE WHERE: rows matching the predicate vanish, the
+    // batch lands, everything else survives — one commit
+    val t = LakeTable.load(spark, s"$warehouse/ow/t")
+    val commitsBefore = t.timeline.instants().size
+    spark.sql(
+      """INSERT INTO lake.ow.t REPLACE WHERE id >= 7
+        |VALUES (8, 80, 'a', 8.0), (9, 80, 'b', 9.0)""".stripMargin)
+    assert(spark.sql("SELECT id FROM lake.ow.t ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(3, 8, 9))
+    assert(t.timeline.instants().size == commitsBefore + 1)
+    // a replace-where that matches nothing only appends
+    spark.sql(
+      "INSERT INTO lake.ow.t REPLACE WHERE id = 999 VALUES (4, 80, 'b', 4.0)")
+    assert(spark.sql("SELECT count(*) FROM lake.ow.t").head().getLong(0) == 4)
+    // dynamic mode: overwrite replaces exactly the touched partitions
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql("INSERT OVERWRITE lake.ow.t VALUES (5, 90, 'b', 5.0)")
+      assert(spark.sql("SELECT id, part FROM lake.ow.t ORDER BY id").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+        Seq((5, "b"), (8, "a"))) // part=a untouched, part=b replaced
+    } finally
+      spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    // time travel still reconstructs the pre-overwrite states
+    assert(t.snapshotAsOf(t.timeline.instants().head).count() == 3)
+  }
+
   test("catalog and library APIs see one table state") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.x")
     spark.sql(

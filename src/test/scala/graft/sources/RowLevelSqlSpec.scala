@@ -234,6 +234,36 @@ class RowLevelSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected a key+rowId-only target scan, got:\n$plan")
   }
 
+  test("failed merge commits nothing and leaves no staging residue") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.fx")
+    spark.sql(
+      """CREATE TABLE lake.fx.t (id INT, ts BIGINT, v DOUBLE)
+        |OPTIONS ('recordkey.field' 'id', 'precombine.field' 'ts')""".stripMargin)
+    spark.sql("INSERT INTO lake.fx.t VALUES (1, 10, 1.0), (2, 10, 2.0)")
+    val t = LakeTable.load(spark, s"$warehouse/fx/t")
+    val commitsBefore = t.timeline.instants()
+    // the source blows up mid-scan AFTER some rows may already have been
+    // written by task writers — the write must abort cleanly
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO lake.fx.t t
+          |USING (SELECT id, ts,
+          |         CASE WHEN id = 2 THEN raise_error('boom') ELSE 'x' END AS tag,
+          |         v FROM VALUES (1, 20, 11.0), (2, 20, 22.0) AS s(id, ts, v)) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET t.v = s.v, t.ts = s.ts""".stripMargin)
+    }
+    assert(e.getMessage.contains("boom") ||
+      (e.getCause != null && e.getCause.getMessage.contains("boom")))
+    // no commit, table unchanged
+    assert(t.timeline.instants() == commitsBefore)
+    assert(spark.sql("SELECT v FROM lake.fx.t ORDER BY id").collect()
+      .map(_.getDouble(0)).toSeq == Seq(1.0, 2.0))
+    // abort removed the staging dir
+    val stagingRoot = new java.io.File(s"$warehouse/fx/t/_lake/staging")
+    assert(!stagingRoot.exists() || stagingRoot.listFiles().isEmpty)
+  }
+
   test("concurrent commit between plan and publish aborts the merge") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.cc")
     spark.sql(

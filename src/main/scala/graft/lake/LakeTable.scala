@@ -2,7 +2,7 @@ package graft.lake
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BooleanType, DataType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DecimalType, DoubleType, FloatType, StringType, StructField, StructType}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
@@ -828,6 +828,67 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       renamedFrom =
         (_meta.renamedFrom - oldName) + (newName -> (oldName +: priorChain)))
     TableMeta.save(fs, tablePath, _meta)
+  }
+
+  /** Metadata-only column ADD — no data rewrite: files written before
+    * the add simply null-fill the new column under the explicit read
+    * schema (the same mechanism write-time schema evolution uses). The
+    * column is always nullable — pre-existing rows have no value for it.
+    * Re-adding a dropped/renamed-away name is refused (old files still
+    * hold stale values that would resurrect).
+    */
+  def addColumn(name: String, dataType: DataType): Unit = timeline.withLock() {
+    val u = userSchema.getOrElse(
+      throw new IllegalStateException("table has no schema yet"))
+    require(!u.fieldNames.contains(name), s"column exists: $name")
+    require(!_meta.droppedColumns.contains(name) && !retiredNames.contains(name),
+      s"$name was previously dropped/renamed away; old files still hold it")
+    _meta = _meta.copy(schemaJson =
+      StructType(u.fields :+ StructField(name, dataType, nullable = true)).json)
+    TableMeta.save(fs, tablePath, _meta)
+  }
+
+  /** Metadata-only column type WIDENING (int→long, float→double, ...):
+    * allowed exactly when the parquet readers can apply the promotion to
+    * existing files in place ([[isWidening]]) — the same rule the write
+    * path uses. A NARROWER request (the declared type already covers
+    * every source value — int into bigint, decimal literal into double)
+    * is refused with a cast-the-source hint rather than silently
+    * no-opped: Spark's `MERGE WITH SCHEMA EVOLUTION` re-diffs the
+    * schema after `alterTable` and raises an opaque internal error for
+    * any surviving difference, so failing here with an actionable
+    * message is strictly better. Schema never narrows. Anything else
+    * (string↔numeric, ...) would need a data rewrite and is refused.
+    */
+  def widenColumn(name: String, to: DataType): Unit = timeline.withLock() {
+    val u = userSchema.getOrElse(
+      throw new IllegalStateException("table has no schema yet"))
+    val f = u.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no such column: $name"))
+    if (f.dataType == to) return
+    if (isWidening(f.dataType, to)) {
+      _meta = _meta.copy(schemaJson = StructType(
+        u.fields.map(x => if (x.name == name) x.copy(dataType = to) else x)).json)
+      TableMeta.save(fs, tablePath, _meta)
+      return
+    }
+    // narrower-than-declared: Catalyst's up-cast lattice (int⊂bigint)
+    // plus decimal-literal⊂double/float, which the lattice excludes
+    val narrower =
+      org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(to, f.dataType) ||
+      ((to, f.dataType) match {
+        case (_: DecimalType, DoubleType | FloatType) => true
+        case _                                        => false
+      })
+    if (narrower)
+      throw new IllegalArgumentException(
+        s"$name is declared ${f.dataType.simpleString}, which already " +
+          s"covers ${to.simpleString}; schema evolution never narrows a " +
+          s"column — cast the source to ${f.dataType.simpleString}")
+    throw new IllegalArgumentException(
+      s"cannot change $name from ${f.dataType.simpleString} to " +
+        s"${to.simpleString}: only widening promotions the parquet " +
+        "reader applies in place are supported")
   }
 
   /** Metadata-only column drop — no data rewrite. Old files keep the

@@ -160,6 +160,10 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
         t.renameColumn(r.fieldNames()(0), r.newName())
       case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
         t.dropColumn(d.fieldNames()(0))
+      case a: TableChange.AddColumn if a.fieldNames().length == 1 =>
+        t.addColumn(a.fieldNames()(0), a.dataType())
+      case w: TableChange.UpdateColumnType if w.fieldNames().length == 1 =>
+        t.widenColumn(w.fieldNames()(0), w.newDataType())
       case other => throw new UnsupportedOperationException(
         s"lake catalog does not support table change $other")
     }

@@ -111,7 +111,10 @@ class LakeV2Table(tableSchema: StructType, params: Map[String, String])
     TableCapability.V1_BATCH_WRITE,
     TableCapability.TRUNCATE,
     TableCapability.OVERWRITE_BY_FILTER,
-    TableCapability.OVERWRITE_DYNAMIC)
+    TableCapability.OVERWRITE_DYNAMIC,
+    // MERGE WITH SCHEMA EVOLUTION: Spark routes the source's new
+    // columns through alterTable(AddColumn) → the metadata-only add
+    TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** SQL `DELETE FROM ... WHERE ...`: resolve the matching rows against
     * the current snapshot, then issue the keyed delete commit — the

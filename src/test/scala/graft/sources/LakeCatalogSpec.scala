@@ -67,6 +67,39 @@ class LakeCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("ALTER TABLE lake.dwd.m DROP COLUMN part")
     assert(!spark.table("lake.dwd.m").columns.contains("part"))
     assert(spark.sql("SELECT id, score FROM lake.dwd.m").count() == 1)
+    // ADD COLUMNS: metadata-only, old rows null-fill
+    spark.sql("ALTER TABLE lake.dwd.m ADD COLUMNS (tag STRING)")
+    assert(spark.sql("SELECT tag FROM lake.dwd.m").head().isNullAt(0))
+    spark.sql("INSERT INTO lake.dwd.m VALUES (2, 10, 2.5, 'new')")
+    assert(spark.sql(
+      "SELECT id FROM lake.dwd.m WHERE tag = 'new'").head().getInt(0) == 2)
+    // ALTER COLUMN TYPE: widening allowed in place, narrowing refused
+    spark.sql("ALTER TABLE lake.dwd.m ALTER COLUMN id TYPE BIGINT")
+    assert(spark.sql("SELECT id FROM lake.dwd.m ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // a narrower type request is refused with a cast-the-source hint
+    // (schema never narrows). Spark's analyzer blocks the SQL form of a
+    // narrowing ALTER, but MERGE WITH SCHEMA EVOLUTION proposes narrower
+    // source types through alterTable directly — exercise that route.
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog, TableChange}
+    val cat = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[TableCatalog]
+    val narrow = intercept[IllegalArgumentException] {
+      cat.alterTable(Identifier.of(Array("dwd"), "m"),
+        TableChange.updateColumnType(Array("score"),
+          org.apache.spark.sql.types.IntegerType))
+    }
+    assert(narrow.getMessage.contains("cast the source"))
+    assert(spark.table("lake.dwd.m").schema("score").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    // an incompatible type is refused — schema never silently rewrites
+    intercept[Exception] {
+      cat.alterTable(Identifier.of(Array("dwd"), "m"),
+        TableChange.updateColumnType(Array("score"),
+          org.apache.spark.sql.types.StringType))
+    }
+    assert(spark.table("lake.dwd.m").schema("score").dataType ==
+      org.apache.spark.sql.types.DoubleType)
   }
 
   test("RENAME TABLE moves the directory; data follows the name") {

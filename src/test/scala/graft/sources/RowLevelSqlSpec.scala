@@ -234,6 +234,26 @@ class RowLevelSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected a key+rowId-only target scan, got:\n$plan")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds the source's new column") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.se")
+    spark.sql(
+      """CREATE TABLE lake.se.t (id INT, ts BIGINT, v DOUBLE)
+        |OPTIONS ('recordkey.field' 'id', 'precombine.field' 'ts')""".stripMargin)
+    spark.sql("INSERT INTO lake.se.t VALUES (1, 10, 1.0), (2, 10, 2.0)")
+    // source columns carry the table's exact types (20L, 22.0D): Spark
+    // diffs atomic types exactly here — a 22.0 decimal literal would
+    // demand narrowing double→decimal(3,1), which the catalog refuses
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO lake.se.t t
+        |USING (SELECT * FROM VALUES
+        |  (2, 20L, 22.0D, 'hot'), (3, 20L, 3.0D, 'new') AS s(id, ts, v, tag)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(rows("SELECT id, v, tag FROM lake.se.t ORDER BY id") ==
+      Seq(Seq(1, 1.0, null), Seq(2, 22.0, "hot"), Seq(3, 3.0, "new")))
+  }
+
   test("failed merge commits nothing and leaves no staging residue") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.fx")
     spark.sql(

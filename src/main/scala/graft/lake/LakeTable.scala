@@ -63,7 +63,13 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       StructField(DeletedCol, BooleanType, nullable = true)))
   }
 
-  def latestCommit: Option[String] = timeline.latestInstant()
+  /** Latest instant a CONSUMER may safely read up to: the latest
+    * completed commit, capped strictly below any live in-flight optimistic
+    * writer ([[Timeline.stableInstant]]). Pipelines use this as their
+    * incremental watermark — capping here keeps consumption monotonic
+    * even when concurrent writers publish out of instant order.
+    */
+  def latestCommit: Option[String] = timeline.stableInstant()
 
   // ---------------------------------------------------------------- reads
 
@@ -161,15 +167,19 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     */
   def incremental(begin: String, end: String = MaxInstant): DataFrame = {
     val b = if (begin == Timeline.Earliest) "" else begin
+    // cap the range strictly below any live in-flight optimistic writer:
+    // a pending commit's instant sorts below already-published later
+    // instants, so advancing past it would skip it forever once it lands
+    val e = timeline.stableEnd(end)
     // file-level commit-range prune: a rewrite/delete output added inside
     // the range can consist ENTIRELY of carried-over rows with pre-range
     // commit times — its maxCommit stat proves no row can pass the filter,
     // so skip opening it (row-group stats would skip too, but only after
     // the file is opened and its footer read)
-    val files = timeline.addedBetween(b, end)
+    val files = timeline.addedBetween(b, e)
       .filter(f => f.maxCommit == null || f.maxCommit > b)
     val df = readStats(files)
-      .filter(col(CommitTimeCol) > lit(b) && col(CommitTimeCol) <= lit(end))
+      .filter(col(CommitTimeCol) > lit(b) && col(CommitTimeCol) <= lit(e))
     if (files.exists(_.isDelta)) resolveLatest(df, tombstoneBarrier(files))
     else df
   }
@@ -1150,12 +1160,17 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * directly).
     */
   private[graft] def publishStaged(staging: Path, instant: String,
-      kind: String): Seq[FileStat] = {
+      kind: String): Seq[FileStat] =
+    renameStaged(staging, instant, kind, collectStagedStats(staging))
+
+  /** Per-staged-file stats (footer reads / exact fallback) WITHOUT moving
+    * anything — so an optimistic publish can run its conflict check on
+    * the write-set's key ranges before the files become visible.
+    */
+  private def collectStagedStats(
+      staging: Path): Seq[(Path, FooterStats.Parts)] = {
     {
       val marker = staging.getName + "/"
-      def relOf(p: Path): String = {
-        val s = p.toString; s.substring(s.indexOf(marker) + marker.length)
-      }
       val stagedFiles: Seq[Path] = {
         val buf = scala.collection.mutable.ArrayBuffer[Path]()
         val it = fs.listFiles(staging, true)
@@ -1215,12 +1230,30 @@ class LakeTable private (val spark: SparkSession, val path: String) {
               r.getLong(4))
           }
           .sortBy(x => x._1.toString)
+      partsList
+    }
+  }
 
+  /** Relative path of a staged/final file inside its root dir. */
+  private def relIn(root: Path, p: Path): String = {
+    val marker = root.getName + "/"
+    val s = p.toString
+    s.substring(s.indexOf(marker) + marker.length)
+  }
+
+  private def partitionOfRel(rel: String): String =
+    if (rel.contains("/")) rel.substring(0, rel.lastIndexOf("/")) else ""
+
+  /** Move pre-statted staged files to their final `<instant>_<n>.parquet`
+    * names and drop the staging dir.
+    */
+  private def renameStaged(staging: Path, instant: String, kind: String,
+      partsList: Seq[(Path, FooterStats.Parts)]): Seq[FileStat] = {
+    {
       var i = 0
       val stats = partsList.flatMap { case (src, p) =>
-        val rel = relOf(src)
-        val partition =
-          if (rel.contains("/")) rel.substring(0, rel.lastIndexOf("/")) else ""
+        val rel = relIn(staging, src)
+        val partition = partitionOfRel(rel)
         if (p.rows == 0L) None
         else {
           val finalName = f"${instant}_$i%05d.parquet"
@@ -1253,11 +1286,26 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   // -------------------------------------------------- row-level operations
 
   /** Begin a row-level operation (SQL MERGE INTO / UPDATE / delta DELETE):
-    * allocate the commit instant OPTIMISTICALLY — no lock is held while
-    * the (possibly long) distributed write job runs; [[rowLevelCommit]]
-    * validates under the lock that nothing committed in between.
+    * RESERVE the commit instant — no lock is held while the (possibly
+    * long) distributed write job runs; the reservation keeps concurrent
+    * writers numbering above us and incremental consumers from advancing
+    * past us ([[Timeline.reserveInstant]]). [[rowLevelCommit]] validates
+    * under the lock that nothing CONFLICTING committed in between —
+    * concurrent commits with a disjoint write-set publish freely.
     */
-  private[graft] def rowLevelBegin(): String = timeline.nextInstant()
+  private[graft] def rowLevelBegin(): String = timeline.reserveInstant()
+
+  /** Completed instants visible at plan time — the baseline for the
+    * publish-time write-conflict check.
+    */
+  private[graft] def committedInstants(): Set[String] =
+    timeline.instants().toSet
+
+  /** Driver-side task-completion heartbeat: keeps a long optimistic write
+    * job's reservation from going stale mid-flight.
+    */
+  private[graft] def renewReservation(instant: String): Unit =
+    timeline.renewReservation(instant)
 
   /** A fresh staging dir for a row-level operation's task writers. */
   private[graft] def rowLevelStaging(instant: String): Path =
@@ -1272,16 +1320,73 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * (read-optimized == snapshot), MOR tables fall under the normal
     * inline-compaction debt policy.
     */
+  /** Commit operations that change no logical row content (table
+    * services): never a write-write conflict with an optimistic commit.
+    */
+  private val ContentPreservingOps =
+    Set("compact", "pack", "cluster", "clean", "archive-checkpoint")
+
+  /** Write-write conflict gate for an optimistic commit (Hudi's
+    * SimpleConcurrentFileWritesConflictResolutionStrategy analog, at key
+    * granularity instead of file-slice granularity): a commit that
+    * completed AFTER our plan-time snapshot (`visible`) conflicts iff its
+    * write-set can intersect ours. Snapshot isolation with write-write
+    * conflict detection — concurrent writers touching disjoint keys (or,
+    * under `indexScope = "partition"` / `partitionLevel`, disjoint
+    * partitions) both publish, which is what lets 2 pipelines feed 2
+    * partitions of one table without serializing on each other. Read-set
+    * conflicts (write skew) are NOT detected — same guarantee Hudi
+    * documents for multi-writer OCC.
+    *
+    * `ours` = (partition, minKey, maxKey) of our staged files; the
+    * concurrent commit's set = its added files' recorded ranges plus the
+    * recorded ranges of every file it removed (content it destroyed). An
+    * unresolvable removed path conservatively counts as a conflict.
+    */
+  private def checkWriteConflict(instant: String, op: String,
+      visible: Set[String], ours: Seq[(String, String, String)],
+      partitionLevel: Boolean = false): Unit = {
+    val candidates = timeline.instants()
+      .filterNot(visible).filterNot(_ == instant)
+    if (candidates.isEmpty) return
+    val metas = candidates.map(timeline.read)
+      .filterNot(c => ContentPreservingOps.contains(c.operation))
+    if (metas.isEmpty) return
+    lazy val pathStats: Map[String, FileStat] =
+      timeline.between(Timeline.Earliest, MaxInstant)
+        .flatMap(_.added).map(f => f.path -> f).toMap
+    val partScoped = partitionLevel || _meta.indexScope == "partition"
+    def overlaps(partition: String, mn: String, mx: String): Boolean =
+      ours.exists { case (p, omn, omx) =>
+        (!partScoped || p == partition) &&
+        (partitionLevel ||
+          (mn != null && omn != null && mx >= omn && omx >= mn))
+      }
+    metas.foreach { c =>
+      val conflict =
+        c.added.exists(f => overlaps(f.partition, f.minKey, f.maxKey)) ||
+        c.removed.exists { path =>
+          pathStats.get(path) match {
+            case Some(f) => overlaps(f.partition, f.minKey, f.maxKey)
+            case None    => overlaps(partitionOfRel(path), null, null) ||
+              !partitionLevel // range unknown ⇒ conservative conflict
+          }
+        }
+      if (conflict)
+        throw new java.util.ConcurrentModificationException(
+          s"$op prepared at instant $instant conflicts with concurrent " +
+            s"commit ${c.instant} (${c.operation}): overlapping write " +
+            "sets; re-run the statement")
+    }
+  }
+
   /** OCC gate + task-retry orphan sweep + publish, shared by the staged
     * distributed-writer commits (row-level ops, dynamic overwrite).
     * Caller must hold the writer lock.
     */
   private def publishTaskStaged(instant: String, staging: Path,
-      files: Seq[Path], op: String, kind: String): Seq[FileStat] = {
-    if (timeline.latestInstant().exists(_ >= instant))
-      throw new java.util.ConcurrentModificationException(
-        s"$op prepared at instant $instant, but the table has " +
-          "a commit at or after it; re-run the statement")
+      files: Seq[Path], op: String, kind: String,
+      visible: Set[String], partitionLevel: Boolean): Seq[FileStat] = {
     val keep = files.map(p => fs.makeQualified(p).toString).toSet
     if (fs.exists(staging)) {
       val it = fs.listFiles(staging, true)
@@ -1293,15 +1398,27 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       }
     }
     if (files.isEmpty) { fs.delete(staging, true); Seq.empty }
-    else publishStaged(staging, instant, kind)
+    else {
+      val parts = collectStagedStats(staging)
+      val ours = parts.collect { case (src, p) if p.rows > 0L =>
+        (partitionOfRel(relIn(staging, src)), p.minKey, p.maxKey)
+      }
+      try checkWriteConflict(instant, op, visible, ours, partitionLevel)
+      catch { case e: java.util.ConcurrentModificationException =>
+        fs.delete(staging, true); throw e
+      }
+      renameStaged(staging, instant, kind, parts)
+    }
   }
 
   private[graft] def rowLevelCommit(instant: String, staging: Path,
-      files: Seq[Path], op: String,
+      files: Seq[Path], op: String, visible: Set[String],
       extra: Map[String, String] = Map.empty): Unit = timeline.withLock() {
-    val stats = publishTaskStaged(instant, staging, files,
-      s"row-level $op", kind = "delta")
+    val stats = try publishTaskStaged(instant, staging, files,
+      s"row-level $op", kind = "delta", visible, partitionLevel = false)
+    catch { case e: Throwable => timeline.releaseReservation(instant); throw e }
     timeline.commit(CommitMeta(instant, op, stats, Seq.empty, extra))
+    timeline.releaseReservation(instant)
     if (stats.nonEmpty) {
       if (_meta.tableType == "cow") {
         // the COW contract: no outstanding deltas after any write. A
@@ -1329,30 +1446,37 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   }
 
   /** Abandon a row-level operation (job failure): nothing was committed,
-    * so dropping the pre-commit staging dir fully undoes it.
+    * so dropping the pre-commit staging dir and the instant reservation
+    * fully undoes it.
     */
-  private[graft] def rowLevelAbort(staging: Path): Unit = {
+  private[graft] def rowLevelAbort(instant: String, staging: Path): Unit = {
     fs.delete(staging, true)
-    ()
+    timeline.releaseReservation(instant)
   }
 
   /** Publish a task-staged dynamic partition overwrite: the staged base
     * files replace every previous file of exactly the partitions they
     * touch ([[overwritePartitions]] semantics, distributed-writer form).
+    * Conflict granularity is the PARTITION — the operation replaces
+    * whole partitions, so any concurrent data commit into them is a
+    * lost-update hazard regardless of key ranges.
     */
   private[graft] def dynamicOverwriteCommit(instant: String, staging: Path,
-      files: Seq[Path]): Unit = timeline.withLock() {
+      files: Seq[Path], visible: Set[String]): Unit = timeline.withLock() {
     require(_meta.partitionFields.nonEmpty,
       "dynamic partition overwrite requires a partitioned table " +
         "(unpartitioned tables: use overwrite())")
-    val stats = publishTaskStaged(instant, staging, files,
-      "dynamic-partition-overwrite", kind = "base")
+    val stats = try publishTaskStaged(instant, staging, files,
+      "dynamic-partition-overwrite", kind = "base", visible,
+      partitionLevel = true)
+    catch { case e: Throwable => timeline.releaseReservation(instant); throw e }
     val parts = stats.map(_.partition).toSet
     val removed = timeline.liveFiles()
       .filter(f => parts.contains(f.partition) && f.tombstones == 0)
       .map(_.path)
     timeline.commit(
       CommitMeta(instant, "overwritepartitions", stats, removed))
+    timeline.releaseReservation(instant)
   }
 }
 

@@ -16,6 +16,7 @@ import java.nio.charset.StandardCharsets
   */
 class Timeline(fs: FileSystem, tablePath: Path) {
   private val dir = new Path(tablePath, "_lake/timeline")
+  private val inflightDir = new Path(tablePath, "_lake/timeline/inflight")
 
   /** Parsed-commit cache, keyed by instant and validated by (length,
     * mtime) from the SAME directory listing every timeline query already
@@ -65,14 +66,93 @@ class Timeline(fs: FileSystem, tablePath: Path) {
 
   def latestInstant(): Option[String] = instants().lastOption
 
-  /** Next instant id: strictly greater than every committed instant. */
+  /** Next instant id: strictly greater than every committed instant AND
+    * every live in-flight reservation — an optimistic writer's reserved
+    * instant must never be handed out again while its job runs.
+    */
   def nextInstant(): String = {
     val now = f"${System.currentTimeMillis()}%017d"
-    latestInstant() match {
+    (instants() ++ pendingInstants()).maxOption match {
       case Some(last) if last >= now => f"${last.toLong + 1}%017d"
       case _                         => now
     }
   }
+
+  // ------------------------------------------- in-flight instant reservation
+
+  /** Reserve the next instant for an optimistic (lock-free-while-writing)
+    * commit: a marker file under `_lake/timeline/inflight/` makes the
+    * intent visible so (a) concurrent writers number strictly above it and
+    * (b) incremental consumers do not advance past it while the write is
+    * still in flight — publication order then never violates consumption
+    * monotonicity, the classic lost-commit anomaly of out-of-order
+    * instant completion. Taken under the writer lock (creation must be
+    * mutually exclusive); released by [[releaseReservation]] or swept
+    * once stale ([[Timeline.InflightStaleMs]] without an mtime heartbeat
+    * — crashed writers stop blocking consumers automatically).
+    */
+  def reserveInstant(): String = withLock() {
+    sweepStaleReservations()
+    val i = nextInstant()
+    fs.mkdirs(inflightDir)
+    val out = fs.create(new Path(inflightDir, i + Timeline.InflightSuffix), false)
+    out.close()
+    i
+  }
+
+  /** Drop a reservation (after publishing its commit, or on abort). */
+  def releaseReservation(instant: String): Unit = {
+    fs.delete(new Path(inflightDir, instant + Timeline.InflightSuffix), false)
+    ()
+  }
+
+  /** Refresh a reservation's liveness (long jobs call this periodically —
+    * the inflight analog of the writer lock's heartbeat).
+    */
+  def renewReservation(instant: String): Unit = {
+    try fs.setTimes(new Path(inflightDir, instant + Timeline.InflightSuffix),
+      System.currentTimeMillis(), -1)
+    catch { case _: java.io.IOException => () }
+  }
+
+  /** Live (non-stale) reserved instants, ascending. */
+  def pendingInstants(): Seq[String] = {
+    if (!fs.exists(inflightDir)) return Seq.empty
+    val now = System.currentTimeMillis()
+    fs.listStatus(inflightDir)
+      .filter(_.getPath.getName.endsWith(Timeline.InflightSuffix))
+      .filter(now - _.getModificationTime <= Timeline.InflightStaleMs)
+      .map(_.getPath.getName.stripSuffix(Timeline.InflightSuffix))
+      .sorted.toSeq
+  }
+
+  private def sweepStaleReservations(): Unit = {
+    if (!fs.exists(inflightDir)) return
+    val now = System.currentTimeMillis()
+    fs.listStatus(inflightDir)
+      .filter(_.getPath.getName.endsWith(Timeline.InflightSuffix))
+      .filter(now - _.getModificationTime > Timeline.InflightStaleMs)
+      .foreach(st => fs.delete(st.getPath, false))
+  }
+
+  /** Latest instant an incremental CONSUMER may safely advance to: the
+    * latest completed instant, capped strictly below the oldest live
+    * in-flight reservation. Advancing past a pending writer would skip
+    * its commit forever once it publishes (its instant sorts below the
+    * already-consumed watermark).
+    */
+  def stableInstant(): Option[String] =
+    pendingInstants().headOption match {
+      case Some(p) => instants().filter(_ < p).lastOption
+      case None    => latestInstant()
+    }
+
+  /** `end` capped strictly below the oldest live reservation. */
+  def stableEnd(end: String): String =
+    pendingInstants().headOption match {
+      case Some(p) if p <= end => f"${p.toLong - 1}%017d"
+      case _                   => end
+    }
 
   def read(instant: String): CommitMeta =
     readAt(fs.getFileStatus(new Path(dir, instant + Timeline.Suffix)))
@@ -299,6 +379,13 @@ class Timeline(fs: FileSystem, tablePath: Path) {
 object Timeline {
   val Suffix = ".commit.json"
   val Earliest = "earliest"
+  val InflightSuffix = ".inflight"
+
+  /** A reservation with no heartbeat for this long is a crashed writer:
+    * swept on the next reservation, ignored by consumers. Mutable so
+    * tests can exercise the sweep without waiting.
+    */
+  private[lake] var InflightStaleMs: Long = 30 * 60 * 1000L
 
   /** Cache entry: commit parse validated by file (length, mtime). */
   private[lake] case class Entry(len: Long, mtime: Long, meta: CommitMeta)

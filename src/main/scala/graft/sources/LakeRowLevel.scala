@@ -70,6 +70,19 @@ class LakeRowLevelOperation(params: Map[String, String],
   override def description(): String =
     s"graft-lake $cmd ${params.getOrElse("path", "")}"
 
+  /** Completed instants visible when the statement's scan plan was built
+    * — the baseline for publish-time write-conflict detection. Captured
+    * at operation construction and refreshed at [[newScanBuilder]] (the
+    * scan's file listing happens at-or-after that point, so everything
+    * in this set is guaranteed visible to the scan — any commit outside
+    * it is treated as concurrent).
+    */
+  @volatile private[sources] var visibleAtPlan: Set[String] = capture()
+
+  private def capture(): Set[String] =
+    LakeTable.load(SparkSession.active, LakeDataSource.path(params))
+      .committedInstants()
+
   /** The scan side: the same pruned/pushdown scan a read takes, over the
     * full shape (meta columns included — the rewrite asks for the rowId
     * column on top of the user columns).
@@ -77,6 +90,7 @@ class LakeRowLevelOperation(params: Map[String, String],
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val spark = SparkSession.active
     val table = LakeTable.load(spark, LakeDataSource.path(params))
+    visibleAtPlan = table.committedInstants()
     new LakeV2ScanBuilder(table.fullSchema, params)
   }
 
@@ -87,7 +101,8 @@ class LakeRowLevelOperation(params: Map[String, String],
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
-      override def build(): DeltaWrite = new LakeDeltaWrite(params, info, cmd)
+      override def build(): DeltaWrite =
+        new LakeDeltaWrite(params, info, cmd, () => visibleAtPlan)
     }
 }
 
@@ -97,7 +112,7 @@ class LakeRowLevelOperation(params: Map[String, String],
   * control — without it every task could open a writer per partition).
   */
 class LakeDeltaWrite(params: Map[String, String], info: LogicalWriteInfo,
-    cmd: RowLevelOperation.Command)
+    cmd: RowLevelOperation.Command, visible: () => Set[String])
     extends DeltaWrite with RequiresDistributionAndOrdering {
 
   private val spark = SparkSession.active
@@ -117,7 +132,7 @@ class LakeDeltaWrite(params: Map[String, String], info: LogicalWriteInfo,
   override def requiredOrdering(): Array[SortOrder] = Array.empty
 
   override def toBatch: DeltaBatchWrite =
-    new LakeDeltaBatchWrite(spark, params, info, cmd)
+    new LakeDeltaBatchWrite(spark, params, info, cmd, visible())
 }
 
 /** Serializable per-task write plan: schemas, ordinal mappings, the bound
@@ -196,8 +211,8 @@ object LakeDeltaWriteSpec {
 }
 
 class LakeDeltaBatchWrite(spark: SparkSession, params: Map[String, String],
-    info: LogicalWriteInfo, cmd: RowLevelOperation.Command)
-    extends DeltaBatchWrite {
+    info: LogicalWriteInfo, cmd: RowLevelOperation.Command,
+    visible: Set[String]) extends DeltaBatchWrite {
 
   private val table = LakeTable.load(spark, LakeDataSource.path(params))
   private val instant = table.rowLevelBegin()
@@ -215,15 +230,21 @@ class LakeDeltaBatchWrite(spark: SparkSession, params: Map[String, String],
       info.schema(), deleteOnly = cmd == RowLevelOperation.Command.DELETE,
       instant, staging.toString))
 
+  /** Task-completion heartbeat: a long job keeps its instant reservation
+    * live so consumers stay blocked on it rather than sweeping it stale.
+    */
+  override def onDataWriterCommit(message: WriterCommitMessage): Unit =
+    table.renewReservation(instant)
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.toSeq
       .collect { case m: LakeDeltaCommitMessage => m.files }
       .flatten.map(new Path(_))
-    table.rowLevelCommit(instant, staging, files, opName)
+    table.rowLevelCommit(instant, staging, files, opName, visible)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    table.rowLevelAbort(staging)
+    table.rowLevelAbort(instant, staging)
 }
 
 /** Dynamic partition overwrite (`INSERT OVERWRITE` under
@@ -247,6 +268,9 @@ class LakeDynamicOverwriteBatchWrite(spark: SparkSession,
     params: Map[String, String], info: LogicalWriteInfo) extends BatchWrite {
 
   private val table = LakeTable.load(spark, LakeDataSource.path(params))
+  // no target scan: "visible" is simply everything completed at begin —
+  // any commit completing after this point into our partitions conflicts
+  private val visible = table.committedInstants()
   private val instant = table.rowLevelBegin()
   private val staging = table.rowLevelStaging(instant)
 
@@ -255,15 +279,18 @@ class LakeDynamicOverwriteBatchWrite(spark: SparkSession,
     new LakeDeltaWriterFactory(LakeDeltaWriteSpec.build(spark, table,
       info.schema(), deleteOnly = false, instant, staging.toString))
 
+  override def onDataWriterCommit(message: WriterCommitMessage): Unit =
+    table.renewReservation(instant)
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.toSeq
       .collect { case m: LakeDeltaCommitMessage => m.files }
       .flatten.map(new Path(_))
-    table.dynamicOverwriteCommit(instant, staging, files)
+    table.dynamicOverwriteCommit(instant, staging, files, visible)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    table.rowLevelAbort(staging)
+    table.rowLevelAbort(instant, staging)
 }
 
 class LakeDeltaWriterFactory(spec: LakeDeltaWriteSpec)

@@ -1,0 +1,147 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multi-writer optimistic concurrency: in-flight instant reservations,
+  * write-set conflict detection, and consumption monotonicity.
+  *
+  * The model (Hudi multi-writer OCC, re-expressed on the lake timeline):
+  *  - an optimistic writer RESERVES its instant up front (marker under
+  *    `_lake/timeline/inflight/`), runs its job with no lock held, and
+  *    publishes under the lock only if no commit that completed after its
+  *    plan-time snapshot overlaps its write-set;
+  *  - locked writers number strictly above every live reservation;
+  *  - incremental consumers never advance past a live reservation, so a
+  *    commit that publishes "out of order" (its instant below an already
+  *    published one) is never skipped;
+  *  - a crashed writer's reservation goes stale and stops blocking.
+  */
+class MultiWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val base =
+    java.nio.file.Files.createTempDirectory("multiwriter").toString
+
+  lazy val spark: SparkSession = graft.util.Sessions
+    .builder("multiwriter-test")
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def newTable(name: String,
+      partitionFields: Seq[String] = Seq.empty,
+      indexScope: String = "global"): LakeTable =
+    LakeTable.create(spark, s"$base/$name",
+      TableMeta(name, Seq("id"), "ts", partitionFields = partitionFields,
+        tableType = "cow", indexScope = indexScope))
+
+  private def df(rows: (Int, Long, Double)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "ts", "v")
+  }
+
+  /** Stage delta rows as a task writer would; returns staged paths. */
+  private def stage(t: LakeTable, staging: Path,
+      rows: Seq[(Int, Long, Double, String, String)],
+      partition: Option[(String, String)] = None): Seq[Path] = {
+    val s = spark
+    import s.implicits._
+    val dir = partition match {
+      case Some((c, v)) => new Path(staging, s"$c=$v")
+      case None         => staging
+    }
+    rows.map { case (id, ts, v, key, instant) => (id, ts, v, key, instant, false) }
+      .toDF("id", "ts", "v", "_record_key", "_commit_time", "_deleted")
+      .coalesce(1).write.parquet(dir.toString)
+    val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+  }
+
+  test("locked writers number strictly above a live reservation") {
+    val t = newTable("numbering")
+    t.insert(df((1, 10L, 1.0)))
+    val reserved = t.rowLevelBegin()
+    // a locked upsert while the reservation is live must not collide
+    t.upsert(df((2, 10L, 2.0)))
+    val all = t.timeline.instants()
+    assert(!all.contains(reserved), "reserved instant not yet committed")
+    assert(all.last > reserved, "locked writer numbered above the reservation")
+    t.rowLevelAbort(reserved, t.rowLevelStaging(reserved))
+  }
+
+  test("incremental consumers never advance past a pending writer") {
+    val t = newTable("monotonic")
+    t.insert(df((1, 10L, 1.0)))
+    val base = t.latestCommit.get
+
+    val visible = t.committedInstants()
+    val pending = t.rowLevelBegin() // writer A: reserved, job "running"
+    val staging = t.rowLevelStaging(pending)
+    t.upsert(df((2, 10L, 2.0))) // writer B publishes FIRST (later instant)
+
+    // consumer watermark is capped below A: B's commit is not yet stable
+    assert(t.latestCommit.get == base,
+      "stable watermark must not advance past the pending writer")
+    assert(t.incremental(base).count() == 0)
+
+    // A publishes (disjoint key 3) → everything unblocks, nothing skipped
+    val files = stage(t, staging, Seq((3, 10L, 3.0, "3", pending)))
+    t.rowLevelCommit(pending, staging, files, "merge", visible)
+    val end = t.latestCommit.get
+    assert(end > pending, "stable watermark past both commits")
+    val got = t.incremental(base, end).select("id").collect()
+      .map(_.getInt(0)).toSet
+    assert(got == Set(2, 3), s"consumer sees BOTH commits, got $got")
+  }
+
+  test("partition-scoped index: writers to different partitions do not conflict") {
+    val t = newTable("partscope", partitionFields = Seq("p"),
+      indexScope = "partition")
+    val s = spark
+    import s.implicits._
+    def pdf(rows: (Int, Long, Double, String)*) =
+      rows.toDF("id", "ts", "v", "p")
+    t.insert(pdf((1, 10L, 1.0, "a"), (1, 10L, 1.0, "b")))
+
+    val visible = t.committedInstants()
+    val pending = t.rowLevelBegin()
+    val staging = t.rowLevelStaging(pending)
+    // concurrent writer updates partition b — SAME user key value 1
+    t.upsert(pdf((1, 20L, 9.0, "b")))
+    // our statement wrote partition a (key embeds the partition prefix)
+    val files = stage(t, staging,
+      Seq((1, 20L, 5.0, "a|1", pending)), partition = Some(("p", "a")))
+    t.rowLevelCommit(pending, staging, files, "merge", visible)
+    val got = t.snapshotUser().orderBy("p").collect()
+      .map(r => (r.getAs[String]("p"), r.getAs[Double]("v"))).toSeq
+    assert(got == Seq(("a", 5.0), ("b", 9.0)))
+  }
+
+  test("stale reservation stops blocking and is swept") {
+    val t = newTable("stale")
+    t.insert(df((1, 10L, 1.0)))
+    val before = Timeline.InflightStaleMs
+    try {
+      val pending = t.rowLevelBegin()
+      assert(t.timeline.pendingInstants() == Seq(pending))
+      Timeline.InflightStaleMs = 1L // everything is now stale
+      Thread.sleep(5)
+      assert(t.timeline.pendingInstants().isEmpty,
+        "stale reservation ignored by consumers")
+      assert(t.latestCommit.isDefined, "watermark no longer capped")
+      // the next reservation sweeps the corpse (still inside the tiny
+      // staleness window, so the old marker qualifies for the sweep)
+      val next = t.rowLevelBegin()
+      Timeline.InflightStaleMs = before
+      assert(next > pending)
+      assert(t.timeline.pendingInstants() == Seq(next))
+      t.rowLevelAbort(next, t.rowLevelStaging(next))
+    } finally Timeline.InflightStaleMs = before
+  }
+}

@@ -284,21 +284,67 @@ class RowLevelSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!stagingRoot.exists() || stagingRoot.listFiles().isEmpty)
   }
 
-  test("concurrent commit between plan and publish aborts the merge") {
+  /** Stage delta rows the way a task writer would (physical schema =
+    * user cols + meta cols, flat layout on an unpartitioned table) and
+    * return the staged parquet paths.
+    */
+  private def stageDelta(staging: org.apache.hadoop.fs.Path,
+      rows: Seq[(Int, Long, Double, String, String, Boolean)]):
+      Seq[org.apache.hadoop.fs.Path] = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "ts", "v", "_record_key", "_commit_time", "_deleted")
+      .coalesce(1).write.parquet(staging.toString)
+    val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(staging).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+  }
+
+  test("concurrent OVERLAPPING commit aborts the merge at publish") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.cc")
     spark.sql(
       """CREATE TABLE lake.cc.t (id INT, ts BIGINT, v DOUBLE)
         |OPTIONS ('recordkey.field' 'id', 'precombine.field' 'ts')""".stripMargin)
     spark.sql("INSERT INTO lake.cc.t VALUES (1, 10, 1.0)")
     val t = LakeTable.load(spark, s"$warehouse/cc/t")
+    val visible = t.committedInstants()
     val instant = t.rowLevelBegin()
     val staging = t.rowLevelStaging(instant)
-    // someone else commits first
+    // someone else lands key 2 first; our statement also wrote key 2
     val s = spark
     import s.implicits._
     t.upsert(Seq((2, 10L, 2.0)).toDF("id", "ts", "v"))
+    val files = stageDelta(staging,
+      Seq((2, 20L, 9.0, "2", instant, false)))
     intercept[java.util.ConcurrentModificationException] {
-      t.rowLevelCommit(instant, staging, Seq.empty, "merge")
+      t.rowLevelCommit(instant, staging, files, "merge", visible)
     }
+    // the abort released the reservation (consumers are not capped) and
+    // left no trace: the concurrent writer's row is intact
+    assert(t.latestCommit.isDefined)
+    assert(spark.sql("SELECT v FROM lake.cc.t WHERE id = 2").head()
+      .getDouble(0) == 2.0)
+  }
+
+  test("concurrent DISJOINT commit publishes: multi-writer OCC") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.cd")
+    spark.sql(
+      """CREATE TABLE lake.cd.t (id INT, ts BIGINT, v DOUBLE)
+        |OPTIONS ('recordkey.field' 'id', 'precombine.field' 'ts')""".stripMargin)
+    spark.sql("INSERT INTO lake.cd.t VALUES (1, 10, 1.0)")
+    val t = LakeTable.load(spark, s"$warehouse/cd/t")
+    val visible = t.committedInstants()
+    val instant = t.rowLevelBegin()
+    val staging = t.rowLevelStaging(instant)
+    val s = spark
+    import s.implicits._
+    // concurrent writer lands key 2; our write-set is key 3 — disjoint
+    t.upsert(Seq((2, 10L, 2.0)).toDF("id", "ts", "v"))
+    val files = stageDelta(staging,
+      Seq((3, 10L, 3.0, "3", instant, false)))
+    t.rowLevelCommit(instant, staging, files, "merge", visible)
+    assert(spark.sql("SELECT id, v FROM lake.cd.t ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSeq ==
+      Seq((1, 1.0), (2, 2.0), (3, 3.0)))
   }
 }

@@ -53,6 +53,8 @@ object SparkEntry {
     "lake_read_optimized" -> (LakeQueries.lakeReadOptimized _),
     // SQL MERGE INTO via the delta-based row-level operation path
     "lake_merge_into" -> (LakeQueries.lakeMergeInto _),
+    // CDC change feed: net insert/update(pre+post)/delete images per key
+    "lake_changes" -> (LakeQueries.lakeChanges _),
     // extension operators: text analysis / dedup / similarity / multimodal
     "text_stats" -> (TextAnalysis.textStats _),
     "text_exact_dedup" -> (TextAnalysis.exactDedup _),
@@ -385,6 +387,27 @@ object SparkEntry {
       s"""$lakeCtes
          |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts
          |FROM b2 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "lake_changes" ->
+      s"""$lakeCtes, upd AS (
+         |  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+         |         created_ts
+         |  FROM b1 WHERE l_orderkey < 300
+         |)
+         |SELECT * FROM (
+         |  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+         |         created_ts, 'update_preimage' AS _change_type FROM upd
+         |  UNION ALL
+         |  SELECT l_orderkey, l_linenumber, l_quantity + 1000, l_returnflag,
+         |         created_ts + 1, 'update_postimage' FROM upd
+         |  UNION ALL
+         |  SELECT l_orderkey, CAST(l_linenumber + 100 AS INTEGER),
+         |         l_quantity + 5000, l_returnflag, created_ts + 3, 'insert'
+         |  FROM b1 WHERE l_orderkey BETWEEN 400 AND 449
+         |  UNION ALL
+         |  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+         |         created_ts, 'delete' FROM b1
+         |  WHERE l_orderkey BETWEEN 300 AND 399
+         |) ORDER BY l_orderkey, l_linenumber, _change_type""".stripMargin,
     "lake_delete" ->
       s"""$lakeCtes
          |SELECT l_returnflag, COUNT(*) AS cnt,

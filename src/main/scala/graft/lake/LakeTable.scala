@@ -89,8 +89,13 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   def snapshot(): DataFrame = snapshotAsOf(MaxInstant)
 
   /** Time travel: the table as of `instant` (inclusive). */
-  def snapshotAsOf(instant: String): DataFrame = {
-    val live = timeline.liveFiles(instant)
+  def snapshotAsOf(instant: String): DataFrame =
+    snapshotOfFiles(timeline.liveFiles(instant))
+
+  /** Merged view over an explicit live-file set (a snapshot body — shared
+    * with [[changes]]' pruned before/after states).
+    */
+  private def snapshotOfFiles(live: Seq[FileStat]): DataFrame = {
     val df = readStats(live)
     if (live.exists(_.isDelta)) resolveLatest(df, tombstoneBarrier(live))
     else df
@@ -182,6 +187,100 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       .filter(col(CommitTimeCol) > lit(b) && col(CommitTimeCol) <= lit(e))
     if (files.exists(_.isDelta)) resolveLatest(df, tombstoneBarrier(files))
     else df
+  }
+
+  /** Change-data feed over `(begin, end]` — the Hudi CDC / Delta CDF
+    * analog, derived at READ time from the timeline instead of logged at
+    * write time (no write-path cost; the trade is that the feed is the
+    * NET effect across the range, not a per-commit operation log):
+    *
+    *  - `insert`            — key absent at `begin`, present at `end`
+    *                          (after image);
+    *  - `update_preimage` / `update_postimage` — key present at both ends
+    *                          with a row version committed in range
+    *                          (Delta CDF's two-row update shape);
+    *  - `delete`            — key present at `begin`, absent at `end`
+    *                          (before image; `_change_commit` is null —
+    *                          a COW rewrite leaves no per-row removal
+    *                          instant).
+    *
+    * A key written in range but restored to its pre-range winner (e.g. a
+    * lower-precombine upsert that lost resolution, or insert-then-delete
+    * inside the range) nets out and is NOT emitted.
+    *
+    * Scale shape: both end states are read only for files whose key range
+    * overlaps the touched files' span, then semi-joined to the exact
+    * touched keys — O(changed file groups), not O(table). Files REMOVED
+    * in range are read for their keys (COW deletes live nowhere else);
+    * like time travel, the feed needs clean-retention to cover `begin`.
+    */
+  def changes(begin: String, end: String = MaxInstant): DataFrame = {
+    val b = if (begin == Timeline.Earliest) "" else begin
+    val e = timeline.stableEnd(end)
+    val u = userSchema.getOrElse(throw new IllegalStateException(
+      "table has no schema yet")).fieldNames.toSeq
+
+    // clean commits remove files that were already logically dead — they
+    // are physical housekeeping, not content changes
+    val removedInRange = timeline.between(b, e)
+      .filterNot(_.operation == "clean").flatMap(_.removed).toSet
+    val removedStats = timeline.between(Timeline.Earliest, e)
+      .flatMap(_.added).filter(f => removedInRange.contains(f.path))
+    val addedInRange = timeline.addedBetween(b, e)
+      .filter(f => f.maxCommit == null || f.maxCommit > b)
+
+    val candStats = addedInRange ++ removedStats
+    val empty = {
+      val schema = StructType(fullSchema.fields
+        .filter(f => u.contains(f.name)) ++ Seq(
+        StructField(ChangeTypeCol, StringType, nullable = false),
+        StructField(ChangeCommitCol, StringType, nullable = true)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
+    if (candStats.isEmpty) return empty
+
+    // prune both end states to files whose key range can contain a
+    // touched key (superset of per-key containment, so resolution over
+    // the kept files is complete for every touched key)
+    val mn = candStats.map(_.minKey).filter(_ != null).minOption.orNull
+    val mx = candStats.map(_.maxKey).filter(_ != null).maxOption.orNull
+    def overlapping(fs: Seq[FileStat]): Seq[FileStat] =
+      if (mn == null || mx == null) fs
+      else fs.filter(f => f.minKey == null || f.maxKey == null ||
+        (f.maxKey >= mn && f.minKey <= mx))
+    val before0 = snapshotOfFiles(overlapping(timeline.liveFiles(b)))
+    val after0 = snapshotOfFiles(overlapping(timeline.liveFiles(e)))
+
+    // exact touched keys: every row version written in range, plus every
+    // key whose file a in-range commit destroyed (COW deletes/rewrites)
+    val inRangeRows = readStats(addedInRange)
+      .filter(col(CommitTimeCol) > lit(b) && col(CommitTimeCol) <= lit(e))
+      .select(col(RecordKeyCol))
+    val cand = (if (removedStats.isEmpty) inRangeRows
+      else inRangeRows.unionAll(
+        readStats(removedStats).select(col(RecordKeyCol)))).distinct()
+
+    val aS = after0.join(cand, Seq(RecordKeyCol), "left_semi")
+      .select(col(RecordKeyCol),
+        struct((u :+ CommitTimeCol).map(col): _*).as("_a"))
+    val bS = before0.join(cand, Seq(RecordKeyCol), "left_semi")
+      .select(col(RecordKeyCol), struct(u.map(col): _*).as("_b"))
+    val j = aS.join(bS, Seq(RecordKeyCol), "full_outer")
+    val aChanged = col("_a").isNotNull &&
+      col(s"_a.`$CommitTimeCol`") > lit(b)
+    val aCommit = col(s"_a.`$CommitTimeCol`").as(ChangeCommitCol)
+    def img(side: String, kind: String, commit: Column) =
+      u.map(c => col(s"$side.`$c`").as(c)) ++
+        Seq(lit(kind).as(ChangeTypeCol), commit)
+    j.filter(aChanged && col("_b").isNull)
+      .select(img("_a", "insert", aCommit): _*)
+      .unionAll(j.filter(aChanged && col("_b").isNotNull)
+        .select(img("_b", "update_preimage", aCommit): _*))
+      .unionAll(j.filter(aChanged && col("_b").isNotNull)
+        .select(img("_a", "update_postimage", aCommit): _*))
+      .unionAll(j.filter(col("_a").isNull && col("_b").isNotNull)
+        .select(img("_b", "delete",
+          lit(null).cast(StringType).as(ChangeCommitCol)): _*))
   }
 
   /** MOR read-optimized view: base files only, skipping un-compacted
@@ -1488,6 +1587,13 @@ object LakeTable {
     * on data rows — absent columns in pre-existing files read as null).
     */
   val DeletedCol = "_deleted"
+
+  /** [[LakeTable.changes]] output: change kind and the commit instant of
+    * the new row version (null for deletes — no per-row removal instant
+    * survives a COW rewrite).
+    */
+  val ChangeTypeCol = "_change_type"
+  val ChangeCommitCol = "_change_commit"
 
   /** Row-count ceiling for the broadcast upsert-merge plan: batches at or
     * below it merge via two broadcast map-side joins (no shuffle of the

@@ -225,6 +225,39 @@ object LakeQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Change-data feed ([[LakeTable.changes]]): a three-commit table
+    * (base upsert, update+insert upsert, delete) read as one CDC range —
+    * the feed must classify every touched key as insert /
+    * update_preimage+postimage / delete with exact images. The oracle
+    * restates the net effect from the deterministic batch1 alone.
+    * `_change_commit` is engine-specific (instant ids) and projected out.
+    */
+  private val changeFixtures =
+    scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  def lakeChanges(s: SparkSession, dir: String): DataFrame = {
+    val (path, c1) = changeFixtures.getOrElseUpdate(dir, {
+      val t = freshTable(s)
+      withBatch1(s, dir) { b1 =>
+        val base = b1.select(outCols.map(col): _*)
+        val first = t.upsert(base, combine = false)
+        val upd = base.filter(col("l_orderkey") < 300)
+          .withColumn("l_quantity", col("l_quantity") + 1000)
+          .withColumn("created_ts", col("created_ts") + 1)
+        val ins = base.filter(col("l_orderkey").between(400, 449))
+          .withColumn("l_linenumber", (col("l_linenumber") + 100).cast("int"))
+          .withColumn("l_quantity", col("l_quantity") + 5000)
+          .withColumn("created_ts", col("created_ts") + 3)
+        t.upsert(upd.unionAll(ins), combine = false)
+        t.delete(base.filter(col("l_orderkey").between(300, 399)))
+        (t.path, first)
+      }
+    })
+    LakeTable.load(s, path).changes(c1)
+      .select((outCols :+ LakeTable.ChangeTypeCol).map(col): _*)
+      .orderBy("l_orderkey", "l_linenumber", LakeTable.ChangeTypeCol)
+  }
+
   /** K1 delete op: keys vanish, survivors keep their data. */
   def lakeDelete(s: SparkSession, dir: String): DataFrame = {
     val t = freshTable(s)

@@ -1,0 +1,96 @@
+package graft.lake
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[LakeTable.changes]] — the read-time CDC feed: classification of
+  * inserts / updates (pre+post images) / deletes, net-effect semantics,
+  * per-commit granularity, and the MOR tombstone path.
+  */
+class ChangeFeedSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val base =
+    java.nio.file.Files.createTempDirectory("changefeed").toString
+
+  lazy val spark: SparkSession = graft.util.Sessions
+    .builder("changefeed-test")
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def newTable(name: String, tableType: String = "cow"): LakeTable =
+    LakeTable.create(spark, s"$base/$name",
+      TableMeta(name, Seq("id"), "ts", tableType = tableType))
+
+  private def df(rows: (Int, Long, Double)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "ts", "v")
+  }
+
+  private def feed(t: LakeTable, begin: String, end: String = "99999999999999999") =
+    t.changes(begin, end).collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[Double]("v"),
+        r.getAs[String]("_change_type")))
+      .sortBy(x => (x._1, x._3)).toSeq
+
+  test("COW: insert, update pre+post images, delete") {
+    val t = newTable("cow1")
+    val c1 = t.upsert(df((1, 10L, 1.0), (2, 10L, 2.0), (3, 10L, 3.0)))
+    t.upsert(df((2, 20L, 22.0), (4, 20L, 4.0))) // update 2, insert 4
+    t.delete(df((3, 99L, 0.0)))                 // delete 3
+    assert(feed(t, c1) == Seq(
+      (2, 22.0, "update_postimage"), (2, 2.0, "update_preimage"),
+      (3, 3.0, "delete"), (4, 4.0, "insert")))
+  }
+
+  test("MOR: un-compacted deltas and tombstones classify identically") {
+    val t = newTable("mor1", tableType = "mor")
+    val c1 = t.upsert(df((1, 10L, 1.0), (2, 10L, 2.0), (3, 10L, 3.0)))
+    t.upsert(df((2, 20L, 22.0), (4, 20L, 4.0)))
+    t.delete(df((3, 99L, 0.0)))
+    assert(feed(t, c1) == Seq(
+      (2, 22.0, "update_postimage"), (2, 2.0, "update_preimage"),
+      (3, 3.0, "delete"), (4, 4.0, "insert")))
+    // ... and after compaction the SAME range answers the same
+    t.compact()
+    assert(feed(t, c1) == Seq(
+      (2, 22.0, "update_postimage"), (2, 2.0, "update_preimage"),
+      (3, 3.0, "delete"), (4, 4.0, "insert")))
+  }
+
+  test("net effect: in-range insert-then-delete and losing upsert vanish") {
+    val t = newTable("net1")
+    val c1 = t.upsert(df((1, 50L, 1.0)))
+    t.upsert(df((9, 10L, 9.0)))  // insert 9 ...
+    t.delete(df((9, 99L, 0.0)))  // ... then delete it inside the range
+    t.upsert(df((1, 40L, 111.0))) // OLDER precombine: loses resolution
+    assert(feed(t, c1) == Seq.empty,
+      "no net change may be reported")
+  }
+
+  test("per-commit granularity: adjacent ranges compose the history") {
+    val t = newTable("gran1")
+    val c1 = t.upsert(df((1, 10L, 1.0)))
+    val c2 = t.upsert(df((1, 20L, 1.5), (2, 20L, 2.0)))
+    val c3 = t.delete(df((2, 99L, 0.0)))
+    assert(feed(t, c1, c2) == Seq(
+      (1, 1.5, "update_postimage"), (1, 1.0, "update_preimage"),
+      (2, 2.0, "insert")))
+    assert(feed(t, c2, c3) == Seq((2, 2.0, "delete")))
+    // full range nets insert+delete of key 2 away
+    assert(feed(t, c1, c3) == Seq(
+      (1, 1.5, "update_postimage"), (1, 1.0, "update_preimage")))
+  }
+
+  test("from earliest: everything is an insert; empty range is empty") {
+    val t = newTable("early1")
+    val c1 = t.upsert(df((1, 10L, 1.0), (2, 10L, 2.0)))
+    assert(feed(t, Timeline.Earliest) == Seq(
+      (1, 1.0, "insert"), (2, 2.0, "insert")))
+    assert(feed(t, c1) == Seq.empty)
+  }
+}

@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions.col
   * onto [[LakeTable]].
   *
   * Read options (mirroring the reference's Hudi option names in spirit):
-  *  - `query.type`: `snapshot` (default) | `incremental` | `read_optimized`
-  *  - `begin` / `end`: incremental instant range `(begin, end]`
+  *  - `query.type`: `snapshot` (default) | `incremental` | `changes`
+  *    (CDC feed, [[graft.lake.LakeTable.changes]]) | `read_optimized`
+  *  - `begin` / `end`: incremental/changes instant range `(begin, end]`
   *    (reference BEGIN/END_INSTANTTIME); `begin = "earliest"` from start
   *  - `as.of`: time travel to an instant (snapshot only)
   *
@@ -182,6 +183,10 @@ object LakeDataSource {
     parameters.getOrElse("query.type", "snapshot") match {
       case "incremental" =>
         t.incremental(
+          parameters.getOrElse("begin", Timeline.Earliest),
+          parameters.getOrElse("end", LakeTable.MaxInstant))
+      case "changes" =>
+        t.changes(
           parameters.getOrElse("begin", Timeline.Earliest),
           parameters.getOrElse("end", LakeTable.MaxInstant))
       case "read_optimized" => t.readOptimized()

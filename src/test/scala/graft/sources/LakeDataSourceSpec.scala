@@ -62,6 +62,18 @@ class LakeDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .option("as.of", c1).load(p)
     assert(asOf.count() == 2)
     assert(asOf.filter(col("id") === 2).head().getAs[Double]("v") == 2.0)
+    // CDC feed through the same option surface (v1 and v2 share queryDf)
+    for (fmt <- Seq("graft-lake", "graft-lake-v2")) {
+      val cdc = spark.read.format(fmt)
+        .option("query.type", "changes")
+        .option("begin", c1)
+        .load(p)
+      assert(cdc.columns.contains("_change_type"))
+      val got = cdc.select("id", "_change_type").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSet
+      assert(got == Set((2, "update_preimage"), (2, "update_postimage"),
+        (3, "insert")))
+    }
   }
 
   test("writeStream.format(graft-lake): keyed streaming sink with batch watermark") {

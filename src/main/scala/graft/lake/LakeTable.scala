@@ -266,21 +266,28 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val bS = before0.join(cand, Seq(RecordKeyCol), "left_semi")
       .select(col(RecordKeyCol), struct(u.map(col): _*).as("_b"))
     val j = aS.join(bS, Seq(RecordKeyCol), "full_outer")
+    // single pass: classify each key into 0..2 change rows and explode —
+    // a filter-per-kind union would execute the full-outer join once PER
+    // BRANCH (4x the scan and shuffle work)
     val aChanged = col("_a").isNotNull &&
       col(s"_a.`$CommitTimeCol`") > lit(b)
-    val aCommit = col(s"_a.`$CommitTimeCol`").as(ChangeCommitCol)
-    def img(side: String, kind: String, commit: Column) =
-      u.map(c => col(s"$side.`$c`").as(c)) ++
-        Seq(lit(kind).as(ChangeTypeCol), commit)
-    j.filter(aChanged && col("_b").isNull)
-      .select(img("_a", "insert", aCommit): _*)
-      .unionAll(j.filter(aChanged && col("_b").isNotNull)
-        .select(img("_b", "update_preimage", aCommit): _*))
-      .unionAll(j.filter(aChanged && col("_b").isNotNull)
-        .select(img("_a", "update_postimage", aCommit): _*))
-      .unionAll(j.filter(col("_a").isNull && col("_b").isNotNull)
-        .select(img("_b", "delete",
-          lit(null).cast(StringType).as(ChangeCommitCol)): _*))
+    val aCommit = col(s"_a.`$CommitTimeCol`")
+    val nullCommit = lit(null).cast(StringType)
+    def entry(side: String, kind: String, commit: Column) = struct(
+      struct(u.map(c => col(s"$side.`$c`").as(c)): _*).as("img"),
+      lit(kind).as("t"), commit.as("c"))
+    // no otherwise(): unmatched keys (net no-ops) yield null, which
+    // explode() drops
+    val arr = when(aChanged && col("_b").isNull,
+        array(entry("_a", "insert", aCommit)))
+      .when(aChanged && col("_b").isNotNull,
+        array(entry("_b", "update_preimage", aCommit),
+          entry("_a", "update_postimage", aCommit)))
+      .when(col("_a").isNull && col("_b").isNotNull,
+        array(entry("_b", "delete", nullCommit)))
+    j.select(explode(arr).as("_x"))
+      .select(u.map(c => col(s"_x.img.`$c`").as(c)) ++ Seq(
+        col("_x.t").as(ChangeTypeCol), col("_x.c").as(ChangeCommitCol)): _*)
   }
 
   /** MOR read-optimized view: base files only, skipping un-compacted

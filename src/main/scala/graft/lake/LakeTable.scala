@@ -214,6 +214,15 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * in range are read for their keys (COW deletes live nowhere else);
     * like time travel, the feed needs clean-retention to cover `begin`.
     */
+  /** Output shape of [[changes]]: the user columns plus the change-type
+    * and change-commit markers.
+    */
+  def changesSchema: StructType = StructType(fullSchema.fields
+    .filterNot(f => Seq(RecordKeyCol, CommitTimeCol, DeletedCol)
+      .contains(f.name)) ++ Seq(
+    StructField(ChangeTypeCol, StringType, nullable = false),
+    StructField(ChangeCommitCol, StringType, nullable = true)))
+
   def changes(begin: String, end: String = MaxInstant): DataFrame = {
     val b = if (begin == Timeline.Earliest) "" else begin
     val e = timeline.stableEnd(end)
@@ -230,14 +239,9 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       .filter(f => f.maxCommit == null || f.maxCommit > b)
 
     val candStats = addedInRange ++ removedStats
-    val empty = {
-      val schema = StructType(fullSchema.fields
-        .filter(f => u.contains(f.name)) ++ Seq(
-        StructField(ChangeTypeCol, StringType, nullable = false),
-        StructField(ChangeCommitCol, StringType, nullable = true)))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    }
-    if (candStats.isEmpty) return empty
+    if (candStats.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], changesSchema)
 
     // prune both end states to files whose key range can contain a
     // touched key (superset of per-key containment, so resolution over

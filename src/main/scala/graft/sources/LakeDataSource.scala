@@ -100,17 +100,31 @@ class LakeDataSource extends RelationProvider with SchemaRelationProvider
     * ODS2DWD.scala:64-71) with Structured Streaming's own machinery.
     *
     * Options: `start.at` = `earliest` (default — replay the whole
-    * timeline) | `latest` (only commits after stream start) | an instant.
-    * The schema is pinned at query start; consumers lagging past the
-    * clean retention window fail loudly (same contract as Hudi's
-    * incremental source).
+    * timeline) | `latest` (only commits after stream start) | an instant;
+    * `query.type` = `incremental` (default — latest in-range row version
+    * per key) | `changes` (the CDC feed: per-batch
+    * insert/update_preimage/update_postimage/delete images,
+    * [[graft.lake.LakeTable.changes]]). The schema is pinned at query
+    * start; consumers lagging past the clean retention window fail
+    * loudly (same contract as Hudi's incremental source).
     */
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val t = LakeTable.load(sqlContext.sparkSession, path(parameters))
-    (shortName(), schema.getOrElse(t.fullSchema))
+    val inferred =
+      if (streamMode(parameters) == "changes") t.changesSchema
+      else t.fullSchema
+    (shortName(), schema.getOrElse(inferred))
   }
+
+  private def streamMode(parameters: Map[String, String]): String =
+    parameters.getOrElse("query.type", "incremental") match {
+      case "changes"              => "changes"
+      case "incremental" | "snapshot" => "incremental"
+      case other => throw new IllegalArgumentException(
+        s"unsupported streaming query.type $other")
+    }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -123,7 +137,7 @@ class LakeDataSource extends RelationProvider with SchemaRelationProvider
       case Some("latest")          => t.latestCommit.getOrElse("")
       case Some(instant)           => instant
     }
-    new LakeStreamSource(spark, p, startAt)
+    new LakeStreamSource(spark, p, startAt, streamMode(parameters))
   }
 
   /** `writeStream.format("graft-lake")` — a first-class streaming sink
@@ -311,12 +325,13 @@ case class LakeSourceOffset(instant: String)
   * offsets as `SerializedOffset`, so offsets are only ever compared via
   * `json` — never by class.
   */
-class LakeStreamSource(spark: SparkSession, path: String, startAt: String)
-    extends Source {
+class LakeStreamSource(spark: SparkSession, path: String, startAt: String,
+    mode: String = "incremental") extends Source {
 
   private val table = LakeTable.load(spark, path)
 
-  override val schema: StructType = table.fullSchema
+  override val schema: StructType =
+    if (mode == "changes") table.changesSchema else table.fullSchema
 
   override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
     table.latestCommit.filter(_ > startAt).map(LakeSourceOffset(_))
@@ -324,9 +339,11 @@ class LakeStreamSource(spark: SparkSession, path: String, startAt: String)
   override def getBatch(
       start: Option[org.apache.spark.sql.execution.streaming.Offset],
       end: org.apache.spark.sql.execution.streaming.Offset): org.apache.spark.sql.DataFrame = {
-    val begin = start.map(_.json).getOrElse(startAt)
-    val batch = table.incremental(
-      if (begin.isEmpty) Timeline.Earliest else begin, end.json)
+    val begin0 = start.map(_.json).getOrElse(startAt)
+    val begin = if (begin0.isEmpty) Timeline.Earliest else begin0
+    val batch =
+      if (mode == "changes") table.changes(begin, end.json)
+      else table.incremental(begin, end.json)
     org.apache.spark.sql.graft.ColumnBridge.asStreamBatch(batch)
   }
 

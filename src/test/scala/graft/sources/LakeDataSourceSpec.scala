@@ -225,6 +225,34 @@ class LakeDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     q2.stop()
   }
 
+  test("readStream query.type=changes: streaming CDC source") {
+    val work = Files.createTempDirectory("lakecdc").toString
+    val t = LakeTable.create(spark, s"$work/t",
+      graft.lake.TableMeta("cdc", Seq("id"), "ts", Seq("part")))
+    val c1 = t.upsert(df((1, 10L, "p1", 1.0), (2, 10L, "p1", 2.0)))
+    val q = spark.readStream.format("graft-lake")
+      .option("query.type", "changes")
+      .option("start.at", c1) // CDC from the current state onward
+      .load(s"$work/t")
+      .writeStream.format("parquet")
+      .option("path", s"$work/feed")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    t.upsert(df((2, 20L, "p1", 22.0), (3, 20L, "p2", 3.0)))
+    t.delete(df((1, 99L, "p1", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val feed = spark.read.schema(t.changesSchema).parquet(s"$work/feed")
+    val got = feed.select("id", "v", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getString(2))).toSet
+    // two micro-batches: (update 2 + insert 3), then (delete 1)
+    assert(got == Set(
+      (2, 2.0, "update_preimage"), (2, 22.0, "update_postimage"),
+      (3, 3.0, "insert"), (1, 1.0, "delete")))
+  }
+
   test("table-to-table streaming: lake source → transform → lake sink") {
     val work = Files.createTempDirectory("lake2lake").toString
     val ods = LakeTable.create(spark, s"$work/ods",

@@ -85,6 +85,8 @@ object SparkEntry {
     "text_stopwords" -> (TextAnalysis.stopwordFilter _),
     "text_repetition" -> (Curation.repetitionScore _),
     "curate_domain_mix" -> (Curation.domainMix _),
+    // context-window packing: next-fit doc→sequence assignment per domain
+    "curate_pack_sequences" -> ((s, dir) => Curation.packSequences(s, dir)),
     // IVF ANN: k-means cells + nprobe search; probing all cells is exactly
     // brute force (ExtensionSpec asserts), default probe is rows-only here
     "sim_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
@@ -607,6 +609,29 @@ object SparkEntry {
         |            WHEN 'es' THEN '2000' WHEN 'de' THEN '1000'
         |            ELSE '0800' END
         |ORDER BY doc_id""".stripMargin,
+    // next-fit packing is a carry-dependent scan: the oracle walks each
+    // domain with a recursive CTE over the doc_id order
+    "curate_pack_sequences" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), pack AS (
+        |  SELECT lang, doc_id, rn, n_tokens, n_tokens AS fill,
+        |         CAST(0 AS BIGINT) AS seq_id
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.lang, d.doc_id, d.rn, d.n_tokens,
+        |    CASE WHEN p.fill + d.n_tokens > 2048 THEN d.n_tokens
+        |         ELSE p.fill + d.n_tokens END,
+        |    CASE WHEN p.fill + d.n_tokens > 2048 THEN p.seq_id + 1
+        |         ELSE p.seq_id END
+        |  FROM d JOIN pack p ON d.lang = p.lang AND d.rn = p.rn + 1
+        |)
+        |SELECT lang, seq_id, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+        |FROM pack GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_scrub_pii" ->
       """WITH aug AS (
         |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) ||

@@ -75,6 +75,47 @@ object Curation {
       .orderBy("lang", "cum_tokens")
   }
 
+  /** Sequence packing (context-window packing): assign documents to
+    * training sequences of at most `budget` tokens under the
+    * deterministic NEXT-FIT policy — walk each domain (lang) in doc_id
+    * order and start a new sequence whenever the next doc would overflow
+    * the running one (an over-budget single doc takes a sequence alone).
+    * Emits the packed-sequence manifest (docs and token fill per
+    * sequence).
+    *
+    * Scale shape: hash-partition by domain, sort (domain, doc_id) within
+    * partitions, then one sequential pass per partition — domains are
+    * the parallel unit. The running-reset cumulative sum cannot be a
+    * window function (windows have no carry-dependent reset), so this is
+    * the rare legitimately-imperative per-partition scan; everything
+    * around it (the token arithmetic, the manifest aggregation) stays
+    * declarative.
+    */
+  def packSequences(s: SparkSession, dir: String,
+      budget: Long = 2048L): DataFrame = {
+    import s.implicits._
+    val prepared = docs(s, dir)
+      .select(col("lang"), col("doc_id").cast("long").as("doc_id"),
+        tokens.cast("long").as("n_tokens"))
+      .repartition(col("lang"))
+      .sortWithinPartitions("lang", "doc_id")
+      .as[(String, Long, Long)]
+    val packed = prepared.mapPartitions { it =>
+      var lang: String = null
+      var fill = 0L
+      var seq = 0L
+      it.map { case (l, id, n) =>
+        if (l != lang) { lang = l; seq = 0L; fill = n }
+        else if (fill + n > budget) { seq += 1; fill = n }
+        else fill += n
+        (l, seq, id, n)
+      }
+    }.toDF("lang", "seq_id", "doc_id", "n_tokens")
+    packed.groupBy("lang", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("seq_tokens"))
+      .orderBy("lang", "seq_id")
+  }
+
   /** Benchmark decontamination: flag corpus docs sharing any word-3-gram
     * with the benchmark set (here: doc_id ≡ 0 mod 97 stands in for an
     * eval benchmark). The benchmark's distinct shingle set is broadcast —

@@ -52,6 +52,24 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length < Relational.t(spark, dir, "documents").count())
   }
 
+  test("sequence packing: budget respected, every doc packed exactly once") {
+    val budget = 512L
+    val packed = Curation.packSequences(spark, dir, budget)
+    // a multi-doc sequence never exceeds the budget; an over-budget
+    // sequence can only be a single over-budget document
+    assert(packed.filter(col("seq_tokens") > budget &&
+      col("n_docs") > 1).count() == 0)
+    // conservation: every document lands in exactly one sequence
+    val docs = Relational.t(spark, dir, "documents")
+    assert(packed.agg(sum("n_docs")).head().getLong(0) == docs.count())
+    val tokenTotal = docs
+      .select(sum(size(split(col("text"), " ")).cast("long"))).head().getLong(0)
+    assert(packed.agg(sum("seq_tokens")).head().getLong(0) == tokenTotal)
+    // determinism across runs (repartition + per-partition scan)
+    assert(Curation.packSequences(spark, dir, budget).collect().toSeq ==
+      packed.collect().toSeq)
+  }
+
   test("quantization of an all-zero embedding yields scale 0, not NaN codes") {
     val s = spark
     import s.implicits._

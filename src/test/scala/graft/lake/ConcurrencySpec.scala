@@ -169,6 +169,73 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("cross-process optimistic writers: disjoint partitions never conflict, contenders converge") {
+    val work = java.nio.file.Files.createTempDirectory("occprobe")
+    val classDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    val cp = s"$classDir:/opt/spark/jars/*"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def run(tableDir: String, mode: String): Seq[String] = {
+      def spawn(procId: Int): Process = new ProcessBuilder(
+        (Seq("java", "-cp", cp, "-Xmx2g", "-Dspark.ui.enabled=false") ++
+          addOpens ++
+          Seq("graft.tools.OccProbe", tableDir, procId.toString, "3", "10",
+            mode)): _*)
+        .redirectErrorStream(true).start()
+      Seq(spawn(1), spawn(2)).map { p =>
+        val out = new String(p.getInputStream.readAllBytes())
+        assert(p.waitFor() == 0, s"occ probe failed: ${out.takeRight(4000)}")
+        out
+      }
+    }
+
+    // DISJOINT: partition-scoped index, each proc owns a partition — all
+    // 6 optimistic commits must publish with zero aborts
+    val dis = work.resolve("disjoint").toString
+    val t1 = LakeTable.create(spark, dis,
+      TableMeta("occd", Seq("id"), "ts", Seq("part"), tableType = "mor",
+        indexScope = "partition"))
+    t1.upsert(df((1, 1L, "p0", 0.0))) // capture schema before spawning
+    run(dis, "disjoint").foreach(out =>
+      assert(out.contains("aborts=0"), s"false conflict: $out"))
+    val td = LakeTable.load(spark, dis)
+    assert(td.timeline.instants()
+      .map(td.timeline.read(_).operation).count(_ == "merge") == 6)
+    val rows = td.snapshot().filter(col("id") >= 1000)
+      .select("id", "ts", "v").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows.size == 20)
+    rows.foreach { case (id, ts, v) =>
+      assert(ts == 3L, s"key $id ended at round $ts")
+      assert(v == (id / 1000) * 100000 + 300.0 + id % 1000,
+        s"key $id ended with v=$v")
+    }
+
+    // CONTEND: same partition, same keys — overlapping publishes abort
+    // and retry, and the final state is exact regardless of interleaving
+    val con = work.resolve("contend").toString
+    val t2 = LakeTable.create(spark, con,
+      TableMeta("occc", Seq("id"), "ts", Seq("part"), tableType = "mor",
+        indexScope = "partition"))
+    t2.upsert(df((1, 1L, "shared", 0.0)))
+    run(con, "contend")
+    val tc = LakeTable.load(spark, con)
+    val got = tc.snapshot().filter(col("id") < 100)
+      .select("id", "ts", "v").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.size == 10)
+    got.foreach { case (id, ts, v) =>
+      assert(ts == 3L && v == 3.0, s"key $id ended at ($ts, $v)")
+    }
+  }
+
   test("stale lock is broken, not deadlocked") {
     val path = Files.createTempDirectory("conc2").toString + "/t"
     val t = LakeTable.create(spark, path,

@@ -301,6 +301,20 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   def readOptimized(): DataFrame =
     readStats(timeline.liveFiles().filterNot(_.isDelta))
 
+  /** Commit history of the active timeline, oldest first — the
+    * DESCRIBE HISTORY analog, summarized from commit metadata alone (no
+    * data access). Also surfaced as `CALL <cat>.system.timeline(...)`.
+    */
+  def history(): Seq[CommitSummary] =
+    timeline.instants().map { i =>
+      val c = timeline.read(i)
+      CommitSummary(c.instant, c.operation,
+        filesAdded = c.added.size, filesRemoved = c.removed.size,
+        rowsAdded = c.added.map(_.numRecords).sum,
+        bytesAdded = c.added.map(_.sizeBytes).sum,
+        extra = Option(c.extra).getOrElse(Map.empty))
+    }
+
   /** Register this table's current snapshot in the session catalog —
     * the stand-in for the reference's Hive meta sync
     * (HudiConfig.scala:38-44, package.scala:31-34; no HMS here). Readers

@@ -129,6 +129,18 @@ case class FileStat(
     if (cols == null) Map.empty else cols
 }
 
+/** One row of [[LakeTable.history]]: a commit summarized from its
+  * metadata (counts and sizes, no data access).
+  */
+case class CommitSummary(
+    instant: String,
+    operation: String,
+    filesAdded: Int,
+    filesRemoved: Int,
+    rowsAdded: Long,
+    bytesAdded: Long,
+    extra: Map[String, String])
+
 /** One commit on the timeline (reference: Hudi instant + commit metadata,
   * instants `yyyyMMddHHmmssSSS` at ODS2DWD.scala:16).
   */

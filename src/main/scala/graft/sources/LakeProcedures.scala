@@ -36,11 +36,11 @@ import scala.jdk.CollectionConverters._
   */
 object LakeProcedures {
 
-  /** name -> (parameters, output schema, body(table, args) -> row values).
-    * `args` are the call's argument values aligned to the parameter
-    * order, strings already decoded.
+  /** name -> (parameters, output schema, body(table, args) -> result
+    * ROWS (each a seq of column values)). `args` are the call's argument
+    * values aligned to the parameter order, strings already decoded.
     */
-  private type Body = (LakeTable, Seq[Any]) => Seq[Any]
+  private type Body = (LakeTable, Seq[Any]) => Seq[Seq[Any]]
 
   private def p(name: String, dt: DataType,
       default: Option[String] = None): ProcedureParameter = {
@@ -59,58 +59,73 @@ object LakeProcedures {
     "compact" -> Spec(
       Seq(p("table", StringType), p("partitions", StringType, Some("NULL"))),
       instantOut,
-      (t, args) => Seq(args(1) match {
+      (t, args) => Seq(Seq(args(1) match {
         case null => t.compact().orNull
         case parts: String =>
           t.compactPartitions(parts.split(",").map(_.trim).toSet).orNull
-      }),
+      })),
       "Merge MOR delta files into base files (whole table, or only the " +
         "given comma-separated partition dirs)"),
     "cluster" -> Spec(
       Seq(p("table", StringType), p("sort_cols", StringType)),
       instantOut,
-      (t, args) => Seq(t.cluster(
-        args(1).asInstanceOf[String].split(",").map(_.trim).toSeq).orNull),
+      (t, args) => Seq(Seq(t.cluster(
+        args(1).asInstanceOf[String].split(",").map(_.trim).toSeq).orNull)),
       "Rewrite live files range-clustered and sorted by the given columns"),
     "zorder" -> Spec(
       Seq(p("table", StringType), p("cols", StringType),
         p("bits_per_col", IntegerType, Some("8"))),
       instantOut,
-      (t, args) => Seq(t.clusterZOrder(
+      (t, args) => Seq(Seq(t.clusterZOrder(
         args(1).asInstanceOf[String].split(",").map(_.trim).toSeq,
-        args(2).asInstanceOf[Int]).orNull),
+        args(2).asInstanceOf[Int]).orNull)),
       "Rewrite live files along a z-order curve over the given numeric columns"),
     "pack_small_files" -> Spec(
       Seq(p("table", StringType),
         p("target_bytes", LongType, Some("134217728")),
         p("min_files", IntegerType, Some("2"))),
       instantOut,
-      (t, args) => Seq(t.packSmallFiles(args(1).asInstanceOf[Long],
-        args(2).asInstanceOf[Int]).orNull),
+      (t, args) => Seq(Seq(t.packSmallFiles(args(1).asInstanceOf[Long],
+        args(2).asInstanceOf[Int]).orNull)),
       "Bin-pack partitions holding several under-sized base files"),
     "clean" -> Spec(
       Seq(p("table", StringType), p("retain_commits", IntegerType, Some("2"))),
       countOut,
-      (t, args) => Seq(t.clean(args(1).asInstanceOf[Int]).toLong),
+      (t, args) => Seq(Seq(t.clean(args(1).asInstanceOf[Int]).toLong)),
       "Physically delete file versions removed before the retention window"),
     "archive_timeline" -> Spec(
       Seq(p("table", StringType), p("keep_commits", IntegerType)),
       countOut,
       (t, args) =>
-        Seq(t.archiveTimeline(args(1).asInstanceOf[Int]).size.toLong),
+        Seq(Seq(t.archiveTimeline(args(1).asInstanceOf[Int]).size.toLong)),
       "Roll commits older than the newest keep_commits into the archive"),
     "restore" -> Spec(
       Seq(p("table", StringType), p("instant", StringType)),
       instantOut,
       (t, args) => { t.restore(args(1).asInstanceOf[String])
-        Seq(args(1)) },
+        Seq(Seq(args(1))) },
       "Roll the table back to an instant, deleting later commits and files"),
     "cleanup_orphans" -> Spec(
       Seq(p("table", StringType)),
       countOut,
       (t, args) =>
-        Seq((t.cleanOrphanedStaging() + t.cleanOrphanedData()).toLong),
-      "Remove crash residue: stale staging dirs and never-committed data files"))
+        Seq(Seq((t.cleanOrphanedStaging() + t.cleanOrphanedData()).toLong)),
+      "Remove crash residue: stale staging dirs and never-committed data files"),
+    "timeline" -> Spec(
+      Seq(p("table", StringType)),
+      new StructType().add("instant", StringType)
+        .add("operation", StringType)
+        .add("files_added", IntegerType).add("files_removed", IntegerType)
+        .add("rows_added", LongType).add("bytes_added", LongType)
+        .add("extra", StringType),
+      (t, _) => t.history().map { h =>
+        Seq(h.instant, h.operation, h.filesAdded, h.filesRemoved,
+          h.rowsAdded, h.bytesAdded,
+          if (h.extra.isEmpty) null
+          else h.extra.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+            .mkString(","))
+      },
+      "The commit history: one row per active-timeline commit, newest last"))
 
   def names: Seq[String] = specs.keys.toSeq.sorted
 
@@ -139,13 +154,14 @@ object LakeProcedures {
               }
               val table = LakeTable.load(SparkSession.active,
                 tableDirOf(args.head.asInstanceOf[String]))
-              val values = spec.body(table, args)
-              val row = new GenericInternalRow(values.map {
-                case s: String => UTF8String.fromString(s)
-                case v         => v
-              }.toArray[Any])
+              val resultRows = spec.body(table, args).map { values =>
+                new GenericInternalRow(values.map {
+                  case s: String => UTF8String.fromString(s)
+                  case v         => v
+                }.toArray[Any]): InternalRow
+              }.toArray
               val scan: Scan = new LocalScan {
-                override def rows(): Array[InternalRow] = Array(row)
+                override def rows(): Array[InternalRow] = resultRows
                 override def readSchema(): StructType = spec.out
               }
               Collections.singletonList(scan).iterator()

@@ -239,6 +239,15 @@ class LakeCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql(s"CALL lake.system.restore(table => 'svc.t', instant => '$clustered')")
     assert(spark.sql("CALL lake.system.cleanup_orphans(table => 'svc.t')")
       .head().getLong(0) == 0L)
+    // timeline history: one row per commit, operations in commit order
+    val hist = spark.sql("CALL lake.system.timeline(table => 'svc.t')")
+    assert(hist.columns.toSeq == Seq("instant", "operation", "files_added",
+      "files_removed", "rows_added", "bytes_added", "extra"))
+    val ops = hist.collect().map(_.getString(1)).toSeq
+    assert(ops.take(2) == Seq("deltacommit", "deltacommit"))
+    assert(ops.contains("compact") && ops.contains("clean"))
+    assert(hist.collect().map(_.getString(0)).toSeq ==
+      t.timeline.instants())
     // unknown procedure fails loudly with the available list
     val e = intercept[Exception] {
       spark.sql("CALL lake.system.nope(table => 'svc.t')")

@@ -78,7 +78,27 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident).toString
-    if (!LakeTable.exists(spark, dir)) throw new NoSuchTableException(ident)
+    if (!LakeTable.exists(spark, dir)) {
+      // Iceberg-style metadata tables: `SELECT * FROM <cat>.<ns>.<t>.history`
+      // (commit log) / `.changes` (full-history CDC feed) — the trailing
+      // identifier component selects the view over the PARENT table
+      val meta = ident.name()
+      if ((meta == "history" || meta == "changes") &&
+          ident.namespace().nonEmpty) {
+        val parent = Identifier.of(ident.namespace().dropRight(1),
+          ident.namespace().last)
+        val pdir = tableDir(parent).toString
+        if (LakeTable.exists(spark, pdir)) {
+          val t = LakeTable.load(spark, pdir)
+          val schema =
+            if (meta == "history") LakeDataSource.HistorySchema
+            else t.changesSchema
+          return new LakeMetaTable(schema,
+            Map("path" -> pdir, "query.type" -> meta), meta)
+        }
+      }
+      throw new NoSuchTableException(ident)
+    }
     val t = LakeTable.load(spark, dir)
     // DDL-declared tables expose exactly their user columns; tables born
     // from DataFrame writes expose the full shape, meta columns included

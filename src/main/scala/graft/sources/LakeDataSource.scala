@@ -163,6 +163,19 @@ object LakeDataSource {
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-lake requires a path (load(path) or option(\"path\", ...))"))
 
+  /** Output shape of `query.type=history` / the `<table>.history`
+    * metadata table (one row per active commit).
+    */
+  val HistorySchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("instant", org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("operation", org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("files_added", org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("files_removed", org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("rows_added", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("bytes_added", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("extra",
+      org.apache.spark.sql.types.MapType(org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType), nullable = true)))
+
   /** Load the table, or create it from the option surface; a declared SQL
     * schema (CREATE TABLE cols) is captured as the user schema up front so
     * the table is fully typed before its first write.
@@ -203,6 +216,12 @@ object LakeDataSource {
         t.changes(
           parameters.getOrElse("begin", Timeline.Earliest),
           parameters.getOrElse("end", LakeTable.MaxInstant))
+      case "history" =>
+        val rows = t.history().map(h => org.apache.spark.sql.Row(
+          h.instant, h.operation, h.filesAdded, h.filesRemoved,
+          h.rowsAdded, h.bytesAdded, h.extra))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), LakeDataSource.HistorySchema)
       case "read_optimized" => t.readOptimized()
       case "snapshot" | null =>
         parameters.get("as.of") match {

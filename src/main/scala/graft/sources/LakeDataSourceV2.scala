@@ -54,6 +54,24 @@ class LakeDataSourceV2 extends TableProvider with DataSourceRegister {
     new LakeV2Table(schema, properties.asScala.toMap)
 }
 
+/** Read-only METADATA table (`<table>.history` / `<table>.changes`,
+  * Iceberg-style): scans route through the ordinary option surface
+  * (`query.type=history|changes`); no write capability at all, so
+  * `INSERT INTO t.changes` fails at analysis instead of misrouting into
+  * the data path.
+  */
+class LakeMetaTable(tableSchema: StructType, params: Map[String, String],
+    metaName: String) extends Table with SupportsRead {
+  override def name(): String =
+    s"${params.getOrElse("path", "graft-lake")}.$metaName"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeV2ScanBuilder(tableSchema, params)
+}
+
 /** One lake table through v2 eyes. `schema` is the inferred (full, meta
   * columns included) or DDL-declared (user columns only) shape; `params`
   * carries the option surface (`path`, `recordkey.field`, ...).

@@ -259,6 +259,31 @@ class LakeCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       e.getCause.getMessage.contains("no such procedure"))
   }
 
+  test("metadata tables: <table>.history and <table>.changes") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.md")
+    spark.sql(
+      """CREATE TABLE lake.md.t (id INT, ts BIGINT, v DOUBLE)
+        |OPTIONS ('recordkey.field' 'id', 'precombine.field' 'ts')""".stripMargin)
+    spark.sql("INSERT INTO lake.md.t VALUES (1, 10, 1.0), (2, 10, 2.0)")
+    spark.sql("INSERT INTO lake.md.t VALUES (2, 20, 22.0)")
+    val hist = spark.sql(
+      "SELECT instant, operation, rows_added FROM lake.md.t.history")
+    assert(hist.count() == 2)
+    assert(hist.collect().map(_.getString(1)).toSeq ==
+      Seq("upsert", "upsert"))
+    // full-history CDC feed as a named table
+    val cdc = spark.sql(
+      "SELECT id, v, _change_type FROM lake.md.t.changes ORDER BY id, _change_type")
+    assert(cdc.collect().map(r =>
+      (r.getInt(0), r.getDouble(1), r.getString(2))).toSeq == Seq(
+      (1, 1.0, "insert"), (2, 22.0, "insert")))
+    // read-only: writes to a metadata table fail at analysis
+    intercept[Exception] {
+      spark.sql("INSERT INTO lake.md.t.changes VALUES " +
+        "(3, 3.0, 'insert', NULL, 30L)")
+    }
+  }
+
   test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.tt")
     spark.sql(

@@ -155,9 +155,27 @@ class LakeV2Table(tableSchema: StructType, params: Map[String, String])
     ()
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LakeV2ScanBuilder(tableSchema,
-      params ++ options.asCaseSensitiveMap().asScala)
+  /** Per-scan read options merge over the table's own (so
+    * `spark.read.option("as.of", i).table("cat.ns.t")` time-travels and
+    * `option("query.type", "incremental").option("begin", i)` reads a
+    * commit range on a CATALOG table). The schema-changing types are
+    * rejected here — they live as metadata tables instead.
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val scanOpts = options.asCaseSensitiveMap().asScala
+    // a path-based read may have BUILT this table around a feed type (its
+    // schema already matches); only a scan-level OVERRIDE is rejected
+    scanOpts.get("query.type")
+      .filter(t => (t == "changes" || t == "history") &&
+        !params.get("query.type").contains(t))
+      .foreach { t =>
+        throw new IllegalArgumentException(
+          s"query.type $t has a different schema and is not a scan " +
+            s"option on a catalog table; query the metadata table " +
+            s"<table>.$t instead")
+      }
+    new LakeV2ScanBuilder(tableSchema, params ++ scanOpts)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new LakeV2WriteBuilder(

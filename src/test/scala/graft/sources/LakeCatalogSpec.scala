@@ -282,6 +282,22 @@ class LakeCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql("INSERT INTO lake.md.t.changes VALUES " +
         "(3, 3.0, 'insert', NULL, 30L)")
     }
+    // per-scan read options on the catalog table: time travel and
+    // incremental ranges without any path-based read
+    val t = LakeTable.load(spark, s"$warehouse/md/t")
+    val Seq(c1, c2) = t.timeline.instants()
+    val asOf = spark.read.option("as.of", c1).table("lake.md.t")
+    assert(asOf.count() == 2 &&
+      asOf.where("id = 2").head().getAs[Double]("v") == 2.0)
+    val inc = spark.read.option("query.type", "incremental")
+      .option("begin", c1).option("end", c2).table("lake.md.t")
+    assert(inc.select("id").collect().map(_.getInt(0)).toSeq == Seq(2))
+    // schema-changing types are rejected with a pointer to the
+    // metadata table
+    val e2 = intercept[Exception] {
+      spark.read.option("query.type", "changes").table("lake.md.t").collect()
+    }
+    assert(e2.getMessage.contains("metadata table"))
   }
 
   test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {

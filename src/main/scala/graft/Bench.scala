@@ -38,6 +38,11 @@ object Bench {
     // measure the plan, not first-call class loading.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // pre-stage the lake queries' shared batch1 input (input prep shared
+    // with the oracle CTE, documented not-under-test) so the first lake
+    // query's number measures ITS work, not the shared staging
+    try graft.queries.LakeQueries.warmFixtures(spark, sfDir)
+    catch { case _: Throwable => () }
 
     // SPARK_GRAFT_ONLY=name1,name2 restricts the run (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY")

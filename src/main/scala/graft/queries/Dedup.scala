@@ -274,14 +274,14 @@ object Dedup {
         .join(labels.select(col("doc_id").as("src"), col("label").as("nl")),
           "src")
         .groupBy(col("dst").as("doc_id")).agg(min(col("nl")).as("mn"))
+      // carry the previous label through the update so convergence is a
+      // filter over the SAME materialized frame — not a third join
       val next = labels.join(minNbr, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("label").as("old"),
           least(col("label"), coalesce(col("mn"), col("label"))).as("label"))
         .localCheckpoint(true)
-      changed = next.alias("n")
-        .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.drop("old")
     }
     val sizes = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("cluster_size"))

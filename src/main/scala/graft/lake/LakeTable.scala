@@ -379,13 +379,21 @@ class LakeTable private (val spark: SparkSession, val path: String) {
 
   /** Append without key matching (Hudi `insert` op, reference
     * HudiOP.scala:4; may produce duplicate keys like Hudi insert does).
+    *
+    * OPTIMISTIC: the instant is reserved, the write job runs with no
+    * lock held, and the lock is taken only for the publish. Appends
+    * never write-write conflict (duplicate keys across inserts are
+    * insert semantics even serially).
     */
-  def insert(data: DataFrame, extra: Map[String, String] = Map.empty): String = timeline.withLock() {
-    val instant = timeline.nextInstant()
-    val incoming = withMeta(alignUser(data), instant)
-    val stats = stageWrite(incoming, instant)
-    timeline.commit(CommitMeta(instant, "insert", stats, Seq.empty, extra))
-    instant
+  def insert(data: DataFrame, extra: Map[String, String] = Map.empty): String = {
+    val instant = timeline.reserveInstant()
+    try {
+      val incoming = withMeta(alignUser(data), instant)
+      val staging = writeStaging(incoming, instant)
+      publishOptimistic(instant, staging, "insert", "base", Seq.empty,
+        extra, visible = None)
+      instant
+    } finally timeline.releaseReservation(instant)
   }
 
   /** Atomically replace the whole table content (SQL `INSERT OVERWRITE`):
@@ -482,9 +490,26 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     *   skips a full-batch shuffle, but duplicate keys would fan out the
     *   merge join and corrupt the table.
     */
+  /** OPTIMISTIC concurrency (Hudi multi-writer OCC): the instant is
+    * reserved up front, the merge plan and write job run with NO lock
+    * held, and the lock is taken only for the conflict-checked publish.
+    * A concurrent commit whose write-set overlaps this batch's key
+    * ranges aborts the publish with `ConcurrentModificationException`
+    * (re-run the upsert — the retry replans against the fresh
+    * snapshot); disjoint writers publish freely. MOR delta appends are
+    * conflict-free by construction — readers resolve concurrent
+    * versions by (precombine, commit time).
+    */
   def upsert(data: DataFrame, extra: Map[String, String] = Map.empty,
-      combine: Boolean = true): String = timeline.withLock() {
-    val instant = timeline.nextInstant()
+      combine: Boolean = true): String = {
+    val visible = timeline.instants().toSet
+    val instant = timeline.reserveInstant()
+    try upsertReserved(data, extra, combine, instant, visible)
+    finally timeline.releaseReservation(instant)
+  }
+
+  private[graft] def upsertReserved(data: DataFrame, extra: Map[String, String],
+      combine: Boolean, instant: String, visible: Set[String]): String = {
     val aligned = alignUser(data)
     val userCols = aligned.columns.toSeq
     val fieldOrder = userCols :+ CommitTimeCol :+ DeletedCol
@@ -501,7 +526,10 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     try {
       val (nRows, mnKey, mxKey) = batchBounds(incoming)
       if (nRows == 0) {
-        timeline.commit(CommitMeta(instant, "upsert", Seq.empty, Seq.empty, extra))
+        timeline.withLock() {
+          timeline.commit(
+            CommitMeta(instant, "upsert", Seq.empty, Seq.empty, extra))
+        }
         return instant
       }
       if (_meta.tableType == "mor") {
@@ -509,9 +537,11 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         // matched-file lookup, no rewrite; readers resolve by key. This
         // is the cheap-write path the reference selects with
         // tableType=MOR (MSK2Hudi.scala:42, HudiConfig.scala:17-26).
-        val stats = stageWrite(incoming, instant, kind = "delta")
-        timeline.commit(CommitMeta(instant, "deltacommit", stats, Seq.empty, extra))
-        maybeCompactInline()
+        // Appends never conflict (concurrent versions of a key resolve
+        // by precombine/commit-time at read).
+        val staging = writeStaging(incoming, instant)
+        publishOptimistic(instant, staging, "deltacommit", "delta",
+          Seq.empty, extra, visible = None, () => maybeCompactInline())
         return instant
       }
       val matched = matchedFiles(incoming.select(col(RecordKeyCol)), mnKey, mxKey)
@@ -554,8 +584,9 @@ class LakeTable private (val spark: SparkSession, val path: String) {
           mergedKeyed
             .select(col(RecordKeyCol) +: fieldOrder.map(c => col(s"r.`$c`").as(c)): _*)
         }
-      val stats = stageWrite(out, instant)
-      timeline.commit(CommitMeta(instant, "upsert", stats, matched, extra))
+      val staging = writeStaging(out, instant)
+      publishOptimistic(instant, staging, "upsert", "base", matched, extra,
+        Some(visible))
       instant
     } finally incoming.unpersist()
   }
@@ -574,13 +605,23 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * row version at or before the tombstone; a later upsert of the key
     * revives it; compaction physically removes tombstoned rows.
     */
-  def delete(data: DataFrame, extra: Map[String, String] = Map.empty): String = timeline.withLock() {
-    val instant = timeline.nextInstant()
+  def delete(data: DataFrame, extra: Map[String, String] = Map.empty): String = {
+    val visible = timeline.instants().toSet
+    val instant = timeline.reserveInstant()
+    try deleteReserved(data, extra, instant, visible)
+    finally timeline.releaseReservation(instant)
+  }
+
+  private def deleteReserved(data: DataFrame, extra: Map[String, String],
+      instant: String, visible: Set[String]): String = {
     if (_meta.tableType == "mor") {
       val u = userSchema.getOrElse {
         // nothing ever written ⇒ nothing to delete (same no-op contract
         // as the COW path on an empty table)
-        timeline.commit(CommitMeta(instant, "delete", Seq.empty, Seq.empty, extra))
+        timeline.withLock() {
+          timeline.commit(
+            CommitMeta(instant, "delete", Seq.empty, Seq.empty, extra))
+        }
         return instant
       }
       val keyed =
@@ -590,9 +631,12 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         u.fields.toIndexedSeq.map(f => lit(null).cast(f.dataType).as(f.name)) ++
           Seq(col(RecordKeyCol), lit(instant).as(CommitTimeCol),
             lit(true).as(DeletedCol)): _*)
-      val stats = stageWrite(tomb, instant, kind = "delta")
-      timeline.commit(CommitMeta(instant, "delete", stats, Seq.empty, extra))
-      maybeCompactInline() // tombstone deltas count toward compaction debt
+      // tombstone append: conflict-free like any MOR delta (a concurrent
+      // upsert of the same key lands before or after the barrier — both
+      // are valid serializations of concurrent ops)
+      val staging = writeStaging(tomb, instant)
+      publishOptimistic(instant, staging, "delete", "delta", Seq.empty,
+        extra, visible = None, () => maybeCompactInline())
       return instant
     }
     val keys = withKeyOnly(data).persist(StorageLevel.MEMORY_AND_DISK)
@@ -601,7 +645,10 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       val matched =
         if (nKeys == 0) Seq.empty else matchedFiles(keys, mnKey, mxKey)
       if (matched.isEmpty) {
-        timeline.commit(CommitMeta(instant, "delete", Seq.empty, Seq.empty, extra))
+        timeline.withLock() {
+          timeline.commit(
+            CommitMeta(instant, "delete", Seq.empty, Seq.empty, extra))
+        }
         return instant
       }
       // rewrite matched files without the deleted keys. Typical deletes
@@ -613,8 +660,9 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         if (nKeys <= BroadcastMergeMaxRows) broadcast(keys) else keys
       val survivors = readFiles(matched)
         .join(delKeys, Seq(RecordKeyCol), "left_anti")
-      val stats = stageWrite(survivors, instant)
-      timeline.commit(CommitMeta(instant, "delete", stats, matched, extra))
+      val staging = writeStaging(survivors, instant)
+      publishOptimistic(instant, staging, "delete", "base", matched, extra,
+        Some(visible))
       instant
     } finally keys.unpersist()
   }
@@ -1080,27 +1128,10 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     userSchema match {
       case Some(s) =>
         val incoming = clean.schema
-        val newFields = incoming.fields.filterNot(f => s.fieldNames.contains(f.name))
-          // dropped/retired names never re-enter the schema — old files
-          // still hold their stale values
-          .filterNot(f => _meta.droppedColumns.contains(f.name) ||
-            retiredNames.contains(f.name))
-          .map(_.copy(nullable = true))
-        val widened = s.fields.map { f =>
-          incoming.fields.find(_.name == f.name) match {
-            case Some(in) if isWidening(f.dataType, in.dataType) =>
-              f.copy(dataType = in.dataType)
-            case _ => f
-          }
-        }
+        val (newFields, widened) = schemaDelta(s, incoming)
         val evolved =
           if (newFields.isEmpty && widened.toSeq == s.fields.toSeq) s
-          else {
-            val e = StructType(widened ++ newFields)
-            _meta = _meta.copy(schemaJson = e.json)
-            TableMeta.save(fs, tablePath, _meta)
-            e
-          }
+          else evolveSchemaLocked(incoming)
         val required = (_meta.recordKeyFields :+ _meta.precombineField) ++
           _meta.partitionFields
         evolved.fields.toIndexedSeq.map { f =>
@@ -1112,11 +1143,59 @@ class LakeTable private (val spark: SparkSession, val path: String) {
           else lit(null).cast(f.dataType).as(f.name)
         } match { case cols => clean.select(cols: _*) }
       case None =>
-        _meta = _meta.copy(schemaJson = clean.schema.json)
-        TableMeta.save(fs, tablePath, _meta)
-        clean
+        evolveSchemaLocked(clean.schema)
+        // realign: a concurrent first writer may have captured first —
+        // the recursion hits the Some branch with the schema now settled
+        alignUser(data)
     }
   }
+
+  /** New and widened fields of `incoming` against stored schema `s`
+    * (dropped/retired names never re-enter — old files still hold their
+    * stale values).
+    */
+  private def schemaDelta(s: StructType,
+      incoming: StructType): (Array[StructField], Array[StructField]) = {
+    val newFields = incoming.fields
+      .filterNot(f => s.fieldNames.contains(f.name))
+      .filterNot(f => _meta.droppedColumns.contains(f.name) ||
+        retiredNames.contains(f.name))
+      .map(_.copy(nullable = true))
+    val widened = s.fields.map { f =>
+      incoming.fields.find(_.name == f.name) match {
+        case Some(in) if isWidening(f.dataType, in.dataType) =>
+          f.copy(dataType = in.dataType)
+        case _ => f
+      }
+    }
+    (newFields, widened)
+  }
+
+  /** Capture or evolve the user schema under the writer lock against the
+    * FRESH on-disk meta: optimistic writers no longer hold the lock
+    * while planning, so two concurrent evolutions must MERGE (recompute
+    * against what is actually stored) instead of last-write-wins.
+    * Reentrant-safe from already-locked write paths.
+    */
+  private def evolveSchemaLocked(incoming: StructType): StructType =
+    timeline.withLock() {
+      _meta = TableMeta.load(fs, tablePath)
+      userSchema match {
+        case None =>
+          _meta = _meta.copy(schemaJson = incoming.json)
+          TableMeta.save(fs, tablePath, _meta)
+          incoming
+        case Some(s) =>
+          val (newFields, widened) = schemaDelta(s, incoming)
+          if (newFields.isEmpty && widened.toSeq == s.fields.toSeq) s
+          else {
+            val e = StructType(widened ++ newFields)
+            _meta = _meta.copy(schemaJson = e.json)
+            TableMeta.save(fs, tablePath, _meta)
+            e
+          }
+      }
+    }
 
   /** Lossless type promotions the parquet readers can apply to existing
     * files (Spark 4 widening conversions): int family upward, int→double,
@@ -1240,7 +1319,17 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     */
   private def stageWrite(out: DataFrame, instant: String,
       kind: String = "base", clusterBy: Seq[String] = Seq.empty,
-      clusterExprs: Seq[Column] = Seq.empty): Seq[FileStat] = {
+      clusterExprs: Seq[Column] = Seq.empty): Seq[FileStat] =
+    publishStaged(writeStaging(out, instant, clusterBy, clusterExprs),
+      instant, kind)
+
+  /** The heavy half of [[stageWrite]]: cluster + write the batch into a
+    * fresh staging dir, NO lock required — optimistic writers run this
+    * before taking the lock for the (cheap) publish.
+    */
+  private def writeStaging(out: DataFrame, instant: String,
+      clusterBy: Seq[String] = Seq.empty,
+      clusterExprs: Seq[Column] = Seq.empty): Path = {
     val ordered0 = out.select(fullSchema.fieldNames.map(col).toIndexedSeq: _*)
       // range partitioning SAMPLES its input before shuffling — without a
       // cache that re-executes the (expensive) merge/anti-join plan twice
@@ -1272,8 +1361,46 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         if (_meta.partitionFields.nonEmpty) w.partitionBy(_meta.partitionFields: _*)
         else w
       w2.parquet(staging.toString)
-      publishStaged(staging, instant, kind)
+      staging
     } finally { ordered0.unpersist(); () }
+  }
+
+  /** Publish a driver-staged optimistic write under the lock: stats,
+    * optional write-set conflict check against commits not in `visible`
+    * (None ⇒ append semantics, never conflicting), rename, commit,
+    * follow-up. Cleans the staging dir and rethrows on conflict — the
+    * caller's statement retries against the fresh snapshot.
+    */
+  private def publishOptimistic(instant: String, staging: Path, op: String,
+      kind: String, removed: Seq[String], extra: Map[String, String],
+      visible: Option[Set[String]],
+      followUp: () => Unit = () => ()): Seq[FileStat] = timeline.withLock() {
+    val parts = collectStagedStats(staging)
+    visible.foreach { vis =>
+      val stagedRanges = parts.collect { case (src, p) if p.rows > 0L =>
+        (partitionOfRel(relIn(staging, src)), p.minKey, p.maxKey)
+      }
+      // the write-set includes the content we DESTROY: resolve the
+      // removed paths' recorded ranges (an all-rows-deleted rewrite
+      // stages nothing, but its removals still conflict)
+      val removedRanges =
+        if (removed.isEmpty) Seq.empty
+        else {
+          val byPath = timeline.between(Timeline.Earliest, MaxInstant)
+            .flatMap(_.added).map(f => f.path -> f).toMap
+          removed.flatMap(byPath.get)
+            .map(f => (f.partition, f.minKey, f.maxKey))
+        }
+      try checkWriteConflict(instant, op, vis,
+        stagedRanges ++ removedRanges, removed.toSet)
+      catch { case e: java.util.ConcurrentModificationException =>
+        fs.delete(staging, true); throw e
+      }
+    }
+    val stats = renameStaged(staging, instant, kind, parts)
+    timeline.commit(CommitMeta(instant, op, stats, removed, extra))
+    followUp()
+    stats
   }
 
   /** Publish a staging directory laid out like the table (hive partition
@@ -1469,11 +1596,24 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     */
   private def checkWriteConflict(instant: String, op: String,
       visible: Set[String], ours: Seq[(String, String, String)],
+      ourRemoved: Set[String] = Set.empty,
       partitionLevel: Boolean = false): Unit = {
     val candidates = timeline.instants()
       .filterNot(visible).filterNot(_ == instant)
     if (candidates.isEmpty) return
-    val metas = candidates.map(timeline.read)
+    val metasAll = candidates.map(timeline.read)
+    // a commit that removed a file WE also remove moved that file group
+    // under us — this includes content-preserving services (compaction,
+    // clustering): readers see the same rows, but our remove-set is now
+    // stale and publishing would leave the service's copy of our keys
+    // alive next to our rewrite (duplicates). Always a conflict.
+    metasAll.find(_.removed.exists(ourRemoved.contains)).foreach { c =>
+      throw new java.util.ConcurrentModificationException(
+        s"$op prepared at instant $instant conflicts with concurrent " +
+          s"commit ${c.instant} (${c.operation}): it rewrote a file " +
+          "group this operation rewrites; re-run the statement")
+    }
+    val metas = metasAll
       .filterNot(c => ContentPreservingOps.contains(c.operation))
     if (metas.isEmpty) return
     lazy val pathStats: Map[String, FileStat] =
@@ -1527,7 +1667,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       val ours = parts.collect { case (src, p) if p.rows > 0L =>
         (partitionOfRel(relIn(staging, src)), p.minKey, p.maxKey)
       }
-      try checkWriteConflict(instant, op, visible, ours, partitionLevel)
+      try checkWriteConflict(instant, op, visible, ours,
+        partitionLevel = partitionLevel)
       catch { case e: java.util.ConcurrentModificationException =>
         fs.delete(staging, true); throw e
       }

@@ -176,6 +176,13 @@ class Timeline(fs: FileSystem, tablePath: Path) {
     *    check-then-rename race), it is renamed straight back.
     */
   def withLock[T](staleAfterMs: Long = 10 * 60 * 1000L)(body: => T): T = {
+    // REENTRANT within a thread (per Timeline instance): a locked write
+    // path may call a helper that itself locks (e.g. schema evolution
+    // from both locked and optimistic writers)
+    if (holdDepth.get() > 0) {
+      holdDepth.set(holdDepth.get() + 1)
+      try return body finally holdDepth.set(holdDepth.get() - 1)
+    }
     val lockPath = new Path(tablePath, "_lake/lock")
     fs.mkdirs(new Path(tablePath, "_lake"))
     val token = java.util.UUID.randomUUID().toString
@@ -266,8 +273,10 @@ class Timeline(fs: FileSystem, tablePath: Path) {
     heartbeat.setDaemon(true)
     heartbeat.start()
 
+    holdDepth.set(1)
     try body
     finally {
+      holdDepth.set(0)
       held = false
       heartbeat.interrupt()
       // release only our own lock: if it was broken and re-acquired by a
@@ -275,6 +284,10 @@ class Timeline(fs: FileSystem, tablePath: Path) {
       if (readToken(lockPath).contains(token)) fs.delete(lockPath, false)
       ()
     }
+  }
+
+  private val holdDepth = new ThreadLocal[Int] {
+    override def initialValue(): Int = 0
   }
 
   /** Archive commits older than the newest `keepCommits` into

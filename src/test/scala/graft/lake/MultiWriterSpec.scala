@@ -123,6 +123,68 @@ class MultiWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq(("a", 5.0), ("b", 9.0)))
   }
 
+  test("OCC upsert: overlapping publish aborts, disjoint publishes") {
+    val t = newTable("occupsert")
+    t.upsert(df((1, 10L, 1.0), (2, 10L, 2.0)))
+    // stale plan-time snapshot + a concurrent overlapping commit → the
+    // publish-time write-set gate must abort
+    val visible = t.committedInstants()
+    t.upsert(df((2, 20L, 22.0))) // concurrent writer touches key 2
+    val i1 = t.timeline.reserveInstant()
+    try intercept[java.util.ConcurrentModificationException] {
+      t.upsertReserved(df((2, 30L, 99.0)), Map.empty, combine = true,
+        i1, visible)
+    } finally t.timeline.releaseReservation(i1)
+    // nothing from the aborted attempt is visible
+    assert(t.snapshotUser().where("id = 2").head().getAs[Double]("v") == 22.0)
+    // a DISJOINT write under the same stale snapshot publishes fine
+    val i2 = t.timeline.reserveInstant()
+    try t.upsertReserved(df((7, 10L, 7.0)), Map.empty, combine = true,
+      i2, visible)
+    finally t.timeline.releaseReservation(i2)
+    assert(t.snapshotUser().count() == 3)
+    // ... and the plain API converges after a caller retry
+    t.upsert(df((2, 30L, 99.0)))
+    assert(t.snapshotUser().where("id = 2").head().getAs[Double]("v") == 99.0)
+  }
+
+  test("concurrent same-key COW upserts with retry converge exactly") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val t = newTable("occrace")
+    t.upsert(df((1, 1L, 1.0)))
+    val aborts = new java.util.concurrent.atomic.AtomicInteger
+    val futures = (1 to 4).map { k =>
+      Future {
+        val tk = LakeTable.load(spark, s"$base/occrace")
+        for (r <- 1 to 3) {
+          val ts = (k * 10 + r).toLong
+          var done = false
+          var attempts = 0
+          while (!done) {
+            try { tk.upsert(df((1, ts, ts.toDouble))); done = true }
+            catch {
+              case _: java.util.ConcurrentModificationException =>
+                aborts.incrementAndGet()
+                attempts += 1
+                assert(attempts < 30, "livelock: conflict retries exhausted")
+            }
+          }
+        }
+      }
+    }
+    Await.result(Future.sequence(futures), 180.seconds)
+    val t2 = LakeTable.load(spark, s"$base/occrace")
+    // every successful upsert committed exactly once; precombine picks
+    // the deterministic winner regardless of publication interleaving
+    assert(t2.timeline.instants().size == 1 + 12)
+    val row = t2.snapshotUser().collect()
+    assert(row.length == 1)
+    assert(row(0).getAs[Long]("ts") == 43L &&
+      row(0).getAs[Double]("v") == 43.0)
+  }
+
   test("stale reservation stops blocking and is swept") {
     val t = newTable("stale")
     t.insert(df((1, 10L, 1.0)))

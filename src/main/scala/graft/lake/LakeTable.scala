@@ -235,6 +235,17 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       .filterNot(_.operation == "clean").flatMap(_.removed).toSet
     val removedStats = timeline.between(Timeline.Earliest, e)
       .flatMap(_.added).filter(f => removedInRange.contains(f.path))
+    // the feed reads the CONTENT of in-range-removed files (COW delete
+    // images live nowhere else); if a clean already physically deleted
+    // one, fail up front with the retention contract instead of a
+    // mid-job FileNotFoundException
+    removedStats.map(_.path).find(p => !fs.exists(new Path(tablePath, p)))
+      .foreach { p =>
+        throw new IllegalStateException(
+          s"change feed ($b, $e] needs file $p, already deleted by " +
+            "clean; CDC consumers must stay within the clean retention " +
+            "window (same contract as time travel)")
+      }
     val addedInRange = timeline.addedBetween(b, e)
       .filter(f => f.maxCommit == null || f.maxCommit > b)
 
@@ -1598,7 +1609,19 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       visible: Set[String], ours: Seq[(String, String, String)],
       ourRemoved: Set[String] = Set.empty,
       partitionLevel: Boolean = false): Unit = {
-    val candidates = timeline.instants()
+    val current = timeline.instants()
+    // a plan-time-visible instant missing from the ACTIVE timeline above
+    // the oldest active instant means restore() rolled the table back
+    // mid-operation (archival only ever moves the OLDEST instants out,
+    // below the checkpoint boundary) — publishing would resurrect
+    // rolled-back rows our plan read
+    val oldestActive = current.headOption.getOrElse("")
+    if (visible.exists(i => i > oldestActive && !current.contains(i)))
+      throw new java.util.ConcurrentModificationException(
+        s"$op prepared at instant $instant, but the table was restored " +
+          "to an earlier instant while the operation ran; re-run the " +
+          "statement against the rolled-back state")
+    val candidates = current
       .filterNot(visible).filterNot(_ == instant)
     if (candidates.isEmpty) return
     val metasAll = candidates.map(timeline.read)

@@ -86,6 +86,16 @@ class ChangeFeedSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1, 1.5, "update_postimage"), (1, 1.0, "update_preimage")))
   }
 
+  test("range cleaned past retention fails with the retention contract") {
+    val t = newTable("ret1")
+    val c1 = t.upsert(df((1, 10L, 1.0), (2, 10L, 2.0)))
+    t.delete(df((2, 99L, 0.0)))  // rewrites the file (removes the old one)
+    t.upsert(df((3, 30L, 3.0)))
+    t.clean(retainCommits = 1)   // physically deletes the removed file
+    val e = intercept[IllegalStateException] { t.changes(c1).collect() }
+    assert(e.getMessage.contains("retention"))
+  }
+
   test("from earliest: everything is an insert; empty range is empty") {
     val t = newTable("early1")
     val c1 = t.upsert(df((1, 10L, 1.0), (2, 10L, 2.0)))

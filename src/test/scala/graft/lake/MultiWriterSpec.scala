@@ -185,6 +185,23 @@ class MultiWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
       row(0).getAs[Double]("v") == 43.0)
   }
 
+  test("restore during an optimistic write aborts its publish") {
+    val t = newTable("restore1")
+    val c1 = t.upsert(df((1, 10L, 1.0)))
+    t.upsert(df((2, 20L, 2.0)))
+    val visible = t.committedInstants() // plan sees both commits
+    val instant = t.timeline.reserveInstant()
+    try {
+      t.restore(c1) // admin rolls back mid-operation
+      intercept[java.util.ConcurrentModificationException] {
+        t.upsertReserved(df((9, 30L, 9.0)), Map.empty, combine = true,
+          instant, visible)
+      }
+    } finally t.timeline.releaseReservation(instant)
+    // the rolled-back state is intact, nothing resurrected
+    assert(t.snapshotUser().collect().map(_.getAs[Int]("id")).toSeq == Seq(1))
+  }
+
   test("stale reservation stops blocking and is swept") {
     val t = newTable("stale")
     t.insert(df((1, 10L, 1.0)))

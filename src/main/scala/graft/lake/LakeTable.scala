@@ -874,7 +874,48 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * older than `keepCommits` into a checkpoint; see Timeline.archive.
     */
   def archiveTimeline(keepCommits: Int): Seq[String] =
-    timeline.withLock() { timeline.archive(keepCommits) }
+    timeline.withLock() {
+      // a savepointed instant must stay on the ACTIVE timeline — its
+      // snapshot is reconstructed from commits ≤ it, which archival
+      // collapses into the boundary checkpoint
+      val keep = savepoints().headOption match {
+        case Some(sp) =>
+          val inst = timeline.instants()
+          math.max(keepCommits, inst.size - inst.indexOf(sp))
+        case None => keepCommits
+      }
+      timeline.archive(keep)
+    }
+
+  // ------------------------------------------------------------ savepoints
+
+  private def savepointDir = new Path(tablePath, "_lake/savepoints")
+  private def savepointPath(i: String) =
+    new Path(savepointDir, i + ".savepoint")
+
+  /** Pin a committed instant (Hudi savepoint): [[clean]] keeps every
+    * file its snapshot needs and [[archiveTimeline]] keeps it on the
+    * active timeline, so time travel / restore to it always work
+    * regardless of retention. Released via [[releaseSavepoint]].
+    */
+  def savepoint(instant: String): Unit = timeline.withLock() {
+    require(timeline.instants().contains(instant),
+      s"unknown instant $instant")
+    fs.mkdirs(savepointDir)
+    val out = fs.create(savepointPath(instant), true)
+    out.close()
+  }
+
+  def releaseSavepoint(instant: String): Unit = timeline.withLock() {
+    fs.delete(savepointPath(instant), false)
+    ()
+  }
+
+  /** Pinned instants, ascending. */
+  def savepoints(): Seq[String] =
+    if (!fs.exists(savepointDir)) Seq.empty
+    else fs.listStatus(savepointDir).toSeq
+      .map(_.getPath.getName.stripSuffix(".savepoint")).sorted
 
   /** Table service: physically delete files removed more than
     * `retainCommits` commits ago (reference clean/archive knobs,
@@ -921,6 +962,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     // delete the rolled-back commits' data files (now unreferenced)
     dropped.flatMap(_.added.map(_.path)).distinct
       .foreach(rel => fs.delete(new Path(tablePath, rel), false))
+    // savepoints above the restore target point at dropped commits
+    savepoints().filter(_ > instant).foreach(releaseSavepoint)
   }
 
   /** Remove published-but-never-committed data files — the residue of a
@@ -970,11 +1013,16 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val commits = inst.map(timeline.read)
     val alreadyCleaned =
       commits.filter(_.operation == "clean").flatMap(_.removed).toSet
+    // files a SAVEPOINTED snapshot still needs are never deletable,
+    // whatever removed them later — the savepoint pins them
+    val pinned = savepoints()
+      .flatMap(sp => timeline.liveFiles(sp).map(_.path)).toSet
     val deletable = commits
       .filter(c => c.instant <= cutoff && c.operation != "clean")
       .flatMap(_.removed)
       .distinct
       .filterNot(alreadyCleaned.contains)
+      .filterNot(pinned.contains)
     deletable.foreach(rel => fs.delete(new Path(tablePath, rel), false))
     if (deletable.nonEmpty) {
       val instant = timeline.nextInstant()

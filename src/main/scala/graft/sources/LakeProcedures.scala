@@ -105,6 +105,18 @@ object LakeProcedures {
       (t, args) => { t.restore(args(1).asInstanceOf[String])
         Seq(Seq(args(1))) },
       "Roll the table back to an instant, deleting later commits and files"),
+    "savepoint" -> Spec(
+      Seq(p("table", StringType), p("instant", StringType)),
+      instantOut,
+      (t, args) => { t.savepoint(args(1).asInstanceOf[String])
+        Seq(Seq(args(1))) },
+      "Pin an instant: clean and archive keep its snapshot reachable"),
+    "release_savepoint" -> Spec(
+      Seq(p("table", StringType), p("instant", StringType)),
+      instantOut,
+      (t, args) => { t.releaseSavepoint(args(1).asInstanceOf[String])
+        Seq(Seq(args(1))) },
+      "Release a savepoint, returning its files to normal retention"),
     "cleanup_orphans" -> Spec(
       Seq(p("table", StringType)),
       countOut,

@@ -239,6 +239,16 @@ class LakeCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql(s"CALL lake.system.restore(table => 'svc.t', instant => '$clustered')")
     assert(spark.sql("CALL lake.system.cleanup_orphans(table => 'svc.t')")
       .head().getLong(0) == 0L)
+    // savepoint lifecycle via SQL
+    val sp = spark.sql("CALL lake.system.timeline(table => 'svc.t')")
+      .head().getString(0)
+    assert(spark.sql(
+      s"CALL lake.system.savepoint(table => 'svc.t', instant => '$sp')")
+      .head().getString(0) == sp)
+    assert(t.savepoints() == Seq(sp))
+    spark.sql(
+      s"CALL lake.system.release_savepoint(table => 'svc.t', instant => '$sp')")
+    assert(t.savepoints().isEmpty)
     // timeline history: one row per commit, operations in commit order
     val hist = spark.sql("CALL lake.system.timeline(table => 'svc.t')")
     assert(hist.columns.toSeq == Seq("instant", "operation", "files_added",

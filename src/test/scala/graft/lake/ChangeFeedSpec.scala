@@ -86,6 +86,45 @@ class ChangeFeedSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1, 1.5, "update_postimage"), (1, 1.0, "update_preimage")))
   }
 
+  test("changes() reconciles with snapshot diffs over random op sequences") {
+    for (tableType <- Seq("cow", "mor")) {
+      val t = newTable(s"rand_$tableType", tableType)
+      val rnd = new scala.util.Random(42)
+      var tick = 0L
+      val commits = (1 to 6).map { _ =>
+        tick += 1
+        val keys = rnd.shuffle((1 to 20).toList).take(1 + rnd.nextInt(6))
+        if (rnd.nextInt(4) == 0)
+          t.delete(df(keys.map(k => (k, 1000L + tick, 0.0)): _*))
+        else
+          t.upsert(df(keys.map(k =>
+            (k, tick * 10 + rnd.nextInt(3), k * 100.0 + tick)): _*))
+      }
+      def state(i: String): Map[Int, (Double, String)] =
+        t.snapshotAsOf(i).collect().map(r => r.getAs[Int]("id") ->
+          (r.getAs[Double]("v"), r.getAs[String]("_commit_time"))).toMap
+      val ranges = commits.indices.flatMap(i =>
+        commits.indices.drop(i + 1).map(j => (commits(i), commits(j))))
+      for ((ci, cj) <- ranges) {
+        val before = state(ci)
+        val after = state(cj)
+        val expected = (before.keySet ++ after.keySet).toSeq.flatMap { k =>
+          (before.get(k), after.get(k)) match {
+            case (None, Some((v, ct))) if ct > ci =>
+              Seq((k, v, "insert"))
+            case (Some((bv, _)), Some((av, ct))) if ct > ci =>
+              Seq((k, bv, "update_preimage"), (k, av, "update_postimage"))
+            case (Some((bv, _)), None) => Seq((k, bv, "delete"))
+            case _                     => Seq.empty
+          }
+        }.sortBy(x => (x._1, x._3))
+        val got = feed(t, ci, cj)
+        assert(got == expected,
+          s"$tableType range ($ci, $cj]: got $got expected $expected")
+      }
+    }
+  }
+
   test("range cleaned past retention fails with the retention contract") {
     val t = newTable("ret1")
     val c1 = t.upsert(df((1, 10L, 1.0), (2, 10L, 2.0)))

@@ -256,13 +256,27 @@ class LakeTable private (val spark: SparkSession, val path: String) {
 
     // prune both end states to files whose key range can contain a
     // touched key (superset of per-key containment, so resolution over
-    // the kept files is complete for every touched key)
-    val mn = candStats.map(_.minKey).filter(_ != null).minOption.orNull
-    val mx = candStats.map(_.maxKey).filter(_ != null).maxOption.orNull
+    // the kept files is complete for every touched key). The touched
+    // files' ranges are merged into DISJOINT intervals rather than one
+    // global [min, max] — a CDC range touching a few scattered file
+    // groups then skips everything between them
+    val intervals: Seq[(String, String)] = {
+      val rs = candStats
+        .filter(f => f.minKey != null && f.maxKey != null)
+        .map(f => (f.minKey, f.maxKey)).sortBy(_._1)
+      if (rs.size != candStats.size) Seq.empty // a range-less file ⇒ no prune
+      else rs.headOption.map { h =>
+        rs.tail.foldLeft(Vector(h)) { case (acc, (mn, mx)) =>
+          val (lmn, lmx) = acc.last
+          if (mn <= lmx) acc.init :+ ((lmn, if (mx > lmx) mx else lmx))
+          else acc :+ ((mn, mx))
+        }
+      }.getOrElse(Vector.empty)
+    }
     def overlapping(fs: Seq[FileStat]): Seq[FileStat] =
-      if (mn == null || mx == null) fs
+      if (intervals.isEmpty) fs
       else fs.filter(f => f.minKey == null || f.maxKey == null ||
-        (f.maxKey >= mn && f.minKey <= mx))
+        intervals.exists(iv => f.maxKey >= iv._1 && f.minKey <= iv._2))
     val before0 = snapshotOfFiles(overlapping(timeline.liveFiles(b)))
     val after0 = snapshotOfFiles(overlapping(timeline.liveFiles(e)))
 

@@ -67,9 +67,17 @@ class LakeMetaTable(tableSchema: StructType, params: Map[String, String],
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
+
+  /** Scan options may SLICE the view (`begin`/`end` commit range on the
+    * changes feed: `spark.read.option("begin", i).table("cat.ns.t.changes")`)
+    * but never change what view this is.
+    */
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
-    new LakeV2ScanBuilder(tableSchema, params)
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    val sliced = params ++ options.asCaseSensitiveMap().asScala
+      .filter { case (k, _) => k == "begin" || k == "end" }
+    new LakeV2ScanBuilder(tableSchema, sliced)
+  }
 }
 
 /** One lake table through v2 eyes. `schema` is the inferred (full, meta

@@ -296,6 +296,12 @@ class LakeCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     // incremental ranges without any path-based read
     val t = LakeTable.load(spark, s"$warehouse/md/t")
     val Seq(c1, c2) = t.timeline.instants()
+    // a commit RANGE on the changes metadata table
+    val cdcRange = spark.read.option("begin", c1)
+      .table("lake.md.t.changes")
+      .select("id", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(cdcRange == Set((2, "update_preimage"), (2, "update_postimage")))
     val asOf = spark.read.option("as.of", c1).table("lake.md.t")
     assert(asOf.count() == 2 &&
       asOf.where("id = 2").head().getAs[Double]("v") == 2.0)

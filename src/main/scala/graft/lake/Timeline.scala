@@ -97,14 +97,31 @@ class Timeline(fs: FileSystem, tablePath: Path) {
     fs.mkdirs(inflightDir)
     val out = fs.create(new Path(inflightDir, i + Timeline.InflightSuffix), false)
     out.close()
+    // keep the reservation live for as long as THIS process is: a
+    // daemon renews the marker mtime while the write job runs (any
+    // path — programmatic or DSv2), and dies with a crashed writer so
+    // the marker goes stale exactly when it should
+    val hb = new Thread(() => {
+      try while (true) {
+        Thread.sleep(math.max(Timeline.InflightStaleMs / 4, 1000L))
+        renewReservation(i)
+      } catch { case _: InterruptedException => () }
+    }, s"lake-inflight-heartbeat-${tablePath.getName}-$i")
+    hb.setDaemon(true)
+    hb.start()
+    reservationHeartbeats.put(i, hb)
     i
   }
 
   /** Drop a reservation (after publishing its commit, or on abort). */
   def releaseReservation(instant: String): Unit = {
+    Option(reservationHeartbeats.remove(instant)).foreach(_.interrupt())
     fs.delete(new Path(inflightDir, instant + Timeline.InflightSuffix), false)
     ()
   }
+
+  private val reservationHeartbeats =
+    new java.util.concurrent.ConcurrentHashMap[String, Thread]()
 
   /** Refresh a reservation's liveness (long jobs call this periodically —
     * the inflight analog of the writer lock's heartbeat).

@@ -19,8 +19,13 @@ import org.apache.hadoop.fs.Path
   *    Overlapping publishes abort and retry with a fresh snapshot; the
   *    values are chosen equal across processes so the final state is
   *    exact regardless of who wins each round.
+  *  - `upsert-contend`: same contention through the PUBLIC
+  *    [[LakeTable.upsert]] API on a COW table — the whole
+  *    reserve/plan/merge/stage/conflict-check path races across
+  *    processes, retrying aborted publishes.
   *
-  * Usage: OccProbe <tableDir> <procId> <rounds> <rows> <disjoint|contend>
+  * Usage: OccProbe <tableDir> <procId> <rounds> <rows>
+  *        <disjoint|contend|upsert-contend>
   */
 object OccProbe {
   def main(args: Array[String]): Unit = {
@@ -36,6 +41,26 @@ object OccProbe {
       val t = LakeTable.load(spark, tableDir)
       val fs = new Path(tableDir).getFileSystem(
         spark.sessionState.newHadoopConf())
+      if (mode == "upsert-contend") {
+        for (r <- 1 to rounds) {
+          val batch = (0 until nRows)
+            .map(i => (i, r.toLong, "shared", r.toDouble))
+            .toDF("id", "ts", "part", "v")
+          var done = false
+          var attempts = 0
+          while (!done) {
+            try { t.upsert(batch); done = true }
+            catch {
+              case _: java.util.ConcurrentModificationException =>
+                aborts += 1
+                attempts += 1
+                require(attempts < 40, "conflict retries exhausted")
+            }
+          }
+        }
+        println(s"[occ-probe] proc=$procId aborts=$aborts")
+        return
+      }
       for (r <- 1 to rounds) {
         val part = if (mode == "contend") "shared" else s"p$procId"
         var done = false

@@ -218,6 +218,28 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
         s"key $id ended with v=$v")
     }
 
+    // PUBLIC-API COW contention: the same keys upserted from two JVMs
+    // through LakeTable.upsert — the full reserve/merge/stage/
+    // conflict-check path races cross-process, retrying aborts; every
+    // successful upsert is exactly one commit and the merged state is
+    // exact
+    val cow = work.resolve("cowcontend").toString
+    val t3 = LakeTable.create(spark, cow,
+      TableMeta("occw", Seq("id"), "ts", Seq("part")))
+    t3.upsert(df((0, 0L, "shared", 0.0)))
+    run(cow, "upsert-contend")
+    val tw = LakeTable.load(spark, cow)
+    val ups = tw.timeline.instants()
+      .map(tw.timeline.read(_).operation).count(_ == "upsert")
+    assert(ups == 1 + 6, s"expected 7 upsert commits, got $ups")
+    val wrows = tw.snapshotUser().collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[Long]("ts"),
+        r.getAs[Double]("v"))).toSeq
+    assert(wrows.size == 10)
+    wrows.foreach { case (id, ts, v) =>
+      assert(ts == 3L && v == 3.0, s"key $id ended at ($ts, $v)")
+    }
+
     // CONTEND: same partition, same keys — overlapping publishes abort
     // and retry, and the final state is exact regardless of interleaving
     val con = work.resolve("contend").toString

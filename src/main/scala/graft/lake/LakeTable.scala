@@ -238,14 +238,27 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     // the feed reads the CONTENT of in-range-removed files (COW delete
     // images live nowhere else); if a clean already physically deleted
     // one, fail up front with the retention contract instead of a
-    // mid-job FileNotFoundException
-    removedStats.map(_.path).find(p => !fs.exists(new Path(tablePath, p)))
-      .foreach { p =>
-        throw new IllegalStateException(
-          s"change feed ($b, $e] needs file $p, already deleted by " +
-            "clean; CDC consumers must stay within the clean retention " +
-            "window (same contract as time travel)")
-      }
+    // mid-job FileNotFoundException. Probe existence with ONE listStatus
+    // per touched partition dir, not one fs.exists RPC per file — a wide
+    // range can name thousands of removed files in a handful of dirs
+    if (removedStats.nonEmpty) {
+      val qualified = removedStats.map(f =>
+        f.path -> fs.makeQualified(new Path(tablePath, f.path)).toString)
+      val present: Set[String] = qualified.map { case (_, q) =>
+        new Path(q).getParent
+      }.distinct.flatMap { dir =>
+        try fs.listStatus(dir).toSeq
+          .map(st => fs.makeQualified(st.getPath).toString)
+        catch { case _: java.io.FileNotFoundException => Seq.empty[String] }
+      }.toSet
+      qualified.collectFirst { case (p, q) if !present.contains(q) => p }
+        .foreach { p =>
+          throw new IllegalStateException(
+            s"change feed ($b, $e] needs file $p, already deleted by " +
+              "clean; CDC consumers must stay within the clean retention " +
+              "window (same contract as time travel)")
+        }
+    }
     val addedInRange = timeline.addedBetween(b, e)
       .filter(f => f.maxCommit == null || f.maxCommit > b)
 
@@ -1444,10 +1457,29 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * follow-up. Cleans the staging dir and rethrows on conflict — the
     * caller's statement retries against the fresh snapshot.
     */
+  /** Under the publish lock: abort if this writer's in-flight reservation
+    * was swept as stale while the job ran (GC pause / stalled heartbeat).
+    * Once swept, incremental consumers may have advanced their stable
+    * watermark past the instant — committing anyway would publish BELOW
+    * the watermark and the commit would be skipped forever (the
+    * lost-commit anomaly the reservation exists to prevent). The caller's
+    * statement retries with a fresh reservation.
+    */
+  private def requireReservationLive(instant: String, op: String,
+      staging: Path): Unit =
+    if (!timeline.reservationLive(instant)) {
+      fs.delete(staging, true)
+      throw new java.util.ConcurrentModificationException(
+        s"$op prepared at instant $instant, but its in-flight " +
+          "reservation was swept as stale while the write ran; " +
+          "re-run the statement")
+    }
+
   private def publishOptimistic(instant: String, staging: Path, op: String,
       kind: String, removed: Seq[String], extra: Map[String, String],
       visible: Option[Set[String]],
       followUp: () => Unit = () => ()): Seq[FileStat] = timeline.withLock() {
+    requireReservationLive(instant, op, staging)
     val parts = collectStagedStats(staging)
     visible.foreach { vis =>
       val stagedRanges = parts.collect { case (src, p) if p.rows > 0L =>
@@ -1709,7 +1741,11 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       ours.exists { case (p, omn, omx) =>
         (!partScoped || p == partition) &&
         (partitionLevel ||
-          (mn != null && omn != null && mx >= omn && omx >= mn))
+          // an unknown key range on EITHER side could cover anything —
+          // conservative conflict, matching the unresolvable-removed-path
+          // branch below (silently missing a conflict loses a write)
+          mn == null || mx == null || omn == null || omx == null ||
+          (mx >= omn && omx >= mn))
       }
     metas.foreach { c =>
       val conflict =
@@ -1764,9 +1800,11 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   private[graft] def rowLevelCommit(instant: String, staging: Path,
       files: Seq[Path], op: String, visible: Set[String],
       extra: Map[String, String] = Map.empty): Unit = timeline.withLock() {
-    val stats = try publishTaskStaged(instant, staging, files,
-      s"row-level $op", kind = "delta", visible, partitionLevel = false)
-    catch { case e: Throwable => timeline.releaseReservation(instant); throw e }
+    val stats = try {
+      requireReservationLive(instant, s"row-level $op", staging)
+      publishTaskStaged(instant, staging, files,
+        s"row-level $op", kind = "delta", visible, partitionLevel = false)
+    } catch { case e: Throwable => timeline.releaseReservation(instant); throw e }
     timeline.commit(CommitMeta(instant, op, stats, Seq.empty, extra))
     timeline.releaseReservation(instant)
     if (stats.nonEmpty) {
@@ -1816,10 +1854,12 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     require(_meta.partitionFields.nonEmpty,
       "dynamic partition overwrite requires a partitioned table " +
         "(unpartitioned tables: use overwrite())")
-    val stats = try publishTaskStaged(instant, staging, files,
-      "dynamic-partition-overwrite", kind = "base", visible,
-      partitionLevel = true)
-    catch { case e: Throwable => timeline.releaseReservation(instant); throw e }
+    val stats = try {
+      requireReservationLive(instant, "dynamic-partition-overwrite", staging)
+      publishTaskStaged(instant, staging, files,
+        "dynamic-partition-overwrite", kind = "base", visible,
+        partitionLevel = true)
+    } catch { case e: Throwable => timeline.releaseReservation(instant); throw e }
     val parts = stats.map(_.partition).toSet
     val removed = timeline.liveFiles()
       .filter(f => parts.contains(f.partition) && f.tombstones == 0)

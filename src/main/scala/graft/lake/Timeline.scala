@@ -116,21 +116,68 @@ class Timeline(fs: FileSystem, tablePath: Path) {
   /** Drop a reservation (after publishing its commit, or on abort). */
   def releaseReservation(instant: String): Unit = {
     Option(reservationHeartbeats.remove(instant)).foreach(_.interrupt())
+    sweptReservations.remove(instant)
+    renewFailures.remove(instant)
     fs.delete(new Path(inflightDir, instant + Timeline.InflightSuffix), false)
     ()
   }
 
   private val reservationHeartbeats =
     new java.util.concurrent.ConcurrentHashMap[String, Thread]()
+  /** Reservations THIS process created that a renewal later found missing
+    * (swept as stale by a peer while we were paused): the reservation is
+    * gone for good — consumers may already have advanced their stable
+    * watermark past it, so resurrecting the marker would not restore
+    * safety. [[reservationLive]] reports these as dead.
+    */
+  private val sweptReservations =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val renewFailures =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** Refresh a reservation's liveness (long jobs call this periodically —
-    * the inflight analog of the writer lock's heartbeat).
+    * the inflight analog of the writer lock's heartbeat). Renewal
+    * RECREATES the marker file rather than `fs.setTimes` it: create is
+    * universally supported, while mtime updates are a silent no-op or an
+    * error on object stores — a silently-dead heartbeat would let any
+    * write longer than [[Timeline.InflightStaleMs]] be swept mid-flight.
+    * A marker found MISSING means a peer already swept us; that is
+    * recorded (never resurrected) so the publish-time liveness check
+    * aborts instead of committing below consumers' watermark. Repeated
+    * renewal I/O failures are surfaced on stderr instead of swallowed.
     */
   def renewReservation(instant: String): Unit = {
-    try fs.setTimes(new Path(inflightDir, instant + Timeline.InflightSuffix),
-      System.currentTimeMillis(), -1)
-    catch { case _: java.io.IOException => () }
+    val p = new Path(inflightDir, instant + Timeline.InflightSuffix)
+    try {
+      if (!fs.exists(p)) {
+        sweptReservations.add(instant)
+        ()
+      } else {
+        fs.create(p, true).close() // overwrite ⇒ fresh mtime everywhere
+        renewFailures.remove(instant)
+        ()
+      }
+    } catch {
+      case e: java.io.IOException =>
+        val n = renewFailures.merge(instant, 1, (a, b) => a + b)
+        if (n >= 3) System.err.println(
+          s"[graft-lake] WARNING: inflight reservation $instant of " +
+            s"$tablePath failed $n consecutive heartbeat renewals " +
+            s"(${e.getMessage}); the write risks being swept as stale")
+    }
   }
+
+  /** Is this reservation still live — marker present and never observed
+    * swept by a renewal? Optimistic publishers MUST verify this under the
+    * writer lock before committing: once the marker is swept, consumers
+    * may have advanced their stable watermark past the instant, and a
+    * late commit below that watermark is skipped forever (the lost-commit
+    * anomaly the reservation exists to prevent).
+    */
+  def reservationLive(instant: String): Boolean =
+    !sweptReservations.contains(instant) &&
+      (try fs.exists(new Path(inflightDir, instant + Timeline.InflightSuffix))
+       catch { case _: java.io.IOException => false })
 
   /** Live (non-stale) reserved instants, ascending. */
   def pendingInstants(): Seq[String] = {

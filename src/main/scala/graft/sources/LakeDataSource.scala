@@ -217,9 +217,17 @@ object LakeDataSource {
           parameters.getOrElse("begin", Timeline.Earliest),
           parameters.getOrElse("end", LakeTable.MaxInstant))
       case "history" =>
-        val rows = t.history().map(h => org.apache.spark.sql.Row(
-          h.instant, h.operation, h.filesAdded, h.filesRemoved,
-          h.rowsAdded, h.bytesAdded, h.extra))
+        // begin/end slice the view with the same (begin, end] semantics
+        // as incremental/changes — previously silently ignored here, so
+        // option("begin", i) on <table>.history returned full history
+        val b0 = parameters.getOrElse("begin", Timeline.Earliest)
+        val b = if (b0 == Timeline.Earliest) "" else b0
+        val e = parameters.getOrElse("end", LakeTable.MaxInstant)
+        val rows = t.history()
+          .filter(h => h.instant > b && h.instant <= e)
+          .map(h => org.apache.spark.sql.Row(
+            h.instant, h.operation, h.filesAdded, h.filesRemoved,
+            h.rowsAdded, h.bytesAdded, h.extra))
         spark.createDataFrame(
           spark.sparkContext.parallelize(rows, 1), LakeDataSource.HistorySchema)
       case "read_optimized" => t.readOptimized()

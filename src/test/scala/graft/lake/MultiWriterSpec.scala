@@ -202,6 +202,49 @@ class MultiWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.snapshotUser().collect().map(_.getAs[Int]("id")).toSeq == Seq(1))
   }
 
+  test("publish aborts when the writer's reservation was swept mid-flight") {
+    val t = newTable("sweptpub")
+    t.insert(df((1, 10L, 1.0)))
+    val visible = t.committedInstants()
+    val instant = t.timeline.reserveInstant()
+    // a peer sweeps the reservation while this writer is paused (GC pause
+    // past the staleness window) — consumers may now advance past it
+    val fs = new Path(base).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(s"$base/sweptpub/_lake/timeline/inflight/" +
+      s"$instant${Timeline.InflightSuffix}"), false)
+    try intercept[java.util.ConcurrentModificationException] {
+      t.upsertReserved(df((2, 20L, 2.0)), Map.empty, combine = true,
+        instant, visible)
+    } finally t.timeline.releaseReservation(instant)
+    // nothing from the aborted attempt is visible; a retry converges
+    assert(t.snapshotUser().count() == 1)
+    t.upsert(df((2, 20L, 2.0)))
+    assert(t.snapshotUser().count() == 2)
+  }
+
+  test("renewal recreates the marker but never resurrects a swept one") {
+    val t = newTable("renew")
+    t.insert(df((1, 10L, 1.0)))
+    val instant = t.timeline.reserveInstant()
+    val fs = new Path(base).getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new Path(s"$base/renew/_lake/timeline/inflight/" +
+      s"$instant${Timeline.InflightSuffix}")
+    // live marker: renewal rewrites it (works where setTimes does not)
+    t.timeline.renewReservation(instant)
+    assert(fs.exists(marker) && t.timeline.reservationLive(instant))
+    // swept marker: renewal must NOT bring it back — consumers may have
+    // advanced while it was gone — and liveness stays false even if some
+    // outside actor recreates the file
+    fs.delete(marker, false)
+    t.timeline.renewReservation(instant)
+    assert(!fs.exists(marker), "swept reservation not resurrected")
+    assert(!t.timeline.reservationLive(instant))
+    fs.create(marker, true).close()
+    assert(!t.timeline.reservationLive(instant),
+      "once observed swept, a reservation is dead for good")
+    t.timeline.releaseReservation(instant)
+  }
+
   test("stale reservation stops blocking and is swept") {
     val t = newTable("stale")
     t.insert(df((1, 10L, 1.0)))

@@ -308,6 +308,13 @@ class LakeCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val inc = spark.read.option("query.type", "incremental")
       .option("begin", c1).option("end", c2).table("lake.md.t")
     assert(inc.select("id").collect().map(_.getInt(0)).toSeq == Seq(2))
+    // begin/end slice the HISTORY metadata table too ((begin, end], the
+    // incremental/changes convention) — previously silently ignored
+    val histRange = spark.read.option("begin", c1)
+      .table("lake.md.t.history").collect().map(_.getString(0)).toSeq
+    assert(histRange == Seq(c2))
+    assert(spark.read.option("end", c1).table("lake.md.t.history")
+      .collect().map(_.getString(0)).toSeq == Seq(c1))
     // schema-changing types are rejected with a pointer to the
     // metadata table
     val e2 = intercept[Exception] {

@@ -51,7 +51,13 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None        => SparkEntry.queries
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // One timed execution + untimed post-run cleanup. The cleanup keeps
+    // cross-query interference bounded; the REMAINING interference (the
+    // ContextCleaner's async shuffle/broadcast deletion occasionally
+    // landing under a later query — BENCH_r04/r06's 4-5x text_curate
+    // outliers) is absorbed by the two-run protocol below.
+    def runOnce(name: String, fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -75,7 +81,20 @@ object Bench {
       // this untimed gap, not under the next query
       Thread.sleep(250)
       // a failed query must not masquerade as a fast one
-      name -> (if (ok) elapsed else -1.0)
+      if (ok) elapsed else -1.0
+    }
+    // Stall-proof protocol: each query runs TWICE back-to-back, the min
+    // is reported. A harness stall (cleaner I/O from an earlier query
+    // draining under this one's timed region) hits at most one of the two
+    // runs — the other measures the plan. Disagreements are surfaced so
+    // stall frequency stays observable.
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val r1 = runOnce(name, fn)
+      val r2 = if (r1 < 0) r1 else runOnce(name, fn)
+      if (r1 >= 0 && r2 >= 0 && math.max(r1, r2) > 1.5 * math.min(r1, r2))
+        System.err.println(
+          f"[bench] $name runs disagree: $r1%.1fs vs $r2%.1fs (reporting min)")
+      name -> (if (r1 < 0 || r2 < 0) -1.0 else math.min(r1, r2))
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

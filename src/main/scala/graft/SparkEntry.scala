@@ -67,7 +67,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     // connected components over the near-dup pair graph -> dedup families
     "dedup_clusters" -> (Dedup.dedupClusters _),
-    "dedup_simhash" -> (Dedup.simhashPairs _), // rows-only (engine hash)
+    "dedup_simhash" -> (Dedup.simhashPairs _),
     "sim_topk_bruteforce" -> (Similarity.topKBruteForce _),
     "dedup_cosine_pairs" -> (Similarity.cosinePairs _),
     "text_tokens_bpe" -> (TextAnalysis.tokenCounts _),
@@ -506,6 +506,39 @@ object SparkEntry {
     "dedup_jaccard_pairs" -> jaccardPairsSql,
     "dedup_minhash_lsh" -> jaccardPairsSql,
     "dedup_clusters" -> dedupClustersSql,
+    // bit-for-bit replica of the engine's portable 60-bit simhash (same
+    // probe hash, scramble constants, vote rule) — the oracle does the
+    // naive all-pairs hamming join the banded engine plan avoids
+    "dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        |), hv AS (
+        |  SELECT doc_id,
+        |    CAST(length(t)*31 + ascii(t)*7 + ascii(reverse(t))*13
+        |      + ascii(substr(t,2,1))*17 + ascii(substr(reverse(t),2,1))*19
+        |      AS BIGINT) AS h
+        |  FROM tok
+        |), lanes AS (
+        |  SELECT doc_id, (h * 2654435761) % 1073741789 AS g1,
+        |                 (h * 2246822519) % 1073741789 AS g2 FROM hv
+        |), votes AS (
+        |  SELECT doc_id, bits.b,
+        |    SUM(CASE WHEN (CASE WHEN bits.b < 30 THEN (g1 >> bits.b)
+        |                        ELSE (g2 >> (bits.b - 30)) END) & 1 = 1
+        |        THEN 1 ELSE -1 END) AS v
+        |  FROM lanes CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bits
+        |  GROUP BY doc_id, bits.b
+        |), sk AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b)
+        |             ELSE 0::BIGINT END) AS BIGINT) AS sh64
+        |  FROM votes GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sh64, b.sh64)) AS INT) AS hamming
+        |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh64, b.sh64)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "dedup_cosine_pairs" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -198,26 +198,44 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs (Hamming distance ≤ 3), candidates banded on
-    * the four 16-bit chunks (any pair within distance 3 shares a chunk by
-    * pigeonhole). No DuckDB oracle — xxhash64 is Spark-specific — so the
-    * driver records a rows-only check; the spec cross-checks against
-    * [[jaccardPairs]] instead.
+    * the four 15-bit chunks (any pair within distance 3 shares a chunk by
+    * pigeonhole). The token hash is PORTABLE (plain integer arithmetic,
+    * replicated verbatim by the DuckDB oracle) rather than engine-specific
+    * xxhash64, so the sketch itself sits under the hash-match gate; the
+    * spec additionally cross-checks recall against [[jaccardPairs]].
     */
-  /** 64-bit SimHash per doc, scale formulation: explode tokens → one
-    * codegen'd xxhash64 per token → 64 per-bit vote sums as aggregate
-    * expressions (map-side combined) → recombine into the 64-bit sketch.
+  /** 60-bit SimHash per doc, scale formulation: explode tokens → one
+    * codegen'd portable token hash (length/first/last/second-char probes,
+    * the [[graft.functions.TextFunctions.fingerprint]] family) scrambled
+    * into two 30-bit lanes → 60 per-bit vote sums as aggregate
+    * expressions (map-side combined) → recombine into the sketch. Every
+    * step is ANSI-SQL arithmetic — no lambdas, no engine hashes — so the
+    * plan stays inside whole-stage codegen AND any engine can replicate
+    * it bit-for-bit.
     */
   def simhashes(s: SparkSession, dir: String): DataFrame = {
+    val t = col("t")
+    val hv = (length(t) * lit(31) + ascii(t) * lit(7) +
+      ascii(reverse(t)) * lit(13) +
+      ascii(substring(t, 2, 1)) * lit(17) +
+      ascii(substring(reverse(t), 2, 1)) * lit(19)).cast("long")
     val th = Relational.t(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism) // single-file scan → fan out
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val votes = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"_b$b"))
+      .select(col("doc_id"),
+        // two multiplicative scrambles lift the ~15-bit probe hash into
+        // two well-mixed 30-bit lanes (Knuth constants; products stay
+        // far below 2^63, ANSI-overflow-free)
+        ((hv * lit(2654435761L)) % lit(1073741789L)).as("g1"),
+        ((hv * lit(2246822519L)) % lit(1073741789L)).as("g2"))
+    val votes = (0 until 60).map { b =>
+      val bit = if (b < 30) shiftright(col("g1"), b).bitwiseAND(1)
+        else shiftright(col("g2"), b - 30).bitwiseAND(1)
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"_b$b")
+    }
     th.groupBy("doc_id").agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(b =>
+        (0 until 60).map(b =>
           when(col(s"_b$b") > 0, lit(1L << b)).otherwise(0L))
           .reduce(_ + _).as("sh64"))
   }
@@ -226,7 +244,7 @@ object Dedup {
     val docs = simhashes(s, dir)
     val chunked = docs.select(col("doc_id"), col("sh64"),
       posexplode(expr(
-        "transform(sequence(0,3), c -> (sh64 >> (16 * c)) & 65535)"))
+        "transform(sequence(0,3), c -> (sh64 >> (15 * c)) & 32767)"))
         .as(Seq("chunk", "cval")))
     chunked.alias("a")
       .join(chunked.alias("b"),
@@ -260,13 +278,22 @@ object Dedup {
     * in O(log n) rounds); the harness below is unchanged.
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val pairs = jaccardPairs(s, dir).select(col("id_a"), col("id_b"))
-    val edges = pairs.unionAll(
+    val edges0 = pairs.unionAll(
       pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .toDF("src", "dst")
-      .localCheckpoint(true) // consumed every round — materialize once
+      .localCheckpoint(true) // pair graph materialized exactly once
+    // The pair graph is tiny next to the corpus — size every per-round
+    // shuffle to the KNOWN edge count instead of the session's
+    // corpus-scale partitioning (32-task rounds over a few dozen edges
+    // were pure fixed overhead; the count is O(1) on checkpointed data).
+    val p = math.max(1L, math.min(edges0.count() / 10000L,
+      s.sessionState.conf.numShufflePartitions.toLong)).toInt
+    val edges = edges0.repartition(p, col("src")).localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
+      .repartition(p, col("doc_id"))
       .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
@@ -274,14 +301,24 @@ object Dedup {
         .join(labels.select(col("doc_id").as("src"), col("label").as("nl")),
           "src")
         .groupBy(col("dst").as("doc_id")).agg(min(col("nl")).as("mn"))
-      // carry the previous label through the update so convergence is a
-      // filter over the SAME materialized frame — not a third join
+      // convergence is decided IN the materialization pass: an
+      // accumulator counts label changes while the eager localCheckpoint
+      // computes the round — no second job over the result. Task retries
+      // can only over-count, which at worst costs one extra (no-op)
+      // round, never a missed update.
+      val acc = s.sparkContext.longAccumulator("labelChanges")
       val next = labels.join(minNbr, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("label").as("old"),
-          least(col("label"), coalesce(col("mn"), col("label"))).as("label"))
+        .select(col("doc_id"), col("label"),
+          least(col("label"), coalesce(col("mn"), col("label"))).as("nl"))
+        .as[(Long, Long, Long)]
+        .mapPartitions(_.map { case (d, old, nl) =>
+          if (nl != old) acc.add(1L)
+          (d, nl)
+        })
+        .toDF("doc_id", "label")
         .localCheckpoint(true)
-      changed = next.filter(col("label") =!= col("old")).count()
-      labels = next.drop("old")
+      changed = acc.value
+      labels = next
     }
     val sizes = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("cluster_size"))

@@ -109,15 +109,18 @@ object CdcIngest {
     } finally { finalOps.unpersist(); () }
   }
 
-  def applyBatch(spark: SparkSession, batch: DataFrame, cfg: PipelineConfig,
-      table: LakeTable): Unit = {
+  /** Distributed parse of a raw inbox batch into one row per Canal
+    * envelope, tagged with its deterministic source position (see
+    * [[applyDmsBatch]] for the (_src, _line) ordering argument).
+    */
+  private def parsedRecords(spark: SparkSession, batch: DataFrame): DataFrame = {
     import spark.implicits._
     // envelope source position (file name + line within file) — the
     // LAST-resort tiebreak for degenerate binlogs whose events share both
     // ts and event id; see the DMS path for the line-order reasoning
     val wLine = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_src")).orderBy(monotonically_increasing_id())
-    var recs = batch
+    batch
       .select(col("value").cast("string").as("value"),
         input_file_name().as("_src"))
       .withColumn("_line", row_number().over(wLine))
@@ -125,14 +128,18 @@ object CdcIngest {
       .flatMap { case (v, src, line) => CanalParser.parse(v).map(r =>
         (r.database, r.table, r.op, r.rows, r.ts, r.seq, src, line)) }
       .toDF("database", "table", "op", "rows", "ts", "seq", "_src", "_line")
-    if (cfg.cdcTableFilter.nonEmpty) // package.scala:158 equality filter
-      recs = recs.filter(col("table") === cfg.cdcTableFilter)
-    // Resolve the FINAL operation per key within the batch (binlog ts,
-    // then binlog event id, then source position, then row index in the
-    // envelope — deterministic under any partition layout) before
-    // routing — same contract as the DMS path: an insert→delete ends
-    // deleted, a delete→re-insert survives, regardless of how ops
-    // interleave inside one micro-batch.
+  }
+
+  /** Resolve the FINAL operation per key within the batch (binlog ts,
+    * then binlog event id, then source position, then row index in the
+    * envelope — deterministic under any partition layout) before
+    * routing — same contract as the DMS path: an insert→delete ends
+    * deleted, a delete→re-insert survives, regardless of how ops
+    * interleave inside one micro-batch. `recs` must already be scoped to
+    * ONE target table's envelopes.
+    */
+  private def routeFinalOps(spark: SparkSession, recs: DataFrame,
+      table: LakeTable): Unit = {
     val keyFields = table.meta.recordKeyFields
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyFields.map(col): _*)
@@ -152,30 +159,86 @@ object CdcIngest {
     } finally { finalOps.unpersist(); () }
   }
 
+  def applyBatch(spark: SparkSession, batch: DataFrame, cfg: PipelineConfig,
+      table: LakeTable): Unit = {
+    var recs = parsedRecords(spark, batch)
+    if (cfg.cdcTableFilter.nonEmpty) // package.scala:158 equality filter
+      recs = recs.filter(col("table") === cfg.cdcTableFilter)
+    routeFinalOps(spark, recs, table)
+  }
+
+  /** Multi-table fan-out (reference package.scala:145-183,
+    * `writeMultiTable2HudiFromDF`): one inbox batch carrying MANY tables'
+    * Canal envelopes — a whole-database binlog topic — routed to N lake
+    * tables under `basePath/database/<table>`. The batch parses ONCE
+    * (distributed, persisted across the per-table passes); the distinct
+    * table list is the reference's `select("topic").distinct().collect()`
+    * (SURVEY A4 — a bounded control-flow collect, O(tables) not O(rows));
+    * each table resolves final ops and routes through the same keyed
+    * write path as single-table mode, with key/partition metadata read
+    * from the per-table properties file (TableMeta — the P14 substitution
+    * for the reference's JDBC `getPrimaryAndPartitionKey`). Targets must
+    * exist up front, exactly as the reference reads each target Hudi
+    * table's schema before writing (package.scala:164-169).
+    */
+  def applyMultiTableBatch(spark: SparkSession, batch: DataFrame,
+      cfg: PipelineConfig): Unit = {
+    import spark.implicits._
+    val recs = parsedRecords(spark, batch)
+      .persist() // one parse feeds every per-table pass
+    try {
+      val tables = recs.select(col("table")).distinct()
+        .as[String].collect().sorted
+      tables.foreach { tn =>
+        val path = s"${cfg.basePath}/${cfg.database}/$tn"
+        require(LakeTable.exists(spark, path),
+          s"multi-table CDC target $path does not exist; create the " +
+            "table (schema + record key) before ingesting its binlog")
+        routeFinalOps(spark, recs.filter(col("table") === tn),
+          LakeTable.load(spark, path))
+      }
+    } finally { recs.unpersist(); () }
+  }
+
   def run(spark: SparkSession, cfg: PipelineConfig): StreamingQuery = {
-    val table = LakeTable.create(spark, cfg.tablePath,
-      TableMeta(cfg.tableName, cfg.recordKeyFields, cfg.precombineField,
-        cfg.partitionFields, cfg.tableType))
-    require(table.userSchema.isDefined || cfg.sampleJson.nonEmpty,
-      "CDC target needs an existing schema or --sample-json")
-    if (table.userSchema.isEmpty) {
-      // bootstrap schema from a sample row JSON (all-string Canal payloads
-      // keep declared types via the sample's inferred schema)
-      import spark.implicits._
-      val inferred = spark.read.json(Seq(cfg.sampleJson).toDS())
-      table.insert(inferred.limit(0))
-    }
+    // multi-table mode: targets are located per batch by envelope table
+    // name under basePath/database/; no single table to prepare up front
+    val table: Option[LakeTable] =
+      if (cfg.cdcMultiTable) {
+        require(cfg.basePath.nonEmpty,
+          "multi-table CDC requires --base-path (targets live at " +
+            "basePath/database/<table>)")
+        None
+      } else Some {
+        val t = LakeTable.create(spark, cfg.tablePath,
+          TableMeta(cfg.tableName, cfg.recordKeyFields, cfg.precombineField,
+            cfg.partitionFields, cfg.tableType))
+        require(t.userSchema.isDefined || cfg.sampleJson.nonEmpty,
+          "CDC target needs an existing schema or --sample-json")
+        if (t.userSchema.isEmpty) {
+          // bootstrap schema from a sample row JSON (all-string Canal
+          // payloads keep declared types via the sample's inferred schema)
+          import spark.implicits._
+          val inferred = spark.read.json(Seq(cfg.sampleJson).toDS())
+          t.insert(inferred.limit(0))
+        }
+        t
+      }
+    val name = if (cfg.cdcMultiTable) s"cdc-multi-${cfg.database}"
+      else s"cdc-${cfg.tableName}"
     // T4: per-batch progress logging (reference Log2Hudi.scala:40-48)
-    graft.streaming.ProgressListener.attach(spark, s"cdc-${cfg.tableName}")
+    graft.streaming.ProgressListener.attach(spark, name)
     spark.readStream.format("text").load(cfg.inboxDir)
       .writeStream
-      .queryName(s"cdc-${cfg.tableName}")
+      .queryName(name)
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(Trigger.ProcessingTime(s"${cfg.triggerSeconds} seconds"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          if (cfg.cdcFormat == "dms") applyDmsBatch(spark, batch, table)
-          else applyBatch(spark, batch, cfg, table)
+        if (!batch.isEmpty) table match {
+          case None    => applyMultiTableBatch(spark, batch, cfg)
+          case Some(t) =>
+            if (cfg.cdcFormat == "dms") applyDmsBatch(spark, batch, t)
+            else applyBatch(spark, batch, cfg, t)
         }
       }
       .start()

@@ -48,7 +48,11 @@ case class PipelineConfig(
     // CdcIngest source table filter (reference package.scala:158)
     cdcTableFilter: String = "",
     // CdcIngest envelope format: "canal" (binlog) | "dms" (KDS2Hudi shape)
-    cdcFormat: String = "canal"
+    cdcFormat: String = "canal",
+    /** CdcIngest: route a whole-database binlog inbox to N tables under
+      * `basePath/database/<table>` (reference package.scala:145-183).
+      */
+    cdcMultiTable: Boolean = false
 ) {
   def tablePath: String =
     if (targetTablePath.nonEmpty) targetTablePath
@@ -100,6 +104,7 @@ object PipelineConfig {
         case "--agg-col"           => c.copy(aggCol = v)
         case "--cdc-table-filter"  => c.copy(cdcTableFilter = v)
         case "--cdc-format"        => c.copy(cdcFormat = v)
+        case "--cdc-multi-table"   => c.copy(cdcMultiTable = v.toBoolean)
         case other =>
           throw new IllegalArgumentException(s"unknown flag: $other")
       }

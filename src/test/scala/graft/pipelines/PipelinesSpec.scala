@@ -428,6 +428,64 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t2.snapshot().count() == 0)
   }
 
+  test("CdcIngest multi-table: one inbox fans out to N lake tables") {
+    // reference package.scala:145-183 (writeMultiTable2HudiFromDF): one
+    // binlog topic carries a whole database; each batch routes per table
+    val work = tmp()
+    Files.createDirectories(Paths.get(s"$work/inbox"))
+    val s = spark
+    import s.implicits._
+    def canal(table: String, typ: String, id: Long, rows: String) =
+      s"""{"data":[$rows],"database":"db1","es":$id,"id":$id,"isDdl":false,"pkNames":["id"],"table":"$table","ts":$id,"type":"$typ"}"""
+    // interleaved events for two tables with DIFFERENT schemas and keys
+    val events = Seq(
+      canal("users", "INSERT", 1, """{"id":"1","name":"alice","ts":"100"}"""),
+      canal("orders", "INSERT", 2, """{"oid":"10","amount":"5.5","ts":"100"}"""),
+      canal("users", "INSERT", 3, """{"id":"2","name":"bob","ts":"100"}"""),
+      canal("orders", "UPDATE", 4, """{"oid":"10","amount":"9.9","ts":"200"}"""),
+      canal("users", "DELETE", 5, """{"id":"2","name":"bob","ts":"100"}"""),
+      canal("orders", "INSERT", 6, """{"oid":"11","amount":"1.0","ts":"100"}"""))
+    Files.write(Paths.get(s"$work/inbox/cdc1.json"),
+      events.mkString("\n").getBytes)
+    // targets pre-created with their own schema + keys (the reference
+    // reads each target Hudi table's schema before writing)
+    val users = LakeTable.create(spark, s"$work/base/db1/users",
+      graft.lake.TableMeta("users", Seq("id"), "ts"))
+    users.insert(spark.read.json(
+      Seq("""{"id":1,"name":"x","ts":100}""").toDS()).limit(0))
+    val orders = LakeTable.create(spark, s"$work/base/db1/orders",
+      graft.lake.TableMeta("orders", Seq("oid"), "ts"))
+    orders.insert(spark.read.json(
+      Seq("""{"oid":1,"amount":0.5,"ts":100}""").toDS()).limit(0))
+
+    val q = CdcIngest.run(spark, PipelineConfig(
+      inboxDir = s"$work/inbox",
+      checkpointDir = s"$work/ckpt",
+      triggerSeconds = 1,
+      basePath = s"$work/base",
+      database = "db1",
+      cdcMultiTable = true))
+    q.processAllAvailable()
+
+    val u = users.snapshot().orderBy("id").collect()
+    assert(u.length == 1 && u(0).getAs[Long]("id") == 1L &&
+      u(0).getAs[String]("name") == "alice") // id=2 deleted
+    val o = orders.snapshot().orderBy("oid").collect()
+    assert(o.map(r => (r.getAs[Long]("oid"), r.getAs[Double]("amount")))
+      .toSeq == Seq((10L, 9.9), (11L, 1.0))) // update applied
+
+    // a LATER batch bringing a brand-new key set still routes correctly
+    Files.write(Paths.get(s"$work/inbox/cdc2.json"), Seq(
+      canal("users", "INSERT", 7, """{"id":"3","name":"carol","ts":"300"}"""),
+      canal("orders", "DELETE", 8, """{"oid":"11","amount":"1.0","ts":"100"}"""))
+      .mkString("\n").getBytes)
+    q.processAllAvailable()
+    q.stop()
+    assert(users.snapshot().count() == 2)
+    assert(orders.snapshot().collect().map(_.getAs[Long]("oid")).toSeq ==
+      Seq(10L))
+  }
+
   test("CdcIngest: canal stream → insert/update/delete applied in order") {
     val work = tmp()
     Files.createDirectories(Paths.get(s"$work/inbox"))

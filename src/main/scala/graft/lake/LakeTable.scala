@@ -759,22 +759,58 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   private def maybeCompactInline(): Unit = {
     val max = _meta.inlineCompactMax
     if (max <= 0) return
-    // Per-file-group debt: count OUTSTANDING delta files per partition
-    // dir (live-set counting self-resets at compact/cluster, which remove
-    // the deltas) and compact only the dirs at or past the threshold — a
-    // cold partition's file group is never rewritten because a hot one
-    // keeps taking updates. Tombstone deltas (global key maskers) cannot
-    // be purged by a scoped rewrite, so any tombstone debt at threshold
-    // escalates to a full compaction.
+    if (_meta.asyncCompact) {
+      // Async table service (reference KDS2Hudi.scala:131-133): the debt
+      // check + compaction run on a background thread AFTER this commit
+      // publishes, so the ingest path never waits for a rewrite. At most
+      // one job is pending per table handle — the job re-evaluates debt
+      // under the writer lock, so triggers that arrive while one is
+      // queued are safely coalesced into it (and any debt the running
+      // job missed re-triggers on the next commit).
+      if (asyncServicePending.compareAndSet(false, true)) {
+        lastAsyncService = LakeTable.serviceExecutor.submit(new Runnable {
+          def run(): Unit =
+            try timeline.withLock() { compactDebtLocked() }
+            catch { case e: Throwable => System.err.println(
+              s"[graft-lake] async compaction of $tablePath failed: " +
+                e.getMessage)
+            } finally asyncServicePending.set(false)
+        })
+      }
+    } else compactDebtLocked() // already under the writer lock
+  }
+
+  /** The `inlineCompactMax` debt policy — caller must hold the writer
+    * lock. Per-file-group debt: count OUTSTANDING delta files per
+    * partition dir (live-set counting self-resets at compact/cluster,
+    * which remove the deltas) and compact only the dirs at or past the
+    * threshold — a cold partition's file group is never rewritten because
+    * a hot one keeps taking updates. Tombstone deltas (global key
+    * maskers) cannot be purged by a scoped rewrite, so any tombstone
+    * debt at threshold escalates to a full compaction.
+    */
+  private def compactDebtLocked(): Unit = {
+    val max = _meta.inlineCompactMax
     val live = timeline.liveFiles()
     val deltas = live.filter(_.isDelta)
     val hot = deltas.groupBy(_.partition).filter(_._2.size >= max).keySet
     if (hot.nonEmpty) {
-      // already under the writer lock (called from upsert/delete)
       if (deltas.exists(_.tombstones > 0)) compactLocked()
       else compactPartitionsLocked(hot)
       ()
     }
+  }
+
+  private val asyncServicePending =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile private var lastAsyncService: java.util.concurrent.Future[_] = _
+
+  /** Block until the currently-pending async table service (if any) has
+    * finished — tests and orderly shutdown; ingest never calls this.
+    */
+  def awaitTableServices(): Unit = {
+    val f = lastAsyncService
+    if (f != null) { try { f.get(); () } catch { case _: Exception => () } }
   }
 
   /** Table service: small-file bin-packing (the OPTIMIZE/file-sizing
@@ -1873,6 +1909,17 @@ class LakeTable private (val spark: SparkSession, val path: String) {
 object LakeTable {
   val RecordKeyCol = "_record_key"
   val CommitTimeCol = "_commit_time"
+
+  /** Shared daemon pool for async table services: a single thread —
+    * services serialize on each table's writer lock anyway, and one
+    * queue keeps a burst of triggers from spawning a thread per table.
+    */
+  private[lake] lazy val serviceExecutor: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-lake-table-service")
+      t.setDaemon(true)
+      t
+    })
 
   /** MOR delete-tombstone marker (true on tombstone delta rows; false/null
     * on data rows — absent columns in pre-existing files read as null).

@@ -27,6 +27,13 @@ case class TableMeta(
       * `inlineMax`, default 20 at Config.scala:24; 0 disables).
       */
     inlineCompactMax: Int = 0,
+    /** MOR only: run the `inlineCompactMax` debt policy on a background
+      * thread AFTER publish instead of inside the commit path (reference
+      * KDS2Hudi.scala:131-133 `ASYNC_COMPACT_ENABLE`) — ingest latency
+      * never pays for compaction. The async job re-evaluates debt under
+      * the writer lock, so triggers coalesce safely.
+      */
+    asyncCompact: Boolean = false,
     /** Spark StructType.json of the user columns; captured on first write.
       * Supplying it back at read time keeps partition-directory values
       * typed exactly (no partition-type inference surprises).

@@ -199,6 +199,8 @@ object LakeDataSource {
       tableType = parameters.getOrElse("table.type", "cow"),
       inlineCompactMax =
         parameters.getOrElse("compact.inline.max", "0").toInt,
+      asyncCompact =
+        parameters.getOrElse("compact.async", "false").toBoolean,
       schemaJson = declared.map(_.json).getOrElse(""),
       keyEncoding = parameters.getOrElse("key.encoding", "plain"),
       indexScope = parameters.getOrElse("index.scope", "global")))

@@ -78,6 +78,46 @@ class MorTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.readOptimized().count() == 2)
   }
 
+  test("async compaction: ingest never blocks on the rewrite, debt still clears") {
+    // reference KDS2Hudi.scala:131-133 ASYNC_COMPACT_ENABLE: the debt
+    // policy fires on a background thread after publish
+    val t = LakeTable.create(spark,
+      Files.createTempDirectory("mortbl").toString + "/t",
+      TableMeta("m", Seq("id"), "ts", Seq("part"), tableType = "mor",
+        inlineCompactMax = 2, asyncCompact = true))
+    t.insert(df((1, 10L, "p1", 1.0)))
+    // each upsert's OWN commit is a deltacommit — the rewrite is never
+    // inside the publish path (the async job may land its compact commit
+    // at any point after, including before we look at the timeline)
+    for (i <- 1 to 3) {
+      val ci = t.upsert(df((1, 10L + i, "p1", i.toDouble)))
+      val op = t.timeline.read(ci).operation
+      assert(op == "deltacommit",
+        s"commit path must publish the delta itself, got $op")
+    }
+    t.awaitTableServices()
+    // a concurrent OPTIMISTIC writer interleaving with the async service
+    // publishes or retries cleanly (write-set conflicts abort the
+    // optimistic side, never corrupt the table)
+    var done = false
+    while (!done) {
+      try { t.upsert(df((2, 99L, "p1", 42.0))); done = true }
+      catch { case _: java.util.ConcurrentModificationException => () }
+    }
+    t.awaitTableServices()
+    // debt compacted in the background: the timeline shows a compact op
+    // and p1's outstanding delta count is back under the threshold
+    assert(t.timeline.instants().map(t.timeline.read)
+      .exists(_.operation == "compact"), "async compaction ran")
+    val deltas = t.timeline.liveFiles().filter(_.isDelta)
+      .filter(_.partition == "part=p1")
+    assert(deltas.size < 2, s"debt cleared, ${deltas.size} deltas left")
+    // and the merged view is exactly the latest versions
+    val rows = t.snapshot().orderBy("id").collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[Double]("v"))).toSeq
+    assert(rows == Seq((1, 3.0), (2, 42.0)))
+  }
+
   test("cluster rewrite resets the inline-compaction debt counter") {
     val t = mkTable(inlineMax = 2)
     t.insert(df((1, 10L, "p1", 1.0), (2, 10L, "p1", 2.0)))

@@ -258,6 +258,60 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("mixed-service soak: 3 JVMs of upsert + compact + pack + clean hold invariants") {
+    // the pairwise specs cover races two-at-a-time; this drives data
+    // commits and every content-preserving service together across
+    // processes, with per-publish invariants asserted INSIDE each probe
+    // (own-keys-latest, time travel, live-file physical integrity)
+    val work = java.nio.file.Files.createTempDirectory("mixedprobe")
+    val tableDir = work.resolve("t").toString
+    val t = LakeTable.create(spark, tableDir,
+      TableMeta("mix", Seq("id"), "ts", Seq("part"), tableType = "mor",
+        indexScope = "partition"))
+    t.upsert(df((1, 1L, "p0", 0.0))) // capture schema before spawning
+    val classDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    val cp = s"$classDir:/opt/spark/jars/*"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def spawn(procId: Int): Process = new ProcessBuilder(
+      (Seq("java", "-cp", cp, "-Xmx2g", "-Dspark.ui.enabled=false") ++
+        addOpens ++
+        Seq("graft.tools.OccProbe", tableDir, procId.toString, "3", "8",
+          "mixed")): _*)
+      .redirectErrorStream(true).start()
+    val procs = Seq(spawn(1), spawn(2), spawn(3))
+    procs.foreach { p =>
+      val out = new String(p.getInputStream.readAllBytes())
+      assert(p.waitFor() == 0, s"mixed probe failed: ${out.takeRight(4000)}")
+      assert(out.contains("services="), s"probe ran no services: $out")
+    }
+    // converged end state: every proc's keys at its final round, across
+    // whatever compact/pack/clean interleaving happened
+    val t2 = LakeTable.load(spark, tableDir)
+    for (procId <- 1 to 3) {
+      val rows = t2.snapshot().filter(col("part") === s"p$procId")
+        .select("id", "ts", "v").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      assert(rows.size == 8, s"proc $procId rows: ${rows.size}")
+      rows.zipWithIndex.foreach { case ((id, ts, v), i) =>
+        assert(id == procId * 1000 + i && ts == 3L && v == 300.0 + i,
+          s"proc $procId key drifted: ($id, $ts, $v)")
+      }
+    }
+    // and the full history still composes: changes from earliest ==
+    // the final snapshot as inserts (every service was content-neutral)
+    val feed = t2.changes(graft.lake.Timeline.Earliest)
+    assert(feed.filter(col("_change_type") === "insert").count() ==
+      t2.snapshot().count())
+  }
+
   test("stale lock is broken, not deadlocked") {
     val path = Files.createTempDirectory("conc2").toString + "/t"
     val t = LakeTable.create(spark, path,

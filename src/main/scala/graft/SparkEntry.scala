@@ -70,6 +70,7 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.simhashPairs _),
     "sim_topk_bruteforce" -> (Similarity.topKBruteForce _),
     "dedup_cosine_pairs" -> (Similarity.cosinePairs _),
+    "dedup_semantic_clusters" -> (Similarity.semanticClusters _),
     "text_tokens_bpe" -> (TextAnalysis.tokenCounts _),
     "sim_lsh_topk" -> (Similarity.lshTopK _), // rows-only (engine hash)
     // corpus-selection pack: deterministic sampling, budgeted selection,
@@ -550,6 +551,32 @@ object SparkEntry {
          |  (sqrt(${cosineFold.format("a.embedding", "a.embedding")}) *
          |   sqrt(${cosineFold.format("b.embedding", "b.embedding")})) >= 0.45
          |ORDER BY id_a, id_b""".stripMargin,
+    // connected components over the cosine pair graph (the SemDeDup
+    // cluster stage) — same recursive-CTE fixpoint as dedup_clusters
+    "dedup_semantic_clusters" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |  WHERE ${cosineFold.format("a.embedding", "b.embedding")} /
+         |    (sqrt(${cosineFold.format("a.embedding", "a.embedding")}) *
+         |     sqrt(${cosineFold.format("b.embedding", "b.embedding")})) >= 0.45),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(vec_id, l) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT g.dst, r.l FROM reach r JOIN edges g ON g.src = r.vec_id),
+         |labels AS (
+         |  SELECT vec_id, MIN(l) AS cluster_id FROM reach GROUP BY vec_id),
+         |sizes AS (
+         |  SELECT cluster_id, COUNT(*) AS cluster_size
+         |  FROM labels GROUP BY cluster_id)
+         |SELECT l.vec_id, l.cluster_id, s.cluster_size,
+         |       l.vec_id = l.cluster_id AS is_canonical
+         |FROM labels l JOIN sizes s USING (cluster_id)
+         |ORDER BY l.vec_id""".stripMargin,
     "text_tokens_bpe" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

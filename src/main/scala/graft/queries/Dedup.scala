@@ -277,9 +277,20 @@ object Dedup {
     * large-star/small-star (alternating min-propagation that converges
     * in O(log n) rounds); the harness below is unchanged.
     */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(s,
+      jaccardPairs(s, dir).select(col("id_a"), col("id_b")), "doc_id")
+
+  /** Shared connected-components harness over an undirected pair graph
+    * `(id_a, id_b)` — min-label propagation as documented on
+    * [[dedupClusters]]; also drives the SemDeDup-style semantic
+    * clustering over embedding-cosine pairs
+    * ([[Similarity.semanticClusters]]). Output:
+    * `(<idCol>, cluster_id, cluster_size, is_canonical)` ordered by id.
+    */
+  private[queries] def connectedComponents(s: SparkSession,
+      pairs: DataFrame, idCol: String): DataFrame = {
     import s.implicits._
-    val pairs = jaccardPairs(s, dir).select(col("id_a"), col("id_b"))
     val edges0 = pairs.unionAll(
       pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .toDF("src", "dst")
@@ -323,8 +334,8 @@ object Dedup {
     val sizes = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
-      .select(col("doc_id"), col("label").as("cluster_id"),
+      .select(col("doc_id").as(idCol), col("label").as("cluster_id"),
         col("cluster_size"), (col("doc_id") === col("label")).as("is_canonical"))
-      .orderBy("doc_id")
+      .orderBy(idCol)
   }
 }

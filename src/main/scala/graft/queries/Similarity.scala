@@ -78,7 +78,21 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
+  /** Semantic-dedup cluster formation (the SemDeDup-style stage after
+    * pair finding): connected components over the embedding-cosine pair
+    * graph, cluster id = min vec_id reachable (the canonical survivor a
+    * curation pipeline keeps), plus family size. Reuses the
+    * [[Dedup.connectedComponents]] min-label-propagation harness —
+    * shuffles sized to the pair graph, convergence decided inside the
+    * checkpoint pass. At scale the pair generator swaps from the
+    * all-pairs baseline to the LSH/IVF candidate paths; the component
+    * harness is unchanged.
+    */
+  def semanticClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(s,
+      cosinePairs(s, dir).select(col("id_a"), col("id_b")), "vec_id")
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, i):
     * a fixed-seed hash mapped to [-1, 1). Engine-internal (xxhash64) — the
     * LSH path has no SQL oracle by design.
     */

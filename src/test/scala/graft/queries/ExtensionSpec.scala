@@ -40,6 +40,22 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("semantic clusters: cosine pairs co-clustered, canonical is min member") {
+    val pairs = Similarity.cosinePairs(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byVec = Similarity.semanticClusters(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(pairs.nonEmpty && byVec.nonEmpty)
+    pairs.foreach { case (a, b) => assert(byVec(a)._1 == byVec(b)._1) }
+    byVec.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(members.keys.min == cid)
+      assert(members.count(_._2._3) == 1 && members(cid)._3)
+      assert(members.values.forall(_._2 == members.size))
+    }
+  }
+
   test("simhash near-dup pairs overlap heavily with jaccard pairs") {
     val jac = Dedup.jaccardPairs(spark, sf)
       .select("id_a", "id_b").collect()

@@ -71,6 +71,7 @@ object SparkEntry {
     "sim_topk_bruteforce" -> (Similarity.topKBruteForce _),
     "dedup_cosine_pairs" -> (Similarity.cosinePairs _),
     "dedup_semantic_clusters" -> (Similarity.semanticClusters _),
+    "dedup_incremental" -> (Dedup.incrementalDedup _),
     "text_tokens_bpe" -> (TextAnalysis.tokenCounts _),
     "sim_lsh_topk" -> (Similarity.lshTopK _), // rows-only (engine hash)
     // corpus-selection pack: deterministic sampling, budgeted selection,
@@ -506,6 +507,16 @@ object SparkEntry {
         |FROM hits ORDER BY doc_id""".stripMargin),
     "dedup_jaccard_pairs" -> jaccardPairsSql,
     "dedup_minhash_lsh" -> jaccardPairsSql,
+    // incremental dedup = exactly the cross-split slice of the exact
+    // pair set (corpus side below the 80%-of-id-range threshold, the
+    // increment at or above it) — banding changes the WORK, not the
+    // answer
+    "dedup_incremental" -> (jaccardPairsCtes +
+      """
+        |SELECT id_a, id_b, jaccard FROM pairs
+        |WHERE id_a < (SELECT (MAX(doc_id)+1)*8//10 FROM documents)
+        |  AND id_b >= (SELECT (MAX(doc_id)+1)*8//10 FROM documents)
+        |ORDER BY id_a, id_b""".stripMargin),
     "dedup_clusters" -> dedupClustersSql,
     // bit-for-bit replica of the engine's portable 60-bit simhash (same
     // probe hash, scramble constants, vote rule) — the oracle does the

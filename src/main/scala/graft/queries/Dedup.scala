@@ -197,6 +197,53 @@ object Dedup {
     releaseAfter(verified, shingled)
   }
 
+  /** Incremental near-dedup: match a NEW batch of documents against the
+    * EXISTING corpus without ever forming corpus×corpus pairs — the
+    * shape a streaming curation pipeline needs (dedup the increment
+    * against the world, not the world against itself). Both sides are
+    * banded with the same MinHash LSH signature; candidates are the
+    * band-collision equi-join of increment × corpus, then exact-verified
+    * with the skinny count-based Jaccard (recall ≈ 1 at these
+    * similarities, as [[minhashLsh]]). Work is O(increment × collision
+    * rate): the corpus-side band index is precisely what a production
+    * pipeline persists between batches, so each batch pays only its own
+    * banding + the collision join. The corpus/increment split is the
+    * deterministic doc_id threshold at 80% of the id range (exactly
+    * restated by the oracle).
+    */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val shingled = docsWithShingles(s, dir)
+    // bounded control-flow scalar (one max over the corpus ids)
+    val maxId = Relational.t(s, dir, "documents")
+      .agg(max(col("doc_id"))).head().getLong(0)
+    val split = (maxId + 1L) * 8L / 10L
+    val banded = shingled
+      .join(minhashSignatures(shingled, NumHashes), "doc_id")
+      .select(col("doc_id"),
+        posexplode(lshBands(col("sig"), Bands, RowsPerBand)).as(Seq("band", "bsig")))
+    val corpus = banded.filter(col("doc_id") < split)
+    val inc = banded.filter(col("doc_id") >= split)
+    val cands = inc.alias("a")
+      .join(corpus.alias("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig"))
+      .select(col("b.doc_id").as("id_a"), col("a.doc_id").as("id_b"))
+      .distinct()
+    val ex = shingled.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
+    val verified = cands
+      .join(ex.select(col("doc_id").as("id_a"), col("n").as("na"), col("s")), "id_a")
+      .join(ex.select(col("doc_id").as("id_b"), col("n").as("nb"), col("s")),
+        Seq("id_b", "s"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard",
+        col("shared") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= Threshold)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+    releaseAfter(verified, shingled)
+  }
+
   /** SimHash near-dup pairs (Hamming distance ≤ 3), candidates banded on
     * the four 15-bit chunks (any pair within distance 3 shares a chunk by
     * pigeonhole). The token hash is PORTABLE (plain integer arithmetic,

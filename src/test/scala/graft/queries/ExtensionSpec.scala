@@ -56,6 +56,21 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("incremental dedup equals the cross-split slice of the exact pairs") {
+    val maxId = graft.queries.Relational.t(spark, sf, "documents")
+      .agg(max(col("doc_id"))).head().getLong(0)
+    val split = (maxId + 1L) * 8L / 10L
+    val exact = Dedup.jaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a < split && b >= split }.toSet
+    val inc = Dedup.incrementalDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == exact, s"banded incremental dedup diverged: " +
+      s"missing=${exact -- inc} extra=${inc -- exact}")
+    // and it NEVER emits corpus-corpus or increment-increment pairs
+    inc.foreach { case (a, b) => assert(a < split && b >= split) }
+  }
+
   test("simhash near-dup pairs overlap heavily with jaccard pairs") {
     val jac = Dedup.jaccardPairs(spark, sf)
       .select("id_a", "id_b").collect()

@@ -115,17 +115,23 @@ class UpsertPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("model-based: random upsert/delete sequences match a Map model (cow + mor)") {
-    // an op is an upsert batch or a delete of a key subset; the reference
-    // model folds them in order: upsert keeps max-ts per key (later batch
-    // wins ties), delete removes the key unconditionally, a later upsert
-    // re-creates it — MOR tombstone barriers must be indistinguishable
-    // from COW physical rewrites under this model.
+    // an op is an upsert batch, a delete of a key subset, or a TABLE
+    // SERVICE (compact / pack / cluster / clean / archive) interleaved at
+    // a random point — services must be invisible to the model (the
+    // content-preserving contract), under every data/service
+    // interleaving the generator produces. The reference model folds data
+    // ops in order: upsert keeps max-ts per key (later batch wins ties),
+    // delete removes the key unconditionally, a later upsert re-creates
+    // it — MOR tombstone barriers must be indistinguishable from COW
+    // physical rewrites under this model.
     sealed trait Op
     case class Up(rows: List[R]) extends Op
     case class Del(ids: List[Int]) extends Op
+    case class Svc(kind: Int) extends Op
     val opGen: Gen[Op] = Gen.frequency(
       3 -> batchGen.map(Up.apply),
-      2 -> Gen.nonEmptyListOf(Gen.choose(0, 30)).map(Del.apply))
+      2 -> Gen.nonEmptyListOf(Gen.choose(0, 30)).map(Del.apply),
+      2 -> Gen.choose(0, 4).map(Svc.apply))
     forAllSeeded(Gen.listOfN(6, opGen), n = 2) { ops =>
       val results = for (tt <- Seq("cow", "mor")) yield {
         val t = mkTable(tt)
@@ -137,6 +143,15 @@ class UpsertPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
           case (m, Del(ids)) =>
             t.delete(toDf(ids.map(i => R(i, 0L, "p1", 0.0))))
             m -- ids
+          case (m, Svc(k)) =>
+            k match {
+              case 0 => t.compact()
+              case 1 => t.packSmallFiles(targetBytes = 4L * 1024 * 1024)
+              case 2 => t.cluster(Seq("ts"))
+              case 3 => t.clean(retainCommits = 2)
+              case _ => t.archiveTimeline(keepCommits = 3)
+            }
+            m // content-preserving: the model is untouched
         }
         val got = t.snapshot().select("id", "ts").collect()
           .map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -757,8 +757,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   }
 
   private def maybeCompactInline(): Unit = {
-    val max = _meta.inlineCompactMax
-    if (max <= 0) return
+    if (_meta.inlineCompactMax <= 0 && _meta.inlineCompactMaxBytes <= 0L)
+      return
     if (_meta.asyncCompact) {
       // Async table service (reference KDS2Hudi.scala:131-133): the debt
       // check + compaction run on a background thread AFTER this commit
@@ -780,20 +780,27 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     } else compactDebtLocked() // already under the writer lock
   }
 
-  /** The `inlineCompactMax` debt policy — caller must hold the writer
-    * lock. Per-file-group debt: count OUTSTANDING delta files per
-    * partition dir (live-set counting self-resets at compact/cluster,
-    * which remove the deltas) and compact only the dirs at or past the
-    * threshold — a cold partition's file group is never rewritten because
+  /** The inline-compaction debt policy — caller must hold the writer
+    * lock. Per-file-group debt: a partition dir compacts when its
+    * OUTSTANDING delta count reaches `inlineCompactMax` OR its
+    * outstanding delta bytes reach `inlineCompactMaxBytes` (either
+    * policy alone triggers — few huge deltas should not wait for many
+    * small ones). Live-set counting self-resets at compact/cluster,
+    * which remove the deltas, and only the dirs at or past a threshold
+    * rewrite — a cold partition's file group is never rewritten because
     * a hot one keeps taking updates. Tombstone deltas (global key
     * maskers) cannot be purged by a scoped rewrite, so any tombstone
     * debt at threshold escalates to a full compaction.
     */
   private def compactDebtLocked(): Unit = {
-    val max = _meta.inlineCompactMax
+    val maxN = _meta.inlineCompactMax
+    val maxB = _meta.inlineCompactMaxBytes
     val live = timeline.liveFiles()
     val deltas = live.filter(_.isDelta)
-    val hot = deltas.groupBy(_.partition).filter(_._2.size >= max).keySet
+    val hot = deltas.groupBy(_.partition).filter { case (_, fs) =>
+      (maxN > 0 && fs.size >= maxN) ||
+      (maxB > 0L && fs.map(_.sizeBytes).sum >= maxB)
+    }.keySet
     if (hot.nonEmpty) {
       if (deltas.exists(_.tombstones > 0)) compactLocked()
       else compactPartitionsLocked(hot)

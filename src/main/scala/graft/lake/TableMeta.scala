@@ -34,6 +34,12 @@ case class TableMeta(
       * the writer lock, so triggers coalesce safely.
       */
     asyncCompact: Boolean = false,
+    /** MOR only: byte-based debt alongside the file-count policy — a
+      * partition whose OUTSTANDING delta bytes reach this compacts even
+      * below the count threshold (few huge deltas should not wait for
+      * many small ones). 0 disables; either policy alone can trigger.
+      */
+    inlineCompactMaxBytes: Long = 0L,
     /** Spark StructType.json of the user columns; captured on first write.
       * Supplying it back at read time keeps partition-directory values
       * typed exactly (no partition-type inference surprises).

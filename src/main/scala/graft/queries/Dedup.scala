@@ -221,7 +221,22 @@ object Dedup {
       .join(minhashSignatures(shingled, NumHashes), "doc_id")
       .select(col("doc_id"),
         posexplode(lshBands(col("sig"), Bands, RowsPerBand)).as(Seq("band", "bsig")))
-    val corpus = banded.filter(col("doc_id") < split)
+    // The corpus-side band index is the artifact a production pipeline
+    // PERSISTS between batches — under StageDirConf it is staged to
+    // parquet once (keyed by input dir + split) and every later
+    // increment reads the staged index instead of re-banding the whole
+    // corpus. Without a stage dir it stays an in-plan branch.
+    val corpus0 = banded.filter(col("doc_id") < split)
+    val corpus = s.conf.getOption(StageDirConf) match {
+      case Some(stage) =>
+        val sub = s"$stage/bands_${math.abs(dir.hashCode).toString}_$split"
+        val fs = new org.apache.hadoop.fs.Path(sub)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(sub, "_SUCCESS")))
+          corpus0.write.mode("overwrite").parquet(sub)
+        s.read.parquet(sub)
+      case None => corpus0
+    }
     val inc = banded.filter(col("doc_id") >= split)
     val cands = inc.alias("a")
       .join(corpus.alias("b"),

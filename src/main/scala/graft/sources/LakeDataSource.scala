@@ -201,6 +201,8 @@ object LakeDataSource {
         parameters.getOrElse("compact.inline.max", "0").toInt,
       asyncCompact =
         parameters.getOrElse("compact.async", "false").toBoolean,
+      inlineCompactMaxBytes =
+        parameters.getOrElse("compact.inline.max.bytes", "0").toLong,
       schemaJson = declared.map(_.json).getOrElse(""),
       keyEncoding = parameters.getOrElse("key.encoding", "plain"),
       indexScope = parameters.getOrElse("index.scope", "global")))

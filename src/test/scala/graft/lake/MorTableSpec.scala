@@ -78,6 +78,31 @@ class MorTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.readOptimized().count() == 2)
   }
 
+  test("byte-based debt: one oversized delta compacts below the count threshold") {
+    // count policy alone would wait for 100 deltas; the byte policy
+    // fires on the first delta commit (any real file beats 1 byte)
+    val t = LakeTable.create(spark,
+      Files.createTempDirectory("mortbl").toString + "/t",
+      TableMeta("m", Seq("id"), "ts", Seq("part"), tableType = "mor",
+        inlineCompactMax = 100, inlineCompactMaxBytes = 1L))
+    t.insert(df((1, 10L, "p1", 1.0)))
+    t.upsert(df((1, 20L, "p1", 2.0))) // one delta, tiny but >= 1 byte
+    val ops = t.timeline.instants().map(t.timeline.read(_).operation)
+    assert(ops.contains("compact"),
+      s"byte debt policy must fire on the oversized delta: $ops")
+    assert(!t.timeline.liveFiles().exists(_.isDelta), "debt cleared")
+    assert(t.snapshot().head().getAs[Double]("v") == 2.0)
+    // and a count-only table with the same sequence does NOT compact
+    val t2 = LakeTable.create(spark,
+      Files.createTempDirectory("mortbl").toString + "/t",
+      TableMeta("m", Seq("id"), "ts", Seq("part"), tableType = "mor",
+        inlineCompactMax = 100))
+    t2.insert(df((1, 10L, "p1", 1.0)))
+    t2.upsert(df((1, 20L, "p1", 2.0)))
+    assert(!t2.timeline.instants().map(t2.timeline.read(_).operation)
+      .contains("compact"))
+  }
+
   test("async compaction: ingest never blocks on the rewrite, debt still clears") {
     // reference KDS2Hudi.scala:131-133 ASYNC_COMPACT_ENABLE: the debt
     // policy fires on a background thread after publish

@@ -156,6 +156,17 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
         .select("id_a", "id_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(again == cached) // recall 1.0 on this corpus, staged input
+      // incremental dedup with the PERSISTED corpus band index yields
+      // the same pairs as the in-plan path, and the index materialized
+      val incCached = Dedup.incrementalDedup(spark, sf)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(new java.io.File(stage).listFiles()
+        .exists(_.getName.startsWith("bands_")), "band index staged")
+      val incStaged = Dedup.incrementalDedup(spark, sf) // reads the index
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(incStaged == incCached)
     } finally spark.conf.unset(Dedup.StageDirConf)
   }
 }

@@ -113,9 +113,19 @@ class Timeline(fs: FileSystem, tablePath: Path) {
     i
   }
 
-  /** Drop a reservation (after publishing its commit, or on abort). */
+  /** Drop a reservation (after publishing its commit, or on abort). The
+    * heartbeat thread is JOINED before the marker is deleted: a renewal
+    * already past its exists-check would otherwise recreate the marker
+    * AFTER the delete, leaving an orphan that caps consumers' stable
+    * watermark for the whole staleness window. (The heartbeat loop exits
+    * on the next sleep after the interrupt, so the join is bounded by
+    * one in-flight renewal's I/O.)
+    */
   def releaseReservation(instant: String): Unit = {
-    Option(reservationHeartbeats.remove(instant)).foreach(_.interrupt())
+    Option(reservationHeartbeats.remove(instant)).foreach { t =>
+      t.interrupt()
+      try t.join(10000) catch { case _: InterruptedException => () }
+    }
     sweptReservations.remove(instant)
     renewFailures.remove(instant)
     fs.delete(new Path(inflightDir, instant + Timeline.InflightSuffix), false)

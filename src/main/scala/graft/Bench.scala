@@ -94,7 +94,12 @@ object Bench {
       if (r1 >= 0 && r2 >= 0 && math.max(r1, r2) > 1.5 * math.min(r1, r2))
         System.err.println(
           f"[bench] $name runs disagree: $r1%.1fs vs $r2%.1fs (reporting min)")
-      name -> (if (r1 < 0 || r2 < 0) -1.0 else math.min(r1, r2))
+      // one good run still counts (the failed run is already on stderr);
+      // only a query that never succeeded reports -1
+      val best =
+        if (r1 >= 0 && r2 >= 0) math.min(r1, r2)
+        else math.max(r1, r2) // at most one is >= 0 here
+      name -> (if (best >= 0) best else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

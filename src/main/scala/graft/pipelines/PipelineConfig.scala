@@ -52,7 +52,13 @@ case class PipelineConfig(
     /** CdcIngest: route a whole-database binlog inbox to N tables under
       * `basePath/database/<table>` (reference package.scala:145-183).
       */
-    cdcMultiTable: Boolean = false
+    cdcMultiTable: Boolean = false,
+    /** StreamIngest: when set, commit each batch's source end offsets to
+      * `<dir>/<queryName>.offsets.json` — the consumer-group-commit
+      * stand-in (reference KafkaOffsetCommitterListener + group.id,
+      * Log2Hudi.scala:36,47-48; SURVEY T5). Empty disables.
+      */
+    offsetCommitDir: String = ""
 ) {
   def tablePath: String =
     if (targetTablePath.nonEmpty) targetTablePath
@@ -105,6 +111,7 @@ object PipelineConfig {
         case "--cdc-table-filter"  => c.copy(cdcTableFilter = v)
         case "--cdc-format"        => c.copy(cdcFormat = v)
         case "--cdc-multi-table"   => c.copy(cdcMultiTable = v.toBoolean)
+        case "--offset-commit-dir" => c.copy(offsetCommitDir = v)
         case other =>
           throw new IllegalArgumentException(s"unknown flag: $other")
       }

@@ -65,6 +65,11 @@ object StreamIngest {
         cfg.partitionFields, cfg.tableType))
     // T4: per-batch progress logging (reference Log2Hudi.scala:40-48)
     graft.streaming.ProgressListener.attach(spark, s"ingest-${cfg.tableName}")
+    // T5: per-batch offset commit to a consumer-visible sidecar (the
+    // reference's KafkaOffsetCommitterListener, Log2Hudi.scala:47-48)
+    if (cfg.offsetCommitDir.nonEmpty)
+      graft.streaming.OffsetCommitListener.attach(spark,
+        cfg.offsetCommitDir, s"ingest-${cfg.tableName}")
     spark.readStream
       .format("text")
       .load(cfg.inboxDir)

@@ -241,7 +241,8 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
       tableName = "events_lake",
       recordKeyFields = Seq("event_id"),
       precombineField = "ts",
-      partitionFields = Seq("logday", "hm")))
+      partitionFields = Seq("logday", "hm"),
+      offsetCommitDir = s"$work/offsets"))
     q.processAllAvailable()
     // late/duplicate replay: same records again + one update converge by key
     Files.write(Paths.get(s"$work/inbox/batch2.json"),
@@ -249,6 +250,21 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
         .mkString("\n").getBytes)
     q.processAllAvailable()
     q.stop()
+
+    // T5 stand-in: each batch committed its source end offsets to the
+    // consumer-visible sidecar; the last commit reflects the final batch
+    // (listener events are async — allow them to drain)
+    val committed = Iterator.continually {
+      Thread.sleep(200)
+      graft.streaming.OffsetCommitListener.read(
+        spark, s"$work/offsets", "ingest-events_lake")
+    }.take(50).collectFirst {
+      case Some(c) if c.batchId >= 1 => c
+    }
+    assert(committed.isDefined, "offset commit sidecar never reached batch 1")
+    assert(committed.get.query == "ingest-events_lake")
+    assert(committed.get.sources.nonEmpty &&
+      committed.get.sources.head.endOffset.nonEmpty)
 
     val t = LakeTable.load(spark, s"$work/events_lake")
     assert(t.snapshot().count() == 20) // keyed convergence, no duplicates

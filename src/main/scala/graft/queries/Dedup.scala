@@ -127,10 +127,21 @@ object Dedup {
           col("b.n") <= floor(col("a.n") / lit(Threshold)))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    // count-based exact verify over the skinny (doc, shingle) occurrence
-    // table — joining the fat shingle arrays per candidate pair would
-    // shuffle |pairs| × array-size bytes; this shuffles 16-byte rows.
-    val verified = cands
+    releaseAfter(verifyJaccard(cands, ex), ex, prefix, docs)
+  }
+
+  /** Count-based exact Jaccard verify over the skinny (doc, n, shingle)
+    * occurrence table `ex`: join candidates on both ids, count shared
+    * shingles per pair — shuffles 16-byte rows, never the fat shingle
+    * arrays (|pairs| × array-size bytes). Shared by every candidate
+    * generator: PPJoin prefix ([[jaccardPairs]]), LSH bands
+    * ([[minhashLsh]]), and the incremental band probe
+    * ([[incrementalDedup]]). The candidate `distinct()` upstream is
+    * load-bearing: a pair matched by k candidate shingles would join
+    * k× and inflate `shared` k-fold.
+    */
+  private def verifyJaccard(cands: DataFrame, ex: DataFrame): DataFrame =
+    cands
       .join(ex.select(col("doc_id").as("id_a"), col("n").as("na"), col("s")), "id_a")
       .join(ex.select(col("doc_id").as("id_b"), col("n").as("nb"), col("s")),
         Seq("id_b", "s"))
@@ -141,8 +152,6 @@ object Dedup {
       .filter(col("jaccard") >= Threshold)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
-    releaseAfter(verified, ex, prefix, docs)
-  }
 
   /** MinHash signatures computed the scale-friendly way: explode shingles
     * → two codegen'd xxhash64 per shingle (Kirsch-Mitzenmacher
@@ -177,24 +186,9 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    // count-based exact verify over the skinny (doc, shingle) occurrence
-    // table — joining the fat shingle ARRAYS per candidate pair shuffles
-    // |pairs| × array-size bytes; this shuffles 16-byte rows (same
-    // formulation as jaccardPairs' verify).
     val ex = shingled.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("s"))
-    val verified = cands
-      .join(ex.select(col("doc_id").as("id_a"), col("n").as("na"), col("s")), "id_a")
-      .join(ex.select(col("doc_id").as("id_b"), col("n").as("nb"), col("s")),
-        Seq("id_b", "s"))
-      .groupBy("id_a", "id_b", "na", "nb")
-      .agg(count(lit(1)).as("shared"))
-      .withColumn("jaccard",
-        col("shared") / (col("na") + col("nb") - col("shared")))
-      .filter(col("jaccard") >= Threshold)
-      .select("id_a", "id_b", "jaccard")
-      .orderBy("id_a", "id_b")
-    releaseAfter(verified, shingled)
+    releaseAfter(verifyJaccard(cands, ex), shingled)
   }
 
   /** Incremental near-dedup: match a NEW batch of documents against the
@@ -245,18 +239,7 @@ object Dedup {
       .distinct()
     val ex = shingled.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("s"))
-    val verified = cands
-      .join(ex.select(col("doc_id").as("id_a"), col("n").as("na"), col("s")), "id_a")
-      .join(ex.select(col("doc_id").as("id_b"), col("n").as("nb"), col("s")),
-        Seq("id_b", "s"))
-      .groupBy("id_a", "id_b", "na", "nb")
-      .agg(count(lit(1)).as("shared"))
-      .withColumn("jaccard",
-        col("shared") / (col("na") + col("nb") - col("shared")))
-      .filter(col("jaccard") >= Threshold)
-      .select("id_a", "id_b", "jaccard")
-      .orderBy("id_a", "id_b")
-    releaseAfter(verified, shingled)
+    releaseAfter(verifyJaccard(cands, ex), shingled)
   }
 
   /** SimHash near-dup pairs (Hamming distance ≤ 3), candidates banded on

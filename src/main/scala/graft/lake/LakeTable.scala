@@ -751,7 +751,15 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val instant = timeline.nextInstant()
     val resolved = resolveLatest(readFiles(target.map(_.path)),
       tombstoneBarrier(live)) // global barrier: masks from ANY partition
-    val stats = stageWrite(resolved, instant, kind = "base")
+    // stage → rename → commit, decomposed so crash-recovery specs can
+    // kill the JVM at either boundary: residue before the rename is a
+    // staging dir, after it a set of never-committed final-named files —
+    // both invisible to readers (only commit-listed paths are live) and
+    // both swept by CALL system.cleanup_orphans.
+    val staging = writeStaging(resolved, instant)
+    FaultInjection.point("compact.staged")
+    val stats = publishStaged(staging, instant, "base")
+    FaultInjection.point("compact.renamed")
     timeline.commit(CommitMeta(instant, "compact", stats, target.map(_.path)))
     Some(instant)
   }

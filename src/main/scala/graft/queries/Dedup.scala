@@ -130,6 +130,27 @@ object Dedup {
     releaseAfter(verifyJaccard(cands, ex), ex, prefix, docs)
   }
 
+  /** The verified pair list as a staged pipeline ARTIFACT: under
+    * [[StageDirConf]] the first consumer stages [[jaccardPairs]]'s output
+    * to parquet and every later pipeline stage (cluster formation,
+    * curation's near-dup anti-join) reads it back — at 100 TB the pair
+    * list is computed once per corpus snapshot, never once per
+    * downstream query. Without the conf this is a plain recompute.
+    * [[jaccardPairs]] itself — the measured pair-FINDING query — never
+    * reads this stage.
+    */
+  private[queries] def stagedPairs(s: SparkSession, dir: String): DataFrame =
+    s.conf.getOption(StageDirConf) match {
+      case Some(stage) =>
+        val sub = s"$stage/pairs_${math.abs(dir.hashCode).toString}"
+        val success = new org.apache.hadoop.fs.Path(sub, "_SUCCESS")
+        val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(success))
+          jaccardPairs(s, dir).write.mode("overwrite").parquet(sub)
+        s.read.parquet(sub)
+      case None => jaccardPairs(s, dir)
+    }
+
   /** Count-based exact Jaccard verify over the skinny (doc, n, shingle)
     * occurrence table `ex`: join candidates on both ids, count shared
     * shingles per pair — shuffles 16-byte rows, never the fat shingle
@@ -324,18 +345,28 @@ object Dedup {
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     connectedComponents(s,
-      jaccardPairs(s, dir).select(col("id_a"), col("id_b")), "doc_id")
+      stagedPairs(s, dir).select(col("id_a"), col("id_b")), "doc_id")
+
+  /** Session conf: edge-count threshold at which [[connectedComponents]]
+    * switches from min-label propagation (rounds = component DIAMETER —
+    * right for near-dup families, which are short chains) to the
+    * large-star/small-star alternation of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond" (MR'14) — rounds = O(log² n)
+    * independent of diameter, the planet-scale path once a graph can
+    * hold giant high-diameter components.
+    */
+  val StarEdgesConf = "spark.graft.dedup.cc.starEdges"
 
   /** Shared connected-components harness over an undirected pair graph
     * `(id_a, id_b)` — min-label propagation as documented on
-    * [[dedupClusters]]; also drives the SemDeDup-style semantic
+    * [[dedupClusters]], switching to large-star/small-star past
+    * [[StarEdgesConf]] edges; also drives the SemDeDup-style semantic
     * clustering over embedding-cosine pairs
     * ([[Similarity.semanticClusters]]). Output:
     * `(<idCol>, cluster_id, cluster_size, is_canonical)` ordered by id.
     */
   private[queries] def connectedComponents(s: SparkSession,
       pairs: DataFrame, idCol: String): DataFrame = {
-    import s.implicits._
     val edges0 = pairs.unionAll(
       pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .toDF("src", "dst")
@@ -344,8 +375,28 @@ object Dedup {
     // shuffle to the KNOWN edge count instead of the session's
     // corpus-scale partitioning (32-task rounds over a few dozen edges
     // were pure fixed overhead; the count is O(1) on checkpointed data).
-    val p = math.max(1L, math.min(edges0.count() / 10000L,
+    val edgeCount = edges0.count()
+    val p = math.max(1L, math.min(edgeCount / 10000L,
       s.sessionState.conf.numShufflePartitions.toLong)).toInt
+    val labels =
+      if (edgeCount >= s.conf.get(StarEdgesConf, "1000000").toLong)
+        starLabels(s, edges0, p)
+      else propagateLabels(s, edges0, p)
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("doc_id").as(idCol), col("label").as("cluster_id"),
+        col("cluster_size"), (col("doc_id") === col("label")).as("is_canonical"))
+      .orderBy(idCol)
+  }
+
+  /** Min-label propagation labels: each round every node takes the min
+    * of its own and its neighbors' labels; rounds = component diameter.
+    * `edges0` is the SYMMETRIC checkpointed edge list.
+    */
+  private def propagateLabels(s: SparkSession, edges0: DataFrame,
+      p: Int): DataFrame = {
+    import s.implicits._
     val edges = edges0.repartition(p, col("src")).localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
@@ -376,11 +427,71 @@ object Dedup {
       changed = acc.value
       labels = next
     }
-    val sizes = labels.groupBy(col("label"))
-      .agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "label")
-      .select(col("doc_id").as(idCol), col("label").as("cluster_id"),
-        col("cluster_size"), (col("doc_id") === col("label")).as("is_canonical"))
-      .orderBy(idCol)
+    labels
+  }
+
+  /** Large-star/small-star labels (Kiveris et al., MR'14): each round
+    * first hangs every node's strictly-larger neighbors under its local
+    * minimum (large-star), then collapses the remaining smaller
+    * neighbors onto it (small-star). The edge set monotonically
+    * converges to per-component STARS — every node directly attached to
+    * its component minimum — in O(log² n) rounds regardless of
+    * diameter, where propagation pays one round per hop. Same
+    * eager-localCheckpoint lineage discipline and pair-graph-sized
+    * shuffles as the propagation loop; convergence = the canonical edge
+    * set's (count, xor-of-hashes) fingerprint repeating, read off the
+    * already-checkpointed frame (xor: order-independent and
+    * overflow-free under ANSI arithmetic; the edge set is distinct, so
+    * nothing self-cancels).
+    */
+  private def starLabels(s: SparkSession, edges0: DataFrame,
+      p: Int): DataFrame = {
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(src, dst))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    // canonical orientation (src > dst): one row per undirected edge
+    var edges = edges0.where(col("src") > col("dst"))
+      .repartition(p, col("src")).localCheckpoint(true)
+    var fp = fingerprint(edges)
+    var converged = edges.isEmpty
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      require(rounds <= 64, "star connected-components failed to converge")
+      // large-star over the symmetric adjacency: node u with
+      // m = min(Γ(u) ∪ {u}) emits (v, m) for every neighbor v > u.
+      // Emitted edges keep the canonical orientation (m ≤ u < v).
+      val sym = edges.unionAll(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy("src").agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      val large = sym.join(mins, "src")
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+        .repartition(p, col("src"))
+        .localCheckpoint(true)
+      // small-star over the canonical orientation (all neighbors < u):
+      // rewire u and every non-min neighbor onto m = min(Γ(u)).
+      val mins2 = large.groupBy("src").agg(min(col("dst")).as("m"))
+      val small = large.join(mins2, "src")
+        .where(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionAll(mins2.select(col("src"), col("m").as("dst")))
+        .distinct()
+        .repartition(p, col("src"))
+        .localCheckpoint(true)
+      val fp2 = fingerprint(small)
+      converged = fp2 == fp
+      fp = fp2
+      edges = small
+    }
+    // star state: every non-root has exactly one edge to its root; roots
+    // appear only on the dst side and label themselves.
+    edges.select(col("src").as("doc_id"), col("dst").as("label"))
+      .unionAll(edges.select(col("dst").as("doc_id"), col("dst").as("label")))
+      .distinct()
   }
 }

@@ -99,8 +99,9 @@ object TextAnalysis {
     *   2. exact dedup — keep the min doc_id per content hash
     *      (hash-groupBy + semi join: map-side combinable, no global sort),
     *   3. near-dedup — drop the greater doc_id of every exact-Jaccard
-    *      ≥ 0.8 pair from [[Dedup.jaccardPairs]] (computed on the full
-    *      corpus, sub-quadratic prefix-filtered index; anti join to drop),
+    *      ≥ 0.8 pair from [[Dedup.stagedPairs]] (the staged pair artifact
+    *      when [[Dedup.StageDirConf]] is on, else a fresh sub-quadratic
+    *      prefix-filtered computation; anti join to drop),
     *   4. language tag the survivors.
     *
     * Every stage is oracle-expressible, so the WHOLE pipeline sits under
@@ -112,7 +113,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("text"), tokens.cast("long").as("n_tokens"))
       .withColumn("h", md5(col("text")))
     val keep = q.groupBy("h").agg(min(col("doc_id")).as("doc_id"))
-    val nearDups = Dedup.jaccardPairs(s, dir)
+    val nearDups = Dedup.stagedPairs(s, dir)
       .select(col("id_b").as("doc_id")).distinct()
     q.join(keep, Seq("h", "doc_id"), "left_semi")
       .join(nearDups, Seq("doc_id"), "left_anti")

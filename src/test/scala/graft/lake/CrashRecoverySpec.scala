@@ -1,0 +1,156 @@
+package graft.lake
+
+import graft.util.Sessions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Path => JPath, Paths}
+import java.nio.file.attribute.FileTime
+
+/** Crash injection for the async compaction service: a probe JVM armed
+  * with `-Dgraft.lake.crashpoint=...` is HALTED mid-compaction (exit
+  * 137, no finally blocks, writer lock still on disk) at each boundary
+  * of the stage → rename → commit sequence. The surviving session must
+  * see exactly the committed data (the un-committed compaction is
+  * invisible either way), break the dead writer's lock as stale, sweep
+  * the crash residue via the cleanup_orphans surfaces, and compact
+  * successfully afterwards.
+  */
+class CrashRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Sessions.local("crash-recovery-test", "4")
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def df(rows: (Int, Long, String, Double)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "ts", "part", "v")
+  }
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar")
+    .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  private def runProbe(tableDir: String,
+      crashpoint: Option[String]): (Int, String) = {
+    val classDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    val cp = s"$classDir:/opt/spark/jars/*"
+    val crashProp = crashpoint.map(c => s"-Dgraft.lake.crashpoint=$c").toSeq
+    val p = new ProcessBuilder(
+      (Seq("java", "-cp", cp, "-Xmx2g", "-Dspark.ui.enabled=false") ++
+        crashProp ++ addOpens ++
+        Seq("graft.tools.CrashProbe", tableDir, "4", "10")): _*)
+      .redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes())
+    (p.waitFor(), out)
+  }
+
+  /** The probe died holding `_lake/lock`; age it past the stale window so
+    * the next writer's breakIfStale takes it over (the real recovery
+    * path, just without waiting ten minutes of wall clock).
+    */
+  private def ageLock(tableDir: String): Unit = {
+    val lock = Paths.get(tableDir, "_lake", "lock")
+    assert(Files.exists(lock), "dead probe should have left the writer lock")
+    Files.setLastModifiedTime(lock,
+      FileTime.fromMillis(System.currentTimeMillis() - 11 * 60 * 1000L))
+  }
+
+  private def stagingDirs(tableDir: String): Seq[JPath] = {
+    val root = Paths.get(tableDir, "_lake", "staging")
+    if (!Files.exists(root)) Seq.empty
+    else {
+      val s = Files.list(root)
+      try {
+        val it = s.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer[JPath]()
+        while (it.hasNext) buf += it.next()
+        buf.toSeq
+      } finally s.close()
+    }
+  }
+
+  private def crashCase(crashpoint: String): Unit = {
+    val work = Files.createTempDirectory("crashprobe")
+    val tableDir = work.resolve("t").toString
+    val t = LakeTable.create(spark, tableDir,
+      TableMeta("cr", Seq("id"), "ts", Seq("part"), tableType = "mor",
+        inlineCompactMax = 2, asyncCompact = true))
+    t.upsert(df((1, 1L, "p0", 0.0))) // capture schema before spawning
+
+    val (code, out) = runProbe(tableDir, Some(crashpoint))
+    assert(code == 137,
+      s"probe should be halted at $crashpoint, exit=$code, " +
+        s"output: ${out.takeRight(2000)}")
+
+    // residue proves the crash landed where it was aimed
+    if (crashpoint == "compact.staged")
+      assert(stagingDirs(tableDir).nonEmpty,
+        "halt before the rename should leave a staging dir")
+
+    // the un-committed compaction is invisible: every committed row is
+    // intact and internally consistent (v was written as ts*100 + i), and
+    // the timeline carries no compact instant
+    val t2 = LakeTable.load(spark, tableDir)
+    val rows = t2.snapshot()
+      .select("id", "ts", "v").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows.size == 1 + 10, s"expected seed + 10 probe keys, got $rows")
+    rows.filter(_._1 >= 1000).foreach { case (id, ts, v) =>
+      assert(v == ts * 100 + (id - 1000), s"torn row: id=$id ts=$ts v=$v")
+    }
+    assert(!t2.timeline.instants().map(t2.timeline.read)
+      .exists(_.operation == "compact"),
+      "the halted compaction must not have committed")
+
+    // recovery: break the dead writer's lock as stale, sweep the residue
+    ageLock(tableDir)
+    val swept =
+      t2.cleanOrphanedStaging(olderThanMs = 0L) + t2.cleanOrphanedData()
+    assert(swept >= 1, s"crash residue should be swept, got $swept")
+    assert(stagingDirs(tableDir).isEmpty)
+
+    // and the table is fully operational: writes, compaction, reads
+    t2.upsert(df((2, 2L, "p0", 9.0)))
+    t2.awaitTableServices() // async debt policy may fire; let it finish
+    assert(t2.compact().isDefined || // explicit full compact merges deltas
+      !t2.timeline.liveFiles().exists(_.isDelta))
+    val merged = t2.snapshot().orderBy("id").drop("_commit_time").collect().toSeq
+    val ro = t2.readOptimized().orderBy("id").drop("_commit_time").collect().toSeq
+    assert(merged == ro, "after compaction read-optimized must equal snapshot")
+    ()
+  }
+
+  test("JVM halt between compaction staging and rename recovers cleanly") {
+    crashCase("compact.staged")
+  }
+
+  test("JVM halt between compaction rename and commit recovers cleanly") {
+    crashCase("compact.renamed")
+  }
+
+  test("unarmed probe completes: async compaction commits and exits 0") {
+    val work = Files.createTempDirectory("crashprobe")
+    val tableDir = work.resolve("t").toString
+    val t = LakeTable.create(spark, tableDir,
+      TableMeta("cr", Seq("id"), "ts", Seq("part"), tableType = "mor",
+        inlineCompactMax = 2, asyncCompact = true))
+    t.upsert(df((1, 1L, "p0", 0.0)))
+    val (code, out) = runProbe(tableDir, None)
+    assert(code == 0, s"probe failed: ${out.takeRight(2000)}")
+    val t2 = LakeTable.load(spark, tableDir)
+    assert(t2.timeline.instants().map(t2.timeline.read)
+      .exists(_.operation == "compact"),
+      "unarmed async service should have compacted the debt")
+    assert(t2.snapshot().count() == 1 + 10)
+  }
+}

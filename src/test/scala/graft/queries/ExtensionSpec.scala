@@ -40,6 +40,46 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("star CC equals propagation on random graphs and the real pair graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def run(pairsDf: org.apache.spark.sql.DataFrame, star: Boolean) = {
+      if (star) spark.conf.set(Dedup.StarEdgesConf, "0")
+      try Dedup.connectedComponents(spark, pairsDf, "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSet
+      finally if (star) spark.conf.unset(Dedup.StarEdgesConf)
+    }
+    for (trial <- 1 to 5) {
+      val n = 60 + rnd.nextInt(40)
+      val pairs = Seq.fill(150)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("id_a", "id_b")
+      assert(run(pairs, star = true) == run(pairs, star = false),
+        s"trial $trial diverged")
+    }
+    val real = Dedup.jaccardPairs(spark, sf).select("id_a", "id_b")
+    assert(run(real, star = true) == run(real, star = false))
+  }
+
+  test("star CC collapses a high-diameter chain in logarithmic rounds") {
+    import spark.implicits._
+    // a 3000-hop path: propagation pays one round per hop (3000 rounds);
+    // the star alternation collapses it within starLabels' 64-round
+    // bound, which this test exercises as the O(log n) guarantee
+    val chain = (0L until 3000L).map(i => (i + 7L, i + 8L))
+      .toDF("id_a", "id_b")
+    spark.conf.set(Dedup.StarEdgesConf, "0")
+    try {
+      val out = Dedup.connectedComponents(spark, chain, "doc_id").collect()
+      assert(out.length == 3001)
+      assert(out.forall(_.getLong(1) == 7L), "cluster id must be the min node")
+      assert(out.count(_.getBoolean(3)) == 1)
+      assert(out.forall(_.getLong(2) == 3001L))
+    } finally spark.conf.unset(Dedup.StarEdgesConf)
+  }
+
   test("semantic clusters: cosine pairs co-clustered, canonical is min member") {
     val pairs = Similarity.cosinePairs(spark, sf)
       .select("id_a", "id_b").collect()
@@ -143,6 +183,9 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cached = Dedup.jaccardPairs(spark, sf)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clustersFresh = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
     val stage = java.nio.file.Files.createTempDirectory("dedupstage").toString
     spark.conf.set(Dedup.StageDirConf, stage)
     try {
@@ -167,6 +210,18 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
         .select("id_a", "id_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(incStaged == incCached)
+      // cluster formation consumes the staged pair ARTIFACT (first call
+      // writes it, second reads it) — both equal the unstaged run
+      val clustersStaged = Dedup.dedupClusters(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSet
+      assert(clustersStaged == clustersFresh)
+      assert(new java.io.File(stage).listFiles()
+        .exists(_.getName.startsWith("pairs_")), "pair artifact staged")
+      val clustersAgain = Dedup.dedupClusters(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSet
+      assert(clustersAgain == clustersFresh)
     } finally spark.conf.unset(Dedup.StageDirConf)
   }
 }

@@ -1554,6 +1554,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       }
     }
     val stats = renameStaged(staging, instant, kind, parts)
+    FaultInjection.point("publish.renamed")
     timeline.commit(CommitMeta(instant, op, stats, removed, extra))
     followUp()
     stats

@@ -138,6 +138,58 @@ class CrashRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     crashCase("compact.renamed")
   }
 
+  test("JVM halt between upsert rename and commit: reservation caps consumers until swept") {
+    val work = Files.createTempDirectory("crashprobe")
+    val tableDir = work.resolve("t").toString
+    val t = LakeTable.create(spark, tableDir,
+      TableMeta("crc", Seq("id"), "ts", Seq("part"))) // COW, no services
+    t.upsert(df((1, 1L, "p0", 0.0)))
+    val seedInstant = t.latestCommit.get
+
+    val (code, out) = runProbe(tableDir, Some("publish.renamed"))
+    assert(code == 137,
+      s"probe should be halted mid-publish, exit=$code, " +
+        s"output: ${out.takeRight(2000)}")
+
+    // the crashed write renamed its files into place but never committed:
+    // invisible to every reader, and its inflight reservation survives
+    val t2 = LakeTable.load(spark, tableDir)
+    assert(t2.snapshot().count() == 1)
+    assert(t2.timeline.instants() == Seq(seedInstant))
+    val inflight = Paths.get(tableDir, "_lake", "timeline", "inflight")
+    val markers = {
+      val s = Files.list(inflight)
+      try {
+        val it = s.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer[JPath]()
+        while (it.hasNext) buf += it.next()
+        buf.toSeq.filter(_.getFileName.toString.endsWith(".inflight"))
+      } finally s.close()
+    }
+    assert(markers.nonEmpty, "dead writer should have left its reservation")
+
+    // recovery: break the dead writer's lock, sweep the renamed-but-
+    // never-committed data files, write again
+    ageLock(tableDir)
+    assert(t2.cleanOrphanedData() >= 1,
+      "the crashed publish left final-named files no commit references")
+    t2.upsert(df((2, 2L, "p0", 9.0)))
+    assert(t2.snapshot().count() == 2)
+
+    // the dead reservation still caps the consumers' stable watermark
+    // below the new commit — exactly the lost-commit protection: until
+    // the reservation is known stale, a consumer must not advance past
+    // the instant a (possibly alive) writer could still publish at
+    assert(t2.timeline.stableInstant().contains(seedInstant),
+      "a live-looking reservation must cap the stable watermark")
+    // once the marker goes stale (backdate instead of waiting 30 min),
+    // consumers advance to the real latest commit
+    markers.foreach(m => Files.setLastModifiedTime(m,
+      FileTime.fromMillis(System.currentTimeMillis() - 31 * 60 * 1000L)))
+    assert(t2.timeline.stableInstant() == t2.latestCommit,
+      "stale reservation must stop capping the stable watermark")
+  }
+
   test("unarmed probe completes: async compaction commits and exits 0") {
     val work = Files.createTempDirectory("crashprobe")
     val tableDir = work.resolve("t").toString

@@ -151,21 +151,35 @@ class Timeline(fs: FileSystem, tablePath: Path) {
     * universally supported, while mtime updates are a silent no-op or an
     * error on object stores — a silently-dead heartbeat would let any
     * write longer than [[Timeline.InflightStaleMs]] be swept mid-flight.
-    * A marker found MISSING means a peer already swept us; that is
-    * recorded (never resurrected) so the publish-time liveness check
-    * aborts instead of committing below consumers' watermark. Repeated
-    * renewal I/O failures are surfaced on stderr instead of swallowed.
+    * A marker found MISSING means a peer already swept us, and a marker
+    * found STALE means every consumer was already free to ignore it
+    * (they filter on mtime, not on deletion) — both are recorded as
+    * swept (never resurrected; the stale one is deleted so peers
+    * converge) so the publish-time liveness check aborts instead of
+    * committing below consumers' watermark. Repeated renewal I/O
+    * failures are surfaced on stderr instead of swallowed.
     */
   def renewReservation(instant: String): Unit = {
     val p = new Path(inflightDir, instant + Timeline.InflightSuffix)
     try {
-      if (!fs.exists(p)) {
-        sweptReservations.add(instant)
-        ()
-      } else {
-        fs.create(p, true).close() // overwrite ⇒ fresh mtime everywhere
-        renewFailures.remove(instant)
-        ()
+      val st =
+        try Some(fs.getFileStatus(p))
+        catch { case _: java.io.FileNotFoundException => None }
+      st match {
+        case None =>
+          sweptReservations.add(instant)
+          ()
+        case Some(stat) if System.currentTimeMillis() -
+            stat.getModificationTime > Timeline.InflightStaleMs =>
+          // woke from a pause longer than the staleness window: the
+          // reservation is gone for good even though the file survived
+          sweptReservations.add(instant)
+          fs.delete(p, false)
+          ()
+        case Some(_) =>
+          fs.create(p, true).close() // overwrite ⇒ fresh mtime everywhere
+          renewFailures.remove(instant)
+          ()
       }
     } catch {
       case e: java.io.IOException =>
@@ -177,17 +191,28 @@ class Timeline(fs: FileSystem, tablePath: Path) {
     }
   }
 
-  /** Is this reservation still live — marker present and never observed
-    * swept by a renewal? Optimistic publishers MUST verify this under the
-    * writer lock before committing: once the marker is swept, consumers
-    * may have advanced their stable watermark past the instant, and a
-    * late commit below that watermark is skipped forever (the lost-commit
-    * anomaly the reservation exists to prevent).
+  /** Is this reservation still live — marker present, FRESH, and never
+    * observed swept by a renewal? Optimistic publishers MUST verify this
+    * under the writer lock before committing: once the marker is swept,
+    * consumers may have advanced their stable watermark past the
+    * instant, and a late commit below that watermark is skipped forever
+    * (the lost-commit anomaly the reservation exists to prevent).
+    * Freshness is part of liveness: consumers ignore a stale marker by
+    * MTIME alone ([[pendingInstants]]) without waiting for anyone to
+    * delete it, so the moment the marker's mtime crossed the staleness
+    * window a consumer may have advanced — a marker that is still on
+    * disk but was ever stale is exactly as dead as a swept one, and a
+    * writer waking from a long pause must abort, not publish (nor can a
+    * renewal restore safety by refreshing the mtime after the fact).
     */
   def reservationLive(instant: String): Boolean =
     !sweptReservations.contains(instant) &&
-      (try fs.exists(new Path(inflightDir, instant + Timeline.InflightSuffix))
-       catch { case _: java.io.IOException => false })
+      (try {
+        val st = fs.getFileStatus(
+          new Path(inflightDir, instant + Timeline.InflightSuffix))
+        System.currentTimeMillis() - st.getModificationTime <=
+          Timeline.InflightStaleMs
+      } catch { case _: java.io.IOException => false })
 
   /** Live (non-stale) reserved instants, ascending. */
   def pendingInstants(): Seq[String] = {

@@ -67,27 +67,58 @@ object Dedup {
     else try result.localCheckpoint(true) finally live.foreach(_.unpersist(false))
   }
 
+  /** Produce-once protocol for a shared stage subdirectory. A bare
+    * check-then-overwrite races across SESSIONS sharing one stage dir
+    * (two jobs both miss `_SUCCESS`, both write `sub`, mixed output);
+    * instead the producer is elected by an exclusive CLAIM file —
+    * `fs.create(path, overwrite = false)` is atomic on HDFS and local
+    * filesystems (and a conditional put on modern object stores). The
+    * winner writes the stage; a loser reads the stage if it is already
+    * complete and otherwise just computes `fresh` — correct without
+    * ever blocking on another session's write. A claim an hour old with
+    * no `_SUCCESS` is a crashed producer: swept and re-contested (the
+    * winner's `overwrite` mode clears any partial output).
+    */
+  private def stagedOrFresh(s: SparkSession, sub: String,
+      write: String => Unit, fresh: () => DataFrame): DataFrame = {
+    val subPath = new org.apache.hadoop.fs.Path(sub)
+    val fs = subPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val success = new org.apache.hadoop.fs.Path(subPath, "_SUCCESS")
+    if (fs.exists(success)) return s.read.parquet(sub)
+    val claim = new org.apache.hadoop.fs.Path(sub + ".claim")
+    try {
+      val st = fs.getFileStatus(claim)
+      if (System.currentTimeMillis() - st.getModificationTime >
+          60 * 60 * 1000L)
+        fs.delete(claim, false)
+    } catch { case _: java.io.IOException => () }
+    val won =
+      try { fs.create(claim, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (won) { write(sub); s.read.parquet(sub) }
+    else if (fs.exists(success)) s.read.parquet(sub)
+    else fresh()
+  }
+
   private[queries] def docsWithShingles(s: SparkSession, dir: String): DataFrame = {
     val shingled = Relational.t(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), shingles(col("text"), N).as("sh"))
       .filter(size(col("sh")) > 0)
+    // the shingle projection is interpreted (higher-order fn) and this
+    // frame appears in 3 plan branches (index + two verify joins) —
+    // cache it instead of shingling three times. Size ≈ corpus ×
+    // n-gram factor: fine to executor-cache at test scale, stage via
+    // [[StageDirConf]] beyond that.
+    def cached() = shingled
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     s.conf.getOption(StageDirConf) match {
       case Some(stage) =>
         // deterministic per input dir, so repeat queries reuse the stage
-        val sub = s"$stage/shingled_${math.abs(dir.hashCode).toString}"
-        val fs = new org.apache.hadoop.fs.Path(sub)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (!fs.exists(new org.apache.hadoop.fs.Path(sub, "_SUCCESS")))
-          shingled.write.mode("overwrite").parquet(sub)
-        s.read.parquet(sub)
-      case None =>
-        // the shingle projection is interpreted (higher-order fn) and this
-        // frame appears in 3 plan branches (index + two verify joins) —
-        // cache it instead of shingling three times. Size ≈ corpus ×
-        // n-gram factor: fine to executor-cache at test scale, stage via
-        // [[StageDirConf]] beyond that.
-        shingled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        stagedOrFresh(s, s"$stage/shingled_${math.abs(dir.hashCode).toString}",
+          out => shingled.write.mode("overwrite").parquet(out),
+          () => cached())
+      case None => cached()
     }
   }
 
@@ -142,12 +173,9 @@ object Dedup {
   private[queries] def stagedPairs(s: SparkSession, dir: String): DataFrame =
     s.conf.getOption(StageDirConf) match {
       case Some(stage) =>
-        val sub = s"$stage/pairs_${math.abs(dir.hashCode).toString}"
-        val success = new org.apache.hadoop.fs.Path(sub, "_SUCCESS")
-        val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (!fs.exists(success))
-          jaccardPairs(s, dir).write.mode("overwrite").parquet(sub)
-        s.read.parquet(sub)
+        stagedOrFresh(s, s"$stage/pairs_${math.abs(dir.hashCode).toString}",
+          out => jaccardPairs(s, dir).write.mode("overwrite").parquet(out),
+          () => jaccardPairs(s, dir))
       case None => jaccardPairs(s, dir)
     }
 
@@ -244,12 +272,10 @@ object Dedup {
     val corpus0 = banded.filter(col("doc_id") < split)
     val corpus = s.conf.getOption(StageDirConf) match {
       case Some(stage) =>
-        val sub = s"$stage/bands_${math.abs(dir.hashCode).toString}_$split"
-        val fs = new org.apache.hadoop.fs.Path(sub)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (!fs.exists(new org.apache.hadoop.fs.Path(sub, "_SUCCESS")))
-          corpus0.write.mode("overwrite").parquet(sub)
-        s.read.parquet(sub)
+        stagedOrFresh(s,
+          s"$stage/bands_${math.abs(dir.hashCode).toString}_$split",
+          out => corpus0.write.mode("overwrite").parquet(out),
+          () => corpus0)
       case None => corpus0
     }
     val inc = banded.filter(col("doc_id") >= split)

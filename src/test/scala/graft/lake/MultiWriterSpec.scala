@@ -245,6 +245,39 @@ class MultiWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.timeline.releaseReservation(instant)
   }
 
+  test("a reservation that went stale on disk is dead even if its marker survives") {
+    val t = newTable("stalepause")
+    t.insert(df((1, 10L, 1.0)))
+    val visible = t.committedInstants()
+    val instant = t.timeline.reserveInstant()
+    val fs = new Path(base).getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new Path(s"$base/stalepause/_lake/timeline/inflight/" +
+      s"$instant${Timeline.InflightSuffix}")
+    // simulate a writer paused past the staleness window: the marker is
+    // still on disk but its mtime is ancient — consumers filter pending
+    // reservations by MTIME, so they may already have advanced past it;
+    // refreshing the mtime after the fact cannot restore safety
+    val old = System.currentTimeMillis() - (Timeline.InflightStaleMs + 60000L)
+    fs.setTimes(marker, old, -1)
+    assert(!t.timeline.reservationLive(instant),
+      "a stale-on-disk reservation must not count as live")
+    try intercept[java.util.ConcurrentModificationException] {
+      t.upsertReserved(df((2, 20L, 2.0)), Map.empty, combine = true,
+        instant, visible)
+    } finally t.timeline.releaseReservation(instant)
+    assert(t.snapshotUser().count() == 1, "aborted publish left nothing")
+    // a renewal that finds its marker stale records the sweep and
+    // deletes the corpse instead of resurrecting it with a fresh mtime
+    val i2 = t.timeline.reserveInstant()
+    val m2 = new Path(s"$base/stalepause/_lake/timeline/inflight/" +
+      s"$i2${Timeline.InflightSuffix}")
+    fs.setTimes(m2, old, -1)
+    t.timeline.renewReservation(i2)
+    assert(!fs.exists(m2), "stale marker deleted, not refreshed")
+    assert(!t.timeline.reservationLive(i2))
+    t.timeline.releaseReservation(i2)
+  }
+
   test("stale reservation stops blocking and is swept") {
     val t = newTable("stale")
     t.insert(df((1, 10L, 1.0)))

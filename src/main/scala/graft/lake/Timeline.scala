@@ -282,20 +282,8 @@ class Timeline(fs: FileSystem, tablePath: Path) {
       holdDepth.set(holdDepth.get() + 1)
       try return body finally holdDepth.set(holdDepth.get() - 1)
     }
-    val lockPath = new Path(tablePath, "_lake/lock")
     fs.mkdirs(new Path(tablePath, "_lake"))
     val token = java.util.UUID.randomUUID().toString
-
-    def readToken(p: Path): Option[String] =
-      try {
-        val in = fs.open(p)
-        try {
-          val len = fs.getFileStatus(p).getLen.toInt
-          val bytes = new Array[Byte](len)
-          in.readFully(bytes)
-          Some(new String(bytes, StandardCharsets.UTF_8))
-        } finally in.close()
-      } catch { case _: java.io.IOException => None }
 
     // LocalFileSystem.create(overwrite=false) is exists()-then-create —
     // NOT atomic, so two local writers could both "acquire" it. Use NIO's
@@ -364,7 +352,7 @@ class Timeline(fs: FileSystem, tablePath: Path) {
       while (run && held) {
         try Thread.sleep(interval)
         catch { case _: InterruptedException => run = false }
-        if (run && held && readToken(lockPath).contains(token))
+        if (run && held && readLockToken().contains(token))
           try fs.setTimes(lockPath, System.currentTimeMillis(), -1)
           catch { case _: java.io.IOException => () }
       }
@@ -373,14 +361,16 @@ class Timeline(fs: FileSystem, tablePath: Path) {
     heartbeat.start()
 
     holdDepth.set(1)
+    heldToken.set(token)
     try body
     finally {
       holdDepth.set(0)
+      heldToken.remove()
       held = false
       heartbeat.interrupt()
       // release only our own lock: if it was broken and re-acquired by a
       // new holder, leave the new holder's lock alone.
-      if (readToken(lockPath).contains(token)) fs.delete(lockPath, false)
+      if (readLockToken().contains(token)) fs.delete(lockPath, false)
       ()
     }
   }
@@ -388,6 +378,24 @@ class Timeline(fs: FileSystem, tablePath: Path) {
   private val holdDepth = new ThreadLocal[Int] {
     override def initialValue(): Int = 0
   }
+
+  /** The on-disk lock token this thread's outermost [[withLock]] wrote —
+    * the fencing identity [[commit]] re-verifies before publishing.
+    */
+  private val heldToken = new ThreadLocal[String]
+
+  private def lockPath = new Path(tablePath, "_lake/lock")
+
+  private def readLockToken(): Option[String] =
+    try {
+      val in = fs.open(lockPath)
+      try {
+        val len = fs.getFileStatus(lockPath).getLen.toInt
+        val bytes = new Array[Byte](len)
+        in.readFully(bytes)
+        Some(new String(bytes, StandardCharsets.UTF_8))
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
 
   /** Archive commits older than the newest `keepCommits` into
     * `_lake/timeline/archive/`, leaving a checkpoint commit at the
@@ -426,6 +434,19 @@ class Timeline(fs: FileSystem, tablePath: Path) {
 
   /** Atomically publish a commit: write to a temp name, then rename. */
   def commit(meta: CommitMeta): Unit = {
+    // Fencing: the writer lock is a LEASE — breakable once its heartbeat
+    // goes stale. A holder paused past the stale window may have been
+    // broken and replaced mid-critical-section; publishing anyway would
+    // bypass every conflict check the replacement ran. Re-verify the
+    // on-disk lock still carries this thread's token immediately before
+    // the publish rename: the unfenced window shrinks from the whole
+    // pause to one read-then-rename round trip.
+    Option(heldToken.get()).foreach { tok =>
+      if (!readLockToken().contains(tok))
+        throw new java.util.ConcurrentModificationException(
+          s"writer lock lost before commit ${meta.instant}: broken as " +
+            "stale while this writer was paused; retry the statement")
+    }
     fs.mkdirs(dir)
     val tmp = new Path(dir, s".${meta.instant}.inflight")
     val out = fs.create(tmp, true)

@@ -245,6 +245,33 @@ class MultiWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.timeline.releaseReservation(instant)
   }
 
+  test("commit is fenced: a broken-and-replaced writer lock aborts the publish") {
+    val t = newTable("fence")
+    t.insert(df((1, 10L, 1.0)))
+    val fs = new Path(base).getFileSystem(spark.sessionState.newHadoopConf())
+    val lock = new Path(s"$base/fence/_lake/lock")
+    // inside our own critical section, a peer breaks the (apparently
+    // stale) lock and installs its own token — the lease-fencing race a
+    // paused writer hits on wake; the publish must abort, not bypass the
+    // replacement's conflict checks
+    intercept[java.util.ConcurrentModificationException] {
+      t.timeline.withLock() {
+        fs.delete(lock, false)
+        val out = fs.create(lock, true)
+        out.write("intruder-token".getBytes("UTF-8"))
+        out.close()
+        t.timeline.commit(CommitMeta(t.timeline.nextInstant(), "upsert",
+          Seq.empty, Seq.empty))
+      }
+    }
+    // the fenced-out writer's release leaves the intruder's lock alone
+    assert(fs.exists(lock))
+    fs.delete(lock, false) // free it for the assertions below
+    assert(t.snapshotUser().count() == 1, "fenced publish left nothing")
+    t.upsert(df((2, 20L, 2.0))) // the table keeps working
+    assert(t.snapshotUser().count() == 2)
+  }
+
   test("a reservation that went stale on disk is dead even if its marker survives") {
     val t = newTable("stalepause")
     t.insert(df((1, 10L, 1.0)))

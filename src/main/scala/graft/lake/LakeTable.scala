@@ -1101,6 +1101,9 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       .distinct
       .filterNot(alreadyCleaned.contains)
       .filterNot(pinned.contains)
+    // fencing: physical deletes cannot be rolled back by an aborted
+    // commit — verify the lock lease is still ours before destroying
+    timeline.requireLockHeld("clean")
     deletable.foreach(rel => fs.delete(new Path(tablePath, rel), false))
     if (deletable.nonEmpty) {
       val instant = timeline.nextInstant()

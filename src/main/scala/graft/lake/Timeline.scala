@@ -424,6 +424,10 @@ class Timeline(fs: FileSystem, tablePath: Path) {
       .flatMap(_.removed).distinct.filterNot(cleaned.contains)
     val dest = new Path(dir, "archive")
     fs.mkdirs(dest)
+    // fencing before the active timeline is mutated (the moves are
+    // recoverable from archive/, but a zombie archiver interleaving with
+    // a replacement holder's commits could checkpoint a stale live set)
+    requireLockHeld("archive")
     toArchive.foreach { i =>
       fs.rename(new Path(dir, i + Timeline.Suffix),
         new Path(dest, i + Timeline.Suffix))
@@ -432,21 +436,25 @@ class Timeline(fs: FileSystem, tablePath: Path) {
     toArchive
   }
 
-  /** Atomically publish a commit: write to a temp name, then rename. */
-  def commit(meta: CommitMeta): Unit = {
-    // Fencing: the writer lock is a LEASE — breakable once its heartbeat
-    // goes stale. A holder paused past the stale window may have been
-    // broken and replaced mid-critical-section; publishing anyway would
-    // bypass every conflict check the replacement ran. Re-verify the
-    // on-disk lock still carries this thread's token immediately before
-    // the publish rename: the unfenced window shrinks from the whole
-    // pause to one read-then-rename round trip.
+  /** Fencing check for the lock LEASE: a holder whose heartbeat stalled
+    * past the stale window may have been broken and replaced
+    * mid-critical-section — before any destructive or publishing step,
+    * re-verify the on-disk lock still carries this thread's token, so a
+    * woken zombie aborts instead of acting on a lock it no longer owns.
+    * The unfenced window shrinks from the whole pause to one
+    * read-then-act round trip. No-op outside a [[withLock]] scope.
+    */
+  def requireLockHeld(op: String): Unit =
     Option(heldToken.get()).foreach { tok =>
       if (!readLockToken().contains(tok))
         throw new java.util.ConcurrentModificationException(
-          s"writer lock lost before commit ${meta.instant}: broken as " +
-            "stale while this writer was paused; retry the statement")
+          s"writer lock lost during $op: broken as stale while this " +
+            "writer was paused; retry the statement")
     }
+
+  /** Atomically publish a commit: write to a temp name, then rename. */
+  def commit(meta: CommitMeta): Unit = {
+    requireLockHeld(s"commit ${meta.instant}")
     fs.mkdirs(dir)
     val tmp = new Path(dir, s".${meta.instant}.inflight")
     val out = fs.create(tmp, true)
@@ -473,12 +481,14 @@ class Timeline(fs: FileSystem, tablePath: Path) {
   /** Remove commit files from the active timeline (restore/rollback).
     * Caller must hold the writer lock and own the correctness argument.
     */
-  private[lake] def dropCommits(instants: Seq[String]): Unit =
+  private[lake] def dropCommits(instants: Seq[String]): Unit = {
+    requireLockHeld("dropCommits")
     instants.foreach { i =>
       fs.delete(new Path(dir, i + Timeline.Suffix), false)
       cache.remove(i)
       ()
     }
+  }
 
   /** Commits in `(begin, end]`; begin="000..0"/"earliest" ⇒ from start. */
   def between(begin: String, end: String): Seq[CommitMeta] = {

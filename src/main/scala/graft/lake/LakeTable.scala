@@ -1037,7 +1037,9 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         s"e.g. ${missing.take(3).map(_.path).mkString(", ")}")
     val dropped = drop.map(timeline.read)
     timeline.dropCommits(drop)
-    // delete the rolled-back commits' data files (now unreferenced)
+    // delete the rolled-back commits' data files (now unreferenced);
+    // fenced like clean's deletes — destruction is not retryable
+    timeline.requireLockHeld("restore")
     dropped.flatMap(_.added.map(_.path)).distinct
       .foreach(rel => fs.delete(new Path(tablePath, rel), false))
     // savepoints above the restore target point at dropped commits

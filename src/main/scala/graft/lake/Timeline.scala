@@ -30,12 +30,31 @@ class Timeline(fs: FileSystem, tablePath: Path) {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Timeline.Entry]()
 
-  /** Committed-commit file statuses, sorted ascending by instant. */
+  private def instantOf(name: String): String =
+    name.stripSuffix(Timeline.Suffix).stripSuffix(Timeline.CheckpointSuffix)
+
+  /** Committed-commit file statuses, sorted ascending by instant.
+    *
+    * An archive CHECKPOINT (`<instant>.checkpoint.json`) supersedes
+    * every commit at or below its instant: the active view is the newest
+    * checkpoint (if any) followed by the ordinary commits above it.
+    * Commit files at or below the checkpoint may transiently coexist —
+    * an archiver that crashed between publishing the checkpoint and
+    * moving the originals to the cold store leaves them — and are
+    * ignored here (the checkpoint already carries their net effect; the
+    * next archive run sweeps them).
+    */
   private def listCommits(): Seq[org.apache.hadoop.fs.FileStatus] = {
     if (!fs.exists(dir)) return Seq.empty
-    fs.listStatus(dir)
-      .filter(_.getPath.getName.endsWith(Timeline.Suffix))
-      .sortBy(_.getPath.getName)
+    val all = fs.listStatus(dir)
+    val ckpt = all
+      .filter(_.getPath.getName.endsWith(Timeline.CheckpointSuffix))
+      .sortBy(_.getPath.getName).lastOption
+    val floor = ckpt.map(st => instantOf(st.getPath.getName)).getOrElse("")
+    (ckpt.toSeq ++ all.filter { st =>
+      val n = st.getPath.getName
+      n.endsWith(Timeline.Suffix) && instantOf(n) > floor
+    }).sortBy(st => instantOf(st.getPath.getName))
       .toSeq
   }
 
@@ -49,7 +68,7 @@ class Timeline(fs: FileSystem, tablePath: Path) {
   }
 
   private def readAt(st: org.apache.hadoop.fs.FileStatus): CommitMeta = {
-    val instant = st.getPath.getName.stripSuffix(Timeline.Suffix)
+    val instant = instantOf(st.getPath.getName)
     val cur = cache.get(instant)
     if (cur != null && cur.len == st.getLen &&
         cur.mtime == st.getModificationTime) cur.meta
@@ -62,7 +81,7 @@ class Timeline(fs: FileSystem, tablePath: Path) {
 
   /** Sorted ascending list of committed instants. */
   def instants(): Seq[String] =
-    listCommits().map(_.getPath.getName.stripSuffix(Timeline.Suffix))
+    listCommits().map(st => instantOf(st.getPath.getName))
 
   def latestInstant(): Option[String] = instants().lastOption
 
@@ -254,7 +273,15 @@ class Timeline(fs: FileSystem, tablePath: Path) {
     }
 
   def read(instant: String): CommitMeta =
-    readAt(fs.getFileStatus(new Path(dir, instant + Timeline.Suffix)))
+    readAt(
+      // checkpoint FIRST: at the archival boundary a checkpoint always
+      // supersedes the original commit file, which can transiently
+      // coexist with it until a crashed archiver's stragglers are swept
+      try fs.getFileStatus(
+        new Path(dir, instant + Timeline.CheckpointSuffix))
+      catch { case _: java.io.FileNotFoundException =>
+        fs.getFileStatus(new Path(dir, instant + Timeline.Suffix))
+      })
 
   /** Coarse single-writer lock: atomic create of `_lake/lock` holding a
     * per-acquisition UUID token. Replaces the reference's Zookeeper OCC
@@ -352,9 +379,29 @@ class Timeline(fs: FileSystem, tablePath: Path) {
       while (run && held) {
         try Thread.sleep(interval)
         catch { case _: InterruptedException => run = false }
-        if (run && held && readLockToken().contains(token))
+        if (run && held && readLockToken().contains(token)) {
+          // mtime refresh keeps readers seeing exactly the token the
+          // breaker checks; where setTimes is unsupported (object
+          // stores throw or silently no-op — the same weakness the
+          // inflight-reservation heartbeat had) fall back to rewriting
+          // the lock file with our token, which refreshes mtime on any
+          // filesystem. The commit fence keeps a heartbeat failure SAFE
+          // (the holder aborts rather than corrupting); this keeps it
+          // also LIVE on stores without mtime updates.
           try fs.setTimes(lockPath, System.currentTimeMillis(), -1)
-          catch { case _: java.io.IOException => () }
+          catch { case _: java.io.IOException =>
+            try {
+              val out = fs.create(lockPath, true)
+              try out.write(token.getBytes(StandardCharsets.UTF_8))
+              finally out.close()
+            } catch { case e: java.io.IOException =>
+              System.err.println(
+                s"[graft-lake] WARNING: writer-lock heartbeat on " +
+                  s"$tablePath failed (${e.getMessage}); the lock risks " +
+                  "being broken as stale mid-write")
+            }
+          }
+        }
       }
     }, s"lake-lock-heartbeat-${tablePath.getName}")
     heartbeat.setDaemon(true)
@@ -424,15 +471,52 @@ class Timeline(fs: FileSystem, tablePath: Path) {
       .flatMap(_.removed).distinct.filterNot(cleaned.contains)
     val dest = new Path(dir, "archive")
     fs.mkdirs(dest)
-    // fencing before the active timeline is mutated (the moves are
-    // recoverable from archive/, but a zombie archiver interleaving with
-    // a replacement holder's commits could checkpoint a stale live set)
     requireLockHeld("archive")
-    toArchive.foreach { i =>
-      fs.rename(new Path(dir, i + Timeline.Suffix),
-        new Path(dest, i + Timeline.Suffix))
+    // 1. Publish the checkpoint FIRST, under its own suffix (never
+    //    colliding with the boundary's original commit file). From this
+    //    atomic rename on, readers see checkpoint + retained commits and
+    //    every pre-boundary commit file is superseded; a crash at ANY
+    //    point leaves a readable timeline — before the rename the active
+    //    timeline is untouched, after it stragglers are ignored. (The
+    //    old order — move originals out, then write the checkpoint —
+    //    lost the archived history entirely if the archiver died between
+    //    the two steps.) Re-archiving at an unchanged boundary skips the
+    //    rewrite: the existing checkpoint's content is identical by
+    //    construction, and a delete-then-rename would open a window with
+    //    no checkpoint on disk at all.
+    val ckptPath = new Path(dir, boundary + Timeline.CheckpointSuffix)
+    if (!fs.exists(ckptPath)) {
+      val ckpt =
+        CommitMeta(boundary, "archive-checkpoint", netLive, removedNet)
+      val tmp = new Path(dir, s".$boundary.checkpoint.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(Json.write(ckpt).getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(tmp, ckptPath))
+        throw new IllegalStateException(
+          s"archive checkpoint rename failed for $boundary")
     }
-    commit(CommitMeta(boundary, "archive-checkpoint", netLive, removedNet))
+    FaultInjection.point("archive.checkpointed")
+    // 2. Move the superseded ORIGINALS to the cold store — from a raw
+    //    listing, so stragglers of a previously crashed run are swept
+    //    too — and retire older checkpoints the new one supersedes. A
+    //    move that fails because a prior run already archived that file
+    //    deletes the leftover duplicate instead.
+    val all = fs.listStatus(dir)
+    def retire(st: org.apache.hadoop.fs.FileStatus): Unit =
+      if (!fs.rename(st.getPath, new Path(dest, st.getPath.getName))) {
+        fs.delete(st.getPath, false)
+        ()
+      }
+    all.filter { st =>
+      val n = st.getPath.getName
+      n.endsWith(Timeline.Suffix) && instantOf(n) <= boundary
+    }.foreach(retire)
+    all.filter { st =>
+      val n = st.getPath.getName
+      n.endsWith(Timeline.CheckpointSuffix) && instantOf(n) < boundary
+    }.foreach(retire)
+    toArchive.foreach(cache.remove)
     toArchive
   }
 
@@ -521,6 +605,7 @@ class Timeline(fs: FileSystem, tablePath: Path) {
 
 object Timeline {
   val Suffix = ".commit.json"
+  val CheckpointSuffix = ".checkpoint.json"
   val Earliest = "earliest"
   val InflightSuffix = ".inflight"
 

@@ -14,13 +14,16 @@ import graft.util.Sessions
   * stale, sweeps the residue, and compacts successfully afterwards.
   * Unarmed, the compaction completes and the probe exits 0.
   *
-  * Usage: CrashProbe <tableDir> <rounds> <rows>
+  * Usage: CrashProbe <tableDir> <rounds> <rows> [archiveKeep]
+  * (with `archiveKeep` the probe additionally archives the timeline
+  * after ingesting — the target of the `archive.checkpointed` point)
   */
 object CrashProbe {
   def main(args: Array[String]): Unit = {
-    val Array(tableDir, roundsS, rowsS) = args
-    val rounds = roundsS.toInt
-    val rows = rowsS.toInt
+    val tableDir = args(0)
+    val rounds = args(1).toInt
+    val rows = args(2).toInt
+    val archiveKeep = if (args.length > 3) Some(args(3).toInt) else None
     val spark = Sessions.local("crash-probe", "2")
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -33,6 +36,7 @@ object CrashProbe {
     }
     // an armed crashpoint halts the JVM inside this wait
     t.awaitTableServices()
+    archiveKeep.foreach(k => t.archiveTimeline(k))
     spark.stop()
   }
 }

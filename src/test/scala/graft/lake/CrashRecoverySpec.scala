@@ -40,15 +40,16 @@ class CrashRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     "java.base/sun.security.action", "java.base/sun.util.calendar")
     .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  private def runProbe(tableDir: String,
-      crashpoint: Option[String]): (Int, String) = {
+  private def runProbe(tableDir: String, crashpoint: Option[String],
+      extraArgs: Seq[String] = Seq.empty): (Int, String) = {
     val classDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
     val cp = s"$classDir:/opt/spark/jars/*"
     val crashProp = crashpoint.map(c => s"-Dgraft.lake.crashpoint=$c").toSeq
     val p = new ProcessBuilder(
       (Seq("java", "-cp", cp, "-Xmx2g", "-Dspark.ui.enabled=false") ++
         crashProp ++ addOpens ++
-        Seq("graft.tools.CrashProbe", tableDir, "4", "10")): _*)
+        Seq("graft.tools.CrashProbe", tableDir, "4", "10") ++
+        extraArgs): _*)
       .redirectErrorStream(true).start()
     val out = new String(p.getInputStream.readAllBytes())
     (p.waitFor(), out)
@@ -188,6 +189,59 @@ class CrashRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
       FileTime.fromMillis(System.currentTimeMillis() - 31 * 60 * 1000L)))
     assert(t2.timeline.stableInstant() == t2.latestCommit,
       "stale reservation must stop capping the stable watermark")
+  }
+
+  test("JVM halt between archive checkpoint and the moves recovers cleanly") {
+    val work = Files.createTempDirectory("crashprobe")
+    val tableDir = work.resolve("t").toString
+    val t = LakeTable.create(spark, tableDir,
+      TableMeta("cra", Seq("id"), "ts", Seq("part"))) // COW, no services
+    t.upsert(df((1, 1L, "p0", 0.0)))
+
+    val (code, out) = runProbe(tableDir, Some("archive.checkpointed"),
+      extraArgs = Seq("2")) // ingest 4 commits, then archive keep=2
+    assert(code == 137,
+      s"probe should be halted mid-archive, exit=$code, " +
+        s"output: ${out.takeRight(2000)}")
+
+    // the checkpoint published but the originals were never moved:
+    // superseded commit files coexist with it in the active dir
+    val tlDir = Paths.get(tableDir, "_lake", "timeline")
+    def names: Seq[String] = {
+      val s = Files.list(tlDir)
+      try {
+        val it = s.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer[String]()
+        while (it.hasNext) buf += it.next().getFileName.toString
+        buf.toSeq
+      } finally s.close()
+    }
+    val ckpts = names.filter(_.endsWith(".checkpoint.json"))
+    assert(ckpts.nonEmpty, "crash happened after the checkpoint published")
+    val boundary = ckpts.max.stripSuffix(".checkpoint.json")
+    assert(names.exists(n => n.endsWith(".commit.json") &&
+      n.stripSuffix(".commit.json") <= boundary),
+      "crash left superseded originals in the active dir")
+
+    // the timeline view already ignores the stragglers — reads are
+    // consistent with the full committed history
+    val t2 = LakeTable.load(spark, tableDir)
+    assert(t2.snapshot().count() == 1 + 10)
+    assert(t2.timeline.read(boundary).operation == "archive-checkpoint")
+
+    // recovery: break the dead archiver's lock; the next archive run
+    // sweeps the stragglers into the cold store without rewriting the
+    // checkpoint, and nothing about the table state changes
+    ageLock(tableDir)
+    t2.archiveTimeline(keepCommits = 2)
+    assert(!names.exists(n => n.endsWith(".commit.json") &&
+      n.stripSuffix(".commit.json") <= boundary),
+      "re-archive sweeps the superseded originals")
+    val cold = Paths.get(tableDir, "_lake", "timeline", "archive")
+    assert(Files.list(cold).count() >= 3, "originals landed in the cold store")
+    assert(t2.snapshot().count() == 1 + 10)
+    t2.upsert(df((2, 2L, "p0", 9.0))) // and the table keeps working
+    assert(t2.snapshot().count() == 2 + 10)
   }
 
   test("unarmed probe completes: async compaction commits and exits 0") {

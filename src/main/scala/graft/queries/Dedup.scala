@@ -79,7 +79,7 @@ object Dedup {
     * no `_SUCCESS` is a crashed producer: swept and re-contested (the
     * winner's `overwrite` mode clears any partial output).
     */
-  private def stagedOrFresh(s: SparkSession, sub: String,
+  private[queries] def stagedOrFresh(s: SparkSession, sub: String,
       write: String => Unit, fresh: () => DataFrame): DataFrame = {
     val subPath = new org.apache.hadoop.fs.Path(sub)
     val fs = subPath.getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -225,16 +225,41 @@ object Similarity {
   def ivfTopK(s: SparkSession, dir: String,
       probe: Int = IvfProbe): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = Relational.t(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cent = ivfCentroids(e)
-    val assigned = assignCells(e, cent)
-    val corpus = e.join(assigned, "vec_id")
+    // The IVF INDEX is a persisted pipeline artifact: under
+    // [[Dedup.StageDirConf]] the centroid matrix and the assigned corpus
+    // are staged ONCE per input dir, the corpus hive-partitioned BY CELL
+    // — probing then IS partition pruning (the broadcast cell join
+    // triggers dynamic partition pruning on the parquet scan), the exact
+    // 100 TB layout where each cell is a partition directory. Without
+    // the conf, training runs in-plan as before. Results are identical
+    // either way: training is deterministic.
+    var eMat: DataFrame = null
+    def e: DataFrame = {
+      if (eMat == null)
+        eMat = Relational.t(s, dir, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      eMat
+    }
+    val (cent, corpus) = s.conf.getOption(Dedup.StageDirConf) match {
+      case Some(stage) =>
+        val tag = math.abs(dir.hashCode).toString
+        val c = Dedup.stagedOrFresh(s, s"$stage/ivf_cent_$tag",
+          out => ivfCentroids(e).write.mode("overwrite").parquet(out),
+          () => ivfCentroids(e))
+        val cor = Dedup.stagedOrFresh(s, s"$stage/ivf_corpus_$tag",
+          out => e.join(assignCells(e, c), "vec_id")
+            .write.mode("overwrite").partitionBy("cell").parquet(out),
+          () => e.join(assignCells(e, c), "vec_id"))
+        (c, cor)
+      case None =>
+        val c = ivfCentroids(e)
+        (c, e.join(assignCells(e, c), "vec_id"))
+    }
     // rank cells per query by centroid similarity, keep the probe nearest
     val wq = Window.partitionBy("query_id")
       .orderBy(col("csim").desc, col("cell").asc)
-    val qcells = e.filter(col("vec_id") < 3)
+    val qcells = corpus.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .crossJoin(broadcast(cent))
       .withColumn("csim", cosine(col("qv"), col("cv")))
@@ -252,6 +277,7 @@ object Similarity {
       .select("query_id", "vec_id", "sim", "rk")
       .orderBy("query_id", "rk")
     // top-k is tiny — materialize it and release the embeddings cache
-    Dedup.releaseAfter(topk, e)
+    // (never materialized at all when the staged index served the query)
+    if (eMat != null) Dedup.releaseAfter(topk, eMat) else topk
   }
 }

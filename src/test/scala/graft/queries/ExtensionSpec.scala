@@ -186,6 +186,9 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val clustersFresh = Dedup.dedupClusters(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getBoolean(3))).toSet
+    val ivfFresh = Similarity.ivfTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
     val stage = java.nio.file.Files.createTempDirectory("dedupstage").toString
     spark.conf.set(Dedup.StageDirConf, stage)
     try {
@@ -222,6 +225,21 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getBoolean(3))).toSet
       assert(clustersAgain == clustersFresh)
+      // the IVF index stages (centroids + corpus partitioned BY CELL);
+      // training is deterministic so results are identical, and the
+      // probed read prunes cell partitions dynamically via the
+      // broadcast cell join
+      val ivfStaged1 = Similarity.ivfTopK(spark, sf) // writes the index
+      assert(ivfStaged1.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSeq == ivfFresh)
+      assert(new java.io.File(stage).listFiles()
+        .exists(_.getName.startsWith("ivf_corpus_")), "IVF index staged")
+      val ivfStaged2 = Similarity.ivfTopK(spark, sf) // reads the index
+      assert(ivfStaged2.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSeq == ivfFresh)
+      assert(ivfStaged2.queryExecution.executedPlan.toString
+        .toLowerCase.contains("dynamicpruning"),
+        "probing the staged index must prune cell partitions dynamically")
     } finally spark.conf.unset(Dedup.StageDirConf)
   }
 }

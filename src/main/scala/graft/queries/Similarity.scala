@@ -90,7 +90,23 @@ object Similarity {
     */
   def semanticClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(s,
-      cosinePairs(s, dir).select(col("id_a"), col("id_b")), "vec_id")
+      stagedCosinePairs(s, dir).select(col("id_a"), col("id_b")), "vec_id")
+
+  /** The cosine pair list as a staged pipeline artifact — same contract
+    * as [[Dedup.stagedPairs]]: the measured `dedup_cosine_pairs` query
+    * always computes; downstream cluster formation reads the staged
+    * artifact when the stage dir is on, so the pair scan runs once per
+    * corpus snapshot.
+    */
+  private def stagedCosinePairs(s: SparkSession, dir: String): DataFrame =
+    s.conf.getOption(Dedup.StageDirConf) match {
+      case Some(stage) =>
+        Dedup.stagedOrFresh(s,
+          s"$stage/cospairs_${math.abs(dir.hashCode).toString}",
+          out => cosinePairs(s, dir).write.mode("overwrite").parquet(out),
+          () => cosinePairs(s, dir))
+      case None => cosinePairs(s, dir)
+    }
 
   /** Deterministic pseudo-random hyperplane component for (plane p, i):
     * a fixed-seed hash mapped to [-1, 1). Engine-internal (xxhash64) — the

@@ -189,6 +189,9 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ivfFresh = Similarity.ivfTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
       .toSeq
+    val semFresh = Similarity.semanticClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
     val stage = java.nio.file.Files.createTempDirectory("dedupstage").toString
     spark.conf.set(Dedup.StageDirConf, stage)
     try {
@@ -240,6 +243,17 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(ivfStaged2.queryExecution.executedPlan.toString
         .toLowerCase.contains("dynamicpruning"),
         "probing the staged index must prune cell partitions dynamically")
+      // semantic clusters consume the staged cosine-pair artifact
+      val semStaged = Similarity.semanticClusters(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSet
+      assert(semStaged == semFresh)
+      val semAgain = Similarity.semanticClusters(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSet
+      assert(semAgain == semFresh)
+      assert(new java.io.File(stage).listFiles()
+        .exists(_.getName.startsWith("cospairs_")), "cosine pairs staged")
     } finally spark.conf.unset(Dedup.StageDirConf)
   }
 }

@@ -301,7 +301,7 @@ class Timeline(fs: FileSystem, tablePath: Path) {
     *    wins the break. If the grave turns out fresh after all (the
     *    check-then-rename race), it is renamed straight back.
     */
-  def withLock[T](staleAfterMs: Long = 10 * 60 * 1000L)(body: => T): T = {
+  def withLock[T](staleAfterMs: Long = Timeline.LockStaleMs)(body: => T): T = {
     // REENTRANT within a thread (per Timeline instance): a locked write
     // path may call a helper that itself locks (e.g. schema evolution
     // from both locked and optimistic writers)
@@ -614,6 +614,16 @@ object Timeline {
     * tests can exercise the sweep without waiting.
     */
   private[lake] var InflightStaleMs: Long = 30 * 60 * 1000L
+
+  /** Writer-lock staleness window: a lock whose heartbeat stalled for
+    * this long may be broken by a waiting writer (the lazy failed-writes
+    * policy). Tunable via `-Dgraft.lake.lock.staleMs` — an ops knob for
+    * how fast survivors reclaim a crashed holder's lock, at the price of
+    * how long a live holder may pause before being fenced out.
+    */
+  private[lake] var LockStaleMs: Long =
+    sys.props.get("graft.lake.lock.staleMs").map(_.toLong)
+      .getOrElse(10 * 60 * 1000L)
 
   /** Cache entry: commit parse validated by file (length, mtime). */
   private[lake] case class Entry(len: Long, mtime: Long, meta: CommitMeta)

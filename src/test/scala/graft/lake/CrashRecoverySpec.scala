@@ -244,6 +244,59 @@ class CrashRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t2.snapshot().count() == 2 + 10)
   }
 
+  test("concurrent writers survive a peer crashing mid-publish with the lock held") {
+    val work = Files.createTempDirectory("crashprobe")
+    val tableDir = work.resolve("t").toString
+    val t = LakeTable.create(spark, tableDir,
+      TableMeta("crx", Seq("id"), "ts", Seq("part")))
+    t.upsert(df((1, 1L, "p0", 0.0)))
+    val classDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    val cp = s"$classDir:/opt/spark/jars/*"
+    // shrink the lock lease so survivors reclaim the dead holder's lock
+    // in seconds instead of the 10-minute production default
+    val lockProp = "-Dgraft.lake.lock.staleMs=5000"
+    def spawn(main: String, extra: Seq[String], props: Seq[String]): Process =
+      new ProcessBuilder(
+        (Seq("java", "-cp", cp, "-Xmx2g", "-Dspark.ui.enabled=false",
+          lockProp) ++ props ++ addOpens ++ Seq(main, tableDir) ++ extra): _*)
+        .redirectErrorStream(true).start()
+    // keys: crasher 1000-1009 (contributes NOTHING - it dies on its
+    // first publish); survivors 2000-2019 / 3000-3019, 3 rounds each
+    val crasher = spawn("graft.tools.CrashProbe", Seq("4", "10"),
+      Seq("-Dgraft.lake.crashpoint=publish.renamed"))
+    val survivors = Seq(
+      spawn("graft.tools.UpsertProbe", Seq("2", "3", "20"), Seq.empty),
+      spawn("graft.tools.UpsertProbe", Seq("3", "3", "20"), Seq.empty))
+    val crasherOut = new String(crasher.getInputStream.readAllBytes())
+    assert(crasher.waitFor() == 137,
+      s"crasher should halt mid-publish: ${crasherOut.takeRight(1500)}")
+    survivors.foreach { pr =>
+      val out = new String(pr.getInputStream.readAllBytes())
+      assert(pr.waitFor() == 0,
+        s"survivor must complete despite the dead holder's lock: " +
+          s"${out.takeRight(3000)}")
+    }
+    // exact final state: both survivors' full workloads landed, the
+    // crashed writer's keys never became visible, commit count exact
+    val t2 = LakeTable.load(spark, tableDir)
+    val rows = t2.snapshot().select("id", "ts", "v").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows.size == 1 + 40, s"got ${rows.size} rows: $rows")
+    assert(!rows.exists(r => r._1 >= 1000 && r._1 < 2000),
+      "the crashed writer's keys must not be visible")
+    rows.filter(_._1 >= 2000).foreach { case (id, ts, v) =>
+      assert(ts == 3L && v == 300.0 + id % 1000, s"key $id: ts=$ts v=$v")
+    }
+    assert(t2.timeline.instants().size == 1 + 6)
+    // crash residue (renamed-but-uncommitted files) sweeps; use the
+    // shortened lease in this JVM too in case the dead holder's lock
+    // was never contended and still sits on disk
+    val before = Timeline.LockStaleMs
+    Timeline.LockStaleMs = 5000
+    try assert(t2.cleanOrphanedData() >= 1)
+    finally Timeline.LockStaleMs = before
+  }
+
   test("unarmed probe completes: async compaction commits and exits 0") {
     val work = Files.createTempDirectory("crashprobe")
     val tableDir = work.resolve("t").toString

@@ -567,7 +567,13 @@ class Timeline(fs: FileSystem, tablePath: Path) {
     */
   private[lake] def dropCommits(instants: Seq[String]): Unit = {
     requireLockHeld("dropCommits")
-    instants.foreach { i =>
+    // NEWEST FIRST: a crash after any prefix of descending deletes
+    // leaves a timeline identical to a completed restore to some higher
+    // intermediate instant — always a consistent snapshot — and
+    // re-running the original restore finishes the job. Ascending
+    // deletes would instead leave a HOLE: an older commit gone while a
+    // newer one that built on its state survives.
+    instants.sorted.reverse.foreach { i =>
       fs.delete(new Path(dir, i + Timeline.Suffix), false)
       cache.remove(i)
       ()

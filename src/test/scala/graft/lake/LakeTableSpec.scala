@@ -215,6 +215,33 @@ class LakeTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.toSeq
   }
 
+  test("a straggler commit file below the archive checkpoint never changes reads") {
+    val path = tmp()
+    val t = mkTable(path)
+    (1 to 5).foreach(i => t.upsert(df((1, "a", i * 10L, "p1", i.toDouble))))
+    val full = t.snapshot().drop("_commit_time").collect().toSeq
+    t.archiveTimeline(keepCommits = 2)
+    val instantsAfter = t.timeline.instants()
+    assert(t.snapshot().drop("_commit_time").collect().toSeq == full)
+    // simulate the crashed-archiver window: an archived ORIGINAL commit
+    // file reappears in the active dir below the checkpoint — readers
+    // must ignore it entirely (the checkpoint supersedes it)
+    val tl = java.nio.file.Paths.get(path.stripPrefix("file:"), "_lake", "timeline")
+    val archived = java.nio.file.Files.list(tl.resolve("archive"))
+      .filter(_.getFileName.toString.endsWith(".commit.json"))
+      .findFirst().get()
+    java.nio.file.Files.copy(archived, tl.resolve(archived.getFileName))
+    assert(t.timeline.instants() == instantsAfter,
+      "a superseded straggler must not reappear in the instant list")
+    assert(t.snapshot().drop("_commit_time").collect().toSeq == full)
+    // the next archive run sweeps the straggler back out
+    t.upsert(df((1, "a", 60L, "p1", 6.0)))
+    t.archiveTimeline(keepCommits = 2)
+    assert(!java.nio.file.Files.exists(tl.resolve(archived.getFileName)),
+      "re-archive must sweep the straggler")
+    assert(t.snapshot().select("v").head().getDouble(0) == 6.0)
+  }
+
   test("archive then clean physically deletes files removed by archived commits") {
     val path = tmp()
     val t = mkTable(path)

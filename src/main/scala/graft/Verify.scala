@@ -13,11 +13,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A throwing query must surface as a red row in the round artifact,
+    // not vanish from it: leave a _FAILED marker where the driver expects
+    // the result dir (so the compare records an error instead of silently
+    // omitting the query) and exit non-zero at the end.
+    var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed ::= name
+        val dir = Paths.get(s"$outDir/$name")
+        Files.createDirectories(dir)
+        Files.writeString(dir.resolve("_FAILED"),
+          Option(e.getMessage).getOrElse(e.getClass.getName))
       }
       // free per-query persisted intermediates and accumulated shuffle
       // state (see Bench — ContextCleaner needs a GC to fire)
@@ -40,5 +50,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} failed: ${failed.reverse.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -22,13 +22,29 @@ object Relational {
   private val dec = DecimalType(18, 2)
   private val dec6 = DecimalType(22, 6)
 
-  /** `events` with its TIMESTAMP(NANOS) column restored to a timestamp.
-    * Read as epoch-nanos long (legacy.parquet.nanosAsLong), then integer-
-    * divided to micros — double division would lose precision at 1e18.
+  /** `events` with `ts` normalized to a session-TZ timestamp, whatever the
+    * parquet encoding. Fixture generations have used both TIMESTAMP(NANOS)
+    * (surfaces as epoch-nanos long under legacy.parquet.nanosAsLong — see
+    * [[graft.util.Sessions]]) and plain TIMESTAMP(MICROS) (surfaces as
+    * TIMESTAMP_NTZ), so branch on the read dtype instead of assuming one:
+    *  - long: integer-divide nanos→micros (double division would lose
+    *    precision at 1e18) and stamp as timestamp;
+    *  - NTZ: cast to TIMESTAMP — an identity on the underlying micros
+    *    under the UTC-pinned session, matching DuckDB's `epoch_us(ts)`
+    *    on the naive value;
+    *  - already TIMESTAMP: pass through.
     */
-  def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
 
   /** A1 pricing summary (DWD2DM.scala:32-34 shape, TPC-H Q1 flavored). */
   def q1PricingSummary(s: SparkSession, dir: String): DataFrame =

@@ -23,8 +23,10 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
-      // default; read as epoch-nanos long and convert explicitly.
+      // Some fixture generations write events.ts as TIMESTAMP(NANOS),
+      // which Spark 4 rejects by default; with this flag it surfaces as
+      // an epoch-nanos long that Relational.events converts explicitly.
+      // Harmless for MICROS-encoded fixtures (the flag only affects NANOS).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 }

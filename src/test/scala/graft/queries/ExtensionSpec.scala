@@ -80,6 +80,22 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset(Dedup.StarEdgesConf)
   }
 
+  test("semantic candidate pairs equal the all-pairs baseline (recall 1.0 here)") {
+    // the IVF multi-assign candidate path must find EVERY pair the
+    // all-pairs scan finds on this corpus — the driver's hash gate
+    // compares semanticClusters against a DuckDB all-pairs oracle, so
+    // recall < 1 here means a red round, not a soft metric
+    val exact = Similarity.cosinePairs(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Similarity.semanticPairs(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(cand == exact,
+      s"candidate path diverged: missing=${exact -- cand} extra=${cand -- exact}")
+  }
+
   test("semantic clusters: cosine pairs co-clustered, canonical is min member") {
     val pairs = Similarity.cosinePairs(spark, sf)
       .select("id_a", "id_b").collect()
@@ -243,7 +259,8 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(ivfStaged2.queryExecution.executedPlan.toString
         .toLowerCase.contains("dynamicpruning"),
         "probing the staged index must prune cell partitions dynamically")
-      // semantic clusters consume the staged cosine-pair artifact
+      // semantic clusters consume the staged semantic-pair artifact
+      // (candidate centroids stage too, under the same protocol)
       val semStaged = Similarity.semanticClusters(spark, sf).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getBoolean(3))).toSet
@@ -253,7 +270,9 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
           r.getBoolean(3))).toSet
       assert(semAgain == semFresh)
       assert(new java.io.File(stage).listFiles()
-        .exists(_.getName.startsWith("cospairs_")), "cosine pairs staged")
+        .exists(_.getName.startsWith("sempairs_")), "semantic pairs staged")
+      assert(new java.io.File(stage).listFiles()
+        .exists(_.getName.startsWith("sem_cent_")), "semantic centroids staged")
     } finally spark.conf.unset(Dedup.StageDirConf)
   }
 }

@@ -73,7 +73,7 @@ object SparkEntry {
     "dedup_semantic_clusters" -> (Similarity.semanticClusters _),
     "dedup_incremental" -> (Dedup.incrementalDedup _),
     "text_tokens_bpe" -> (TextAnalysis.tokenCounts _),
-    "sim_lsh_topk" -> (Similarity.lshTopK _), // rows-only (engine hash)
+    "sim_lsh_topk" -> (Similarity.lshTopK _), // hash-gated (portable planes)
     // corpus-selection pack: deterministic sampling, budgeted selection,
     // decontamination, term profiling, embedding audit
     "curate_sample_hash" -> (Curation.hashSample _),
@@ -739,6 +739,45 @@ object SparkEntry {
          |    (sqrt(${cosineFold.format("e.embedding", "e.embedding")}) *
          |     sqrt(${cosineFold.format("q.qv", "q.qv")})) AS sim
          |  FROM e, q WHERE e.vec_id <> q.query_id),
+         |r AS (SELECT query_id, vec_id, sim,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS INT) AS rk
+         |  FROM scored)
+         |SELECT query_id, vec_id, sim, rk FROM r WHERE rk <= 10
+         |ORDER BY query_id, rk""".stripMargin,
+    // The LSH plane family is portable ANSI arithmetic (multiplicative
+    // scramble over the linearized (plane, dim) index, exact /1e6
+    // division), and both engines fold the plane dot sequentially, so
+    // the bucket sign decisions — and hence the whole ANN result — are
+    // bit-identical. 8 tables × 4 planes, bucket = big-endian sign bits.
+    "sim_lsh_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |pl AS (SELECT t.tbl, p.p, t.tbl * 4 + p.p AS gp
+         |       FROM range(8) t(tbl), range(4) p(p)),
+         |dots AS (
+         |  SELECT e.vec_id, pl.tbl, pl.p,
+         |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) *
+         |        ((((pl.gp * 64 + i) * 2654435761) % 1073741789) % 2000001
+         |          - 1000000) / 1000000.0)),
+         |      (a, x) -> a + x) AS d
+         |  FROM e, pl),
+         |buckets AS (
+         |  SELECT vec_id, tbl,
+         |    SUM((CASE WHEN d >= 0 THEN 1 ELSE 0 END) * (1 << (3 - p))) AS bucket
+         |  FROM dots GROUP BY vec_id, tbl),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, b.vec_id
+         |  FROM buckets b
+         |  JOIN buckets q ON b.tbl = q.tbl AND b.bucket = q.bucket
+         |  WHERE q.vec_id < 3 AND b.vec_id <> q.vec_id),
+         |scored AS (
+         |  SELECT c.query_id, c.vec_id,
+         |    ${cosineFold.format("ce.embedding", "qe.embedding")} /
+         |    (sqrt(${cosineFold.format("ce.embedding", "ce.embedding")}) *
+         |     sqrt(${cosineFold.format("qe.embedding", "qe.embedding")})) AS sim
+         |  FROM cand c
+         |  JOIN e ce ON ce.vec_id = c.vec_id
+         |  JOIN e qe ON qe.vec_id = c.query_id),
          |r AS (SELECT query_id, vec_id, sim,
          |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS INT) AS rk
          |  FROM scored)

@@ -14,8 +14,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * per-query top-k runs as a window over k·Q rows. The LSH-bucketed
   * variant ([[lshTopK]]) is the sub-linear path: sign-bit buckets of
   * deterministic pseudo-random hyperplanes prune the corpus before exact
-  * re-scoring (recall measured in the spec against brute force, no SQL
-  * oracle — the hyperplane hashes are Spark-specific).
+  * re-scoring — the plane family is portable ANSI arithmetic, so the
+  * whole ANN result sits under the DuckDB hash gate (recall vs brute
+  * force is additionally measured in the spec).
   */
 object Similarity {
 
@@ -189,20 +190,18 @@ object Similarity {
       case None => semanticPairs(s, dir)
     }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, i):
-    * a fixed-seed hash mapped to [-1, 1). Engine-internal (xxhash64) — the
-    * LSH path has no SQL oracle by design.
+  /** Deterministic pseudo-random hyperplane component for (global plane p,
+    * dim i), mapped to [-1, 1]: a multiplicative scramble (Knuth constant,
+    * the [[Dedup.simhashes]] family) over the linearized (p, i) index.
+    * Pure ANSI integer arithmetic + one exact division, so ANY engine
+    * replicates it bit-for-bit — this is what puts the LSH ANN under the
+    * DuckDB hash gate (vs the earlier engine-internal xxhash64 family).
+    * Products stay far below 2^63; every intermediate is non-negative, so
+    * `%` and `pmod` agree across engines.
     */
   private def planeComponent(p: Column, i: Column): Column =
-    (pmod(xxhash64(p, i), lit(2000001L)) - lit(1000000L)).cast("double") / 1000000.0
-
-  /** Sign-bit LSH bucket id over `nPlanes` hyperplanes. */
-  def lshBucket(vec: Column, nPlanes: Int): Column =
-    aggregate(sequence(lit(0), lit(nPlanes - 1)), lit(0L),
-      (acc, p) => acc * 2 + when(
-        aggregate(zip_with(vec, sequence(lit(0), lit(63)),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
-          lit(0.0), (a, z) => a + z) >= 0, 1L).otherwise(0L))
+    ((((p.cast("long") * 64 + i + 1) * lit(2654435761L)) % lit(1073741789L))
+      % lit(2000001L) - lit(1000000L)).cast("double") / 1000000.0
 
   /** ANN top-k: candidates = same LSH bucket under any of 8 independent
     * 4-plane tables, exact cosine re-score, top-10 per query.

@@ -223,12 +223,18 @@ object Dedup {
     * output contract as [[jaccardPairs]] (recall ≈ 1 at these
     * similarities: P[miss j=0.8] = (1-0.8⁴)¹⁶ ≈ 2e-4).
     */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val shingled = docsWithShingles(s, dir)
-    val banded = shingled
+  /** All docs banded with the shared MinHash LSH signature:
+    * (doc_id, band, bsig) — the row shape of the corpus band index.
+    */
+  private[queries] def bandedDocs(shingled: DataFrame): DataFrame =
+    shingled
       .join(minhashSignatures(shingled, NumHashes), "doc_id")
       .select(col("doc_id"),
         posexplode(lshBands(col("sig"), Bands, RowsPerBand)).as(Seq("band", "bsig")))
+
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val shingled = docsWithShingles(s, dir)
+    val banded = bandedDocs(shingled)
     val cands = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
@@ -255,25 +261,30 @@ object Dedup {
     * restated by the oracle).
     */
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val shingled = docsWithShingles(s, dir)
     // bounded control-flow scalar (one max over the corpus ids)
     val maxId = Relational.t(s, dir, "documents")
       .agg(max(col("doc_id"))).head().getLong(0)
-    val split = (maxId + 1L) * 8L / 10L
-    val banded = shingled
-      .join(minhashSignatures(shingled, NumHashes), "doc_id")
-      .select(col("doc_id"),
-        posexplode(lshBands(col("sig"), Bands, RowsPerBand)).as(Seq("band", "bsig")))
+    incrementalDedupAt(s, dir, (maxId + 1L) * 8L / 10L)
+  }
+
+  /** [[incrementalDedup]] at an explicit corpus/increment split: corpus =
+    * doc_id < split, increment = the rest.
+    */
+  def incrementalDedupAt(s: SparkSession, dir: String, split: Long): DataFrame = {
+    val shingled = docsWithShingles(s, dir)
+    val banded = bandedDocs(shingled)
     // The corpus-side band index is the artifact a production pipeline
     // PERSISTS between batches — under StageDirConf it is staged to
     // parquet once (keyed by input dir + split) and every later
     // increment reads the staged index instead of re-banding the whole
-    // corpus. Without a stage dir it stays an in-plan branch.
+    // corpus. Without a stage dir it stays an in-plan branch. After a
+    // batch is accepted, [[absorbIncrement]] advances the index to the
+    // new split by APPENDING the increment's bands — batch N+1 never
+    // re-bands batch N.
     val corpus0 = banded.filter(col("doc_id") < split)
     val corpus = s.conf.getOption(StageDirConf) match {
       case Some(stage) =>
-        stagedOrFresh(s,
-          s"$stage/bands_${math.abs(dir.hashCode).toString}_$split",
+        stagedOrFresh(s, s"$stage/${bandIndexName(dir, split)}",
           out => corpus0.write.mode("overwrite").parquet(out),
           () => corpus0)
       case None => corpus0
@@ -288,6 +299,39 @@ object Dedup {
       explode(col("sh")).as("s"))
     releaseAfter(verifyJaccard(cands, ex), shingled)
   }
+
+  private[queries] def bandIndexName(dir: String, split: Long): String =
+    s"bands_${math.abs(dir.hashCode).toString}_$split"
+
+  /** Band-index append maintenance: advance the staged corpus band index
+    * from `oldSplit` to `newSplit` by UNIONING the existing staged index
+    * with bands of only the newly-accepted docs [oldSplit, newSplit) —
+    * the per-batch cost is the increment's banding, never a corpus
+    * re-band. Banding is deterministic, so the appended index is
+    * row-identical to a from-scratch banding of doc_id < newSplit
+    * (asserted in ExtensionSpec). Publication goes through the same
+    * produce-once claim protocol as every stage artifact; without a
+    * stage dir there is nothing to maintain and this is a no-op.
+    */
+  def absorbIncrement(s: SparkSession, dir: String,
+      oldSplit: Long, newSplit: Long): Unit =
+    s.conf.getOption(StageDirConf).foreach { stage =>
+      val shingled = docsWithShingles(s, dir)
+      val oldPath = new org.apache.hadoop.fs.Path(
+        s"$stage/${bandIndexName(dir, oldSplit)}")
+      val fs = oldPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val old =
+        if (fs.exists(new org.apache.hadoop.fs.Path(oldPath, "_SUCCESS")))
+          s.read.parquet(oldPath.toString)
+        else bandedDocs(shingled).filter(col("doc_id") < oldSplit)
+      val incBands = bandedDocs(shingled)
+        .filter(col("doc_id") >= oldSplit && col("doc_id") < newSplit)
+      stagedOrFresh(s, s"$stage/${bandIndexName(dir, newSplit)}",
+        out => old.union(incBands).write.mode("overwrite").parquet(out),
+        () => old.union(incBands))
+      shingled.unpersist(false)
+      ()
+    }
 
   /** SimHash near-dup pairs (Hamming distance ≤ 3), candidates banded on
     * the four 15-bit chunks (any pair within distance 3 shares a chunk by

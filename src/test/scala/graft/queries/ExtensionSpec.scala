@@ -127,6 +127,35 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     inc.foreach { case (a, b) => assert(a < split && b >= split) }
   }
 
+  test("band index append: batch 2 reads the absorbed index, equals from-scratch") {
+    val maxId = graft.queries.Relational.t(spark, sf, "documents")
+      .agg(max(col("doc_id"))).head().getLong(0)
+    val s1 = (maxId + 1L) * 7L / 10L
+    val s2 = (maxId + 1L) * 8L / 10L
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fresh2 = pairs(Dedup.incrementalDedupAt(spark, sf, s2)) // unstaged
+    val stage = java.nio.file.Files.createTempDirectory("bandappend").toString
+    spark.conf.set(Dedup.StageDirConf, stage)
+    try {
+      Dedup.incrementalDedupAt(spark, sf, s1).collect() // stages the s1 index
+      assert(new java.io.File(
+        s"$stage/${Dedup.bandIndexName(sf, s1)}/_SUCCESS").exists())
+      Dedup.absorbIncrement(spark, sf, s1, s2) // appends [s1, s2) bands
+      val idxPath = s"$stage/${Dedup.bandIndexName(sf, s2)}"
+      assert(new java.io.File(s"$idxPath/_SUCCESS").exists(),
+        "appended index published")
+      // batch 2 consumes the appended index and equals the from-scratch run
+      assert(pairs(Dedup.incrementalDedupAt(spark, sf, s2)) == fresh2)
+      // the appended index is row-identical to banding [0, s2) from scratch
+      val appended = spark.read.parquet(idxPath).collect().toSet
+      val scratch = Dedup.bandedDocs(Dedup.docsWithShingles(spark, sf))
+        .filter(col("doc_id") < s2).collect().toSet
+      assert(appended == scratch, "append drifted from a fresh corpus banding")
+    } finally spark.conf.unset(Dedup.StageDirConf)
+  }
+
   test("simhash near-dup pairs overlap heavily with jaccard pairs") {
     val jac = Dedup.jaccardPairs(spark, sf)
       .select("id_a", "id_b").collect()

@@ -352,7 +352,20 @@ object Similarity {
         val c = ivfCentroids(e)
         (c, e.join(assignCells(e, c), "vec_id"))
     }
-    // rank cells per query by centroid similarity, keep the probe nearest
+    val topk = ivfProbeTopK(cent, corpus, probe)
+    // top-k is tiny — materialize it and release the embeddings cache
+    // (never materialized at all when the staged index served the query)
+    if (eMat != null) Dedup.releaseAfter(topk, eMat) else topk
+  }
+
+  /** The probe phase over an assembled IVF index: `corpus` carries
+    * (vec_id, embedding, cell). Rank cells per query by centroid
+    * similarity, keep the `probe` nearest, exact-rescore only those
+    * cells' members.
+    */
+  private[queries] def ivfProbeTopK(cent: DataFrame, corpus: DataFrame,
+      probe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wq = Window.partitionBy("query_id")
       .orderBy(col("csim").desc, col("cell").asc)
     val qcells = corpus.filter(col("vec_id") < 3)
@@ -364,7 +377,7 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("cell"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("vec_id").asc)
-    val topk = corpus.join(broadcast(qcells), Seq("cell"))
+    corpus.join(broadcast(qcells), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("embedding"), col("qv")).as("sim"))
@@ -372,8 +385,43 @@ object Similarity {
       .filter(col("rk") <= 10)
       .select("query_id", "vec_id", "sim", "rk")
       .orderBy("query_id", "rk")
-    // top-k is tiny — materialize it and release the embeddings cache
-    // (never materialized at all when the staged index served the query)
-    if (eMat != null) Dedup.releaseAfter(topk, eMat) else topk
+  }
+
+  /** IVF incremental add: fold a batch of new vectors (vec_id, embedding)
+    * into the STAGED index for `dir` without retraining — each new vector
+    * is assigned to its nearest EXISTING centroid (the standard IVF add;
+    * centroids drift only at the next rebuild) and appended to the
+    * cell-partitioned corpus in place, landing as new files inside the
+    * partition directories it hits. Per-batch cost is the batch's own
+    * assignment, never a corpus re-scan; later probes see old and new
+    * vectors uniformly. Requires the staged index to exist (ivfTopK under
+    * [[Dedup.StageDirConf]] builds it).
+    */
+  def ivfAdd(s: SparkSession, dir: String, newVecs: DataFrame): Unit = {
+    val stage = s.conf.getOption(Dedup.StageDirConf).getOrElse(
+      throw new IllegalStateException(
+        s"ivfAdd needs ${Dedup.StageDirConf}: the staged IVF index is what is added to"))
+    val tag = math.abs(dir.hashCode).toString
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val centPath = s"$stage/ivf_cent_$tag"
+    val corpusPath = s"$stage/ivf_corpus_$tag"
+    require(
+      fs.exists(new org.apache.hadoop.fs.Path(centPath, "_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(corpusPath, "_SUCCESS")),
+      s"no staged IVF index for $dir under $stage — run ivfTopK first")
+    val cent = s.read.parquet(centPath)
+    // align the batch to the staged corpus schema (minus the partition
+    // column): extra corpus columns the batch lacks become typed nulls,
+    // so the appended files read back under one merged schema
+    val corpusCols = s.read.parquet(corpusPath).schema.fields
+      .filter(_.name != "cell")
+      .map { f =>
+        if (newVecs.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }
+    newVecs.select(corpusCols.toIndexedSeq: _*)
+      .join(assignCells(newVecs, cent), "vec_id")
+      .write.mode("append").partitionBy("cell").parquet(corpusPath)
   }
 }

@@ -199,6 +199,46 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.2, s"IVF recall $recall too low")
   }
 
+  test("IVF incremental add: appended vectors are probed; index grows in place") {
+    val stage = java.nio.file.Files.createTempDirectory("ivfadd").toString
+    spark.conf.set(Dedup.StageDirConf, stage)
+    try {
+      Similarity.ivfTopK(spark, sf).collect() // builds the staged index
+      val tag = math.abs(sf.hashCode).toString
+      val corpusPath = s"$stage/ivf_corpus_$tag"
+      val before = spark.read.parquet(corpusPath).count()
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+      // clones of the query vectors under fresh ids: their nearest
+      // neighbor is their original at sim ~ 1.0, and they assign to the
+      // query's own rank-1-probed cell — a sharp expectation
+      val clones = e.filter(col("vec_id") < 3)
+        .select((col("vec_id") + maxId + 1L).as("vec_id"), col("embedding"),
+          col("label"))
+      Similarity.ivfAdd(spark, sf, clones)
+      val corpusAfter = spark.read.parquet(corpusPath)
+      assert(corpusAfter.count() == before + 3, "index must grow in place")
+      assert(new java.io.File(s"$corpusPath/_SUCCESS").exists())
+      val after = Similarity.ivfTopK(spark, sf).collect()
+      (0L until 3L).foreach { q =>
+        val r1 = after.find(r => r.getLong(0) == q && r.getInt(3) == 1).get
+        assert(r1.getLong(1) == q + maxId + 1L, s"clone of query $q not rank 1")
+        assert(math.abs(r1.getDouble(2) - 1.0) < 1e-9)
+      }
+      // and the post-add result equals an in-plan probe over the union
+      // with the SAME (untouched) centroids — append ≡ assign-and-union
+      val cent = spark.read.parquet(s"$stage/ivf_cent_$tag")
+      val union = e.union(clones)
+      val expected = Similarity.ivfProbeTopK(cent,
+        union.join(Similarity.assignCells(union, cent), "vec_id"),
+        Similarity.IvfProbe).collect()
+      assert(after.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSeq ==
+        expected.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSeq)
+    } finally spark.conf.unset(Dedup.StageDirConf)
+  }
+
   test("multimodal: batched stub decode through typed Dataset plumbing") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)

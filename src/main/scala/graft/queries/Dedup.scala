@@ -77,7 +77,12 @@ object Dedup {
     * complete and otherwise just computes `fresh` — correct without
     * ever blocking on another session's write. A claim an hour old with
     * no `_SUCCESS` is a crashed producer: swept and re-contested (the
-    * winner's `overwrite` mode clears any partial output).
+    * winner's `overwrite` mode clears any partial output). The winner
+    * deletes its own claim once the write attempt finishes — after a
+    * successful publish the `_SUCCESS` check short-circuits the claim
+    * logic entirely, and after a failed write the next session may
+    * re-contest immediately instead of waiting out the crash TTL — so a
+    * healthy stage dir carries no `.claim` residue.
     */
   private[queries] def stagedOrFresh(s: SparkSession, sub: String,
       write: String => Unit, fresh: () => DataFrame): DataFrame = {
@@ -88,17 +93,46 @@ object Dedup {
     val claim = new org.apache.hadoop.fs.Path(sub + ".claim")
     try {
       val st = fs.getFileStatus(claim)
-      if (System.currentTimeMillis() - st.getModificationTime >
-          60 * 60 * 1000L)
+      if (System.currentTimeMillis() - st.getModificationTime > StageTtlMs)
         fs.delete(claim, false)
     } catch { case _: java.io.IOException => () }
     val won =
       try { fs.create(claim, false).close(); true }
       catch { case _: java.io.IOException => false }
-    if (won) { write(sub); s.read.parquet(sub) }
+    if (won) {
+      try write(sub) finally fs.delete(claim, false)
+      s.read.parquet(sub)
+    }
     else if (fs.exists(success)) s.read.parquet(sub)
     else fresh()
   }
+
+  /** Crash/supersession TTL for stage housekeeping (claim files and
+    * superseded artifacts): anything this old can no longer be a live
+    * producer or a read in flight.
+    */
+  private val StageTtlMs = 60 * 60 * 1000L
+
+  /** Delete stage subdirectories in `family` (name prefix) that are NOT
+    * `keep` and whose last modification is older than the TTL — the
+    * housekeeping for artifacts that a newer artifact supersedes (an
+    * advanced band index makes the old split's index dead weight, but a
+    * session may still be mid-read right after the advance, hence the
+    * TTL). Best-effort: IO failures are swallowed, correctness never
+    * depends on the sweep.
+    */
+  private[queries] def sweepSuperseded(s: SparkSession, stage: String,
+      family: String, keep: String, ttlMs: Long = StageTtlMs): Unit =
+    try {
+      val stagePath = new org.apache.hadoop.fs.Path(stage)
+      val fs = stagePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(stagePath).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.startsWith(family) && name != keep &&
+            System.currentTimeMillis() - st.getModificationTime > ttlMs)
+          fs.delete(st.getPath, true)
+      }
+    } catch { case _: java.io.IOException => () }
 
   private[queries] def docsWithShingles(s: SparkSession, dir: String): DataFrame = {
     val shingled = Relational.t(s, dir, "documents")
@@ -310,11 +344,13 @@ object Dedup {
     * re-band. Banding is deterministic, so the appended index is
     * row-identical to a from-scratch banding of doc_id < newSplit
     * (asserted in ExtensionSpec). Publication goes through the same
-    * produce-once claim protocol as every stage artifact; without a
+    * produce-once claim protocol as every stage artifact, and the now-
+    * superseded old split's index is TTL-swept afterwards; without a
     * stage dir there is nothing to maintain and this is a no-op.
     */
   def absorbIncrement(s: SparkSession, dir: String,
-      oldSplit: Long, newSplit: Long): Unit =
+      oldSplit: Long, newSplit: Long,
+      sweepTtlMs: Long = StageTtlMs): Unit =
     s.conf.getOption(StageDirConf).foreach { stage =>
       val shingled = docsWithShingles(s, dir)
       val oldPath = new org.apache.hadoop.fs.Path(
@@ -326,9 +362,12 @@ object Dedup {
         else bandedDocs(shingled).filter(col("doc_id") < oldSplit)
       val incBands = bandedDocs(shingled)
         .filter(col("doc_id") >= oldSplit && col("doc_id") < newSplit)
-      stagedOrFresh(s, s"$stage/${bandIndexName(dir, newSplit)}",
+      val kept = bandIndexName(dir, newSplit)
+      stagedOrFresh(s, s"$stage/$kept",
         out => old.union(incBands).write.mode("overwrite").parquet(out),
         () => old.union(incBands))
+      sweepSuperseded(s, stage, s"bands_${math.abs(dir.hashCode).toString}_",
+        kept, sweepTtlMs)
       shingled.unpersist(false)
       ()
     }

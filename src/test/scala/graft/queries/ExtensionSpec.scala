@@ -142,10 +142,13 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
       Dedup.incrementalDedupAt(spark, sf, s1).collect() // stages the s1 index
       assert(new java.io.File(
         s"$stage/${Dedup.bandIndexName(sf, s1)}/_SUCCESS").exists())
-      Dedup.absorbIncrement(spark, sf, s1, s2) // appends [s1, s2) bands
+      // ttl 0: the old split's index is superseded and swept immediately
+      Dedup.absorbIncrement(spark, sf, s1, s2, sweepTtlMs = 0L)
       val idxPath = s"$stage/${Dedup.bandIndexName(sf, s2)}"
       assert(new java.io.File(s"$idxPath/_SUCCESS").exists(),
         "appended index published")
+      assert(!new java.io.File(s"$stage/${Dedup.bandIndexName(sf, s1)}").exists(),
+        "superseded index must be swept")
       // batch 2 consumes the appended index and equals the from-scratch run
       assert(pairs(Dedup.incrementalDedupAt(spark, sf, s2)) == fresh2)
       // the appended index is row-identical to banding [0, s2) from scratch
@@ -153,6 +156,10 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
       val scratch = Dedup.bandedDocs(Dedup.docsWithShingles(spark, sf))
         .filter(col("doc_id") < s2).collect().toSet
       assert(appended == scratch, "append drifted from a fresh corpus banding")
+      // successful publishes leave no claim residue behind
+      val claims = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".claim")).map(_.getName)
+      assert(claims.isEmpty, s"claim residue: ${claims.mkString(", ")}")
     } finally spark.conf.unset(Dedup.StageDirConf)
   }
 
@@ -342,6 +349,10 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
         .exists(_.getName.startsWith("sempairs_")), "semantic pairs staged")
       assert(new java.io.File(stage).listFiles()
         .exists(_.getName.startsWith("sem_cent_")), "semantic centroids staged")
+      // every producer above published successfully → no claim residue
+      val claims = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".claim")).map(_.getName)
+      assert(claims.isEmpty, s"claim residue: ${claims.mkString(", ")}")
     } finally spark.conf.unset(Dedup.StageDirConf)
   }
 }

@@ -52,6 +52,40 @@ class MorTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.snapshot().head().getAs[Double]("v") == 7.0)
   }
 
+  test("schema evolution composes with MOR: evolve between base and deltas, compact agrees") {
+    val s = spark
+    import s.implicits._
+    val t = mkTable()
+    // base file under the original schema (no tag column yet)
+    t.insert(df((1, 10L, "p1", 1.0), (2, 10L, "p1", 2.0)))
+    // delta 1 ADDS a column via schema-on-write evolution
+    t.upsert(Seq((2, 20L, "p1", 22.0, "hot"), (3, 20L, "p2", 3.0, "cold"))
+      .toDF("id", "ts", "part", "v", "tag"))
+    // RENAME between that delta and the next one
+    t.renameColumn("v", "value")
+    t.upsert(Seq((1, 30L, "p1", 11.0, "warm"))
+      .toDF("id", "ts", "part", "value", "tag"))
+    // merged view under the evolved schema: base rows null-fill tag,
+    // pre-rename files map v → value, per-key precombine still applies
+    def view(dfr: org.apache.spark.sql.DataFrame) = dfr
+      .select("id", "ts", "part", "value", "tag").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), Option(r.getString(4)))).toSeq
+    val pre = view(t.snapshot())
+    assert(pre == Seq(
+      (1, 30L, "p1", 11.0, Some("warm")),
+      (2, 20L, "p1", 22.0, Some("hot")),
+      (3, 20L, "p2", 3.0, Some("cold"))))
+    // compaction rewrites bases under the evolved schema; the merged
+    // view must not move, and the read-optimized view converges to it
+    assert(t.compact().isDefined)
+    assert(view(t.snapshot()) == pre)
+    assert(view(t.readOptimized()) == pre)
+    // a fresh load sees the same state (evolution is table metadata,
+    // not session state)
+    assert(view(LakeTable.load(s, t.path).snapshot()) == pre)
+  }
+
   test("compaction merges to base; snapshot unchanged; incremental survives") {
     val t = mkTable()
     val c1 = t.upsert(df((1, 10L, "p1", 1.0), (2, 10L, "p1", 2.0)))

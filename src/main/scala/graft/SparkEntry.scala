@@ -74,6 +74,9 @@ object SparkEntry {
     "dedup_incremental" -> (Dedup.incrementalDedup _),
     "text_tokens_bpe" -> (TextAnalysis.tokenCounts _),
     "sim_lsh_topk" -> (Similarity.lshTopK _), // hash-gated (portable planes)
+    // int8-code candidate ranking + exact float re-score — the quantized
+    // memory-bandwidth ANN path, deterministic end to end (hash-gated)
+    "sim_quant_topk" -> ((s, dir) => Similarity.quantizedTopK(s, dir)),
     // corpus-selection pack: deterministic sampling, budgeted selection,
     // decontamination, term profiling, embedding audit
     "curate_sample_hash" -> (Curation.hashSample _),
@@ -781,6 +784,53 @@ object SparkEntry {
          |r AS (SELECT query_id, vec_id, sim,
          |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS INT) AS rk
          |  FROM scored)
+         |SELECT query_id, vec_id, sim, rk FROM r WHERE rk <= 10
+         |ORDER BY query_id, rk""".stripMargin,
+    // Quantized ANN: int8 codes (the emb_quantize recipe), exact integer
+    // code dot/norms, quantized-cosine shortlist of 30, float re-score.
+    // Every step is exact integer arithmetic or division of
+    // exactly-representable values — bit-identical across engines.
+    "sim_quant_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |s AS (SELECT vec_id, embedding,
+         |  CASE WHEN list_max(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE)))) > 0
+         |    THEN 127.0 / list_max(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE))))
+         |    ELSE 0.0 END AS scale
+         |  FROM e),
+         |qz AS (SELECT vec_id, embedding,
+         |  list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)) AS qv
+         |  FROM s),
+         |n AS (SELECT vec_id, embedding, qv,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(qv, v -> v * v)), (a, b) -> a + b) AS qnorm
+         |  FROM qz),
+         |qry AS (SELECT vec_id AS query_id, embedding AS qemb, qv AS qqv,
+         |    qnorm AS qqnorm
+         |  FROM n WHERE vec_id < 3),
+         |scored AS (
+         |  SELECT q.query_id, n.vec_id, n.embedding, q.qemb,
+         |    CASE WHEN n.qnorm = 0 OR q.qqnorm = 0 THEN -1.0
+         |      ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(range(1, 65), i -> n.qv[i] * q.qqv[i])),
+         |        (a, b) -> a + b) AS DOUBLE)
+         |        / (sqrt(CAST(n.qnorm AS DOUBLE)) *
+         |           sqrt(CAST(q.qqnorm AS DOUBLE))) END AS qsim
+         |  FROM n, qry q WHERE n.vec_id <> q.query_id),
+         |cand AS (SELECT query_id, vec_id, embedding, qemb,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY qsim DESC, vec_id ASC) AS qrk
+         |  FROM scored),
+         |resc AS (SELECT query_id, vec_id,
+         |  ${cosineFold.format("embedding", "qemb")} /
+         |  (sqrt(${cosineFold.format("embedding", "embedding")}) *
+         |   sqrt(${cosineFold.format("qemb", "qemb")})) AS sim
+         |  FROM cand WHERE qrk <= 30),
+         |r AS (SELECT query_id, vec_id, sim,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS INT) AS rk
+         |  FROM resc)
          |SELECT query_id, vec_id, sim, rk FROM r WHERE rk <= 10
          |ORDER BY query_id, rk""".stripMargin
     )

@@ -387,6 +387,60 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Quantized ANN top-k: candidates ranked on INT8 codes, exact float
+    * re-score of the shortlist — the memory-bandwidth lever at scale
+    * (codes are 4× smaller than float32, so the candidate scan touches a
+    * quarter of the bytes; only `rerank` vectors per query are read at
+    * full precision). Quantization mirrors the oracle-proven
+    * `emb_quantize` recipe exactly (symmetric per-vector scale 127/max,
+    * round-half-up), the code dot/norms are exact integer arithmetic and
+    * the quantized cosine divides exactly-representable integers — every
+    * step replicable by any engine, so unlike LSH/IVF this ANN query is
+    * fully hash-gated. Composes with the IVF layout in production: store
+    * codes in the cell-partitioned index and rescore only probed cells
+    * (here it runs as a linear scan, the honest baseline form). Zero
+    * vectors quantize to all-zero codes; their candidate score is pinned
+    * to -1 (below every real score) rather than NaN, mirrored in the
+    * oracle.
+    */
+  def quantizedTopK(s: SparkSession, dir: String, rerank: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Relational.t(s, dir, "embeddings")
+    val absMax = array_max(transform(col("embedding"), v => abs(v.cast("double"))))
+    val coded = e
+      .select(col("vec_id"), col("embedding"),
+        when(absMax > 0, lit(127.0) / absMax).otherwise(lit(0.0)).as("scale"))
+      .withColumn("qv", transform(col("embedding"),
+        v => floor(v.cast("double") * col("scale") + 0.5).cast("long")))
+      .withColumn("qnorm",
+        aggregate(transform(col("qv"), v => v * v), lit(0L), (a, v) => a + v))
+      .select(col("vec_id"), col("embedding"), col("qv"), col("qnorm"))
+    val q = coded.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
+        col("qv").as("qqv"), col("qnorm").as("qqnorm"))
+    val qdot = aggregate(zip_with(col("qv"), col("qqv"), (a, b) => a * b),
+      lit(0L), (acc, z) => acc + z)
+    val scored = coded.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("embedding"), col("qemb"),
+        when(col("qnorm") === 0 || col("qqnorm") === 0, lit(-1.0))
+          .otherwise(qdot.cast("double") /
+            (sqrt(col("qnorm").cast("double")) *
+              sqrt(col("qqnorm").cast("double")))).as("qsim"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("qsim").desc, col("vec_id").asc)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("qrk", row_number().over(wq))
+      .filter(col("qrk") <= rerank)
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("embedding"), col("qemb")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select("query_id", "vec_id", "sim", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   /** IVF incremental add: fold a batch of new vectors (vec_id, embedding)
     * into the STAGED index for `dir` without retraining — each new vector
     * is assigned to its nearest EXISTING centroid (the standard IVF add;

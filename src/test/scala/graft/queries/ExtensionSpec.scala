@@ -206,6 +206,24 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.2, s"IVF recall $recall too low")
   }
 
+  test("quantized ANN: int8 shortlist + float re-score recovers the exact top-k") {
+    val bf = Similarity.topKBruteForce(spark, sf).collect()
+    val bfSet = bf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qt = Similarity.quantizedTopK(spark, sf).collect()
+    val qSet = qt.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bfSet.count(qSet.contains).toDouble / bfSet.size
+    assert(recall >= 0.9, s"quantized recall $recall too low")
+    // the re-score is the EXACT cosine: rows shared with brute force
+    // must carry bit-identical sims
+    val bfSims = bf.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    qt.foreach { r =>
+      bfSims.get((r.getLong(0), r.getLong(1))).foreach { s0 =>
+        assert(r.getDouble(2) == s0,
+          s"re-scored sim drifted for (${r.getLong(0)}, ${r.getLong(1)})")
+      }
+    }
+  }
+
   test("IVF incremental add: appended vectors are probed; index grows in place") {
     val stage = java.nio.file.Files.createTempDirectory("ivfadd").toString
     spark.conf.set(Dedup.StageDirConf, stage)

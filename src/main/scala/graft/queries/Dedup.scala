@@ -134,11 +134,18 @@ object Dedup {
       }
     } catch { case _: java.io.IOException => () }
 
-  private[queries] def docsWithShingles(s: SparkSession, dir: String): DataFrame = {
-    val shingled = Relational.t(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), shingles(col("text"), N).as("sh"))
+  /** Shingle a (doc_id, text, ...) frame — the frame-level form of
+    * [[docsWithShingles]] for callers that bring their own documents
+    * (streaming micro-batches).
+    */
+  private[graft] def shingleDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingles(col("text"), N).as("sh"))
       .filter(size(col("sh")) > 0)
+
+  private[queries] def docsWithShingles(s: SparkSession, dir: String): DataFrame = {
+    val shingled = shingleDocs(
+      Relational.t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism))
     // the shingle projection is interpreted (higher-order fn) and this
     // frame appears in 3 plan branches (index + two verify joins) —
     // cache it instead of shingling three times. Size ≈ corpus ×
@@ -223,7 +230,7 @@ object Dedup {
     * load-bearing: a pair matched by k candidate shingles would join
     * k× and inflate `shared` k-fold.
     */
-  private def verifyJaccard(cands: DataFrame, ex: DataFrame): DataFrame =
+  private[graft] def verifyJaccard(cands: DataFrame, ex: DataFrame): DataFrame =
     cands
       .join(ex.select(col("doc_id").as("id_a"), col("n").as("na"), col("s")), "id_a")
       .join(ex.select(col("doc_id").as("id_b"), col("n").as("nb"), col("s")),
@@ -260,7 +267,7 @@ object Dedup {
   /** All docs banded with the shared MinHash LSH signature:
     * (doc_id, band, bsig) — the row shape of the corpus band index.
     */
-  private[queries] def bandedDocs(shingled: DataFrame): DataFrame =
+  private[graft] def bandedDocs(shingled: DataFrame): DataFrame =
     shingled
       .join(minhashSignatures(shingled, NumHashes), "doc_id")
       .select(col("doc_id"),

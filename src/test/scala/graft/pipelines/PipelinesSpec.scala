@@ -568,4 +568,67 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(0).getAs[Long]("id") == 1L)
     assert(rows(0).getAs[String]("name") == "alice-reborn")
   }
+
+  test("StreamDedup: micro-batches dedup against the corpus; replay idempotent") {
+    val work = tmp()
+    Files.createDirectories(Paths.get(s"$work/inbox"))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val split = (maxId + 1L) * 6L / 10L
+    def jsonLines(cond: org.apache.spark.sql.Column) =
+      docs.filter(cond)
+        .select(to_json(struct(col("doc_id"), col("text"))))
+        .collect().map(_.getString(0))
+    Files.write(Paths.get(s"$work/inbox/wave1.json"),
+      jsonLines(col("doc_id") < split).mkString("\n").getBytes)
+    val q = StreamDedup.run(spark, PipelineConfig(
+      inboxDir = s"$work/inbox",
+      checkpointDir = s"$work/ckpt",
+      triggerSeconds = 1,
+      targetTablePath = s"$work/state"))
+    q.processAllAvailable()
+    Files.write(Paths.get(s"$work/inbox/wave2.json"),
+      jsonLines(col("doc_id") >= split).mkString("\n").getBytes)
+    q.processAllAvailable()
+    q.stop()
+
+    // expected survivors: simulate the documented drop policy over the
+    // EXACT pair list (minhash band recall is 1.0 on this corpus —
+    // asserted by ExtensionSpec — so band candidates + exact verify
+    // equals the exact pair relation)
+    val pairs = graft.queries.Dedup.jaccardPairs(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def paired(a: Long, b: Long) =
+      pairs((math.min(a, b), math.max(a, b)))
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val waves = Seq(allIds.filter(_ < split), allIds.filter(_ >= split))
+    var corpus = Set.empty[Long]
+    waves.foreach { wave =>
+      val drop = wave.filter(b => corpus.exists(a => paired(a, b)) ||
+        wave.exists(a => a < b && paired(a, b)))
+      corpus = corpus ++ wave.toSet -- drop
+    }
+    val accepted = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$work/state/corpus")
+    val acceptedIds = accepted.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(acceptedIds == corpus,
+      s"missing=${corpus -- acceptedIds} extra=${acceptedIds -- corpus}")
+    // the persisted band index covers exactly the shingled survivors
+    val bandIds = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$work/state/bands")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val shingledSurvivors = graft.queries.Dedup.shingleDocs(accepted)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bandIds == shingledSurvivors)
+    // replaying a published batch is a no-op, even with different input
+    val published = new java.io.File(s"$work/state/corpus").listFiles()
+      .filter(_.getName.startsWith("b")).map(_.getName.drop(1).toLong)
+    assert(published.nonEmpty)
+    StreamDedup.processBatch(spark, docs.limit(50), s"$work/state",
+      published.head)
+    val after = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$work/state/corpus").count()
+    assert(after == acceptedIds.size, "replay must not mutate state")
+  }
 }

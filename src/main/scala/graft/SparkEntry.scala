@@ -67,6 +67,8 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     // connected components over the near-dup pair graph -> dedup families
     "dedup_clusters" -> (Dedup.dedupClusters _),
+    // cluster-keyed train/val split: near-dups never straddle the split
+    "curate_split_leakfree" -> (Curation.leakFreeSplit _),
     "dedup_simhash" -> (Dedup.simhashPairs _),
     "sim_topk_bruteforce" -> (Similarity.topKBruteForce _),
     "dedup_cosine_pairs" -> (Similarity.cosinePairs _),
@@ -128,7 +130,7 @@ object SparkEntry {
     * min per node = the component's canonical id — the declarative
     * statement of the engine's min-label propagation fixpoint.
     */
-  private val dedupClustersSql =
+  private val clusterLabelCtes =
     jaccardPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """,
         |edges AS (
@@ -139,14 +141,31 @@ object SparkEntry {
         |  UNION
         |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.doc_id),
         |labels AS (
-        |  SELECT doc_id, MIN(l) AS cluster_id FROM reach GROUP BY doc_id),
-        |sizes AS (
-        |  SELECT cluster_id, COUNT(*) AS cluster_size
-        |  FROM labels GROUP BY cluster_id)
-        |SELECT l.doc_id, l.cluster_id, s.cluster_size,
-        |       l.doc_id = l.cluster_id AS is_canonical
-        |FROM labels l JOIN sizes s USING (cluster_id)
-        |ORDER BY l.doc_id""".stripMargin
+        |  SELECT doc_id, MIN(l) AS cluster_id FROM reach GROUP BY doc_id)""".stripMargin
+
+  private val dedupClustersSql = clusterLabelCtes +
+    """,
+      |sizes AS (
+      |  SELECT cluster_id, COUNT(*) AS cluster_size
+      |  FROM labels GROUP BY cluster_id)
+      |SELECT l.doc_id, l.cluster_id, s.cluster_size,
+      |       l.doc_id = l.cluster_id AS is_canonical
+      |FROM labels l JOIN sizes s USING (cluster_id)
+      |ORDER BY l.doc_id""".stripMargin
+
+  /** Cluster-keyed train/val split (same label CTEs; singletons are their
+    * own cluster; assignment = the portable multiplicative scramble).
+    */
+  private val leakFreeSplitSql = clusterLabelCtes +
+    """,
+      |allc AS (
+      |  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+      |  FROM documents d LEFT JOIN labels l USING (doc_id)),
+      |g AS (SELECT doc_id, cluster_id,
+      |  (cluster_id * 2654435761) % 1073741789 AS gg FROM allc)
+      |SELECT doc_id, cluster_id,
+      |  CASE WHEN gg % 10 < 9 THEN 'train' ELSE 'val' END AS split
+      |FROM g ORDER BY doc_id""".stripMargin
 
   private val cosineFold =
     "list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE))), (a, x) -> a + x)"
@@ -521,6 +540,7 @@ object SparkEntry {
         |  AND id_b >= (SELECT (MAX(doc_id)+1)*8//10 FROM documents)
         |ORDER BY id_a, id_b""".stripMargin),
     "dedup_clusters" -> dedupClustersSql,
+    "curate_split_leakfree" -> leakFreeSplitSql,
     // bit-for-bit replica of the engine's portable 60-bit simhash (same
     // probe hash, scramble constants, vote rule) — the oracle does the
     // naive all-pairs hamming join the banded engine plan avoids

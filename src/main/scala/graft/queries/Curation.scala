@@ -227,6 +227,31 @@ object Curation {
       .orderBy("vec_id")
   }
 
+  /** Leakage-free train/val split: the split is keyed on the near-dup
+    * CLUSTER, not the document, so near-duplicates can never straddle
+    * train and validation (the eval-contamination failure mode a plain
+    * per-doc hash split has). Docs outside any pair family are their own
+    * singleton cluster. The assignment is the portable multiplicative
+    * scramble over the cluster id (≈90/10), so any engine — and any
+    * later rerun over a grown corpus — reproduces it exactly; cluster
+    * formation reuses the staged pair artifact under
+    * [[Dedup.StageDirConf]], so the split costs one broadcast-sized join
+    * beyond the clusters a curation pipeline already computed.
+    */
+  def leakFreeSplit(s: SparkSession, dir: String): DataFrame = {
+    val clusters = Dedup.dedupClusters(s, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val keyed = Relational.t(s, dir, "documents").select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val g = (col("cluster_id") * lit(2654435761L)) % lit(1073741789L)
+    keyed
+      .withColumn("split",
+        when(g % 10 < 9, lit("train")).otherwise(lit("val")))
+      .orderBy("doc_id")
+  }
+
   /** Per-vector L2 norms over the embedding column — the audit pass
     * before cosine workloads (catches unnormalized / zero vectors). The
     * fold runs left-to-right inside codegen'd `aggregate`, giving

@@ -206,6 +206,23 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.2, s"IVF recall $recall too low")
   }
 
+  test("leak-free split: near-dup pairs never straddle train/val; covers all docs") {
+    val split = Curation.leakFreeSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val nDocs = graft.queries.Relational.t(spark, sf, "documents").count()
+    assert(split.size == nDocs, "every doc gets a split")
+    // the contamination invariant: both ends of every near-dup pair land
+    // on the same side
+    Dedup.jaccardPairs(spark, sf).select("id_a", "id_b").collect()
+      .foreach { r =>
+        assert(split(r.getLong(0))._2 == split(r.getLong(1))._2,
+          s"pair (${r.getLong(0)}, ${r.getLong(1)}) straddles the split")
+      }
+    // and the scramble actually produces both sides at a sane ratio
+    val frac = split.values.count(_._2 == "val").toDouble / split.size
+    assert(frac > 0.02 && frac < 0.3, s"val fraction $frac out of range")
+  }
+
   test("quantized ANN: int8 shortlist + float re-score recovers the exact top-k") {
     val bf = Similarity.topKBruteForce(spark, sf).collect()
     val bfSet = bf.map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, QuantizedCosine}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -20,6 +20,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(exprs.length == 2, "cosine_sim(a, b) takes two array<float> args")
         CosineSimilarity(exprs(0), exprs(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("quantized_cosine"),
+      new ExpressionInfo(classOf[QuantizedCosine].getName, "quantized_cosine"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2,
+          "quantized_cosine(a, b) takes two array<float> args")
+        QuantizedCosine(exprs(0), exprs(1))
       }))
   }
 }

@@ -406,27 +406,14 @@ object Similarity {
   def quantizedTopK(s: SparkSession, dir: String, rerank: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Relational.t(s, dir, "embeddings")
-    val absMax = array_max(transform(col("embedding"), v => abs(v.cast("double"))))
-    val coded = e
-      .select(col("vec_id"), col("embedding"),
-        when(absMax > 0, lit(127.0) / absMax).otherwise(lit(0.0)).as("scale"))
-      .withColumn("qv", transform(col("embedding"),
-        v => floor(v.cast("double") * col("scale") + 0.5).cast("long")))
-      .withColumn("qnorm",
-        aggregate(transform(col("qv"), v => v * v), lit(0L), (a, v) => a + v))
-      .select(col("vec_id"), col("embedding"), col("qv"), col("qnorm"))
-    val q = coded.filter(col("vec_id") < 3)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
-        col("qv").as("qqv"), col("qnorm").as("qqnorm"))
-    val qdot = aggregate(zip_with(col("qv"), col("qqv"), (a, b) => a * b),
-      lit(0L), (acc, z) => acc + z)
-    val scored = coded.crossJoin(broadcast(q))
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+    // one codegen'd primitive loop quantizes both sides on the fly and
+    // scores the codes — no interpreted HOFs on the corpus-wide scan
+    val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("embedding"), col("qemb"),
-        when(col("qnorm") === 0 || col("qqnorm") === 0, lit(-1.0))
-          .otherwise(qdot.cast("double") /
-            (sqrt(col("qnorm").cast("double")) *
-              sqrt(col("qqnorm").cast("double")))).as("qsim"))
+        graft.functions.QuantizedCosine(col("embedding"), col("qemb")).as("qsim"))
     val wq = Window.partitionBy("query_id")
       .orderBy(col("qsim").desc, col("vec_id").asc)
     val w = Window.partitionBy("query_id")

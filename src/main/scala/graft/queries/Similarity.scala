@@ -89,10 +89,20 @@ object Similarity {
     * k-means-partitioned into [[SemCells]] cells and each vector is
     * MULTI-assigned to its [[SemAssign]] nearest (SemDeDup's recall lever —
     * single assignment splits a near-dup pair whenever the two vectors
-    * fall on opposite sides of a Voronoi boundary).
+    * fall on opposite sides of a Voronoi boundary). Session-overridable:
+    * at scale, grow the cell count with the corpus (bounded cell size is
+    * what keeps within-cell pair work linear) and tune the assignment
+    * count to the recall the pipeline needs — then re-check recall with
+    * [[graft.tools.SemRecallProbe]].
     */
+  val SemCellsConf = "spark.graft.sem.cells"
+  val SemAssignConf = "spark.graft.sem.assign"
   val SemCells = 32
   val SemAssign = 4
+
+  private def semKnobs(s: SparkSession): (Int, Int) =
+    (s.conf.getOption(SemCellsConf).map(_.toInt).getOrElse(SemCells),
+      s.conf.getOption(SemAssignConf).map(_.toInt).getOrElse(SemAssign))
 
   /** Each vector's `a` nearest cells: (vec_id, cell), `a` rows per vector.
     * Broadcast C×64 centroid matrix + codegen'd cosine + rank — map-side
@@ -132,21 +142,23 @@ object Similarity {
     * ExtensionSpec against the all-pairs baseline).
     */
   def semanticPairs(s: SparkSession, dir: String): DataFrame = {
+    val (cells, assign) = semKnobs(s)
     val e = Relational.t(s, dir, "embeddings")
       .repartition(s.sparkContext.defaultParallelism)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // centroids are a staged index artifact under StageDirConf (shared
-    // produce-once protocol), trained in-plan otherwise — deterministic
-    // either way, so results are identical.
+    // produce-once protocol; tagged with the cell count so a knob change
+    // never reads a stale index), trained in-plan otherwise —
+    // deterministic either way, so results are identical.
     val cent = s.conf.getOption(Dedup.StageDirConf) match {
       case Some(stage) =>
-        val tag = math.abs(dir.hashCode).toString
+        val tag = s"${math.abs(dir.hashCode).toString}_$cells"
         Dedup.stagedOrFresh(s, s"$stage/sem_cent_$tag",
-          out => ivfCentroids(e, SemCells).write.mode("overwrite").parquet(out),
-          () => ivfCentroids(e, SemCells))
-      case None => ivfCentroids(e, SemCells)
+          out => ivfCentroids(e, cells).write.mode("overwrite").parquet(out),
+          () => ivfCentroids(e, cells))
+      case None => ivfCentroids(e, cells)
     }
-    val assigned = multiAssignCells(e, cent)
+    val assigned = multiAssignCells(e, cent, assign)
     val cand = assigned.select(col("cell"), col("vec_id").as("id_a"))
       .join(assigned.select(col("cell"), col("vec_id").as("id_b")), Seq("cell"))
       .filter(col("id_a") < col("id_b"))

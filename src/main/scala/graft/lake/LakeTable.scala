@@ -582,7 +582,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
           Seq.empty, extra, visible = None, () => maybeCompactInline())
         return instant
       }
-      val matched = matchedFiles(incoming.select(col(RecordKeyCol)), mnKey, mxKey)
+      val matched =
+        matchedFiles(incoming.select(col(RecordKeyCol)), mnKey, mxKey, nRows)
       val out =
         if (matched.isEmpty) incoming
         else {
@@ -681,7 +682,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     try {
       val (nKeys, mnKey, mxKey) = batchBounds(keys)
       val matched =
-        if (nKeys == 0) Seq.empty else matchedFiles(keys, mnKey, mxKey)
+        if (nKeys == 0) Seq.empty
+        else matchedFiles(keys, mnKey, mxKey, nKeys)
       if (matched.isEmpty) {
         timeline.withLock() {
           timeline.commit(
@@ -1436,15 +1438,21 @@ class LakeTable private (val spark: SparkSession, val path: String) {
 
   /** Files that contain at least one incoming key. Step 1 prunes by
     * key-range overlap using commit-metadata stats only (no I/O); step 2
-    * confirms by a left-semi join over the candidates' key column.
-    * Returns relative paths. `mn`/`mx` are the incoming batch's key
-    * bounds from [[batchBounds]].
+    * drops range survivors whose record-key BLOOM rules every incoming
+    * key out (footer-only reads — the prune that still works when files
+    * are not key-clustered and ranges stop being selective); step 3
+    * confirms by a left-semi join over the remaining candidates' key
+    * column. Returns relative paths. `mn`/`mx` are the incoming batch's
+    * key bounds from [[batchBounds]]; `keyCount` its row count (an upper
+    * bound on distinct keys) gating the bloom probe.
     */
   private def matchedFiles(incomingKeys: DataFrame, mn: String,
-      mx: String): Seq[String] = {
+      mx: String, keyCount: Long): Seq[String] = {
     val live = timeline.liveFiles()
     if (live.isEmpty || mn == null) return Seq.empty
-    val candidates = live.filter(f => !(f.maxKey < mn || f.minKey > mx))
+    val ranged = live.filter(f => !(f.maxKey < mn || f.minKey > mx))
+    if (ranged.isEmpty) return Seq.empty
+    val candidates = bloomPrune(ranged, incomingKeys, keyCount)
     if (candidates.isEmpty) return Seq.empty
     import spark.implicits._
     val hit = readFiles(candidates.map(_.path))
@@ -1453,6 +1461,40 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       .select(col("_f")).distinct().as[String].collect()
     // map absolute URIs back to relative paths by unique suffix
     candidates.map(_.path).filter(rel => hit.exists(_.endsWith("/" + rel))).toSeq
+  }
+
+  /** Bloom step of [[matchedFiles]]: keep only candidates whose
+    * record-key bloom could contain some incoming key. Engages for
+    * point-ish batches (≤ [[LakeTable.BloomProbeMaxKeys]] keys — the
+    * streaming-CDC steady state where tagging cost is pure overhead);
+    * bulk batches skip it (probing millions of keys per file costs more
+    * than the scan it saves, and a bulk upsert rewrites most files
+    * anyway). Small candidate sets probe on the driver; large ones fan
+    * out one task per file slice, shipping the keys by broadcast.
+    */
+  private[lake] def bloomPrune(candidates: Seq[FileStat],
+      incomingKeys: DataFrame, keyCount: Long): Seq[FileStat] = {
+    if (keyCount <= 0 || keyCount > BloomProbeMaxKeys) return candidates
+    import spark.implicits._
+    val keys = incomingKeys.select(col(RecordKeyCol)).as[String]
+      .collect().distinct
+    if (candidates.size <= FooterReadFanoutThreshold) {
+      val conf = spark.sessionState.newHadoopConf()
+      candidates.filter(f =>
+        KeyBloom.mayContain(conf, new Path(absolute(f.path)), keys))
+    } else {
+      val serConf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf())
+      val bKeys = spark.sparkContext.broadcast(keys)
+      val paths = candidates.map(f => (f.path, absolute(f.path)))
+      val kept = spark.sparkContext
+        .parallelize(paths, math.min(paths.size,
+          spark.sparkContext.defaultParallelism))
+        .filter { case (_, abs) =>
+          KeyBloom.mayContain(serConf.value, new Path(abs), bKeys.value) }
+        .map(_._1).collect().toSet
+      candidates.filter(f => kept.contains(f.path))
+    }
   }
 
   /** Write `out` (user cols + meta cols) into hive-style partition dirs,
@@ -1498,7 +1540,9 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       // instant, their staging areas cannot collide
       val staging = new Path(tablePath,
         s"_lake/staging/${instant}_${java.util.UUID.randomUUID().toString.take(8)}")
-      val w = ordered.write.mode("overwrite")
+      // every data file carries a record-key bloom (Hudi BLOOM-index
+      // analog) — footer-only upsert tagging via [[KeyBloom]]
+      val w = ordered.write.mode("overwrite").options(KeyBloom.writerOptions)
       val w2 =
         if (_meta.partitionFields.nonEmpty) w.partitionBy(_meta.partitionFields: _*)
         else w
@@ -1881,8 +1925,9 @@ class LakeTable private (val spark: SparkSession, val path: String) {
           val deltaKeys = readStats(stats).select(col(RecordKeyCol))
           val mn = stats.map(_.minKey).min
           val mx = stats.map(_.maxKey).max
-          val hit = matchedFiles(deltaKeys, mn, mx)
-            .filterNot(stats.map(_.path).contains)
+          val hit = matchedFiles(deltaKeys, mn, mx,
+            stats.map(_.numRecords).sum)
+            .filterNot(stats.map(_.path).contains(_))
           val parts = (stats.map(_.partition) ++ hit.map(partitionOf)).toSet
           compactPartitionsLocked(parts); ()
         }
@@ -1967,6 +2012,13 @@ object LakeTable {
     * distributed job instead of a sequential driver loop.
     */
   private[graft] var FooterReadFanoutThreshold = 64
+
+  /** Key-count ceiling for the bloom tagging probe ([[KeyBloom]]): batches
+    * at or below it prune upsert/delete candidates by per-file record-key
+    * blooms before the confirming scan; larger (bulk) batches go straight
+    * to the scan. Mutable so tests can force either path.
+    */
+  private[graft] var BloomProbeMaxKeys = 200_000L
 
   /** Zone maps cover at most this many user columns per file (commit
     * metadata is read on every query plan — keep it bounded on very wide

@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.lake.LakeTable
+import graft.lake.{KeyBloom, LakeTable}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -182,7 +182,8 @@ object LakeDeltaWriteSpec {
         case i => i
       }
     }
-    val (factory, serConf) = TaskWriteBridge.parquetFactory(spark, phys)
+    val (factory, serConf) =
+      TaskWriteBridge.parquetFactory(spark, phys, KeyBloom.writerOptions)
     LakeDeltaWriteSpec(
       physSchema = phys,
       srcIdx = srcIdx,

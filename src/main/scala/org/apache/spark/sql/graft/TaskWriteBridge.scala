@@ -24,9 +24,13 @@ object TaskWriteBridge {
     * configuration it was prepared against (the parquet write support
     * reads its row schema from that configuration on the executor).
     */
-  def parquetFactory(spark: SparkSession,
-      schema: StructType): (OutputWriterFactory, SerializableConfiguration) = {
+  def parquetFactory(spark: SparkSession, schema: StructType,
+      options: Map[String, String] = Map.empty)
+      : (OutputWriterFactory, SerializableConfiguration) = {
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    // parquet.* writer knobs (e.g. the record-key bloom filters) travel
+    // via the job configuration, same as DataFrameWriter options do
+    options.foreach { case (k, v) => job.getConfiguration.set(k, v) }
     val factory = new ParquetFileFormat()
       .prepareWrite(spark, job, Map.empty[String, String], schema)
     (factory, new SerializableConfiguration(job.getConfiguration))

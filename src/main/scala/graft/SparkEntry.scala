@@ -63,6 +63,9 @@ object SparkEntry {
     "text_curate" -> (TextAnalysis.curate _),
     "text_fingerprint" -> (Dedup.fingerprints _),
     "mm_features" -> (TextAnalysis.mmFeatures _),
+    // multimodal planning halves: sampled-frame byte ranges, resize dims
+    "mm_frame_sample" -> (TextAnalysis.mmFrameSample _),
+    "mm_resize" -> (TextAnalysis.mmResize _),
     "dedup_jaccard_pairs" -> (Dedup.jaccardPairs _),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     // connected components over the near-dup pair graph -> dedup families
@@ -501,6 +504,33 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  substr(md5(text), 1, 8) AS sig
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(24 + doc_id % 240 AS BIGINT) AS n_frames,
+        |         CAST(CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 30 END AS BIGINT) AS fps,
+        |         CAST(4096 + (doc_id % 5) * 1024 AS BIGINT) AS frame_bytes
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |f AS (SELECT DISTINCT media_id, fps, frame_bytes,
+        |        (i * n_frames) // 8 AS frame_no
+        |      FROM v CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i))
+        |SELECT media_id, frame_no,
+        |       (frame_no * 1000) // fps AS ts_ms,
+        |       frame_no * frame_bytes AS byte_offset,
+        |       frame_bytes AS byte_len
+        |FROM f ORDER BY media_id, frame_no""".stripMargin,
+    "mm_resize" ->
+      """WITH g AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(64 + (doc_id % 13) * 160 AS BIGINT) AS w,
+        |         CAST(48 + (doc_id % 7) * 120 AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT media_id, w, h,
+        |  CASE WHEN GREATEST(w, h) <= 224 THEN w
+        |       ELSE GREATEST(1, (w * 224) // GREATEST(w, h)) END AS out_w,
+        |  CASE WHEN GREATEST(w, h) <= 224 THEN h
+        |       ELSE GREATEST(1, (h * 224) // GREATEST(w, h)) END AS out_h
+        |FROM g ORDER BY media_id""".stripMargin,
     "text_curate" -> (jaccardPairsCtes +
       """,
         |q AS (SELECT doc_id, text,

@@ -27,6 +27,15 @@ case class MediaFeatures(
     content_sig: Long,
     features: Array[Float])
 
+/** One planned/extracted frame of a video payload: which frame, where it
+  * sits in the stream, and the raw slice a decoder would consume.
+  */
+case class FrameSlice(
+    media_id: Long,
+    frame_no: Long,
+    byte_offset: Long,
+    bytes: Array[Byte])
+
 object Multimodal {
 
   implicit val recordEnc: Encoder[MediaRecord] = Encoders.product[MediaRecord]
@@ -69,6 +78,28 @@ object Multimodal {
           MediaFeatures(r.media_id, r.media_type, r.payload.length,
             contentSig(r.payload), decodeStub(r.payload))
         }
+      }
+    }
+
+  implicit val frameEnc: Encoder[FrameSlice] = Encoders.product[FrameSlice]
+
+  /** Evenly sample up to `k` frames per video: slice the payload into
+    * fixed-size frame records (`frame_bytes` from metadata — a real
+    * container would read its index instead) and emit one [[FrameSlice]]
+    * per distinct sampled frame. Per-row, no shuffle; at 100 TB the
+    * slices (not the whole videos) flow to the decode stage, so a
+    * downstream repartition balances decoder work by frame, not by
+    * video length. The byte slicing is real; decoding a slice stays the
+    * [[decodeStub]] contract.
+    */
+  def sampleFrames(ds: Dataset[MediaRecord], k: Int = 8): Dataset[FrameSlice] =
+    ds.flatMap { r =>
+      val fb = r.meta.getOrElse("frame_bytes", "1").toInt
+      val n = math.max(1L, r.payload.length.toLong / fb)
+      (0 until k).map(i => i.toLong * n / k).distinct.map { f =>
+        val off = f * fb
+        FrameSlice(r.media_id, f, off,
+          r.payload.slice(off.toInt, (off + fb).toInt))
       }
     }
 }

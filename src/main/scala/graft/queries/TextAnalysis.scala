@@ -134,6 +134,56 @@ object TextAnalysis {
         substring(md5(col("text").cast("binary")), 1, 8).as("sig"))
       .orderBy("doc_id")
 
+  /** Frame-sample PLAN over video metadata: pick up to 8 evenly spaced
+    * frames per video and compute each one's timestamp and byte range —
+    * the planning half of distributed video decode. At 100 TB the plan
+    * rows (media_id, offset, length) are what flows to the decode stage,
+    * so work balances by FRAME count, never by video length, and decode
+    * tasks range-read slices instead of pulling whole videos. Metadata
+    * (frame count, fps, frame size) is derived deterministically from
+    * doc_id — this container ships no codecs; the byte-slicing/decode
+    * half of the contract lives in [[graft.multimodal.Multimodal
+    * .sampleFrames]]. Every step is integer arithmetic, replicated
+    * exactly by the oracle.
+    */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame =
+    Relational.t(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("media_id"),
+        (lit(24L) + col("doc_id") % 240L).as("n_frames"),
+        when(col("doc_id") % 2 === 0, 24L).otherwise(30L).as("fps"),
+        (lit(4096L) + (col("doc_id") % 5L) * 1024L).as("frame_bytes"))
+      .select(col("media_id"), col("fps"), col("frame_bytes"),
+        explode(sequence(lit(0L), lit(7L))).as("i"),
+        col("n_frames"))
+      .select(col("media_id"), col("fps"), col("frame_bytes"),
+        expr("(i * n_frames) div 8").as("frame_no"))
+      .distinct()
+      .select(col("media_id"), col("frame_no"),
+        expr("(frame_no * 1000) div fps").as("ts_ms"),
+        (col("frame_no") * col("frame_bytes")).as("byte_offset"),
+        col("frame_bytes").as("byte_len"))
+      .orderBy("media_id", "frame_no")
+
+  /** Resize PLAN: output geometry per image — fit the long side to 224,
+    * preserve aspect ratio, never upscale; pure integer arithmetic so
+    * any engine reproduces it bit-for-bit. The geometry decision is the
+    * distributed part of a resize stage (the pixel resample itself is a
+    * per-row kernel behind the decode stub).
+    */
+  def mmResize(s: SparkSession, dir: String): DataFrame =
+    Relational.t(s, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        (lit(64L) + (col("doc_id") % 13L) * 160L).as("w"),
+        (lit(48L) + (col("doc_id") % 7L) * 120L).as("h"))
+      .withColumn("m", greatest(col("w"), col("h")))
+      .select(col("media_id"), col("w"), col("h"),
+        when(col("m") <= 224L, col("w"))
+          .otherwise(greatest(lit(1L), expr("(w * 224) div m"))).as("out_w"),
+        when(col("m") <= 224L, col("h"))
+          .otherwise(greatest(lit(1L), expr("(h * 224) div m"))).as("out_h"))
+      .orderBy("media_id")
+
   /** PII scrubbing — email + phone masking, the redaction pass every
     * training-data pipeline runs before tokenization. Pure codegen'd
     * regexp expressions (no UDF). The synthetic corpus carries no PII,

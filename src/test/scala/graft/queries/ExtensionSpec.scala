@@ -306,6 +306,34 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sims.agg(max("sim")).head().getDouble(0) <= 1.0 + 1e-9)
   }
 
+  test("multimodal: frame sampling slices payload byte ranges per plan") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    val media = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        // pad so every "video" has at least a few frames of 32 bytes
+        val payload = (text + ("x" * 256)).getBytes("UTF-8")
+        MediaRecord(id, "video", payload, Map("frame_bytes" -> "32"))
+      }
+    val slices = Multimodal.sampleFrames(media, k = 8).collect()
+    val byId = media.collect().map(r => r.media_id -> r.payload).toMap
+    assert(slices.nonEmpty)
+    slices.foreach { s =>
+      val payload = byId(s.media_id)
+      val n = math.max(1L, payload.length.toLong / 32)
+      assert(s.frame_no >= 0 && s.frame_no < n)
+      assert(s.byte_offset == s.frame_no * 32)
+      // the slice is the actual payload bytes at the planned range
+      assert(s.bytes.sameElements(payload.slice(s.byte_offset.toInt,
+        s.byte_offset.toInt + 32)))
+    }
+    // ≤ 8 distinct frames per video, evenly spread (first frame always 0)
+    val per = slices.groupBy(_.media_id)
+    assert(per.values.forall(v => v.length <= 8 &&
+      v.map(_.frame_no).distinct.length == v.length))
+    assert(per.values.forall(_.map(_.frame_no).min == 0))
+  }
+
   test("dedup staged-shingle path produces identical pairs to the cached path") {
     val cached = Dedup.jaccardPairs(spark, sf)
       .select("id_a", "id_b").collect()

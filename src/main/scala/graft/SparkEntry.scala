@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Curation, Dedup, LakeQueries, Relational, Similarity, TextAnalysis}
+import graft.queries.{Curation, Dedup, LakeQueries, Relational, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -62,6 +62,10 @@ object SparkEntry {
     "text_langid" -> (TextAnalysis.langId _),
     "text_curate" -> (TextAnalysis.curate _),
     "text_fingerprint" -> (Dedup.fingerprints _),
+    // portable-arithmetic sketches: one-pass cardinality / frequency
+    // estimation whose hashes replay exactly in the SQL oracle
+    "stats_hll_distinct" -> (Sketches.hllDistinct _),
+    "stats_cm_topk" -> (Sketches.cmHeavyHitters _),
     "mm_features" -> (TextAnalysis.mmFeatures _),
     // multimodal planning halves: sampled-frame byte ranges, resize dims
     "mm_frame_sample" -> (TextAnalysis.mmFrameSample _),
@@ -504,6 +508,61 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  substr(md5(text), 1, 8) AS sig
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "stats_hll_distinct" ->
+      """WITH h0 AS (
+        |  SELECT ((l_orderkey % 1073741789) * 2654435761) % 1073741789 AS m1
+        |  FROM lineitem),
+        |h1 AS (SELECT (xor(m1, m1 >> 13) * 2246822519) % 1073741789 AS g
+        |       FROM h0),
+        |h2 AS (SELECT g % 256 AS bucket,
+        |              (xor(g, g >> 11) * 2654435761) % 1073741789 AS g2
+        |       FROM h1),
+        |r AS (SELECT bucket,
+        |             CASE WHEN g2 = 0 THEN 31
+        |                  ELSE 31 - length(bin(g2)) END AS rho
+        |      FROM h2),
+        |mx AS (SELECT bucket, MAX(rho) AS m FROM r GROUP BY bucket),
+        |full_b AS (
+        |  SELECT b.bucket, COALESCE(mx.m, 0) AS m
+        |  FROM (SELECT unnest(generate_series(0, 255)) AS bucket) b
+        |  LEFT JOIN mx ON b.bucket = mx.bucket),
+        |agg AS (
+        |  SELECT CAST(SUM(CAST(1 AS BIGINT) << CAST(31 - m AS INT)) AS BIGINT)
+        |           AS sum_pow,
+        |         CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS zero_buckets
+        |  FROM full_b)
+        |SELECT CAST(256 AS BIGINT) AS n_buckets, sum_pow, zero_buckets,
+        |  0.7182725932::DOUBLE * 65536 * 2147483648 / CAST(sum_pow AS DOUBLE)
+        |    AS est_distinct
+        |FROM agg""".stripMargin,
+    "stats_cm_topk" ->
+      """WITH h AS (
+        |  SELECT user_id,
+        |         (xor(((user_id % 1073741789) * 2654435761) % 1073741789,
+        |              (((user_id % 1073741789) * 2654435761) % 1073741789) >> 13)
+        |          * 2246822519) % 1073741789 AS g
+        |  FROM events),
+        |cells AS (
+        |  SELECT j, (g * m) % 1073741789 % 512 AS bucket
+        |  FROM h CROSS JOIN (VALUES (0, 2246822519), (1, 3266489917),
+        |                            (2, 668265263), (3, 374761393)) AS t(j, m)),
+        |sketch AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |           FROM cells GROUP BY j, bucket),
+        |top AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+        |        FROM events GROUP BY user_id
+        |        ORDER BY exact_cnt DESC, user_id LIMIT 10),
+        |probes AS (
+        |  SELECT top.user_id, top.exact_cnt, t.j,
+        |         (h2.g * t.m) % 1073741789 % 512 AS bucket
+        |  FROM top
+        |  JOIN (SELECT DISTINCT user_id, g FROM h) h2 USING (user_id)
+        |  CROSS JOIN (VALUES (0, 2246822519), (1, 3266489917),
+        |                     (2, 668265263), (3, 374761393)) AS t(j, m))
+        |SELECT p.user_id, p.exact_cnt, CAST(MIN(s.cnt) AS BIGINT) AS cm_est
+        |FROM probes p JOIN sketch s ON p.j = s.j AND p.bucket = s.bucket
+        |GROUP BY p.user_id, p.exact_cnt
+        |ORDER BY p.exact_cnt DESC, p.user_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH v AS (
         |  SELECT doc_id AS media_id,

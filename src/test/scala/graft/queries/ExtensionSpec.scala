@@ -306,6 +306,35 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sims.agg(max("sim")).head().getDouble(0) <= 1.0 + 1e-9)
   }
 
+  test("portable HLL estimates distinct orderkeys within the m=256 error") {
+    val row = Sketches.hllDistinct(spark, sf).head()
+    val est = row.getDouble(row.fieldIndex("est_distinct"))
+    val truth = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(countDistinct(col("l_orderkey"))).head().getLong(0)
+    // raw HLL std err at m=256 is ~6.5%; 3σ envelope
+    assert(math.abs(est - truth) / truth < 0.20,
+      s"HLL est $est vs true $truth")
+    assert(row.getLong(row.fieldIndex("zero_buckets")) == 0) // n >> 2.5m
+  }
+
+  test("count-min never underestimates and is tight when items << width") {
+    val rows = Sketches.cmHeavyHitters(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val exact = r.getLong(r.fieldIndex("exact_cnt"))
+      val est = r.getLong(r.fieldIndex("cm_est"))
+      assert(est >= exact, s"CM underestimated: $est < $exact")
+      // 150 items in 4x512 cells: collisions are rare; allow a few
+      assert(est <= exact * 3)
+    }
+    // top-10 really is the exact top-10
+    val exactTop = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("user_id").count()
+      .orderBy(col("count").desc, col("user_id")).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows.map(_.getLong(0)).toSeq == exactTop)
+  }
+
   test("multimodal: frame sampling slices payload byte ranges per plan") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)

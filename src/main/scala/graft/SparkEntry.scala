@@ -62,6 +62,8 @@ object SparkEntry {
     "text_langid" -> (TextAnalysis.langId _),
     "text_curate" -> (TextAnalysis.curate _),
     "text_fingerprint" -> (Dedup.fingerprints _),
+    // substring-level dup detection: shared 10-token windows across docs
+    "text_dup_spans" -> (TextAnalysis.dupSpans _),
     // portable-arithmetic sketches: one-pass cardinality / frequency
     // estimation whose hashes replay exactly in the SQL oracle
     "stats_hll_distinct" -> (Sketches.hllDistinct _),
@@ -508,6 +510,28 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  substr(md5(text), 1, 8) AS sig
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 10),
+        |spans0 AS (SELECT doc_id, ws,
+        |             unnest(generate_series(1, len(ws) - 9)) AS i FROM t),
+        |spans AS (
+        |  SELECT DISTINCT doc_id,
+        |    reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(list_slice(ws, i, i + 9),
+        |        w -> CAST(length(w)*31 + ascii(w)*7 + ascii(reverse(w))*13
+        |               AS BIGINT))),
+        |      (a, x) -> (a * 257 + x) % 1000000007) AS h
+        |  FROM spans0),
+        |shared AS (SELECT h, count(*) AS docs FROM spans GROUP BY h)
+        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(SUM(CASE WHEN sh.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dup_spans,
+        |  CAST(SUM(CASE WHEN sh.docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS dup_frac
+        |FROM spans s JOIN shared sh USING (h)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "stats_hll_distinct" ->
       """WITH h0 AS (
         |  SELECT ((l_orderkey % 1073741789) * 2654435761) % 1073741789 AS m1

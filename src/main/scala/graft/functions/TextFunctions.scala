@@ -83,6 +83,23 @@ object TextFunctions {
           (length(w) * lit(31) + ascii(w) * lit(7) + ascii(reverse(w)) * lit(13)),
         lit(1000000007L)))
 
+  /** All `w`-token window hashes of a text (1 per window start), with
+    * the same portable polynomial/token arithmetic as [[fingerprint]] —
+    * the primitive of substring-level duplicate detection. Callers must
+    * pre-filter to texts with ≥ `w` tokens (an ascending `sequence`
+    * needs a non-negative span).
+    */
+  def spanHashes(text: Column, w: Int): Column = {
+    val ws = words(text)
+    transform(sequence(lit(1), size(ws) - lit(w) + lit(1)),
+      i => aggregate(slice(ws, i, lit(w)), lit(0L),
+        (acc, t) => pmod(
+          acc * lit(257L) +
+            (length(t) * lit(31) + ascii(t) * lit(7) +
+              ascii(reverse(t)) * lit(13)),
+          lit(1000000007L))))
+  }
+
   /** Count of tokens from a marker set — the language-ID scoring
     * primitive (n-gram/stopword heuristic).
     */

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.TextFunctions.{spanHashes, words}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -133,6 +134,39 @@ object TextAnalysis {
         length(col("text").cast("binary")).cast("long").as("n_bytes"),
         substring(md5(col("text").cast("binary")), 1, 8).as("sig"))
       .orderBy("doc_id")
+
+  /** Substring-level duplicate spans: per document, how many of its
+    * distinct 10-token windows also appear in ANOTHER document — the
+    * exact-substring dedup signal (boilerplate, licenses, templated
+    * text) that document-level Jaccard misses because a shared paragraph
+    * inside two long, otherwise-different documents never lifts whole-doc
+    * similarity over threshold. Pipeline use: a high `dup_frac` doc is
+    * cut or span-scrubbed before training.
+    *
+    * Scale shape: explode windows to skinny (doc, span-hash) rows,
+    * distinct, count docs per hash — shuffles carry 16-byte pairs
+    * (corpus × window-factor), never the texts. Window hashing here is
+    * O(tokens × w) per doc via the portable polynomial (exactly
+    * replayed by the oracle); the O(tokens) rolling form is a
+    * micro-optimization the plan shape doesn't depend on.
+    */
+  def dupSpans(s: SparkSession, dir: String): DataFrame = {
+    val W = 10
+    val spans = Relational.t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism) // CPU-heavy per row
+      .filter(size(words(col("text"))) >= W)
+      .select(col("doc_id"), explode(spanHashes(col("text"), W)).as("h"))
+      .distinct() // within-doc repeats count once (text_repetition's job)
+    val shared = spans.groupBy("h").agg(count(lit(1)).as("docs"))
+    spans.join(shared, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("docs") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("dup_spans"),
+        (col("dup_spans").cast("double") / col("n_spans").cast("double"))
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
 
   /** Frame-sample PLAN over video metadata: pick up to 8 evenly spaced
     * frames per video and compute each one's timestamp and byte range —

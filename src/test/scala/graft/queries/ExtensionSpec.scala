@@ -306,6 +306,34 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sims.agg(max("sim")).head().getDouble(0) <= 1.0 + 1e-9)
   }
 
+  test("dup spans agree with a brute-force string-level reference") {
+    val rows = TextAnalysis.dupSpans(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(rows.nonEmpty)
+    // driver-side reference over the raw STRINGS (no hashing): per doc
+    // the distinct 10-token windows, dup = window present in another doc
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+      .filter(_._2.length >= 10)
+    val winsByDoc = texts.map { case (id, toks) =>
+      id -> toks.sliding(10).map(_.mkString(" ")).toSet
+    }.toMap
+    val docCount = winsByDoc.values.flatten.toSeq
+      .groupBy(identity).map { case (w, xs) => w -> xs.size }
+    assert(rows.keySet == winsByDoc.keySet)
+    winsByDoc.foreach { case (id, wins) =>
+      val dup = wins.count(w => docCount(w) >= 2)
+      val (n, d, f) = rows(id)
+      assert(n == wins.size, s"doc $id n_spans $n != ${wins.size}")
+      assert(d == dup, s"doc $id dup_spans $d != $dup")
+      assert(math.abs(f - dup.toDouble / wins.size) < 1e-12)
+    }
+    assert(winsByDoc.exists { case (id, wins) =>
+      wins.exists(w => docCount(w) >= 2) }, "no dup-span signal at this sf")
+  }
+
   test("portable HLL estimates distinct orderkeys within the m=256 error") {
     val row = Sketches.hllDistinct(spark, sf).head()
     val est = row.getDouble(row.fieldIndex("est_distinct"))

@@ -64,6 +64,8 @@ object SparkEntry {
     "text_fingerprint" -> (Dedup.fingerprints _),
     // substring-level dup detection: shared 10-token windows across docs
     "text_dup_spans" -> (TextAnalysis.dupSpans _),
+    // increment scored against the staged corpus span index
+    "text_dup_spans_incr" -> (TextAnalysis.dupSpansIncremental _),
     // portable-arithmetic sketches: one-pass cardinality / frequency
     // estimation whose hashes replay exactly in the SQL oracle
     "stats_hll_distinct" -> (Sketches.hllDistinct _),
@@ -532,6 +534,33 @@ object SparkEntry {
         |    / CAST(count(*) AS DOUBLE) AS dup_frac
         |FROM spans s JOIN shared sh USING (h)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "text_dup_spans_incr" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 10),
+        |spans0 AS (SELECT doc_id, ws,
+        |             unnest(generate_series(1, len(ws) - 9)) AS i FROM t),
+        |spans AS (
+        |  SELECT DISTINCT doc_id,
+        |    reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(list_slice(ws, i, i + 9),
+        |        w -> CAST(length(w)*31 + ascii(w)*7 + ascii(reverse(w))*13
+        |               AS BIGINT))),
+        |      (a, x) -> (a * 257 + x) % 1000000007) AS h
+        |  FROM spans0),
+        |corpus AS (SELECT DISTINCT h FROM spans
+        |           WHERE doc_id < (SELECT (MAX(doc_id)+1)*8//10
+        |                           FROM documents)),
+        |inc AS (SELECT * FROM spans
+        |        WHERE doc_id >= (SELECT (MAX(doc_id)+1)*8//10
+        |                         FROM documents))
+        |SELECT i.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(SUM(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dup_spans,
+        |  CAST(SUM(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS dup_frac
+        |FROM inc i LEFT JOIN corpus c ON i.h = c.h
+        |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin,
     "stats_hll_distinct" ->
       """WITH h0 AS (
         |  SELECT ((l_orderkey % 1073741789) * 2654435761) % 1073741789 AS m1

@@ -168,6 +168,52 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Incremental [[dupSpans]]: score a NEW batch's documents against the
+    * EXISTING corpus's span set without recomputing the corpus — the
+    * streaming-curation shape (does this incoming doc duplicate spans of
+    * what we already accepted?). The corpus/increment split is the same
+    * deterministic 80%-of-id-range threshold as `dedup_incremental`;
+    * under [[graft.queries.Dedup.StageDirConf]] the corpus span SET is
+    * staged once (keyed by input dir + split) and each batch pays only
+    * its own window hashing + one semi-probe join against the staged
+    * index. dup_spans counts increment windows present in the corpus
+    * (increment-internal duplication is batch-local and cheap to add).
+    */
+  def dupSpansIncremental(s: SparkSession, dir: String): DataFrame = {
+    val maxId = Relational.t(s, dir, "documents")
+      .agg(max(col("doc_id"))).head().getLong(0)
+    dupSpansIncrementalAt(s, dir, (maxId + 1L) * 8L / 10L)
+  }
+
+  def dupSpansIncrementalAt(s: SparkSession, dir: String,
+      split: Long): DataFrame = {
+    val W = 10
+    val spans = Relational.t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .filter(size(words(col("text"))) >= W)
+      .select(col("doc_id"), explode(spanHashes(col("text"), W)).as("h"))
+      .distinct()
+    val corpus0 = spans.filter(col("doc_id") < split)
+      .select(col("h")).distinct()
+    val corpus = s.conf.getOption(Dedup.StageDirConf) match {
+      case Some(stage) =>
+        Dedup.stagedOrFresh(s,
+          s"$stage/spanidx_${math.abs(dir.hashCode).toString}_$split",
+          out => corpus0.write.mode("overwrite").parquet(out),
+          () => corpus0)
+      case None => corpus0
+    }
+    spans.filter(col("doc_id") >= split)
+      .join(corpus.withColumn("in_corpus", lit(1L)), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("in_corpus"), lit(0L))).as("dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("dup_spans"),
+        (col("dup_spans").cast("double") / col("n_spans").cast("double"))
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Frame-sample PLAN over video metadata: pick up to 8 evenly spaced
     * frames per video and compute each one's timestamp and byte range —
     * the planning half of distributed video decode. At 100 TB the plan

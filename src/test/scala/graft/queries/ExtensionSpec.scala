@@ -334,6 +334,29 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
       wins.exists(w => docCount(w) >= 2) }, "no dup-span signal at this sf")
   }
 
+  test("incremental dup spans: staged span index equals the fresh path") {
+    val fresh = TextAnalysis.dupSpansIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(fresh.nonEmpty)
+    // consistency with the full query: an increment doc's dup count vs
+    // the corpus can only be ≤ its all-corpus dup count
+    val full = TextAnalysis.dupSpans(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    fresh.foreach { case (id, _, dup) => assert(dup <= full(id)) }
+    val stage = java.nio.file.Files.createTempDirectory("spanidx").toString
+    spark.conf.set(Dedup.StageDirConf, stage)
+    try {
+      val staged1 = TextAnalysis.dupSpansIncremental(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(staged1 == fresh) // first call stages the corpus index
+      assert(new java.io.File(stage).listFiles()
+        .exists(_.getName.startsWith("spanidx_")))
+      val staged2 = TextAnalysis.dupSpansIncremental(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(staged2 == fresh) // second call reads the staged index back
+    } finally spark.conf.unset(Dedup.StageDirConf)
+  }
+
   test("portable HLL estimates distinct orderkeys within the m=256 error") {
     val row = Sketches.hllDistinct(spark, sf).head()
     val est = row.getDouble(row.fieldIndex("est_distinct"))

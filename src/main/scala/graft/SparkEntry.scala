@@ -69,6 +69,7 @@ object SparkEntry {
     // portable-arithmetic sketches: one-pass cardinality / frequency
     // estimation whose hashes replay exactly in the SQL oracle
     "stats_hll_distinct" -> (Sketches.hllDistinct _),
+    "stats_hll_groups" -> (Sketches.hllGroups _),
     "stats_cm_topk" -> (Sketches.cmHeavyHitters _),
     "mm_features" -> (TextAnalysis.mmFeatures _),
     // multimodal planning halves: sampled-frame byte ranges, resize dims
@@ -589,6 +590,38 @@ object SparkEntry {
         |  0.7182725932::DOUBLE * 65536 * 2147483648 / CAST(sum_pow AS DOUBLE)
         |    AS est_distinct
         |FROM agg""".stripMargin,
+    "stats_hll_groups" ->
+      """WITH h0 AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |         ((o_custkey % 1073741789) * 2654435761) % 1073741789 AS m1
+        |  FROM orders),
+        |h1 AS (SELECT order_year,
+        |              (xor(m1, m1 >> 13) * 2246822519) % 1073741789 AS g
+        |       FROM h0),
+        |h2 AS (SELECT order_year, g % 256 AS bucket,
+        |              (xor(g, g >> 11) * 2654435761) % 1073741789 AS g2
+        |       FROM h1),
+        |r AS (SELECT order_year, bucket,
+        |             CASE WHEN g2 = 0 THEN 31
+        |                  ELSE 31 - length(bin(g2)) END AS rho
+        |      FROM h2),
+        |mx AS (SELECT order_year, bucket, MAX(rho) AS m
+        |       FROM r GROUP BY order_year, bucket),
+        |full_b AS (
+        |  SELECT y.order_year, b.bucket, COALESCE(mx.m, 0) AS m
+        |  FROM (SELECT DISTINCT order_year FROM mx) y
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS bucket) b
+        |  LEFT JOIN mx ON y.order_year = mx.order_year
+        |             AND b.bucket = mx.bucket)
+        |SELECT order_year,
+        |  CAST(SUM(CAST(1 AS BIGINT) << CAST(31 - m AS INT)) AS BIGINT)
+        |    AS sum_pow,
+        |  CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS zero_buckets,
+        |  0.7182725932::DOUBLE * 65536 * 2147483648
+        |    / CAST(CAST(SUM(CAST(1 AS BIGINT) << CAST(31 - m AS INT))
+        |             AS BIGINT) AS DOUBLE) AS est_distinct
+        |FROM full_b GROUP BY order_year ORDER BY order_year""".stripMargin,
     "stats_cm_topk" ->
       """WITH h AS (
         |  SELECT user_id,

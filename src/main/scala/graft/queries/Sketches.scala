@@ -49,22 +49,25 @@ object Sketches {
   private def hllNumerator: Column =
     lit(0.7182725932) * lit(65536) * lit(2147483648L)
 
-  /** HyperLogLog distinct-orderkey estimate over `lineitem` — raw HLL
-    * (Flajolet et al. 2007) with m=256 buckets and 30-bit rank lanes.
-    * One pass + a 256-row aggregate; the oracle replays the identical
-    * arithmetic in SQL. The per-bucket max combines map-side, so the
-    * shuffle carries at most m rows per partition regardless of input
-    * size. No low-range correction on purpose: it needs `ln`, which is
-    * not bit-portable across engines; the raw estimator is valid here
-    * (n ≫ 2.5m at both gate SFs, spec-asserted ≤ a few % off).
+  /** The HLL sketch of `value` over `in`: per-bucket max rank,
+    * `(bucket, m)` with at most [[Buckets]] rows. This IS the mergeable
+    * state — union sketches and re-max per bucket to sketch the union
+    * of their inputs (what per-partition partial aggregation does
+    * inside one query, and what a streaming/pre-aggregated pipeline
+    * does across batches; spec-asserted in ExtensionSpec).
     */
-  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
-    val g = hash30(col("l_orderkey"))
+  def hllBuckets(in: DataFrame, value: Column): DataFrame = {
+    val g = hash30(value)
     val g2 = (g.bitwiseXOR(shiftright(g, 11)) * lit(A1)) % lit(P)
-    val ranked = Relational.t(s, dir, "lineitem")
-      .select((g % lit(Buckets)).as("bucket"),
-        when(g2 === 0, 31).otherwise(lit(31) - length(bin(g2))).as("rho"))
-    val mx = ranked.groupBy("bucket").agg(max(col("rho")).as("m"))
+    in.select((g % lit(Buckets)).as("bucket"),
+      when(g2 === 0, 31).otherwise(lit(31) - length(bin(g2))).as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("m"))
+  }
+
+  /** Merge sketches (max per bucket) and evaluate the raw-HLL estimate. */
+  def hllEstimate(s: SparkSession, sketches: DataFrame*): DataFrame = {
+    val mx = sketches.reduce(_ unionAll _)
+      .groupBy("bucket").agg(max(col("m")).as("m"))
     val full = s.range(Buckets).select(col("id").as("bucket"))
       .join(mx, Seq("bucket"), "left")
       .select(coalesce(col("m"), lit(0)).as("m"))
@@ -74,6 +77,47 @@ object Sketches {
       .select(lit(Buckets.toLong).as("n_buckets"), col("sum_pow"),
         col("zero_buckets"),
         (hllNumerator / col("sum_pow").cast("double")).as("est_distinct"))
+  }
+
+  /** HyperLogLog distinct-orderkey estimate over `lineitem` — raw HLL
+    * (Flajolet et al. 2007) with m=256 buckets and 30-bit rank lanes.
+    * One pass + a 256-row aggregate; the oracle replays the identical
+    * arithmetic in SQL. The per-bucket max combines map-side, so the
+    * shuffle carries at most m rows per partition regardless of input
+    * size. No low-range correction on purpose: it needs `ln`, which is
+    * not bit-portable across engines; the raw estimator is valid here
+    * (n ≫ 2.5m at both gate SFs, spec-asserted ≤ a few % off).
+    */
+  def hllDistinct(s: SparkSession, dir: String): DataFrame =
+    hllEstimate(s,
+      hllBuckets(Relational.t(s, dir, "lineitem"), col("l_orderkey")))
+
+  /** Grouped HLL: distinct customers per order year — the reporting
+    * shape (one sketch per group key, all groups in one pass). Group
+    * state is ≤ m rows per group; the full-bucket completion is a
+    * groups × m frame, trivial next to the scan. Raw estimator regime
+    * holds per GROUP here (each year ≫ 2.5 m distinct customers at the
+    * gate SFs).
+    */
+  def hllGroups(s: SparkSession, dir: String): DataFrame = {
+    val orders = Relational.t(s, dir, "orders")
+    val g = hash30(col("o_custkey"))
+    val g2 = (g.bitwiseXOR(shiftright(g, 11)) * lit(A1)) % lit(P)
+    val mx = orders.select(year(col("o_orderdate")).cast("long").as("order_year"),
+        (g % lit(Buckets)).as("bucket"),
+        when(g2 === 0, 31).otherwise(lit(31) - length(bin(g2))).as("rho"))
+      .groupBy("order_year", "bucket").agg(max(col("rho")).as("m"))
+    val years = mx.select("order_year").distinct()
+    val full = years
+      .crossJoin(s.range(Buckets).select(col("id").as("bucket")))
+      .join(mx, Seq("order_year", "bucket"), "left")
+      .select(col("order_year"), coalesce(col("m"), lit(0)).as("m"))
+    full.groupBy("order_year").agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(31 - m AS INT))")).as("sum_pow"),
+      sum(when(col("m") === 0, 1L).otherwise(0L)).as("zero_buckets"))
+      .select(col("order_year"), col("sum_pow"), col("zero_buckets"),
+        (hllNumerator / col("sum_pow").cast("double")).as("est_distinct"))
+      .orderBy("order_year")
   }
 
   private val CmDepth = 4

@@ -368,6 +368,26 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(row.fieldIndex("zero_buckets")) == 0) // n >> 2.5m
   }
 
+  test("HLL sketches merge: union of half-sketches equals the whole") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val whole = Sketches.hllEstimate(spark,
+      Sketches.hllBuckets(li, col("l_orderkey"))).head()
+    val merged = Sketches.hllEstimate(spark,
+      Sketches.hllBuckets(li.filter(col("l_orderkey") % 2 === 0), col("l_orderkey")),
+      Sketches.hllBuckets(li.filter(col("l_orderkey") % 2 =!= 0), col("l_orderkey")))
+      .head()
+    assert(whole == merged) // bit-identical, estimate included
+  }
+
+  test("HLL accuracy holds on a controlled cardinality (grouped regime)") {
+    // synthetic frame with KNOWN distinct count well above 2.5m
+    val n = 20000L
+    val df = spark.range(n).select(col("id"))
+    val est = Sketches.hllEstimate(spark, Sketches.hllBuckets(df, col("id")))
+      .head().getDouble(3)
+    assert(math.abs(est - n) / n < 0.20, s"est $est vs $n")
+  }
+
   test("count-min never underestimates and is tight when items << width") {
     val rows = Sketches.cmHeavyHitters(spark, sf).collect()
     assert(rows.length == 10)

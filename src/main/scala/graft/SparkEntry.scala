@@ -70,6 +70,7 @@ object SparkEntry {
     // estimation whose hashes replay exactly in the SQL oracle
     "stats_hll_distinct" -> (Sketches.hllDistinct _),
     "stats_hll_groups" -> (Sketches.hllGroups _),
+    "stats_hll_overlap" -> (Sketches.hllOverlap _),
     "stats_cm_topk" -> (Sketches.cmHeavyHitters _),
     "mm_features" -> (TextAnalysis.mmFeatures _),
     // multimodal planning halves: sampled-frame byte ranges, resize dims
@@ -590,6 +591,42 @@ object SparkEntry {
         |  0.7182725932::DOUBLE * 65536 * 2147483648 / CAST(sum_pow AS DOUBLE)
         |    AS est_distinct
         |FROM agg""".stripMargin,
+    "stats_hll_overlap" ->
+      """WITH h0 AS (
+        |  SELECT CASE WHEN year(o_orderdate) < 1998 THEN 0 ELSE 1 END AS part,
+        |         ((o_custkey % 1073741789) * 2654435761) % 1073741789 AS m1
+        |  FROM orders),
+        |h1 AS (SELECT part,
+        |              (xor(m1, m1 >> 13) * 2246822519) % 1073741789 AS g
+        |       FROM h0),
+        |h2 AS (SELECT part, g % 256 AS bucket,
+        |              (xor(g, g >> 11) * 2654435761) % 1073741789 AS g2
+        |       FROM h1),
+        |r AS (SELECT part, bucket,
+        |             CASE WHEN g2 = 0 THEN 31
+        |                  ELSE 31 - length(bin(g2)) END AS rho
+        |      FROM h2),
+        |r2 AS (SELECT part, bucket, rho FROM r
+        |       UNION ALL SELECT 2 AS part, bucket, rho FROM r),
+        |mx AS (SELECT part, bucket, MAX(rho) AS m
+        |       FROM r2 GROUP BY part, bucket),
+        |full_b AS (
+        |  SELECT p.part, b.bucket, COALESCE(mx.m, 0) AS m
+        |  FROM (SELECT unnest(generate_series(0, 2)) AS part) p
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS bucket) b
+        |  LEFT JOIN mx ON p.part = mx.part AND b.bucket = mx.bucket),
+        |ests AS (
+        |  SELECT part,
+        |    0.7182725932::DOUBLE * 65536 * 2147483648
+        |      / CAST(CAST(SUM(CAST(1 AS BIGINT) << CAST(31 - m AS INT))
+        |               AS BIGINT) AS DOUBLE) AS est
+        |  FROM full_b GROUP BY part)
+        |SELECT (SELECT est FROM ests WHERE part = 0) AS est_a,
+        |       (SELECT est FROM ests WHERE part = 1) AS est_b,
+        |       (SELECT est FROM ests WHERE part = 2) AS est_union,
+        |       (SELECT est FROM ests WHERE part = 0)
+        |         + (SELECT est FROM ests WHERE part = 1)
+        |         - (SELECT est FROM ests WHERE part = 2) AS est_intersect""".stripMargin,
     "stats_hll_groups" ->
       """WITH h0 AS (
         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,

@@ -120,6 +120,30 @@ object Sketches {
       .orderBy("order_year")
   }
 
+  /** HLL set algebra: estimated overlap of two customer sets (orders
+    * before/since 1998) by inclusion–exclusion — |A∩B| ≈ est(A) +
+    * est(B) − est(A∪B), where est(A∪B) is the merged sketch (max per
+    * bucket), NOT a rescan of A∪B. This is how sketch stores answer
+    * audience-overlap / cross-snapshot-churn questions at 100 TB: three
+    * m-row states, no join of the underlying sets. Intersection error
+    * compounds (sum of three estimators' errors — fine for large
+    * overlaps, noisy for tiny ones); the spec pins the quality, the
+    * oracle the arithmetic.
+    */
+  def hllOverlap(s: SparkSession, dir: String): DataFrame = {
+    val orders = Relational.t(s, dir, "orders")
+    val a = hllBuckets(orders.filter(year(col("o_orderdate")) < 1998),
+      col("o_custkey"))
+    val b = hllBuckets(orders.filter(year(col("o_orderdate")) >= 1998),
+      col("o_custkey"))
+    val estA = hllEstimate(s, a).select(col("est_distinct").as("est_a"))
+    val estB = hllEstimate(s, b).select(col("est_distinct").as("est_b"))
+    val estU = hllEstimate(s, a, b).select(col("est_distinct").as("est_union"))
+    estA.crossJoin(estB).crossJoin(estU)
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_intersect"))
+  }
+
   private val CmDepth = 4
   private val CmWidth = 512
   /** Per-row multipliers of the count-min hash family (xxhash/Murmur

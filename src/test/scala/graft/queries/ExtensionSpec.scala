@@ -388,6 +388,27 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(est - n) / n < 0.20, s"est $est vs $n")
   }
 
+  test("HLL overlap: exact identity on the query, accuracy on a controlled set") {
+    // query invariants (sf0.001 cardinalities sit below the raw-HLL
+    // regime, so accuracy is pinned on the controlled set below)
+    val row = Sketches.hllOverlap(spark, sf).head()
+    val (ea, eb, eu, ei) = (row.getDouble(0), row.getDouble(1),
+      row.getDouble(2), row.getDouble(3))
+    assert(ei == ea + eb - eu) // inclusion–exclusion, exact arithmetic
+    assert(eu <= ea + eb && eu >= math.max(ea, eb) - 1e-9)
+    // controlled overlap: |A|=|B|=20000, |A∩B|=10000 — well inside the
+    // estimator regime; three compounded estimators, loose 35% pin
+    val a = spark.range(0, 20000).select(col("id"))
+    val b = spark.range(10000, 30000).select(col("id"))
+    val sa = Sketches.hllBuckets(a, col("id"))
+    val sb = Sketches.hllBuckets(b, col("id"))
+    val estA = Sketches.hllEstimate(spark, sa).head().getDouble(3)
+    val estB = Sketches.hllEstimate(spark, sb).head().getDouble(3)
+    val estU = Sketches.hllEstimate(spark, sa, sb).head().getDouble(3)
+    val est = estA + estB - estU
+    assert(math.abs(est - 10000) / 10000 < 0.35, s"est $est vs 10000")
+  }
+
   test("count-min never underestimates and is tight when items << width") {
     val rows = Sketches.cmHeavyHitters(spark, sf).collect()
     assert(rows.length == 10)

@@ -43,6 +43,8 @@ object SparkEntry {
     "q24_explode" -> (Relational.q24Explode _),
     "q25_unpivot" -> (Relational.q25Unpivot _),
     "q26_full_outer" -> (Relational.q26FullOuter _),
+    // rank-limit per-group top-k (WindowGroupLimit partial pushdown)
+    "q27_group_topk" -> (Relational.q27GroupTopK _),
     // SURVEY §2.1 lake-table format ops (S3/S4/K1) through the oracle gate
     "lake_merge_snapshot" -> (LakeQueries.lakeMergeSnapshot _),
     "lake_mor_snapshot" -> (LakeQueries.lakeMorSnapshot _),
@@ -58,6 +60,8 @@ object SparkEntry {
     // extension operators: text analysis / dedup / similarity / multimodal
     "text_stats" -> (TextAnalysis.textStats _),
     "text_exact_dedup" -> (TextAnalysis.exactDedup _),
+    // canonical normalization: the pre-pass for variant-tolerant dedup
+    "text_normalize" -> (TextAnalysis.normalize _),
     "text_quality" -> (TextAnalysis.qualityScore _),
     "text_langid" -> (TextAnalysis.langId _),
     "text_curate" -> (TextAnalysis.curate _),
@@ -72,6 +76,9 @@ object SparkEntry {
     "stats_hll_groups" -> (Sketches.hllGroups _),
     "stats_hll_overlap" -> (Sketches.hllOverlap _),
     "stats_cm_topk" -> (Sketches.cmHeavyHitters _),
+    // all-integer HDR histogram quantiles (mergeable, ≤1/16 rel. error)
+    "stats_hdr_quantiles" -> (Sketches.hdrOrderQuantiles _),
+    "stats_hdr_groups" -> (Sketches.hdrGroupQuantiles _),
     "mm_features" -> (TextAnalysis.mmFeatures _),
     // multimodal planning halves: sampled-frame byte ranges, resize dims
     "mm_frame_sample" -> (TextAnalysis.mmFrameSample _),
@@ -369,6 +376,13 @@ object SparkEntry {
         |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
         |FROM c FULL OUTER JOIN s ON nk = snk
         |ORDER BY nationkey""".stripMargin,
+    "q27_group_topk" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
     "q23_grouping_sets" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
         |  COALESCE(l_linestatus, 'ALL') AS ls,
@@ -480,6 +494,17 @@ object SparkEntry {
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
         |FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
         |ORDER BY keep_id""".stripMargin,
+    "text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens_norm,
+        |  md5(norm) AS sig,
+        |  CAST(norm <> text AS INT) AS changed
+        |FROM n ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -659,6 +684,60 @@ object SparkEntry {
         |    / CAST(CAST(SUM(CAST(1 AS BIGINT) << CAST(31 - m AS INT))
         |             AS BIGINT) AS DOUBLE) AS est_distinct
         |FROM full_b GROUP BY order_year ORDER BY order_year""".stripMargin,
+    // bit-for-bit replay of the all-integer HDR histogram: bit-length +
+    // shift bucketing, cumulative-count rank extraction — no FP anywhere
+    "stats_hdr_quantiles" ->
+      """WITH v AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |b AS (SELECT v, length(bin(v)) AS bl FROM v),
+        |k AS (SELECT
+        |        CASE WHEN bl <= 5 THEN v
+        |             ELSE CAST(bl - 6 AS BIGINT) * 16
+        |                  + ((v >> (bl - 5)) - 16) + 32 END AS idx,
+        |        CASE WHEN bl <= 5 THEN v
+        |             ELSE (v >> (bl - 5)) << (bl - 5) END AS lo
+        |      FROM b),
+        |hist AS (SELECT idx, lo, CAST(count(*) AS BIGINT) AS cnt
+        |         FROM k GROUP BY idx, lo),
+        |c AS (SELECT lo, CAST(SUM(cnt) OVER (ORDER BY idx
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |        AS cum
+        |      FROM hist),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+        |             CAST(COUNT(*) AS BIGINT) AS n_buckets FROM hist)
+        |SELECT MAX(n) AS n_rows, MAX(n_buckets) AS n_buckets,
+        |  MIN(CASE WHEN cum >= (n + 1) // 2 THEN lo END) AS p50_cents,
+        |  MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN lo END) AS p90_cents,
+        |  MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN lo END) AS p99_cents
+        |FROM c CROSS JOIN t""".stripMargin,
+    "stats_hdr_groups" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |b AS (SELECT o_orderpriority, v, length(bin(v)) AS bl FROM v),
+        |k AS (SELECT o_orderpriority,
+        |        CASE WHEN bl <= 5 THEN v
+        |             ELSE CAST(bl - 6 AS BIGINT) * 16
+        |                  + ((v >> (bl - 5)) - 16) + 32 END AS idx,
+        |        CASE WHEN bl <= 5 THEN v
+        |             ELSE (v >> (bl - 5)) << (bl - 5) END AS lo
+        |      FROM b),
+        |hist AS (SELECT o_orderpriority, idx, lo,
+        |           CAST(count(*) AS BIGINT) AS cnt
+        |         FROM k GROUP BY o_orderpriority, idx, lo),
+        |c AS (SELECT o_orderpriority, lo,
+        |        CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority
+        |          ORDER BY idx
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum,
+        |        CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority)
+        |          AS BIGINT) AS n
+        |      FROM hist)
+        |SELECT o_orderpriority, MAX(n) AS n_rows,
+        |  MIN(CASE WHEN cum >= (n + 1) // 2 THEN lo END) AS p50_cents,
+        |  MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN lo END) AS p90_cents,
+        |  MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN lo END) AS p99_cents
+        |FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "stats_cm_topk" ->
       """WITH h AS (
         |  SELECT user_id,

@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // optional 3rd arg: comma-separated query names (local iteration aid;
+    // the driver always runs the full set)
+    val only = args.drop(2).headOption
+      .map(_.split(",").map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.util.Sessions.builder("graft-verify")
       .master(s"local[$cpus]")
@@ -18,7 +22,11 @@ object Verify {
     // the result dir (so the compare records an error instead of silently
     // omitting the query) and exit non-zero at the end.
     var failed = List.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case None        => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

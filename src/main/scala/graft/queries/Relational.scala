@@ -413,6 +413,25 @@ object Relational {
       .orderBy("nationkey")
   }
 
+  /** Per-group top-k (top-3 orders by value per priority class) via
+    * rank-limit: row_number over the group window filtered to ≤ k.
+    * Spark rewrites this shape into a WindowGroupLimit — each map task
+    * keeps only its local top-k PER GROUP before the shuffle, so the
+    * exchange carries ≤ k·groups·tasks rows instead of the whole table
+    * (plan-asserted in the spec). The scale answer to "top N per key"
+    * that a groupBy+collect_list can never be.
+    */
+  def q27GroupTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy("o_orderpriority", "rk")
+  }
+
   /** Set ops: union/except on projections (SURVEY §2.5 notes the rebuild
     * introduces union for COW rewrite; exposed as a query op too).
     */

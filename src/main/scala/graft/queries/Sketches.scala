@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -142,6 +143,98 @@ object Sketches {
     estA.crossJoin(estB).crossJoin(estU)
       .select(col("est_a"), col("est_b"), col("est_union"),
         (col("est_a") + col("est_b") - col("est_union")).as("est_intersect"))
+  }
+
+  /** HDR-histogram quantile sketch over `orders.o_totalprice` (in integer
+    * cents): log-scaled buckets with 16 linear sub-buckets per power of
+    * two — bucket id and lower bound are PURE INTEGER arithmetic
+    * (bit-length + shifts), so the sketch replays bit-for-bit in the SQL
+    * oracle, unlike log-based DDSketch buckets whose `ln` is not
+    * bit-portable. Relative error ≤ 1/16 per estimate (sub-bucket width /
+    * lower bound; spec-asserted against exact quantiles).
+    *
+    * Why this is the 100 TB quantile path: exact percentiles sort (or at
+    * best single-aggregate) EVERY value through one reducer;  this is a
+    * groupBy over ≤ ~16·64 buckets — per-partition partial histograms
+    * combine map-side, the merged sketch is a few hundred rows, and the
+    * cumulative-sum quantile extraction is driver-trivial. The histogram
+    * is also the mergeable state: union per-split sketches and re-sum per
+    * bucket (same contract as [[hllBuckets]]; spec-asserted).
+    */
+  def hdrHistogram(in: DataFrame, cents: Column): DataFrame =
+    in.select(cents.as("v"))
+      .withColumn("bl", length(bin(col("v"))))
+      .select(
+        when(col("bl") <= 5, col("v"))
+          .otherwise((col("bl") - lit(6)).cast("long") * 16 +
+            (expr("shiftright(v, bl - 5)") - 16) + 32).as("idx"),
+        when(col("bl") <= 5, col("v"))
+          .otherwise(expr("shiftleft(shiftright(v, bl - 5), bl - 5)"))
+          .as("lo"))
+      .groupBy("idx", "lo").agg(count(lit(1)).as("cnt"))
+
+  /** Evaluate p50/p90/p99 from a (possibly merged) HDR histogram: each
+    * estimate is the lower bound of the first bucket whose cumulative
+    * count reaches ceil(q·n) — all-integer rank arithmetic, no FP. The
+    * rank window runs over the few-hundred-row sketch, not the data.
+    */
+  def hdrQuantiles(histograms: DataFrame*): DataFrame = {
+    val hist = histograms.reduce(_ unionAll _)
+      .groupBy("idx", "lo").agg(sum(col("cnt")).as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum("cnt").over(Window.orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = hist.agg(sum(col("cnt")).as("n"),
+      count(lit(1)).as("n_buckets"))
+    cum.crossJoin(tot).agg(
+      max(col("n")).as("n_rows"),
+      max(col("n_buckets")).as("n_buckets"),
+      min(when(col("cum") >= expr("(n + 1) DIV 2"), col("lo")))
+        .as("p50_cents"),
+      min(when(col("cum") >= expr("(9 * n + 9) DIV 10"), col("lo")))
+        .as("p90_cents"),
+      min(when(col("cum") >= expr("(99 * n + 99) DIV 100"), col("lo")))
+        .as("p99_cents"))
+  }
+
+  /** Order-value quantiles via the HDR sketch (one pass, one row out). */
+  def hdrOrderQuantiles(s: SparkSession, dir: String): DataFrame =
+    hdrQuantiles(hdrHistogram(Relational.t(s, dir, "orders"),
+      round(col("o_totalprice") * 100).cast("long")))
+
+  /** Grouped HDR quantiles: order-value p50/p90/p99 per priority class —
+    * the reporting shape (one histogram per group, all groups in one
+    * pass). Group state is ≤ the bucket count per group; the rank
+    * windows partition BY GROUP, so extraction scales with groups, not
+    * data.
+    */
+  def hdrGroupQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val hist = Relational.t(s, dir, "orders")
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      .withColumn("bl", length(bin(col("v"))))
+      .select(col("o_orderpriority"),
+        when(col("bl") <= 5, col("v"))
+          .otherwise((col("bl") - lit(6)).cast("long") * 16 +
+            (expr("shiftright(v, bl - 5)") - 16) + 32).as("idx"),
+        when(col("bl") <= 5, col("v"))
+          .otherwise(expr("shiftleft(shiftright(v, bl - 5), bl - 5)"))
+          .as("lo"))
+      .groupBy("o_orderpriority", "idx", "lo").agg(count(lit(1)).as("cnt"))
+    val byGrp = Window.partitionBy("o_orderpriority")
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(byGrp.orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("cnt").over(byGrp))
+    cum.groupBy("o_orderpriority").agg(
+      max(col("n")).as("n_rows"),
+      min(when(col("cum") >= expr("(n + 1) DIV 2"), col("lo")))
+        .as("p50_cents"),
+      min(when(col("cum") >= expr("(9 * n + 9) DIV 10"), col("lo")))
+        .as("p90_cents"),
+      min(when(col("cum") >= expr("(99 * n + 99) DIV 100"), col("lo")))
+        .as("p99_cents"))
+      .orderBy("o_orderpriority")
   }
 
   private val CmDepth = 4

@@ -49,6 +49,24 @@ object TextAnalysis {
       .select("keep_id", "dup_cnt")
       .orderBy("keep_id")
 
+  /** Canonical text normalization — the pass every dedup/quality stage
+    * upstream of training runs first: lowercase, non-alphanumerics to
+    * spaces, whitespace collapsed, trimmed. Emitted as the normalized
+    * token count + content hash (the join key for case/punctuation-variant
+    * dedup that byte-exact [[exactDedup]] misses) plus a changed flag.
+    * Pure per-row codegen'd expressions — map-only at any scale.
+    */
+  def normalize(s: SparkSession, dir: String): DataFrame =
+    Relational.t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", " "), " +", " ")).as("norm"))
+      .select(col("doc_id"),
+        size(split(col("norm"), " ")).cast("long").as("n_tokens_norm"),
+        md5(col("norm")).as("sig"),
+        (col("norm") =!= col("text")).cast("int").as("changed"))
+      .orderBy("doc_id")
+
   /** Language-ID by marker-token scoring (n-gram/stopword heuristic,
     * deterministic): hits per language's marker set, argmax with a fixed
     * tie order, emitted as a confusion matrix against the labeled lang.

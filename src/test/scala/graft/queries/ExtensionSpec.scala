@@ -409,6 +409,94 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(est - 10000) / 10000 < 0.35, s"est $est vs 10000")
   }
 
+  test("HDR quantile sketch: ≤1/16 relative error and mergeable state") {
+    val row = Sketches.hdrOrderQuantiles(spark, sf).head()
+    val n = row.getLong(row.fieldIndex("n_rows"))
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    assert(n == orders.count())
+    // exact quantiles (ceil-rank definition, matching the sketch)
+    val cents = orders
+      .select(round(col("o_totalprice") * 100).cast("long").as("v"))
+      .orderBy("v").collect().map(_.getLong(0))
+    def exact(qn: Long, qd: Long): Long =
+      cents(((n * qn + qd - 1) / qd - 1).toInt)
+    Seq(("p50_cents", 1L, 2L), ("p90_cents", 9L, 10L),
+        ("p99_cents", 99L, 100L)).foreach { case (c, qn, qd) =>
+      val est = row.getLong(row.fieldIndex(c))
+      val ex = exact(qn, qd)
+      // est is the bucket LOWER bound containing the exact value:
+      // est <= exact < est * (1 + 1/16)
+      assert(est <= ex && ex < est + (est >> 4) + 1,
+        s"$c: est $est vs exact $ex")
+    }
+    // mergeability: per-half histograms re-summed == whole-input sketch
+    val centsCol = round(col("o_totalprice") * 100).cast("long")
+    val whole = Sketches.hdrQuantiles(
+      Sketches.hdrHistogram(orders, centsCol)).head()
+    val merged = Sketches.hdrQuantiles(
+      Sketches.hdrHistogram(orders.filter(col("o_orderkey") % 2 === 0), centsCol),
+      Sketches.hdrHistogram(orders.filter(col("o_orderkey") % 2 =!= 0), centsCol))
+      .head()
+    assert(whole == merged)
+  }
+
+  test("grouped HDR quantiles: per-group error bound, counts partition") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val rows = Sketches.hdrGroupQuantiles(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == orders.count())
+    val byGrp = orders
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      .collect().groupBy(_.getString(0))
+      .map { case (g, rs) => g -> rs.map(_.getLong(1)).sorted }
+    rows.foreach { r =>
+      val (g, n) = (r.getString(0), r.getLong(1))
+      val cents = byGrp(g)
+      assert(n == cents.length)
+      Seq(("p50_cents", 1L, 2L), ("p90_cents", 9L, 10L),
+          ("p99_cents", 99L, 100L)).foreach { case (c, qn, qd) =>
+        val est = r.getLong(r.fieldIndex(c))
+        val ex = cents(((n * qn + qd - 1) / qd - 1).toInt)
+        assert(est <= ex && ex < est + (est >> 4) + 1,
+          s"$g/$c: est $est vs exact $ex")
+      }
+    }
+  }
+
+  test("normalize: idempotent, variant-tolerant, catches case variants") {
+    import spark.implicits._
+    val out = TextAnalysis.normalize(spark, sf).collect()
+    assert(out.length ==
+      spark.read.parquet(s"$sf/documents.parquet").count())
+    // normalization is idempotent: hashing a normalized corpus again
+    // yields the same signatures (norm of norm == norm)
+    val docs = Seq(
+      (1L, "Hello, World!  foo"), (2L, "hello world foo"),
+      (3L, "HELLO   world; FOO")).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text"))) // schema parity unused
+    val dir = java.nio.file.Files.createTempDirectory("normspec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sigs = TextAnalysis.normalize(spark, dir)
+      .select("doc_id", "sig", "changed").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    // all three are the same doc after normalization; 1 and 3 changed
+    assert(sigs(1L)._1 == sigs(2L)._1 && sigs(2L)._1 == sigs(3L)._1)
+    assert(sigs(1L)._2 == 1 && sigs(2L)._2 == 0 && sigs(3L)._2 == 1)
+  }
+
+  test("group top-k plans a WindowGroupLimit (partial per-group limit)") {
+    val df = Relational.q27GroupTopK(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"plan was:\n$plan")
+    // every group has exactly min(3, group size) rows, ranked 1..k
+    val rows = df.collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length))
+      assert(rs.length <= 3)
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("count-min never underestimates and is tight when items << width") {
     val rows = Sketches.cmHeavyHitters(spark, sf).collect()
     assert(rows.length == 10)

@@ -112,6 +112,8 @@ object SparkEntry {
     "text_stopwords" -> (TextAnalysis.stopwordFilter _),
     "text_repetition" -> (Curation.repetitionScore _),
     "curate_domain_mix" -> (Curation.domainMix _),
+    // sketch-derived decile binning (broadcast boundaries, map-only)
+    "curate_quantile_bins" -> (Curation.quantileBins _),
     // context-window packing: next-fit doc→sequence assignment per domain
     "curate_pack_sequences" -> ((s, dir) => Curation.packSequences(s, dir)),
     // IVF ANN: k-means cells + nprobe search; probing all cells is exactly
@@ -994,6 +996,48 @@ object SparkEntry {
         |            WHEN 'es' THEN '2000' WHEN 'de' THEN '1000'
         |            ELSE '0800' END
         |ORDER BY doc_id""".stripMargin,
+    // decile boundaries replayed from the same all-integer HDR histogram,
+    // then a scalar-subquery bin assignment per doc
+    "curate_quantile_bins" ->
+      """WITH v0 AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v
+        |            FROM documents),
+        |b AS (SELECT doc_id, v, length(bin(v)) AS bl FROM v0),
+        |k AS (SELECT doc_id, v,
+        |        CASE WHEN bl <= 5 THEN v
+        |             ELSE CAST(bl - 6 AS BIGINT) * 16
+        |                  + ((v >> (bl - 5)) - 16) + 32 END AS idx,
+        |        CASE WHEN bl <= 5 THEN v
+        |             ELSE (v >> (bl - 5)) << (bl - 5) END AS lo
+        |      FROM b),
+        |hist AS (SELECT idx, lo, CAST(count(*) AS BIGINT) AS cnt
+        |         FROM k GROUP BY idx, lo),
+        |c AS (SELECT lo, CAST(SUM(cnt) OVER (ORDER BY idx
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |        AS cum
+        |      FROM hist),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hist),
+        |bd AS (SELECT
+        |  MIN(CASE WHEN cum >= (1 * n + 9) // 10 THEN lo END) AS b1,
+        |  MIN(CASE WHEN cum >= (2 * n + 9) // 10 THEN lo END) AS b2,
+        |  MIN(CASE WHEN cum >= (3 * n + 9) // 10 THEN lo END) AS b3,
+        |  MIN(CASE WHEN cum >= (4 * n + 9) // 10 THEN lo END) AS b4,
+        |  MIN(CASE WHEN cum >= (5 * n + 9) // 10 THEN lo END) AS b5,
+        |  MIN(CASE WHEN cum >= (6 * n + 9) // 10 THEN lo END) AS b6,
+        |  MIN(CASE WHEN cum >= (7 * n + 9) // 10 THEN lo END) AS b7,
+        |  MIN(CASE WHEN cum >= (8 * n + 9) // 10 THEN lo END) AS b8,
+        |  MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN lo END) AS b9
+        |  FROM c CROSS JOIN t)
+        |SELECT v0.doc_id, v0.v AS n_chars,
+        |  CAST((CASE WHEN v >= b1 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN v >= b2 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN v >= b3 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN v >= b4 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN v >= b5 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN v >= b6 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN v >= b7 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN v >= b8 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN v >= b9 THEN 1 ELSE 0 END) AS BIGINT) AS bin
+        |FROM v0 CROSS JOIN bd ORDER BY doc_id""".stripMargin,
     // next-fit packing is a carry-dependent scan: the oracle walks each
     // domain with a recursive CTE over the doc_id order
     "curate_pack_sequences" ->

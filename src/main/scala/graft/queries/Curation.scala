@@ -180,6 +180,37 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Quantile binning by document length via the HDR sketch: decile
+    * boundaries come from the mergeable integer histogram
+    * ([[Sketches.hdrHistogram]]), and bin assignment is a broadcast of
+    * the single 9-boundary row against a map-only corpus scan. This is
+    * the scale-correct form of `ntile(10) OVER (ORDER BY n_chars)`,
+    * which funnels every row through one global sort partition; here the
+    * data is touched twice, both times embarrassingly parallel, and the
+    * only coordination is the few-hundred-row sketch. Boundaries are
+    * bucket lower bounds (all-integer), so bins are deterministic and
+    * the oracle replays them exactly; boundary granularity (≤1/16
+    * relative) decides only WHERE ties land, never reproducibility.
+    */
+  def quantileBins(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val hist = Sketches.hdrHistogram(d, col("n_chars").cast("long"))
+    val cum = hist.withColumn("cum",
+      sum("cnt").over(Window.orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = hist.agg(sum(col("cnt")).as("n"))
+    val boundCols = (1 to 9).map(i =>
+      min(when(col("cum") >= expr(s"($i * n + 9) DIV 10"), col("lo")))
+        .as(s"b$i"))
+    val bounds = cum.crossJoin(tot).agg(boundCols.head, boundCols.tail: _*)
+    val v = col("n_chars").cast("long")
+    d.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), v.as("n_chars"),
+        (1 to 9).map(i => when(v >= col(s"b$i"), 1L).otherwise(0L))
+          .reduce(_ + _).as("bin"))
+      .orderBy("doc_id")
+  }
+
   /** Domain/language mixing: per-stratum deterministic keep-rates — the
     * "data recipe" step that reweights a crawl toward a target language
     * mix. Same md5-threshold mechanism as [[hashSample]], with the

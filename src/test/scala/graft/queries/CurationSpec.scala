@@ -70,6 +70,27 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       packed.collect().toSeq)
   }
 
+  test("quantile bins: monotone in length, near-equal sizes, broadcast plan") {
+    val df = Curation.quantileBins(spark, dir)
+    // boundary row reaches the corpus scan via broadcast, and the corpus
+    // itself is never globally sorted for the assignment (only the final
+    // presentation orderBy sorts, on the already-binned rows)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = Relational.t(spark, dir, "documents").count()
+    assert(rows.length == total)
+    // bin is a monotone function of n_chars
+    rows.sortBy(_._2).sliding(2).foreach {
+      case Array((_, _, b1), (_, v2, b2)) => assert(b1 <= b2, s"bin drop at $v2")
+      case _ => ()
+    }
+    assert(rows.map(_._3).min == 0 && rows.map(_._3).max == 9)
+    // deciles from a ≤1/16-granular histogram: sizes near n/10 (loose 2x)
+    rows.groupBy(_._3).values.foreach(g =>
+      assert(g.size <= total / 5, s"bin of ${g.size} docs"))
+  }
+
   test("quantization of an all-zero embedding yields scale 0, not NaN codes") {
     val s = spark
     import s.implicits._

@@ -160,6 +160,10 @@ object Sketches {
     * cumulative-sum quantile extraction is driver-trivial. The histogram
     * is also the mergeable state: union per-split sketches and re-sum per
     * bucket (same contract as [[hllBuckets]]; spec-asserted).
+    *
+    * Domain: NON-NEGATIVE integers (prices/latencies/counts in their
+    * smallest unit). Negative inputs would read `bin()`'s 64-bit two's
+    * complement, which is not portable across engines.
     */
   def hdrHistogram(in: DataFrame, cents: Column): DataFrame =
     in.select(cents.as("v"))

@@ -569,6 +569,68 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(0).getAs[String]("name") == "alice-reborn")
   }
 
+  test("StreamStats: merged partial sketches equal one-shot; compaction + replay safe") {
+    val work = tmp()
+    Files.createDirectories(Paths.get(s"$work/inbox"))
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val maxId = events.agg(max(col("event_id"))).head().getLong(0)
+    val split = (maxId + 1L) / 2L
+    def jsonLines(cond: org.apache.spark.sql.Column) =
+      events.filter(cond)
+        .select(to_json(struct(col("event_id"), col("user_id"), col("value"))))
+        .collect().map(_.getString(0))
+    Files.write(Paths.get(s"$work/inbox/wave1.json"),
+      jsonLines(col("event_id") < split).mkString("\n").getBytes)
+    val q = StreamStats.run(spark, PipelineConfig(
+      inboxDir = s"$work/inbox",
+      checkpointDir = s"$work/ckpt",
+      triggerSeconds = 1,
+      targetTablePath = s"$work/state"))
+    q.processAllAvailable()
+    Files.write(Paths.get(s"$work/inbox/wave2.json"),
+      jsonLines(col("event_id") >= split).mkString("\n").getBytes)
+    q.processAllAvailable()
+    q.stop()
+
+    // the streamed state's merged estimate must BIT-EQUAL the one-shot
+    // sketch over the full table (mergeability, operationalized)
+    val (hllAll, hdrAll) = StreamStats.partialSketches(events)
+    val expected = graft.queries.Sketches.hdrQuantiles(hdrAll)
+      .select(col("n_rows"), col("p50_cents"), col("p90_cents"),
+        col("p99_cents"))
+      .crossJoin(graft.queries.Sketches.hllEstimate(spark, hllAll)
+        .select(col("est_distinct").as("est_users")))
+      .head()
+    val streamed = StreamStats.currentStats(spark, s"$work/state").head()
+    assert(streamed == expected)
+    assert(streamed.getLong(0) == events.count())
+
+    // replaying a published batch is a no-op, even with different input
+    val published = new java.io.File(s"$work/state/hll").listFiles()
+      .filter(_.getName.startsWith("b")).map(_.getName.drop(1).toLong)
+    assert(published.length >= 2) // the two waves landed as two batches
+    StreamStats.processBatch(spark, events.limit(10), s"$work/state",
+      published.head)
+    assert(StreamStats.currentStats(spark, s"$work/state").head() == expected)
+
+    // compaction folds the partials without changing the merged answer…
+    StreamStats.compact(spark, s"$work/state")
+    assert(StreamStats.currentStats(spark, s"$work/state").head() == expected)
+    val remaining = new java.io.File(s"$work/state/hll").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(remaining.forall(_.startsWith("c")), remaining.mkString(","))
+    // …and a replay of an ABSORBED batch (dir deleted) still skips via
+    // the manifest instead of double-counting
+    StreamStats.processBatch(spark, events.limit(10), s"$work/state",
+      published.min)
+    assert(StreamStats.currentStats(spark, s"$work/state").head() == expected)
+    // new batches after compaction keep accumulating
+    StreamStats.processBatch(spark, events.limit(0), s"$work/state",
+      published.max + 1)
+    assert(StreamStats.currentStats(spark, s"$work/state").head() == expected)
+  }
+
   test("StreamDedup: micro-batches dedup against the corpus; replay idempotent") {
     val work = tmp()
     Files.createDirectories(Paths.get(s"$work/inbox"))

@@ -62,6 +62,10 @@ object SparkEntry {
     "text_exact_dedup" -> (TextAnalysis.exactDedup _),
     // canonical normalization: the pre-pass for variant-tolerant dedup
     "text_normalize" -> (TextAnalysis.normalize _),
+    // boilerplate mining: highest-df 3-grams (licenses/template chrome)
+    "text_common_ngrams" -> (TextAnalysis.commonNgrams _),
+    // integer-exact frequency-share drift between two corpus snapshots
+    "stats_corpus_drift" -> (TextAnalysis.corpusDrift _),
     "text_quality" -> (TextAnalysis.qualityScore _),
     "text_langid" -> (TextAnalysis.langId _),
     "text_curate" -> (TextAnalysis.curate _),
@@ -507,6 +511,33 @@ object SparkEntry {
         |  md5(norm) AS sig,
         |  CAST(norm <> text AS INT) AS changed
         |FROM n ORDER BY doc_id""".stripMargin,
+    "text_common_ngrams" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+        |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t
+        |  WHERE len(words) >= 3)
+        |SELECT ngram, CAST(COUNT(*) AS BIGINT) AS df
+        |FROM (SELECT doc_id, unnest(sh) AS ngram FROM docs)
+        |GROUP BY ngram ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
+    "stats_corpus_drift" ->
+      """WITH tok AS (
+        |  SELECT CASE WHEN doc_id >= (SELECT (MAX(doc_id)+1)//2
+        |                              FROM documents) THEN 1 ELSE 0 END AS half,
+        |         unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |counts AS (
+        |  SELECT token,
+        |    CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+        |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+        |  FROM tok WHERE len(token) > 0 GROUP BY token),
+        |totals AS (
+        |  SELECT CAST(SUM(cnt_a) AS BIGINT) AS total_a,
+        |         CAST(SUM(cnt_b) AS BIGINT) AS total_b FROM counts)
+        |SELECT token, cnt_a, cnt_b,
+        |  CAST(abs(cnt_a * total_b - cnt_b * total_a) AS BIGINT) AS xshift
+        |FROM counts CROSS JOIN totals
+        |ORDER BY xshift DESC, token LIMIT 20""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

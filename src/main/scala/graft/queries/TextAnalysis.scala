@@ -67,6 +67,55 @@ object TextAnalysis {
         (col("norm") =!= col("text")).cast("int").as("changed"))
       .orderBy("doc_id")
 
+  /** Boilerplate mining: the 3-grams shared by the most DOCUMENTS (df,
+    * not tf — one vote per doc via the distinct shingle set). At corpus
+    * scale these are licenses, navigation chrome, and template text —
+    * the shingles a Jaccard-dedup pass wants df-capped and a cleaning
+    * pass wants stripped. One explode + hash-groupBy with map-side
+    * combine, then a global top-k (TakeOrderedAndProject — per-partition
+    * heads, never a full sort).
+    */
+  def commonNgrams(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.shingles
+    Relational.t(s, dir, "documents")
+      .filter(tokens >= 3)
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("ngram"))
+      .limit(20)
+  }
+
+  /** Corpus drift detection between two snapshots (halves of the id
+    * range here; two crawls or two dated partitions in production): the
+    * tokens whose frequency SHARE moved most, ranked by the
+    * cross-multiplied integer shift |cnt_a·total_b − cnt_b·total_a| —
+    * share comparison without a single division, so the ranking is
+    * exact integer arithmetic and replays in the oracle. Token counts
+    * reduce map-side; the two totals ride along as a broadcast row.
+    * (At much larger counts the product needs DECIMAL or pre-scaling;
+    * the shape is unchanged.)
+    */
+  def corpusDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.t(s, dir, "documents")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val splitId = (maxId + 1L) / 2L
+    val tok = docs
+      .select((col("doc_id") >= splitId).cast("int").as("half"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val counts = tok.groupBy("token").agg(
+      sum(when(col("half") === 0, 1L).otherwise(0L)).as("cnt_a"),
+      sum(when(col("half") === 1, 1L).otherwise(0L)).as("cnt_b"))
+    val totals = counts.agg(sum(col("cnt_a")).as("total_a"),
+      sum(col("cnt_b")).as("total_b"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("token"), col("cnt_a"), col("cnt_b"),
+        abs(col("cnt_a") * col("total_b") - col("cnt_b") * col("total_a"))
+          .as("xshift"))
+      .orderBy(col("xshift").desc, col("token"))
+      .limit(20)
+  }
+
   /** Language-ID by marker-token scoring (n-gram/stopword heuristic,
     * deterministic): hits per language's marker set, argmax with a fixed
     * tie order, emitted as a confusion matrix against the labeled lang.

@@ -57,6 +57,9 @@ object SparkEntry {
     "lake_merge_into" -> (LakeQueries.lakeMergeInto _),
     // CDC change feed: net insert/update(pre+post)/delete images per key
     "lake_changes" -> (LakeQueries.lakeChanges _),
+    // incremental view maintenance: state@c1 + signed change images
+    // must bitwise-equal the final snapshot's rollup
+    "lake_rollup_incremental" -> (LakeQueries.lakeRollupIncremental _),
     // extension operators: text analysis / dedup / similarity / multimodal
     "text_stats" -> (TextAnalysis.textStats _),
     "text_exact_dedup" -> (TextAnalysis.exactDedup _),
@@ -467,6 +470,23 @@ object SparkEntry {
          |         created_ts, 'delete' FROM b1
          |  WHERE l_orderkey BETWEEN 300 AND 399
          |) ORDER BY l_orderkey, l_linenumber, _change_type""".stripMargin,
+    // final-state rollup from the shared CTEs — the IVM path must land
+    // exactly here (keys <300 updated +1000, 300-399 deleted, new
+    // 400-449/+100 linenumber rows inserted at +5000, rest untouched)
+    "lake_rollup_incremental" ->
+      s"""$lakeCtes
+         |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |  CAST(SUM(CAST(q AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+         |FROM (
+         |  SELECT l_returnflag, l_quantity + 1000 AS q FROM b1
+         |  WHERE l_orderkey < 300
+         |  UNION ALL
+         |  SELECT l_returnflag, l_quantity AS q FROM b1
+         |  WHERE l_orderkey >= 400
+         |  UNION ALL
+         |  SELECT l_returnflag, l_quantity + 5000 AS q FROM b1
+         |  WHERE l_orderkey BETWEEN 400 AND 449
+         |) GROUP BY 1 ORDER BY 1""".stripMargin,
     "lake_delete" ->
       s"""$lakeCtes
          |SELECT l_returnflag, COUNT(*) AS cnt,

@@ -298,6 +298,27 @@ object LakeQueries {
       }
     })
 
+  /** Incremental view maintenance under the hash gate: the rollup
+    * maintained from the change feed since commit 1 (state@c1 ⊕ signed
+    * delta of every later image) must EXACTLY equal the final
+    * snapshot's rollup — which is what the oracle computes from the
+    * shared CTEs. The maintenance arithmetic runs in DECIMAL, so the
+    * equality is bitwise, not approximate.
+    */
+  def lakeRollupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val (path, c1) = changeFixture(s, dir)
+    val t = LakeTable.load(s, path)
+    val grp = Seq("l_returnflag")
+    val state0 = graft.pipelines.RollupMaintain.fullState(
+      t.snapshotAsOf(c1), grp, col("l_quantity"))
+    val d = graft.pipelines.RollupMaintain.delta(
+      t.changes(c1), grp, col("l_quantity"))
+    graft.pipelines.RollupMaintain.applyDelta(state0, d, grp)
+      .select(col("l_returnflag"), col("cnt"),
+        col("sum_v").cast("double").as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   def lakeChanges(s: SparkSession, dir: String): DataFrame = {
     val (path, c1) = changeFixture(s, dir)
     LakeTable.load(s, path).changes(c1)

@@ -135,6 +135,43 @@ class ChangeFeedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("retention"))
   }
 
+  test("rollup maintenance: incremental state tracks recompute across advances") {
+    import graft.pipelines.RollupMaintain
+    val t = newTable("ivm1")
+    val stateDir = s"$base/ivm1_state"
+    val grp = Seq("id")
+    val value = org.apache.spark.sql.functions.col("v")
+    def recompute() = RollupMaintain
+      .fullState(t.snapshot(), grp, value)
+      .collect().map(r => (r.getAs[Int]("id"), r.getAs[Long]("cnt"),
+        r.getAs[java.math.BigDecimal]("sum_v"))).sortBy(_._1).toSeq
+    def persisted() = RollupMaintain.current(spark, stateDir).get._1
+      .collect().map(r => (r.getAs[Int]("id"), r.getAs[Long]("cnt"),
+        r.getAs[java.math.BigDecimal]("sum_v"))).sortBy(_._1).toSeq
+
+    // no commits yet → advance declines
+    assert(RollupMaintain.advance(spark, t, stateDir, grp, value).isEmpty)
+    t.upsert(df((1, 10L, 1.0), (2, 10L, 2.0), (3, 10L, 3.0)))
+    // first advance seeds from the snapshot
+    assert(RollupMaintain.advance(spark, t, stateDir, grp, value).nonEmpty)
+    assert(persisted() == recompute())
+    // update + insert + delete, advanced incrementally (from images only)
+    t.upsert(df((2, 20L, 22.0), (4, 20L, 4.0)))
+    t.delete(df((3, 99L, 0.0)))
+    val afterInst = RollupMaintain.advance(spark, t, stateDir, grp, value)
+    assert(afterInst.contains(t.latestCommit.get))
+    assert(persisted() == recompute())
+    // deleted key 3 nets to zero and must VANISH from the state
+    assert(!persisted().exists(_._1 == 3))
+    // re-advance with nothing new: a no-op, same generation
+    assert(RollupMaintain.advance(spark, t, stateDir, grp, value) == afterInst)
+    assert(persisted() == recompute())
+    // only one generation dir remains after the sweep
+    val gens = new java.io.File(stateDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen_"))
+    assert(gens.length == 1)
+  }
+
   test("from earliest: everything is an insert; empty range is empty") {
     val t = newTable("early1")
     val c1 = t.upsert(df((1, 10L, 1.0), (2, 10L, 2.0)))

@@ -61,17 +61,32 @@ object StreamStats {
       .foldLeft(-1L)(math.max)
   }
 
-  /** Published sketch dirs of one kind: every `b*`/`c*` child with a
-    * `_SUCCESS` marker (a crashed writer's partial files never enter a
-    * reader's merge).
+  /** Published sketch dirs of one kind, FILTERED BY THE MANIFEST MARK so
+    * every crash window of [[compact]] reads consistently:
+    *  - `b<id>` counts only when id > mark — after the manifest commit,
+    *    absorbed batch dirs are dead even while their deletion is still
+    *    pending;
+    *  - `c<g>` counts only when g == mark — a compact generation written
+    *    but not yet manifest-committed is an orphan (its batches are
+    *    still live), and a superseded older generation is already inside
+    *    the current one.
+    * `_SUCCESS` additionally guards against a crashed writer's partial
+    * files. Under this rule each event is in exactly one counted dir at
+    * every instant of the compact sequence (write c → commit manifest →
+    * sweep), so readers never double-count and never miss.
     */
-  private def publishedDirs(s: SparkSession, dir: String): Seq[Path] = {
+  private def publishedDirs(s: SparkSession, dir: String, mark: Long): Seq[Path] = {
     val p = new Path(dir)
     val f = fs(s, dir)
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).toIndexedSeq.collect {
       case st if st.isDirectory &&
-        f.exists(new Path(st.getPath, "_SUCCESS")) => st.getPath
+        f.exists(new Path(st.getPath, "_SUCCESS")) &&
+        (st.getPath.getName match {
+          case n if n.startsWith("b") => n.drop(1).toLong > mark
+          case n if n.startsWith("c") => n.drop(1).toLong == mark
+          case _ => false
+        }) => st.getPath
     }
   }
 
@@ -89,9 +104,9 @@ object StreamStats {
     hll.write.mode("overwrite").parquet(s"$stateDir/hll/b$batchId")
   }
 
-  private def readAll(s: SparkSession, dir: String,
+  private def readAll(s: SparkSession, dir: String, mark: Long,
       schemaDdl: String): DataFrame = {
-    val dirs = publishedDirs(s, dir).map(_.toString)
+    val dirs = publishedDirs(s, dir, mark).map(_.toString)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
     if (dirs.isEmpty) s.createDataFrame(
       s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -103,11 +118,13 @@ object StreamStats {
     * rows (buckets × published dirs), never the data.
     */
   def currentStats(s: SparkSession, stateDir: String): DataFrame = {
+    val mark = compactedUpTo(s, stateDir)
     val users = Sketches.hllEstimate(s,
-        readAll(s, s"$stateDir/hll", "bucket BIGINT, m INT"))
+        readAll(s, s"$stateDir/hll", mark, "bucket BIGINT, m INT"))
       .select(col("est_distinct").as("est_users"))
     val quants = Sketches.hdrQuantiles(
-        readAll(s, s"$stateDir/hdr", "idx BIGINT, lo BIGINT, cnt BIGINT"))
+        readAll(s, s"$stateDir/hdr", mark,
+          "idx BIGINT, lo BIGINT, cnt BIGINT"))
       .select(col("n_rows"), col("p50_cents"), col("p90_cents"),
         col("p99_cents"))
     quants.crossJoin(users)
@@ -123,17 +140,22 @@ object StreamStats {
     */
   def compact(s: SparkSession, stateDir: String): Unit = {
     val f = fs(s, stateDir)
-    val absorbed = publishedDirs(s, s"$stateDir/hll")
+    val mark = compactedUpTo(s, stateDir)
+    val absorbed = publishedDirs(s, s"$stateDir/hll", mark)
       .map(_.getName).filter(_.startsWith("b"))
       .map(_.drop(1).toLong)
     if (absorbed.isEmpty) return
     val upTo = absorbed.max
-    val hll = readAll(s, s"$stateDir/hll", "bucket BIGINT, m INT")
+    // merge = current generation (c<mark>, if any) + live batch partials
+    val hll = readAll(s, s"$stateDir/hll", mark, "bucket BIGINT, m INT")
       .groupBy("bucket").agg(max(col("m")).as("m"))
-    val hdr = readAll(s, s"$stateDir/hdr", "idx BIGINT, lo BIGINT, cnt BIGINT")
+    val hdr = readAll(s, s"$stateDir/hdr", mark,
+        "idx BIGINT, lo BIGINT, cnt BIGINT")
       .groupBy("idx", "lo").agg(sum(col("cnt")).as("cnt"))
     hdr.write.mode("overwrite").parquet(s"$stateDir/hdr/c$upTo")
     hll.write.mode("overwrite").parquet(s"$stateDir/hll/c$upTo")
+    // the manifest marker is the commit point: readers switch from
+    // {c<mark>, b>mark} to {c<upTo>, b>upTo} atomically with its create
     val tmp = new Path(s"$stateDir/compacted_upto.tmp")
     val out = f.create(tmp, true)
     try out.write(upTo.toString.getBytes("UTF-8")) finally out.close()
@@ -145,16 +167,16 @@ object StreamStats {
         n.startsWith("compacted_upto_") &&
           n.stripPrefix("compacted_upto_").toLong < upTo
       }.foreach(f.delete(_, false))
-    for (kind <- Seq("hll", "hdr"); b <- absorbed) {
-      val old = new Path(s"$stateDir/$kind/b$b")
-      if (f.exists(old)) f.delete(old, true)
-    }
-    // a superseded compact generation (< upTo) is also absorbed
+    // sweep everything the new mark makes dead: batch dirs ≤ upTo (incl.
+    // leftovers of a sweep a previous compact crashed out of) and compact
+    // generations ≠ upTo — readers already ignore all of these
     for (kind <- Seq("hll", "hdr");
-         st <- f.listStatus(new Path(s"$stateDir/$kind"))
-         if st.getPath.getName.startsWith("c") &&
-           st.getPath.getName.drop(1).toLong < upTo)
-      f.delete(st.getPath, true)
+         st <- f.listStatus(new Path(s"$stateDir/$kind"))) {
+      val n = st.getPath.getName
+      val dead = (n.startsWith("b") && n.drop(1).toLong <= upTo) ||
+        (n.startsWith("c") && n.drop(1).toLong != upTo)
+      if (dead) f.delete(st.getPath, true)
+    }
   }
 
   def run(spark: SparkSession, cfg: PipelineConfig): StreamingQuery = {

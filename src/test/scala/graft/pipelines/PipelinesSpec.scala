@@ -614,6 +614,15 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
       published.head)
     assert(StreamStats.currentStats(spark, s"$work/state").head() == expected)
 
+    // crash window: a compact generation WRITTEN but not manifest-
+    // committed is an orphan — readers must keep counting the live batch
+    // dirs and ignore it (else every event counts twice)
+    spark.read.parquet(s"$work/state/hll/b${published.head}")
+      .write.mode("overwrite")
+      .parquet(s"$work/state/hll/c${published.max}")
+    assert(StreamStats.currentStats(spark, s"$work/state").head() == expected)
+    // the real compaction then supersedes the orphan
+
     // compaction folds the partials without changing the merged answer…
     StreamStats.compact(spark, s"$work/state")
     assert(StreamStats.currentStats(spark, s"$work/state").head() == expected)

@@ -3,6 +3,7 @@ package graft.pipelines
 import graft.lake.LakeTable
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Incremental view maintenance (IVM) over the lake CDC feed: a
@@ -115,4 +116,53 @@ object RollupMaintain {
     }
     Some(generations(s, stateDir).headOption.getOrElse(latest))
   }
+
+  /** One CDC micro-batch folded into the persisted state, keyed by the
+    * STREAM's batch id (zero-padded so generation names stay ordered).
+    * Idempotent per batch id — a replay after a crash between the state
+    * write and the stream's checkpoint commit sees its own generation
+    * and skips. Use a state dir per maintenance mode: batch-id
+    * generations (this) and instant generations ([[advance]]) don't mix.
+    */
+  def applyBatch(s: SparkSession, batch: DataFrame, stateDir: String,
+      groupCols: Seq[String], value: Column, batchId: Long): Unit = {
+    val gen = f"gen_$batchId%020d"
+    if (fs(s, stateDir).exists(new Path(s"$stateDir/$gen/_SUCCESS"))) return
+    val d = delta(batch, groupCols, value)
+    val next = current(s, stateDir) match {
+      case Some((state, _)) => applyDelta(state, d, groupCols)
+      // no state yet: from-earliest CDC classifies everything as an
+      // insert, so the first delta IS the rollup
+      case None => applyDelta(d.limit(0)
+        .select(groupCols.map(col) ++ Seq(col("dcnt").as("cnt"),
+          col("dsum").as("sum_v")): _*), d, groupCols)
+    }
+    next.write.mode("overwrite").parquet(s"$stateDir/$gen")
+    val f = fs(s, stateDir)
+    generations(s, stateDir).drop(1).foreach { old =>
+      f.delete(new Path(s"$stateDir/gen_$old"), true)
+    }
+  }
+
+  /** Continuous IVM: the lake CDC streaming source feeds [[applyBatch]]
+    * — the rollup stays current with every commit, end to end O(changed
+    * rows), with the stream checkpoint + per-batch generations making
+    * the whole loop crash-replay safe.
+    */
+  def runStream(spark: SparkSession, tablePath: String, stateDir: String,
+      groupCols: Seq[String], value: Column, checkpointDir: String,
+      triggerSeconds: Int = 1): StreamingQuery =
+    spark.readStream.format("graft-lake")
+      .option("query.type", "changes")
+      .load(tablePath)
+      .writeStream
+      .queryName("rollup-maintain")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(s"$triggerSeconds seconds"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          applyBatch(batch.sparkSession, batch, stateDir, groupCols, value,
+            batchId)
+      }
+      .start()
 }

@@ -172,6 +172,45 @@ class ChangeFeedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gens.length == 1)
   }
 
+  test("rollup maintenance: streaming CDC source keeps the state current") {
+    import graft.pipelines.RollupMaintain
+    val t = newTable("ivm2")
+    val stateDir = s"$base/ivm2_state"
+    val grp = Seq("id")
+    val value = org.apache.spark.sql.functions.col("v")
+    def recompute() = RollupMaintain
+      .fullState(t.snapshot(), grp, value)
+      .collect().map(r => (r.getAs[Int]("id"), r.getAs[Long]("cnt"),
+        r.getAs[java.math.BigDecimal]("sum_v"))).sortBy(_._1).toSeq
+    def persisted() = RollupMaintain.current(spark, stateDir).get._1
+      .collect().map(r => (r.getAs[Int]("id"), r.getAs[Long]("cnt"),
+        r.getAs[java.math.BigDecimal]("sum_v"))).sortBy(_._1).toSeq
+    t.upsert(df((1, 10L, 1.0), (2, 10L, 2.0), (3, 10L, 3.0)))
+    val q = RollupMaintain.runStream(spark, t.path, stateDir, grp, value,
+      s"$base/ivm2_ckpt")
+    q.processAllAvailable()
+    assert(persisted() == recompute())
+    t.upsert(df((2, 20L, 22.0), (4, 20L, 4.0)))
+    t.delete(df((3, 99L, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    assert(persisted() == recompute())
+    assert(!persisted().exists(_._1 == 3)) // zero-net group vanished
+    // a generation dir without _SUCCESS (crashed writer) is invisible
+    val before = persisted()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$stateDir/gen_99999999999999999999"))
+    assert(persisted() == before)
+    // replaying the newest batch id is a no-op even with different input
+    val lastGen = new java.io.File(stateDir).listFiles()
+      .filter(f => f.isDirectory &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName.stripPrefix("gen_").toLong).max
+    RollupMaintain.applyBatch(spark, t.changes(Timeline.Earliest), stateDir,
+      grp, value, lastGen)
+    assert(persisted() == before)
+  }
+
   test("from earliest: everything is an insert; empty range is empty") {
     val t = newTable("early1")
     val c1 = t.upsert(df((1, 10L, 1.0), (2, 10L, 2.0)))

@@ -111,7 +111,7 @@ object Dedup {
     * superseded artifacts): anything this old can no longer be a live
     * producer or a read in flight.
     */
-  private val StageTtlMs = 60 * 60 * 1000L
+  private[queries] val StageTtlMs = 60 * 60 * 1000L
 
   /** Delete stage subdirectories in `family` (name prefix) that are NOT
     * `keep` and whose last modification is older than the TTL — the

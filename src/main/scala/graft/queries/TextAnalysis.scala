@@ -265,7 +265,7 @@ object TextAnalysis {
     val corpus = s.conf.getOption(Dedup.StageDirConf) match {
       case Some(stage) =>
         Dedup.stagedOrFresh(s,
-          s"$stage/spanidx_${math.abs(dir.hashCode).toString}_$split",
+          s"$stage/${spanIndexName(dir, split)}",
           out => corpus0.write.mode("overwrite").parquet(out),
           () => corpus0)
       case None => corpus0
@@ -280,6 +280,44 @@ object TextAnalysis {
           .as("dup_frac"))
       .orderBy("doc_id")
   }
+
+  private def spanIndexName(dir: String, split: Long): String =
+    s"spanidx_${math.abs(dir.hashCode).toString}_$split"
+
+  /** Span-index append maintenance — the [[graft.queries.Dedup
+    * .absorbIncrement]] analog for the dup-span corpus index: after an
+    * increment is scored, fold its distinct window hashes into the
+    * staged index and publish it under the NEW split, so the next batch
+    * joins against the appended index instead of re-hashing the whole
+    * corpus. Work is the increment's spans plus one index rewrite;
+    * superseded split indexes are TTL-swept.
+    */
+  def absorbSpanIncrement(s: SparkSession, dir: String,
+      oldSplit: Long, newSplit: Long,
+      sweepTtlMs: Long = Dedup.StageTtlMs): Unit =
+    s.conf.getOption(Dedup.StageDirConf).foreach { stage =>
+      val W = 10
+      val spans = Relational.t(s, dir, "documents")
+        .filter(size(words(col("text"))) >= W)
+        .select(col("doc_id"), explode(spanHashes(col("text"), W)).as("h"))
+      val oldPath = new org.apache.hadoop.fs.Path(
+        s"$stage/${spanIndexName(dir, oldSplit)}")
+      val fs = oldPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val old =
+        if (fs.exists(new org.apache.hadoop.fs.Path(oldPath, "_SUCCESS")))
+          s.read.parquet(oldPath.toString)
+        else spans.filter(col("doc_id") < oldSplit).select("h").distinct()
+      val inc = spans.filter(col("doc_id") >= oldSplit &&
+        col("doc_id") < newSplit).select("h").distinct()
+      val kept = spanIndexName(dir, newSplit)
+      val merged = old.select("h").union(inc).distinct()
+      Dedup.stagedOrFresh(s, s"$stage/$kept",
+        out => merged.write.mode("overwrite").parquet(out),
+        () => merged)
+      Dedup.sweepSuperseded(s, stage,
+        s"spanidx_${math.abs(dir.hashCode).toString}_", kept, sweepTtlMs)
+      ()
+    }
 
   /** Frame-sample PLAN over video metadata: pick up to 8 evenly spaced
     * frames per video and compute each one's timestamp and byte range —

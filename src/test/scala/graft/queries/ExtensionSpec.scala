@@ -357,6 +357,36 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset(Dedup.StageDirConf)
   }
 
+  test("span-index append: absorbed index equals from-scratch at the new split") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val (s1, s2) = ((maxId + 1L) * 6L / 10L, (maxId + 1L) * 8L / 10L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // ground truth at split2, computed with no staging at all
+    val fresh = rows(TextAnalysis.dupSpansIncrementalAt(spark, sf, s2))
+    val stage = java.nio.file.Files.createTempDirectory("spanabsorb").toString
+    spark.conf.set(Dedup.StageDirConf, stage)
+    try {
+      // batch 1 stages the corpus index at split1…
+      TextAnalysis.dupSpansIncrementalAt(spark, sf, s1).collect()
+      assert(new java.io.File(stage).listFiles()
+        .exists(_.getName.endsWith(s"_$s1")))
+      // …absorb batch 1's spans: the split2 index is published by APPEND
+      TextAnalysis.absorbSpanIncrement(spark, sf, s1, s2, sweepTtlMs = 0L)
+      val idx2 = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(s"_$s2"))
+      assert(idx2.nonEmpty)
+      // the superseded split1 index was swept (TTL 0)
+      assert(!new java.io.File(stage).listFiles()
+        .exists(f => f.getName.endsWith(s"_$s1") && f.isDirectory))
+      // batch 2 reads the appended index and equals the from-scratch run
+      val mtime = idx2.head.lastModified()
+      assert(rows(TextAnalysis.dupSpansIncrementalAt(spark, sf, s2)) == fresh)
+      assert(idx2.head.lastModified() == mtime) // read, not rebuilt
+    } finally spark.conf.unset(Dedup.StageDirConf)
+  }
+
   test("portable HLL estimates distinct orderkeys within the m=256 error") {
     val row = Sketches.hllDistinct(spark, sf).head()
     val est = row.getDouble(row.fieldIndex("est_distinct"))

@@ -91,6 +91,9 @@ object SparkEntry {
     "mm_frame_sample" -> (TextAnalysis.mmFrameSample _),
     "mm_resize" -> (TextAnalysis.mmResize _),
     "dedup_jaccard_pairs" -> (Dedup.jaccardPairs _),
+    // df-capped variant: stop-shingles dropped before similarity — the
+    // boilerplate-resistant, cost-bounded reading of near-dup
+    "dedup_jaccard_dfcap" -> ((s, dir) => Dedup.jaccardPairsDfCap(s, dir)),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     // connected components over the near-dup pair graph -> dedup families
     "dedup_clusters" -> (Dedup.dedupClusters _),
@@ -872,6 +875,28 @@ object SparkEntry {
         |  n_tokens
         |FROM hits ORDER BY doc_id""".stripMargin),
     "dedup_jaccard_pairs" -> jaccardPairsSql,
+    // same shingle CTE, shingles in > 3 docs dropped from every set
+    // BEFORE similarity; Jaccard exact over the capped sets
+    "dedup_jaccard_dfcap" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+        |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t
+        |  WHERE len(words) >= 3),
+        |ex0 AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+        |dfreq AS (SELECT s, COUNT(*) AS df FROM ex0 GROUP BY s),
+        |keep AS (SELECT doc_id, s FROM ex0 JOIN dfreq USING (s)
+        |         WHERE df <= 3),
+        |sized AS (SELECT doc_id, COUNT(*) AS n FROM keep GROUP BY doc_id),
+        |ex AS (SELECT k.doc_id, sized.n, k.s
+        |       FROM keep k JOIN sized USING (doc_id)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    COUNT(*) / (a.n + b.n - COUNT(*)) AS jaccard
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+        |  HAVING COUNT(*) / (a.n + b.n - COUNT(*)) >= 0.8)
+        |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin,
     "dedup_minhash_lsh" -> jaccardPairsSql,
     // incremental dedup = exactly the cross-split slice of the exact
     // pair set (corpus side below the 80%-of-id-range threshold, the

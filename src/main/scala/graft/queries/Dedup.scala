@@ -202,6 +202,45 @@ object Dedup {
     releaseAfter(verifyJaccard(cands, ex), ex, prefix, docs)
   }
 
+  /** Jaccard near-dup pairs over DF-CAPPED shingle sets: shingles in
+    * more than `cap` documents ("stop shingles" — boilerplate, template
+    * chrome, the [[TextAnalysis.commonNgrams]] population) are dropped
+    * from every document's set BEFORE similarity, and Jaccard is exact
+    * over what remains. This is the documented approximation knob for
+    * corpora where even prefix filtering drowns in boilerplate: the
+    * candidate index cost is bounded by cap·Σdf instead of Σdf², at the
+    * price of scoring only INFORMATIVE overlap (a pair similar purely in
+    * boilerplate stops matching — usually the desired reading). The cap
+    * rule is a pure function of the corpus, so the capped operator is
+    * deterministic and sits under the same hash gate as the exact one.
+    */
+  def jaccardPairsDfCap(s: SparkSession, dir: String,
+      cap: Long = 3L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = docsWithShingles(s, dir)
+    val ex0 = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val dfreq = ex0.groupBy("s").agg(count(lit(1)).as("df"))
+    val kept = ex0.join(dfreq.filter(col("df") <= cap), "s")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val ex = kept.join(sizes, "doc_id").select("doc_id", "n", "s", "df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefix = ex
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+      .filter(col("rk") <= col("n") - ceil(lit(Threshold) * col("n")) + 1)
+      .select("doc_id", "n", "s")
+    val cands = prefix.alias("a")
+      .join(prefix.alias("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") >= ceil(lit(Threshold) * col("a.n")) &&
+          col("b.n") <= floor(col("a.n") / lit(Threshold)))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    releaseAfter(verifyJaccard(cands, ex.select("doc_id", "n", "s")),
+      kept, ex, docs)
+  }
+
   /** The verified pair list as a staged pipeline ARTIFACT: under
     * [[StageDirConf]] the first consumer stages [[jaccardPairs]]'s output
     * to parquet and every later pipeline stage (cluster formation,

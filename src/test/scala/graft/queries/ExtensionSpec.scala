@@ -357,6 +357,43 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset(Dedup.StageDirConf)
   }
 
+  test("df-capped jaccard scores exactly over capped sets; cap=max is exact") {
+    // brute-force reference over the capped shingle sets
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .map { case (id, t) =>
+        // split(-1) keeps trailing empty tokens, matching Spark/DuckDB
+        val w = t.split(" ", -1)
+        id -> (if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+               else Set.empty[String])
+      }.filter(_._2.nonEmpty)
+    val dfreq = docs.flatMap(_._2).groupBy(identity).map {
+      case (k, v) => k -> v.length }
+    val capped = docs.map { case (id, sh) =>
+      id -> sh.filter(dfreq(_) <= 3) }.filter(_._2.nonEmpty).toMap
+    // iterate the map as a Seq — a for over a Map would yield a Map and
+    // collapse pairs sharing the same left id
+    val expect = (for {
+      (a, sa) <- capped.toSeq; (b, sb) <- capped.toSeq if a < b
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter) if j >= 0.8
+    } yield (a, b)).toSet
+    val got = Dedup.jaccardPairsDfCap(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+    assert(got.nonEmpty)
+    // a cap above the max df disables the knob: identical to exact
+    val exact = Dedup.jaccardPairs(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.jaccardPairsDfCap(spark, sf, cap = 1000000L)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == exact)
+  }
+
   test("span-index append: absorbed index equals from-scratch at the new split") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)

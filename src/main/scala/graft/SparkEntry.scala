@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Curation, Dedup, LakeQueries, Relational, Similarity, Sketches, TextAnalysis}
+import graft.queries.{Curation, Dedup, LakeQueries, Profile, Relational, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -45,6 +45,10 @@ object SparkEntry {
     "q26_full_outer" -> (Relational.q26FullOuter _),
     // rank-limit per-group top-k (WindowGroupLimit partial pushdown)
     "q27_group_topk" -> (Relational.q27GroupTopK _),
+    // hot-key mitigation: two-phase salted agg / salted+replicated join,
+    // result identical to the unsalted operation (graft.functions.Skew)
+    "q28_skew_agg" -> (Relational.q28SkewAgg _),
+    "q29_skew_join" -> (Relational.q29SkewJoin _),
     // SURVEY §2.1 lake-table format ops (S3/S4/K1) through the oracle gate
     "lake_merge_snapshot" -> (LakeQueries.lakeMergeSnapshot _),
     "lake_mor_snapshot" -> (LakeQueries.lakeMorSnapshot _),
@@ -86,6 +90,8 @@ object SparkEntry {
     // all-integer HDR histogram quantiles (mergeable, ≤1/16 rel. error)
     "stats_hdr_quantiles" -> (Sketches.hdrOrderQuantiles _),
     "stats_hdr_groups" -> (Sketches.hdrGroupQuantiles _),
+    // one-scan column profiler (null rate / cardinality / range per col)
+    "stats_profile" -> (Profile.statsProfile _),
     "mm_features" -> (TextAnalysis.mmFeatures _),
     // multimodal planning halves: sampled-frame byte ranges, resize dims
     "mm_frame_sample" -> (TextAnalysis.mmFrameSample _),
@@ -133,7 +139,10 @@ object SparkEntry {
     // cell — must be EXACTLY the brute-force result, so it shares that
     // oracle and puts the IVF machinery itself under the hash gate
     "sim_ivf_full" ->
-      ((s, dir) => Similarity.ivfTopK(s, dir, probe = Similarity.IvfCells))
+      ((s, dir) => Similarity.ivfTopK(s, dir, probe = Similarity.IvfCells)),
+    // PQ ANN: byte-coded corpus, ADC shortlist, exact re-score — output
+    // equals brute force (spec-asserted recall 1), so it shares that oracle
+    "sim_pq_topk" -> ((s, dir) => Similarity.pqTopK(s, dir))
   )
 
   /** Exact n-gram-Jaccard pair SQL — oracle for BOTH dedup_jaccard_pairs
@@ -395,6 +404,66 @@ object SparkEntry {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
         |  FROM orders) t
         |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    // salting is semantically transparent — the oracle replays the PLAIN
+    // aggregation / join the salted plans must equal
+    "q28_skew_agg" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS sum_value,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q29_skew_join" ->
+      """WITH dim AS (SELECT DISTINCT event_type,
+        |    CAST(length(event_type) AS INT) AS type_len FROM events)
+        |SELECT e.event_type, d.type_len, COUNT(*) AS n_events,
+        |  CAST(SUM(e.user_id) AS BIGINT) AS sum_users
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY e.event_type, d.type_len
+        |ORDER BY e.event_type""".stripMargin,
+    "stats_profile" ->
+      """SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  COUNT(DISTINCT l_orderkey) AS n_distinct,
+        |  CAST(MIN(l_orderkey) AS DOUBLE) AS min_num,
+        |  CAST(MAX(l_orderkey) AS DOUBLE) AS max_num
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', COUNT(*),
+        |  CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT l_quantity),
+        |  CAST(MIN(l_quantity) AS DOUBLE), CAST(MAX(l_quantity) AS DOUBLE)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', COUNT(*),
+        |  CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT l_extendedprice),
+        |  CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_discount', COUNT(*),
+        |  CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT l_discount),
+        |  CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_shipdate', COUNT(*),
+        |  CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT l_shipdate),
+        |  CAST(MIN(epoch_us(l_shipdate)) AS DOUBLE),
+        |  CAST(MAX(epoch_us(l_shipdate)) AS DOUBLE)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', COUNT(*),
+        |  CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT l_returnflag),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_linestatus', COUNT(*),
+        |  CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT l_linestatus),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |FROM lineitem
+        |ORDER BY col_name""".stripMargin,
     "q23_grouping_sets" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
         |  COALESCE(l_linestatus, 'ALL') AS ls,
@@ -1266,6 +1335,7 @@ object SparkEntry {
          |ORDER BY query_id, rk""".stripMargin
     )
     // full-probe IVF ≡ brute force — same oracle, by construction
-    base + ("sim_ivf_full" -> base("sim_topk_bruteforce"))
+    base + ("sim_ivf_full" -> base("sim_topk_bruteforce")) +
+      ("sim_pq_topk" -> base("sim_topk_bruteforce"))
   }
 }

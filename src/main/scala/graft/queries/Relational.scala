@@ -444,4 +444,44 @@ object Relational {
       .except(o.filter(col("o_orderstatus") === "F").select("o_custkey").distinct())
       .orderBy("o_custkey")
   }
+
+  /** Two-phase salted aggregation over a HOT-KEY grouping: `events` has
+    * only 5 event types, so a plain groupBy lands ~N/5 rows on each of 5
+    * final tasks no matter how many executors exist — at 100 TB each task
+    * is 20 TB. [[graft.functions.Skew.saltedAggregate]] splits phase one
+    * across (type, salt) sub-keys (every task bounded by N/(5·salts)),
+    * then combines the ≤ 5·salts partials. Result is identical to the
+    * unsalted aggregate (spec + this oracle); the DECIMAL sum makes it
+    * order-exact.
+    */
+  def q28SkewAgg(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Skew.saltedAggregate(
+        events(s, dir), keys = Seq("event_type"), saltBuckets = 16,
+        saltBy = Seq("event_id"))(
+      partial = Seq(
+        sum(col("value").cast(dec6)).as("_sum_value"),
+        count(lit(1)).as("_n")),
+      fin = Seq(
+        sum(col("_sum_value")).cast("double").as("sum_value"),
+        sum(col("_n")).as("n_events")))
+    .orderBy("event_type")
+
+  /** Salted equi-join on the same hot keys: the big side is salted, the
+    * dim replicated saltBuckets×, so one event type's rows fan across 8
+    * tasks instead of one. Used when the dim is too large to broadcast
+    * but the key histogram is spiky (else broadcast/AQE already wins —
+    * documented trade-off in [[graft.functions.Skew]]). Semantically
+    * transparent: equals the plain join, which is exactly what the
+    * oracle replays.
+    */
+  def q29SkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val dim = ev.select("event_type").distinct()
+      .withColumn("type_len", length(col("event_type")))
+    graft.functions.Skew.saltedJoin(ev, dim, Seq("event_type"),
+        saltBuckets = 8, joinType = "inner", saltBy = Seq("event_id"))
+      .groupBy("event_type", "type_len")
+      .agg(count(lit(1)).as("n_events"), sum(col("user_id")).as("sum_users"))
+      .orderBy("event_type")
+  }
 }

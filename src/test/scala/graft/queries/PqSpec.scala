@@ -1,0 +1,40 @@
+package graft.queries
+
+import graft.util.Sessions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Sessions.local("pq-test", "4")
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+
+  // the oracle-sharing contract: PQ shortlist recall is 1 at the gate
+  // SFs, so the exact-rescored output EQUALS brute force bit-for-bit
+  for (sf <- Seq("sf0.001", "sf0.01")) {
+    test(s"pqTopK equals brute force at $sf") {
+      val dir = s"/root/testdata/$sf"
+      assert(rows(Similarity.pqTopK(spark, dir)) ==
+        rows(Similarity.topKBruteForce(spark, dir)))
+    }
+  }
+
+  test("codebooks and codes have the declared PQ shape") {
+    val dir = "/root/testdata/sf0.001"
+    val e = Relational.t(spark, dir, "embeddings")
+    val cb = Similarity.pqCodebooks(e)
+    assert(cb.length == Similarity.PqM)
+    assert(cb.forall(_.length == Similarity.PqK))
+    val d = e.select(size(col("embedding"))).first.getInt(0)
+    assert(cb.forall(_.forall(_.length == d / Similarity.PqM)))
+    // codebooks are finite numbers (no NaN poisoning from empty cells)
+    assert(cb.flatten.flatten.forall(f => !f.isNaN && !f.isInfinite))
+  }
+}

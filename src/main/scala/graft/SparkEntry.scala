@@ -74,6 +74,9 @@ object SparkEntry {
     // integer-exact frequency-share drift between two corpus snapshots
     "stats_corpus_drift" -> (TextAnalysis.corpusDrift _),
     "text_quality" -> (TextAnalysis.qualityScore _),
+    // bigram-LM quality score in portable integer arithmetic (bit-length
+    // log2), so the whole "LM" replays exactly in the oracle
+    "text_lm_score" -> (TextAnalysis.lmScore _),
     "text_langid" -> (TextAnalysis.langId _),
     "text_curate" -> (TextAnalysis.curate _),
     "text_fingerprint" -> (Dedup.fingerprints _),
@@ -142,7 +145,9 @@ object SparkEntry {
       ((s, dir) => Similarity.ivfTopK(s, dir, probe = Similarity.IvfCells)),
     // PQ ANN: byte-coded corpus, ADC shortlist, exact re-score — output
     // equals brute force (spec-asserted recall 1), so it shares that oracle
-    "sim_pq_topk" -> ((s, dir) => Similarity.pqTopK(s, dir))
+    "sim_pq_topk" -> ((s, dir) => Similarity.pqTopK(s, dir)),
+    // contrastive hard negatives: top in-band (near, not near-dup) matches
+    "sim_hard_negatives" -> (Similarity.hardNegatives _)
   )
 
   /** Exact n-gram-Jaccard pair SQL — oracle for BOTH dedup_jaccard_pairs
@@ -238,6 +243,33 @@ object SparkEntry {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "text_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bgl AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(t) - 1),
+        |      i -> {'w1': t[i], 'w2': t[i + 1]})) AS bg
+        |  FROM t WHERE len(t) >= 2),
+        |bg AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM bgl),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+        |tot AS (SELECT COUNT(*) AS bt FROM bg),
+        |scored AS (
+        |  SELECT bg.doc_id,
+        |    CAST(length(bin(tot.bt)) - length(bin(c2.c2)) AS BIGINT) AS bits
+        |  FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+        |          CROSS JOIN tot),
+        |perdoc AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(bits) AS BIGINT) AS lm_bits
+        |  FROM scored GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(p.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(p.lm_bits, 0) AS lm_bits,
+        |  CASE WHEN p.n_bigrams IS NULL THEN NULL
+        |       ELSE CAST((p.lm_bits * 16) // p.n_bigrams AS BIGINT)
+        |  END AS bits_per_bigram_q4
+        |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q2_dim_join" ->
       """SELECT COALESCE(p_brand, 'NA') AS brand,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -1336,6 +1368,21 @@ object SparkEntry {
     )
     // full-probe IVF ≡ brute force — same oracle, by construction
     base + ("sim_ivf_full" -> base("sim_topk_bruteforce")) +
-      ("sim_pq_topk" -> base("sim_topk_bruteforce"))
+      ("sim_pq_topk" -> base("sim_topk_bruteforce")) +
+      ("sim_hard_negatives" ->
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < 8),
+           |scored AS (
+           |  SELECT q.query_id, e.vec_id,
+           |    ${cosineFold.format("e.embedding", "q.qv")} /
+           |    (sqrt(${cosineFold.format("e.embedding", "e.embedding")}) *
+           |     sqrt(${cosineFold.format("q.qv", "q.qv")})) AS sim
+           |  FROM e, q WHERE e.vec_id <> q.query_id),
+           |banded AS (SELECT * FROM scored WHERE sim >= 0.15 AND sim < 0.45),
+           |r AS (SELECT query_id, vec_id, sim,
+           |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS INT) AS rk
+           |  FROM banded)
+           |SELECT query_id, vec_id, sim, rk FROM r WHERE rk <= 3
+           |ORDER BY query_id, rk""".stripMargin)
   }
 }

@@ -601,6 +601,42 @@ object Similarity {
     * touch costs); candidate scoring reads 8-byte codes instead of
     * 256-byte vectors and only the shortlist re-reads floats.
     */
+  /** Hard-negative mining band for [[hardNegatives]]: candidates must be
+    * NEAR the query (informative for contrastive training — random pairs
+    * teach nothing) but NOT near-duplicates (those are positives /
+    * leakage; the ceiling is the shared [[SemThreshold]]).
+    */
+  val NegLo = 0.15
+  val NegHi = SemThreshold
+
+  /** Contrastive hard-negative mining (`sim_hard_negatives`): for each
+    * query vector, the 3 highest-cosine neighbors inside the
+    * [[NegLo]], [[NegHi]]) band — the standard "hard but wrong"
+    * negatives a contrastive/embedding training pipeline mines from its
+    * own corpus. Exact band scan here (broadcast query set, map-only —
+    * same shape as [[topKBruteForce]]); at corpus scale the band filter
+    * composes with the staged ANN shortlists (IVF cells / PQ ADC rank,
+    * then band-filter the exact re-scores) exactly as the top-k queries
+    * do.
+    */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Relational.t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("embedding"), col("qv")).as("sim"))
+      .filter(col("sim") >= NegLo && col("sim") < NegHi)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("query_id", "vec_id", "sim", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   def pqTopK(s: SparkSession, dir: String, rerank: Int = PqRerank): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Relational.t(s, dir, "embeddings")

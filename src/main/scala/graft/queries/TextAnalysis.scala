@@ -425,4 +425,57 @@ object TextAnalysis {
         floor(col("n_chars") * 100 / tokens).as("mean_wlen_x100"),
         (tokens < 5).cast("int").as("too_short"))
       .orderBy("doc_id")
+
+  /** Bigram language-model quality score (`text_lm_score`) — the
+    * CCNet-style "does a corpus LM find this document predictable"
+    * filter, in PORTABLE INTEGER arithmetic. Per bigram occurrence the
+    * surprise is `bitlen(B) − bitlen(c(w1,w2))` (B = total bigram
+    * occurrences) — the bit-length approximation of the JOINT surprisal
+    * −log2 P(w1,w2), the same no-`ln` trick as the HDR sketch — so the
+    * whole score replays bit-for-bit in the SQL oracle where a float
+    * log-prob would not. (The joint form is the chain-consistent one:
+    * conditional surprise −log2 P(w2|w1) alone assigns ZERO bits to any
+    * singleton context — an unsmoothed-LM overfit that scores rare-token
+    * soup as perfectly predictable.) Output per doc: bigram count, total
+    * surprise bits, and surprise per bigram in q4 fixed point (×16,
+    * integer-divided). High values = unpredictable text (gibberish /
+    * rare-token soup), low = highly templated text — both tails are what
+    * an LM-filter curation pass drops.
+    *
+    * Scale shape: the bigram/context count tables ARE the model —
+    * map-side-combined hash aggregations bounded by the observed
+    * vocabulary, not the corpus; scoring joins each doc's bigrams to the
+    * two count tables (shuffle keyed by token, skew-safe because counts
+    * were pre-reduced) and re-aggregates per doc. In production the
+    * counts train once per corpus snapshot and persist like any staged
+    * index; scoring new batches is then two joins against fixed tables.
+    */
+  def lmScoreFor(docs: DataFrame): DataFrame = {
+    val withToks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val bg = withToks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val tot = bg.agg(count(lit(1)).as("bt"))
+    val perDoc = bg
+      .join(c2, Seq("w1", "w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        (length(bin(col("bt"))) - length(bin(col("c2")))).cast("long").as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("lm_bits"))
+    withToks.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_bits"), lit(0L)).as("lm_bits"),
+        when(col("n_bigrams").isNull, lit(null).cast("long"))
+          .otherwise(expr("(lm_bits * 16) DIV n_bigrams"))
+          .as("bits_per_bigram_q4"))
+      .orderBy("doc_id")
+  }
+
+  def lmScore(s: SparkSession, dir: String): DataFrame =
+    lmScoreFor(Relational.t(s, dir, "documents"))
 }

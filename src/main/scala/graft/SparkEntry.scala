@@ -121,6 +121,8 @@ object SparkEntry {
     // corpus-selection pack: deterministic sampling, budgeted selection,
     // decontamination, term profiling, embedding audit
     "curate_sample_hash" -> (Curation.hashSample _),
+    // deterministic corpus shuffle + shard assignment (export ordering)
+    "curate_shuffle" -> (Curation.shuffleShards _),
     "curate_sample_stratified" -> (Curation.stratifiedSample _),
     "curate_token_budget" -> ((s, dir) => Curation.tokenBudget(s, dir)),
     "curate_decontaminate" -> (Curation.decontaminate _),
@@ -1091,6 +1093,17 @@ object SparkEntry {
         |FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1000'
         |ORDER BY doc_id""".stripMargin,
+    "curate_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    (xor((doc_id % 1073741789) * 2654435761 % 1073741789,
+        |         ((doc_id % 1073741789) * 2654435761 % 1073741789) >> 13)
+        |       * 2246822519) % 1073741789 AS g
+        |  FROM documents)
+        |SELECT doc_id, CAST(g % 16 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY g % 16 ORDER BY g, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin,
     "curate_sample_stratified" ->
       """SELECT doc_id, lang, rk FROM (
         |  SELECT doc_id, lang, CAST(row_number() OVER (

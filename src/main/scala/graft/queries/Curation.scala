@@ -294,4 +294,36 @@ object Curation {
         sqrt(aggregate(col("embedding"), lit(0.0),
           (acc, x) => acc + x.cast("double") * x.cast("double"))).as("norm"))
       .orderBy("vec_id")
+
+  /** Deterministic corpus shuffle + shard assignment (`curate_shuffle`)
+    * — the training-export ordering step: every doc gets a
+    * pseudo-random position that is a PURE FUNCTION of its id (the
+    * portable multiplicative-scramble hash the sketches use — no RNG,
+    * no seed state), shard = hash mod [[ShuffleShards]], position =
+    * hash-rank within the shard. Reproducible end to end: any engine,
+    * any partitioning, any rerun emits the same (shard, pos) for every
+    * doc — which is what makes training-order bugs bisectable and
+    * resharding a pure recompute.
+    *
+    * Scale shape: one shuffle keyed by shard (balanced by the hash),
+    * one sort per shard — exactly the order in which an exporter
+    * writes each shard file, so the sort is not extra work. Shard
+    * count scales with the corpus; per-shard volume stays bounded.
+    */
+  val ShuffleShards = 16
+
+  def shuffleShards(s: SparkSession, dir: String): DataFrame = {
+    // h0 = (id % P) · A1 mod P;  g = xor-shift-mixed second round —
+    // identical constants to the sketch hashes (SQL-replicable)
+    val P = 1073741789L
+    val h0 = (col("doc_id") % P) * 2654435761L % P
+    val g = (h0.bitwiseXOR(shiftright(h0, 13)) * 2246822519L % P).as("g")
+    val w = Window.partitionBy("shard").orderBy(col("g"), col("doc_id"))
+    docs(s, dir)
+      .select(col("doc_id"), g)
+      .withColumn("shard", (col("g") % ShuffleShards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
 }

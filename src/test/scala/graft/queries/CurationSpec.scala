@@ -173,4 +173,24 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getAs[Double]("norm")
     assert(got == exp) // bit-identical left fold
   }
+
+  test("deterministic shuffle: every doc placed once, shards balanced, " +
+      "positions contiguous, rerun identical") {
+    val sf = "/root/testdata/sf0.001"
+    val a = Curation.shuffleShards(spark, sf).collect()
+    val b = Curation.shuffleShards(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq) // pure function
+    val n = Relational.t(spark, sf, "documents").count()
+    assert(a.length == n)
+    assert(a.map(_.getLong(0)).distinct.length == n)
+    val byShard = a.groupBy(_.getInt(1))
+    assert(byShard.keySet.subsetOf((0 until Curation.ShuffleShards).toSet))
+    // contiguous 1..size positions inside each shard
+    byShard.foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // hash balance: no shard hoards the corpus (loose 3x-of-even bound)
+    val maxShare = byShard.values.map(_.length).max.toDouble / n
+    assert(maxShare < 3.0 / Curation.ShuffleShards)
+  }
 }

@@ -49,6 +49,8 @@ object SparkEntry {
     // result identical to the unsalted operation (graft.functions.Skew)
     "q28_skew_agg" -> (Relational.q28SkewAgg _),
     "q29_skew_join" -> (Relational.q29SkewJoin _),
+    // tumbling event-time windows, batch form (streaming semantics gated)
+    "q30_tumbling_window" -> (Relational.q30TumblingWindow _),
     // SURVEY §2.1 lake-table format ops (S3/S4/K1) through the oracle gate
     "lake_merge_snapshot" -> (LakeQueries.lakeMergeSnapshot _),
     "lake_mor_snapshot" -> (LakeQueries.lakeMorSnapshot _),
@@ -453,6 +455,11 @@ object SparkEntry {
         |FROM events e JOIN dim d ON e.event_type = d.event_type
         |GROUP BY e.event_type, d.type_len
         |ORDER BY e.event_type""".stripMargin,
+    "q30_tumbling_window" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type""".stripMargin,
     "stats_profile" ->
       """SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows,
         |  CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,

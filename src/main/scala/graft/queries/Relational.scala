@@ -474,6 +474,21 @@ object Relational {
     * transparent: equals the plain join, which is exactly what the
     * oracle replays.
     */
+  /** Tumbling event-time windows as a BATCH query (the batch analog of
+    * [[graft.streaming.EventStreams.windowedCounts]], so the same window
+    * semantics sit under the hash gate): 1-hour epoch-aligned buckets per
+    * event type. `window()` is a codegen'd projection — the aggregation
+    * is an ordinary hash agg on (window, type), map-side combined.
+    */
+  def q30TumblingWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(dec6)).cast("double").as("sum_value"))
+      .select(unix_micros(col("w.start").cast("timestamp")).as("ws_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("ws_us", "event_type")
+
   def q29SkewJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
     val dim = ev.select("event_type").distinct()

@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.util.Sessions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions for the round's new queries — the
+  * "would this survive 100×" properties are plan facts, so pin them:
+  * a regression that silently re-plans into the wrong shape fails here
+  * even while results stay correct.
+  */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Sessions.local("planshape-test", "4")
+  val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q28 salted agg: two aggregation levels, salt key only in the first") {
+    val p = plan(Relational.q28SkewAgg(spark, sf))
+    // partial+final pairs for BOTH groupBys = 4 HashAggregates, and the
+    // salt column is confined to the first (pre-combine) pair
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs >= 4, s"expected two-phase x (partial,final) aggs:\n$p")
+    assert(p.contains("_salt"), s"salt key missing from the plan:\n$p")
+  }
+
+  test("q29 salted join: replicated dim side stays broadcast at dim scale") {
+    val p = plan(Relational.q29SkewJoin(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"small replicated dim should broadcast, not shuffle:\n$p")
+  }
+
+  test("q30 tumbling window: plain hash agg with map-side partials, no Expand") {
+    val p = plan(Relational.q30TumblingWindow(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final hash agg:\n$p")
+    assert(!p.contains("Expand"), s"window agg must not expand rows:\n$p")
+  }
+
+  test("hard negatives: query side broadcast, single scan of the corpus") {
+    val p = plan(Similarity.hardNegatives(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query set must broadcast:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"corpus+query scans only:\n$p")
+  }
+
+  test("lm score: count tables reduce before the scoring join (no raw-row join)") {
+    val p = plan(TextAnalysis.lmScore(spark, sf))
+    // the c2 count join input must be an aggregate, and the broadcast
+    // total is a 1-row cross product, not a shuffle
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+}

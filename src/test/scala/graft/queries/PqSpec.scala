@@ -26,6 +26,35 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("native PqEncode matches the HOF argmin formulation bit-for-bit") {
+    val dir = "/root/testdata/sf0.001"
+    val e = Relational.t(spark, dir, "embeddings")
+    val cb = Similarity.pqCodebooks(e)
+    val m = cb.length; val k = cb(0).length; val sd = cb(0)(0).length
+    val native = graft.functions.PqEncode(col("embedding"), cb)
+    val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    val hof = expr(
+      s"""transform(sequence(0, ${m - 1}), mm ->
+         |  cast(array_position(
+         |    transform(sequence(0, ${k - 1}), kk ->
+         |      aggregate(sequence(0, ${sd - 1}), cast(0 as double), (a, j) ->
+         |        a + (cast(element_at(embedding, mm*$sd + j + 1) as double)
+         |              - cast(_cb[mm][kk][j] as double))
+         |          * (cast(element_at(embedding, mm*$sd + j + 1) as double)
+         |              - cast(_cb[mm][kk][j] as double)))),
+         |    array_min(transform(sequence(0, ${k - 1}), kk ->
+         |      aggregate(sequence(0, ${sd - 1}), cast(0 as double), (a, j) ->
+         |        a + (cast(element_at(embedding, mm*$sd + j + 1) as double)
+         |              - cast(_cb[mm][kk][j] as double))
+         |          * (cast(element_at(embedding, mm*$sd + j + 1) as double)
+         |              - cast(_cb[mm][kk][j] as double)))))) - 1 as int))"""
+        .stripMargin)
+    val both = e.withColumn("_cb", cbLit)
+      .select(native.as("n"), hof.as("h"))
+    assert(both.filter(col("n") =!= col("h")).count() == 0)
+    assert(both.count() > 0)
+  }
+
   test("codebooks and codes have the declared PQ shape") {
     val dir = "/root/testdata/sf0.001"
     val e = Relational.t(spark, dir, "embeddings")

@@ -115,6 +115,9 @@ object SparkEntry {
     "dedup_cosine_pairs" -> (Similarity.cosinePairs _),
     "dedup_semantic_clusters" -> (Similarity.semanticClusters _),
     "dedup_incremental" -> (Dedup.incrementalDedup _),
+    // embedding-family incremental dedup: increment x corpus same-cell
+    // candidates against corpus-trained staged centroids, exact re-score
+    "dedup_semantic_incr" -> (Similarity.semanticIncremental _),
     "text_tokens_bpe" -> (TextAnalysis.tokenCounts _),
     "sim_lsh_topk" -> (Similarity.lshTopK _), // hash-gated (portable planes)
     // int8-code candidate ranking + exact float re-score — the quantized
@@ -1061,6 +1064,19 @@ object SparkEntry {
          |   sqrt(${cosineFold.format("b.embedding", "b.embedding")})) AS sim
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE ${cosineFold.format("a.embedding", "b.embedding")} /
+         |  (sqrt(${cosineFold.format("a.embedding", "a.embedding")}) *
+         |   sqrt(${cosineFold.format("b.embedding", "b.embedding")})) >= 0.45
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_semantic_incr" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |s AS (SELECT (MAX(vec_id)+1)*8//10 AS split FROM e)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosineFold.format("a.embedding", "b.embedding")} /
+         |  (sqrt(${cosineFold.format("a.embedding", "a.embedding")}) *
+         |   sqrt(${cosineFold.format("b.embedding", "b.embedding")})) AS sim
+         |FROM e a, e b, s
+         |WHERE a.vec_id < s.split AND b.vec_id >= s.split
+         |  AND ${cosineFold.format("a.embedding", "b.embedding")} /
          |  (sqrt(${cosineFold.format("a.embedding", "a.embedding")}) *
          |   sqrt(${cosineFold.format("b.embedding", "b.embedding")})) >= 0.45
          |ORDER BY id_a, id_b""".stripMargin,

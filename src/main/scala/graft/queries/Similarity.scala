@@ -601,6 +601,57 @@ object Similarity {
     * touch costs); candidate scoring reads 8-byte codes instead of
     * 256-byte vectors and only the shortlist re-reads floats.
     */
+  /** Incremental semantic near-dedup (`dedup_semantic_incr`): a new
+    * batch of embeddings (vec_id ≥ split) checked against the existing
+    * corpus (vec_id < split) — the embedding-family twin of
+    * [[graft.queries.Dedup.incrementalDedup]]. Production-faithful
+    * shape: centroids are trained on (and staged for) the CORPUS side
+    * only; the increment assigns to the EXISTING cells (the
+    * [[ivfAdd]] contract — centroids drift only at the next rebuild),
+    * candidates are corpus×increment same-cell pairs ONLY (never
+    * corpus×corpus — batch cost is the batch's own assignment), and the
+    * exact [[cosine]] re-score decides. Recall argument is
+    * [[semanticPairs]]'s (multi-assignment covers Voronoi-boundary
+    * splits); asserted against the cross-split all-pairs baseline at
+    * both gate SFs in the spec, which is also exactly what the oracle
+    * replays.
+    */
+  def semanticIncremental(s: SparkSession, dir: String): DataFrame = {
+    val maxId = Relational.t(s, dir, "embeddings")
+      .agg(max(col("vec_id"))).head().getLong(0)
+    semanticIncrementalAt(s, dir, (maxId + 1L) * 8L / 10L)
+  }
+
+  def semanticIncrementalAt(s: SparkSession, dir: String,
+      split: Long): DataFrame = {
+    val (cells, assign) = semKnobs(s)
+    val e = Relational.t(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusE = e.filter(col("vec_id") < split)
+    val cent = s.conf.getOption(Dedup.StageDirConf) match {
+      case Some(stage) =>
+        val tag = s"${math.abs(dir.hashCode).toString}_${cells}_i$split"
+        Dedup.stagedOrFresh(s, s"$stage/sem_cent_$tag",
+          out => ivfCentroids(corpusE, cells).write.mode("overwrite").parquet(out),
+          () => ivfCentroids(corpusE, cells))
+      case None => ivfCentroids(corpusE, cells)
+    }
+    val assigned = multiAssignCells(e, cent, assign)
+    val ca = assigned.filter(col("vec_id") < split)
+      .select(col("cell"), col("vec_id").as("id_a"))
+    val ia = assigned.filter(col("vec_id") >= split)
+      .select(col("cell"), col("vec_id").as("id_b"))
+    val cands = ca.join(ia, Seq("cell")).select("id_a", "id_b").distinct()
+    val scored = cands
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= SemThreshold)
+      .orderBy("id_a", "id_b")
+    Dedup.releaseAfter(scored, e)
+  }
+
   /** Hard-negative mining band for [[hardNegatives]]: candidates must be
     * NEAR the query (informative for contrastive training — random pairs
     * teach nothing) but NOT near-duplicates (those are positives /

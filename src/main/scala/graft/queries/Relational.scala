@@ -466,14 +466,6 @@ object Relational {
         sum(col("_n")).as("n_events")))
     .orderBy("event_type")
 
-  /** Salted equi-join on the same hot keys: the big side is salted, the
-    * dim replicated saltBuckets×, so one event type's rows fan across 8
-    * tasks instead of one. Used when the dim is too large to broadcast
-    * but the key histogram is spiky (else broadcast/AQE already wins —
-    * documented trade-off in [[graft.functions.Skew]]). Semantically
-    * transparent: equals the plain join, which is exactly what the
-    * oracle replays.
-    */
   /** Tumbling event-time windows as a BATCH query (the batch analog of
     * [[graft.streaming.EventStreams.windowedCounts]], so the same window
     * semantics sit under the hash gate): 1-hour epoch-aligned buckets per
@@ -489,6 +481,14 @@ object Relational {
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy("ws_us", "event_type")
 
+  /** Salted equi-join on the same hot keys: the big side is salted, the
+    * dim replicated saltBuckets×, so one event type's rows fan across 8
+    * tasks instead of one. Used when the dim is too large to broadcast
+    * but the key histogram is spiky (else broadcast/AQE already wins —
+    * documented trade-off in [[graft.functions.Skew]]). Semantically
+    * transparent: equals the plain join, which is exactly what the
+    * oracle replays.
+    */
   def q29SkewJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
     val dim = ev.select("event_type").distinct()

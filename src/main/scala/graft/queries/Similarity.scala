@@ -584,23 +584,6 @@ object Similarity {
     }
   }
 
-  /** PQ ANN top-k (`sim_pq_topk`): encode the corpus to M byte codes,
-    * rank candidates per query by ADC — the cosine of the query against
-    * each vector's RECONSTRUCTION, assembled from two M-lookup sums over
-    * a per-query LUT of exact query-subvector × code-centroid dot
-    * products — then exact-rescore the [[PqRerank]]-deep shortlist with
-    * the codegen'd [[cosine]] and keep the top 10. Shares the
-    * brute-force oracle: rescored sims are bit-identical to brute force,
-    * so the outputs match whenever shortlist recall is 1 (spec-asserted
-    * at both gate SFs).
-    *
-    * Scale shape: codebooks and LUTs are driver/broadcast-tiny (M·K
-    * entries); encode is one map-only codegen'd pass (staged once per
-    * corpus drop in production, alongside the IVF cell layout — IVF
-    * prunes WHICH vectors a probe touches, PQ shrinks the BYTES each
-    * touch costs); candidate scoring reads 8-byte codes instead of
-    * 256-byte vectors and only the shortlist re-reads floats.
-    */
   /** Incremental semantic near-dedup (`dedup_semantic_incr`): a new
     * batch of embeddings (vec_id ≥ split) checked against the existing
     * corpus (vec_id < split) — the embedding-family twin of
@@ -688,6 +671,23 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** PQ ANN top-k (`sim_pq_topk`): encode the corpus to M byte codes,
+    * rank candidates per query by ADC — the cosine of the query against
+    * each vector's RECONSTRUCTION, assembled from two M-lookup sums over
+    * a per-query LUT of exact query-subvector × code-centroid dot
+    * products — then exact-rescore the [[PqRerank]]-deep shortlist with
+    * the codegen'd [[cosine]] and keep the top 10. Shares the
+    * brute-force oracle: rescored sims are bit-identical to brute force,
+    * so the outputs match whenever shortlist recall is 1 (spec-asserted
+    * at both gate SFs).
+    *
+    * Scale shape: codebooks and LUTs are driver/broadcast-tiny (M·K
+    * entries); encode is one map-only codegen'd pass (staged once per
+    * corpus drop in production, alongside the IVF cell layout — IVF
+    * prunes WHICH vectors a probe touches, PQ shrinks the BYTES each
+    * touch costs); candidate scoring reads 8-byte codes instead of
+    * 256-byte vectors and only the shortlist re-reads floats.
+    */
   def pqTopK(s: SparkSession, dir: String, rerank: Int = PqRerank): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Relational.t(s, dir, "embeddings")
@@ -696,7 +696,7 @@ object Similarity {
 
     val coded = e
       .withColumn("codes", graft.functions.PqEncode(unitNorm(col("embedding")), cb))
-      .select("vec_id", "embedding", "codes")
+      .select("vec_id", "codes")
 
     // per-query LUTs, driver-computed from the driver-resident codebooks:
     // lut[mm*K + kk] = <q̂_mm, cb[mm][kk]>; cn2 the code-centroid norms²
@@ -727,15 +727,21 @@ object Similarity {
          |  sqrt(aggregate(sequence(0, ${m - 1}), cast(0 as double),
          |    (a, mm) -> a + cn2[mm*$k + codes[mm]]))
          |END""".stripMargin
-    val scored = coded.crossJoin(broadcast(q))
+    // candidate ranking touches ONLY (ids, codes, LUTs) — the documented
+    // bytes win: no float vector rides the corpus-wide window shuffle;
+    // the <= rerank shortlist re-joins the embeddings for exact scoring
+    val scored = coded.crossJoin(broadcast(q.select("query_id", "lut", "cn2")))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc", expr(adc))
+      .select("query_id", "vec_id", "adc")
     val wa = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("vec_id").asc)
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("ark", row_number().over(wa))
       .filter(col("ark") <= rerank)
+      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(q.select("query_id", "qemb")), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("embedding"), col("qemb")).as("sim"))
       .withColumn("rk", row_number().over(w))

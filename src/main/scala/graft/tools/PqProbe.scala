@@ -16,11 +16,12 @@ object PqProbe {
     def rows(df: DataFrame) = df.collect().map(_.toSeq).toSeq
     for (dir <- dirs) {
       val brute = rows(Similarity.topKBruteForce(spark, dir))
-      for (rerank <- Seq(16, 32, 64, 128, 256, 500)) {
-        val eq = rows(Similarity.pqTopK(spark, dir, rerank)) == brute
-        println(s"$dir rerank=$rerank equal=$eq")
-        if (eq) () // keep printing the rest anyway for the shape
-      }
+      val depths = Seq(16, 32, 64, 128, 256, 500)
+      val eqAt = depths.map(d =>
+        d -> (rows(Similarity.pqTopK(spark, dir, d)) == brute)).toMap
+      depths.foreach(d => println(s"$dir rerank=$d equal=${eqAt(d)}"))
+      println(s"$dir smallest passing rerank: " +
+        depths.find(eqAt).map(_.toString).getOrElse("none"))
     }
     spark.stop()
   }

@@ -138,6 +138,8 @@ object SparkEntry {
     "text_stopwords" -> (TextAnalysis.stopwordFilter _),
     "text_repetition" -> (Curation.repetitionScore _),
     "curate_domain_mix" -> (Curation.domainMix _),
+    // corpus-derived sqrt-temperature rebalancing (integer-exact plan)
+    "curate_mix_temperature" -> (Curation.mixTemperature _),
     // sketch-derived decile binning (broadcast boundaries, map-only)
     "curate_quantile_bins" -> (Curation.quantileBins _),
     // context-window packing: next-fit doc→sequence assignment per domain
@@ -1209,6 +1211,14 @@ object SparkEntry {
         |            WHEN 'es' THEN '2000' WHEN 'de' THEN '1000'
         |            ELSE '0800' END
         |ORDER BY doc_id""".stripMargin,
+    "curate_mix_temperature" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n_docs,
+        |        CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT) AS w_us FROM c),
+        |t AS (SELECT CAST(SUM(w_us) AS BIGINT) AS wsum FROM w)
+        |SELECT lang, n_docs, w_us,
+        |  CAST((1000 * w_us) // t.wsum AS BIGINT) AS target_docs
+        |FROM w, t ORDER BY lang""".stripMargin,
     // decile boundaries replayed from the same all-integer HDR histogram,
     // then a scalar-subquery bin assignment per doc
     "curate_quantile_bins" ->

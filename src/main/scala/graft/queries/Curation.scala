@@ -295,6 +295,32 @@ object Curation {
           (acc, x) => acc + x.cast("double") * x.cast("double"))).as("norm"))
       .orderBy("vec_id")
 
+  /** Temperature-scaled domain mixture plan (`curate_mix_temperature`)
+    * — the standard multilingual rebalancing: target share of domain d ∝
+    * n_d^(1/T), which upsamples tail domains and downsamples the head.
+    * T = 2 (square-root weighting) is chosen deliberately: sqrt and the
+    * four basic operations are IEEE correctly-rounded and therefore
+    * BIT-PORTABLE across engines, unlike ln/pow/exp — so this is the
+    * temperature the hash gate can verify. Weights are floored to
+    * integer micro-units and combined with pure integer arithmetic
+    * (order-free sums, integer division), so the plan replays exactly.
+    * Output: per domain, its corpus count, micro-weight, and target doc
+    * count out of a [[MixBudget]]-doc budget.
+    */
+  val MixBudget = 1000L
+
+  def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val c = docs(s, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_us",
+        floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+    val tot = c.agg(sum(col("w_us")).as("wsum"))
+    c.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("w_us"),
+        expr(s"($MixBudget * w_us) DIV wsum").as("target_docs"))
+      .orderBy("lang")
+  }
+
   /** Deterministic corpus shuffle + shard assignment (`curate_shuffle`)
     * — the training-export ordering step: every doc gets a
     * pseudo-random position that is a PURE FUNCTION of its id (the

@@ -174,6 +174,29 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == exp) // bit-identical left fold
   }
 
+  test("sqrt-temperature mix: tail domains upsampled, head downsampled, " +
+      "budget respected") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Curation.mixTemperature(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = rows.map(_._2).sum.toDouble
+    // temperature flattens: every domain's target share sits between its
+    // raw share and the uniform share (the defining property of 0<1/T<1)
+    val uniform = 1.0 / rows.length
+    rows.foreach { case (_, nd, _, tgt) =>
+      val raw = nd / n
+      val target = tgt.toDouble / Curation.MixBudget
+      val (lo, hi) = if (raw < uniform) (raw, uniform) else (uniform, raw)
+      // integer floor can undershoot by up to 1 doc of budget
+      assert(target >= lo - 1.0 / Curation.MixBudget - 1e-9 &&
+        target <= hi + 1e-9,
+        s"share $target outside [$lo, $hi]")
+    }
+    // floors never exceed the budget
+    assert(rows.map(_._4).sum <= Curation.MixBudget)
+    assert(rows.forall(_._3 > 0))
+  }
+
   test("deterministic shuffle: every doc placed once, shards balanced, " +
       "positions contiguous, rerun identical") {
     val sf = "/root/testdata/sf0.001"

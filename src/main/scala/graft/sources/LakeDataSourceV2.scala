@@ -4,11 +4,11 @@ import graft.lake.LakeTable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, InsertableRelation, TableScan}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StructField, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 
@@ -204,10 +204,11 @@ class LakeV2Table(tableSchema: StructType, params: Map[String, String])
   */
 class LakeV2ScanBuilder(full: StructType, params: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var aggAnswer: Option[(StructType, Seq[Any])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // v2 hands us the pruned shape; empty projection (e.g. COUNT(*))
@@ -222,7 +223,142 @@ class LakeV2ScanBuilder(full: StructType, params: Map[String, String])
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new LakeV2Scan(required, pushed, params)
+  // ---- metadata-only aggregate answers (Delta/Hudi "metadata query")
+  //
+  // A global COUNT(*) / MIN(col) / MAX(col) over the default snapshot is
+  // answerable from COMMIT METADATA alone: row counts are exact per
+  // FileStat, and zone maps for integral/date/timestamp columns come
+  // from parquet footer stats that are EXACT for those physical types
+  // (binary stats may be truncated, float/double have NaN/-0.0 edge
+  // semantics — both declined). Catalyst only attempts aggregate
+  // pushdown when every filter was fully pushed; this source reports
+  // all filters as residual, so the aggregate path engages exactly on
+  // filterless scans. Everything outside the provable case — grouping,
+  // other functions, MOR deltas, tombstones, time travel, sliced query
+  // types, missing zones — declines and runs the normal scan+aggregate.
+  private def metaAggAnswer(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    type V2Expr = org.apache.spark.sql.connector.expressions.Expression
+    type FieldRef = org.apache.spark.sql.connector.expressions.NamedReference
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty ||
+        agg.aggregateExpressions.isEmpty) return None
+    if (params.getOrElse("query.type", "snapshot") != "snapshot" ||
+        params.contains("as.of")) return None
+    val spark = SparkSession.active
+    val p = LakeDataSource.path(params)
+    if (!LakeTable.exists(spark, p)) return None
+    val live =
+      try LakeTable.load(spark, p).timeline.liveFiles()
+      catch { case _: Exception => return None }
+    if (live.exists(f => f.isDelta || f.tombstones > 0)) return None
+    val withRows = live.filter(_.numRecords > 0)
+
+    def exactZoneType(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    def fieldOf(e: V2Expr): Option[StructField] = e match {
+      case fr: FieldRef if fr.fieldNames.length == 1 =>
+        full.fields.find(_.name == fr.fieldNames.head)
+      case _ => None
+    }
+    // bound `which` (0=min, 1=max) of `name` across the live rows-bearing
+    // files; None when any file lacks the zone (cannot prove)
+    def bound(name: String, which: Int): Option[Option[Long]] = {
+      if (withRows.isEmpty) return Some(None) // empty table: NULL min/max
+      val per = withRows.map(_.colRanges.get(name))
+      if (per.exists(_.isEmpty)) return None
+      val parsed = per.flatten.map(r =>
+        try Some(r(which).toLong) catch { case _: Exception => None })
+      if (parsed.exists(_.isEmpty)) None
+      else Some(Some(
+        if (which == 0) parsed.flatten.min else parsed.flatten.max))
+    }
+    def external(dt: DataType, v: Long): Any = dt match {
+      case ByteType    => v.toByte
+      case ShortType   => v.toShort
+      case IntegerType => v.toInt
+      case LongType    => v
+      case DateType    => java.time.LocalDate.ofEpochDay(v)
+      case TimestampType => java.time.Instant.ofEpochSecond(
+        java.lang.Math.floorDiv(v, 1000000L),
+        java.lang.Math.floorMod(v, 1000000L) * 1000L)
+      case TimestampNTZType => java.time.LocalDateTime.ofEpochSecond(
+        java.lang.Math.floorDiv(v, 1000000L),
+        (java.lang.Math.floorMod(v, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+
+    val out = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some((StructField("count(*)", LongType, nullable = false),
+          live.map(_.numRecords).sum: Any))
+      case m: Min =>
+        for {
+          f <- fieldOf(m.column) if exactZoneType(f.dataType)
+          b <- bound(f.name, 0)
+        } yield (StructField(s"min(${f.name})", f.dataType, nullable = true),
+          b.map(external(f.dataType, _)).orNull: Any)
+      case m: Max =>
+        for {
+          f <- fieldOf(m.column) if exactZoneType(f.dataType)
+          b <- bound(f.name, 1)
+        } yield (StructField(s"max(${f.name})", f.dataType, nullable = true),
+          b.map(external(f.dataType, _)).orNull: Any)
+      case _ => None
+    }
+    if (out.exists(_.isEmpty)) None
+    else Some((StructType(out.flatten.map(_._1)), out.flatten.map(_._2)))
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    aggAnswer = metaAggAnswer(agg)
+    aggAnswer.isDefined
+  }
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    if (aggAnswer.isEmpty) aggAnswer = metaAggAnswer(agg)
+    aggAnswer.isDefined // partial pushdown never offered: complete or nothing
+  }
+
+  override def build(): Scan = aggAnswer match {
+    case Some((schema, vals)) => new LakeV2MetaAggScan(schema, vals, params)
+    case None => new LakeV2Scan(required, pushed, params)
+  }
+}
+
+/** One-row scan carrying a metadata-answered aggregate (no data files
+  * opened, no tasks over the corpus — the plan shows this node instead
+  * of a parquet scan + aggregate).
+  */
+class LakeV2MetaAggScan(aggSchema: StructType, vals: Seq[Any],
+    params: Map[String, String]) extends V1Scan {
+
+  override def readSchema(): StructType = aggSchema
+
+  override def description(): String =
+    s"graft-lake-v2-meta-agg ${params.getOrElse("path", "")} " +
+      s"[${aggSchema.fieldNames.mkString(",")}]"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val rel = new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = aggSchema
+      override def buildScan(): RDD[Row] =
+        context.sparkSession.sparkContext
+          .parallelize(Seq(Row.fromSeq(vals)), 1)
+    }
+    rel.asInstanceOf[T]
+  }
 }
 
 class LakeV2Scan(required: StructType, pushed: Array[Filter],

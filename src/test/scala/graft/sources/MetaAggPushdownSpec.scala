@@ -1,0 +1,114 @@
+package graft.sources
+
+import graft.lake.{LakeTable, TableMeta}
+import graft.util.Sessions
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Metadata-only aggregate pushdown on the v2 connector: a global
+  * COUNT(*)/MIN/MAX over a pure-base snapshot answers from commit
+  * metadata (plan shows the meta-agg scan, no parquet scan); every case
+  * outside the provable window — filters, grouping, deltas, tombstones,
+  * time travel, non-exact column types — falls back to the real
+  * scan+aggregate with identical results.
+  */
+class MetaAggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Sessions.local("metaagg-test", "4")
+
+  override def afterAll(): Unit = spark.stop()
+
+  def tmp(): String = Files.createTempDirectory("metaagg").toString + "/t"
+
+  def df(rows: (Int, Long, String, Double)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "ts", "part", "v")
+  }
+
+  private def writeCow(p: String, d: DataFrame): Unit =
+    d.write.format("graft-lake-v2")
+      .option("recordkey.field", "id")
+      .option("precombine.field", "ts")
+      .mode(SaveMode.Append).save(p)
+
+  private def plan(d: DataFrame): String =
+    d.queryExecution.executedPlan.toString
+
+  private def metaAnswered(d: DataFrame): Boolean =
+    plan(d).contains("LakeV2MetaAggScan")
+
+  test("COUNT(*)/MIN/MAX on a COW snapshot answer from metadata") {
+    val p = tmp()
+    writeCow(p, df((1, 10L, "a", 1.0), (2, 11L, "b", 2.0), (3, 9L, "c", 3.0)))
+    val t = spark.read.format("graft-lake-v2").load(p)
+    val q = t.selectExpr("count(*)", "min(ts)", "max(ts)", "min(id)", "max(id)")
+    assert(metaAnswered(q), plan(q))
+    assert(!plan(q).contains("Scan parquet"), plan(q))
+    val r = q.collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 9L && r.getLong(2) == 11L)
+    assert(r.getInt(3) == 1 && r.getInt(4) == 3)
+  }
+
+  test("metadata answer tracks upserts and deletes across commits") {
+    val p = tmp()
+    writeCow(p, df((1, 10L, "a", 1.0), (2, 10L, "b", 2.0)))
+    writeCow(p, df((2, 20L, "b", 22.0), (5, 20L, "e", 5.0)))
+    val t = LakeTable.load(spark, p)
+    t.delete(df((1, 30L, "a", 0.0)))
+    val q = spark.read.format("graft-lake-v2").load(p)
+      .selectExpr("count(*)", "min(id)", "max(id)")
+    assert(metaAnswered(q), plan(q))
+    val r = q.collect().head
+    assert(r.getLong(0) == 2 && r.getInt(1) == 2 && r.getInt(2) == 5)
+  }
+
+  test("filters, grouping, string/double min, and time travel decline") {
+    val p = tmp()
+    writeCow(p, df((1, 10L, "a", 1.0), (2, 11L, "b", 2.0)))
+    val t = spark.read.format("graft-lake-v2").load(p)
+
+    val filtered = t.filter("id > 1").selectExpr("count(*)")
+    assert(!metaAnswered(filtered), plan(filtered))
+    assert(filtered.collect().head.getLong(0) == 1)
+
+    val grouped = t.groupBy("part").count()
+    assert(!metaAnswered(grouped))
+    assert(grouped.count() == 2)
+
+    val strMin = t.selectExpr("min(part)")
+    assert(!metaAnswered(strMin), plan(strMin))
+    assert(strMin.collect().head.getString(0) == "a")
+
+    val dblMax = t.selectExpr("max(v)")
+    assert(!metaAnswered(dblMax))
+    assert(dblMax.collect().head.getDouble(0) == 2.0)
+
+    val c1 = LakeTable.load(spark, p).timeline.instants().head
+    val asOf = spark.read.format("graft-lake-v2")
+      .option("as.of", c1).load(p).selectExpr("count(*)")
+    assert(!metaAnswered(asOf), plan(asOf))
+  }
+
+  test("MOR table with outstanding deltas declines; compaction re-enables") {
+    val p = tmp()
+    val d0 = df((1, 10L, "a", 1.0), (2, 10L, "b", 2.0))
+    d0.write.format("graft-lake-v2")
+      .option("recordkey.field", "id")
+      .option("precombine.field", "ts")
+      .option("table.type", "mor")
+      .mode(SaveMode.Append).save(p)
+    val t = LakeTable.load(spark, p)
+    t.upsert(df((2, 20L, "b", 22.0))) // delta outstanding
+    val q1 = spark.read.format("graft-lake-v2").load(p).selectExpr("count(*)")
+    assert(!metaAnswered(q1), plan(q1))
+    assert(q1.collect().head.getLong(0) == 2)
+    t.compact()
+    val q2 = spark.read.format("graft-lake-v2").load(p).selectExpr("count(*)")
+    assert(metaAnswered(q2), plan(q2))
+    assert(q2.collect().head.getLong(0) == 2)
+  }
+}

@@ -53,6 +53,8 @@ object SparkEntry {
     "q30_tumbling_window" -> (Relational.q30TumblingWindow _),
     // SURVEY §2.1 lake-table format ops (S3/S4/K1) through the oracle gate
     "lake_merge_snapshot" -> (LakeQueries.lakeMergeSnapshot _),
+    // DSv2 metadata-only aggregates (no data files opened)
+    "lake_meta_agg" -> (LakeQueries.lakeMetaAgg _),
     "lake_mor_snapshot" -> (LakeQueries.lakeMorSnapshot _),
     "lake_incremental" -> (LakeQueries.lakeIncremental _),
     "lake_delete" -> (LakeQueries.lakeDelete _),
@@ -542,6 +544,14 @@ object SparkEntry {
          |UNION ALL
          |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts FROM b2
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "lake_meta_agg" ->
+      s"""$lakeCtes, merged AS (
+         |  SELECT l_orderkey, created_ts FROM b1 WHERE l_orderkey >= 500
+         |  UNION ALL SELECT l_orderkey, created_ts FROM b2)
+         |SELECT COUNT(*) AS n_rows,
+         |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+         |  MIN(created_ts) AS min_ts, MAX(created_ts) AS max_ts
+         |FROM merged""".stripMargin,
     "lake_mor_snapshot" ->
       s"""$lakeCtes
          |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts

@@ -121,6 +121,20 @@ object LakeQueries {
     (LakeTable.load(s, path), c1, c2)
   }
 
+  /** Metadata-only aggregates through the DSv2 reader: COUNT/MIN/MAX
+    * over the merged COW fixture answered from commit metadata + zone
+    * maps — the plan carries the meta-agg scan, no data file opens
+    * (plan-asserted in MetaAggPushdownSpec; here the driver's oracle
+    * hash-gates the VALUES against the merged-state SQL).
+    */
+  def lakeMetaAgg(s: SparkSession, dir: String): DataFrame = {
+    val (t, _, _) = cowFixture(s, dir)
+    s.read.format("graft-lake-v2").load(t.path)
+      .selectExpr("count(*) AS n_rows",
+        "min(l_orderkey) AS min_key", "max(l_orderkey) AS max_key",
+        "min(created_ts) AS min_ts", "max(created_ts) AS max_ts")
+  }
+
   /** K1 upsert → S3 snapshot: two commits merged by key+precombine. */
   def lakeMergeSnapshot(s: SparkSession, dir: String): DataFrame = {
     val (t, _, _) = cowFixture(s, dir)

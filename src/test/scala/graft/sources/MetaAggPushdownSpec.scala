@@ -93,6 +93,13 @@ class MetaAggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!metaAnswered(asOf), plan(asOf))
   }
 
+  test("the lake_meta_agg oracle query runs on the meta-agg scan") {
+    val q = graft.queries.LakeQueries.lakeMetaAgg(spark, "/root/testdata/sf0.001")
+    assert(metaAnswered(q), plan(q))
+    assert(!plan(q).contains("Scan parquet"), plan(q))
+    assert(q.collect().length == 1)
+  }
+
   test("MOR table with outstanding deltas declines; compaction re-enables") {
     val p = tmp()
     val d0 = df((1, 10L, "a", 1.0), (2, 10L, "b", 2.0))

@@ -130,6 +130,8 @@ object SparkEntry {
     "curate_sample_hash" -> (Curation.hashSample _),
     // deterministic corpus shuffle + shard assignment (export ordering)
     "curate_shuffle" -> (Curation.shuffleShards _),
+    // FIM sample prep: deterministic prefix/middle/suffix boundaries
+    "curate_fim_split" -> (Curation.fimSplit _),
     "curate_sample_stratified" -> (Curation.stratifiedSample _),
     "curate_token_budget" -> ((s, dir) => Curation.tokenBudget(s, dir)),
     "curate_decontaminate" -> (Curation.decontaminate _),
@@ -1139,6 +1141,27 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY g % 16 ORDER BY g, doc_id)
         |    AS BIGINT) AS pos
         |FROM h ORDER BY shard, pos""".stripMargin,
+    "curate_fim_split" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    (xor((doc_id % 1073741789) * 2654435761 % 1073741789,
+        |         ((doc_id % 1073741789) * 2654435761 % 1073741789) >> 13)
+        |       * 2246822519) % 1073741789 AS g2
+        |  FROM documents),
+        |h AS (
+        |  SELECT *, (xor(g2, g2 >> 11) * 2654435761) % 1073741789 AS g3
+        |  FROM d WHERE n >= 3),
+        |b AS (
+        |  SELECT doc_id, t, n, 1 + g2 % (n - 2) AS p_end, g3 FROM h),
+        |b2 AS (
+        |  SELECT doc_id, t, n, p_end,
+        |    p_end + 1 + g3 % (n - p_end - 1) AS m_end FROM b)
+        |SELECT doc_id, n AS n_tokens, p_end, m_end,
+        |  md5(array_to_string(t[1:p_end], ' ')) AS prefix_md5,
+        |  md5(array_to_string(t[p_end + 1:m_end], ' ')) AS middle_md5,
+        |  md5(array_to_string(t[m_end + 1:n], ' ')) AS suffix_md5
+        |FROM b2 ORDER BY doc_id""".stripMargin,
     "curate_sample_stratified" ->
       """SELECT doc_id, lang, rk FROM (
         |  SELECT doc_id, lang, CAST(row_number() OVER (

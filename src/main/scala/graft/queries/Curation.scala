@@ -321,6 +321,40 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** Fill-in-the-middle sample preparation (`curate_fim_split`) — the
+    * FIM/span-corruption data-prep stage: each document splits into
+    * (prefix, middle, suffix) at pseudo-random token boundaries that are
+    * a PURE FUNCTION of doc_id (two extra rounds of the portable
+    * multiplicative-scramble hash), so any engine, rerun, or shard
+    * layout cuts every document identically — which is what makes FIM
+    * corpora reproducible and their dedup/decontamination joins stable.
+    * Emitted per doc: token counts of the three segments plus an md5 of
+    * each segment's text (the segment fingerprint downstream joins use;
+    * full text stays in the source table). Docs under 3 tokens cannot
+    * split and are excluded. Map-only over the corpus.
+    */
+  def fimSplit(s: SparkSession, dir: String): DataFrame = {
+    val P = 1073741789L
+    val h0 = (col("doc_id") % P) * 2654435761L % P
+    val g2 = (h0.bitwiseXOR(shiftright(h0, 13)) * 2246822519L % P)
+    val g3 = (g2.bitwiseXOR(shiftright(g2, 11)) * 2654435761L % P)
+    docs(s, dir)
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("n", size(col("t")).cast("long"))
+      .filter(col("n") >= 3)
+      .withColumn("p_end", lit(1L) + g2 % (col("n") - 2))
+      .withColumn("m_end",
+        col("p_end") + 1L + g3 % (col("n") - col("p_end") - 1))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        col("p_end"), col("m_end"),
+        md5(expr("array_join(slice(t, 1, int(p_end)), ' ')")).as("prefix_md5"),
+        md5(expr("array_join(slice(t, int(p_end) + 1, int(m_end - p_end)), ' ')"))
+          .as("middle_md5"),
+        md5(expr("array_join(slice(t, int(m_end) + 1, int(n - m_end)), ' ')"))
+          .as("suffix_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic corpus shuffle + shard assignment (`curate_shuffle`)
     * — the training-export ordering step: every doc gets a
     * pseudo-random position that is a PURE FUNCTION of its id (the

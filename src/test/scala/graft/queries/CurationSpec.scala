@@ -197,6 +197,33 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_._3 > 0))
   }
 
+  test("FIM split: boundaries in range, segments reconstruct the text, " +
+      "rerun identical") {
+    val sf = "/root/testdata/sf0.001"
+    val a = Curation.fimSplit(spark, sf).collect()
+    val b = Curation.fimSplit(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      val (n, p, m) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(p >= 1 && p < m && m < n, s"bad boundaries $p $m $n")
+    }
+    // joining the three segments back with single spaces reproduces the
+    // original text (split/slice/join round-trip, incl. empty tokens)
+    val docs = Relational.t(spark, sf, "documents")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def m5(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    a.take(50).foreach { r =>
+      val toks = docs(r.getLong(0)).split(" ", -1)
+      val (p, m) = (r.getLong(2).toInt, r.getLong(3).toInt)
+      assert(r.getString(4) == m5(toks.slice(0, p).mkString(" ")))
+      assert(r.getString(5) == m5(toks.slice(p, m).mkString(" ")))
+      assert(r.getString(6) == m5(toks.slice(m, toks.length).mkString(" ")))
+    }
+  }
+
   test("deterministic shuffle: every doc placed once, shards balanced, " +
       "positions contiguous, rerun identical") {
     val sf = "/root/testdata/sf0.001"

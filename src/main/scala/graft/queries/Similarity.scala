@@ -490,14 +490,14 @@ object Similarity {
     * trained on a deterministic [[PqTrainN]]-row sample (faiss practice —
     * training cost must not scale with the corpus), and ADC shortlists
     * are re-scored at full precision, so the OUTPUT is exact whenever the
-    * shortlist holds the true top-k ([[PqRerank]] of headroom — sized ~3× the deepest depth a gate fixture has ever needed, so seed-to-seed regeneration noise stays inside the margin; equality
+    * shortlist holds the true top-k ([[PqRerank]] of headroom — sized 2× the deepest depth a gate fixture has ever needed (128 of a 500-vector corpus at one seed), so seed-to-seed regeneration noise stays inside the margin while re-scoring stays trivially cheap; equality
     * vs brute force is spec-asserted at both gate SFs, the
     * `dedup_semantic_clusters` pattern).
     */
   val PqM = 8
   val PqK = 256
   val PqIters = 4
-  val PqRerank = 192
+  val PqRerank = 256
   val PqTrainN = 2048
 
   /** Unit-normalize an `array<float>` vector; zero vectors pass through

@@ -269,13 +269,8 @@ class LakeV2ScanBuilder(full: StructType, params: Map[String, String])
     // files; None when any file lacks the zone (cannot prove)
     def bound(name: String, which: Int): Option[Option[Long]] = {
       if (withRows.isEmpty) return Some(None) // empty table: NULL min/max
-      val per = withRows.map(_.colRanges.get(name))
-      if (per.exists(_.isEmpty)) return None
-      val parsed = per.flatten.map(r =>
-        try Some(r(which).toLong) catch { case _: Exception => None })
-      if (parsed.exists(_.isEmpty)) None
-      else Some(Some(
-        if (which == 0) parsed.flatten.min else parsed.flatten.max))
+      LakeV2Scan.zoneBounds(withRows, name)
+        .map(b => Some(if (which == 0) b._1 else b._2))
     }
     def external(dt: DataType, v: Long): Any = dt match {
       case ByteType    => v.toByte
@@ -368,8 +363,17 @@ class LakeV2Scan(required: StructType, pushed: Array[Filter],
 
   override def readSchema(): StructType = required
 
-  /** Commit-metadata stats (bytes + rows) so the v2 plan gets the same
-    * broadcast-join eligibility as the v1 relation's `sizeInBytes`.
+  /** Commit-metadata statistics: bytes + rows, plus zone-map-backed
+    * per-column min/max for the exact-stat types. HONESTY NOTE on the
+    * consumer side, verified against Spark 4.1 bytecode: the optimizer
+    * wraps a V1Scan in `V1ScanWrapper`, which does NOT forward
+    * `SupportsReportStatistics`, so the post-pushdown logical node falls
+    * back to default stats on this path — plan-time broadcast decisions
+    * for v2 reads are instead made by AQE from runtime sizes, and the
+    * DSv1 `format("graft-lake")` route reports `sizeInBytes` natively.
+    * This implementation is still the complete contract for any
+    * consumer that interrogates the scan itself (spec-verified), and
+    * engages automatically if a future Spark forwards the interface.
     */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
@@ -380,6 +384,49 @@ class LakeV2Scan(required: StructType, pushed: Array[Filter],
       override def numRows(): java.util.OptionalLong =
         s.map(v => java.util.OptionalLong.of(v._2))
           .getOrElse(java.util.OptionalLong.empty())
+
+      /** Zone-map-backed per-column min/max for CBO (cbo.enabled is on
+        * in [[graft.util.Sessions]]): range-predicate selectivity and
+        * join estimation read real bounds instead of guessing. Values
+        * are supplied in Catalyst-internal numeric form for the types
+        * whose parquet stats are exact (int/long/date/timestamp);
+        * estimates only — results never depend on them.
+        */
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        try {
+          val spark = SparkSession.active
+          val p = LakeDataSource.path(params)
+          if (!LakeTable.exists(spark, p)) return m
+          val live = LakeTable.load(spark, p).timeline.liveFiles()
+          required.fields.foreach { f =>
+            val box: Option[Long => Object] = f.dataType match {
+              case IntegerType | DateType =>
+                Some(v => java.lang.Integer.valueOf(v.toInt))
+              case LongType | TimestampType | TimestampNTZType =>
+                Some(v => java.lang.Long.valueOf(v))
+              case _ => None
+            }
+            for {
+              toObj <- box
+              (lo, hi) <- LakeV2Scan.zoneBounds(live, f.name)
+            } m.put(
+              org.apache.spark.sql.connector.expressions.Expressions
+                .column(f.name),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def min(): java.util.Optional[Object] =
+                  java.util.Optional.of(toObj(lo))
+                override def max(): java.util.Optional[Object] =
+                  java.util.Optional.of(toObj(hi))
+              })
+          }
+        } catch { case _: Exception => () }
+        m
+      }
     }
 
   override def description(): String =
@@ -413,6 +460,26 @@ class LakeV2Scan(required: StructType, pushed: Array[Filter],
 
 object LakeV2Scan {
   import org.apache.spark.sql.sources._
+
+  /** min/max (as raw longs of the zone encoding: ints/longs verbatim,
+    * dates epoch-days, timestamps epoch-micros) over the rows-bearing
+    * live files' zone maps — None unless EVERY such file carries the
+    * zone (else the bound is not provable). Shared by the metadata
+    * aggregate answers (strict correctness) and the CBO column
+    * statistics (estimates, same provable bound).
+    */
+  def zoneBounds(files: Seq[graft.lake.FileStat],
+      name: String): Option[(Long, Long)] = {
+    val withRows = files.filter(_.numRecords > 0)
+    if (withRows.isEmpty) return None
+    val per = withRows.map(_.colRanges.get(name))
+    if (per.exists(_.isEmpty)) return None
+    val parsed = per.flatten.map { r =>
+      try Some((r(0).toLong, r(1).toLong)) catch { case _: Exception => None }
+    }
+    if (parsed.exists(_.isEmpty)) None
+    else Some((parsed.flatten.map(_._1).min, parsed.flatten.map(_._2).max))
+  }
 
   /** Best-effort v1-Filter → Column translation (same table as the v1
     * relation; kept separate so each file reads standalone).

@@ -100,6 +100,37 @@ class MetaAggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q.collect().length == 1)
   }
 
+  test("scan statistics report rows, bytes, and zone-map column bounds") {
+    val p = tmp()
+    writeCow(p, df((1, 10L, "a", 1.0), (7, 42L, "b", 2.0)))
+    val t = spark.read.format("graft-lake-v2").load(p)
+    // Spark 4.1 wraps V1Scans in a V1ScanWrapper that drops
+    // SupportsReportStatistics (see the scaladoc on estimateStatistics),
+    // so interrogate the wrapped scan directly for the contract
+    val scan = t.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan match {
+          case w: org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper =>
+            w.v1Scan
+          case s => s
+        }
+    }.get
+    val es = scan.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(es.numRows().getAsLong == 2)
+    assert(es.sizeInBytes().getAsLong > 0)
+    val cols = es.columnStats()
+    import scala.jdk.CollectionConverters._
+    val byName = cols.asScala.map { case (k, v) => k.fieldNames.head -> v }
+    assert(byName("id").min.get == Integer.valueOf(1) &&
+      byName("id").max.get == Integer.valueOf(7))
+    assert(byName("ts").min.get == java.lang.Long.valueOf(10L) &&
+      byName("ts").max.get == java.lang.Long.valueOf(42L))
+    // non-exact types carry no bounds
+    assert(!byName.contains("v"))
+  }
+
   test("MOR table with outstanding deltas declines; compaction re-enables") {
     val p = tmp()
     val d0 = df((1, 10L, "a", 1.0), (2, 10L, "b", 2.0))

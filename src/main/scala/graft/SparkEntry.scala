@@ -1245,13 +1245,13 @@ object SparkEntry {
         |            ELSE '0800' END
         |ORDER BY doc_id""".stripMargin,
     "curate_mix_temperature" ->
-      """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
-        |w AS (SELECT lang, n_docs,
-        |        CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT) AS w_us FROM c),
-        |t AS (SELECT CAST(SUM(w_us) AS BIGINT) AS wsum FROM w)
-        |SELECT lang, n_docs, w_us,
-        |  CAST((1000 * w_us) // t.wsum AS BIGINT) AS target_docs
-        |FROM w, t ORDER BY lang""".stripMargin,
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+         |w AS (SELECT lang, n_docs,
+         |        CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT) AS w_us FROM c),
+         |t AS (SELECT CAST(SUM(w_us) AS BIGINT) AS wsum FROM w)
+         |SELECT lang, n_docs, w_us,
+         |  CAST((${graft.queries.Curation.MixBudget} * w_us) // t.wsum AS BIGINT) AS target_docs
+         |FROM w, t ORDER BY lang""".stripMargin,
     // decile boundaries replayed from the same all-integer HDR histogram,
     // then a scalar-subquery bin assignment per doc
     "curate_quantile_bins" ->

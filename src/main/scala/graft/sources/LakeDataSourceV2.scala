@@ -209,6 +209,13 @@ class LakeV2ScanBuilder(full: StructType, params: Map[String, String])
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var aggAnswer: Option[(StructType, Seq[Any])] = None
+  // the Aggregation instance the cached answer was computed for: Spark
+  // calls supportCompletePushDown/pushAggregation several times during
+  // one planning pass — computing ONCE per instance keeps the plan
+  // consistent even if a concurrent commit lands mid-planning (all
+  // calls see the same timeline snapshot), and does one metadata read
+  // instead of three
+  private var aggSeen: AnyRef = null
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // v2 hands us the pruned shape; empty projection (e.g. COUNT(*))
@@ -265,64 +272,61 @@ class LakeV2ScanBuilder(full: StructType, params: Map[String, String])
         full.fields.find(_.name == fr.fieldNames.head)
       case _ => None
     }
-    // bound `which` (0=min, 1=max) of `name` across the live rows-bearing
-    // files; None when any file lacks the zone (cannot prove)
-    def bound(name: String, which: Int): Option[Option[Long]] = {
-      if (withRows.isEmpty) return Some(None) // empty table: NULL min/max
-      LakeV2Scan.zoneBounds(withRows, name)
-        .map(b => Some(if (which == 0) b._1 else b._2))
-    }
-    def external(dt: DataType, v: Long): Any = dt match {
-      case ByteType    => v.toByte
-      case ShortType   => v.toShort
-      case IntegerType => v.toInt
-      case LongType    => v
-      case DateType    => java.time.LocalDate.ofEpochDay(v)
-      case TimestampType => java.time.Instant.ofEpochSecond(
-        java.lang.Math.floorDiv(v, 1000000L),
-        java.lang.Math.floorMod(v, 1000000L) * 1000L)
-      case TimestampNTZType => java.time.LocalDateTime.ofEpochSecond(
-        java.lang.Math.floorDiv(v, 1000000L),
-        (java.lang.Math.floorMod(v, 1000000L) * 1000L).toInt,
-        java.time.ZoneOffset.UTC)
-      case other => throw new IllegalStateException(s"unreachable: $other")
+
+    def external(dt: DataType, v: Long): Any = {
+      import org.apache.spark.sql.catalyst.util.DateTimeUtils
+      dt match {
+        case ByteType         => v.toByte
+        case ShortType        => v.toShort
+        case IntegerType      => v.toInt
+        case LongType         => v
+        case DateType         => DateTimeUtils.daysToLocalDate(v.toInt)
+        case TimestampType    => DateTimeUtils.microsToInstant(v)
+        case TimestampNTZType => DateTimeUtils.microsToLocalDateTime(v)
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
     }
 
+    // per-column bounds memo: one zoneBounds pass per column, however
+    // many Min/Max expressions reference it
+    val boundsMemo = scala.collection.mutable.Map.empty[String, Option[(Long, Long)]]
+    def boundsOf(name: String): Option[(Long, Long)] =
+      boundsMemo.getOrElseUpdate(name, LakeV2Scan.zoneBounds(withRows, name))
+    def minMax(c: V2Expr, which: Int, label: String): Option[(StructField, Any)] =
+      fieldOf(c).filter(f => exactZoneType(f.dataType)).flatMap { f =>
+        val fld = StructField(s"$label(${f.name})", f.dataType, nullable = true)
+        if (withRows.isEmpty) Some((fld, null)) // empty table: NULL min/max
+        else boundsOf(f.name).map(b =>
+          (fld, external(f.dataType, if (which == 0) b._1 else b._2): Any))
+      }
     val out = agg.aggregateExpressions.toSeq.map {
       case _: CountStar =>
         Some((StructField("count(*)", LongType, nullable = false),
           live.map(_.numRecords).sum: Any))
-      case m: Min =>
-        for {
-          f <- fieldOf(m.column) if exactZoneType(f.dataType)
-          b <- bound(f.name, 0)
-        } yield (StructField(s"min(${f.name})", f.dataType, nullable = true),
-          b.map(external(f.dataType, _)).orNull: Any)
-      case m: Max =>
-        for {
-          f <- fieldOf(m.column) if exactZoneType(f.dataType)
-          b <- bound(f.name, 1)
-        } yield (StructField(s"max(${f.name})", f.dataType, nullable = true),
-          b.map(external(f.dataType, _)).orNull: Any)
+      case m: Min => minMax(m.column, 0, "min")
+      case m: Max => minMax(m.column, 1, "max")
       case _ => None
     }
+
+
     if (out.exists(_.isEmpty)) None
     else Some((StructType(out.flatten.map(_._1)), out.flatten.map(_._2)))
   }
 
+  private def answerFor(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    if (!(agg eq aggSeen)) { aggAnswer = metaAggAnswer(agg); aggSeen = agg }
+    aggAnswer
+  }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = {
-    aggAnswer = metaAggAnswer(agg)
-    aggAnswer.isDefined
-  }
+      : Boolean = answerFor(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = {
-    if (aggAnswer.isEmpty) aggAnswer = metaAggAnswer(agg)
-    aggAnswer.isDefined // partial pushdown never offered: complete or nothing
-  }
+      : Boolean = answerFor(agg).isDefined
 
   override def build(): Scan = aggAnswer match {
     case Some((schema, vals)) => new LakeV2MetaAggScan(schema, vals, params)
@@ -470,6 +474,7 @@ object LakeV2Scan {
     */
   def zoneBounds(files: Seq[graft.lake.FileStat],
       name: String): Option[(Long, Long)] = {
+    // owns the rows-bearing invariant (idempotent if a caller pre-filters)
     val withRows = files.filter(_.numRecords > 0)
     if (withRows.isEmpty) return None
     val per = withRows.map(_.colRanges.get(name))

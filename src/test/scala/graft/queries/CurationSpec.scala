@@ -174,23 +174,25 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == exp) // bit-identical left fold
   }
 
-  test("sqrt-temperature mix: tail domains upsampled, head downsampled, " +
-      "budget respected") {
+  test("sqrt-temperature mix: exact arithmetic, monotone, ratio-compressing") {
     val sf = "/root/testdata/sf0.001"
     val rows = Curation.mixTemperature(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    val n = rows.map(_._2).sum.toDouble
-    // temperature flattens: every domain's target share sits between its
-    // raw share and the uniform share (the defining property of 0<1/T<1)
-    val uniform = 1.0 / rows.length
-    rows.foreach { case (_, nd, _, tgt) =>
-      val raw = nd / n
-      val target = tgt.toDouble / Curation.MixBudget
-      val (lo, hi) = if (raw < uniform) (raw, uniform) else (uniform, raw)
-      // integer floor can undershoot by up to 1 doc of budget
-      assert(target >= lo - 1.0 / Curation.MixBudget - 1e-9 &&
-        target <= hi + 1e-9,
-        s"share $target outside [$lo, $hi]")
+    assert(rows.nonEmpty)
+    // exact replication of the declared integer plan (independent of the
+    // Spark expression tree): w = floor(sqrt(n)*1e6), target = B*w/Σw
+    val wsum = rows.map(r => math.sqrt(r._2.toDouble).*(1e6).toLong).sum
+    rows.foreach { case (_, nd, wUs, tgt) =>
+      assert(wUs == (math.sqrt(nd.toDouble) * 1e6).toLong)
+      assert(tgt == Curation.MixBudget * wUs / wsum)
+    }
+    // monotone in the count, and sqrt COMPRESSES the spread: the
+    // target-share ratio of any two domains is ~sqrt of their raw ratio,
+    // so it never exceeds the raw ratio (floor slack absorbed via +1)
+    for (a <- rows; b <- rows if a._2 > b._2) {
+      assert(a._4 >= b._4, s"$a not >= $b")
+      assert(a._4.toDouble / (b._4 + 1) <= a._2.toDouble / b._2 + 1e-9,
+        s"spread not compressed: $a vs $b")
     }
     // floors never exceed the budget
     assert(rows.map(_._4).sum <= Curation.MixBudget)

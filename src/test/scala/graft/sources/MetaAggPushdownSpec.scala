@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.lake.{LakeTable, TableMeta}
+import graft.lake.LakeTable
 import graft.util.Sessions
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.scalatest.BeforeAndAfterAll

@@ -25,6 +25,15 @@ case class PqEncode(child: Expression, cb: Array[Float],
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
+    // contract: no null ELEMENTS — getFloat on an unsafe array would
+    // silently read 0.0 for one (wrong codes, no error), so fail loudly
+    // up front instead; one pass of m*sd checks vs the m*k*sd encode loop
+    var e = 0
+    while (e < m * sd) {
+      if (a.isNullAt(e)) throw new IllegalArgumentException(
+        s"PqEncode: null element at index $e — input vectors must be null-free")
+      e += 1
+    }
     val codes = new Array[Int](m)
     var mm = 0
     while (mm < m) {
@@ -57,7 +66,13 @@ case class PqEncode(child: Expression, cb: Array[Float],
       val j = ctx.freshName("j"); val base = ctx.freshName("base")
       val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
       val dist = ctx.freshName("dist"); val d = ctx.freshName("d")
+      val e = ctx.freshName("e")
       s"""
+         |for (int $e = 0; $e < ${m * sd}; $e++) {
+         |  if ($a.isNullAt($e)) throw new IllegalArgumentException(
+         |    "PqEncode: null element at index " + $e +
+         |    " — input vectors must be null-free");
+         |}
          |int[] $codes = new int[$m];
          |for (int $mm = 0; $mm < $m; $mm++) {
          |  int $best = 0;
@@ -84,7 +99,11 @@ case class PqEncode(child: Expression, cb: Array[Float],
 }
 
 object PqEncode {
-  /** Column-level entry: encode `vec` with the (m×k×sd) codebook. */
+  /** Column-level entry: encode `vec` with the (m×k×sd) codebook.
+    * Contract: `vec`'s elements must be non-null (a null element raises
+    * IllegalArgumentException rather than silently encoding as 0.0) and
+    * the vector must carry at least m·sd values.
+    */
   def apply(vec: Column, cb: Array[Array[Array[Float]]]): Column = {
     val m = cb.length; val k = cb(0).length; val sd = cb(0)(0).length
     ColumnBridge.column(

@@ -107,6 +107,37 @@ object Dedup {
     else fresh()
   }
 
+  /** Stage-artifact key for input dir `dir`: the sanitized full path plus
+    * a content fingerprint (names/sizes/mtimes of the dir's immediate
+    * entries, md5'd). The old `math.abs(dir.hashCode)` key could collide
+    * across two distinct corpus dirs (32-bit birthday; and
+    * `abs(Int.MinValue)` is negative), and a REGENERATED fixture under
+    * the same path would silently reuse stale staged
+    * codebooks/centroids/indexes — the fingerprint turns both into a
+    * clean stage miss instead. Memoized per (session, dir): one listing
+    * per corpus dir per session, and the tag stays stable for the
+    * session even if the dir is touched mid-run.
+    */
+  private val tagCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private[queries] def stageTag(s: SparkSession, dir: String): String =
+    tagCache.computeIfAbsent((s, dir), { _ =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val listing =
+        try {
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.listStatus(p).map(st =>
+            s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+            .sorted.mkString("|")
+        } catch { case _: java.io.IOException => "" }
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(listing.getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      // bound the name (deep dirs); the fingerprint carries uniqueness
+      s"${safe.takeRight(64)}_$fp"
+    })
+
   /** Crash/supersession TTL for stage housekeeping (claim files and
     * superseded artifacts): anything this old can no longer be a live
     * producer or a read in flight.
@@ -156,7 +187,7 @@ object Dedup {
     s.conf.getOption(StageDirConf) match {
       case Some(stage) =>
         // deterministic per input dir, so repeat queries reuse the stage
-        stagedOrFresh(s, s"$stage/shingled_${math.abs(dir.hashCode).toString}",
+        stagedOrFresh(s, s"$stage/shingled_${stageTag(s, dir)}",
           out => shingled.write.mode("overwrite").parquet(out),
           () => cached())
       case None => cached()
@@ -253,7 +284,7 @@ object Dedup {
   private[queries] def stagedPairs(s: SparkSession, dir: String): DataFrame =
     s.conf.getOption(StageDirConf) match {
       case Some(stage) =>
-        stagedOrFresh(s, s"$stage/pairs_${math.abs(dir.hashCode).toString}",
+        stagedOrFresh(s, s"$stage/pairs_${stageTag(s, dir)}",
           out => jaccardPairs(s, dir).write.mode("overwrite").parquet(out),
           () => jaccardPairs(s, dir))
       case None => jaccardPairs(s, dir)
@@ -364,7 +395,7 @@ object Dedup {
     val corpus0 = banded.filter(col("doc_id") < split)
     val corpus = s.conf.getOption(StageDirConf) match {
       case Some(stage) =>
-        stagedOrFresh(s, s"$stage/${bandIndexName(dir, split)}",
+        stagedOrFresh(s, s"$stage/${bandIndexName(s, dir, split)}",
           out => corpus0.write.mode("overwrite").parquet(out),
           () => corpus0)
       case None => corpus0
@@ -380,8 +411,9 @@ object Dedup {
     releaseAfter(verifyJaccard(cands, ex), shingled)
   }
 
-  private[queries] def bandIndexName(dir: String, split: Long): String =
-    s"bands_${math.abs(dir.hashCode).toString}_$split"
+  private[queries] def bandIndexName(s: SparkSession, dir: String,
+      split: Long): String =
+    s"bands_${stageTag(s, dir)}_$split"
 
   /** Band-index append maintenance: advance the staged corpus band index
     * from `oldSplit` to `newSplit` by UNIONING the existing staged index
@@ -400,7 +432,7 @@ object Dedup {
     s.conf.getOption(StageDirConf).foreach { stage =>
       val shingled = docsWithShingles(s, dir)
       val oldPath = new org.apache.hadoop.fs.Path(
-        s"$stage/${bandIndexName(dir, oldSplit)}")
+        s"$stage/${bandIndexName(s, dir, oldSplit)}")
       val fs = oldPath.getFileSystem(s.sparkContext.hadoopConfiguration)
       val old =
         if (fs.exists(new org.apache.hadoop.fs.Path(oldPath, "_SUCCESS")))
@@ -408,11 +440,11 @@ object Dedup {
         else bandedDocs(shingled).filter(col("doc_id") < oldSplit)
       val incBands = bandedDocs(shingled)
         .filter(col("doc_id") >= oldSplit && col("doc_id") < newSplit)
-      val kept = bandIndexName(dir, newSplit)
+      val kept = bandIndexName(s, dir, newSplit)
       stagedOrFresh(s, s"$stage/$kept",
         out => old.union(incBands).write.mode("overwrite").parquet(out),
         () => old.union(incBands))
-      sweepSuperseded(s, stage, s"bands_${math.abs(dir.hashCode).toString}_",
+      sweepSuperseded(s, stage, s"bands_${stageTag(s, dir)}_",
         kept, sweepTtlMs)
       shingled.unpersist(false)
       ()

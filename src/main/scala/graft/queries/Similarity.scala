@@ -152,7 +152,7 @@ object Similarity {
     // deterministic either way, so results are identical.
     val cent = s.conf.getOption(Dedup.StageDirConf) match {
       case Some(stage) =>
-        val tag = s"${math.abs(dir.hashCode).toString}_$cells"
+        val tag = s"${Dedup.stageTag(s, dir)}_$cells"
         Dedup.stagedOrFresh(s, s"$stage/sem_cent_$tag",
           out => ivfCentroids(e, cells).write.mode("overwrite").parquet(out),
           () => ivfCentroids(e, cells))
@@ -196,7 +196,7 @@ object Similarity {
     s.conf.getOption(Dedup.StageDirConf) match {
       case Some(stage) =>
         Dedup.stagedOrFresh(s,
-          s"$stage/sempairs_${math.abs(dir.hashCode).toString}",
+          s"$stage/sempairs_${Dedup.stageTag(s, dir)}",
           out => semanticPairs(s, dir).write.mode("overwrite").parquet(out),
           () => semanticPairs(s, dir))
       case None => semanticPairs(s, dir)
@@ -351,7 +351,7 @@ object Similarity {
     }
     val (cent, corpus) = s.conf.getOption(Dedup.StageDirConf) match {
       case Some(stage) =>
-        val tag = math.abs(dir.hashCode).toString
+        val tag = Dedup.stageTag(s, dir)
         val c = Dedup.stagedOrFresh(s, s"$stage/ivf_cent_$tag",
           out => ivfCentroids(e).write.mode("overwrite").parquet(out),
           () => ivfCentroids(e))
@@ -454,7 +454,7 @@ object Similarity {
     val stage = s.conf.getOption(Dedup.StageDirConf).getOrElse(
       throw new IllegalStateException(
         s"ivfAdd needs ${Dedup.StageDirConf}: the staged IVF index is what is added to"))
-    val tag = math.abs(dir.hashCode).toString
+    val tag = Dedup.stageTag(s, dir)
     val fs = new org.apache.hadoop.fs.Path(stage)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val centPath = s"$stage/ivf_cent_$tag"
@@ -576,7 +576,7 @@ object Similarity {
     }
     s.conf.getOption(Dedup.StageDirConf) match {
       case Some(stage) =>
-        val tag = s"${math.abs(dir.hashCode).toString}_${PqM}_$PqK"
+        val tag = s"${Dedup.stageTag(s, dir)}_${PqM}_$PqK"
         fromDf(Dedup.stagedOrFresh(s, s"$stage/pq_cb_$tag",
           out => asDf(pqCodebooks(e)).write.mode("overwrite").parquet(out),
           () => asDf(pqCodebooks(e))))
@@ -614,7 +614,7 @@ object Similarity {
     val corpusE = e.filter(col("vec_id") < split)
     val cent = s.conf.getOption(Dedup.StageDirConf) match {
       case Some(stage) =>
-        val tag = s"${math.abs(dir.hashCode).toString}_${cells}_i$split"
+        val tag = s"${Dedup.stageTag(s, dir)}_${cells}_i$split"
         Dedup.stagedOrFresh(s, s"$stage/sem_cent_$tag",
           out => ivfCentroids(corpusE, cells).write.mode("overwrite").parquet(out),
           () => ivfCentroids(corpusE, cells))

@@ -265,7 +265,7 @@ object TextAnalysis {
     val corpus = s.conf.getOption(Dedup.StageDirConf) match {
       case Some(stage) =>
         Dedup.stagedOrFresh(s,
-          s"$stage/${spanIndexName(dir, split)}",
+          s"$stage/${spanIndexName(s, dir, split)}",
           out => corpus0.write.mode("overwrite").parquet(out),
           () => corpus0)
       case None => corpus0
@@ -281,8 +281,9 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  private def spanIndexName(dir: String, split: Long): String =
-    s"spanidx_${math.abs(dir.hashCode).toString}_$split"
+  private def spanIndexName(s: SparkSession, dir: String,
+      split: Long): String =
+    s"spanidx_${Dedup.stageTag(s, dir)}_$split"
 
   /** Span-index append maintenance — the [[graft.queries.Dedup
     * .absorbIncrement]] analog for the dup-span corpus index: after an
@@ -301,7 +302,7 @@ object TextAnalysis {
         .filter(size(words(col("text"))) >= W)
         .select(col("doc_id"), explode(spanHashes(col("text"), W)).as("h"))
       val oldPath = new org.apache.hadoop.fs.Path(
-        s"$stage/${spanIndexName(dir, oldSplit)}")
+        s"$stage/${spanIndexName(s, dir, oldSplit)}")
       val fs = oldPath.getFileSystem(s.sparkContext.hadoopConfiguration)
       val old =
         if (fs.exists(new org.apache.hadoop.fs.Path(oldPath, "_SUCCESS")))
@@ -309,13 +310,13 @@ object TextAnalysis {
         else spans.filter(col("doc_id") < oldSplit).select("h").distinct()
       val inc = spans.filter(col("doc_id") >= oldSplit &&
         col("doc_id") < newSplit).select("h").distinct()
-      val kept = spanIndexName(dir, newSplit)
+      val kept = spanIndexName(s, dir, newSplit)
       val merged = old.select("h").union(inc).distinct()
       Dedup.stagedOrFresh(s, s"$stage/$kept",
         out => merged.write.mode("overwrite").parquet(out),
         () => merged)
       Dedup.sweepSuperseded(s, stage,
-        s"spanidx_${math.abs(dir.hashCode).toString}_", kept, sweepTtlMs)
+        s"spanidx_${Dedup.stageTag(s, dir)}_", kept, sweepTtlMs)
       ()
     }
 
@@ -458,10 +459,11 @@ object TextAnalysis {
         .as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     // bg feeds the model counts AND the scoring join — persist across
-    // the two consumers instead of re-tokenizing the corpus (harness
-    // callers clear the cache between queries; no checkpoint here so the
-    // result stays a lazy, inspectable plan); the total folds out of c2
-    // (sum of the bigram counts), not a third subtree
+    // the two consumers instead of re-tokenizing the corpus; the total
+    // folds out of c2 (sum of the bigram counts), not a third subtree.
+    // releaseAfter below materializes the (per-doc-sized) result and
+    // unpersists bg, so a direct library caller doesn't leak executor
+    // cache per invocation.
     val bgP = bg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c2 = bgP.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val tot = c2.agg(sum(col("c2")).as("bt"))
@@ -480,7 +482,7 @@ object TextAnalysis {
           .otherwise(expr("(lm_bits * 16) DIV n_bigrams"))
           .as("bits_per_bigram_q4"))
       .orderBy("doc_id")
-    out
+    Dedup.releaseAfter(out, bgP)
   }
 
   def lmScore(s: SparkSession, dir: String): DataFrame =

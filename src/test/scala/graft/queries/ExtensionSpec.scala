@@ -141,13 +141,13 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     try {
       Dedup.incrementalDedupAt(spark, sf, s1).collect() // stages the s1 index
       assert(new java.io.File(
-        s"$stage/${Dedup.bandIndexName(sf, s1)}/_SUCCESS").exists())
+        s"$stage/${Dedup.bandIndexName(spark, sf, s1)}/_SUCCESS").exists())
       // ttl 0: the old split's index is superseded and swept immediately
       Dedup.absorbIncrement(spark, sf, s1, s2, sweepTtlMs = 0L)
-      val idxPath = s"$stage/${Dedup.bandIndexName(sf, s2)}"
+      val idxPath = s"$stage/${Dedup.bandIndexName(spark, sf, s2)}"
       assert(new java.io.File(s"$idxPath/_SUCCESS").exists(),
         "appended index published")
-      assert(!new java.io.File(s"$stage/${Dedup.bandIndexName(sf, s1)}").exists(),
+      assert(!new java.io.File(s"$stage/${Dedup.bandIndexName(spark, sf, s1)}").exists(),
         "superseded index must be swept")
       // batch 2 consumes the appended index and equals the from-scratch run
       assert(pairs(Dedup.incrementalDedupAt(spark, sf, s2)) == fresh2)

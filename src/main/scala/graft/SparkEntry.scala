@@ -148,8 +148,9 @@ object SparkEntry {
     "curate_quantile_bins" -> (Curation.quantileBins _),
     // context-window packing: next-fit doc→sequence assignment per domain
     "curate_pack_sequences" -> ((s, dir) => Curation.packSequences(s, dir)),
-    // IVF ANN: k-means cells + nprobe search; probing all cells is exactly
-    // brute force (ExtensionSpec asserts), default probe is rows-only here
+    // IVF ANN: k-means cells + nprobe search; the trainer is bit-portable
+    // (bounded sample, ordered folds), so the probed result is HASH-GATED
+    // against a DuckDB replay of train + assign + probe + re-score
     "sim_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     // full-probe IVF: same plan shape as sim_ivf_topk but probing every
     // cell — must be EXACTLY the brute-force result, so it shares that
@@ -228,6 +229,89 @@ object SparkEntry {
 
   private val cosineFold =
     "list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE))), (a, x) -> a + x)"
+
+  private def cosineOf(a: String, b: String): String =
+    s"""${cosineFold.format(a, b)} /
+       |    (sqrt(${cosineFold.format(a, a)}) *
+       |     sqrt(${cosineFold.format(b, b)}))""".stripMargin
+
+  /** DuckDB replay of the probed IVF ANN (`sim_ivf_topk`) — possible
+    * because [[graft.queries.Similarity.ivfCentroids]] is bit-portable:
+    * training runs on the `IvfTrainN` lowest vec_ids and every centroid
+    * component is a sequential member-order fold in double divided by
+    * the member count, cast to float. The oracle unrolls the
+    * `IvfIters` Lloyd iterations as CTE blocks (assign by cosine
+    * argmax, tie toward the lower cell; re-average members sorted by
+    * vec_id), single-assigns the full corpus, probes each query's
+    * `IvfProbe` nearest cells, and exact-rescores — every comparison is
+    * made on bit-identical doubles, so the probed (approximate) result
+    * hash-matches exactly.
+    */
+  private def ivfOracleSql: String = {
+    import graft.queries.Similarity.{IvfCells, IvfIters, IvfProbe, IvfTrainN}
+    def iter(n: Int, prev: String): String =
+      s"""s$n AS (
+         |  SELECT s.vec_id, c.cell,
+         |    ${cosineOf("s.embedding", "c.cv")} AS csim
+         |  FROM smp s, $prev c),
+         |a$n AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn
+         |    FROM s$n) WHERE rn = 1),
+         |c$n AS (
+         |  SELECT cell, list_transform(range(0, 64), j ->
+         |      CAST(list_reduce(list_prepend(0.0,
+         |          list_transform(ms, v -> CAST(v[j + 1] AS DOUBLE))),
+         |        (a, x) -> a + x) / len(ms) AS FLOAT)) AS cv
+         |  FROM (
+         |    SELECT a$n.cell, list(s.embedding ORDER BY s.vec_id) AS ms
+         |    FROM a$n JOIN smp s ON a$n.vec_id = s.vec_id
+         |    GROUP BY a$n.cell))""".stripMargin
+    val iterBlocks = (1 to IvfIters)
+      .map(n => iter(n, if (n == 1) "c0" else s"c${n - 1}"))
+      .mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |smp AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT $IvfTrainN),
+       |c0 AS (
+       |  SELECT CAST(rn - 1 AS INT) AS cell, embedding AS cv FROM (
+       |    SELECT embedding, row_number() OVER (ORDER BY vec_id) AS rn
+       |    FROM smp) WHERE rn <= $IvfCells),
+       |$iterBlocks,
+       |fs AS (
+       |  SELECT e.vec_id, c.cell,
+       |    ${cosineOf("e.embedding", "c.cv")} AS csim
+       |  FROM e, c$IvfIters c),
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn
+       |    FROM fs) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < 3),
+       |qs AS (
+       |  SELECT q.query_id, c.cell,
+       |    ${cosineOf("q.qv", "c.cv")} AS csim
+       |  FROM q, c$IvfIters c),
+       |qc AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT query_id, cell, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY csim DESC, cell ASC) AS crk
+       |    FROM qs) WHERE crk <= $IvfProbe),
+       |cand AS (
+       |  SELECT qc.query_id, a.vec_id FROM qc JOIN asg a USING (cell)
+       |  WHERE a.vec_id <> qc.query_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.vec_id,
+       |    ${cosineOf("ce.embedding", "qe.embedding")} AS sim
+       |  FROM cand
+       |  JOIN e ce ON ce.vec_id = cand.vec_id
+       |  JOIN e qe ON qe.vec_id = cand.query_id),
+       |r AS (SELECT query_id, vec_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS INT) AS rk
+       |  FROM scored)
+       |SELECT query_id, vec_id, sim, rk FROM r WHERE rk <= 10
+       |ORDER BY query_id, rk""".stripMargin
+  }
 
   private val lakeCtes =
     """WITH src AS (
@@ -1445,8 +1529,10 @@ object SparkEntry {
          |SELECT query_id, vec_id, sim, rk FROM r WHERE rk <= 10
          |ORDER BY query_id, rk""".stripMargin
     )
-    // full-probe IVF ≡ brute force — same oracle, by construction
+    // full-probe IVF ≡ brute force — same oracle, by construction;
+    // probed IVF replays the bit-portable trainer + probe verbatim
     base + ("sim_ivf_full" -> base("sim_topk_bruteforce")) +
+      ("sim_ivf_topk" -> ivfOracleSql) +
       ("sim_pq_topk" -> base("sim_topk_bruteforce")) +
       ("sim_hard_negatives" ->
         s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -273,43 +273,64 @@ object Similarity {
   val IvfCells = 16
   val IvfProbe = 6
   val IvfIters = 3
+  val IvfTrainN = 2048
 
-  /** Spherical-k-means-lite centroids as (cell, cv: array<float>).
+  /** Spherical-k-means-lite centroids as (cell, cv: array<float>) —
+    * BIT-PORTABLE, so the probed-ANN `sim_ivf_topk` sits under the
+    * DuckDB hash gate with an oracle that replays training verbatim.
+    *
+    * Two properties make every bit replicable by any engine:
+    *  - training runs on a deterministic BOUNDED sample (the
+    *    [[IvfTrainN]] lowest vec_ids — faiss practice: training cost
+    *    must not scale with the corpus, which is also the 100 TB
+    *    requirement);
+    *  - each centroid component is a SEQUENTIAL fold over the cell's
+    *    members sorted by vec_id, in double, divided by the member
+    *    count and cast to float — no shuffle-order FP nondeterminism
+    *    (the previous `avg(x)` form summed in partition order, so two
+    *    runs could differ in the last ulp and another engine could
+    *    never replay it exactly).
     *
     * Lloyd iterations run as Spark jobs — assignment is a broadcast
-    * cross-join + per-row argmax (map-only over the corpus), the update
-    * is a (cell, dim) average — while the C×64 centroid matrix itself is
-    * collected to the driver per iteration (tiny, and needed as a literal
-    * for the next broadcast anyway). Deterministic: init = the C lowest
-    * vec_ids, ties in assignment break toward the lower cell id.
+    * cross-join + per-row argmax (map-only over the sample) — while the
+    * C×64 centroid matrix is collected to the driver per iteration
+    * (tiny, and needed as a literal for the next broadcast anyway).
+    * Deterministic: init = the C lowest vec_ids, assignment ties break
+    * toward the lower cell id, cells that lose all members drop out.
     */
   def ivfCentroids(e: DataFrame, cells: Int = IvfCells,
-      iters: Int = IvfIters): DataFrame = {
+      iters: Int = IvfIters, trainN: Int = IvfTrainN): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
-    var cent: DataFrame = e.orderBy("vec_id").limit(cells)
-      .select(col("embedding"))
-      .collect().toIndexedSeq
-      .map(_.getSeq[Float](0).toArray)
-      .zipWithIndex
-      .map { case (v, i) => (i, v) }
-      .toDF("cell", "cv")
-    for (_ <- 1 to iters) {
-      val assigned = assignCells(e, cent)
-      val updated = assigned
-        .join(e, "vec_id")
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim")
-        .agg(avg(col("x")).as("m"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .select(col("cell"),
-          expr("transform(dm, p -> cast(p.m as float))").as("cv"))
-      cent = updated.collect().toIndexedSeq
-        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val d = e.select(size(col("embedding"))).first.getInt(0)
+    val sample = e.orderBy("vec_id").limit(trainN)
+      .select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cent: DataFrame = sample.orderBy("vec_id").limit(cells)
+        .select(col("embedding"))
+        .collect().toIndexedSeq
+        .map(_.getSeq[Float](0).toArray)
+        .zipWithIndex
+        .map { case (v, i) => (i, v) }
         .toDF("cell", "cv")
-    }
-    cent
+      for (_ <- 1 to iters) {
+        val updated = assignCells(sample, cent)
+          .join(sample, "vec_id")
+          .groupBy("cell")
+          .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding"))))
+            .as("ms"))
+          .select(col("cell"), expr(
+            s"""transform(sequence(0, ${d - 1}), j ->
+               |  cast(aggregate(ms, cast(0.0 as double),
+               |    (a, m) -> a + cast(m.embedding[j] as double)) / size(ms)
+               |    as float))""".stripMargin).as("cv"))
+        cent = updated.collect().toIndexedSeq
+          .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+          .toDF("cell", "cv")
+      }
+      cent
+    } finally { sample.unpersist(false); () }
   }
 
   /** Nearest-centroid assignment: (vec_id, cell). Broadcast cross-join +

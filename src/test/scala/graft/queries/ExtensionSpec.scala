@@ -246,7 +246,7 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.conf.set(Dedup.StageDirConf, stage)
     try {
       Similarity.ivfTopK(spark, sf).collect() // builds the staged index
-      val tag = math.abs(sf.hashCode).toString
+      val tag = Dedup.stageTag(spark, sf)
       val corpusPath = s"$stage/ivf_corpus_$tag"
       val before = spark.read.parquet(corpusPath).count()
       val e = spark.read.parquet(s"$sf/embeddings.parquet")

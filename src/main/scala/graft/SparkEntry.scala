@@ -99,6 +99,8 @@ object SparkEntry {
     "stats_hdr_groups" -> (Sketches.hdrGroupQuantiles _),
     // one-scan column profiler (null rate / cardinality / range per col)
     "stats_profile" -> (Profile.statsProfile _),
+    // the corpus-scale profile: HLL cardinalities, bounded shuffle
+    "stats_profile_sketch" -> (Profile.statsProfileSketch _),
     "mm_features" -> (TextAnalysis.mmFeatures _),
     // multimodal planning halves: sampled-frame byte ranges, resize dims
     "mm_frame_sample" -> (TextAnalysis.mmFrameSample _),
@@ -311,6 +313,57 @@ object SparkEntry {
        |  FROM scored)
        |SELECT query_id, vec_id, sim, rk FROM r WHERE rk <= 10
        |ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** DuckDB replay of the sketch-based profiler (`stats_profile_sketch`):
+    * per profiled column, the same portable integer projection, the same
+    * 30-bit two-round hash to (bucket, rho), the raw-HLL power sum with
+    * algebraic completion of absent buckets, and the exact
+    * nulls/min/max. One block per column, UNION ALL'd.
+    */
+  private def profileSketchSql: String = {
+    def block(name: String, iv: String, num: String): String =
+      s"""(WITH v AS (SELECT $iv AS iv, $num AS num FROM lineitem),
+         |h AS (SELECT iv, num,
+         |        ((iv % 1073741789) * 2654435761) % 1073741789 AS m1 FROM v),
+         |g AS (SELECT iv, num,
+         |        (xor(m1, m1 >> 13) * 2246822519) % 1073741789 AS g FROM h),
+         |r AS (SELECT num, g % 256 AS bucket,
+         |        CASE WHEN ((xor(g, g >> 11) * 2654435761) % 1073741789) = 0
+         |             THEN 31
+         |             ELSE 31 - length(bin(
+         |               (xor(g, g >> 11) * 2654435761) % 1073741789)) END AS rho
+         |      FROM g),
+         |mx AS (SELECT bucket, MAX(rho) AS m FROM r
+         |       WHERE bucket IS NOT NULL GROUP BY bucket),
+         |agg AS (SELECT
+         |    CAST(SUM(CAST(1 AS BIGINT) << CAST(31 - m AS INT)) AS BIGINT) AS sp,
+         |    COUNT(*) AS nb FROM mx),
+         |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(CASE WHEN iv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |    MIN(num) AS min_num, MAX(num) AS max_num FROM v)
+         |SELECT '$name' AS col_name, base.n_rows, base.n_null,
+         |  0.7182725932::DOUBLE * 65536 * 2147483648 /
+         |    CAST(COALESCE(agg.sp, 0) +
+         |         (256 - COALESCE(agg.nb, 0)) * 2147483648 AS DOUBLE)
+         |    AS est_distinct,
+         |  base.min_num, base.max_num
+         |FROM base, agg)""".stripMargin
+    def d2(c: String) = s"CAST(floor($c * 100.0 + 0.5) AS BIGINT)"
+    def strTok(c: String) =
+      s"length($c) * 31 + ascii($c) * 7 + ascii(reverse($c)) * 13"
+    val blocks = Seq(
+      block("l_orderkey", "l_orderkey", "CAST(l_orderkey AS DOUBLE)"),
+      block("l_quantity", d2("l_quantity"), "l_quantity"),
+      block("l_extendedprice", d2("l_extendedprice"), "l_extendedprice"),
+      block("l_discount", d2("l_discount"), "l_discount"),
+      block("l_shipdate", "epoch_us(l_shipdate)",
+        "CAST(epoch_us(l_shipdate) AS DOUBLE)"),
+      block("l_returnflag", strTok("l_returnflag"), "CAST(NULL AS DOUBLE)"),
+      block("l_linestatus", strTok("l_linestatus"), "CAST(NULL AS DOUBLE)"))
+    s"""SELECT * FROM (
+       |${blocks.mkString("\nUNION ALL\n")}
+       |) ORDER BY col_name""".stripMargin
   }
 
   private val lakeCtes =
@@ -1533,6 +1586,7 @@ object SparkEntry {
     // probed IVF replays the bit-portable trainer + probe verbatim
     base + ("sim_ivf_full" -> base("sim_topk_bruteforce")) +
       ("sim_ivf_topk" -> ivfOracleSql) +
+      ("stats_profile_sketch" -> profileSketchSql) +
       ("sim_pq_topk" -> base("sim_topk_bruteforce")) +
       ("sim_hard_negatives" ->
         s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),

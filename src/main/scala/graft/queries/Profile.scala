@@ -70,4 +70,63 @@ object Profile {
         Some(unix_micros(col("l_shipdate").cast("timestamp")).cast("double"))),
       ColSpec("l_returnflag", None),
       ColSpec("l_linestatus", None)))
+
+  /** `stats_profile_sketch`: the CORPUS-SCALE profile — cardinalities
+    * come from the portable raw HLL ([[Sketches]], m=256) instead of
+    * exact `count_distinct`'s Expand, which multiplies shuffle input by
+    * the profiled column count. Shape: ONE scan unpivots each row to
+    * (col_name, iv, num) — iv the column's portable integer projection
+    * (integral columns as-is; doubles round-half-up at 2 decimals;
+    * timestamps as epoch micros; strings via the fingerprint token
+    * arithmetic) — then a two-level aggregation: (col_name, bucket)
+    * partials combine map-side, so the shuffle carries at most
+    * cols × (m + 1) rows per partition REGARDLESS of input size; the
+    * per-column finish folds bucket maxima into the raw-HLL estimate
+    * (missing buckets contribute 2^31 to the power sum algebraically —
+    * no bucket-completion join) alongside exact nulls/min/max, which
+    * ride the same partials. est_distinct estimates the NON-NULL values
+    * (count_distinct semantics). Every step is portable integer/IEEE
+    * arithmetic, so the whole profile sits under the DuckDB hash gate.
+    */
+  def statsProfileSketch(s: SparkSession, dir: String): DataFrame = {
+    val df = Relational.t(s, dir, "lineitem")
+    def strTok(c: Column): Column =
+      length(c) * lit(31L) + ascii(c) * lit(7L) + ascii(reverse(c)) * lit(13L)
+    def d2(c: Column): Column = floor(c * lit(100.0) + lit(0.5)).cast("long")
+    val nullD = lit(null).cast("double")
+    val us = unix_micros(col("l_shipdate").cast("timestamp"))
+    val specs: Seq[(String, Column, Column)] = Seq(
+      ("l_orderkey", col("l_orderkey"), col("l_orderkey").cast("double")),
+      ("l_quantity", d2(col("l_quantity")), col("l_quantity")),
+      ("l_extendedprice", d2(col("l_extendedprice")), col("l_extendedprice")),
+      ("l_discount", d2(col("l_discount")), col("l_discount")),
+      ("l_shipdate", us, us.cast("double")),
+      ("l_returnflag", strTok(col("l_returnflag")), nullD),
+      ("l_linestatus", strTok(col("l_linestatus")), nullD))
+    val rows = array(specs.map { case (n, iv, num) =>
+      struct(lit(n).as("col_name"), iv.cast("long").as("iv"), num.as("num"))
+    }: _*)
+    val (bucket, rho) = Sketches.bucketAndRho(col("iv"))
+    val up = df.select(inline(rows))
+      .select(col("col_name"), col("num"), bucket, rho)
+    val partial = up.groupBy("col_name", "bucket").agg(
+      count(lit(1)).as("cnt"),
+      min(col("num")).as("mn"), max(col("num")).as("mx"),
+      max(col("rho")).as("m"))
+    partial.groupBy("col_name").agg(
+      sum(col("cnt")).as("n_rows"),
+      sum(when(col("bucket").isNull, col("cnt")).otherwise(0L)).as("n_null"),
+      (sum(when(col("bucket").isNotNull,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(31 - m AS INT))"))
+        .otherwise(0L)) +
+        (lit(Sketches.numBuckets.toLong) -
+          count(when(col("bucket").isNotNull, 1))) * lit(Sketches.Pow31))
+        .as("sum_pow"),
+      min(col("mn")).as("min_num"), max(col("mx")).as("max_num"))
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        (Sketches.rawNumerator / col("sum_pow").cast("double"))
+          .as("est_distinct"),
+        col("min_num"), col("max_num"))
+      .orderBy("col_name")
+  }
 }

@@ -50,6 +50,23 @@ object Sketches {
   private def hllNumerator: Column =
     lit(0.7182725932) * lit(65536) * lit(2147483648L)
 
+  /** (bucket, rho) columns of the portable HLL for `value` — the shared
+    * hash pipeline for sketch consumers outside this file (the
+    * [[Profile]] sketch profiler groups them under its own keys). Null
+    * values propagate to a null bucket/rho, which callers treat as the
+    * "null" group (count_distinct semantics exclude them).
+    */
+  private[queries] def bucketAndRho(value: Column): (Column, Column) = {
+    val g = hash30(value)
+    val g2 = (g.bitwiseXOR(shiftright(g, 11)) * lit(A1)) % lit(P)
+    ((g % lit(Buckets)).as("bucket"),
+      when(g2 === 0, 31).otherwise(lit(31) - length(bin(g2))).as("rho"))
+  }
+
+  private[queries] def numBuckets: Int = Buckets
+  private[queries] def rawNumerator: Column = hllNumerator
+  private[queries] val Pow31 = 2147483648L
+
   /** The HLL sketch of `value` over `in`: per-bucket max rank,
     * `(bucket, m)` with at most [[Buckets]] rows. This IS the mergeable
     * state — union sketches and re-max per bucket to sketch the union

@@ -598,12 +598,23 @@ object Similarity {
     s.conf.getOption(Dedup.StageDirConf) match {
       case Some(stage) =>
         val tag = s"${Dedup.stageTag(s, dir)}_${PqM}_$PqK"
-        fromDf(Dedup.stagedOrFresh(s, s"$stage/pq_cb_$tag",
-          out => asDf(pqCodebooks(e)).write.mode("overwrite").parquet(out),
-          () => asDf(pqCodebooks(e))))
+        // driver-side memo on top of the staged parquet: a production
+        // ANN service pins the (64 KB) codebook matrix for the index's
+        // lifetime rather than re-reading + re-collecting it per query.
+        // Keyed by the stage subdir (tag carries the corpus fingerprint,
+        // so a regenerated corpus is a clean miss). Training is
+        // deterministic, so the memo can never change a result.
+        cbCache.computeIfAbsent((s, s"$stage/pq_cb_$tag"), { key =>
+          fromDf(Dedup.stagedOrFresh(s, key._2,
+            out => asDf(pqCodebooks(e)).write.mode("overwrite").parquet(out),
+            () => asDf(pqCodebooks(e))))
+        })
       case None => pqCodebooks(e)
     }
   }
+
+  private val cbCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Array[Array[Array[Float]]]]()
 
   /** Incremental semantic near-dedup (`dedup_semantic_incr`): a new
     * batch of embeddings (vec_id ≥ split) checked against the existing
@@ -715,9 +726,22 @@ object Similarity {
     val cb = pqCodebooksFor(s, dir, e)
     val m = cb.length; val k = cb(0).length; val sd = cb(0)(0).length
 
-    val coded = e
+    // the encoded corpus is itself a staged index artifact (encode runs
+    // once per corpus drop, not once per query — faiss's add phase);
+    // the staged form makes the ADC candidate scan read ONLY the 8-byte
+    // codes column from parquet, never the float vectors. In-plan
+    // encode otherwise; PqEncode is deterministic, so results agree.
+    def encode = e
       .withColumn("codes", graft.functions.PqEncode(unitNorm(col("embedding")), cb))
       .select("vec_id", "codes")
+    val coded = s.conf.getOption(Dedup.StageDirConf) match {
+      case Some(stage) =>
+        val tag = s"${Dedup.stageTag(s, dir)}_${PqM}_$PqK"
+        Dedup.stagedOrFresh(s, s"$stage/pq_codes_$tag",
+          out => encode.write.mode("overwrite").parquet(out),
+          () => encode)
+      case None => encode
+    }
 
     // per-query LUTs, driver-computed from the driver-resident codebooks:
     // lut[mm*K + kk] = <q̂_mm, cb[mm][kk]>; cn2 the code-centroid norms²

@@ -451,7 +451,11 @@ object TextAnalysis {
     * counts train once per corpus snapshot and persist like any staged
     * index; scoring new batches is then two joins against fixed tables.
     */
-  def lmScoreFor(docs: DataFrame): DataFrame = {
+  /** `release = false` keeps the lazy (inspectable) plan and leaves the
+    * bigram frame persisted — for plan tests; library callers get the
+    * default, which materializes and releases the cache.
+    */
+  def lmScoreFor(docs: DataFrame, release: Boolean = true): DataFrame = {
     val withToks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
     val bg = withToks.filter(size(col("t")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -482,7 +486,7 @@ object TextAnalysis {
           .otherwise(expr("(lm_bits * 16) DIV n_bigrams"))
           .as("bits_per_bigram_q4"))
       .orderBy("doc_id")
-    Dedup.releaseAfter(out, bgP)
+    if (release) Dedup.releaseAfter(out, bgP) else out
   }
 
   def lmScore(s: SparkSession, dir: String): DataFrame =

@@ -76,13 +76,18 @@ object TextAnalysis {
     * heads, never a full sort).
     */
   def commonNgrams(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions.shingles
-    Relational.t(s, dir, "documents")
-      .filter(tokens >= 3)
-      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("ngram"))
+    // consume the SHARED shingled-corpus artifact (Dedup.docsWithShingles:
+    // staged parquet under the stage dir, executor cache otherwise) —
+    // same distinct 3-gram sets, so df semantics are identical, and the
+    // corpus is shingled once per snapshot across ALL shingle consumers
+    // (jaccard, minhash, curate, this) instead of once per query.
+    val shingled = Dedup.docsWithShingles(s, dir)
+    val out = shingled
+      .select(explode(col("sh")).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("ngram"))
       .limit(20)
+    Dedup.releaseAfter(out, shingled)
   }
 
   /** Corpus drift detection between two snapshots (halves of the id

@@ -162,6 +162,10 @@ object SparkEntry {
     // PQ ANN: byte-coded corpus, ADC shortlist, exact re-score — output
     // equals brute force (spec-asserted recall 1), so it shares that oracle
     "sim_pq_topk" -> ((s, dir) => Similarity.pqTopK(s, dir)),
+    // IVF+PQ composition (faiss IVFPQ): probe prunes cells, ADC ranks
+    // 8-byte codes, exact re-score — equals probed IVF at the gate SFs
+    // (spec-asserted), so it shares the trainer-replay oracle
+    "sim_ivfpq_topk" -> ((s, dir) => Similarity.ivfPqTopK(s, dir)),
     // contrastive hard negatives: top in-band (near, not near-dup) matches
     "sim_hard_negatives" -> (Similarity.hardNegatives _)
   )
@@ -1586,6 +1590,7 @@ object SparkEntry {
     // probed IVF replays the bit-portable trainer + probe verbatim
     base + ("sim_ivf_full" -> base("sim_topk_bruteforce")) +
       ("sim_ivf_topk" -> ivfOracleSql) +
+      ("sim_ivfpq_topk" -> ivfOracleSql) +
       ("stats_profile_sketch" -> profileSketchSql) +
       ("sim_pq_topk" -> base("sim_topk_bruteforce")) +
       ("sim_hard_negatives" ->

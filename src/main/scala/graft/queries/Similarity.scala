@@ -333,6 +333,22 @@ object Similarity {
     } finally { sample.unpersist(false); () }
   }
 
+  /** The IVF centroid matrix for `dir`: staged once per corpus snapshot
+    * under the stage dir (produce-once claim protocol), trained in-plan
+    * otherwise. `e` is only evaluated when training actually runs —
+    * identical results either way (the trainer is deterministic and
+    * bit-portable).
+    */
+  private[queries] def ivfCentFor(s: SparkSession, dir: String,
+      e: => DataFrame): DataFrame =
+    s.conf.getOption(Dedup.StageDirConf) match {
+      case Some(stage) =>
+        Dedup.stagedOrFresh(s, s"$stage/ivf_cent_${Dedup.stageTag(s, dir)}",
+          out => ivfCentroids(e).write.mode("overwrite").parquet(out),
+          () => ivfCentroids(e))
+      case None => ivfCentroids(e)
+    }
+
   /** Nearest-centroid assignment: (vec_id, cell). Broadcast cross-join +
     * codegen'd cosine + max_by — map-side only, no corpus shuffle.
     */
@@ -370,20 +386,14 @@ object Similarity {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       eMat
     }
-    val (cent, corpus) = s.conf.getOption(Dedup.StageDirConf) match {
+    val cent = ivfCentFor(s, dir, e)
+    val corpus = s.conf.getOption(Dedup.StageDirConf) match {
       case Some(stage) =>
-        val tag = Dedup.stageTag(s, dir)
-        val c = Dedup.stagedOrFresh(s, s"$stage/ivf_cent_$tag",
-          out => ivfCentroids(e).write.mode("overwrite").parquet(out),
-          () => ivfCentroids(e))
-        val cor = Dedup.stagedOrFresh(s, s"$stage/ivf_corpus_$tag",
-          out => e.join(assignCells(e, c), "vec_id")
+        Dedup.stagedOrFresh(s, s"$stage/ivf_corpus_${Dedup.stageTag(s, dir)}",
+          out => e.join(assignCells(e, cent), "vec_id")
             .write.mode("overwrite").partitionBy("cell").parquet(out),
-          () => e.join(assignCells(e, c), "vec_id"))
-        (c, cor)
-      case None =>
-        val c = ivfCentroids(e)
-        (c, e.join(assignCells(e, c), "vec_id"))
+          () => e.join(assignCells(e, cent), "vec_id"))
+      case None => e.join(assignCells(e, cent), "vec_id")
     }
     val topk = ivfProbeTopK(cent, corpus, probe)
     // top-k is tiny — materialize it and release the embeddings cache
@@ -743,35 +753,8 @@ object Similarity {
       case None => encode
     }
 
-    // per-query LUTs, driver-computed from the driver-resident codebooks:
-    // lut[mm*K + kk] = <q̂_mm, cb[mm][kk]>; cn2 the code-centroid norms²
-    val cn2: Array[Double] = Array.tabulate(m, k)((mm, kk) =>
-      cb(mm)(kk).map(x => x.toDouble * x).sum).flatten
-    val queries = e.filter(col("vec_id") < 3)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map { r =>
-        val qid = r.getLong(0)
-        val qv = r.getSeq[Float](1).toArray
-        val qn = math.sqrt(qv.map(x => x.toDouble * x).sum)
-        val nq = if (qn == 0) qv.map(_.toDouble) else qv.map(_ / qn)
-        val lut = Array.tabulate(m, k) { (mm, kk) =>
-          (0 until sd).map(j => nq(mm * sd + j) * cb(mm)(kk)(j)).sum
-        }.flatten
-        (qid, qv, lut)
-      }
-    import s.implicits._
-    val q = queries.toSeq.toDF("query_id", "qemb", "lut")
-      .withColumn("cn2", typedLit(cn2.toSeq))
-
-    val adc =
-      s"""CASE WHEN aggregate(sequence(0, ${m - 1}), cast(0 as double),
-         |    (a, mm) -> a + cn2[mm*$k + codes[mm]]) = 0 THEN cast(-1 as double)
-         |ELSE
-         |  aggregate(sequence(0, ${m - 1}), cast(0 as double),
-         |    (a, mm) -> a + lut[mm*$k + codes[mm]]) /
-         |  sqrt(aggregate(sequence(0, ${m - 1}), cast(0 as double),
-         |    (a, mm) -> a + cn2[mm*$k + codes[mm]]))
-         |END""".stripMargin
+    val q = pqQueryLuts(s, e, cb)
+    val adc = adcExpr(m, k)
     // candidate ranking touches ONLY (ids, codes, LUTs) — the documented
     // bytes win: no float vector rides the corpus-wide window shuffle;
     // the <= rerank shortlist re-joins the embeddings for exact scoring
@@ -793,5 +776,121 @@ object Similarity {
       .filter(col("rk") <= 10)
       .select("query_id", "vec_id", "sim", "rk")
       .orderBy("query_id", "rk")
+  }
+
+  /** Per-query ADC inputs, driver-computed from the driver-resident
+    * codebooks: one row per query vector (query_id, qemb, lut, cn2) with
+    * lut[mm·K + kk] = <q̂_mm, cb[mm][kk]> and cn2 the code-centroid
+    * norms². Queries are the vec_id < 3 convention shared by every ANN
+    * entry.
+    */
+  private def pqQueryLuts(s: SparkSession, e: DataFrame,
+      cb: Array[Array[Array[Float]]]): DataFrame = {
+    val m = cb.length; val k = cb(0).length; val sd = cb(0)(0).length
+    val cn2: Array[Double] = Array.tabulate(m, k)((mm, kk) =>
+      cb(mm)(kk).map(x => x.toDouble * x).sum).flatten
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val qid = r.getLong(0)
+        val qv = r.getSeq[Float](1).toArray
+        val qn = math.sqrt(qv.map(x => x.toDouble * x).sum)
+        val nq = if (qn == 0) qv.map(_.toDouble) else qv.map(_ / qn)
+        val lut = Array.tabulate(m, k) { (mm, kk) =>
+          (0 until sd).map(j => nq(mm * sd + j) * cb(mm)(kk)(j)).sum
+        }.flatten
+        (qid, qv, lut)
+      }
+    import s.implicits._
+    queries.toSeq.toDF("query_id", "qemb", "lut")
+      .withColumn("cn2", typedLit(cn2.toSeq))
+  }
+
+  /** The ADC score of a `codes` row against a query's (lut, cn2): cosine
+    * of the query against the vector's reconstruction, assembled from
+    * two M-lookup sums. All-zero codes (the zero vector) pin to -1.
+    */
+  private def adcExpr(m: Int, k: Int): String =
+    s"""CASE WHEN aggregate(sequence(0, ${m - 1}), cast(0 as double),
+       |    (a, mm) -> a + cn2[mm*$k + codes[mm]]) = 0 THEN cast(-1 as double)
+       |ELSE
+       |  aggregate(sequence(0, ${m - 1}), cast(0 as double),
+       |    (a, mm) -> a + lut[mm*$k + codes[mm]]) /
+       |  sqrt(aggregate(sequence(0, ${m - 1}), cast(0 as double),
+       |    (a, mm) -> a + cn2[mm*$k + codes[mm]]))
+       |END""".stripMargin
+
+  /** IVF+PQ ANN (`sim_ivfpq_topk`) — the full faiss-style composition
+    * and the production shape at 100 TB: IVF probing prunes WHICH
+    * vectors a query touches (the broadcast cell join drives dynamic
+    * partition pruning on the cell-partitioned codes layout), PQ
+    * shrinks the BYTES each touched vector costs (the candidate scan
+    * reads 8-byte codes, never the float vectors), and only the
+    * [[PqRerank]]-deep ADC shortlist re-reads floats for the exact
+    * re-score. The staged artifact is ONE layout serving both levers:
+    * (vec_id, codes) hive-partitioned by cell.
+    *
+    * Output contract: identical to [[ivfTopK]] at the same probe count
+    * whenever the shortlist holds the probed top-10 (rerank ≥ probed
+    * candidate count at the gate SFs, and spec-asserted), so it shares
+    * `sim_ivf_topk`'s trainer-replay oracle.
+    */
+  def ivfPqTopK(s: SparkSession, dir: String, probe: Int = IvfProbe,
+      rerank: Int = PqRerank): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var eMat: DataFrame = null
+    def e: DataFrame = {
+      if (eMat == null)
+        eMat = Relational.t(s, dir, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      eMat
+    }
+    val cb = pqCodebooksFor(s, dir, e)
+    val m = cb.length; val k = cb(0).length
+    val cent = ivfCentFor(s, dir, e)
+    def codedCells = e.join(assignCells(e, cent), "vec_id")
+      .withColumn("codes",
+        graft.functions.PqEncode(unitNorm(col("embedding")), cb))
+      .select("vec_id", "codes", "cell")
+    val codes = s.conf.getOption(Dedup.StageDirConf) match {
+      case Some(stage) =>
+        val tag = s"${Dedup.stageTag(s, dir)}_${PqM}_$PqK"
+        Dedup.stagedOrFresh(s, s"$stage/ivfpq_codes_$tag",
+          out => codedCells.write.mode("overwrite")
+            .partitionBy("cell").parquet(out),
+          () => codedCells)
+      case None => codedCells
+    }
+    val q = pqQueryLuts(s, Relational.t(s, dir, "embeddings"), cb)
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("cell").asc)
+    val qcells = q.select("query_id", "qemb").crossJoin(broadcast(cent))
+      .withColumn("csim", cosine(col("qemb"), col("cv")))
+      .withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= probe)
+      .select("query_id", "cell")
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val topk = codes
+      .join(broadcast(qcells
+        .join(q.select("query_id", "lut", "cn2"), Seq("query_id"))), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", expr(adcExpr(m, k)))
+      .select("query_id", "vec_id", "adc")
+      .withColumn("ark", row_number().over(wa))
+      .filter(col("ark") <= rerank)
+      .join(Relational.t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(q.select("query_id", "qemb")), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("embedding"), col("qemb")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select("query_id", "vec_id", "sim", "rk")
+      .orderBy("query_id", "rk")
+    if (eMat != null) Dedup.releaseAfter(topk, eMat) else topk
   }
 }

@@ -26,6 +26,39 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // the IVFPQ oracle-sharing contract: at the gate SFs the ADC rerank
+  // depth covers every probed candidate, so the exact-rescored output
+  // EQUALS the probed IVF search bit-for-bit (both also run under a
+  // stage dir in Verify; staged and fresh paths agree by determinism)
+  for (sf <- Seq("sf0.001", "sf0.01")) {
+    test(s"ivfPqTopK equals probed IVF at $sf") {
+      val dir = s"/root/testdata/$sf"
+      assert(rows(Similarity.ivfPqTopK(spark, dir)) ==
+        rows(Similarity.ivfTopK(spark, dir)))
+    }
+  }
+
+  test("ivfPqTopK staged layout equals the fresh path") {
+    val dir = "/root/testdata/sf0.001"
+    val fresh = rows(Similarity.ivfPqTopK(spark, dir))
+    val stage = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    spark.conf.set(Dedup.StageDirConf, stage)
+    try {
+      val staged1 = rows(Similarity.ivfPqTopK(spark, dir)) // builds stage
+      val staged2 = rows(Similarity.ivfPqTopK(spark, dir)) // reads stage
+      assert(staged1 == fresh && staged2 == fresh)
+      // the composed artifact exists: cell-partitioned codes
+      val sub = new java.io.File(stage).listFiles()
+        .find(_.getName.startsWith("ivfpq_codes_"))
+      assert(sub.nonEmpty, "ivfpq_codes_* staged")
+      assert(sub.get.listFiles().exists(_.getName.startsWith("cell=")),
+        "codes are hive-partitioned by cell")
+    } finally {
+      spark.conf.unset(Dedup.StageDirConf)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    }
+  }
+
   test("native PqEncode matches the HOF argmin formulation bit-for-bit") {
     val dir = "/root/testdata/sf0.001"
     val e = Relational.t(spark, dir, "embeddings")

@@ -166,6 +166,10 @@ object SparkEntry {
     // 8-byte codes, exact re-score — equals probed IVF at the gate SFs
     // (spec-asserted), so it shares the trainer-replay oracle
     "sim_ivfpq_topk" -> ((s, dir) => Similarity.ivfPqTopK(s, dir)),
+    // k-NN graph over the WHOLE corpus via the probed IVF layout —
+    // shuffle join keyed by cell (no N-row broadcast); hash-gated by a
+    // trainer-replay oracle with every vector as a query
+    "sim_knn_graph" -> ((s, dir) => Similarity.knnGraph(s, dir)),
     // contrastive hard negatives: top in-band (near, not near-dup) matches
     "sim_hard_negatives" -> (Similarity.hardNegatives _)
   )
@@ -253,7 +257,18 @@ object SparkEntry {
     * made on bit-identical doubles, so the probed (approximate) result
     * hash-matches exactly.
     */
-  private def ivfOracleSql: String = {
+  private def ivfOracleSql: String =
+    ivfProbeOracle("WHERE vec_id < 3", 10, "query_id", "vec_id")
+
+  /** The `sim_knn_graph` oracle: the same trainer replay, but every
+    * corpus vector is a query and the output keeps k=3 neighbors as
+    * (vec_id, nbr_id, sim, rk).
+    */
+  private def knnGraphOracleSql: String =
+    ivfProbeOracle("", 3, "vec_id", "nbr_id")
+
+  private def ivfProbeOracle(queryWhere: String, k: Int,
+      outId: String, outNbr: String): String = {
     import graft.queries.Similarity.{IvfCells, IvfIters, IvfProbe, IvfTrainN}
     def iter(n: Int, prev: String): String =
       s"""s$n AS (
@@ -293,7 +308,7 @@ object SparkEntry {
        |    SELECT vec_id, cell, row_number() OVER (
        |      PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn
        |    FROM fs) WHERE rn = 1),
-       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < 3),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e $queryWhere),
        |qs AS (
        |  SELECT q.query_id, c.cell,
        |    ${cosineOf("q.qv", "c.cv")} AS csim
@@ -315,8 +330,9 @@ object SparkEntry {
        |r AS (SELECT query_id, vec_id, sim,
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS INT) AS rk
        |  FROM scored)
-       |SELECT query_id, vec_id, sim, rk FROM r WHERE rk <= 10
-       |ORDER BY query_id, rk""".stripMargin
+       |SELECT query_id AS $outId, vec_id AS $outNbr, sim, rk
+       |FROM r WHERE rk <= $k
+       |ORDER BY $outId, rk""".stripMargin
   }
 
   /** DuckDB replay of the sketch-based profiler (`stats_profile_sketch`):
@@ -1591,6 +1607,7 @@ object SparkEntry {
     base + ("sim_ivf_full" -> base("sim_topk_bruteforce")) +
       ("sim_ivf_topk" -> ivfOracleSql) +
       ("sim_ivfpq_topk" -> ivfOracleSql) +
+      ("sim_knn_graph" -> knnGraphOracleSql) +
       ("stats_profile_sketch" -> profileSketchSql) +
       ("sim_pq_topk" -> base("sim_topk_bruteforce")) +
       ("sim_hard_negatives" ->

@@ -349,6 +349,21 @@ object Similarity {
       case None => ivfCentroids(e)
     }
 
+  /** The assigned corpus (vec_id, embedding, cell) for `dir`: staged
+    * hive-partitioned BY CELL under the stage dir — the layout where
+    * probing is partition pruning — in-plan assignment otherwise.
+    */
+  private[queries] def ivfCorpusFor(s: SparkSession, dir: String,
+      e: => DataFrame, cent: DataFrame): DataFrame =
+    s.conf.getOption(Dedup.StageDirConf) match {
+      case Some(stage) =>
+        Dedup.stagedOrFresh(s, s"$stage/ivf_corpus_${Dedup.stageTag(s, dir)}",
+          out => e.join(assignCells(e, cent), "vec_id")
+            .write.mode("overwrite").partitionBy("cell").parquet(out),
+          () => e.join(assignCells(e, cent), "vec_id"))
+      case None => e.join(assignCells(e, cent), "vec_id")
+    }
+
   /** Nearest-centroid assignment: (vec_id, cell). Broadcast cross-join +
     * codegen'd cosine + max_by — map-side only, no corpus shuffle.
     */
@@ -387,14 +402,7 @@ object Similarity {
       eMat
     }
     val cent = ivfCentFor(s, dir, e)
-    val corpus = s.conf.getOption(Dedup.StageDirConf) match {
-      case Some(stage) =>
-        Dedup.stagedOrFresh(s, s"$stage/ivf_corpus_${Dedup.stageTag(s, dir)}",
-          out => e.join(assignCells(e, cent), "vec_id")
-            .write.mode("overwrite").partitionBy("cell").parquet(out),
-          () => e.join(assignCells(e, cent), "vec_id"))
-      case None => e.join(assignCells(e, cent), "vec_id")
-    }
+    val corpus = ivfCorpusFor(s, dir, e, cent)
     val topk = ivfProbeTopK(cent, corpus, probe)
     // top-k is tiny — materialize it and release the embeddings cache
     // (never materialized at all when the staged index served the query)
@@ -892,5 +900,59 @@ object Similarity {
       .select("query_id", "vec_id", "sim", "rk")
       .orderBy("query_id", "rk")
     if (eMat != null) Dedup.releaseAfter(topk, eMat) else topk
+  }
+
+  /** k-NN graph construction (`sim_knn_graph`): for EVERY corpus vector,
+    * its `k` nearest probed-IVF neighbors — the graph primitive behind
+    * diversity-aware sampling, graph-based dedup/cluster analysis, and
+    * kNN labeling of corpus slices. The result is DEFINED as the probed
+    * graph (each vector probes its [[IvfProbe]] nearest cells):
+    * deterministic, so with the bit-portable trainer the WHOLE graph
+    * sits under the DuckDB hash gate; probe = [[IvfCells]] degenerates
+    * to the exact graph (spec-asserted), smaller probe is the standard
+    * IVF accuracy/cost dial.
+    *
+    * Scale shape: the probe list joins the cell-partitioned corpus BY
+    * CELL — a shuffle join keyed on cell, never a broadcast of the
+    * N-row query side (this is what separates the graph build from the
+    * few-query searches above); candidate volume is N · probe ·
+    * avg-cell-size, linear at bounded cell size, and the per-vector
+    * top-k collapses through WindowGroupLimit partial heads before the
+    * final shuffle.
+    */
+  def knnGraph(s: SparkSession, dir: String, k: Int = 3,
+      probe: Int = IvfProbe): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var eMat: DataFrame = null
+    def e: DataFrame = {
+      if (eMat == null)
+        eMat = Relational.t(s, dir, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      eMat
+    }
+    val cent = ivfCentFor(s, dir, e)
+    val corpus = ivfCorpusFor(s, dir, e, cent)
+    val wq = Window.partitionBy("qid")
+      .orderBy(col("csim").desc, col("cell").asc)
+    val qcells = corpus
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("csim", cosine(col("qv"), col("cv")))
+      .withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= probe)
+      .select(col("qid"), col("qv"), col("cell"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val g = corpus.join(qcells, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("qv")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("vec_id"), col("vec_id").as("nbr_id"),
+        col("sim"), col("rk"))
+      .orderBy("vec_id", "rk")
+    if (eMat != null) Dedup.releaseAfter(g, eMat) else g
   }
 }

@@ -38,6 +38,29 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("knn graph: full probe equals the exact brute-force graph") {
+    val dir = "/root/testdata/sf0.001"
+    val e = Relational.t(spark, dir, "embeddings")
+    val a = e.select(col("vec_id"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("nbr_id"), col("embedding").as("vb"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    val brute = a.crossJoin(b).filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        Similarity.cosine(col("va"), col("vb")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy("vec_id", "rk")
+    assert(rows(Similarity.knnGraph(spark, dir,
+        probe = Similarity.IvfCells)) == rows(brute))
+    // default probe: a deterministic subgraph contract — every vector
+    // present, k neighbors each, edges scored exactly
+    val g = Similarity.knnGraph(spark, dir).collect()
+    val n = e.count()
+    assert(g.length == 3 * n)
+    assert(g.map(_.getLong(0)).distinct.length == n)
+  }
+
   test("ivfPqTopK staged layout equals the fresh path") {
     val dir = "/root/testdata/sf0.001"
     val fresh = rows(Similarity.ivfPqTopK(spark, dir))

@@ -59,8 +59,15 @@ object Sketches {
   private[queries] def bucketAndRho(value: Column): (Column, Column) = {
     val g = hash30(value)
     val g2 = (g.bitwiseXOR(shiftright(g, 11)) * lit(A1)) % lit(P)
-    ((g % lit(Buckets)).as("bucket"),
-      when(g2 === 0, 31).otherwise(lit(31) - length(bin(g2))).as("rho"))
+    // rank via an integer comparison chain — value-identical to the
+    // `31 - length(bin(g2))` form the standalone HLL queries (and the
+    // oracles) use, but without allocating a binary STRING per input
+    // row, which dominates when the profiler fans each row out to
+    // `cols` hash lanes
+    val rho = (29 to 0 by -1).foldLeft(when(g2 === 0, 31)) {
+      (acc, b) => acc.when(g2 >= (1L << b), 30 - b)
+    }
+    ((g % lit(Buckets)).as("bucket"), rho.as("rho"))
   }
 
   private[queries] def numBuckets: Int = Buckets

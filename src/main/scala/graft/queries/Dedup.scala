@@ -121,22 +121,27 @@ object Dedup {
   private val tagCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
   private[queries] def stageTag(s: SparkSession, dir: String): String =
-    tagCache.computeIfAbsent((s, dir), { _ =>
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val listing =
-        try {
-          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-          fs.listStatus(p).map(st =>
-            s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-            .sorted.mkString("|")
-        } catch { case _: java.io.IOException => "" }
-      val fp = java.security.MessageDigest.getInstance("MD5")
-        .digest(listing.getBytes("UTF-8"))
-        .take(6).map("%02x".format(_)).mkString
-      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-      // bound the name (deep dirs); the fingerprint carries uniqueness
-      s"${safe.takeRight(64)}_$fp"
-    })
+    tagCache.computeIfAbsent((s, dir), { _ => computeTag(s, dir) })
+
+  /** The uncached tag computation (exposed for the spec — the memo above
+    * deliberately pins one tag per session).
+    */
+  private[queries] def computeTag(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val listing =
+      try {
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).map(st =>
+          s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+          .sorted.mkString("|")
+      } catch { case _: java.io.IOException => "" }
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(listing.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    // bound the name (deep dirs); the fingerprint carries uniqueness
+    s"${safe.takeRight(64)}_$fp"
+  }
 
   /** Crash/supersession TTL for stage housekeeping (claim files and
     * superseded artifacts): anything this old can no longer be a live

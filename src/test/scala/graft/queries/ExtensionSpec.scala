@@ -742,4 +742,30 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(claims.isEmpty, s"claim residue: ${claims.mkString(", ")}")
     } finally spark.conf.unset(Dedup.StageDirConf)
   }
+
+  test("stage tags: distinct dirs never collide; regenerated content re-keys") {
+    def mkdir(): java.io.File = {
+      val d = java.nio.file.Files.createTempDirectory("tagspec").toFile
+      val f = new java.io.File(d, "data.parquet")
+      java.nio.file.Files.writeString(f.toPath, "payload-a")
+      d
+    }
+    val d1 = mkdir(); val d2 = mkdir()
+    try {
+      val t1 = Dedup.computeTag(spark, d1.getPath)
+      val t2 = Dedup.computeTag(spark, d2.getPath)
+      assert(t1 != t2, "distinct dirs must never share a stage key")
+      // regenerate the fixture in place: same path, new content/mtime
+      val f = new java.io.File(d1, "data.parquet")
+      java.nio.file.Files.writeString(f.toPath, "payload-b-regenerated")
+      assert(f.setLastModified(f.lastModified() + 5000))
+      val t1b = Dedup.computeTag(spark, d1.getPath)
+      assert(t1b != t1, "a regenerated fixture must be a clean stage miss")
+      // and the tag is stable when nothing changed
+      assert(Dedup.computeTag(spark, d2.getPath) == t2)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(d1)
+      org.apache.commons.io.FileUtils.deleteDirectory(d2)
+    }
+  }
 }

@@ -136,6 +136,8 @@ object SparkEntry {
     "curate_sample_hash" -> (Curation.hashSample _),
     // deterministic corpus shuffle + shard assignment (export ordering)
     "curate_shuffle" -> (Curation.shuffleShards _),
+    // D4-style diversity budget: cell-stratified prototypical round-robin
+    "curate_diversity_sample" -> ((s, dir) => Curation.diversitySample(s, dir)),
     // FIM sample prep: deterministic prefix/middle/suffix boundaries
     "curate_fim_split" -> (Curation.fimSplit _),
     "curate_sample_stratified" -> (Curation.stratifiedSample _),
@@ -271,9 +273,12 @@ object SparkEntry {
   private def knnGraphOracleSql: String =
     ivfProbeOracle("", 3, "vec_id", "nbr_id")
 
-  private def ivfProbeOracle(queryWhere: String, k: Int,
-      outId: String, outNbr: String): String = {
-    import graft.queries.Similarity.{IvfCells, IvfIters, IvfProbe, IvfTrainN}
+  /** The shared trainer + full-corpus-assignment CTE prefix of every
+    * IVF-derived oracle (`...WITH e, smp, c0..cN, fs, asg` — asg keeps
+    * the winning csim so rank-within-cell consumers can reuse it).
+    */
+  private def ivfTrainAssignCtes: String = {
+    import graft.queries.Similarity.{IvfCells, IvfIters, IvfTrainN}
     def iter(n: Int, prev: String): String =
       s"""s$n AS (
          |  SELECT s.vec_id, c.cell,
@@ -308,10 +313,17 @@ object SparkEntry {
        |    ${cosineOf("e.embedding", "c.cv")} AS csim
        |  FROM e, c$IvfIters c),
        |asg AS (
-       |  SELECT vec_id, cell FROM (
-       |    SELECT vec_id, cell, row_number() OVER (
+       |  SELECT vec_id, cell, csim FROM (
+       |    SELECT vec_id, cell, csim, row_number() OVER (
        |      PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn
-       |    FROM fs) WHERE rn = 1),
+       |    FROM fs) WHERE rn = 1)"""
+      .stripMargin
+  }
+
+  private def ivfProbeOracle(queryWhere: String, k: Int,
+      outId: String, outNbr: String): String = {
+    import graft.queries.Similarity.{IvfIters, IvfProbe}
+    s"""$ivfTrainAssignCtes,
        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e $queryWhere),
        |qs AS (
        |  SELECT q.query_id, c.cell,
@@ -337,6 +349,23 @@ object SparkEntry {
        |SELECT query_id AS $outId, vec_id AS $outNbr, sim, rk
        |FROM r WHERE rk <= $k
        |ORDER BY $outId, rk""".stripMargin
+  }
+
+  /** The `curate_diversity_sample` oracle: trainer + assignment replay,
+    * then rank-within-cell by prototypicality (csim to the assigned
+    * centroid) and take the first `DiversityK` rows of the
+    * (crank, cell) round-robin order.
+    */
+  private def diversityOracleSql: String = {
+    import graft.queries.Curation.DiversityK
+    s"""$ivfTrainAssignCtes,
+       |cr AS (
+       |  SELECT vec_id, cell, csim,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY cell ORDER BY csim DESC, vec_id ASC) AS INT) AS crank
+       |  FROM asg)
+       |SELECT vec_id, cell, crank, csim FROM cr
+       |ORDER BY crank, cell LIMIT $DiversityK""".stripMargin
   }
 
   /** DuckDB replay of the sketch-based profiler (`stats_profile_sketch`):
@@ -1612,6 +1641,7 @@ object SparkEntry {
       ("sim_ivf_topk" -> ivfOracleSql) +
       ("sim_ivfpq_topk" -> ivfOracleSql) +
       ("sim_knn_graph" -> knnGraphOracleSql) +
+      ("curate_diversity_sample" -> diversityOracleSql) +
       ("stats_profile_sketch" -> profileSketchSql) +
       ("sim_pq_topk" -> base("sim_topk_bruteforce")) +
       ("sim_hard_negatives" ->

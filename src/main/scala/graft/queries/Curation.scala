@@ -386,4 +386,45 @@ object Curation {
       .select("doc_id", "shard", "pos")
       .orderBy("shard", "pos")
   }
+
+  /** Diversity-aware subset selection (`curate_diversity_sample`) — the
+    * D4/SemDeDup-style stage after dedup: pick a budget of [[DiversityK]]
+    * vectors that COVER the embedding space instead of the corpus's
+    * density peaks. Selection contract: every vector is assigned to its
+    * IVF cell (the shared bit-portable trainer), ranked within the cell
+    * by prototypicality (cosine to the assigned centroid, ties toward
+    * the lower vec_id), and the budget fills ROUND-ROBIN across cells
+    * in (crank, cell) order — so every region contributes its most
+    * representative members before any region contributes its second.
+    * Deterministic end to end, so the whole selection is hash-gated by
+    * a trainer-replay oracle.
+    *
+    * Scale shape: assignment is a broadcast cross-join (map-only);
+    * within-cell ranking is a window PARTITIONED BY CELL (parallel over
+    * cells, never a global window); the budget cut is orderBy+limit —
+    * TakeOrderedAndProject per-partition heads, no single-task sort of
+    * the corpus.
+    */
+  val DiversityK = 64
+
+  def diversitySample(s: SparkSession, dir: String,
+      k: Int = DiversityK): DataFrame = {
+    val e = Relational.t(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+    val cent = Similarity.ivfCentFor(s, dir, e)
+    val wv = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cell").asc)
+    val asg = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cell"),
+        Similarity.cosine(col("embedding"), col("cv")).as("csim"))
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === 1)
+      .drop("rn")
+    val wc = Window.partitionBy("cell")
+      .orderBy(col("csim").desc, col("vec_id").asc)
+    asg.withColumn("crank", row_number().over(wc))
+      .orderBy(col("crank"), col("cell"))
+      .limit(k)
+      .select("vec_id", "cell", "crank", "csim")
+  }
 }

@@ -245,4 +245,30 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val maxShare = byShard.values.map(_.length).max.toDouble / n
     assert(maxShare < 3.0 / Curation.ShuffleShards)
   }
+
+  test("diversity sample: budget filled round-robin, every live cell covered first") {
+    val rows = Curation.diversitySample(spark, dir).collect()
+    assert(rows.length == Curation.DiversityK)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length, "no repeats")
+    // deterministic rerun
+    assert(Curation.diversitySample(spark, dir).collect().toSeq == rows.toSeq)
+    // round-robin: before ANY cell contributes its (r+1)-th member,
+    // every live cell has contributed r — so per-cell counts differ by
+    // at most 1 across cells still alive at the cut
+    val perCell = rows.groupBy(_.getInt(1)).view.mapValues(_.length).toMap
+    val cellSizes = {
+      val e = Relational.t(spark, dir, "embeddings")
+      val cent = Similarity.ivfCentFor(spark, dir, e)
+      Similarity.assignCells(e, cent).groupBy("cell").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    val unexhausted = perCell.filter { case (c, n) => n < cellSizes(c) }
+    if (unexhausted.nonEmpty)
+      assert(unexhausted.values.max - unexhausted.values.min <= 1,
+        s"round-robin balance violated: $perCell vs sizes $cellSizes")
+    // the first picks are each cell's most prototypical member (crank 1)
+    val firstRanks = rows.sortBy(r => (r.getInt(2), r.getInt(1)))
+      .take(perCell.size).map(_.getInt(2))
+    assert(firstRanks.forall(_ == 1))
+  }
 }

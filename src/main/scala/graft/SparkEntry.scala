@@ -110,6 +110,9 @@ object SparkEntry {
     "mm_frame_sample" -> (TextAnalysis.mmFrameSample _),
     "mm_resize" -> (TextAnalysis.mmResize _),
     "dedup_jaccard_pairs" -> (Dedup.jaccardPairs _),
+    // directed near-containment (subset duplication Jaccard misses):
+    // PPJoin prefix on the contained side, full index on the container
+    "dedup_containment_pairs" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
     // df-capped variant: stop-shingles dropped before similarity — the
     // boilerplate-resistant, cost-bounded reading of near-dup
     "dedup_jaccard_dfcap" -> ((s, dir) => Dedup.jaccardPairsDfCap(s, dir)),
@@ -172,6 +175,9 @@ object SparkEntry {
     // 8-byte codes, exact re-score — equals probed IVF at the gate SFs
     // (spec-asserted), so it shares the trainer-replay oracle
     "sim_ivfpq_topk" -> ((s, dir) => Similarity.ivfPqTopK(s, dir)),
+    // embedding-space drift: per-cell population share shift between
+    // snapshot halves (cells trained on snapshot A, integer-exact rank)
+    "stats_embedding_drift" -> (Similarity.embeddingDrift _),
     // k-NN graph over the WHOLE corpus via the probed IVF layout —
     // shuffle join keyed by cell (no N-row broadcast); hash-gated by a
     // trainer-replay oracle with every vector as a query
@@ -184,13 +190,16 @@ object SparkEntry {
     * (same algorithm) and dedup_minhash_lsh (LSH recall ≈ 1 at these
     * similarities, exact-verified).
     */
-  private val jaccardPairsCtes =
+  private val shingleCtes =
     """WITH docs AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
       |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t
       |  WHERE len(words) >= 3
-      |), ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM docs),
+      |), ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM docs)""".stripMargin
+
+  private val jaccardPairsCtes = shingleCtes +
+    """,
       |pairs AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |    COUNT(*) / (a.n + b.n - COUNT(*)) AS jaccard
@@ -200,6 +209,15 @@ object SparkEntry {
 
   private val jaccardPairsSql = jaccardPairsCtes +
     "\nSELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b"
+
+  private val containmentPairsSql = shingleCtes +
+    """
+      |SELECT a.doc_id AS id_in, b.doc_id AS id_of,
+      |  COUNT(*) / a.n AS containment
+      |FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+      |GROUP BY a.doc_id, b.doc_id, a.n
+      |HAVING COUNT(*) / a.n >= 0.9
+      |ORDER BY id_in, id_of""".stripMargin
 
   /** Connected components over the pair graph as a recursive CTE:
     * reach(doc_id, l) enumerates every label reachable from each node,
@@ -277,7 +295,13 @@ object SparkEntry {
     * IVF-derived oracle (`...WITH e, smp, c0..cN, fs, asg` — asg keeps
     * the winning csim so rank-within-cell consumers can reuse it).
     */
-  private def ivfTrainAssignCtes: String = {
+  private def ivfTrainAssignCtes: String = ivfTrainAssignCtes("", "")
+
+  /** `preCtes` injects extra CTEs right after `e` (e.g. a split point);
+    * `trainWhere` restricts the TRAINING sample's source rows (the
+    * drift oracle trains on snapshot A only, like the Spark side).
+    */
+  private def ivfTrainAssignCtes(preCtes: String, trainWhere: String): String = {
     import graft.queries.Similarity.{IvfCells, IvfIters, IvfTrainN}
     def iter(n: Int, prev: String): String =
       s"""s$n AS (
@@ -301,8 +325,8 @@ object SparkEntry {
     val iterBlocks = (1 to IvfIters)
       .map(n => iter(n, if (n == 1) "c0" else s"c${n - 1}"))
       .mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-       |smp AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT $IvfTrainN),
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),$preCtes
+       |smp AS (SELECT vec_id, embedding FROM e $trainWhere ORDER BY vec_id LIMIT $IvfTrainN),
        |c0 AS (
        |  SELECT CAST(rn - 1 AS INT) AS cell, embedding AS cv FROM (
        |    SELECT embedding, row_number() OVER (ORDER BY vec_id) AS rn
@@ -349,6 +373,29 @@ object SparkEntry {
        |SELECT query_id AS $outId, vec_id AS $outNbr, sim, rk
        |FROM r WHERE rk <= $k
        |ORDER BY $outId, rk""".stripMargin
+  }
+
+  /** The `stats_embedding_drift` oracle: trainer replay on snapshot A
+    * (vec_id below the computed split), assignment of BOTH snapshots to
+    * the shared cells, per-cell population counts, cross-multiplied
+    * integer share shift.
+    */
+  private def embeddingDriftSql: String = {
+    val ctes = ivfTrainAssignCtes(
+      "\nsp AS (SELECT (MAX(vec_id) + 1) // 2 AS v FROM e),",
+      "WHERE vec_id < (SELECT v FROM sp)")
+    s"""$ctes,
+       |counts AS (
+       |  SELECT cell,
+       |    CAST(SUM(CASE WHEN vec_id < (SELECT v FROM sp) THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+       |    CAST(SUM(CASE WHEN vec_id >= (SELECT v FROM sp) THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+       |  FROM asg GROUP BY cell),
+       |tot AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS ta,
+       |               CAST(SUM(cnt_b) AS BIGINT) AS tb FROM counts)
+       |SELECT cell, cnt_a, cnt_b,
+       |  CAST(abs(cnt_a * tot.tb - cnt_b * tot.ta) AS BIGINT) AS xshift
+       |FROM counts, tot
+       |ORDER BY xshift DESC, cell""".stripMargin
   }
 
   /** The `curate_diversity_sample` oracle: trainer + assignment replay,
@@ -1192,6 +1239,7 @@ object SparkEntry {
         |  n_tokens
         |FROM hits ORDER BY doc_id""".stripMargin),
     "dedup_jaccard_pairs" -> jaccardPairsSql,
+    "dedup_containment_pairs" -> containmentPairsSql,
     // same shingle CTE, shingles in > 3 docs dropped from every set
     // BEFORE similarity; Jaccard exact over the capped sets
     "dedup_jaccard_dfcap" ->
@@ -1642,6 +1690,7 @@ object SparkEntry {
       ("sim_ivfpq_topk" -> ivfOracleSql) +
       ("sim_knn_graph" -> knnGraphOracleSql) +
       ("curate_diversity_sample" -> diversityOracleSql) +
+      ("stats_embedding_drift" -> embeddingDriftSql) +
       ("stats_profile_sketch" -> profileSketchSql) +
       ("sim_pq_topk" -> base("sim_topk_bruteforce")) +
       ("sim_hard_negatives" ->

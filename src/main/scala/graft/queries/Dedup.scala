@@ -238,6 +238,57 @@ object Dedup {
     releaseAfter(verifyJaccard(cands, ex), ex, prefix, docs)
   }
 
+  /** Near-CONTAINMENT pairs (`dedup_containment_pairs`): directed
+    * (id_in, id_of) where |sh(in) ∩ sh(of)| / |sh(in)| ≥
+    * [[ContainThreshold]] — the subset-duplication signal symmetric
+    * Jaccard misses: a short document embedded whole inside a longer
+    * one never lifts J over threshold (|A∪B| is dominated by the long
+    * side), yet it is exactly the redundancy a curation pass cuts.
+    *
+    * Same PPJoin machinery as [[jaccardPairs]] with the containment
+    * bounds: the prefix lives on the CONTAINED side only (missing all
+    * of A's |A| − ⌈t·|A|⌉ + 1 rarest shingles forces containment < t),
+    * the container side indexes its full shingle set, and the only
+    * length filter is the one containment implies (|B| ≥ ⌈t·|A|⌉ —
+    * shared ≤ |B|; no upper bound, containers may be arbitrarily
+    * larger). Exact skinny-pair verify decides; deterministic, so the
+    * directed pair list sits under the DuckDB hash gate.
+    */
+  val ContainThreshold = 0.9
+
+  def containmentPairs(s: SparkSession, dir: String,
+      t: Double = ContainThreshold): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = docsWithShingles(s, dir)
+    val ex = docs.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val prefix = ex.join(dfreq, "s")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+      .filter(col("rk") <= col("n") - ceil(lit(t) * col("n")) + 1)
+      .select("doc_id", "n", "s")
+    val cands = prefix.alias("a")
+      .join(ex.alias("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.n") >= ceil(lit(t) * col("a.n")))
+      .select(col("a.doc_id").as("id_in"), col("b.doc_id").as("id_of"))
+      .distinct()
+    val scored = cands
+      .join(ex.select(col("doc_id").as("id_in"), col("n").as("n_in"),
+        col("s")), "id_in")
+      .join(ex.select(col("doc_id").as("id_of"), col("s")),
+        Seq("id_of", "s"))
+      .groupBy("id_in", "id_of", "n_in")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("containment", col("shared") / col("n_in"))
+      .filter(col("containment") >= t)
+      .select("id_in", "id_of", "containment")
+      .orderBy("id_in", "id_of")
+    releaseAfter(scored, ex, docs)
+  }
+
   /** Jaccard near-dup pairs over DF-CAPPED shingle sets: shingles in
     * more than `cap` documents ("stop shingles" — boilerplate, template
     * chrome, the [[TextAnalysis.commonNgrams]] population) are dropped

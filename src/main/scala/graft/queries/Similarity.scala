@@ -902,6 +902,49 @@ object Similarity {
     if (eMat != null) Dedup.releaseAfter(topk, eMat) else topk
   }
 
+  /** Embedding-space drift (`stats_embedding_drift`) — the embedding
+    * twin of [[TextAnalysis.corpusDrift]]: cells are trained on
+    * snapshot A only (halves of the id range here; two crawls or two
+    * dated partitions in production — the [[ivfAdd]] contract: new data
+    * assigns to EXISTING cells), both snapshots are assigned to the
+    * shared cells, and cells rank by how much their population SHARE
+    * moved via the cross-multiplied integer shift
+    * |cnt_a·total_b − cnt_b·total_a| — share comparison without a
+    * division, exact integer arithmetic, so the ranking replays in the
+    * oracle. A drifted cell = a region of embedding space the new
+    * snapshot over/under-samples — the health check run before
+    * retraining an index or trusting a mixture computed on the old
+    * snapshot. Map-only assignment + a ≤C-row aggregate; the totals
+    * ride along as a broadcast row.
+    */
+  def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = Relational.t(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+    val split = (maxId + 1L) / 2L
+    def eA = e.filter(col("vec_id") < split)
+    val cent = s.conf.getOption(Dedup.StageDirConf) match {
+      case Some(stage) =>
+        Dedup.stagedOrFresh(s,
+          s"$stage/drift_cent_${Dedup.stageTag(s, dir)}_$split",
+          out => ivfCentroids(eA).write.mode("overwrite").parquet(out),
+          () => ivfCentroids(eA))
+      case None => ivfCentroids(eA)
+    }
+    val counts = assignCells(e, cent)
+      .select(col("cell"), (col("vec_id") >= split).cast("int").as("half"))
+      .groupBy("cell").agg(
+        sum(when(col("half") === 0, 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("cnt_b"))
+    val totals = counts.agg(sum(col("cnt_a")).as("ta"),
+      sum(col("cnt_b")).as("tb"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("cell"), col("cnt_a"), col("cnt_b"),
+        abs(col("cnt_a") * col("tb") - col("cnt_b") * col("ta"))
+          .as("xshift"))
+      .orderBy(col("xshift").desc, col("cell"))
+  }
+
   /** k-NN graph construction (`sim_knn_graph`): for EVERY corpus vector,
     * its `k` nearest probed-IVF neighbors — the graph primitive behind
     * diversity-aware sampling, graph-based dedup/cluster analysis, and

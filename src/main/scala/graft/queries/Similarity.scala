@@ -515,6 +515,22 @@ object Similarity {
     newVecs.select(corpusCols.toIndexedSeq: _*)
       .join(assignCells(newVecs, cent), "vec_id")
       .write.mode("append").partitionBy("cell").parquet(corpusPath)
+    // DERIVED artifacts must absorb the add too, or they silently serve
+    // a stale view of the corpus: if the IVFPQ codes layout exists for
+    // this corpus, encode the batch with the STAGED codebooks (encode
+    // is the add-phase; codebooks drift only at the next rebuild, the
+    // same contract as the centroids) and append into its cell dirs.
+    val pqTag = s"${tag}_${PqM}_$PqK"
+    val codesPath = s"$stage/ivfpq_codes_$pqTag"
+    if (fs.exists(new org.apache.hadoop.fs.Path(codesPath, "_SUCCESS"))) {
+      val cb = fromCodebookDf(s.read.parquet(s"$stage/pq_cb_$pqTag"))
+      newVecs.select(col("vec_id"), col("embedding"))
+        .withColumn("codes",
+          graft.functions.PqEncode(unitNorm(col("embedding")), cb))
+        .join(assignCells(newVecs, cent), "vec_id")
+        .select("vec_id", "codes", "cell")
+        .write.mode("append").partitionBy("cell").parquet(codesPath)
+    }
   }
 
 
@@ -604,15 +620,7 @@ object Similarity {
         codes.zipWithIndex.map { case (cv, kk) => (mm, kk, cv.toSeq) }
       }.toSeq.toDF("m", "code", "cv")
     }
-    def fromDf(df: DataFrame): Array[Array[Array[Float]]] = {
-      val rows = df.collect().map(r =>
-        (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
-      val m = rows.map(_._1).max + 1
-      val k = rows.map(_._2).max + 1
-      val out = Array.ofDim[Array[Float]](m, k)
-      rows.foreach { case (mm, kk, cv) => out(mm)(kk) = cv }
-      out
-    }
+    def fromDf(df: DataFrame): Array[Array[Array[Float]]] = fromCodebookDf(df)
     s.conf.getOption(Dedup.StageDirConf) match {
       case Some(stage) =>
         val tag = s"${Dedup.stageTag(s, dir)}_${PqM}_$PqK"
@@ -633,6 +641,19 @@ object Similarity {
 
   private val cbCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), Array[Array[Array[Float]]]]()
+
+  /** Rehydrate the (m, code, cv) codebook parquet into the driver-side
+    * M×K×(d/M) matrix.
+    */
+  private def fromCodebookDf(df: DataFrame): Array[Array[Array[Float]]] = {
+    val rows = df.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val out = Array.ofDim[Array[Float]](m, k)
+    rows.foreach { case (mm, kk, cv) => out(mm)(kk) = cv }
+    out
+  }
 
   /** Incremental semantic near-dedup (`dedup_semantic_incr`): a new
     * batch of embeddings (vec_id ≥ split) checked against the existing
@@ -871,6 +892,12 @@ object Similarity {
       case None => codedCells
     }
     val q = pqQueryLuts(s, Relational.t(s, dir, "embeddings"), cb)
+    val floats = s.conf.getOption(Dedup.StageDirConf) match {
+      case Some(_) => ivfCorpusFor(s, dir, e, cent)
+        .select(col("vec_id"), col("embedding"))
+      case None => Relational.t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+    }
     val wq = Window.partitionBy("query_id")
       .orderBy(col("csim").desc, col("cell").asc)
     val qcells = q.select("query_id", "qemb").crossJoin(broadcast(cent))
@@ -890,8 +917,10 @@ object Similarity {
       .select("query_id", "vec_id", "adc")
       .withColumn("ark", row_number().over(wa))
       .filter(col("ark") <= rerank)
-      .join(Relational.t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      // float source for the exact re-score: the staged corpus artifact
+      // when present (it carries vectors appended by ivfAdd — the base
+      // table does not), the base table otherwise
+      .join(floats, Seq("vec_id"))
       .join(broadcast(q.select("query_id", "qemb")), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("embedding"), col("qemb")).as("sim"))

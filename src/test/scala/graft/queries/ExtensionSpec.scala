@@ -281,6 +281,34 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset(Dedup.StageDirConf)
   }
 
+  test("IVF add maintains the IVFPQ codes layout: added vectors are ADC-visible") {
+    val stage = java.nio.file.Files.createTempDirectory("ivfpqadd").toString
+    spark.conf.set(Dedup.StageDirConf, stage)
+    try {
+      Similarity.ivfTopK(spark, sf).collect()   // stages cent + corpus
+      Similarity.ivfPqTopK(spark, sf).collect() // stages codebooks + codes
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+      val clones = e.filter(col("vec_id") < 3)
+        .select((col("vec_id") + maxId + 1L).as("vec_id"), col("embedding"),
+          col("label"))
+      Similarity.ivfAdd(spark, sf, clones)
+      val codesDir = new java.io.File(stage).listFiles()
+        .find(_.getName.startsWith("ivfpq_codes_")).get
+      val codes = spark.read.parquet(codesDir.getPath)
+      assert(codes.count() == e.count() + 3, "codes layout must grow with the add")
+      // the added clones surface through the CODES path at rank 1: the
+      // ADC scan reads the appended cell files, never the float corpus
+      val after = Similarity.ivfPqTopK(spark, sf).collect()
+      (0L until 3L).foreach { q =>
+        val r1 = after.find(r => r.getLong(0) == q && r.getInt(3) == 1).get
+        assert(r1.getLong(1) == q + maxId + 1L,
+          s"clone of query $q not ADC-visible at rank 1")
+        assert(math.abs(r1.getDouble(2) - 1.0) < 1e-9)
+      }
+    } finally spark.conf.unset(Dedup.StageDirConf)
+  }
+
   test("multimodal: batched stub decode through typed Dataset plumbing") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)

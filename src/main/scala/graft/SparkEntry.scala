@@ -74,7 +74,7 @@ object SparkEntry {
     // canonical normalization: the pre-pass for variant-tolerant dedup
     "text_normalize" -> (TextAnalysis.normalize _),
     // boilerplate mining: highest-df 3-grams (licenses/template chrome)
-    "text_common_ngrams" -> (TextAnalysis.commonNgrams _),
+    "text_common_ngrams" -> ((s, dir) => TextAnalysis.commonNgrams(s, dir)),
     // integer-exact frequency-share drift between two corpus snapshots
     "stats_corpus_drift" -> (TextAnalysis.corpusDrift _),
     "text_quality" -> (TextAnalysis.qualityScore _),

@@ -75,7 +75,13 @@ object TextAnalysis {
     * combine, then a global top-k (TakeOrderedAndProject — per-partition
     * heads, never a full sort).
     */
-  def commonNgrams(s: SparkSession, dir: String): DataFrame = {
+  /** `release = false` keeps the lazy (inspectable) plan and leaves the
+    * shingle cache to the caller — for plan tests; the default
+    * materializes the 20-row result and releases the cache (a no-op
+    * pass-through when the shingles come from the staged parquet).
+    */
+  def commonNgrams(s: SparkSession, dir: String,
+      release: Boolean = true): DataFrame = {
     // consume the SHARED shingled-corpus artifact (Dedup.docsWithShingles:
     // staged parquet under the stage dir, executor cache otherwise) —
     // same distinct 3-gram sets, so df semantics are identical, and the
@@ -87,7 +93,7 @@ object TextAnalysis {
       .groupBy("ngram").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("ngram"))
       .limit(20)
-    Dedup.releaseAfter(out, shingled)
+    if (release) Dedup.releaseAfter(out, shingled) else out
   }
 
   /** Corpus drift detection between two snapshots (halves of the id

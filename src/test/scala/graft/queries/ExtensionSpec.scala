@@ -580,7 +580,9 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("common ngrams: df counts docs once each, descending, plan is top-k") {
-    val df = TextAnalysis.commonNgrams(spark, sf)
+    // release=false keeps the lazy plan inspectable (the default
+    // checkpoints the 20-row result when the shingle cache is live)
+    val df = TextAnalysis.commonNgrams(spark, sf, release = false)
     // global top-k must plan as TakeOrderedAndProject (per-partition
     // heads), not a full global sort
     assert(df.queryExecution.executedPlan.toString

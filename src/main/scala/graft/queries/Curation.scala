@@ -412,14 +412,9 @@ object Curation {
     val e = Relational.t(s, dir, "embeddings")
       .repartition(s.sparkContext.defaultParallelism)
     val cent = Similarity.ivfCentFor(s, dir, e)
-    val wv = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cell").asc)
-    val asg = e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cell"),
-        Similarity.cosine(col("embedding"), col("cv")).as("csim"))
-      .withColumn("rn", row_number().over(wv))
-      .filter(col("rn") === 1)
-      .drop("rn")
+    // single assignment = the shared multi-assign primitive at a=1 —
+    // one place owns the tie semantics the trainer-replay oracles mirror
+    val asg = Similarity.multiAssignCells(e, cent, a = 1)
     val wc = Window.partitionBy("cell")
       .orderBy(col("csim").desc, col("vec_id").asc)
     asg.withColumn("crank", row_number().over(wc))

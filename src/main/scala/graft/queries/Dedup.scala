@@ -119,9 +119,30 @@ object Dedup {
     * session even if the dir is touched mid-run.
     */
   private val tagCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
-  private[queries] def stageTag(s: SparkSession, dir: String): String =
-    tagCache.computeIfAbsent((s, dir), { _ => computeTag(s, dir) })
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]()
+  private[queries] def stageTag(s: SparkSession, dir: String): String = {
+    // outer map holds the session WEAKLY (a stopped, dropped session
+    // must not be pinned for the JVM lifetime by its memoized tags)
+    val per = tagCache.synchronized {
+      var m = tagCache.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        tagCache.put(s, m)
+      }
+      m
+    }
+    per.computeIfAbsent(dir, { _ => computeTag(s, dir) })
+  }
+
+  /** Fingerprint-FREE path key — the supersession-sweep FAMILY prefix:
+    * artifacts of the same corpus path share it across content
+    * regenerations, so a sweep catches indexes staged under an older
+    * fingerprint (a fingerprint-keyed family would orphan them
+    * forever), while artifacts of other corpus paths never match.
+    */
+  private[queries] def stagePathKey(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(64)
 
   /** The uncached tag computation (exposed for the spec — the memo above
     * deliberately pins one tag per session).
@@ -138,9 +159,8 @@ object Dedup {
     val fp = java.security.MessageDigest.getInstance("MD5")
       .digest(listing.getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
-    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     // bound the name (deep dirs); the fingerprint carries uniqueness
-    s"${safe.takeRight(64)}_$fp"
+    s"${stagePathKey(dir)}_$fp"
   }
 
   /** Crash/supersession TTL for stage housekeeping (claim files and
@@ -500,7 +520,7 @@ object Dedup {
       stagedOrFresh(s, s"$stage/$kept",
         out => old.union(incBands).write.mode("overwrite").parquet(out),
         () => old.union(incBands))
-      sweepSuperseded(s, stage, s"bands_${stageTag(s, dir)}_",
+      sweepSuperseded(s, stage, s"bands_${stagePathKey(dir)}_",
         kept, sweepTtlMs)
       shingled.unpersist(false)
       ()

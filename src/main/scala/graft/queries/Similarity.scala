@@ -118,7 +118,7 @@ object Similarity {
         cosine(col("embedding"), col("cv")).as("csim"), col("cell"))
       .withColumn("crk", row_number().over(w))
       .filter(col("crk") <= a)
-      .select(col("vec_id"), col("cell"))
+      .select(col("vec_id"), col("cell"), col("csim"))
   }
 
   /** Sub-quadratic semantic near-dup pairs (the SemDeDup layout): IVF
@@ -515,11 +515,16 @@ object Similarity {
     newVecs.select(corpusCols.toIndexedSeq: _*)
       .join(assignCells(newVecs, cent), "vec_id")
       .write.mode("append").partitionBy("cell").parquet(corpusPath)
-    // DERIVED artifacts must absorb the add too, or they silently serve
-    // a stale view of the corpus: if the IVFPQ codes layout exists for
-    // this corpus, encode the batch with the STAGED codebooks (encode
-    // is the add-phase; codebooks drift only at the next rebuild, the
-    // same contract as the centroids) and append into its cell dirs.
+    // INDEX-BACKED derived artifacts must absorb the add too, or they
+    // silently serve a stale view of the indexed corpus: if the IVFPQ
+    // codes layout exists, encode the batch with the STAGED codebooks
+    // (encode is the add-phase; codebooks drift only at the next
+    // rebuild, the same contract as the centroids) and append into its
+    // cell dirs. The PLAIN pq_codes artifact is deliberately NOT
+    // touched: pqTopK is the linear-scan ANN over the BASE table (its
+    // corpus is Relational.t, which an index add never changes), while
+    // ivfTopK/ivfPqTopK under a stage dir query the INDEXED corpus
+    // (base ∪ adds) — two different, documented corpus contracts.
     val pqTag = s"${tag}_${PqM}_$PqK"
     val codesPath = s"$stage/ivfpq_codes_$pqTag"
     if (fs.exists(new org.apache.hadoop.fs.Path(codesPath, "_SUCCESS"))) {
@@ -613,7 +618,7 @@ object Similarity {
     * either way because training is deterministic for a given corpus.
     */
   private def pqCodebooksFor(s: SparkSession, dir: String,
-      e: DataFrame): Array[Array[Array[Float]]] = {
+      e: => DataFrame): Array[Array[Array[Float]]] = {
     def asDf(cb: Array[Array[Array[Float]]]): DataFrame = {
       import s.implicits._
       cb.zipWithIndex.flatMap { case (codes, mm) =>
@@ -630,8 +635,8 @@ object Similarity {
         // Keyed by the stage subdir (tag carries the corpus fingerprint,
         // so a regenerated corpus is a clean miss). Training is
         // deterministic, so the memo can never change a result.
-        cbCache.computeIfAbsent((s, s"$stage/pq_cb_$tag"), { key =>
-          fromDf(Dedup.stagedOrFresh(s, key._2,
+        cbCacheFor(s).computeIfAbsent(s"$stage/pq_cb_$tag", { key =>
+          fromDf(Dedup.stagedOrFresh(s, key,
             out => asDf(pqCodebooks(e)).write.mode("overwrite").parquet(out),
             () => asDf(pqCodebooks(e))))
         })
@@ -639,8 +644,20 @@ object Similarity {
     }
   }
 
-  private val cbCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Array[Array[Array[Float]]]]()
+  // session held WEAKLY — a stopped session's codebooks must be GC-able
+  private val cbCache = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Float]]]]]()
+  private def cbCacheFor(s: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Float]]]] =
+    cbCache.synchronized {
+      var m = cbCache.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[
+          String, Array[Array[Array[Float]]]]()
+        cbCache.put(s, m)
+      }
+      m
+    }
 
   /** Rehydrate the (m, code, cv) codebook parquet into the driver-side
     * M×K×(d/M) matrix.
@@ -763,7 +780,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val e = Relational.t(s, dir, "embeddings")
     val cb = pqCodebooksFor(s, dir, e)
-    val m = cb.length; val k = cb(0).length; val sd = cb(0)(0).length
+    val m = cb.length; val k = cb(0).length
 
     // the encoded corpus is itself a staged index artifact (encode runs
     // once per corpus drop, not once per query — faiss's add phase);
@@ -891,13 +908,16 @@ object Similarity {
           () => codedCells)
       case None => codedCells
     }
-    val q = pqQueryLuts(s, Relational.t(s, dir, "embeddings"), cb)
+    // float source for re-score AND query LUTs: the staged corpus
+    // artifact when present (carries ivfAdd'd vectors; the base table
+    // does not), the cached corpus frame otherwise — one source, no
+    // second decode of the base parquet on the fresh path
     val floats = s.conf.getOption(Dedup.StageDirConf) match {
       case Some(_) => ivfCorpusFor(s, dir, e, cent)
         .select(col("vec_id"), col("embedding"))
-      case None => Relational.t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
+      case None => e.select(col("vec_id"), col("embedding"))
     }
+    val q = pqQueryLuts(s, floats, cb)
     val wq = Window.partitionBy("query_id")
       .orderBy(col("csim").desc, col("cell").asc)
     val qcells = q.select("query_id", "qemb").crossJoin(broadcast(cent))

@@ -327,7 +327,7 @@ object TextAnalysis {
         out => merged.write.mode("overwrite").parquet(out),
         () => merged)
       Dedup.sweepSuperseded(s, stage,
-        s"spanidx_${Dedup.stageTag(s, dir)}_", kept, sweepTtlMs)
+        s"spanidx_${Dedup.stagePathKey(dir)}_", kept, sweepTtlMs)
       ()
     }
 

@@ -76,6 +76,11 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(sub.nonEmpty, "ivfpq_codes_* staged")
       assert(sub.get.listFiles().exists(_.getName.startsWith("cell=")),
         "codes are hive-partitioned by cell")
+      // probing the staged codes layout must be dynamic partition
+      // pruning on the codes scan (the 'touch only probed cells' lever)
+      assert(Similarity.ivfPqTopK(spark, dir).queryExecution.executedPlan
+        .toString.toLowerCase.contains("dynamicpruning"),
+        "ADC candidate scan must prune cell partitions dynamically")
     } finally {
       spark.conf.unset(Dedup.StageDirConf)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))

@@ -119,6 +119,8 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     // connected components over the near-dup pair graph -> dedup families
     "dedup_clusters" -> (Dedup.dedupClusters _),
+    // keep the BEST copy per dup family (quality-ranked, not min-id)
+    "dedup_cluster_canonical" -> (Dedup.clusterCanonical _),
     // cluster-keyed train/val split: near-dups never straddle the split
     "curate_split_leakfree" -> (Curation.leakFreeSplit _),
     "dedup_simhash" -> (Dedup.simhashPairs _),
@@ -246,6 +248,25 @@ object SparkEntry {
       |       l.doc_id = l.cluster_id AS is_canonical
       |FROM labels l JOIN sizes s USING (cluster_id)
       |ORDER BY l.doc_id""".stripMargin
+
+  private val clusterCanonicalSql = clusterLabelCtes +
+    """,
+      |sizes AS (
+      |  SELECT cluster_id, COUNT(*) AS cluster_size
+      |  FROM labels GROUP BY cluster_id),
+      |ql AS (SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |       FROM documents),
+      |m AS (
+      |  SELECT l.cluster_id, l.doc_id, ql.n_tokens,
+      |    CAST(s.cluster_size AS BIGINT) AS n_members,
+      |    row_number() OVER (PARTITION BY l.cluster_id
+      |      ORDER BY CASE WHEN ql.n_tokens < 5 THEN 1 ELSE 0 END ASC,
+      |               ql.n_tokens DESC, l.doc_id ASC) AS rk
+      |  FROM labels l JOIN ql USING (doc_id) JOIN sizes s USING (cluster_id))
+      |SELECT cluster_id, doc_id AS keep_id, n_tokens AS keep_tokens,
+      |  n_members
+      |FROM m WHERE rk = 1 ORDER BY cluster_id""".stripMargin
 
   /** Cluster-keyed train/val split (same label CTEs; singletons are their
     * own cluster; assignment = the portable multiplicative scramble).
@@ -1274,6 +1295,7 @@ object SparkEntry {
         |  AND id_b >= (SELECT (MAX(doc_id)+1)*8//10 FROM documents)
         |ORDER BY id_a, id_b""".stripMargin),
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_cluster_canonical" -> clusterCanonicalSql,
     "curate_split_leakfree" -> leakFreeSplitSql,
     // bit-for-bit replica of the engine's portable 60-bit simhash (same
     // probe hash, scramble constants, vote rule) — the oracle does the

@@ -258,6 +258,36 @@ object Dedup {
     releaseAfter(verifyJaccard(cands, ex), ex, prefix, docs)
   }
 
+  /** Canonical-member selection per near-dup cluster
+    * (`dedup_cluster_canonical`): a real pipeline keeps the BEST copy
+    * of each dup family, not the lowest id — policy here: not-too-short
+    * first, then the most tokens (most content), ties toward the lower
+    * doc_id. The quality columns are the integer-exact `text_quality`
+    * heuristics, so the whole selection replays in the oracle. One
+    * window per cluster over membership ⋈ quality — both sides are
+    * cluster-member-sized, tiny next to the corpus; cluster formation
+    * itself reads the staged pair artifact.
+    */
+  def clusterCanonical(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = connectedComponents(s,
+      stagedPairs(s, dir).select(col("id_a"), col("id_b")), "doc_id")
+    val toks = size(split(col("text"), " "))
+    val q = Relational.t(s, dir, "documents")
+      .select(col("doc_id"), toks.cast("long").as("n_tokens"),
+        (toks < 5).cast("int").as("too_short"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("too_short").asc, col("n_tokens").desc,
+        col("doc_id").asc)
+    clusters.join(q, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"),
+        col("n_tokens").as("keep_tokens"),
+        col("cluster_size").as("n_members"))
+      .orderBy("cluster_id")
+  }
+
   /** Near-CONTAINMENT pairs (`dedup_containment_pairs`): directed
     * (id_in, id_of) where |sh(in) ∩ sh(of)| / |sh(in)| ≥
     * [[ContainThreshold]] — the subset-duplication signal symmetric

@@ -798,4 +798,34 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.commons.io.FileUtils.deleteDirectory(d2)
     }
   }
+
+  test("stagedOrFresh: racing producers never mix output; losers stay correct") {
+    val stage = java.nio.file.Files.createTempDirectory("racestage").toString
+    val sub = s"$stage/artifact"
+    import spark.implicits._
+    val expected = (1 to 100).map(i => (i.toLong, i * 2L)).toSet
+    def df = expected.toSeq.toDF("k", "v")
+    val results =
+      new java.util.concurrent.ConcurrentLinkedQueue[Set[(Long, Long)]]()
+    val threads = (1 to 4).map { _ =>
+      new Thread(() => {
+        val r = Dedup.stagedOrFresh(spark, sub,
+          out => { Thread.sleep(200); df.write.mode("overwrite").parquet(out) },
+          () => df)
+        results.add(r.collect().map(x => (x.getLong(0), x.getLong(1))).toSet)
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // every caller — the claim winner, stage readers, AND fresh-path
+    // losers — sees the full correct result
+    assert(results.size == 4)
+    results.forEach(rs => assert(rs == expected))
+    // exactly one producer published; the artifact is complete and clean
+    assert(new java.io.File(s"$sub/_SUCCESS").exists())
+    assert(spark.read.parquet(sub).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet == expected)
+    assert(!new java.io.File(s"$sub.claim").exists(),
+      "no claim residue after the write finishes")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+  }
 }

@@ -929,7 +929,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         // bucket_c = #boundaries <= value (equi-depth rank, 0..nb-1);
         // nulls sort first (bucket 0)
         val buckets = cols.zip(bounds.toSeq).map { case (c, bs) =>
-          val arr = array(bs.distinct.sorted.map(lit): _*)
+          val arr = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            bs.distinct.sorted.map(lit)): _*)
           coalesce(
             aggregate(arr, lit(0), (acc, b) =>
               acc + when(col(c).cast("double") >= b, 1).otherwise(0)),

@@ -302,7 +302,7 @@ object Similarity {
       iters: Int = IvfIters, trainN: Int = IvfTrainN): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
-    val d = e.select(size(col("embedding"))).first.getInt(0)
+    val d = e.select(size(col("embedding"))).first().getInt(0)
     val sample = e.orderBy("vec_id").limit(trainN)
       .select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -582,7 +582,7 @@ object Similarity {
     */
   def pqCodebooks(e: DataFrame, m: Int = PqM, k: Int = PqK,
       iters: Int = PqIters, trainN: Int = PqTrainN): Array[Array[Array[Float]]] = {
-    val d = e.select(size(col("embedding"))).first.getInt(0)
+    val d = e.select(size(col("embedding"))).first().getInt(0)
     require(d % m == 0, s"embedding dim $d not divisible by $m subspaces")
     val sd = d / m
     val sample = e.orderBy("vec_id").limit(trainN)

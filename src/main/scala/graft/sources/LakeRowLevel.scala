@@ -311,10 +311,12 @@ class LakeDeltaWriterFactory(spec: LakeDeltaWriteSpec)
 class LakeDeltaWriter(spec: LakeDeltaWriteSpec, partitionId: Int,
     taskId: Long) extends DeltaWriter[InternalRow] {
 
-  private lazy val keyProj = UnsafeProjection.create(Array(spec.keyExpr))
+  private lazy val keyProj = UnsafeProjection.create(
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(Array(spec.keyExpr)))
   private lazy val partProj =
     if (spec.partExprs.isEmpty) null
-    else UnsafeProjection.create(spec.partExprs)
+    else UnsafeProjection.create(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(spec.partExprs))
   private val commitTime = UTF8String.fromString(spec.instant)
   // dir -> (writer, absolute file path)
   private val writers = mutable.LinkedHashMap[String, (OutputWriter, String)]()

@@ -200,7 +200,13 @@ class LakeV2Table(tableSchema: StructType, params: Map[String, String])
   * scan the v1 relation uses. Filters are reported back as residual
   * (Spark re-evaluates them above the scan), so an untranslatable
   * predicate can never cost correctness — identical contract to
-  * [[LakeRelation.buildScan]].
+  * [[LakeRelation.buildScan]] — with ONE carve-out: predicates over
+  * partition columns that [[PartitionPrune.supported]] certifies exact
+  * are claimed as FULLY pushed. The delegated scan applies them
+  * (partition pruning on the parquet read), Catalyst drops its own
+  * re-evaluation, and — because no residual Filter node remains — the
+  * metadata-aggregate path stays reachable under a partition-only
+  * predicate.
   */
 class LakeV2ScanBuilder(full: StructType, params: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters
@@ -208,6 +214,22 @@ class LakeV2ScanBuilder(full: StructType, params: Map[String, String])
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  // the subset of `pushed` claimed as fully handled (partition-exact)
+  private var claimed: Set[Filter] = Set.empty
+
+  /** Partition column name → declared type, for the claimability check.
+    * Empty when the table does not exist yet (DDL before first write) or
+    * is unpartitioned — then every filter stays residual, as before.
+    */
+  private lazy val partFields: Map[String, DataType] =
+    try {
+      val spark = SparkSession.active
+      val p = LakeDataSource.path(params)
+      if (!LakeTable.exists(spark, p)) Map.empty
+      else LakeTable.load(spark, p).meta.partitionFields
+        .flatMap(n => full.fields.find(_.name == n))
+        .map(f => f.name -> f.dataType).toMap
+    } catch { case _: Exception => Map.empty }
   private var aggAnswer: Option[(StructType, Seq[Any])] = None
   // the Aggregation instance the cached answer was computed for: Spark
   // calls supportCompletePushDown/pushAggregation several times during
@@ -225,7 +247,14 @@ class LakeV2ScanBuilder(full: StructType, params: Map[String, String])
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
-    filters // all residual: pushdown is a speedup, never the correctness path
+    claimed = filters.filter(f =>
+      f.references.nonEmpty &&
+        f.references.forall(partFields.contains) &&
+        LakeV2Scan.translate(f).isDefined &&
+        PartitionPrune.supported(f, partFields)).toSet
+    // residual: Spark re-evaluates everything not partition-exact above
+    // the scan, so an untranslatable predicate never costs correctness
+    filters.filterNot(claimed)
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -238,28 +267,51 @@ class LakeV2ScanBuilder(full: StructType, params: Map[String, String])
   // from parquet footer stats that are EXACT for those physical types
   // (binary stats may be truncated, float/double have NaN/-0.0 edge
   // semantics — both declined). Catalyst only attempts aggregate
-  // pushdown when every filter was fully pushed; this source reports
-  // all filters as residual, so the aggregate path engages exactly on
-  // filterless scans. Everything outside the provable case — grouping,
-  // other functions, MOR deltas, tombstones, time travel, sliced query
-  // types, missing zones — declines and runs the normal scan+aggregate.
+  // pushdown when every filter was fully pushed; this source claims
+  // only PartitionPrune-certified partition predicates, so the
+  // aggregate path engages on filterless scans and on partition-only
+  // predicates (the answer then aggregates exactly the files whose
+  // partition values satisfy the claimed filters — the metadata replay
+  // of partition pruning). Everything outside the provable case —
+  // residual filters, grouping, other functions, MOR deltas,
+  // tombstones, time travel, sliced query types, missing zones,
+  // unparseable partition dirs — declines and runs the normal
+  // scan+aggregate.
   private def metaAggAnswer(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Seq[Any])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     type V2Expr = org.apache.spark.sql.connector.expressions.Expression
     type FieldRef = org.apache.spark.sql.connector.expressions.NamedReference
-    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty ||
+    if (agg.groupByExpressions.nonEmpty || !pushed.forall(claimed) ||
         agg.aggregateExpressions.isEmpty) return None
     if (params.getOrElse("query.type", "snapshot") != "snapshot" ||
         params.contains("as.of")) return None
     val spark = SparkSession.active
     val p = LakeDataSource.path(params)
     if (!LakeTable.exists(spark, p)) return None
-    val live =
+    val all =
       try LakeTable.load(spark, p).timeline.liveFiles()
       catch { case _: Exception => return None }
-    if (live.exists(f => f.isDelta || f.tombstones > 0)) return None
+    // the delta/tombstone guard stays GLOBAL even under partition
+    // filters: the global index lets an upsert move a key across
+    // partitions, so a tombstone staged under one partition dir can
+    // kill a row read from another — only a pure-base snapshot makes
+    // per-file partition reasoning sound
+    if (all.exists(f => f.isDelta || f.tombstones > 0)) return None
+    // metadata replay of partition pruning: keep exactly the files
+    // whose partition values satisfy every claimed filter; any
+    // unparseable dir or evaluator surprise declines the whole answer
+    val live =
+      if (claimed.isEmpty) all
+      else try {
+        val parsed = all.map(f => f -> PartitionPrune.parse(f.partition, partFields))
+        if (parsed.exists(_._2.isEmpty)) return None
+        parsed.collect {
+          case (f, Some(row)) if claimed.forall(
+            PartitionPrune.eval(_, row, partFields).contains(true)) => f
+        }
+      } catch { case _: Exception => return None }
     val withRows = live.filter(_.numRecords > 0)
 
     def exactZoneType(dt: DataType): Boolean = dt match {

@@ -131,6 +131,117 @@ class MetaAggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!byName.contains("v"))
   }
 
+  // ---- partition-pruned metadata answers (filters on partition columns
+  // are claimed as fully pushed; the aggregate is answered over exactly
+  // the matching partitions' file stats, still with no data-file opens)
+
+  private def writePart(p: String, d: DataFrame): Unit =
+    d.write.format("graft-lake-v2")
+      .option("recordkey.field", "id")
+      .option("precombine.field", "ts")
+      .option("partition.fields", "part")
+      .mode(SaveMode.Append).save(p)
+
+  test("COUNT/MIN/MAX under a partition equality filter answer from metadata") {
+    val p = tmp()
+    writePart(p, df((1, 10L, "a", 1.0), (2, 11L, "a", 2.0),
+      (3, 9L, "b", 3.0), (4, 30L, "b", 4.0), (5, 20L, "c", 5.0)))
+    val t = spark.read.format("graft-lake-v2").load(p)
+
+    val q = t.filter("part = 'b'").selectExpr("count(*)", "min(ts)", "max(ts)")
+    assert(metaAnswered(q), plan(q))
+    assert(!plan(q).contains("Scan parquet"), plan(q))
+    val r = q.collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 9L && r.getLong(2) == 30L)
+
+    // IN + negation over the same metadata
+    val q2 = t.filter("part IN ('a','c')").selectExpr("count(*)", "max(id)")
+    assert(metaAnswered(q2), plan(q2))
+    val r2 = q2.collect().head
+    assert(r2.getLong(0) == 3 && r2.getInt(1) == 5)
+
+    val q3 = t.filter("NOT (part = 'a')").selectExpr("count(*)")
+    assert(metaAnswered(q3), plan(q3))
+    assert(q3.collect().head.getLong(0) == 3)
+
+    // empty-matching partition: zero count, NULL min/max
+    val q4 = t.filter("part = 'zzz'").selectExpr("count(*)", "min(ts)")
+    assert(metaAnswered(q4), plan(q4))
+    val r4 = q4.collect().head
+    assert(r4.getLong(0) == 0 && r4.isNullAt(1))
+  }
+
+  test("null partitions obey three-valued logic in the metadata replay") {
+    val p = tmp()
+    val s = spark
+    import s.implicits._
+    val d = Seq((1, 10L, Option("a"), 1.0), (2, 11L, Option("a"), 2.0),
+      (3, 9L, None: Option[String], 3.0)).toDF("id", "ts", "part", "v")
+    writePart(p, d)
+    val t = spark.read.format("graft-lake-v2").load(p)
+
+    // NOT(part='a') must NOT resurrect the null partition
+    val q = t.filter("NOT (part = 'a')").selectExpr("count(*)")
+    assert(metaAnswered(q), plan(q))
+    assert(q.collect().head.getLong(0) == 0)
+
+    val qn = t.filter("part IS NULL").selectExpr("count(*)", "min(ts)")
+    assert(metaAnswered(qn), plan(qn))
+    val rn = qn.collect().head
+    assert(rn.getLong(0) == 1 && rn.getLong(1) == 9L)
+
+    val qnn = t.filter("part IS NOT NULL").selectExpr("count(*)")
+    assert(metaAnswered(qnn), plan(qnn))
+    assert(qnn.collect().head.getLong(0) == 2)
+
+    // null-safe equality against the null partition
+    val qns = t.filter("part <=> NULL").selectExpr("count(*)")
+    assert(metaAnswered(qns), plan(qns))
+    assert(qns.collect().head.getLong(0) == 1)
+  }
+
+  test("mixed partition + data predicates still decline to the real scan") {
+    val p = tmp()
+    writePart(p, df((1, 10L, "a", 1.0), (2, 11L, "a", 2.0), (3, 9L, "b", 3.0)))
+    val t = spark.read.format("graft-lake-v2").load(p)
+
+    val q = t.filter("part = 'a' AND id > 1").selectExpr("count(*)")
+    assert(!metaAnswered(q), plan(q))
+    assert(q.collect().head.getLong(0) == 1)
+
+    // a string RANGE on the partition column is not claimable either
+    // (UTF-16 vs UTF-8 ordering) — declines, stays correct
+    val q2 = t.filter("part > 'a'").selectExpr("count(*)")
+    assert(!metaAnswered(q2), plan(q2))
+    assert(q2.collect().head.getLong(0) == 1)
+  }
+
+  test("int partition column prunes by range; claimed scans return exact rows") {
+    val p = tmp()
+    val s = spark
+    import s.implicits._
+    val d = Seq((1, 10L, 2024, 1.0), (2, 11L, 2025, 2.0), (3, 9L, 2026, 3.0),
+      (4, 12L, 2026, 4.0)).toDF("id", "ts", "year", "v")
+    d.write.format("graft-lake-v2")
+      .option("recordkey.field", "id")
+      .option("precombine.field", "ts")
+      .option("partition.fields", "year")
+      .mode(SaveMode.Append).save(p)
+    val t = spark.read.format("graft-lake-v2").load(p)
+
+    val q = t.filter("year >= 2025").selectExpr("count(*)", "min(id)", "max(id)")
+    assert(metaAnswered(q), plan(q))
+    val r = q.collect().head
+    assert(r.getLong(0) == 3 && r.getInt(1) == 2 && r.getInt(2) == 4)
+
+    // non-aggregate read through the claimed (fully pushed) filter: the
+    // plan carries NO Catalyst re-filter, so rows must still be exact
+    val rows = t.filter("year >= 2025").select("id").collect().map(_.getInt(0)).sorted
+    assert(rows.toSeq == Seq(2, 3, 4))
+    val rows2 = t.filter("year = 2026").select("id").collect().map(_.getInt(0)).sorted
+    assert(rows2.toSeq == Seq(3, 4))
+  }
+
   test("MOR table with outstanding deltas declines; compaction re-enables") {
     val p = tmp()
     val d0 = df((1, 10L, "a", 1.0), (2, 10L, "b", 2.0))

@@ -184,6 +184,10 @@ object SparkEntry {
     // shuffle join keyed by cell (no N-row broadcast); hash-gated by a
     // trainer-replay oracle with every vector as a query
     "sim_knn_graph" -> ((s, dir) => Similarity.knnGraph(s, dir)),
+    // kNN label-noise audit: each vector's label vs its probed-graph
+    // neighbors' labels; majority disagreement flags a mislabel suspect.
+    // Integer counting over the hash-gated graph — fully oracle-replayed
+    "curate_label_audit" -> ((s, dir) => Similarity.labelAudit(s, dir)),
     // contrastive hard negatives: top in-band (near, not near-dup) matches
     "sim_hard_negatives" -> (Similarity.hardNegatives _)
   )
@@ -311,6 +315,24 @@ object SparkEntry {
     */
   private def knnGraphOracleSql: String =
     ivfProbeOracle("", 3, "vec_id", "nbr_id")
+
+  /** The `curate_label_audit` oracle: the full graph replay as a
+    * derived table, then two label joins + integer agreement counting —
+    * the suspect flag is an integer comparison, so the whole audit
+    * hash-matches.
+    */
+  private def labelAuditSql: String =
+    s"""SELECT g.vec_id, l.label,
+       |  CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+       |  CAST(SUM(CASE WHEN nl.label = l.label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS agree,
+       |  (SUM(CASE WHEN nl.label = l.label THEN 1 ELSE 0 END) * 2 < COUNT(*))
+       |    AS suspect
+       |FROM ($knnGraphOracleSql) g
+       |JOIN embeddings l ON l.vec_id = g.vec_id
+       |JOIN embeddings nl ON nl.vec_id = g.nbr_id
+       |GROUP BY g.vec_id, l.label
+       |ORDER BY g.vec_id""".stripMargin
 
   /** The shared trainer + full-corpus-assignment CTE prefix of every
     * IVF-derived oracle (`...WITH e, smp, c0..cN, fs, asg` — asg keeps
@@ -1711,6 +1733,7 @@ object SparkEntry {
       ("sim_ivf_topk" -> ivfOracleSql) +
       ("sim_ivfpq_topk" -> ivfOracleSql) +
       ("sim_knn_graph" -> knnGraphOracleSql) +
+      ("curate_label_audit" -> labelAuditSql) +
       ("curate_diversity_sample" -> diversityOracleSql) +
       ("stats_embedding_drift" -> embeddingDriftSql) +
       ("stats_profile_sketch" -> profileSketchSql) +

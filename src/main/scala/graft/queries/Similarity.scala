@@ -994,6 +994,62 @@ object Similarity {
       .orderBy(col("xshift").desc, col("cell"))
   }
 
+  /** The kNN graph as a staged pipeline artifact — same contract as
+    * [[stagedSemanticPairs]]: the graph is built once per corpus
+    * snapshot and every downstream analysis (label audit today; any
+    * graph-consuming curation step tomorrow) reads the staged parquet
+    * instead of re-probing the corpus. Tagged with (k, probe) so a
+    * knob change never reads a stale graph.
+    */
+  private def stagedKnnGraph(s: SparkSession, dir: String, k: Int,
+      probe: Int): DataFrame =
+    s.conf.getOption(Dedup.StageDirConf) match {
+      case Some(stage) =>
+        Dedup.stagedOrFresh(s,
+          s"$stage/knng_${Dedup.stageTag(s, dir)}_${k}_$probe",
+          out => knnGraph(s, dir, k, probe).write.mode("overwrite").parquet(out),
+          () => knnGraph(s, dir, k, probe))
+      case None => knnGraph(s, dir, k, probe)
+    }
+
+  /** kNN label-noise audit (the confident-learning screen a labeled
+    * training set gets before fine-tuning): each vector's label is
+    * held against its k nearest neighbors' labels from the probed-IVF
+    * [[knnGraph]]; a vector whose neighborhood majority disagrees is a
+    * mislabel SUSPECT (flag-and-review semantics — the audit never
+    * rewrites labels). Deterministic end to end: the graph is the
+    * hash-gated probed graph, agreement is integer counting, and the
+    * suspect flag is an integer comparison, so the DuckDB oracle
+    * replays the whole audit bit-for-bit.
+    *
+    * Scale shape: two skinny (vec_id, label) hash joins onto the
+    * k·N-row graph, then a groupBy on vec_id with map-side partials —
+    * everything is linear in the graph size, and the graph itself is
+    * the staged artifact (built once per corpus, [[stagedKnnGraph]]).
+    */
+  def labelAudit(s: SparkSession, dir: String, k: Int = 3,
+      probe: Int = IvfProbe): DataFrame = {
+    val lab = Relational.t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    labelAuditFromGraph(stagedKnnGraph(s, dir, k, probe), lab)
+  }
+
+  /** Core of [[labelAudit]] over an explicit graph + label frame (the
+    * planted-mislabel spec drives this directly).
+    */
+  private[queries] def labelAuditFromGraph(g: DataFrame,
+      lab: DataFrame): DataFrame =
+    g.join(lab, "vec_id")
+      .join(lab.select(col("vec_id").as("nbr_id"),
+        col("label").as("nbr_label")), "nbr_id")
+      .groupBy(col("vec_id"), col("label"))
+      .agg(count(lit(1)).as("n_nbrs"),
+        sum(when(col("nbr_label") === col("label"), 1L).otherwise(0L))
+          .as("agree"))
+      .select(col("vec_id"), col("label"), col("n_nbrs"), col("agree"),
+        (col("agree") * 2 < col("n_nbrs")).as("suspect"))
+      .orderBy("vec_id")
+
   /** k-NN graph construction (`sim_knn_graph`): for EVERY corpus vector,
     * its `k` nearest probed-IVF neighbors — the graph primitive behind
     * diversity-aware sampling, graph-based dedup/cluster analysis, and

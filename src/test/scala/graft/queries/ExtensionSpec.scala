@@ -828,4 +828,37 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no claim residue after the write finishes")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
   }
+  test("label audit flags a planted mislabel, clears consistent labels") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // two tight geometric groups; vec 3 sits in group A but carries
+    // group B's label — the planted mislabel the audit must flag
+    def va(eps: Float) = Array(1f, eps, 0f, 0f)
+    def vb(eps: Float) = Array(eps, 1f, 0f, 0f)
+    val e = Seq(
+      (0L, va(0.01f), 0), (1L, va(0.02f), 0), (2L, va(0.03f), 0),
+      (3L, va(0.04f), 1), // mislabeled
+      (4L, vb(0.01f), 1), (5L, vb(0.02f), 1), (6L, vb(0.03f), 1),
+      (7L, vb(0.04f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    // brute-force 3-NN graph (the graph path has its own specs)
+    val pairs = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(e.select(col("vec_id").as("nbr_id"),
+        col("embedding").as("nv")))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        Similarity.cosine(col("embedding"), col("nv")).as("sim"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("nbr_id").asc)
+    val g = pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+    val audit = Similarity.labelAuditFromGraph(g,
+      e.select(col("vec_id"), col("label"))).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    // the planted mislabel: all 3 neighbors are true group A -> 0 agree
+    assert(audit(3L) == (0L, true))
+    // group A members see the mislabeled vector but keep majority
+    assert(audit(0L)._1 == 2L && !audit(0L)._2)
+    // pure group B: full agreement
+    Seq(4L, 5L, 6L, 7L).foreach(id => assert(audit(id) == (3L, false)))
+  }
 }

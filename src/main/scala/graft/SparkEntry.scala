@@ -180,6 +180,10 @@ object SparkEntry {
     // embedding-space drift: per-cell population share shift between
     // snapshot halves (cells trained on snapshot A, integer-exact rank)
     "stats_embedding_drift" -> (Similarity.embeddingDrift _),
+    // embedding outlier screen: per-vector cosine to its assigned IVF
+    // centroid, ranked within the cell, bottom 5% flagged — the
+    // quarantine signal for encoder glitches / off-distribution rows
+    "stats_embedding_outliers" -> (Similarity.embeddingOutliers _),
     // k-NN graph over the WHOLE corpus via the probed IVF layout —
     // shuffle join keyed by cell (no N-row broadcast); hash-gated by a
     // trainer-replay oracle with every vector as a query
@@ -315,6 +319,22 @@ object SparkEntry {
     */
   private def knnGraphOracleSql: String =
     ivfProbeOracle("", 3, "vec_id", "nbr_id")
+
+  /** The `stats_embedding_outliers` oracle: trainer + assignment replay
+    * (asg keeps the winning csim), rank-within-cell ascending, integer
+    * bottom-5% flag.
+    */
+  private def embeddingOutliersSql: String =
+    s"""$ivfTrainAssignCtes,
+       |r AS (SELECT vec_id, cell, csim,
+       |  CAST(row_number() OVER (
+       |    PARTITION BY cell ORDER BY csim ASC, vec_id ASC) AS INT)
+       |    AS cell_rank,
+       |  CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS n_cell
+       |  FROM asg)
+       |SELECT vec_id, cell, csim, cell_rank, n_cell,
+       |  (cell_rank * 20 <= n_cell) AS outlier
+       |FROM r ORDER BY vec_id""".stripMargin
 
   /** The `curate_label_audit` oracle: the full graph replay as a
     * derived table, then two label joins + integer agreement counting —
@@ -1734,6 +1754,7 @@ object SparkEntry {
       ("sim_ivfpq_topk" -> ivfOracleSql) +
       ("sim_knn_graph" -> knnGraphOracleSql) +
       ("curate_label_audit" -> labelAuditSql) +
+      ("stats_embedding_outliers" -> embeddingOutliersSql) +
       ("curate_diversity_sample" -> diversityOracleSql) +
       ("stats_embedding_drift" -> embeddingDriftSql) +
       ("stats_profile_sketch" -> profileSketchSql) +

@@ -994,6 +994,36 @@ object Similarity {
       .orderBy(col("xshift").desc, col("cell"))
   }
 
+  /** Embedding-space outlier screen (`stats_embedding_outliers`): each
+    * vector's cosine to its assigned IVF centroid, ranked WITHIN its
+    * cell (ascending — rank 1 is the cell's worst fit), with the bottom
+    * 5% flagged. Low centroid affinity marks vectors that sit far from
+    * every population mode: encoder glitches, off-distribution content,
+    * or junk rows a curation pass quarantines before training. Per-cell
+    * ranking (not a global threshold) keeps the screen calibrated when
+    * cells have different densities.
+    *
+    * Deterministic end to end — the bit-portable trainer, the shared
+    * cosine fold, integer rank arithmetic — so the DuckDB oracle
+    * replays training + assignment + ranking and the result
+    * hash-matches. Scale shape: map-only assignment against the
+    * broadcast centroid matrix, then one window partitioned by cell
+    * (bounded cell size ⇒ bounded window partitions).
+    */
+  def embeddingOutliers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Relational.t(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+    val cent = ivfCentFor(s, dir, e)
+    val asg = multiAssignCells(e, cent, 1) // top-1 keeps the winning csim
+    val w = Window.partitionBy("cell").orderBy(col("csim").asc, col("vec_id").asc)
+    asg.withColumn("cell_rank", row_number().over(w))
+      .withColumn("n_cell", count(lit(1)).over(Window.partitionBy("cell")))
+      .select(col("vec_id"), col("cell"), col("csim"), col("cell_rank"),
+        col("n_cell"), (col("cell_rank") * 20 <= col("n_cell")).as("outlier"))
+      .orderBy("vec_id")
+  }
+
   /** The kNN graph as a staged pipeline artifact — same contract as
     * [[stagedSemanticPairs]]: the graph is built once per corpus
     * snapshot and every downstream analysis (label audit today; any

@@ -861,4 +861,23 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     // pure group B: full agreement
     Seq(4L, 5L, 6L, 7L).foreach(id => assert(audit(id) == (3L, false)))
   }
+  test("embedding outliers: per-cell bottom-5% flag, worst fit ranked first") {
+    val rows = Similarity.embeddingOutliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, cell) =>
+      val n = cell.length
+      // n_cell is the real group size; flags are exactly the bottom 5%
+      assert(cell.forall(_._5 == n))
+      assert(cell.count(_._6) == n / 20)
+      // ranks are a permutation of 1..n and ascend with csim
+      val byRank = cell.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1 to n))
+      assert(byRank.map(_._3).toSeq == byRank.map(_._3).sorted.toSeq)
+      // the flagged set is a prefix of the rank order (worst fits)
+      assert(byRank.takeWhile(_._6).length == n / 20)
+      assert(byRank.drop(n / 20).forall(!_._6))
+    }
+  }
 }

@@ -55,6 +55,10 @@ object SparkEntry {
     "lake_merge_snapshot" -> (LakeQueries.lakeMergeSnapshot _),
     // DSv2 metadata-only aggregates (no data files opened)
     "lake_meta_agg" -> (LakeQueries.lakeMetaAgg _),
+    // GROUP BY partition column answered from commit metadata: one row
+    // per partition, zero data files opened (the "partitions" metadata
+    // table shape through plain SQL)
+    "lake_meta_agg_grouped" -> (LakeQueries.lakeMetaAggGrouped _),
     "lake_mor_snapshot" -> (LakeQueries.lakeMorSnapshot _),
     "lake_incremental" -> (LakeQueries.lakeIncremental _),
     "lake_delete" -> (LakeQueries.lakeDelete _),
@@ -854,6 +858,14 @@ object SparkEntry {
          |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
          |  MIN(created_ts) AS min_ts, MAX(created_ts) AS max_ts
          |FROM merged""".stripMargin,
+    "lake_meta_agg_grouped" ->
+      s"""$lakeCtes, merged AS (
+         |  SELECT l_returnflag, l_orderkey FROM b1 WHERE l_orderkey >= 500
+         |  UNION ALL SELECT l_returnflag, l_orderkey FROM b2)
+         |SELECT l_returnflag, COUNT(*) AS n_rows,
+         |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+         |FROM merged GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
     "lake_mor_snapshot" ->
       s"""$lakeCtes
          |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts

@@ -135,6 +135,22 @@ object LakeQueries {
         "min(created_ts) AS min_ts", "max(created_ts) AS max_ts")
   }
 
+  /** GROUP BY partition column answered from metadata: one row per
+    * partition (the Delta/Iceberg "partitions metadata table" shape
+    * through plain SQL) — per-partition row counts from FileStats,
+    * per-partition key bounds from zone maps, zero data files opened
+    * (plan-asserted in MetaAggPushdownSpec; the oracle hash-gates the
+    * VALUES against the merged-state SQL).
+    */
+  def lakeMetaAggGrouped(s: SparkSession, dir: String): DataFrame = {
+    val (t, _, _) = cowFixture(s, dir)
+    s.read.format("graft-lake-v2").load(t.path)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("count(*)").as("n_rows"),
+        min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"))
+      .orderBy("l_returnflag")
+  }
+
   /** K1 upsert → S3 snapshot: two commits merged by key+precombine. */
   def lakeMergeSnapshot(s: SparkSession, dir: String): DataFrame = {
     val (t, _, _) = cowFixture(s, dir)

@@ -230,7 +230,7 @@ class LakeV2ScanBuilder(full: StructType, params: Map[String, String])
         .flatMap(n => full.fields.find(_.name == n))
         .map(f => f.name -> f.dataType).toMap
     } catch { case _: Exception => Map.empty }
-  private var aggAnswer: Option[(StructType, Seq[Any])] = None
+  private var aggAnswer: Option[(StructType, Seq[Seq[Any]])] = None
   // the Aggregation instance the cached answer was computed for: Spark
   // calls supportCompletePushDown/pushAggregation several times during
   // one planning pass — computing ONCE per instance keeps the plan
@@ -272,21 +272,34 @@ class LakeV2ScanBuilder(full: StructType, params: Map[String, String])
   // aggregate path engages on filterless scans and on partition-only
   // predicates (the answer then aggregates exactly the files whose
   // partition values satisfy the claimed filters — the metadata replay
-  // of partition pruning). Everything outside the provable case —
-  // residual filters, grouping, other functions, MOR deltas,
-  // tombstones, time travel, sliced query types, missing zones,
-  // unparseable partition dirs — declines and runs the normal
+  // of partition pruning). GROUP BY over partition columns is answered
+  // the same way — one row per distinct partition value among the
+  // matching files (the Delta/Iceberg "partitions metadata table"
+  // shape, served through plain SQL). Everything outside the provable
+  // case — residual filters, non-partition grouping, other functions,
+  // MOR deltas, tombstones, time travel, sliced query types, missing
+  // zones, unparseable partition dirs — declines and runs the normal
   // scan+aggregate.
   private def metaAggAnswer(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Seq[Any])] = {
+      : Option[(StructType, Seq[Seq[Any]])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     type V2Expr = org.apache.spark.sql.connector.expressions.Expression
     type FieldRef = org.apache.spark.sql.connector.expressions.NamedReference
-    if (agg.groupByExpressions.nonEmpty || !pushed.forall(claimed) ||
-        agg.aggregateExpressions.isEmpty) return None
+    if (!pushed.forall(claimed) || agg.aggregateExpressions.isEmpty)
+      return None
     if (params.getOrElse("query.type", "snapshot") != "snapshot" ||
         params.contains("as.of")) return None
+    // GROUP BY is answerable when every grouping expression is a bare
+    // partition column whose type the partition parser covers — the
+    // groups are then exactly the distinct partition values among the
+    // (filtered) live files, each file contributing its dir's value
+    val groupFields: Seq[StructField] = agg.groupByExpressions.toSeq.map {
+      case fr: FieldRef if fr.fieldNames.length == 1 &&
+          partFields.contains(fr.fieldNames.head) =>
+        full.fields.find(_.name == fr.fieldNames.head).getOrElse(return None)
+      case _ => return None
+    }
     val spark = SparkSession.active
     val p = LakeDataSource.path(params)
     if (!LakeTable.exists(spark, p)) return None
@@ -299,20 +312,19 @@ class LakeV2ScanBuilder(full: StructType, params: Map[String, String])
     // kill a row read from another — only a pure-base snapshot makes
     // per-file partition reasoning sound
     if (all.exists(f => f.isDelta || f.tombstones > 0)) return None
-    // metadata replay of partition pruning: keep exactly the files
-    // whose partition values satisfy every claimed filter; any
-    // unparseable dir or evaluator surprise declines the whole answer
-    val live =
-      if (claimed.isEmpty) all
+    // metadata replay of partition pruning + grouping: parse every
+    // file's partition values once; any unparseable dir or evaluator
+    // surprise declines the whole answer
+    val needParse = claimed.nonEmpty || groupFields.nonEmpty
+    val live: Seq[(graft.lake.FileStat, Map[String, Option[Any]])] =
+      if (!needParse) all.map(f => f -> Map.empty[String, Option[Any]])
       else try {
         val parsed = all.map(f => f -> PartitionPrune.parse(f.partition, partFields))
         if (parsed.exists(_._2.isEmpty)) return None
-        parsed.collect {
-          case (f, Some(row)) if claimed.forall(
-            PartitionPrune.eval(_, row, partFields).contains(true)) => f
+        parsed.map { case (f, r) => (f, r.get) }.filter { case (_, row) =>
+          claimed.forall(PartitionPrune.eval(_, row, partFields).contains(true))
         }
       } catch { case _: Exception => return None }
-    val withRows = live.filter(_.numRecords > 0)
 
     def exactZoneType(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType | DateType |
@@ -338,36 +350,88 @@ class LakeV2ScanBuilder(full: StructType, params: Map[String, String])
         case other => throw new IllegalStateException(s"unreachable: $other")
       }
     }
-
-    // per-column bounds memo: one zoneBounds pass per column, however
-    // many Min/Max expressions reference it
-    val boundsMemo = scala.collection.mutable.Map.empty[String, Option[(Long, Long)]]
-    def boundsOf(name: String): Option[(Long, Long)] =
-      boundsMemo.getOrElseUpdate(name, LakeV2Scan.zoneBounds(withRows, name))
-    def minMax(c: V2Expr, which: Int, label: String): Option[(StructField, Any)] =
-      fieldOf(c).filter(f => exactZoneType(f.dataType)).flatMap { f =>
-        val fld = StructField(s"$label(${f.name})", f.dataType, nullable = true)
-        if (withRows.isEmpty) Some((fld, null)) // empty table: NULL min/max
-        else boundsOf(f.name).map(b =>
-          (fld, external(f.dataType, if (which == 0) b._1 else b._2): Any))
-      }
-    val out = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar =>
-        Some((StructField("count(*)", LongType, nullable = false),
-          live.map(_.numRecords).sum: Any))
-      case m: Min => minMax(m.column, 0, "min")
-      case m: Max => minMax(m.column, 1, "max")
-      case _ => None
+    // parsed (normalized) partition value → external row value
+    def externalPart(dt: DataType, v: Option[Any]): Any = v match {
+      case None => null // the hive default (null) partition IS a group
+      case Some(l: Long) if dt == DateType => java.time.LocalDate.ofEpochDay(l)
+      case Some(l: Long)                   => external(dt, l)
+      case Some(s: String)                 => s
+      case Some(other) =>
+        throw new IllegalStateException(s"unreachable: $other")
     }
 
+    /** Aggregate values over one file set (the whole filtered snapshot,
+      * or one partition group); None = not provable for this set.
+      */
+    def aggVals(files: Seq[graft.lake.FileStat])
+        : Option[(Seq[StructField], Seq[Any])] = {
+      val withRows = files.filter(_.numRecords > 0)
+      // one zoneBounds pass per column, however many Min/Max reference it
+      val boundsMemo =
+        scala.collection.mutable.Map.empty[String, Option[(Long, Long)]]
+      def boundsOf(name: String): Option[(Long, Long)] =
+        boundsMemo.getOrElseUpdate(name, LakeV2Scan.zoneBounds(withRows, name))
+      def minMax(c: V2Expr, which: Int, label: String)
+          : Option[(StructField, Any)] =
+        fieldOf(c).filter(f => exactZoneType(f.dataType)).flatMap { f =>
+          val fld = StructField(s"$label(${f.name})", f.dataType, nullable = true)
+          if (withRows.isEmpty) Some((fld, null)) // empty set: NULL min/max
+          else boundsOf(f.name).map(b =>
+            (fld, external(f.dataType, if (which == 0) b._1 else b._2): Any))
+        }
+      val out = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          Some((StructField("count(*)", LongType, nullable = false),
+            files.map(_.numRecords).sum: Any))
+        case m: Min => minMax(m.column, 0, "min")
+        case m: Max => minMax(m.column, 1, "max")
+        case _ => None
+      }
+      if (out.exists(_.isEmpty)) None
+      else Some((out.flatten.map(_._1), out.flatten.map(_._2)))
+    }
 
-    if (out.exists(_.isEmpty)) None
-    else Some((StructType(out.flatten.map(_._1)), out.flatten.map(_._2)))
+    if (groupFields.isEmpty) {
+      aggVals(live.map(_._1)).map { case (fields, vals) =>
+        (StructType(fields), Seq(vals))
+      }
+    } else {
+      val groups = live
+        .map { case (f, row) => (groupFields.map(g => row(g.name)), f) }
+        .groupBy(_._1)
+        // a dir holding only zero-record files has no rows: the real
+        // aggregate emits no group for it
+        .filter { case (_, fs) => fs.map(_._2.numRecords).sum > 0 }
+        .toSeq
+      val answered = groups.map { case (gv, fs) =>
+        aggVals(fs.map(_._2)).map { case (fields, vals) =>
+          (fields,
+            groupFields.zip(gv).map(t => externalPart(t._1.dataType, t._2)) ++
+              vals)
+        }
+      }
+      if (answered.isEmpty) {
+        // zero matching groups: an empty result still needs a schema —
+        // derive agg fields from an empty file set (always succeeds for
+        // the supported shapes)
+        aggVals(Seq.empty).map { case (fields, _) =>
+          (StructType(groupFields.map(g =>
+            StructField(g.name, g.dataType, nullable = true)) ++ fields),
+            Seq.empty[Seq[Any]])
+        }
+      } else if (answered.exists(_.isEmpty)) None
+      else {
+        val fields = answered.head.get._1
+        Some((StructType(groupFields.map(g =>
+          StructField(g.name, g.dataType, nullable = true)) ++ fields),
+          answered.map(_.get._2)))
+      }
+    }
   }
 
   private def answerFor(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Seq[Any])] = {
+      : Option[(StructType, Seq[Seq[Any]])] = {
     if (!(agg eq aggSeen)) { aggAnswer = metaAggAnswer(agg); aggSeen = agg }
     aggAnswer
   }
@@ -381,23 +445,24 @@ class LakeV2ScanBuilder(full: StructType, params: Map[String, String])
       : Boolean = answerFor(agg).isDefined
 
   override def build(): Scan = aggAnswer match {
-    case Some((schema, vals)) => new LakeV2MetaAggScan(schema, vals, params)
+    case Some((schema, rows)) => new LakeV2MetaAggScan(schema, rows, params)
     case None => new LakeV2Scan(required, pushed, params)
   }
 }
 
-/** One-row scan carrying a metadata-answered aggregate (no data files
-  * opened, no tasks over the corpus — the plan shows this node instead
-  * of a parquet scan + aggregate).
+/** Scan carrying a metadata-answered aggregate — one row globally, or
+  * one row per partition group (no data files opened, no tasks over the
+  * corpus — the plan shows this node instead of a parquet scan +
+  * aggregate).
   */
-class LakeV2MetaAggScan(aggSchema: StructType, vals: Seq[Any],
+class LakeV2MetaAggScan(aggSchema: StructType, rows: Seq[Seq[Any]],
     params: Map[String, String]) extends V1Scan {
 
   override def readSchema(): StructType = aggSchema
 
   override def description(): String =
     s"graft-lake-v2-meta-agg ${params.getOrElse("path", "")} " +
-      s"[${aggSchema.fieldNames.mkString(",")}]"
+      s"[${aggSchema.fieldNames.mkString(",")}] rows=${rows.length}"
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
@@ -406,7 +471,7 @@ class LakeV2MetaAggScan(aggSchema: StructType, vals: Seq[Any],
       override def schema: StructType = aggSchema
       override def buildScan(): RDD[Row] =
         context.sparkSession.sparkContext
-          .parallelize(Seq(Row.fromSeq(vals)), 1)
+          .parallelize(rows.map(Row.fromSeq), 1)
     }
     rel.asInstanceOf[T]
   }

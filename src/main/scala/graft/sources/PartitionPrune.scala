@@ -121,6 +121,9 @@ private[sources] object PartitionPrune {
     val out = fields.toSeq.map { case (name, dt) =>
       segs.get(name) match {
         case None          => None // field missing from the dir: unprovable
+        case Some("")      => None // Spark never writes `p=`; a foreign
+                                   // dir's empty value reads back as null
+                                   // on the scan path — not provable here
         case Some(NullDir) => Some(name -> (None: Option[Any]))
         case Some(raw) =>
           normPath(dt, ExternalCatalogUtils.unescapePathName(raw))

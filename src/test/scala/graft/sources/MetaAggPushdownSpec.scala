@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.lake.LakeTable
 import graft.util.Sessions
+import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -240,6 +241,56 @@ class MetaAggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSeq == Seq(2, 3, 4))
     val rows2 = t.filter("year = 2026").select("id").collect().map(_.getInt(0)).sorted
     assert(rows2.toSeq == Seq(3, 4))
+  }
+
+  test("GROUP BY partition column answers one metadata row per partition") {
+    val p = tmp()
+    val s = spark
+    import s.implicits._
+    val d = Seq((1, 10L, Option("a"), 1.0), (2, 11L, Option("a"), 2.0),
+      (3, 9L, Option("b"), 3.0), (4, 30L, None: Option[String], 4.0))
+      .toDF("id", "ts", "part", "v")
+    writePart(p, d)
+    val t = spark.read.format("graft-lake-v2").load(p)
+
+    val q = t.groupBy("part")
+      .agg(expr("count(*)").as("n"), expr("min(ts)").as("lo"),
+        expr("max(ts)").as("hi"))
+      .orderBy("part")
+    assert(metaAnswered(q), plan(q))
+    assert(!plan(q).contains("Scan parquet"), plan(q))
+    val rows = q.collect().map(r =>
+      (if (r.isNullAt(0)) null else r.getString(0),
+        r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((null, 1L, 30L, 30L), ("a", 2L, 10L, 11L),
+      ("b", 1L, 9L, 9L)))
+
+    // grouped + partition filter: groups restricted to matching files
+    val qf = t.filter("part IS NOT NULL").groupBy("part")
+      .agg(expr("count(*)").as("n")).orderBy("part")
+    assert(metaAnswered(qf), plan(qf))
+    assert(qf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 2L), ("b", 1L)))
+
+    // grouping on a DATA column is not metadata-answerable
+    val qd = t.groupBy("ts").agg(expr("count(*)"))
+    assert(!metaAnswered(qd), plan(qd))
+    assert(qd.count() == 4)
+
+    // group col not in the select list still answers (scan returns it)
+    val qc = t.groupBy("part").agg(expr("count(*)").as("n"))
+      .select("n").orderBy("n")
+    assert(metaAnswered(qc), plan(qc))
+    assert(qc.collect().map(_.getLong(0)).toSeq == Seq(1L, 1L, 2L))
+  }
+
+  test("the lake_meta_agg_grouped oracle query runs on the meta-agg scan") {
+    val q = graft.queries.LakeQueries
+      .lakeMetaAggGrouped(spark, "/root/testdata/sf0.001")
+    assert(metaAnswered(q), plan(q))
+    assert(!plan(q).contains("Scan parquet"), plan(q))
+    val rows = q.collect()
+    assert(rows.length > 1) // one row per l_returnflag partition
   }
 
   test("MOR table with outstanding deltas declines; compaction re-enables") {

@@ -80,10 +80,11 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident).toString
     if (!LakeTable.exists(spark, dir)) {
       // Iceberg-style metadata tables: `SELECT * FROM <cat>.<ns>.<t>.history`
-      // (commit log) / `.changes` (full-history CDC feed) — the trailing
+      // (commit log) / `.changes` (full-history CDC feed) / `.partitions`
+      // (per-partition live totals + MOR health) — the trailing
       // identifier component selects the view over the PARENT table
       val meta = ident.name()
-      if ((meta == "history" || meta == "changes") &&
+      if ((meta == "history" || meta == "changes" || meta == "partitions") &&
           ident.namespace().nonEmpty) {
         val parent = Identifier.of(ident.namespace().dropRight(1),
           ident.namespace().last)
@@ -92,6 +93,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
           val t = LakeTable.load(spark, pdir)
           val schema =
             if (meta == "history") LakeDataSource.HistorySchema
+            else if (meta == "partitions") LakeDataSource.PartitionsSchema
             else t.changesSchema
           return new LakeMetaTable(schema,
             Map("path" -> pdir, "query.type" -> meta), meta)

@@ -176,6 +176,26 @@ object LakeDataSource {
     org.apache.spark.sql.types.StructField("extra",
       org.apache.spark.sql.types.MapType(org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType), nullable = true)))
 
+  /** `<table>.partitions` metadata-table shape: one row per partition
+    * dir with live-file/row/byte totals plus the MOR health counters
+    * (outstanding delta files, tombstone rows) — the operational "which
+    * partitions are big / skewed / owe compaction" view, derived from
+    * commit metadata alone. `partition` is the raw hive-style dir
+    * string (`""` for unpartitioned), so the view works for every
+    * partition type without a per-table schema. `n_rows` counts
+    * PHYSICAL rows across the partition's live files (base + delta,
+    * tombstones included) — on a MOR table with outstanding deltas the
+    * merged row count differs; this view reports storage, the snapshot
+    * reports data.
+    */
+  val PartitionsSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("partition", org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_files", org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_rows", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("size_bytes", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("delta_files", org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("tombstone_rows", org.apache.spark.sql.types.LongType, nullable = false)))
+
   /** Load the table, or create it from the option surface; a declared SQL
     * schema (CREATE TABLE cols) is captured as the user schema up front so
     * the table is fully typed before its first write.
@@ -234,6 +254,20 @@ object LakeDataSource {
             h.rowsAdded, h.bytesAdded, h.extra))
         spark.createDataFrame(
           spark.sparkContext.parallelize(rows, 1), LakeDataSource.HistorySchema)
+      case "partitions" =>
+        // bounded metadata (the live-file list), grouped driver-side —
+        // the same cardinality the timeline itself holds
+        val rows = t.timeline.liveFiles()
+          .groupBy(_.partition).toSeq.sortBy(_._1)
+          .map { case (part, fs) =>
+            org.apache.spark.sql.Row(part,
+              fs.count(!_.isDelta), fs.map(_.numRecords).sum,
+              fs.map(_.sizeBytes).sum, fs.count(_.isDelta),
+              fs.map(_.tombstones).sum)
+          }
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1),
+          LakeDataSource.PartitionsSchema)
       case "read_optimized" => t.readOptimized()
       case "snapshot" | null =>
         parameters.get("as.of") match {

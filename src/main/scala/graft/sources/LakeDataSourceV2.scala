@@ -174,7 +174,7 @@ class LakeV2Table(tableSchema: StructType, params: Map[String, String])
     // a path-based read may have BUILT this table around a feed type (its
     // schema already matches); only a scan-level OVERRIDE is rejected
     scanOpts.get("query.type")
-      .filter(t => (t == "changes" || t == "history") &&
+      .filter(t => (t == "changes" || t == "history" || t == "partitions") &&
         !params.get("query.type").contains(t))
       .foreach { t =>
         throw new IllegalArgumentException(

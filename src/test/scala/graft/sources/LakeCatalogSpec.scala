@@ -269,6 +269,51 @@ class LakeCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       e.getCause.getMessage.contains("no such procedure"))
   }
 
+  test("metadata table: <table>.partitions reports per-partition totals") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.pt")
+    spark.sql(
+      """CREATE TABLE lake.pt.t (id INT, ts BIGINT, part STRING, v DOUBLE)
+        |PARTITIONED BY (part)
+        |OPTIONS ('recordkey.field' 'id', 'precombine.field' 'ts',
+        |  'table.type' 'mor')""".stripMargin)
+    spark.sql("INSERT INTO lake.pt.t VALUES " +
+      "(1, 10, 'a', 1.0), (2, 10, 'a', 2.0), (3, 10, 'b', 3.0)")
+    // a MOR insert lands as delta files — the view shows the debt
+    val rows = spark.sql(
+      "SELECT partition, n_files, n_rows, delta_files, tombstone_rows " +
+        "FROM lake.pt.t.partitions ORDER BY partition").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getLong(4)))
+    assert(rows.toSeq == Seq(("part=a", 0, 2L, 1, 0L), ("part=b", 0, 1L, 1, 0L)))
+    // compaction folds the debt into base files
+    val t = LakeTable.load(spark, s"$warehouse/pt/t")
+    t.compact()
+    val comp = spark.sql(
+      "SELECT partition, n_files, n_rows, delta_files " +
+        "FROM lake.pt.t.partitions ORDER BY partition").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(comp.toSeq == Seq(("part=a", 1, 2L, 0), ("part=b", 1, 1L, 0)))
+    // fresh delta debt and tombstones are visible. Tombstones are
+    // stored PARTITION-LESS (the null-partition dir): under the global
+    // index a tombstone must kill its key in ANY partition, so the
+    // delete path does not bind it to one — the view reports storage
+    val s2 = spark
+    import s2.implicits._
+    t.upsert(Seq((2, 20L, "a", 22.0)).toDF("id", "ts", "part", "v"))
+    t.delete(Seq((3, 30L, "b", 0.0)).toDF("id", "ts", "part", "v"))
+    val after = spark.sql(
+      "SELECT partition, delta_files, tombstone_rows " +
+        "FROM lake.pt.t.partitions ORDER BY partition").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(after.exists(r => r._1 == "part=a" && r._2 >= 1))
+    assert(after.exists(r =>
+      r._1 == "part=__HIVE_DEFAULT_PARTITION__" && r._3 >= 1L))
+    // sizes are real bytes; total rows still reconcile with a count
+    val tot = spark.sql(
+      "SELECT sum(size_bytes) FROM lake.pt.t.partitions").head.getLong(0)
+    assert(tot > 0)
+  }
+
   test("metadata tables: <table>.history and <table>.changes") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.md")
     spark.sql(

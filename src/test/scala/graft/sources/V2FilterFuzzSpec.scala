@@ -75,6 +75,72 @@ class V2FilterFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("partition-only predicates: metadata answers equal the real scan") {
+    val s = spark
+    import s.implicits._
+    // two-level partitioning (grp INT / part STRING with nulls) so the
+    // fuzz covers multi-segment dirs, the null partition, and int ranges
+    val ref = (0 until 300).map { i =>
+      (i, (i * 7 % 89).toLong, i % 5,
+        if (i % 11 == 0) None else Some(s"p${i % 4}"), i / 2.0)
+    }.toDF("id", "ts", "grp", "part", "v")
+    val p = Files.createTempDirectory("v2fuzz3").toString + "/t"
+    ref.write.format("graft-lake-v2")
+      .option("recordkey.field", "id")
+      .option("precombine.field", "ts")
+      .option("partition.fields", "grp,part")
+      .mode(SaveMode.Append).save(p)
+    val v2 = spark.read.format("graft-lake-v2").load(p)
+
+    def partPred(depth: Int): Column = {
+      def leaf(): Column = rnd.nextInt(9) match {
+        case 0 => col("part") === s"p${rnd.nextInt(5)}" // p4 never exists
+        case 1 => col("part").isNull
+        case 2 => col("part").isNotNull
+        case 3 => col("part") <=> (if (rnd.nextBoolean()) lit(null)
+                                   else lit(s"p${rnd.nextInt(4)}"))
+        case 4 => col("part").isInCollection(
+          Seq.fill(2)(s"p${rnd.nextInt(5)}"))
+        case 5 => col("part").startsWith(if (rnd.nextBoolean()) "p" else "q")
+        case 6 => col("grp") >= rnd.nextInt(6)
+        case 7 => col("grp") < rnd.nextInt(6)
+        case _ => col("grp").isInCollection(Seq.fill(2)(rnd.nextInt(6)))
+      }
+      if (depth == 0) leaf()
+      else rnd.nextInt(4) match {
+        case 0 => partPred(depth - 1) && partPred(depth - 1)
+        case 1 => partPred(depth - 1) || partPred(depth - 1)
+        case 2 => !partPred(depth - 1)
+        case _ => leaf()
+      }
+    }
+
+    var metaRounds = 0
+    for (round <- 1 to 40) {
+      val pred = partPred(1 + rnd.nextInt(2))
+      // row parity through the claimed (fully pushed) filter
+      val expIds = ref.filter(pred).select("id")
+        .collect().map(_.getInt(0)).sorted.toSeq
+      val gotIds = v2.filter(pred).select("id")
+        .collect().map(_.getInt(0)).sorted.toSeq
+      assert(gotIds == expIds, s"rows round $round: $pred")
+      // global COUNT: metadata-answered whenever the tree is claimable
+      val cq = v2.filter(pred).selectExpr("count(*)")
+      if (cq.queryExecution.executedPlan.toString
+          .contains("LakeV2MetaAggScan")) metaRounds += 1
+      assert(cq.collect().head.getLong(0) == expIds.length,
+        s"count round $round: $pred")
+      // grouped metadata answer vs the real grouped aggregate
+      val expG = ref.filter(pred).groupBy("grp").count()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+      val gotG = v2.filter(pred).groupBy("grp").count()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+      assert(gotG == expG, s"group round $round: $pred")
+    }
+    // the fuzz must actually exercise the metadata path, not skip it
+    assert(metaRounds >= 10, s"only $metaRounds metadata-answered rounds")
+  }
+
   test("pruned projections under filters stay consistent on v2") {
     val s = spark
     import s.implicits._

@@ -77,6 +77,9 @@ object SparkEntry {
     "text_exact_dedup" -> (TextAnalysis.exactDedup _),
     // canonical normalization: the pre-pass for variant-tolerant dedup
     "text_normalize" -> (TextAnalysis.normalize _),
+    // overlapping token-window chunking: stable chunk ids + boundary
+    // geometry + per-chunk md5 (RAG indexing / training-sequence prep)
+    "text_chunks" -> ((s, dir) => TextAnalysis.chunks(s, dir)),
     // boilerplate mining: highest-df 3-grams (licenses/template chrome)
     "text_common_ngrams" -> ((s, dir) => TextAnalysis.commonNgrams(s, dir)),
     // integer-exact frequency-share drift between two corpus snapshots
@@ -973,6 +976,24 @@ object SparkEntry {
         |  md5(norm) AS sig,
         |  CAST(norm <> text AS INT) AS changed
         |FROM n ORDER BY doc_id""".stripMargin,
+    "text_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |k AS (SELECT doc_id, toks, n,
+        |  CASE WHEN n <= 64 THEN 0 ELSE CAST((n - 64 + 47) // 48 AS INT) END AS k
+        |  FROM d),
+        |c AS (SELECT doc_id, toks, n,
+        |  CAST(unnest(range(0, k + 1)) AS INT) AS chunk_id FROM k)
+        |SELECT doc_id, chunk_id,
+        |  CAST(chunk_id * 48 AS INT) AS start_tok,
+        |  CAST(LEAST(chunk_id * 48 + 64, n) AS INT) AS end_tok,
+        |  CAST(LEAST(chunk_id * 48 + 64, n) - chunk_id * 48 AS INT) AS n_tok,
+        |  md5(array_to_string(
+        |    toks[chunk_id * 48 + 1 : LEAST(chunk_id * 48 + 64, n)], ' '))
+        |    AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "text_common_ngrams" ->
       """WITH docs AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),

@@ -49,6 +49,38 @@ object TextAnalysis {
       .select("keep_id", "dup_cnt")
       .orderBy("keep_id")
 
+  /** Overlapping token-window chunking (`text_chunks`) — the
+    * RAG-indexing / training-sequence prep that cuts each document into
+    * fixed windows: W=64 tokens, stride 48 (16-token overlap so no
+    * boundary-straddling content is lost to retrieval). Boundaries are
+    * a PURE integer function of the token count — every engine, rerun,
+    * and shard layout cuts identically, so chunk ids are stable join
+    * keys for downstream chunk-level dedup — and each chunk carries the
+    * md5 of its joined tokens (the dedup/caching key) instead of the
+    * text itself (boundaries + slice reconstruct it; emitting text
+    * would multiply the corpus by the overlap factor). Map-only:
+    * tokenize, explode the per-doc chunk index range, slice — no
+    * shuffle at any scale.
+    */
+  def chunks(s: SparkSession, dir: String, w: Int = 64,
+      stride: Int = 48): DataFrame =
+    Relational.t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("k", when(col("n") <= w, lit(0))
+        .otherwise(expr(s"CAST((n - $w + ${stride - 1}) div $stride AS INT)")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), col("k"))).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("end_tok", least(col("start_tok") + w, col("n")))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        col("end_tok"), (col("end_tok") - col("start_tok")).as("n_tok"),
+        md5(concat_ws(" ", slice(col("toks"), col("start_tok") + 1,
+          col("end_tok") - col("start_tok")))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+
   /** Canonical text normalization — the pass every dedup/quality stage
     * upstream of training runs first: lowercase, non-alphanumerics to
     * spaces, whitespace collapsed, trimmed. Emitted as the normalized

@@ -880,4 +880,33 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(byRank.drop(n / 20).forall(!_._6))
     }
   }
+  test("text chunks tile each document: coverage, overlap, stable hashes") {
+    val docs = Relational.t(spark, sf, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS toks").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val chunks = TextAnalysis.chunks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getString(5)))
+    assert(chunks.nonEmpty)
+    chunks.groupBy(_._1).foreach { case (docId, cs) =>
+      val n = docs(docId).length
+      val sorted = cs.sortBy(_._2)
+      // ids are 0..k; geometry: starts step by the stride, first chunk
+      // begins the doc, last chunk ends it, windows cap at 64 tokens
+      assert(sorted.map(_._2).toSeq == sorted.indices.toSeq)
+      assert(sorted.head._3 == 0 && sorted.last._4 == n)
+      sorted.foreach { c =>
+        assert(c._3 == c._2 * 48 && c._4 <= c._3 + 64 && c._5 == c._4 - c._3)
+      }
+      // every token position is covered (overlap makes gaps impossible)
+      val covered = sorted.flatMap(c => c._3 until c._4).toSet
+      assert(covered == (0 until n).toSet)
+      // the hash is the md5 of exactly the sliced tokens
+      val c0 = sorted.head
+      val expect = java.security.MessageDigest.getInstance("MD5")
+        .digest(docs(docId).slice(c0._3, c0._4).mkString(" ")
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(c0._6 == expect)
+    }
+  }
 }

@@ -80,6 +80,8 @@ object SparkEntry {
     // overlapping token-window chunking: stable chunk ids + boundary
     // geometry + per-chunk md5 (RAG indexing / training-sequence prep)
     "text_chunks" -> ((s, dir) => TextAnalysis.chunks(s, dir)),
+    // chunk-level exact dedup: repeated retrieval-granularity passages
+    "text_chunk_dedup" -> (TextAnalysis.chunkDedup _),
     // boilerplate mining: highest-df 3-grams (licenses/template chrome)
     "text_common_ngrams" -> ((s, dir) => TextAnalysis.commonNgrams(s, dir)),
     // integer-exact frequency-share drift between two corpus snapshots
@@ -326,6 +328,29 @@ object SparkEntry {
     */
   private def knnGraphOracleSql: String =
     ivfProbeOracle("", 3, "vec_id", "nbr_id")
+
+  /** The `text_chunks` window geometry + hash replay (W=64, stride=48,
+    * pure integer boundaries) — shared with the chunk-level dedup
+    * oracle, which groups the same hashes.
+    */
+  private val chunksCtes: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents WHERE text IS NOT NULL),
+      |k AS (SELECT doc_id, toks, n,
+      |  CASE WHEN n <= 64 THEN 0 ELSE CAST((n - 64 + 47) // 48 AS INT) END AS k
+      |  FROM d),
+      |c AS (SELECT doc_id, toks, n,
+      |  CAST(unnest(range(0, k + 1)) AS INT) AS chunk_id FROM k)
+      |SELECT doc_id, chunk_id,
+      |  CAST(chunk_id * 48 AS INT) AS start_tok,
+      |  CAST(LEAST(chunk_id * 48 + 64, n) AS INT) AS end_tok,
+      |  CAST(LEAST(chunk_id * 48 + 64, n) - chunk_id * 48 AS INT) AS n_tok,
+      |  md5(array_to_string(
+      |    toks[chunk_id * 48 + 1 : LEAST(chunk_id * 48 + 64, n)], ' '))
+      |    AS chunk_md5
+      |FROM c""".stripMargin
 
   /** The `stats_embedding_outliers` oracle: trainer + assignment replay
     * (asg keeps the winning csim), rank-within-cell ascending, integer
@@ -976,24 +1001,12 @@ object SparkEntry {
         |  md5(norm) AS sig,
         |  CAST(norm <> text AS INT) AS changed
         |FROM n ORDER BY doc_id""".stripMargin,
-    "text_chunks" ->
-      """WITH d AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks,
-        |    len(string_split(text, ' ')) AS n
-        |  FROM documents WHERE text IS NOT NULL),
-        |k AS (SELECT doc_id, toks, n,
-        |  CASE WHEN n <= 64 THEN 0 ELSE CAST((n - 64 + 47) // 48 AS INT) END AS k
-        |  FROM d),
-        |c AS (SELECT doc_id, toks, n,
-        |  CAST(unnest(range(0, k + 1)) AS INT) AS chunk_id FROM k)
-        |SELECT doc_id, chunk_id,
-        |  CAST(chunk_id * 48 AS INT) AS start_tok,
-        |  CAST(LEAST(chunk_id * 48 + 64, n) AS INT) AS end_tok,
-        |  CAST(LEAST(chunk_id * 48 + 64, n) - chunk_id * 48 AS INT) AS n_tok,
-        |  md5(array_to_string(
-        |    toks[chunk_id * 48 + 1 : LEAST(chunk_id * 48 + 64, n)], ' '))
-        |    AS chunk_md5
-        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "text_chunks" -> (chunksCtes + " ORDER BY doc_id, chunk_id"),
+    "text_chunk_dedup" ->
+      s"""SELECT chunk_md5, COUNT(*) AS n_copies, MIN(doc_id) AS keep_doc
+         |FROM ($chunksCtes) ch
+         |GROUP BY chunk_md5 HAVING COUNT(*) > 1
+         |ORDER BY chunk_md5""".stripMargin,
     "text_common_ngrams" ->
       """WITH docs AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),

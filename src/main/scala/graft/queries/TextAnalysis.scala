@@ -81,6 +81,20 @@ object TextAnalysis {
           col("end_tok") - col("start_tok")))).as("chunk_md5"))
       .orderBy("doc_id", "chunk_id")
 
+  /** Chunk-level exact dedup (`text_chunk_dedup`): [[chunks]] hashes
+    * grouped across the corpus — every window of text that appears more
+    * than once (within OR across documents). Catches repeated passages
+    * at retrieval granularity: an index keeps `keep_doc`'s copy, the
+    * rest are pointers. Hash-groupBy with map-side combine — the
+    * exact-dedup shape, one level finer than [[exactDedup]].
+    */
+  def chunkDedup(s: SparkSession, dir: String): DataFrame =
+    chunks(s, dir)
+      .groupBy("chunk_md5")
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc"))
+      .filter(col("n_copies") > 1)
+      .orderBy("chunk_md5")
+
   /** Canonical text normalization — the pass every dedup/quality stage
     * upstream of training runs first: lowercase, non-alphanumerics to
     * spaces, whitespace collapsed, trimmed. Emitted as the normalized

@@ -195,8 +195,11 @@ object SparkEntry {
     "stats_embedding_outliers" -> (Similarity.embeddingOutliers _),
     // k-NN graph over the WHOLE corpus via the probed IVF layout —
     // shuffle join keyed by cell (no N-row broadcast); hash-gated by a
-    // trainer-replay oracle with every vector as a query
-    "sim_knn_graph" -> ((s, dir) => Similarity.knnGraph(s, dir)),
+    // trainer-replay oracle with every vector as a query. Like the IVF
+    // and PQ indexes, the graph is a staged pipeline ARTIFACT under the
+    // stage dir: built once per corpus snapshot, consumed by this query
+    // and the label audit (fresh-build path without the stage dir)
+    "sim_knn_graph" -> ((s, dir) => Similarity.stagedKnnGraph(s, dir)),
     // kNN label-noise audit: each vector's label vs its probed-graph
     // neighbors' labels; majority disagreement flags a mislabel suspect.
     // Integer counting over the hash-gated graph — fully oracle-replayed

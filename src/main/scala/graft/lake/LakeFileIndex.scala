@@ -29,46 +29,12 @@ class LakeFileIndex(
 
   override def rootPaths: Seq[Path] = Seq(tablePath)
 
-  private def castValue(raw: String, dt: DataType): Any = {
-    val v = unescapePathName(raw)
-    if (v == "__HIVE_DEFAULT_PARTITION__") null
-    else dt match {
-      case StringType  => UTF8String.fromString(v)
-      case IntegerType => v.toInt
-      case LongType    => v.toLong
-      case DoubleType  => v.toDouble
-      case FloatType   => v.toFloat
-      case ShortType   => v.toShort
-      case ByteType    => v.toByte
-      case BooleanType => v.toBoolean
-      case DateType    => java.time.LocalDate.parse(v).toEpochDay.toInt
-      case other =>
-        throw new UnsupportedOperationException(s"partition type $other")
-    }
-  }
-
-  /** Hive-style %XX unescaping (Spark escapes e.g. ':' in dir names). */
-  private def unescapePathName(s: String): String =
-    if (!s.contains('%')) s
-    else {
-      val sb = new StringBuilder
-      var i = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (c == '%' && i + 2 < s.length) {
-          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-          i += 3
-        } else { sb.append(c); i += 1 }
-      }
-      sb.toString
-    }
-
   private def partitionRow(partition: String): InternalRow = {
     val raw =
       if (partition.isEmpty) Array.empty[String]
       else partition.split("/").map(_.split("=", 2)(1))
     InternalRow.fromSeq(partitionSchema.fields.toSeq.zip(raw.toSeq).map {
-      case (f, v) => castValue(v, f.dataType)
+      case (f, v) => LakeFileIndex.castValue(v, f.dataType)
     })
   }
 
@@ -118,5 +84,70 @@ class LakeFileIndex(
     // legacy stats without sizes: estimate so the optimizer never treats
     // a big table as broadcastable
     if (known > 0) known else files.map(_.numRecords * 128L).sum.max(1L)
+  }
+}
+
+/** THE partition-dir decoding, shared by the scan's partition rows and
+  * the metadata-aggregate replay ([[graft.sources]]`.PartitionPrune`) —
+  * one parser, so the two paths can never drift (unescape-then-sentinel
+  * order, exact integer widths, `LocalDate.parse` dates, `UTF8String`
+  * strings).
+  */
+private[graft] object LakeFileIndex {
+
+  def castValue(raw: String, dt: DataType): Any = {
+    val v = unescapePathName(raw)
+    if (v == "__HIVE_DEFAULT_PARTITION__") null
+    else dt match {
+      case StringType  => UTF8String.fromString(v)
+      case IntegerType => v.toInt
+      case LongType    => v.toLong
+      case DoubleType  => v.toDouble
+      case FloatType   => v.toFloat
+      case ShortType   => v.toShort
+      case ByteType    => v.toByte
+      case BooleanType => v.toBoolean
+      case DateType    => java.time.LocalDate.parse(v).toEpochDay.toInt
+      case other =>
+        throw new UnsupportedOperationException(s"partition type $other")
+    }
+  }
+
+  /** Hive-style %XX unescaping (Spark escapes e.g. ':' in dir names). */
+  def unescapePathName(s: String): String =
+    if (!s.contains('%')) s
+    else {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length) {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
+  /** Positional per-field values of a dir string — exactly the values
+    * the scan's partition rows carry (null = hive default). `None` when
+    * the dir does not parse (wrong arity, missing `=`, bad value): the
+    * caller must treat the partition as unprovable, never guess.
+    */
+  def partitionValues(partition: String,
+      schema: StructType): Option[Seq[Any]] = {
+    val segs =
+      if (partition.isEmpty) Array.empty[String]
+      else partition.split("/")
+    val raw = segs.map { seg =>
+      val i = seg.indexOf('=')
+      if (i < 0) return None
+      seg.substring(i + 1)
+    }
+    if (raw.length != schema.length) return None
+    try Some(schema.fields.toSeq.zip(raw.toSeq).map {
+      case (f, v) => castValue(v, f.dataType)
+    })
+    catch { case _: Exception => None }
   }
 }

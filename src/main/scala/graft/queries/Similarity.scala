@@ -1031,8 +1031,8 @@ object Similarity {
     * instead of re-probing the corpus. Tagged with (k, probe) so a
     * knob change never reads a stale graph.
     */
-  private def stagedKnnGraph(s: SparkSession, dir: String, k: Int,
-      probe: Int): DataFrame =
+  def stagedKnnGraph(s: SparkSession, dir: String, k: Int = 3,
+      probe: Int = IvfProbe): DataFrame =
     s.conf.getOption(Dedup.StageDirConf) match {
       case Some(stage) =>
         Dedup.stagedOrFresh(s,

@@ -182,18 +182,19 @@ object LakeDataSource {
     * partitions are big / skewed / owe compaction" view, derived from
     * commit metadata alone. `partition` is the raw hive-style dir
     * string (`""` for unpartitioned), so the view works for every
-    * partition type without a per-table schema. `n_rows` counts
-    * PHYSICAL rows across the partition's live files (base + delta,
-    * tombstones included) — on a MOR table with outstanding deltas the
-    * merged row count differs; this view reports storage, the snapshot
-    * reports data.
+    * partition type without a per-table schema. `base_files` +
+    * `delta_files` partition the live file count; `n_rows` and
+    * `size_bytes` cover BOTH kinds (physical rows, tombstones
+    * included) — on a MOR table with outstanding deltas the merged row
+    * count differs; this view reports storage, the snapshot reports
+    * data.
     */
   val PartitionsSchema: StructType = StructType(Seq(
     org.apache.spark.sql.types.StructField("partition", org.apache.spark.sql.types.StringType, nullable = false),
-    org.apache.spark.sql.types.StructField("n_files", org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("base_files", org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("delta_files", org.apache.spark.sql.types.IntegerType, nullable = false),
     org.apache.spark.sql.types.StructField("n_rows", org.apache.spark.sql.types.LongType, nullable = false),
     org.apache.spark.sql.types.StructField("size_bytes", org.apache.spark.sql.types.LongType, nullable = false),
-    org.apache.spark.sql.types.StructField("delta_files", org.apache.spark.sql.types.IntegerType, nullable = false),
     org.apache.spark.sql.types.StructField("tombstone_rows", org.apache.spark.sql.types.LongType, nullable = false)))
 
   /** Load the table, or create it from the option surface; a declared SQL
@@ -261,8 +262,8 @@ object LakeDataSource {
           .groupBy(_.partition).toSeq.sortBy(_._1)
           .map { case (part, fs) =>
             org.apache.spark.sql.Row(part,
-              fs.count(!_.isDelta), fs.map(_.numRecords).sum,
-              fs.map(_.sizeBytes).sum, fs.count(_.isDelta),
+              fs.count(!_.isDelta), fs.count(_.isDelta),
+              fs.map(_.numRecords).sum, fs.map(_.sizeBytes).sum,
               fs.map(_.tombstones).sum)
           }
         spark.createDataFrame(

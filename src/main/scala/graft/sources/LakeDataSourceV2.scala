@@ -217,19 +217,27 @@ class LakeV2ScanBuilder(full: StructType, params: Map[String, String])
   // the subset of `pushed` claimed as fully handled (partition-exact)
   private var claimed: Set[Filter] = Set.empty
 
-  /** Partition column name → declared type, for the claimability check.
-    * Empty when the table does not exist yet (DDL before first write) or
-    * is unpartitioned — then every filter stays residual, as before.
+  /** The partition schema IN DECLARED ORDER (dir segments are
+    * positional — the same order [[graft.lake.LakeFileIndex]] decodes).
+    * Empty when the table does not exist yet (DDL before first write),
+    * is unpartitioned, or a partition field is missing from the read
+    * schema — then every filter stays residual, as before.
     */
-  private lazy val partFields: Map[String, DataType] =
+  private lazy val partSchema: StructType =
     try {
       val spark = SparkSession.active
       val p = LakeDataSource.path(params)
-      if (!LakeTable.exists(spark, p)) Map.empty
-      else LakeTable.load(spark, p).meta.partitionFields
-        .flatMap(n => full.fields.find(_.name == n))
-        .map(f => f.name -> f.dataType).toMap
-    } catch { case _: Exception => Map.empty }
+      if (!LakeTable.exists(spark, p)) StructType(Nil)
+      else {
+        val names = LakeTable.load(spark, p).meta.partitionFields
+        val resolved = names.flatMap(n => full.fields.find(_.name == n))
+        if (resolved.length != names.length) StructType(Nil)
+        else StructType(resolved)
+      }
+    } catch { case _: Exception => StructType(Nil) }
+
+  private lazy val partFields: Map[String, DataType] =
+    partSchema.fields.map(f => f.name -> f.dataType).toMap
   private var aggAnswer: Option[(StructType, Seq[Seq[Any]])] = None
   // the Aggregation instance the cached answer was computed for: Spark
   // calls supportCompletePushDown/pushAggregation several times during
@@ -319,7 +327,7 @@ class LakeV2ScanBuilder(full: StructType, params: Map[String, String])
     val live: Seq[(graft.lake.FileStat, Map[String, Option[Any]])] =
       if (!needParse) all.map(f => f -> Map.empty[String, Option[Any]])
       else try {
-        val parsed = all.map(f => f -> PartitionPrune.parse(f.partition, partFields))
+        val parsed = all.map(f => f -> PartitionPrune.parse(f.partition, partSchema))
         if (parsed.exists(_._2.isEmpty)) return None
         parsed.map { case (f, r) => (f, r.get) }.filter { case (_, row) =>
           claimed.forall(PartitionPrune.eval(_, row, partFields).contains(true))
@@ -353,9 +361,8 @@ class LakeV2ScanBuilder(full: StructType, params: Map[String, String])
     // parsed (normalized) partition value → external row value
     def externalPart(dt: DataType, v: Option[Any]): Any = v match {
       case None => null // the hive default (null) partition IS a group
-      case Some(l: Long) if dt == DateType => java.time.LocalDate.ofEpochDay(l)
-      case Some(l: Long)                   => external(dt, l)
-      case Some(s: String)                 => s
+      case Some(l: Long) => external(dt, l)
+      case Some(u: org.apache.spark.unsafe.types.UTF8String) => u.toString
       case Some(other) =>
         throw new IllegalStateException(s"unreachable: $other")
     }

@@ -1,8 +1,9 @@
 package graft.sources
 
-import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import graft.lake.LakeFileIndex
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Exact evaluation of v1 [[Filter]] trees against a file's PARTITION
   * VALUES (the hive-style `p1=v1/p2=v2` dir recorded per
@@ -17,25 +18,24 @@ import org.apache.spark.sql.types._
   *     applies the translated predicate with semantics identical to
   *     Catalyst's, so the allowlist is deliberately narrow: leaf
   *     predicates on partition columns whose literal type matches the
-  *     column type exactly, over types with unambiguous orderings
-  *     (integrals, dates) or equality-only string tests. String RANGE
-  *     comparisons are rejected — `java.lang.String` orders by UTF-16
-  *     code unit while Spark's `UTF8String` orders by UTF-8 byte, and
-  *     the two disagree on supplementary characters, so a metadata
-  *     answer could diverge from the scan.
+  *     column type exactly, over integral, date, and string types.
   *  2. [[eval]] replays a supported filter on one file's parsed
   *     partition row with Catalyst's THREE-VALUED null logic (a NULL
   *     comparison is unknown, not false — `NOT (p = 'a')` must not
   *     match the null partition). A file survives pruning only when
   *     the whole tree evaluates to `Some(true)`.
   *
-  * Values are normalized to `Long` (integrals verbatim, dates as epoch
-  * days) or `String`, on both the path side and the literal side, so
-  * comparison is a plain compare on one of the two representations.
+  * Dir decoding delegates to [[LakeFileIndex.partitionValues]] — the
+  * SAME parser the scan's partition rows use (positional fields,
+  * unescape-then-sentinel, exact integer widths), so the metadata
+  * answer and the real scan cannot drift. Values are then normalized
+  * to `Long` (integrals verbatim, dates as epoch days) or
+  * [[UTF8String]]; string comparison and `startsWith` run in the
+  * UTF8String domain, i.e. byte-wise — bit-identical to Catalyst's
+  * evaluation, including the surrogate-pair edge cases where
+  * `java.lang.String` code-unit order diverges.
   */
 private[sources] object PartitionPrune {
-
-  private val NullDir = ExternalCatalogUtils.DEFAULT_PARTITION_NAME
 
   private def integral(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
@@ -53,43 +53,42 @@ private[sources] object PartitionPrune {
     case (LongType, l: java.lang.Long)       => Some(l.longValue)
     case (DateType, d: java.sql.Date)        => Some(d.toLocalDate.toEpochDay)
     case (DateType, d: java.time.LocalDate)  => Some(d.toEpochDay)
-    case (StringType, s: String)             => Some(s)
+    case (StringType, s: String)             => Some(UTF8String.fromString(s))
     case _                                   => None
   }
 
-  /** Unescaped path fragment → normalized value (`None` = unparseable,
-    * which the CALLER must treat as "cannot prove", never as a value).
+  /** Scan-parsed partition value ([[LakeFileIndex.castValue]] domain) →
+    * normalized value. `None` = the TYPE is outside the supported set
+    * (the caller must decline), `Some(None)` = the null partition.
     */
-  private def normPath(dt: DataType, raw: String): Option[Any] = dt match {
-    case _ if integral(dt) =>
-      try Some(raw.toLong) catch { case _: NumberFormatException => None }
-    case DateType =>
-      try Some(java.time.LocalDate.parse(raw).toEpochDay)
-      catch { case _: java.time.format.DateTimeParseException => None }
-    case StringType => Some(raw)
-    case _          => None
-  }
-
-  private def leafOk(a: String, v: Any, fields: Map[String, DataType],
-      range: Boolean): Boolean =
-    fields.get(a).exists { dt =>
-      // string ordering is ambiguous across the two engines (scaladoc)
-      (!range || dt != StringType) && normLit(dt, v).isDefined
+  private def normParsed(dt: DataType, v: Any): Option[Option[Any]] =
+    (dt, v) match {
+      case (_, null)                            => Some(None)
+      case (ByteType, b: java.lang.Byte)        => Some(Some(b.longValue))
+      case (ShortType, s: java.lang.Short)      => Some(Some(s.longValue))
+      case (IntegerType, i: java.lang.Integer)  => Some(Some(i.longValue))
+      case (LongType, l: java.lang.Long)        => Some(Some(l.longValue))
+      case (DateType, d: java.lang.Integer)     => Some(Some(d.longValue))
+      case (StringType, u: UTF8String)          => Some(Some(u))
+      case _                                    => None
     }
+
+  private def leafOk(a: String, v: Any, fields: Map[String, DataType]): Boolean =
+    fields.get(a).exists(dt => normLit(dt, v).isDefined)
 
   /** Is `f` exactly claimable AND metadata-evaluable over `fields`
     * (partition column name → declared type)?
     */
   def supported(f: Filter, fields: Map[String, DataType]): Boolean = f match {
-    case EqualTo(a, v) => v != null && leafOk(a, v, fields, range = false)
+    case EqualTo(a, v) => v != null && leafOk(a, v, fields)
     case EqualNullSafe(a, v) =>
-      fields.contains(a) && (v == null || leafOk(a, v, fields, range = false))
+      fields.contains(a) && (v == null || leafOk(a, v, fields))
     case In(a, vs) =>
-      vs.nonEmpty && vs.forall(v => v != null && leafOk(a, v, fields, range = false))
-    case GreaterThan(a, v)        => v != null && leafOk(a, v, fields, range = true)
-    case GreaterThanOrEqual(a, v) => v != null && leafOk(a, v, fields, range = true)
-    case LessThan(a, v)           => v != null && leafOk(a, v, fields, range = true)
-    case LessThanOrEqual(a, v)    => v != null && leafOk(a, v, fields, range = true)
+      vs.nonEmpty && vs.forall(v => v != null && leafOk(a, v, fields))
+    case GreaterThan(a, v)        => v != null && leafOk(a, v, fields)
+    case GreaterThanOrEqual(a, v) => v != null && leafOk(a, v, fields)
+    case LessThan(a, v)           => v != null && leafOk(a, v, fields)
+    case LessThanOrEqual(a, v)    => v != null && leafOk(a, v, fields)
     case IsNull(a)                => fields.contains(a)
     case IsNotNull(a)             => fields.contains(a)
     case StringStartsWith(a, v) =>
@@ -103,35 +102,19 @@ private[sources] object PartitionPrune {
   }
 
   /** Parse a `FileStat.partition` dir string into name → normalized
-    * value (`None` inner = the hive null sentinel). Outer `None` =
-    * could not parse EVERY declared field — the caller must decline the
-    * metadata answer rather than guess.
+    * value (`None` inner = the hive null partition), via the scan's own
+    * parser. Outer `None` = could not decode, or a partition type
+    * outside the supported set — the caller must decline the metadata
+    * answer rather than guess.
     */
   def parse(partition: String,
-      fields: Map[String, DataType]): Option[Map[String, Option[Any]]] = {
-    val segs: Map[String, String] =
-      if (partition.isEmpty) Map.empty
-      else partition.split("/").iterator.flatMap { seg =>
-        val i = seg.indexOf('=')
-        if (i <= 0) Iterator.empty
-        else Iterator(
-          ExternalCatalogUtils.unescapePathName(seg.substring(0, i)) ->
-            seg.substring(i + 1))
-      }.toMap
-    val out = fields.toSeq.map { case (name, dt) =>
-      segs.get(name) match {
-        case None          => None // field missing from the dir: unprovable
-        case Some("")      => None // Spark never writes `p=`; a foreign
-                                   // dir's empty value reads back as null
-                                   // on the scan path — not provable here
-        case Some(NullDir) => Some(name -> (None: Option[Any]))
-        case Some(raw) =>
-          normPath(dt, ExternalCatalogUtils.unescapePathName(raw))
-            .map(v => name -> (Some(v): Option[Any]))
+      schema: StructType): Option[Map[String, Option[Any]]] =
+    LakeFileIndex.partitionValues(partition, schema).flatMap { vals =>
+      val out = schema.fields.toSeq.zip(vals).map { case (f, v) =>
+        normParsed(f.dataType, v).map(f.name -> _)
       }
+      if (out.exists(_.isEmpty)) None else Some(out.flatten.toMap)
     }
-    if (out.exists(_.isEmpty)) None else Some(out.flatten.toMap)
-  }
 
   /** `Some(cmp)` when both sides are present and same-representation;
     * `None` = null comparison (unknown).
@@ -141,8 +124,8 @@ private[sources] object PartitionPrune {
       c <- colVal
       l <- normLit(dt, lit)
     } yield (c, l) match {
-      case (a: Long, b: Long)     => java.lang.Long.compare(a, b)
-      case (a: String, b: String) => a.compareTo(b)
+      case (a: Long, b: Long)             => java.lang.Long.compare(a, b)
+      case (a: UTF8String, b: UTF8String) => a.compareTo(b) // byte-wise
       case _ => throw new IllegalStateException(s"mixed compare: $c vs $l")
     }
 
@@ -169,7 +152,9 @@ private[sources] object PartitionPrune {
       case IsNull(a)    => Some(row(a).isEmpty)
       case IsNotNull(a) => Some(row(a).nonEmpty)
       case StringStartsWith(a, v) =>
-        row(a).map(_.asInstanceOf[String].startsWith(v))
+        // UTF8String.startsWith = Catalyst's own byte-wise prefix test
+        row(a).map(_.asInstanceOf[UTF8String]
+          .startsWith(UTF8String.fromString(v)))
       case And(l, r) =>
         (eval(l, row, fields), eval(r, row, fields)) match {
           case (Some(false), _) | (_, Some(false)) => Some(false)

@@ -280,7 +280,7 @@ class LakeCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       "(1, 10, 'a', 1.0), (2, 10, 'a', 2.0), (3, 10, 'b', 3.0)")
     // a MOR insert lands as delta files — the view shows the debt
     val rows = spark.sql(
-      "SELECT partition, n_files, n_rows, delta_files, tombstone_rows " +
+      "SELECT partition, base_files, n_rows, delta_files, tombstone_rows " +
         "FROM lake.pt.t.partitions ORDER BY partition").collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3),
         r.getLong(4)))
@@ -289,7 +289,7 @@ class LakeCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t = LakeTable.load(spark, s"$warehouse/pt/t")
     t.compact()
     val comp = spark.sql(
-      "SELECT partition, n_files, n_rows, delta_files " +
+      "SELECT partition, base_files, n_rows, delta_files " +
         "FROM lake.pt.t.partitions ORDER BY partition").collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3)))
     assert(comp.toSeq == Seq(("part=a", 1, 2L, 0), ("part=b", 1, 1L, 0)))

@@ -210,10 +210,10 @@ class MetaAggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!metaAnswered(q), plan(q))
     assert(q.collect().head.getLong(0) == 1)
 
-    // a string RANGE on the partition column is not claimable either
-    // (UTF-16 vs UTF-8 ordering) — declines, stays correct
+    // a string RANGE on the partition column IS claimable — comparison
+    // runs in the UTF8String (byte-wise) domain, Catalyst's own order
     val q2 = t.filter("part > 'a'").selectExpr("count(*)")
-    assert(!metaAnswered(q2), plan(q2))
+    assert(metaAnswered(q2), plan(q2))
     assert(q2.collect().head.getLong(0) == 1)
   }
 
@@ -241,6 +241,41 @@ class MetaAggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSeq == Seq(2, 3, 4))
     val rows2 = t.filter("year = 2026").select("id").collect().map(_.getInt(0)).sorted
     assert(rows2.toSeq == Seq(3, 4))
+  }
+
+  test("date partition column: claimed ranges and metadata answers agree") {
+    val p = tmp()
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1, 10L, java.sql.Date.valueOf("2026-01-01"), 1.0),
+      (2, 11L, java.sql.Date.valueOf("2026-01-15"), 2.0),
+      (3, 9L, java.sql.Date.valueOf("2026-02-01"), 3.0),
+      (4, 12L, java.sql.Date.valueOf("2026-02-01"), 4.0))
+      .toDF("id", "ts", "day", "v")
+    d.write.format("graft-lake-v2")
+      .option("recordkey.field", "id")
+      .option("precombine.field", "ts")
+      .option("partition.fields", "day")
+      .mode(SaveMode.Append).save(p)
+    val t = spark.read.format("graft-lake-v2").load(p)
+
+    val q = t.filter("day >= DATE'2026-01-15'")
+      .selectExpr("count(*)", "min(id)", "max(id)")
+    assert(metaAnswered(q), plan(q))
+    val r = q.collect().head
+    assert(r.getLong(0) == 3 && r.getInt(1) == 2 && r.getInt(2) == 4)
+
+    // row parity through the claimed date filter
+    val ids = t.filter("day = DATE'2026-02-01'").select("id")
+      .collect().map(_.getInt(0)).sorted
+    assert(ids.toSeq == Seq(3, 4))
+
+    // grouped by the date partition: one metadata row per day
+    val g = t.groupBy("day").agg(expr("count(*)").as("n")).orderBy("day")
+    assert(metaAnswered(g), plan(g))
+    assert(g.collect().map(r2 => (r2.getDate(0).toString, r2.getLong(1))).toSeq
+      == Seq(("2026-01-01", 1L), ("2026-01-15", 1L), ("2026-02-01", 2L)))
   }
 
   test("GROUP BY partition column answers one metadata row per partition") {

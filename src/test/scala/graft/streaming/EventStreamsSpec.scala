@@ -181,4 +181,33 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains((2L, 1L)))
     assert(rows.contains((3L, -1L)), s"expected outer row: $rows")
   }
+  test("dropDuplicatesWithinWatermark re-admits a dup that outwaits the window") {
+    // the BOUNDED-STATE side of the contract (the companion test above
+    // pins in-window dedup): once the watermark passes an id's state it
+    // is evicted, so a sufficiently late duplicate is emitted AGAIN —
+    // state never grows with history, and the out-of-window straggler
+    // converges by record key at the lake's idempotent sink
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id")
+    val q = EventStreams.dedupWithinWatermark(df, Seq("event_id"),
+        delay = "30 minutes")
+      .writeStream.format("memory").queryName("ddw2")
+      .outputMode("append").start()
+    mem.addData((1L, ts(0), 1L), (1L, ts(2), 1L), (2L, ts(5), 1L))
+    q.processAllAvailable()
+    assert(spark.table("ddw2").select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // push event time ~2h ahead: watermark (max - 30m) passes id 1
+    mem.addData((99L, Timestamp.valueOf("2026-01-01 12:00:00"), 9L))
+    q.processAllAvailable()
+    mem.addData((1L, Timestamp.valueOf("2026-01-01 11:58:00"), 1L))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("ddw2").select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 1L, 2L, 99L), ids.toString)
+  }
 }

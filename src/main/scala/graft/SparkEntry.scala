@@ -82,6 +82,9 @@ object SparkEntry {
     "text_chunks" -> ((s, dir) => TextAnalysis.chunks(s, dir)),
     // chunk-level exact dedup: repeated retrieval-granularity passages
     "text_chunk_dedup" -> (TextAnalysis.chunkDedup _),
+    // BPE vocabulary induction: first 10 merges over the word-frequency
+    // table (vocabulary-bounded trainer; oracle unrolls the rounds)
+    "text_bpe_merges" -> ((s, dir) => TextAnalysis.bpeMerges(s, dir)),
     // boilerplate mining: highest-df 3-grams (licenses/template chrome)
     "text_common_ngrams" -> ((s, dir) => TextAnalysis.commonNgrams(s, dir)),
     // integer-exact frequency-share drift between two corpus snapshots
@@ -331,6 +334,42 @@ object SparkEntry {
     */
   private def knnGraphOracleSql: String =
     ivfProbeOracle("", 3, "vec_id", "nbr_id")
+
+  /** The `text_bpe_merges` oracle: the word-frequency table, then each
+    * merge round unrolled as a CTE block — pair counting over the
+    * split symbol sequence, single-row argmax (count DESC, byte-order
+    * ties), `replace`-based greedy merge — exactly the Spark trainer's
+    * arithmetic, so the merge table hash-matches.
+    */
+  private def bpeOracleSql(rounds: Int = 10): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH wf0 AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    regexp_replace(w, '(.)', chr(1) || '\1', 'g') AS seq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) > 0 GROUP BY w)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |pr$r AS (SELECT cnt, unnest(list_transform(range(2, len(sy)),
+        |    i -> {'lhs': sy[i], 'rhs': sy[i+1]})) AS p
+        |  FROM (SELECT cnt, string_split(seq, chr(1)) AS sy FROM wf${r - 1})),
+        |p$r AS (SELECT p.lhs AS lhs, p.rhs AS rhs,
+        |    CAST(SUM(cnt) AS BIGINT) AS pc
+        |  FROM pr$r GROUP BY 1, 2),
+        |m$r AS (SELECT lhs, rhs, pc FROM p$r
+        |  ORDER BY pc DESC, lhs ASC, rhs ASC LIMIT 1),
+        |wf$r AS (SELECT w, cnt,
+        |    replace(seq, chr(1) || m$r.lhs || chr(1) || m$r.rhs,
+        |      chr(1) || m$r.lhs || m$r.rhs) AS seq
+        |  FROM wf${r - 1}, m$r)""".stripMargin)
+    }
+    sb.append("\n" + (1 to rounds).map(r =>
+      s"SELECT CAST($r AS INT) AS rank, lhs, rhs, lhs || rhs AS merged, " +
+        s"pc AS pair_count FROM m$r").mkString("\nUNION ALL "))
+    sb.append("\nORDER BY rank")
+    sb.toString
+  }
 
   /** The `text_chunks` window geometry + hash replay (W=64, stride=48,
     * pure integer boundaries) — shared with the chunk-level dedup
@@ -1005,6 +1044,7 @@ object SparkEntry {
         |  CAST(norm <> text AS INT) AS changed
         |FROM n ORDER BY doc_id""".stripMargin,
     "text_chunks" -> (chunksCtes + " ORDER BY doc_id, chunk_id"),
+    "text_bpe_merges" -> bpeOracleSql(),
     "text_chunk_dedup" ->
       s"""SELECT chunk_md5, COUNT(*) AS n_copies, MIN(doc_id) AS keep_doc
          |FROM ($chunksCtes) ch

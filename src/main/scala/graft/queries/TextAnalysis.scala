@@ -81,6 +81,76 @@ object TextAnalysis {
           col("end_tok") - col("start_tok")))).as("chunk_md5"))
       .orderBy("doc_id", "chunk_id")
 
+  /** BPE vocabulary induction (`text_bpe_merges`): the first `rounds`
+    * byte-pair-encoding merges learned from the corpus — per round,
+    * count every adjacent symbol pair weighted by word frequency, merge
+    * the most frequent pair (ties toward the byte-smaller pair), and
+    * rewrite the word table. This is the sennrich-style trainer shape:
+    * the input is the WORD-FREQUENCY TABLE, not the corpus, so the
+    * iterated frame is vocabulary-bounded at any corpus size — one
+    * corpus scan builds it, then each round is an aggregation over
+    * |vocab| rows plus a single-row argmax to the driver (the bounded-
+    * metadata collect pattern the k-means trainer established).
+    *
+    * Symbol sequences are SEP-prefixed strings (`\u0001h\u0001e...`), so
+    * the merge rewrite is one `replace` of `SEP l SEP r` with
+    * `SEP lr` — leftmost non-overlapping, the greedy BPE application
+    * order, with the prefix separator guaranteeing matches only at true
+    * symbol boundaries (a symbol can never contain SEP). Deterministic
+    * end to end: integer counts, byte-order ties, the same `replace`
+    * semantics in DuckDB — the oracle unrolls the rounds as CTE blocks
+    * and the merge table hash-matches.
+    */
+  def bpeMerges(s: SparkSession, dir: String, rounds: Int = 10): DataFrame =
+    bpeMergesFromWords(s,
+      Relational.t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w")), rounds)
+
+  /** [[bpeMerges]] core over an explicit word stream (one row per word
+    * OCCURRENCE - frequencies are counted here); the reference-BPE
+    * equivalence spec drives this directly.
+    */
+  private[queries] def bpeMergesFromWords(s: SparkSession, wordsDf: DataFrame,
+      rounds: Int): DataFrame = {
+    val Sep = "\u0001"
+    val wf = wordsDf
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("seq", regexp_replace(col("w"), "(.)", Sep + "$1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    wf.count()
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var cur = wf
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val best = cur
+        .select(col("cnt"), split(col("seq"), Sep).as("sy"))
+        .filter(size(col("sy")) >= 3) // at least two symbols
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(sy) - 2), " +
+            "i -> named_struct('lhs', sy[i], 'rhs', sy[i + 1]))")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("lhs").asc, col("rhs").asc)
+        .head(1)
+      if (best.isEmpty) exhausted = true
+      else {
+        val b = best.head
+        val (l, rr, pc) = (b.getString(0), b.getString(1), b.getLong(2))
+        out += ((r, l, rr, l + rr, pc))
+        cur = cur.withColumn("seq", call_function("replace",
+          col("seq"), lit(Sep + l + Sep + rr), lit(Sep + l + rr)))
+      }
+      r += 1
+    }
+    wf.unpersist(blocking = true)
+    val s2 = s
+    import s2.implicits._
+    out.toSeq.toDF("rank", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("rank")
+  }
+
   /** Chunk-level exact dedup (`text_chunk_dedup`): [[chunks]] hashes
     * grouped across the corpus — every window of text that appears more
     * than once (within OR across documents). Catches repeated passages

@@ -909,4 +909,54 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(c0._6 == expect)
     }
   }
+  test("BPE merges equal an independent reference trainer") {
+    val s = spark
+    import s.implicits._
+    // independent imperative reference: same contract (pair counts
+    // weighted by word frequency, argmax with count-desc / byte-order
+    // ties, greedy left-to-right merge)
+    def refBpe(wf: Map[String, Long], rounds: Int): Seq[(String, String, Long)] = {
+      var words: Map[Vector[String], Long] =
+        wf.map { case (w, c) => (w.map(_.toString).toVector, c) }
+      val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      var r = 0
+      var done = false
+      while (r < rounds && !done) {
+        val pc = scala.collection.mutable.Map[(String, String), Long]()
+        for ((syms, c) <- words; i <- 0 until syms.length - 1)
+          pc((syms(i), syms(i + 1))) = pc.getOrElse((syms(i), syms(i + 1)), 0L) + c
+        if (pc.isEmpty) done = true
+        else {
+          val ((l, rr), n) = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+          out += ((l, rr, n))
+          words = words.toSeq.map { case (syms, c) =>
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rr) {
+                b += (l + rr); i += 2
+              } else { b += syms(i); i += 1 }
+            }
+            (b.result(), c)
+          }.groupMapReduce(_._1)(_._2)(_ + _)
+        }
+        r += 1
+      }
+      out.toSeq
+    }
+    // the classic sennrich-shaped corpus plus repeat-heavy edge words
+    // ("aaaa" exercises the greedy non-overlap order)
+    val wf = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L, "aaaa" -> 4L, "banana" -> 2L)
+    val wordsDf = wf.toSeq.flatMap { case (w, c) =>
+      Seq.fill(c.toInt)(w) }.toDF("w")
+    val got = TextAnalysis.bpeMergesFromWords(spark, wordsDf, 8).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    val want = refBpe(wf, 8)
+    assert(got == want, s"got=$got want=$want")
+    // merged column is the concatenation; ranks are 1..n
+    val full = TextAnalysis.bpeMergesFromWords(spark, wordsDf, 8).collect()
+    assert(full.map(_.getInt(0)).toSeq == (1 to full.length))
+    full.foreach(r => assert(r.getString(3) == r.getString(1) + r.getString(2)))
+  }
 }

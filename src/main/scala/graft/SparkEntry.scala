@@ -85,6 +85,9 @@ object SparkEntry {
     // BPE vocabulary induction: first 10 merges over the word-frequency
     // table (vocabulary-bounded trainer; oracle unrolls the rounds)
     "text_bpe_merges" -> ((s, dir) => TextAnalysis.bpeMerges(s, dir)),
+    // the APPLY half: tokenize the corpus with the learned merges (the
+    // model inlined as a chained replace expression — map-only scan)
+    "text_bpe_tokenize" -> ((s, dir) => TextAnalysis.bpeTokenize(s, dir)),
     // boilerplate mining: highest-df 3-grams (licenses/template chrome)
     "text_common_ngrams" -> ((s, dir) => TextAnalysis.commonNgrams(s, dir)),
     // integer-exact frequency-share drift between two corpus snapshots
@@ -342,6 +345,18 @@ object SparkEntry {
     * arithmetic, so the merge table hash-matches.
     */
   private def bpeOracleSql(rounds: Int = 10): String = {
+    val sb = new StringBuilder(bpeTrainCtes(rounds))
+    sb.append("\n" + (1 to rounds).map(r =>
+      s"SELECT CAST($r AS INT) AS rank, lhs, rhs, lhs || rhs AS merged, " +
+        s"pc AS pair_count FROM m$r").mkString("\nUNION ALL "))
+    sb.append("\nORDER BY rank")
+    sb.toString
+  }
+
+  /** The shared trainer-CTE prefix (`WITH wf0 ... wf<rounds>`): merge
+    * rounds unrolled; the tokenize oracle reads the FINAL word table.
+    */
+  private def bpeTrainCtes(rounds: Int): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH wf0 AS (
@@ -364,12 +379,25 @@ object SparkEntry {
         |      chr(1) || m$r.lhs || m$r.rhs) AS seq
         |  FROM wf${r - 1}, m$r)""".stripMargin)
     }
-    sb.append("\n" + (1 to rounds).map(r =>
-      s"SELECT CAST($r AS INT) AS rank, lhs, rhs, lhs || rhs AS merged, " +
-        s"pc AS pair_count FROM m$r").mkString("\nUNION ALL "))
-    sb.append("\nORDER BY rank")
     sb.toString
   }
+
+  /** The `text_bpe_tokenize` oracle: apply-half replay — the trainer
+    * CTEs' FINAL word table gives each word's piece count; docs join
+    * their words and roll up.
+    */
+  private def bpeTokenizeSql(rounds: Int = 10): String =
+    bpeTrainCtes(rounds) + s""",
+      |docw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |tok AS (SELECT w,
+      |  CAST(len(string_split(seq, chr(1))) - 1 AS BIGINT) AS t
+      |  FROM wf$rounds)
+      |SELECT d.doc_id, CAST(SUM(t.t) AS BIGINT) AS bpe_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_words
+      |FROM docw d JOIN tok t ON t.w = d.w
+      |WHERE len(d.w) > 0
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
   /** The `text_chunks` window geometry + hash replay (W=64, stride=48,
     * pure integer boundaries) — shared with the chunk-level dedup
@@ -1045,6 +1073,7 @@ object SparkEntry {
         |FROM n ORDER BY doc_id""".stripMargin,
     "text_chunks" -> (chunksCtes + " ORDER BY doc_id, chunk_id"),
     "text_bpe_merges" -> bpeOracleSql(),
+    "text_bpe_tokenize" -> bpeTokenizeSql(),
     "text_chunk_dedup" ->
       s"""SELECT chunk_md5, COUNT(*) AS n_copies, MIN(doc_id) AS keep_doc
          |FROM ($chunksCtes) ch

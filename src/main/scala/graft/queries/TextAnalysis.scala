@@ -151,6 +151,36 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** BPE tokenization with the learned merges (`text_bpe_tokenize`):
+    * the APPLY half of [[bpeMerges]] — every word runs the merge list
+    * in rank order (greedy leftmost application, the same `replace`
+    * contract the trainer used) and docs roll up their piece counts.
+    * The model is the ≤`rounds`-row merge table, collected once and
+    * inlined as literals in a chained replace EXPRESSION — the corpus
+    * scan is map-only (no join, no shuffle before the per-doc rollup),
+    * which is the right 100 TB shape for "tokenize everything with
+    * this vocab": the vocabulary travels in the plan, not the data.
+    */
+  def bpeTokenize(s: SparkSession, dir: String, rounds: Int = 10): DataFrame = {
+    val Sep = "\u0001"
+    val merges = bpeMerges(s, dir, rounds).collect() // bounded: the model
+    val docs = Relational.t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val seq0 = regexp_replace(col("w"), "(.)", Sep + "$1")
+    val seqN = merges.foldLeft(seq0) { (c, m) =>
+      call_function("replace", c,
+        lit(Sep + m.getString(1) + Sep + m.getString(2)),
+        lit(Sep + m.getString(3)))
+    }
+    docs
+      .select(col("doc_id"),
+        (size(split(seqN, Sep)) - 1).cast("long").as("t"))
+      .groupBy("doc_id")
+      .agg(sum(col("t")).as("bpe_tokens"), count(lit(1)).as("n_words"))
+      .orderBy("doc_id")
+  }
+
   /** Chunk-level exact dedup (`text_chunk_dedup`): [[chunks]] hashes
     * grouped across the corpus — every window of text that appears more
     * than once (within OR across documents). Catches repeated passages

@@ -959,4 +959,20 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full.map(_.getInt(0)).toSeq == (1 to full.length))
     full.foreach(r => assert(r.getString(3) == r.getString(1) + r.getString(2)))
   }
+  test("BPE tokenize: pieces shrink with merges, never below word count") {
+    def byDoc(rounds: Int): Map[Long, (Long, Long)] =
+      TextAnalysis.bpeTokenize(spark, sf, rounds).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val chars = byDoc(0)   // zero merges: every piece is one character
+    val merged = byDoc(10)
+    assert(chars.keySet == merged.keySet && chars.nonEmpty)
+    chars.foreach { case (doc, (c0, w0)) =>
+      val (c10, w10) = merged(doc)
+      assert(w10 == w0)          // word structure untouched by merges
+      assert(c10 <= c0)          // merges only ever shrink piece counts
+      assert(c10 >= w10)         // a word is never fewer than one piece
+    }
+    // merges must actually fire somewhere on this corpus
+    assert(merged.values.map(_._1).sum < chars.values.map(_._1).sum)
+  }
 }

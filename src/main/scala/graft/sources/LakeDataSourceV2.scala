@@ -255,11 +255,20 @@ class LakeV2ScanBuilder(full: StructType, params: Map[String, String])
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
-    claimed = filters.filter(f =>
-      f.references.nonEmpty &&
-        f.references.forall(partFields.contains) &&
-        LakeV2Scan.translate(f).isDefined &&
-        PartitionPrune.supported(f, partFields)).toSet
+    // operational kill switch: claiming OFF reverts to the pre-round-10
+    // contract (every filter residual, metadata aggregates only on
+    // filterless scans) without a rebuild — the valve an operator wants
+    // if a claimed predicate is ever suspected of dropping rows
+    val claimOn = SparkSession.active.conf
+      .getOption("spark.graft.lake.claimPartitionFilters")
+      .forall(_.toBoolean)
+    claimed =
+      if (!claimOn) Set.empty
+      else filters.filter(f =>
+        f.references.nonEmpty &&
+          f.references.forall(partFields.contains) &&
+          LakeV2Scan.translate(f).isDefined &&
+          PartitionPrune.supported(f, partFields)).toSet
     // residual: Spark re-evaluates everything not partition-exact above
     // the scan, so an untranslatable predicate never costs correctness
     filters.filterNot(claimed)

@@ -328,6 +328,23 @@ class MetaAggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length > 1) // one row per l_returnflag partition
   }
 
+  test("the claim kill switch reverts to all-residual filters") {
+    val p = tmp()
+    writePart(p, df((1, 10L, "a", 1.0), (2, 11L, "b", 2.0)))
+    spark.conf.set("spark.graft.lake.claimPartitionFilters", "false")
+    try {
+      val t = spark.read.format("graft-lake-v2").load(p)
+      val q = t.filter("part = 'a'").selectExpr("count(*)")
+      // no claiming → residual Filter above the scan → no metadata path
+      assert(!metaAnswered(q), plan(q))
+      assert(q.collect().head.getLong(0) == 1)
+      // filterless metadata answers still work with the switch off
+      val g = t.selectExpr("count(*)")
+      assert(metaAnswered(g), plan(g))
+      assert(g.collect().head.getLong(0) == 2)
+    } finally spark.conf.unset("spark.graft.lake.claimPartitionFilters")
+  }
+
   test("MOR table with outstanding deltas declines; compaction re-enables") {
     val p = tmp()
     val d0 = df((1, 10L, "a", 1.0), (2, 10L, "b", 2.0))

@@ -161,9 +161,16 @@ object TextAnalysis {
     * which is the right 100 TB shape for "tokenize everything with
     * this vocab": the vocabulary travels in the plan, not the data.
     */
+  private val bpeModelCache = scala.collection.concurrent
+    .TrieMap[(String, Int), Array[org.apache.spark.sql.Row]]()
+
   def bpeTokenize(s: SparkSession, dir: String, rounds: Int = 10): DataFrame = {
     val Sep = "\u0001"
-    val merges = bpeMerges(s, dir, rounds).collect() // bounded: the model
+    // the model is a <=rounds-row table from a deterministic trainer:
+    // train once per corpus snapshot (keyed by the content-fingerprint
+    // stage tag, the PQ-codebook memo precedent), apply everywhere
+    val merges = bpeModelCache.getOrElseUpdate(
+      (Dedup.stageTag(s, dir), rounds), bpeMerges(s, dir, rounds).collect())
     val docs = Relational.t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)

@@ -358,13 +358,24 @@ object SparkEntry {
     */
   private def bpeTrainCtes(rounds: Int): String = {
     val sb = new StringBuilder
+    // [\s\S] instead of '.': identical "any character" semantics in
+    // both regex engines (Java's '.' also excludes \r and the unicode
+    // line separators; RE2's only \n)
     sb.append(
-      """WITH wf0 AS (
+      """WITH wf0 AS MATERIALIZED (
         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
-        |    regexp_replace(w, '(.)', chr(1) || '\1', 'g') AS seq
+        |    regexp_replace(w, '([\s\S])', chr(1) || '\1', 'g') AS seq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |  WHERE len(w) > 0 GROUP BY w)""".stripMargin)
     for (r <- 1 to rounds) {
+      // mg$r carries an unmatched sentinel when the round found no pair
+      // (chr(2) never equals a symbol), so an exhausted corpus folds
+      // through remaining rounds as a no-op instead of annihilating the
+      // word table via an empty cross join; the merge OUTPUT still reads
+      // the raw (possibly empty) m$r, matching the trainer's early stop.
+      // The fold mirrors TextAnalysis.mergeFold: append onto the tail
+      // symbol only when it is EXACTLY lhs (suffix test against the
+      // SEP-prefixed accumulator) and the next symbol equals rhs.
       sb.append(s""",
         |pr$r AS (SELECT cnt, unnest(list_transform(range(2, len(sy)),
         |    i -> {'lhs': sy[i], 'rhs': sy[i+1]})) AS p
@@ -372,12 +383,17 @@ object SparkEntry {
         |p$r AS (SELECT p.lhs AS lhs, p.rhs AS rhs,
         |    CAST(SUM(cnt) AS BIGINT) AS pc
         |  FROM pr$r GROUP BY 1, 2),
-        |m$r AS (SELECT lhs, rhs, pc FROM p$r
+        |m$r AS MATERIALIZED (SELECT lhs, rhs, pc FROM p$r
         |  ORDER BY pc DESC, lhs ASC, rhs ASC LIMIT 1),
-        |wf$r AS (SELECT w, cnt,
-        |    replace(seq, chr(1) || m$r.lhs || chr(1) || m$r.rhs,
-        |      chr(1) || m$r.lhs || m$r.rhs) AS seq
-        |  FROM wf${r - 1}, m$r)""".stripMargin)
+        |mg$r AS (SELECT COALESCE(MAX(lhs), chr(2)) AS lhs,
+        |    COALESCE(MAX(rhs), chr(2)) AS rhs FROM m$r),
+        |wf$r AS MATERIALIZED (SELECT w, cnt,
+        |    list_reduce(
+        |      list_prepend('', string_split(seq, chr(1))[2:]),
+        |      (acc, x) -> CASE WHEN suffix(acc, chr(1) || mg$r.lhs)
+        |          AND x = mg$r.rhs
+        |        THEN acc || x ELSE acc || chr(1) || x END) AS seq
+        |  FROM wf${r - 1}, mg$r)""".stripMargin)
     }
     sb.toString
   }

@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Bucketed (pre-shuffled) table layout — the co-located-join lever for
@@ -37,7 +36,11 @@ object Bucketing {
     * count on the join keys.
     */
   def colocatedJoin(spark: SparkSession, left: String, right: String,
-      leftKey: String, rightKey: String): DataFrame =
-    spark.table(left).join(spark.table(right),
-      col(leftKey) === col(rightKey))
+      leftKey: String, rightKey: String): DataFrame = {
+    val l = spark.table(left)
+    val r = spark.table(right)
+    // dataframe-qualified keys: same-named join columns (the common
+    // fact-to-fact case) must not trip AMBIGUOUS_REFERENCE
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 }

@@ -82,29 +82,59 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_id")
 
   /** BPE vocabulary induction (`text_bpe_merges`): the first `rounds`
-    * byte-pair-encoding merges learned from the corpus — per round,
+    * byte-pair-encoding merges learned from the corpus - per round,
     * count every adjacent symbol pair weighted by word frequency, merge
     * the most frequent pair (ties toward the byte-smaller pair), and
     * rewrite the word table. This is the sennrich-style trainer shape:
     * the input is the WORD-FREQUENCY TABLE, not the corpus, so the
-    * iterated frame is vocabulary-bounded at any corpus size — one
+    * iterated frame is vocabulary-bounded at any corpus size - one
     * corpus scan builds it, then each round is an aggregation over
     * |vocab| rows plus a single-row argmax to the driver (the bounded-
     * metadata collect pattern the k-means trainer established).
     *
-    * Symbol sequences are SEP-prefixed strings (`\u0001h\u0001e...`), so
-    * the merge rewrite is one `replace` of `SEP l SEP r` with
-    * `SEP lr` — leftmost non-overlapping, the greedy BPE application
-    * order, with the prefix separator guaranteeing matches only at true
-    * symbol boundaries (a symbol can never contain SEP). Deterministic
-    * end to end: integer counts, byte-order ties, the same `replace`
-    * semantics in DuckDB — the oracle unrolls the rounds as CTE blocks
-    * and the merge table hash-matches.
+    * Symbol sequences are SEP-prefixed strings (`\u0001h\u0001e...`);
+    * the merge rewrite is a left-to-right FOLD over the symbols: append
+    * `x` directly onto the accumulator when the current tail symbol is
+    * exactly `l` and `x = r`, else start a new SEP-prefixed symbol.
+    * The tail test is `acc.endsWith(SEP + l)` - sound because SEP marks
+    * every symbol START and never occurs inside a symbol, so the suffix
+    * can only be the whole tail symbol (a plain string `replace` of
+    * `SEP l SEP r` is NOT sound: nothing delimits the END of `r`, so it
+    * also fires when `r` is a proper prefix of the next symbol). The
+    * fold is greedy non-overlapping (a freshly merged tail `lr` never
+    * re-matches `l` within the round), exactly the reference BPE
+    * application order. Deterministic end to end: integer counts,
+    * byte-order ties, and the identical fold in DuckDB's list_reduce -
+    * the oracle unrolls the rounds as CTE blocks and the merge table
+    * hash-matches.
     */
   def bpeMerges(s: SparkSession, dir: String, rounds: Int = 10): DataFrame =
     bpeMergesFromWords(s,
       Relational.t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("w")), rounds)
+
+  private val Sep = "\u0001"
+
+  /** `[\s\S]` matches every character in BOTH Java and RE2 regex -
+    * `.` does not (Java excludes \r and the unicode line separators,
+    * RE2 only \n), so the symbolization must avoid it for the oracle
+    * to replay byte-identically on corpora with exotic whitespace.
+    */
+  private val AnyChar = "([\\s\\S])"
+
+  /** The greedy one-round merge of pair (l, r) as a fold expression
+    * over the SEP-delimited symbol string (shared by the trainer and
+    * the tokenizer so the two can never diverge).
+    */
+  private def mergeFold(seq: org.apache.spark.sql.Column, l: String,
+      r: String): org.apache.spark.sql.Column = {
+    val sy = split(seq, Sep)
+    aggregate(
+      slice(sy, lit(2), size(sy) - 1), // drop the leading "" element
+      lit(""),
+      (acc, x) => when(acc.endsWith(lit(Sep + l)) && x === lit(r),
+        concat(acc, x)).otherwise(concat(acc, lit(Sep), x)))
+  }
 
   /** [[bpeMerges]] core over an explicit word stream (one row per word
     * OCCURRENCE - frequencies are counted here); the reference-BPE
@@ -112,11 +142,15 @@ object TextAnalysis {
     */
   private[queries] def bpeMergesFromWords(s: SparkSession, wordsDf: DataFrame,
       rounds: Int): DataFrame = {
-    val Sep = "\u0001"
+    val s2 = s
+    import s2.implicits._
+    val empty = Seq.empty[(Int, String, String, String, Long)]
+      .toDF("rank", "lhs", "rhs", "merged", "pair_count")
+    if (rounds <= 0) return empty
     val wf = wordsDf
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .withColumn("seq", regexp_replace(col("w"), "(.)", Sep + "$1"))
+      .withColumn("seq", regexp_replace(col("w"), AnyChar, Sep + "$1"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     wf.count()
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
@@ -139,50 +173,49 @@ object TextAnalysis {
         val b = best.head
         val (l, rr, pc) = (b.getString(0), b.getString(1), b.getLong(2))
         out += ((r, l, rr, l + rr, pc))
-        cur = cur.withColumn("seq", call_function("replace",
-          col("seq"), lit(Sep + l + Sep + rr), lit(Sep + l + rr)))
+        cur = cur.withColumn("seq", mergeFold(col("seq"), l, rr))
       }
       r += 1
     }
     wf.unpersist(blocking = true)
-    val s2 = s
-    import s2.implicits._
     out.toSeq.toDF("rank", "lhs", "rhs", "merged", "pair_count")
       .orderBy("rank")
   }
 
   /** BPE tokenization with the learned merges (`text_bpe_tokenize`):
-    * the APPLY half of [[bpeMerges]] — every word runs the merge list
-    * in rank order (greedy leftmost application, the same `replace`
-    * contract the trainer used) and docs roll up their piece counts.
-    * The model is the ≤`rounds`-row merge table, collected once and
-    * inlined as literals in a chained replace EXPRESSION — the corpus
-    * scan is map-only (no join, no shuffle before the per-doc rollup),
-    * which is the right 100 TB shape for "tokenize everything with
-    * this vocab": the vocabulary travels in the plan, not the data.
+    * the APPLY half of [[bpeMerges]] - every word runs the merge list
+    * in rank order (the same greedy [[mergeFold]] the trainer used) and
+    * docs roll up their piece counts. The model is the <=`rounds`-row
+    * merge table, collected once per corpus snapshot (content-
+    * fingerprint memo, the PQ-codebook precedent) and inlined as
+    * literals in a chained fold EXPRESSION - the corpus scan is
+    * map-only (no join, no shuffle before the per-doc rollup), which is
+    * the right 100 TB shape for "tokenize everything with this vocab":
+    * the vocabulary travels in the plan, not the data.
     */
   private val bpeModelCache = scala.collection.concurrent
     .TrieMap[(String, Int), Array[org.apache.spark.sql.Row]]()
 
   def bpeTokenize(s: SparkSession, dir: String, rounds: Int = 10): DataFrame = {
-    val Sep = "\u0001"
-    // the model is a <=rounds-row table from a deterministic trainer:
-    // train once per corpus snapshot (keyed by the content-fingerprint
-    // stage tag, the PQ-codebook memo precedent), apply everywhere
-    val merges = bpeModelCache.getOrElseUpdate(
-      (Dedup.stageTag(s, dir), rounds), bpeMerges(s, dir, rounds).collect())
+    if (bpeModelCache.size > 64) bpeModelCache.clear() // bound the memo
+    val merges =
+      if (rounds <= 0) Array.empty[org.apache.spark.sql.Row]
+      else bpeModelCache.getOrElseUpdate(
+        (Dedup.stageTag(s, dir), rounds), bpeMerges(s, dir, rounds).collect())
     val docs = Relational.t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-    val seq0 = regexp_replace(col("w"), "(.)", Sep + "$1")
-    val seqN = merges.foldLeft(seq0) { (c, m) =>
-      call_function("replace", c,
-        lit(Sep + m.getString(1) + Sep + m.getString(2)),
-        lit(Sep + m.getString(3)))
+    // one Project layer per merge (attribute-referenced, so the plan
+    // stays linear — nesting the folds directly would duplicate the
+    // previous round's expression ~3× per level and explode the tree)
+    val folded = merges.foldLeft(
+      docs.withColumn("seq", regexp_replace(col("w"), AnyChar, Sep + "$1"))) {
+      (df, m) => df.withColumn("seq",
+        mergeFold(col("seq"), m.getString(1), m.getString(2)))
     }
-    docs
+    folded
       .select(col("doc_id"),
-        (size(split(seqN, Sep)) - 1).cast("long").as("t"))
+        (size(split(col("seq"), Sep)) - 1).cast("long").as("t"))
       .groupBy("doc_id")
       .agg(sum(col("t")).as("bpe_tokens"), count(lit(1)).as("n_words"))
       .orderBy("doc_id")

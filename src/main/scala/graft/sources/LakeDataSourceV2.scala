@@ -259,9 +259,12 @@ class LakeV2ScanBuilder(full: StructType, params: Map[String, String])
     // contract (every filter residual, metadata aggregates only on
     // filterless scans) without a rebuild — the valve an operator wants
     // if a claimed predicate is ever suspected of dropping rows
+    // lenient parse: anything other than (case-insensitive) "true"
+    // DISABLES claiming — a kill switch must never crash planning on an
+    // operator's spelling of "off"
     val claimOn = SparkSession.active.conf
       .getOption("spark.graft.lake.claimPartitionFilters")
-      .forall(_.toBoolean)
+      .forall(_.trim.equalsIgnoreCase("true"))
     claimed =
       if (!claimOn) Set.empty
       else filters.filter(f =>

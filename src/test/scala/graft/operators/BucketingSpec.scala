@@ -60,11 +60,24 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll
         case e: ShuffleExchangeLike => e
       }
       assert(mixedShuffles.nonEmpty)
+      // same-named keys on both sides (the common fact-to-fact case)
+      // resolve without ambiguity and still co-locate
+      Bucketing.writeBucketed(items.withColumnRenamed("l_key", "k"),
+        "bk_a", 8, "k")
+      Bucketing.writeBucketed(orders.withColumnRenamed("o_key", "k"),
+        "bk_b", 8, "k")
+      val same = Bucketing.colocatedJoin(spark, "bk_a", "bk_b", "k", "k")
+      assert(same.count() == 6000)
+      assert(collectWithSubqueries(same.queryExecution.executedPlan) {
+        case e: ShuffleExchangeLike => e
+      }.isEmpty)
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.sql("DROP TABLE IF EXISTS bk_orders")
       spark.sql("DROP TABLE IF EXISTS bk_items")
       spark.sql("DROP TABLE IF EXISTS bk_items4")
+      spark.sql("DROP TABLE IF EXISTS bk_a")
+      spark.sql("DROP TABLE IF EXISTS bk_b")
     }
   }
 }

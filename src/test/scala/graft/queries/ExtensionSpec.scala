@@ -927,7 +927,11 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
           pc((syms(i), syms(i + 1))) = pc.getOrElse((syms(i), syms(i + 1)), 0L) + c
         if (pc.isEmpty) done = true
         else {
-          val ((l, rr), n) = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+          // byte-order ties (UTF8String/DuckDB order), not UTF-16
+          def bytes(x: String) = x.getBytes("UTF-8").map(_ & 0xff).toSeq
+          implicit val byteOrd: Ordering[Seq[Int]] = Ordering.Implicits.seqOrdering
+          val ((l, rr), n) = pc.toSeq.minBy { case ((a, b), c) =>
+            (-c, bytes(a), bytes(b)) }
           out += ((l, rr, n))
           words = words.toSeq.map { case (syms, c) =>
             val b = Vector.newBuilder[String]
@@ -946,14 +950,24 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     // the classic sennrich-shaped corpus plus repeat-heavy edge words
     // ("aaaa" exercises the greedy non-overlap order)
+    // classic sennrich corpus + repeat-heavy edges + the rhs-prefix
+    // trap: after (a,b) merges, 'cab' is [c, ab] — a boundary-unsafe
+    // rewrite of a later (c,a) merge would glue it to one symbol
+    for (wf <- Seq(
+      Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+        "widest" -> 3L, "aaaa" -> 4L, "banana" -> 2L),
+      Map("ab" -> 10L, "ca" -> 6L, "cab" -> 1L))) {
+      val wordsDf = wf.toSeq.flatMap { case (w, c) =>
+        Seq.fill(c.toInt)(w) }.toDF("w")
+      val got = TextAnalysis.bpeMergesFromWords(spark, wordsDf, 8).collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+      val want = refBpe(wf, 8)
+      assert(got == want, s"got=$got want=$want for $wf")
+    }
     val wf = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
       "widest" -> 3L, "aaaa" -> 4L, "banana" -> 2L)
     val wordsDf = wf.toSeq.flatMap { case (w, c) =>
       Seq.fill(c.toInt)(w) }.toDF("w")
-    val got = TextAnalysis.bpeMergesFromWords(spark, wordsDf, 8).collect()
-      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
-    val want = refBpe(wf, 8)
-    assert(got == want, s"got=$got want=$want")
     // merged column is the concatenation; ranks are 1..n
     val full = TextAnalysis.bpeMergesFromWords(spark, wordsDf, 8).collect()
     assert(full.map(_.getInt(0)).toSeq == (1 to full.length))

@@ -342,6 +342,12 @@ class MetaAggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
       val g = t.selectExpr("count(*)")
       assert(metaAnswered(g), plan(g))
       assert(g.collect().head.getLong(0) == 2)
+      // lenient parse: an operator spelling like "off" disables
+      // claiming instead of crashing planning
+      spark.conf.set("spark.graft.lake.claimPartitionFilters", "off")
+      val q2 = t.filter("part = 'a'").selectExpr("count(*)")
+      assert(!metaAnswered(q2), plan(q2))
+      assert(q2.collect().head.getLong(0) == 1)
     } finally spark.conf.unset("spark.graft.lake.claimPartitionFilters")
   }
 

@@ -173,7 +173,11 @@ object TextAnalysis {
         val b = best.head
         val (l, rr, pc) = (b.getString(0), b.getString(1), b.getLong(2))
         out += ((r, l, rr, l + rr, pc))
+        // localCheckpoint per round: the fold expressions are large, so
+        // letting lineage accumulate makes round N's ANALYSIS cost grow
+        // with N (the frame itself is vocabulary-bounded and tiny)
         cur = cur.withColumn("seq", mergeFold(col("seq"), l, rr))
+          .localCheckpoint(true)
       }
       r += 1
     }
@@ -205,17 +209,20 @@ object TextAnalysis {
     val docs = Relational.t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-    // one Project layer per merge (attribute-referenced, so the plan
-    // stays linear — nesting the folds directly would duplicate the
-    // previous round's expression ~3× per level and explode the tree)
-    val folded = merges.foldLeft(
-      docs.withColumn("seq", regexp_replace(col("w"), AnyChar, Sep + "$1"))) {
+    // fold over DISTINCT words, not occurrences: the merge folds are
+    // interpreted lambdas, so run them once per vocabulary entry (the
+    // bounded set) and broadcast the word -> piece-count table over the
+    // occurrence stream — the vocab-table join every real tokenizer
+    // deployment uses. One Project layer per merge keeps the plan
+    // linear (nesting the folds would triple the expression per level).
+    val wordTok = merges.foldLeft(
+      docs.select("w").distinct()
+        .withColumn("seq", regexp_replace(col("w"), AnyChar, Sep + "$1"))) {
       (df, m) => df.withColumn("seq",
         mergeFold(col("seq"), m.getString(1), m.getString(2)))
-    }
-    folded
-      .select(col("doc_id"),
-        (size(split(col("seq"), Sep)) - 1).cast("long").as("t"))
+    }.select(col("w"),
+      (size(split(col("seq"), Sep)) - 1).cast("long").as("t"))
+    docs.join(broadcast(wordTok), "w")
       .groupBy("doc_id")
       .agg(sum(col("t")).as("bpe_tokens"), count(lit(1)).as("n_words"))
       .orderBy("doc_id")

@@ -341,8 +341,9 @@ object SparkEntry {
   /** The `text_bpe_merges` oracle: the word-frequency table, then each
     * merge round unrolled as a CTE block — pair counting over the
     * split symbol sequence, single-row argmax (count DESC, byte-order
-    * ties), `replace`-based greedy merge — exactly the Spark trainer's
-    * arithmetic, so the merge table hash-matches.
+    * ties), the same greedy fold-based merge — exactly the Spark
+    * trainer's arithmetic (including the control-sentinel word guard),
+    * so the merge table hash-matches.
     */
   private def bpeOracleSql(rounds: Int = 10): String = {
     val sb = new StringBuilder(bpeTrainCtes(rounds))
@@ -366,7 +367,8 @@ object SparkEntry {
         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
         |    regexp_replace(w, '([\s\S])', chr(1) || '\1', 'g') AS seq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        |  WHERE len(w) > 0 GROUP BY w)""".stripMargin)
+        |  WHERE len(w) > 0 AND NOT contains(w, chr(1))
+        |    AND NOT contains(w, chr(2)) GROUP BY w)""".stripMargin)
     for (r <- 1 to rounds) {
       // mg$r carries an unmatched sentinel when the round found no pair
       // (chr(2) never equals a symbol), so an exhausted corpus folds
@@ -412,7 +414,8 @@ object SparkEntry {
       |SELECT d.doc_id, CAST(SUM(t.t) AS BIGINT) AS bpe_tokens,
       |  CAST(COUNT(*) AS BIGINT) AS n_words
       |FROM docw d JOIN tok t ON t.w = d.w
-      |WHERE len(d.w) > 0
+      |WHERE len(d.w) > 0 AND NOT contains(d.w, chr(1))
+      |  AND NOT contains(d.w, chr(2))
       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
   /** The `text_chunks` window geometry + hash replay (W=64, stride=48,

@@ -25,6 +25,11 @@ case class PqEncode(child: Expression, cb: Array[Float],
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
+    // contract: at least m*sd elements — indexing past numElements() on
+    // an unsafe array reads garbage bytes (wrong codes, no error), so
+    // the length contract must fail as loudly as the null contract
+    if (a.numElements() < m * sd) throw new IllegalArgumentException(
+      s"PqEncode: input vector has ${a.numElements()} elements, need ${m * sd}")
     // contract: no null ELEMENTS — getFloat on an unsafe array would
     // silently read 0.0 for one (wrong codes, no error), so fail loudly
     // up front instead; one pass of m*sd checks vs the m*k*sd encode loop
@@ -68,6 +73,9 @@ case class PqEncode(child: Expression, cb: Array[Float],
       val dist = ctx.freshName("dist"); val d = ctx.freshName("d")
       val e = ctx.freshName("e")
       s"""
+         |if ($a.numElements() < ${m * sd}) throw new IllegalArgumentException(
+         |  "PqEncode: input vector has " + $a.numElements() +
+         |  " elements, need ${m * sd}");
          |for (int $e = 0; $e < ${m * sd}; $e++) {
          |  if ($a.isNullAt($e)) throw new IllegalArgumentException(
          |    "PqEncode: null element at index " + $e +

@@ -152,9 +152,23 @@ object Dedup {
     val listing =
       try {
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.listStatus(p).map(st =>
-          s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-          .sorted.mkString("|")
+        fs.listStatus(p).map { st =>
+          // one level deep: a regenerated fixture that rewrites file
+          // CONTENTS inside nested table dirs (same top-level names)
+          // must still be a stage miss, so directory entries carry
+          // their child count + max child len/mtime (one extra listing
+          // per subdirectory — bounded by the table count, not files)
+          val sub =
+            if (!st.isDirectory) ""
+            else try {
+              val ch = fs.listStatus(st.getPath)
+              val maxLen = if (ch.isEmpty) 0L else ch.map(_.getLen).max
+              val maxMt =
+                if (ch.isEmpty) 0L else ch.map(_.getModificationTime).max
+              s":${ch.length}:$maxLen:$maxMt"
+            } catch { case _: java.io.IOException => ":?" }
+          s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}$sub"
+        }.sorted.mkString("|")
       } catch { case _: java.io.IOException => "" }
     val fp = java.security.MessageDigest.getInstance("MD5")
       .digest(listing.getBytes("UTF-8"))

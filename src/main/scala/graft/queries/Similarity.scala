@@ -895,7 +895,12 @@ object Similarity {
     val cb = pqCodebooksFor(s, dir, e)
     val m = cb.length; val k = cb(0).length
     val cent = ivfCentFor(s, dir, e)
-    def codedCells = e.join(assignCells(e, cent), "vec_id")
+    // the codes layout must encode the INDEXED corpus (base ∪ ivfAdd'd
+    // batches — ivfCorpusFor, already cell-assigned), not the base
+    // table: if an add landed before the codes artifact was first
+    // built, encoding from `e` would silently omit the added vectors
+    // from ADC candidacy, breaking the documented parity with ivfTopK
+    def codedCells = ivfCorpusFor(s, dir, e, cent)
       .withColumn("codes",
         graft.functions.PqEncode(unitNorm(col("embedding")), cb))
       .select("vec_id", "codes", "cell")

@@ -115,6 +115,18 @@ object TextAnalysis {
 
   private val Sep = "\u0001"
 
+  /** Input guard shared by the BPE trainer and tokenizer (mirrored in
+    * the DuckDB oracle): drop empty words and words carrying either
+    * in-band control sentinel — U+0001 is the symbol separator (a word
+    * containing it would corrupt its own symbolization in BOTH engines,
+    * so the hash gate could never catch it) and U+0002 is the oracle's
+    * exhausted-round no-op marker. Control characters carry no BPE
+    * signal; excluding them is the honest domain, not a loss.
+    */
+  private val bpeWordGuard: org.apache.spark.sql.Column =
+    length(col("w")) > 0 && !col("w").contains(Sep) &&
+      !col("w").contains("\u0002")
+
   /** `[\s\S]` matches every character in BOTH Java and RE2 regex -
     * `.` does not (Java excludes \r and the unicode line separators,
     * RE2 only \n), so the symbolization must avoid it for the oracle
@@ -148,7 +160,7 @@ object TextAnalysis {
       .toDF("rank", "lhs", "rhs", "merged", "pair_count")
     if (rounds <= 0) return empty
     val wf = wordsDf
-      .filter(length(col("w")) > 0)
+      .filter(bpeWordGuard)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .withColumn("seq", regexp_replace(col("w"), AnyChar, Sep + "$1"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -208,7 +220,7 @@ object TextAnalysis {
         (Dedup.stageTag(s, dir), rounds), bpeMerges(s, dir, rounds).collect())
     val docs = Relational.t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
+      .filter(bpeWordGuard)
     // fold over DISTINCT words, not occurrences: the merge folds are
     // interpreted lambdas, so run them once per vocabulary entry (the
     // bounded set) and broadcast the word -> piece-count table over the

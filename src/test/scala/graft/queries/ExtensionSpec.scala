@@ -309,6 +309,38 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset(Dedup.StageDirConf)
   }
 
+  test("IVFPQ codes built AFTER an add still encode the added vectors") {
+    // the add-before-first-build order: ivfAdd appends to the staged
+    // corpus while no codes artifact exists yet; the codes layout must
+    // be built FROM that corpus (base ∪ adds), not the base table, or
+    // the added vectors never enter ADC candidacy
+    val stage = java.nio.file.Files.createTempDirectory("ivfpqlate").toString
+    spark.conf.set(Dedup.StageDirConf, stage)
+    try {
+      Similarity.ivfTopK(spark, sf).collect() // stages cent + corpus only
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+      val clones = e.filter(col("vec_id") < 3)
+        .select((col("vec_id") + maxId + 1L).as("vec_id"), col("embedding"),
+          col("label"))
+      Similarity.ivfAdd(spark, sf, clones)
+      assert(!new java.io.File(stage).listFiles()
+        .exists(_.getName.startsWith("ivfpq_codes_")),
+        "precondition: no codes artifact before the first ivfPqTopK")
+      val after = Similarity.ivfPqTopK(spark, sf).collect() // first build
+      val codesDir = new java.io.File(stage).listFiles()
+        .find(_.getName.startsWith("ivfpq_codes_")).get
+      assert(spark.read.parquet(codesDir.getPath).count() == e.count() + 3,
+        "codes artifact must encode the indexed corpus incl. prior adds")
+      (0L until 3L).foreach { q =>
+        val r1 = after.find(r => r.getLong(0) == q && r.getInt(3) == 1).get
+        assert(r1.getLong(1) == q + maxId + 1L,
+          s"pre-build-added clone of query $q not ADC-visible at rank 1")
+        assert(math.abs(r1.getDouble(2) - 1.0) < 1e-9)
+      }
+    } finally spark.conf.unset(Dedup.StageDirConf)
+  }
+
   test("multimodal: batched stub decode through typed Dataset plumbing") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
@@ -793,6 +825,21 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(t1b != t1, "a regenerated fixture must be a clean stage miss")
       // and the tag is stable when nothing changed
       assert(Dedup.computeTag(spark, d2.getPath) == t2)
+      // NESTED regeneration: rewriting a file inside a subdirectory
+      // without touching any top-level entry's name/len/mtime must
+      // still re-key (the one-level-deep part of the fingerprint)
+      val sub = new java.io.File(d2, "table")
+      assert(sub.mkdir())
+      val nf = new java.io.File(sub, "part-0.parquet")
+      java.nio.file.Files.writeString(nf.toPath, "nested-a")
+      val dirMtime = sub.lastModified()
+      val t2b = Dedup.computeTag(spark, d2.getPath)
+      java.nio.file.Files.writeString(nf.toPath, "nested-b-regenerated!")
+      assert(nf.setLastModified(nf.lastModified() + 5000))
+      assert(sub.setLastModified(dirMtime)) // pin the top-level entry
+      val t2c = Dedup.computeTag(spark, d2.getPath)
+      assert(t2c != t2b,
+        "in-place nested content regeneration must be a stage miss")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(d1)
       org.apache.commons.io.FileUtils.deleteDirectory(d2)
@@ -972,6 +1019,17 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val full = TextAnalysis.bpeMergesFromWords(spark, wordsDf, 8).collect()
     assert(full.map(_.getInt(0)).toSeq == (1 to full.length))
     full.foreach(r => assert(r.getString(3) == r.getString(1) + r.getString(2)))
+    // sentinel-bearing words are excluded from training (U+0001 is the
+    // in-band symbol separator, U+0002 the oracle's no-op marker): the
+    // trainer over the tainted stream equals the reference over the
+    // clean subset instead of corrupting its own symbolization
+    val tainted = (wf.toSeq.flatMap { case (w, c) =>
+      Seq.fill(c.toInt)(w) } ++
+      Seq("bad\u0001word", "\u0002", "a\u0001", "\u0002b")).toDF("w")
+    val gotTainted = TextAnalysis.bpeMergesFromWords(spark, tainted, 8)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(gotTainted == refBpe(wf, 8),
+      "sentinel-bearing words must not influence training")
   }
   test("BPE tokenize: pieces shrink with merges, never below word count") {
     def byDoc(rounds: Int): Map[Long, (Long, Long)] =

@@ -116,6 +116,35 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(both.count() > 0)
   }
 
+  test("PqEncode fails loudly on short and null-element vectors") {
+    val dir = "/root/testdata/sf0.001"
+    val e = Relational.t(spark, dir, "embeddings")
+    val cb = Similarity.pqCodebooks(e)
+    val mSd = cb.length * cb(0)(0).length
+    // a too-short vector must raise (not read past the element region);
+    // checked in BOTH execution modes — codegen and interpreted eval
+    for (codegenConf <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegenConf)
+      try {
+        val short = intercept[org.apache.spark.SparkException] {
+          e.select(graft.functions.PqEncode(
+            slice(col("embedding"), 1, mSd - 1), cb)).collect()
+        }
+        assert(short.getMessage.contains("elements") ||
+          Option(short.getCause).exists(_.getMessage.contains("elements")),
+          s"short-vector failure not the length contract: $short")
+        val nul = intercept[org.apache.spark.SparkException] {
+          e.select(graft.functions.PqEncode(
+            expr(s"transform(embedding, (v, i) -> if(i = 3, null, v))"), cb))
+            .collect()
+        }
+        assert(nul.getMessage.contains("null element") ||
+          Option(nul.getCause).exists(_.getMessage.contains("null element")),
+          s"null-element failure not the null contract: $nul")
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("codebooks and codes have the declared PQ shape") {
     val dir = "/root/testdata/sf0.001"
     val e = Relational.t(spark, dir, "embeddings")

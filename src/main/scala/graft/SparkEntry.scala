@@ -158,6 +158,8 @@ object SparkEntry {
     "curate_shuffle" -> (Curation.shuffleShards _),
     // D4-style diversity budget: cell-stratified prototypical round-robin
     "curate_diversity_sample" -> ((s, dir) => Curation.diversitySample(s, dir)),
+    // DSIR importance weights: hashed-feature target/source log-ratio
+    "curate_dsir" -> ((s, dir) => Curation.dsirWeights(s, dir)),
     // FIM sample prep: deterministic prefix/middle/suffix boundaries
     "curate_fim_split" -> (Curation.fimSplit _),
     "curate_sample_stratified" -> (Curation.stratifiedSample _),
@@ -456,6 +458,50 @@ object SparkEntry {
        |SELECT vec_id, cell, csim, cell_rank, n_cell,
        |  (cell_rank * 20 <= n_cell) AS outlier
        |FROM r ORDER BY vec_id""".stripMargin
+
+  /** The `curate_dsir` oracle: feature hashing (the proven probe-hash +
+    * scramble constants), the q4 piecewise-linear log2 per add-one
+    * count (`l2(x) = (len(bin(x))−1)·16 + ((x·16) >> (len(bin(x))−1)) −
+    * 16`), the per-doc weight sum minus the total-mass correction, and
+    * the top-decile keep flag — every step integer, replayed verbatim.
+    */
+  private def dsirOracleSql: String = {
+    def l2(x: String): String =
+      s"((length(bin($x)) - 1) * 16 + ((($x) * 16) >> (length(bin($x)) - 1)) - 16)"
+    s"""WITH tok AS (
+      |  SELECT doc_id, lang,
+      |    ((CAST(length(t)*31 + ascii(t)*7 + ascii(reverse(t))*13
+      |        + ascii(substr(t,2,1))*17 + ascii(substr(reverse(t),2,1))*19
+      |        AS BIGINT) * 2654435761) % 1073741789) % 1024 AS f
+      |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+      |        FROM documents)
+      |  WHERE length(t) > 0),
+      |src AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS cs FROM tok GROUP BY f),
+      |tgt AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS ct FROM tok
+      |  WHERE lang = 'en' GROUP BY f),
+      |tots AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tok) AS cs_tot,
+      |   (SELECT CAST(COUNT(*) AS BIGINT) FROM tok WHERE lang = 'en') AS ct_tot),
+      |pd AS (SELECT d.doc_id, SUM(d.n) AS n_tok,
+      |    SUM(d.n * (${l2("COALESCE(t.ct, 0) + 1")}
+      |             - ${l2("s.cs + 1")})) AS fbits
+      |  FROM (SELECT doc_id, f, CAST(COUNT(*) AS BIGINT) AS n
+      |        FROM tok GROUP BY doc_id, f) d
+      |  JOIN src s USING (f) LEFT JOIN tgt t USING (f)
+      |  GROUP BY d.doc_id),
+      |w AS (SELECT doc.doc_id,
+      |    CAST(COALESCE(pd.n_tok, 0) AS BIGINT) AS n_tok,
+      |    CAST(COALESCE(pd.fbits, 0) - COALESCE(pd.n_tok, 0) *
+      |      (${l2("tots.ct_tot + 1")} - ${l2("tots.cs_tot + 1")})
+      |      AS BIGINT) AS dsir_q4
+      |  FROM documents doc LEFT JOIN pd ON pd.doc_id = doc.doc_id
+      |  CROSS JOIN tots),
+      |r AS (SELECT doc_id, n_tok, dsir_q4,
+      |    row_number() OVER (ORDER BY dsir_q4 DESC, doc_id ASC) AS rk,
+      |    COUNT(*) OVER () AS nd
+      |  FROM w)
+      |SELECT doc_id, n_tok, dsir_q4, (rk * 10 <= nd) AS keep
+      |FROM r ORDER BY doc_id""".stripMargin
+  }
 
   /** The `curate_label_audit` oracle: the full graph replay as a
     * derived table, then two label joins + integer agreement counting —
@@ -1893,6 +1939,7 @@ object SparkEntry {
       ("curate_label_audit" -> labelAuditSql) +
       ("stats_embedding_outliers" -> embeddingOutliersSql) +
       ("curate_diversity_sample" -> diversityOracleSql) +
+      ("curate_dsir" -> dsirOracleSql) +
       ("stats_embedding_drift" -> embeddingDriftSql) +
       ("stats_profile_sketch" -> profileSketchSql) +
       ("sim_pq_topk" -> base("sim_topk_bruteforce")) +

@@ -422,4 +422,91 @@ object Curation {
       .limit(k)
       .select("vec_id", "cell", "crank", "csim")
   }
+
+  /** DSIR importance weights (`curate_dsir`) — Data Selection via
+    * Importance Resampling (Xie et al. 2023): score every document by
+    * how much more likely its hashed-feature unigram stream is under a
+    * TARGET domain's distribution than under the full corpus's, then
+    * keep the top slice. This is the standard "make the pretraining mix
+    * look like the target domain" selector; here the target is the
+    * `lang = targetLang` subset (in production: a quality-reference
+    * corpus like Wikipedia).
+    *
+    * Portability: features are the proven probe-hash family scrambled
+    * into [[DsirBuckets]] buckets (the simhash constants), and the
+    * log-ratio is a q4 fixed-point PIECEWISE-LINEAR log2 — bit length
+    * picks the octave, the 4 bits under the leading bit interpolate
+    * inside it: `L(x) = (bits(x)−1)·16 + ((x·16) >> (bits(x)−1)) − 16`
+    * (1/16-bit resolution; the plain bit-length log the LM score uses
+    * is too coarse here — when the target is a large corpus share the
+    * per-bucket ratios live INSIDE one octave and every weight rounds
+    * to the same value). The weight
+    *   Σ_f n_f · (L(ct_f+1) − L(cs_f+1)) − n_doc · (L(Ct+1) − L(Cs+1))
+    * is pure integer arithmetic end to end, so the DuckDB oracle
+    * replays it bit-for-bit, keep flag included.
+    *
+    * Scale shape: the feature tables ARE the model — two map-side-
+    * combined aggregations bounded by the bucket count, broadcast back
+    * onto the per-doc feature counts (a ≤[[DsirBuckets]]-row build
+    * side at ANY corpus size); the top-decile cut is a rank over the
+    * per-doc weight table. Like DSIR itself, the model trains once per
+    * target and scores any number of batches map-only thereafter.
+    */
+  val DsirBuckets = 1024
+
+  def dsirWeights(s: SparkSession, dir: String,
+      targetLang: String = "en"): DataFrame = {
+    val t = col("t")
+    val hv = (length(t) * lit(31) + ascii(t) * lit(7) +
+      ascii(reverse(t)) * lit(13) +
+      ascii(substring(t, 2, 1)) * lit(17) +
+      ascii(substring(reverse(t), 2, 1)) * lit(19)).cast("long")
+    val tok = docs(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("t"))
+      .filter(length(t) > 0)
+      .select(col("doc_id"), col("lang"),
+        (((hv * lit(2654435761L)) % lit(1073741789L)) %
+          lit(DsirBuckets.toLong)).as("f"))
+    // one tokenize feeds the model counts AND the per-doc counts
+    val tokP = tok.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val src = tokP.groupBy("f").agg(count(lit(1)).as("cs"))
+    val tgt = tokP.filter(col("lang") === targetLang)
+      .groupBy("f").agg(count(lit(1)).as("ct"))
+    val tots = src.agg(sum(col("cs")).as("cs_tot"))
+      .crossJoin(tgt.agg(sum(col("ct")).as("ct_tot")))
+    // q4 piecewise-linear log2 of a positive count (shift amount is a
+    // column, so the SQL shiftright — the Scala wrapper is literal-only)
+    def l2q4(c: Column): Column = {
+      val bl = length(bin(c))
+      ((bl - 1) * 16).cast("long") +
+        call_function("shiftright", c * 16, bl - 1) - 16L
+    }
+    val perDoc = tokP.groupBy("doc_id", "f").agg(count(lit(1)).as("n"))
+      .join(broadcast(src), "f")
+      .join(broadcast(tgt), Seq("f"), "left")
+      .select(col("doc_id"), col("n"),
+        (col("n") * (l2q4(coalesce(col("ct"), lit(0L)) + 1) -
+          l2q4(col("cs") + 1))).cast("long").as("w"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_tok"), sum(col("w")).as("fbits"))
+    val weighted = docs(s, dir).select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(tots))
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        (coalesce(col("fbits"), lit(0L)) -
+          coalesce(col("n_tok"), lit(0L)) *
+            (l2q4(col("ct_tot") + 1) - l2q4(col("cs_tot") + 1)))
+          .cast("long").as("dsir_q4"))
+    val wr = Window.orderBy(col("dsir_q4").desc, col("doc_id").asc)
+    val out = weighted
+      .crossJoin(broadcast(docs(s, dir).agg(count(lit(1)).as("n_docs"))))
+      .withColumn("rk", row_number().over(wr))
+      .select(col("doc_id"), col("n_tok"), col("dsir_q4"),
+        (col("rk") * 10 <= col("n_docs")).as("keep"))
+      .orderBy("doc_id")
+    Dedup.releaseAfter(out, tokP)
+  }
 }

@@ -271,4 +271,35 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .take(perCell.size).map(_.getInt(2))
     assert(firstRanks.forall(_ == 1))
   }
+
+  test("DSIR weights: target-domain docs score higher, keep is the top decile") {
+    val rows = Curation.dsirWeights(spark, dir).collect()
+    val docs = Relational.t(spark, dir, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size, "one weight per document")
+    // the selector's whole point: documents FROM the target domain are
+    // more likely under the target model, so the mean weight of 'en'
+    // docs must exceed the mean of every other language's
+    val byLang = rows.groupBy(r => docs(r.getLong(0)))
+      .view.mapValues(rs => rs.map(_.getLong(2).toDouble).sum / rs.length)
+      .toMap
+    byLang.filterKeys(_ != "en").foreach { case (l, m) =>
+      assert(byLang("en") > m, s"en mean ${byLang("en")} not above $l mean $m")
+    }
+    // keep = exactly the top decile by (dsir_q4 desc, doc_id asc)
+    val kept = rows.filter(_.getBoolean(3))
+    assert(kept.length == docs.size / 10)
+    val cut = rows.sortBy(r => (-r.getLong(2), r.getLong(0)))
+      .take(docs.size / 10).map(_.getLong(0)).toSet
+    assert(kept.map(_.getLong(0)).toSet == cut)
+    // deterministic rerun
+    assert(Curation.dsirWeights(spark, dir).collect().toSeq == rows.toSeq)
+    // and the target language is actually enriched in the kept slice
+    val keptEnShare = kept.count(r => docs(r.getLong(0)) == "en").toDouble /
+      kept.length
+    val corpusEnShare = docs.values.count(_ == "en").toDouble / docs.size
+    assert(keptEnShare > corpusEnShare,
+      s"kept en share $keptEnShare not above corpus share $corpusEnShare")
+  }
 }

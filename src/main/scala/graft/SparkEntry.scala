@@ -140,6 +140,8 @@ object SparkEntry {
     "curate_split_leakfree" -> (Curation.leakFreeSplit _),
     "dedup_simhash" -> (Dedup.simhashPairs _),
     "sim_topk_bruteforce" -> (Similarity.topKBruteForce _),
+    // hybrid lexical+vector retrieval, reciprocal-rank fusion (k=60)
+    "sim_hybrid_rrf" -> ((s, dir) => Similarity.hybridTopK(s, dir)),
     "dedup_cosine_pairs" -> (Similarity.cosinePairs _),
     "dedup_semantic_clusters" -> (Similarity.semanticClusters _),
     "dedup_incremental" -> (Dedup.incrementalDedup _),
@@ -160,6 +162,8 @@ object SparkEntry {
     "curate_diversity_sample" -> ((s, dir) => Curation.diversitySample(s, dir)),
     // DSIR importance weights: hashed-feature target/source log-ratio
     "curate_dsir" -> ((s, dir) => Curation.dsirWeights(s, dir)),
+    // PageRank centrality over the kNN graph, integer power iteration
+    "curate_centrality" -> ((s, dir) => Curation.centrality(s, dir)),
     // FIM sample prep: deterministic prefix/middle/suffix boundaries
     "curate_fim_split" -> (Curation.fimSplit _),
     "curate_sample_stratified" -> (Curation.stratifiedSample _),
@@ -502,6 +506,81 @@ object SparkEntry {
       |SELECT doc_id, n_tok, dsir_q4, (rk * 10 <= nd) AS keep
       |FROM r ORDER BY doc_id""".stripMargin
   }
+
+  /** The `curate_centrality` oracle: the kNN-graph trainer replay, then
+    * each power-iteration round unrolled as a CTE block — contribution
+    * `r // outdeg` summed per destination, damped integer update — so
+    * ranks and positions hash-match after the fixed iteration count.
+    */
+  private def centralityOracleSql(iters: Int = 5): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH g AS (SELECT vec_id, nbr_id FROM ($knnGraphOracleSql)),
+         |deg AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS outd
+         |  FROM g GROUP BY vec_id),
+         |n AS (SELECT DISTINCT vec_id FROM g),
+         |r0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS r FROM n)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        |c$i AS (SELECT g.nbr_id AS vec_id, SUM(r.r // d.outd) AS insum
+        |  FROM g JOIN r${i - 1} r ON r.vec_id = g.vec_id
+        |  JOIN deg d ON d.vec_id = g.vec_id
+        |  GROUP BY g.nbr_id),
+        |r$i AS (SELECT n.vec_id,
+        |    CAST(150000 + (COALESCE(c.insum, 0) * 85) // 100 AS BIGINT) AS r
+        |  FROM n LEFT JOIN c$i c ON c.vec_id = n.vec_id)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT vec_id, r AS rank_u,
+      |  CAST(row_number() OVER (ORDER BY r DESC, vec_id ASC) AS INT) AS crank
+      |FROM r$iters ORDER BY vec_id""".stripMargin)
+    sb.toString
+  }
+
+  /** The `sim_hybrid_rrf` oracle: both retrieval legs replayed (distinct
+    * shared-token counts; the brute-force cosine ordering) and the RRF
+    * fusion in integer micro-units — `10⁶ // (60 + rank)` per list —
+    * so the fused scores and ranking hash-match.
+    */
+  private def hybridRrfSql(depth: Int = 20): String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |d AS (SELECT doc_id, text FROM documents
+       |  WHERE doc_id IN (SELECT vec_id FROM e)),
+       |tok AS (SELECT DISTINCT doc_id, t FROM
+       |  (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM d)
+       |  WHERE len(t) > 0),
+       |qt AS (SELECT doc_id AS query_id, t FROM tok WHERE doc_id < 3),
+       |lex0 AS (SELECT q.query_id, tok.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS shared
+       |  FROM tok JOIN qt q USING (t) WHERE tok.doc_id <> q.query_id
+       |  GROUP BY q.query_id, tok.doc_id),
+       |lexr AS (SELECT query_id, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY shared DESC, doc_id ASC) AS INT) AS lex_rank
+       |  FROM lex0),
+       |lex AS (SELECT * FROM lexr WHERE lex_rank <= $depth),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < 3),
+       |sc AS (SELECT q.query_id, e.vec_id AS doc_id,
+       |    ${cosineOf("e.embedding", "q.qv")} AS sim
+       |  FROM e, q WHERE e.vec_id <> q.query_id),
+       |vecr AS (SELECT query_id, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, doc_id ASC) AS INT) AS vec_rank
+       |  FROM sc),
+       |vec AS (SELECT * FROM vecr WHERE vec_rank <= $depth),
+       |f AS (SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+       |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       |    CAST(COALESCE(1000000 // (60 + l.lex_rank), 0) +
+       |         COALESCE(1000000 // (60 + v.vec_rank), 0) AS BIGINT) AS rrf_u,
+       |    l.lex_rank, v.vec_rank
+       |  FROM lex l FULL OUTER JOIN vec v
+       |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+       |r AS (SELECT query_id, doc_id, rrf_u, lex_rank, vec_rank,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_u DESC, doc_id ASC) AS INT) AS rk
+       |  FROM f)
+       |SELECT query_id, doc_id, rrf_u, lex_rank, vec_rank, rk
+       |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
 
   /** The `curate_label_audit` oracle: the full graph replay as a
     * derived table, then two label joins + integer agreement counting —
@@ -1940,6 +2019,8 @@ object SparkEntry {
       ("stats_embedding_outliers" -> embeddingOutliersSql) +
       ("curate_diversity_sample" -> diversityOracleSql) +
       ("curate_dsir" -> dsirOracleSql) +
+      ("curate_centrality" -> centralityOracleSql()) +
+      ("sim_hybrid_rrf" -> hybridRrfSql()) +
       ("stats_embedding_drift" -> embeddingDriftSql) +
       ("stats_profile_sketch" -> profileSketchSql) +
       ("sim_pq_topk" -> base("sim_topk_bruteforce")) +

@@ -509,4 +509,54 @@ object Curation {
       .orderBy("doc_id")
     Dedup.releaseAfter(out, tokP)
   }
+
+  /** PageRank centrality over the kNN graph (`curate_centrality`) —
+    * the graph-authority signal a curation pipeline uses to pick
+    * REPRESENTATIVE documents (a vector many neighborhoods point at is
+    * central to its region; isolated tails rank low): power iteration
+    * with damping 0.85 over the staged probed-kNN graph, every vector a
+    * node, its k out-edges the probe result.
+    *
+    * Portability: ranks live in integer micro-units (1e6 = 1.0), each
+    * step is `150000 + (Σ_in (r DIV outdeg) · 85) DIV 100` — integer
+    * sums are shuffle-order-independent and both engines truncate
+    * positive division identically, so after [[CentralityIters]] fixed
+    * iterations the whole table (ranks AND positions) hash-matches the
+    * DuckDB replay. No floats anywhere, hence no convergence test —
+    * fixed iteration count IS the contract (production PageRank at this
+    * damping is within ~1% after 5 rounds on bounded-degree graphs).
+    *
+    * Scale shape: textbook Pregel-on-a-join — per iteration one shuffle
+    * join of the rank table onto the edge list (both keyed by vec_id;
+    * co-partitioned at scale) and one map-side-combined groupBy on the
+    * destination. The graph is the staged pipeline artifact
+    * ([[Similarity.stagedKnnGraph]]), built once per corpus; iteration
+    * cost is linear in |E| = k·N with no growth in state.
+    */
+  val CentralityIters = 5
+
+  def centrality(s: SparkSession, dir: String,
+      iters: Int = CentralityIters): DataFrame = {
+    val g = Similarity.stagedKnnGraph(s, dir)
+      .select(col("vec_id"), col("nbr_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = g.groupBy("vec_id").agg(count(lit(1)).as("outd"))
+    val nodes = g.select("vec_id").distinct()
+    var rank = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = g.join(rank, "vec_id").join(deg, "vec_id")
+        .select(col("nbr_id").as("vec_id"), expr("r DIV outd").as("c"))
+        .groupBy("vec_id").agg(sum(col("c")).as("insum"))
+      rank = nodes.join(contrib, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(150000L) +
+            expr("(coalesce(insum, 0L) * 85) DIV 100")).as("r"))
+    }
+    val wr = Window.orderBy(col("rank_u").desc, col("vec_id").asc)
+    val out = rank
+      .select(col("vec_id"), col("r").as("rank_u"))
+      .withColumn("crank", row_number().over(wr))
+      .orderBy("vec_id")
+    Dedup.releaseAfter(out, g)
+  }
 }

@@ -59,6 +59,71 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion (`sim_hybrid_rrf`) —
+    * the production RAG/search shape where a LEXICAL index and a VECTOR
+    * index each return a candidate list and the fused ranking serves
+    * the user: per query (the id<3 convention), top-[[RrfDepth]] docs
+    * by shared distinct-token count, top-[[RrfDepth]] by exact cosine,
+    * fused by RRF with the standard k=60 —
+    * `score = Σ_lists 10⁶ DIV (60 + rank)` in integer micro-units
+    * (integer division, so the fused score and final ranking replay
+    * bit-for-bit in the DuckDB oracle; sims/shared counts only ever
+    * ORDER the lists, the proven brute-force pattern). Corpus = docs
+    * that carry an embedding (both indexes must cover the same set).
+    *
+    * Scale shape: the lexical leg is an inverted-index join — corpus
+    * tokens against the (tiny, broadcast) query-token table, counted
+    * with map-side partials; the vector leg is the ANN stack above (the
+    * brute-force exact form here; swap in [[ivfTopK]] at scale); fusion
+    * touches only 2·depth rows per query. Nothing in the fused stage
+    * scales with the corpus.
+    */
+  val RrfDepth = 20
+
+  def hybridTopK(s: SparkSession, dir: String,
+      depth: Int = RrfDepth): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Relational.t(s, dir, "embeddings")
+    val docs = Relational.t(s, dir, "documents")
+      .join(e.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val tok = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("t"))
+      .filter(length(col("t")) > 0)
+    val qtok = tok.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("t"))
+    val wl = Window.partitionBy("query_id")
+      .orderBy(col("shared").desc, col("doc_id").asc)
+    val lex = tok.join(broadcast(qtok), "t")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("lex_rank", row_number().over(wl))
+      .filter(col("lex_rank") <= depth)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wv = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("doc_id").asc)
+    val vec = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        cosine(col("embedding"), col("qv")).as("sim"))
+      .withColumn("vec_rank", row_number().over(wv))
+      .filter(col("vec_rank") <= depth)
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("rrf_u").desc, col("doc_id").asc)
+    lex.select("query_id", "doc_id", "lex_rank")
+      .join(vec.select("query_id", "doc_id", "vec_rank"),
+        Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(expr("1000000 DIV (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000 DIV (60 + vec_rank)"), lit(0L))).as("rrf_u"),
+        col("lex_rank"), col("vec_rank"))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= 10)
+      .orderBy("query_id", "rk")
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a, b) with
     * cosine ≥ threshold. Brute-force all-pairs through the native
     * codegen'd expression — at N embeddings this is N²/2 fused

@@ -302,4 +302,32 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keptEnShare > corpusEnShare,
       s"kept en share $keptEnShare not above corpus share $corpusEnShare")
   }
+
+  test("centrality equals an imperative integer PageRank on the same graph") {
+    val rows = Curation.centrality(spark, dir).collect()
+    val edges = Similarity.stagedKnnGraph(spark, dir)
+      .select("vec_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // independent reference: same integer micro-unit recurrence
+    val nodes = edges.map(_._1).distinct.sorted
+    val outd = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var rank = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to Curation.CentralityIters) {
+      val in = scala.collection.mutable.Map[Long, Long]()
+      edges.foreach { case (src, dst) =>
+        in(dst) = in.getOrElse(dst, 0L) + rank(src) / outd(src)
+      }
+      rank = nodes.map(v => v -> (150000L + in.getOrElse(v, 0L) * 85 / 100)).toMap
+    }
+    assert(rows.length == nodes.length)
+    rows.foreach(r => assert(r.getLong(1) == rank(r.getLong(0)),
+      s"rank drifted for node ${r.getLong(0)}"))
+    // positions are a permutation consistent with (rank desc, id asc)
+    val order = rows.sortBy(r => (-r.getLong(1), r.getLong(0))).map(_.getInt(2))
+    assert(order.toSeq == (1 to rows.length))
+    // no node falls below the damping floor; someone rises above it
+    assert(rows.forall(_.getLong(1) >= 150000L))
+    assert(rows.exists(_.getLong(1) > 1000000L),
+      "a central node should exceed the uniform initial mass")
+  }
 }

@@ -341,6 +341,58 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset(Dedup.StageDirConf)
   }
 
+  test("hybrid RRF equals an independent two-leg fusion reference") {
+    val rows = Similarity.hybridTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3),
+        if (r.isNullAt(4)) -1 else r.getInt(4), r.getInt(5)))
+    // reference: tokenize + cosine re-done imperatively, same tie rules
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val docs = Relational.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+      .filter { case (id, _) => emb.contains(id) }
+    def toks(t: String) = t.split(" ").filter(_.nonEmpty).toSet
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (0L until 3L).flatMap { qid =>
+      val qt = toks(docs(qid))
+      val lex = docs.toSeq.filter(_._1 != qid)
+        .map { case (id, t) => (id, (toks(t) & qt).size) }
+        .filter(_._2 > 0)
+        .sortBy { case (id, sh) => (-sh, id) }.take(20).zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1) }.toMap
+      val vec = emb.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(v, emb(qid))) }
+        .sortBy { case (id, s) => (-s, id) }.take(20).zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1) }.toMap
+      (lex.keySet ++ vec.keySet).toSeq
+        .map { id =>
+          val rrf = lex.get(id).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+            vec.get(id).map(r => 1000000L / (60 + r)).getOrElse(0L)
+          (qid, id, rrf, lex.getOrElse(id, -1), vec.getOrElse(id, -1))
+        }
+        .sortBy { case (_, id, rrf, _, _) => (-rrf, id) }.take(10).zipWithIndex
+        .map { case ((q, id, rrf, lr, vr), i) => (q, id, rrf, lr, vr, i + 1) }
+    }
+    assert(rows.toSeq == expected,
+      s"fusion drifted: got=${rows.take(5).toSeq} want=${expected.take(5)}")
+    // and both legs actually contribute somewhere in the fused top-10
+    assert(rows.exists(_._4 == -1) || rows.exists(_._5 == -1) ||
+      rows.forall(r => r._4 > 0 && r._5 > 0))
+    assert(rows.exists(_._4 > 0) && rows.exists(_._5 > 0))
+  }
+
   test("multimodal: batched stub decode through typed Dataset plumbing") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)

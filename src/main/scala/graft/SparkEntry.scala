@@ -75,6 +75,8 @@ object SparkEntry {
     // extension operators: text analysis / dedup / similarity / multimodal
     "text_stats" -> (TextAnalysis.textStats _),
     "text_exact_dedup" -> (TextAnalysis.exactDedup _),
+    // token-distribution entropy in q4 bits (low-entropy spam screen)
+    "text_entropy" -> (TextAnalysis.entropy _),
     // canonical normalization: the pre-pass for variant-tolerant dedup
     "text_normalize" -> (TextAnalysis.normalize _),
     // overlapping token-window chunking: stable chunk ids + boundary
@@ -142,6 +144,8 @@ object SparkEntry {
     "sim_topk_bruteforce" -> (Similarity.topKBruteForce _),
     // hybrid lexical+vector retrieval, reciprocal-rank fusion (k=60)
     "sim_hybrid_rrf" -> ((s, dir) => Similarity.hybridTopK(s, dir)),
+    // MMR diversified rerank of the top-20 shortlist (lambda = 0.5)
+    "sim_mmr" -> ((s, dir) => Similarity.mmrRerank(s, dir)),
     "dedup_cosine_pairs" -> (Similarity.cosinePairs _),
     "dedup_semantic_clusters" -> (Similarity.semanticClusters _),
     "dedup_incremental" -> (Dedup.incrementalDedup _),
@@ -534,6 +538,82 @@ object SparkEntry {
       |SELECT vec_id, r AS rank_u,
       |  CAST(row_number() OVER (ORDER BY r DESC, vec_id ASC) AS INT) AS crank
       |FROM r$iters ORDER BY vec_id""".stripMargin)
+    sb.toString
+  }
+
+  /** The `text_entropy` oracle: per-(doc, token) counts, the q4
+    * piecewise-linear log2, `n·L(n) − Σ c·L(c)`, truncating per-token
+    * division, flag at 32 q4 (2 bits/token) — integer replay verbatim.
+    */
+  private def entropyOracleSql: String = {
+    def l2(x: String): String =
+      s"((length(bin($x)) - 1) * 16 + ((($x) * 16) >> (length(bin($x)) - 1)) - 16)"
+    s"""WITH tok AS (
+       |  SELECT doc_id, t FROM
+       |    (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+       |  WHERE length(t) > 0),
+       |tc AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM tok GROUP BY doc_id, t),
+       |pd AS (SELECT doc_id, SUM(c) AS n_tok,
+       |    SUM(c * ${l2("c")}) AS clog
+       |  FROM tc GROUP BY doc_id),
+       |e AS (SELECT doc.doc_id,
+       |    CAST(COALESCE(pd.n_tok, 0) AS BIGINT) AS n_tok,
+       |    CAST(COALESCE(pd.n_tok * ${l2("pd.n_tok")} - pd.clog, 0)
+       |      AS BIGINT) AS ent_total_q4
+       |  FROM documents doc LEFT JOIN pd ON pd.doc_id = doc.doc_id)
+       |SELECT doc_id, n_tok, ent_total_q4,
+       |  CAST(COALESCE(ent_total_q4 // n_tok, 0) AS BIGINT) AS ent_per_tok_q4,
+       |  (COALESCE(ent_total_q4 // n_tok, 0) < 32) AS low_entropy
+       |FROM e ORDER BY doc_id""".stripMargin
+  }
+
+  /** The `sim_mmr` oracle: the shortlist + pairwise-sim replay, then
+    * each greedy MMR round unrolled as a CTE block (argmax of
+    * `rel·0.5 − max-sim-to-selected·0.5`, NOT-EXISTS masking the
+    * already-selected) — exact halving keeps every double reproducible,
+    * so the full trajectory hash-matches.
+    */
+  private def mmrOracleSql(depth: Int = 20, select: Int = 10): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < 3),
+         |sc AS (SELECT q.query_id, e.vec_id,
+         |    ${cosineOf("e.embedding", "q.qv")} AS rel, e.embedding
+         |  FROM e, q WHERE e.vec_id <> q.query_id),
+         |scr AS (SELECT query_id, vec_id, rel, embedding,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, vec_id ASC) AS crk
+         |  FROM sc),
+         |cand AS MATERIALIZED (SELECT * FROM scr WHERE crk <= $depth),
+         |pp AS MATERIALIZED (SELECT a.query_id, a.vec_id AS a, b.vec_id AS b,
+         |    ${cosineOf("a.embedding", "b.embedding")} AS ps
+         |  FROM cand a JOIN cand b
+         |    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+         |sel1 AS MATERIALIZED (SELECT query_id, vec_id, rel, rel AS mmr, 1 AS rk
+         |  FROM cand WHERE crk = 1)""".stripMargin)
+    for (r <- 2 to select) {
+      sb.append(s""",
+        |x$r AS (SELECT c.query_id, c.vec_id, c.rel,
+        |    c.rel * 0.5 - MAX(p.ps) * 0.5 AS mmr
+        |  FROM cand c
+        |  JOIN pp p ON p.query_id = c.query_id AND p.a = c.vec_id
+        |  JOIN sel${r - 1} s ON s.query_id = p.query_id AND s.vec_id = p.b
+        |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s2
+        |    WHERE s2.query_id = c.query_id AND s2.vec_id = c.vec_id)
+        |  GROUP BY c.query_id, c.vec_id, c.rel),
+        |p$r AS (SELECT query_id, vec_id, rel, mmr,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY mmr DESC, vec_id ASC) AS prk
+        |  FROM x$r),
+        |sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1} UNION ALL
+        |  SELECT query_id, vec_id, rel, mmr, $r AS rk
+        |  FROM p$r WHERE prk = 1)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT query_id, vec_id, rel, mmr, CAST(rk AS INT) AS rk
+      |FROM sel$select ORDER BY query_id, rk""".stripMargin)
     sb.toString
   }
 
@@ -2021,6 +2101,8 @@ object SparkEntry {
       ("curate_dsir" -> dsirOracleSql) +
       ("curate_centrality" -> centralityOracleSql()) +
       ("sim_hybrid_rrf" -> hybridRrfSql()) +
+      ("text_entropy" -> entropyOracleSql) +
+      ("sim_mmr" -> mmrOracleSql()) +
       ("stats_embedding_drift" -> embeddingDriftSql) +
       ("stats_profile_sketch" -> profileSketchSql) +
       ("sim_pq_topk" -> base("sim_topk_bruteforce")) +

@@ -124,6 +124,77 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** MMR diversified re-ranking (`sim_mmr`) — Maximal Marginal
+    * Relevance (Carbonell & Goldstein 1998), the standard rerank
+    * between retrieval and the user/LLM context window: from each
+    * query's exact top-[[RrfDepth]] cosine shortlist, greedily select
+    * [[MmrSelect]] results maximizing
+    *   λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)
+    * at λ = 0.5 (exact halving — every double is reproduced by any
+    * IEEE engine, so with the proven cosine fold the WHOLE greedy
+    * trajectory, scores included, sits under the hash gate; ties break
+    * toward the lower vec_id).
+    *
+    * Scale shape: candidate selection is the ANN stack (exact form
+    * here); everything after is bounded per query — depth² pairwise
+    * sims, then [[MmrSelect]] rounds over Q·depth-row frames
+    * partitioned by query (the iterated frame never scales with the
+    * corpus, the BPE-trainer pattern; per-round localCheckpoint keeps
+    * the plan flat).
+    */
+  val MmrSelect = 10
+
+  def mmrRerank(s: SparkSession, dir: String, depth: Int = RrfDepth,
+      select: Int = MmrSelect): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Relational.t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wv = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("vec_id").asc)
+    val cand = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("embedding"), col("qv")).as("rel"), col("embedding"))
+      .withColumn("crk", row_number().over(wv))
+      .filter(col("crk") <= depth)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = cand.select(col("query_id"), col("vec_id").as("a"),
+        col("embedding").as("ea"))
+      .join(cand.select(col("query_id"), col("vec_id").as("b"),
+        col("embedding").as("eb")), Seq("query_id"))
+      .filter(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        cosine(col("ea"), col("eb")).as("ps"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var selected = cand.filter(col("crk") === 1)
+      .select(col("query_id"), col("vec_id"), col("rel"),
+        col("rel").as("mmr"), lit(1).as("rk"))
+      .localCheckpoint(true)
+    for (r <- 2 to select) {
+      val simToSel = pairs
+        .join(selected.select(col("query_id"), col("vec_id").as("b")),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a").as("vec_id"))
+        .agg(max(col("ps")).as("msim"))
+      val scored = cand.select("query_id", "vec_id", "rel")
+        .join(selected.select("query_id", "vec_id"),
+          Seq("query_id", "vec_id"), "left_anti")
+        .join(simToSel, Seq("query_id", "vec_id"))
+        .select(col("query_id"), col("vec_id"), col("rel"),
+          (col("rel") * 0.5 - col("msim") * 0.5).as("mmr"))
+      val wp = Window.partitionBy("query_id")
+        .orderBy(col("mmr").desc, col("vec_id").asc)
+      val pick = scored.withColumn("prk", row_number().over(wp))
+        .filter(col("prk") === 1)
+        .select(col("query_id"), col("vec_id"), col("rel"), col("mmr"),
+          lit(r).as("rk"))
+      selected = selected.union(pick).localCheckpoint(true)
+    }
+    val out = selected.orderBy("query_id", "rk")
+    Dedup.releaseAfter(out, cand, pairs)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a, b) with
     * cosine ≥ threshold. Brute-force all-pairs through the native
     * codegen'd expression — at N embeddings this is N²/2 fused

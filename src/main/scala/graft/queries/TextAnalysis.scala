@@ -254,6 +254,47 @@ object TextAnalysis {
       .filter(col("n_copies") > 1)
       .orderBy("chunk_md5")
 
+  /** Per-document token-distribution Shannon entropy (`text_entropy`)
+    * in q4 fixed-point bits — the quality signal that separates natural
+    * text (≈ high entropy) from templated/repeated spam (low) where
+    * the repetition score only sees ADJACENT duplication: with c_t the
+    * doc's count of token t and n its token total,
+    *   n·H = Σ_t c_t · (L(n) − L(c_t))
+    * using the q4 piecewise-linear log2 `L(x) = (bits(x)−1)·16 +
+    * ((x·16) >> (bits(x)−1)) − 16` — integer end to end, so the whole
+    * signal (totals, per-token rate, and the low-entropy flag at 2
+    * bits/token = 32 q4) replays bit-for-bit in the DuckDB oracle.
+    *
+    * Scale shape: explode → two map-side-combined aggregations
+    * (per-(doc,token) counts, then per-doc roll-up) — one shuffle keyed
+    * by doc, linear at any corpus size.
+    */
+  def entropy(s: SparkSession, dir: String): DataFrame = {
+    def l2q4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val bl = length(bin(c))
+      ((bl - 1) * 16).cast("long") +
+        call_function("shiftright", c * 16, bl - 1) - 16L
+    }
+    val tok = Relational.t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+    val perDoc = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tok"),
+        sum(col("c") * l2q4(col("c"))).as("clog"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("n_tok") * l2q4(col("n_tok")) - col("clog")).as("ent_total_q4"))
+    Relational.t(s, dir, "documents").select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("ent_total_q4"), lit(0L)).as("ent_total_q4"),
+        coalesce(expr("ent_total_q4 DIV n_tok"), lit(0L)).as("ent_per_tok_q4"))
+      .withColumn("low_entropy", col("ent_per_tok_q4") < 32)
+      .orderBy("doc_id")
+  }
+
   /** Canonical text normalization — the pass every dedup/quality stage
     * upstream of training runs first: lowercase, non-alphanumerics to
     * spaces, whitespace collapsed, trimmed. Emitted as the normalized

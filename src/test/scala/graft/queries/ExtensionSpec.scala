@@ -393,6 +393,59 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.exists(_._4 > 0) && rows.exists(_._5 > 0))
   }
 
+  test("MMR rerank equals a greedy reference and actually diversifies") {
+    val rows = Similarity.mmrRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getInt(4)))
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (0L until 3L).flatMap { qid =>
+      val cand = emb.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(v, emb(qid))) }
+        .sortBy { case (id, s) => (-s, id) }.take(20)
+      val sel = scala.collection.mutable.ArrayBuffer[(Long, Double, Double)]()
+      sel += ((cand.head._1, cand.head._2, cand.head._2))
+      while (sel.length < 10) {
+        val pick = cand.filter(c => !sel.exists(_._1 == c._1))
+          .map { case (id, rel) =>
+            val msim = sel.map(s => cos(emb(id), emb(s._1))).max
+            (id, rel, rel * 0.5 - msim * 0.5)
+          }
+          .minBy { case (id, _, mmr) => (-mmr, id) }
+        sel += pick
+      }
+      sel.zipWithIndex.map { case ((id, rel, mmr), i) =>
+        (qid, id, rel, mmr, i + 1) }
+    }
+    assert(rows.toSeq == expected,
+      s"greedy trajectory drifted: got=${rows.take(4).toSeq} want=${expected.take(4)}")
+    // the rerank's purpose: the selected set is more spread out than
+    // the pure-relevance top-10 (lower mean pairwise similarity)
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val ps = for (a <- ids; b <- ids if a < b) yield cos(emb(a), emb(b))
+      ps.sum / ps.size
+    }
+    (0L until 3L).foreach { qid =>
+      val mmrIds = rows.filter(_._1 == qid).map(_._2).toSeq
+      val relIds = emb.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(v, emb(qid))) }
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1)
+      assert(meanPairSim(mmrIds) < meanPairSim(relIds),
+        s"query $qid: MMR set not more diverse than relevance top-10")
+    }
+  }
+
   test("multimodal: batched stub decode through typed Dataset plumbing") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)

@@ -43,6 +43,13 @@ object Bench {
     // query's number measures ITS work, not the shared staging
     try graft.queries.LakeQueries.warmFixtures(spark, sfDir)
     catch { case _: Throwable => () }
+    // likewise the shared kNN-graph index artifact: three queries
+    // (graph, label audit, centrality) consume it; whichever ran first
+    // was paying the one-time stage build instead of its own plan
+    if (stageDir.nonEmpty)
+      try graft.queries.Similarity.stagedKnnGraph(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
 
     // SPARK_GRAFT_ONLY=name1,name2 restricts the run (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY")

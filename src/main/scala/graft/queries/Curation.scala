@@ -539,12 +539,17 @@ object Curation {
       iters: Int = CentralityIters): DataFrame = {
     val g = Similarity.stagedKnnGraph(s, dir)
       .select(col("vec_id"), col("nbr_id"))
+    // fold the out-degree into the edge list ONCE (one shuffle up
+    // front, none per round) and pin the node set — otherwise every
+    // round re-derives both from the raw graph
+    val w = Window.partitionBy("vec_id")
+    val ge = g.withColumn("outd", count(lit(1)).over(w))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = g.groupBy("vec_id").agg(count(lit(1)).as("outd"))
-    val nodes = g.select("vec_id").distinct()
+    val nodes = ge.select("vec_id").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var rank = nodes.withColumn("r", lit(1000000L))
     for (_ <- 1 to iters) {
-      val contrib = g.join(rank, "vec_id").join(deg, "vec_id")
+      val contrib = ge.join(rank, "vec_id")
         .select(col("nbr_id").as("vec_id"), expr("r DIV outd").as("c"))
         .groupBy("vec_id").agg(sum(col("c")).as("insum"))
       rank = nodes.join(contrib, Seq("vec_id"), "left")
@@ -557,6 +562,6 @@ object Curation {
       .select(col("vec_id"), col("r").as("rank_u"))
       .withColumn("crank", row_number().over(wr))
       .orderBy("vec_id")
-    Dedup.releaseAfter(out, g)
+    Dedup.releaseAfter(out, ge, nodes)
   }
 }

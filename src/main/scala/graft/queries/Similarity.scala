@@ -136,17 +136,23 @@ object Similarity {
     * toward the lower vec_id).
     *
     * Scale shape: candidate selection is the ANN stack (exact form
-    * here); everything after is bounded per query — depth² pairwise
-    * sims, then [[MmrSelect]] rounds over Q·depth-row frames
-    * partitioned by query (the iterated frame never scales with the
-    * corpus, the BPE-trainer pattern; per-round localCheckpoint keeps
-    * the plan flat).
+    * here); the greedy selection itself is genuinely SEQUENTIAL per
+    * query over a bounded (≤ depth) candidate set, so it runs as
+    * `groupByKey(query).mapGroups` — one shuffle keyed by query, then
+    * per-group imperative selection with depth² local arithmetic,
+    * embarrassingly parallel across any number of queries (the typed
+    * Dataset tool for per-group state; an iterated-DataFrame version
+    * was 10 eager rounds of cluster jobs for the same bounded work).
+    * The in-loop cosine accumulates ascending-index in double, exactly
+    * [[graft.functions.CosineSimilarity]]'s order, so the trajectory is
+    * bit-identical to the declarative form and the oracle.
     */
   val MmrSelect = 10
 
   def mmrRerank(s: SparkSession, dir: String, depth: Int = RrfDepth,
       select: Int = MmrSelect): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import s.implicits._
     val e = Relational.t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -158,41 +164,65 @@ object Similarity {
         cosine(col("embedding"), col("qv")).as("rel"), col("embedding"))
       .withColumn("crk", row_number().over(wv))
       .filter(col("crk") <= depth)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = cand.select(col("query_id"), col("vec_id").as("a"),
-        col("embedding").as("ea"))
-      .join(cand.select(col("query_id"), col("vec_id").as("b"),
-        col("embedding").as("eb")), Seq("query_id"))
-      .filter(col("a") =!= col("b"))
-      .select(col("query_id"), col("a"), col("b"),
-        cosine(col("ea"), col("eb")).as("ps"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var selected = cand.filter(col("crk") === 1)
       .select(col("query_id"), col("vec_id"), col("rel"),
-        col("rel").as("mmr"), lit(1).as("rk"))
-      .localCheckpoint(true)
-    for (r <- 2 to select) {
-      val simToSel = pairs
-        .join(selected.select(col("query_id"), col("vec_id").as("b")),
-          Seq("query_id", "b"))
-        .groupBy(col("query_id"), col("a").as("vec_id"))
-        .agg(max(col("ps")).as("msim"))
-      val scored = cand.select("query_id", "vec_id", "rel")
-        .join(selected.select("query_id", "vec_id"),
-          Seq("query_id", "vec_id"), "left_anti")
-        .join(simToSel, Seq("query_id", "vec_id"))
-        .select(col("query_id"), col("vec_id"), col("rel"),
-          (col("rel") * 0.5 - col("msim") * 0.5).as("mmr"))
-      val wp = Window.partitionBy("query_id")
-        .orderBy(col("mmr").desc, col("vec_id").asc)
-      val pick = scored.withColumn("prk", row_number().over(wp))
-        .filter(col("prk") === 1)
-        .select(col("query_id"), col("vec_id"), col("rel"), col("mmr"),
-          lit(r).as("rk"))
-      selected = selected.union(pick).localCheckpoint(true)
+        col("crk"), col("embedding"))
+      .as[(Long, Long, Double, Int, Array[Float])]
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
     }
-    val out = selected.orderBy("query_id", "rk")
-    Dedup.releaseAfter(out, cand, pairs)
+    val picked = cand.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val cs = it.toArray.sortBy(_._4) // crk order = (rel desc, id asc)
+      val n = math.min(select, cs.length)
+      val sel = new Array[Int](n)
+      val selScore = new Array[Double](n)
+      val taken = new Array[Boolean](cs.length)
+      // the selected set's max-sim to each remaining candidate,
+      // maintained incrementally (one depth-sized update per round)
+      val msim = Array.fill(cs.length)(Double.NegativeInfinity)
+      var r = 0
+      while (r < n) {
+        var best = -1
+        var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < cs.length) {
+          if (!taken(i)) {
+            val score = if (r == 0) cs(i)._3
+              else cs(i)._3 * 0.5 - msim(i) * 0.5
+            // exact-tie rule: toward the lower vec_id, as in the oracle
+            if (best < 0 || score > bestScore ||
+              (score == bestScore && cs(i)._2 < cs(best)._2)) {
+              best = i; bestScore = score
+            }
+          }
+          i += 1
+        }
+        taken(best) = true
+        sel(r) = best
+        selScore(r) = bestScore
+        var j = 0
+        while (j < cs.length) {
+          if (!taken(j)) {
+            val sim = cos(cs(j)._5, cs(best)._5)
+            if (sim > msim(j)) msim(j) = sim
+          }
+          j += 1
+        }
+        r += 1
+      }
+      (0 until n).iterator.map { k =>
+        val c = cs(sel(k))
+        (qid, c._2, c._3, selScore(k), k + 1)
+      }
+    }
+    picked.toDF("query_id", "vec_id", "rel", "mmr", "rk")
+      .orderBy("query_id", "rk")
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a, b) with

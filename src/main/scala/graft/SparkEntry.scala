@@ -51,6 +51,9 @@ object SparkEntry {
     "q29_skew_join" -> (Relational.q29SkewJoin _),
     // tumbling event-time windows, batch form (streaming semantics gated)
     "q30_tumbling_window" -> (Relational.q30TumblingWindow _),
+    // ordered-sequence funnel + first-seen cohort retention (events)
+    "q31_funnel" -> (Relational.q31Funnel _),
+    "q32_retention" -> (Relational.q32Retention _),
     // SURVEY §2.1 lake-table format ops (S3/S4/K1) through the oracle gate
     "lake_merge_snapshot" -> (LakeQueries.lakeMergeSnapshot _),
     // DSv2 metadata-only aggregates (no data files opened)
@@ -1034,6 +1037,34 @@ object SparkEntry {
         |  MIN(us) AS start_us, MAX(us) AS end_us
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, sid""".stripMargin,
+    "q31_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, MIN(us) AS v_us FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(us) AS c_us FROM e
+        |  JOIN v ON v.user_id = e.user_id
+        |  WHERE event_type = 'click' AND us > v_us GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(us) AS p_us FROM e
+        |  JOIN c ON c.user_id = e.user_id
+        |  WHERE event_type = 'purchase' AND us > c_us GROUP BY e.user_id),
+        |n AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n1,
+        |             (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n2,
+        |             (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n3)
+        |SELECT CAST(stage AS INT) AS stage, step, users,
+        |  CAST((users * 10000) // nullif(n1, 0) AS BIGINT) AS conv_bp
+        |FROM (
+        |  SELECT 1 AS stage, 'view' AS step, n1 AS users, n1 FROM n
+        |  UNION ALL SELECT 2, 'view>click', n2, n1 FROM n
+        |  UNION ALL SELECT 3, 'view>click>purchase', n3, n1 FROM n)
+        |ORDER BY stage""".stripMargin,
+    "q32_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, MIN(d) AS cohort FROM e GROUP BY user_id)
+        |SELECT strftime(f.cohort, '%Y%m%d') AS cohort_day,
+        |  CAST(date_diff('day', f.cohort, e.d) AS INT) AS day_offset,
+        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS users
+        |FROM e JOIN f ON f.user_id = e.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
     "q20_pivot" ->
       """SELECT o_orderpriority,
         |  COUNT(*) FILTER (o_orderstatus = 'F') AS "F",

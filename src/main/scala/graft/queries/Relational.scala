@@ -499,4 +499,64 @@ object Relational {
       .agg(count(lit(1)).as("n_events"), sum(col("user_id")).as("sum_users"))
       .orderBy("event_type")
   }
+
+  /** Funnel analysis (`q31_funnel`) — the classic product-analytics
+    * sequence query: users progressing view → click → purchase in
+    * strict timestamp order (earliest-completion semantics: the first
+    * view, then the first click AFTER it, then the first purchase
+    * after THAT). Conversion per stage in basis points vs stage 1 —
+    * integer division, so the whole report hash-matches.
+    *
+    * Scale shape: three user-keyed aggregations, each joining the
+    * (shrinking) previous stage's per-user frame — all hash joins on
+    * user_id, co-partitioned after the first shuffle; no windows, no
+    * per-user sort. The stage counts are single-row aggregates.
+    */
+  def q31Funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("v_us"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("us") > col("v_us"))
+      .groupBy("user_id").agg(min(col("us")).as("c_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("us") > col("c_us"))
+      .groupBy("user_id").agg(min(col("us")).as("p_us"))
+    def stage(n: Int, step: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(n).as("stage"), lit(step).as("step"), col("users"))
+    stage(1, "view", v)
+      .unionAll(stage(2, "view>click", c))
+      .unionAll(stage(3, "view>click>purchase", p))
+      .crossJoin(broadcast(v.agg(count(lit(1)).as("n1"))))
+      .select(col("stage"), col("step"), col("users"),
+        expr("(users * 10000) DIV nullif(n1, 0)").as("conv_bp"))
+      .orderBy("stage")
+  }
+
+  /** Cohort retention (`q32_retention`) — the other canonical
+    * behavioral-analytics shape: users grouped by first-seen day, then
+    * distinct active users per (cohort, day-offset) cell. Integer
+    * day arithmetic over the proven UTC date bucketing, so the whole
+    * matrix hash-matches.
+    *
+    * Scale shape: one user-keyed aggregation for the cohort map, one
+    * join back (user-co-partitioned), one (cohort, offset) count-
+    * distinct whose partial-aggregation dedups (user, cohort, offset)
+    * map-side. Cohort keys are dates — bounded cardinality, no skew.
+    */
+  def q32Retention(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val first = e.groupBy("user_id").agg(min(col("d")).as("cohort"))
+    e.join(first, "user_id")
+      .select(date_format(col("cohort"), "yyyyMMdd").as("cohort_day"),
+        datediff(col("d"), col("cohort")).as("day_offset"),
+        col("user_id"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("users"))
+      .orderBy("cohort_day", "day_offset")
+  }
 }

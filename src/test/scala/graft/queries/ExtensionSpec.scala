@@ -446,6 +446,53 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("funnel and retention equal imperative references on raw events") {
+    val ev = Relational.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), to_date(col("ts")).as("d"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDate(3).toLocalDate))
+    // funnel reference: earliest view, first click after, first purchase after
+    def firstAfter(u: Long, tpe: String, after: Long): Option[Long] = {
+      val ts = ev.filter(e => e._1 == u && e._2 == tpe && e._3 > after)
+      if (ts.isEmpty) None else Some(ts.map(_._3).min)
+    }
+    val users = ev.map(_._1).distinct
+    val vUsers = users.flatMap { u =>
+      val vs = ev.filter(e => e._1 == u && e._2 == "view")
+      if (vs.isEmpty) None else Some(u -> vs.map(_._3).min)
+    }.toMap
+    val cUsers = vUsers.flatMap { case (u, v) =>
+      firstAfter(u, "click", v).map(u -> _) }
+    val pUsers = cUsers.flatMap { case (u, c) =>
+      firstAfter(u, "purchase", c).map(u -> _) }
+    val fun = Relational.q31Funnel(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(fun(1)._2 == vUsers.size && fun(2)._2 == cUsers.size &&
+      fun(3)._2 == pUsers.size)
+    assert(fun(1)._3 == 10000L)
+    assert(fun(2)._3 == cUsers.size.toLong * 10000 / vUsers.size)
+    assert(fun(1)._2 >= fun(2)._2 && fun(2)._2 >= fun(3)._2)
+    assert(fun(3)._2 > 0, "fixture should carry completed funnels")
+    // retention reference: first-seen cohort, distinct users per offset
+    val cohort = ev.groupBy(_._1).view
+      .mapValues(_.map(_._4).min).toMap
+    val refCells = ev.map(e => ((cohort(e._1), java.time.temporal.ChronoUnit
+        .DAYS.between(cohort(e._1), e._4).toInt), e._1))
+      .distinct.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ret = Relational.q32Retention(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
+    assert(ret == refCells.map { case ((cd, off), n) =>
+      (cd.format(fmt), off) -> n })
+    // day-0 cell of each cohort is exactly the cohort's size
+    cohort.groupBy(_._2).foreach { case (cd, members) =>
+      assert(ret((cd.format(fmt), 0)) == members.size.toLong)
+    }
+  }
+
   test("multimodal: batched stub decode through typed Dataset plumbing") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)

@@ -149,6 +149,10 @@ object SparkEntry {
     "sim_hybrid_rrf" -> ((s, dir) => Similarity.hybridTopK(s, dir)),
     // MMR diversified rerank of the top-20 shortlist (lambda = 0.5)
     "sim_mmr" -> ((s, dir) => Similarity.mmrRerank(s, dir)),
+    // two-sample KS drift on a numeric column, integer cross-multiplied
+    "stats_ks_drift" -> ((s, dir) => Profile.ksDrift(s, dir)),
+    // triangle counts + clustering coefficient over the kNN graph
+    "stats_triangles" -> ((s, dir) => Similarity.triangleStats(s, dir)),
     "dedup_cosine_pairs" -> (Similarity.cosinePairs _),
     "dedup_semantic_clusters" -> (Similarity.semanticClusters _),
     "dedup_incremental" -> (Dedup.incrementalDedup _),
@@ -664,6 +668,56 @@ object SparkEntry {
        |  FROM f)
        |SELECT query_id, doc_id, rrf_u, lex_rank, vec_rank, rk
        |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
+  /** The `stats_ks_drift` oracle: value counts per doc-id half,
+    * running-sum CDFs, cross-multiplied integer divergence, top-k by
+    * (d_num desc, x asc) — integer replay verbatim.
+    */
+  private def ksDriftSql(topk: Int = 10): String =
+    s"""WITH d AS (SELECT doc_id, n_chars FROM documents),
+       |sp AS (SELECT (MAX(doc_id) + 1) // 2 AS split FROM d),
+       |c AS (SELECT n_chars AS x,
+       |    CAST(SUM(CASE WHEN doc_id < split THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |    CAST(SUM(CASE WHEN doc_id >= split THEN 1 ELSE 0 END) AS BIGINT) AS c2
+       |  FROM d, sp GROUP BY n_chars),
+       |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+       |             CAST(SUM(c2) AS BIGINT) AS n2 FROM c),
+       |cum AS (SELECT x,
+       |    CAST(SUM(c1) OVER (ORDER BY x ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f1,
+       |    CAST(SUM(c2) OVER (ORDER BY x ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f2
+       |  FROM c),
+       |sc AS (SELECT cum.x, cum.f1, cum.f2, t.n1, t.n2,
+       |    abs(t.n2 * cum.f1 - t.n1 * cum.f2) AS d_num FROM cum, t),
+       |r AS (SELECT x, f1, f2, d_num, n1, n2,
+       |    CAST(row_number() OVER (ORDER BY d_num DESC, x ASC) AS INT) AS rk
+       |  FROM sc)
+       |SELECT x, f1, f2, d_num, rk, n1, n2 FROM r WHERE rk <= $topk
+       |ORDER BY rk""".stripMargin
+
+  /** The `stats_triangles` oracle: the graph replay, undirected edge
+    * dedup, the ordered two-hop triangle join, per-corner counts,
+    * integer basis-point coefficient — replayed verbatim.
+    */
+  private def trianglesSql: String =
+    s"""WITH g AS (SELECT vec_id, nbr_id FROM ($knnGraphOracleSql)),
+       |u AS (SELECT DISTINCT LEAST(vec_id, nbr_id) AS a,
+       |    GREATEST(vec_id, nbr_id) AS b
+       |  FROM g WHERE vec_id <> nbr_id),
+       |tr AS (SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+       |  FROM u e1 JOIN u e2 ON e2.a = e1.b
+       |  JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |pn AS (SELECT v AS vec_id, CAST(COUNT(*) AS BIGINT) AS tri
+       |  FROM (SELECT unnest([ta, tb, tc]) AS v FROM tr) GROUP BY v),
+       |dg AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS deg FROM
+       |  (SELECT a AS vec_id FROM u UNION ALL SELECT b AS vec_id FROM u)
+       |  GROUP BY vec_id)
+       |SELECT dg.vec_id, dg.deg, COALESCE(pn.tri, 0) AS tri,
+       |  CAST((COALESCE(pn.tri, 0) * 2 * 10000) //
+       |    nullif(dg.deg * (dg.deg - 1), 0) AS BIGINT) AS clust_bp
+       |FROM dg LEFT JOIN pn ON pn.vec_id = dg.vec_id
+       |ORDER BY dg.vec_id""".stripMargin
 
   /** The `curate_label_audit` oracle: the full graph replay as a
     * derived table, then two label joins + integer agreement counting —
@@ -2134,6 +2188,8 @@ object SparkEntry {
       ("sim_hybrid_rrf" -> hybridRrfSql()) +
       ("text_entropy" -> entropyOracleSql) +
       ("sim_mmr" -> mmrOracleSql()) +
+      ("stats_ks_drift" -> ksDriftSql()) +
+      ("stats_triangles" -> trianglesSql) +
       ("stats_embedding_drift" -> embeddingDriftSql) +
       ("stats_profile_sketch" -> profileSketchSql) +
       ("sim_pq_topk" -> base("sim_topk_bruteforce")) +

@@ -129,4 +129,52 @@ object Profile {
         col("min_num"), col("max_num"))
       .orderBy("col_name")
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift test (`stats_ks_drift`) — the
+    * distribution-level "did this numeric column move between two
+    * snapshots" check (the scalar twin of the per-cell embedding
+    * drift): snapshots are the doc-id halves (two crawls / two dated
+    * partitions in production), the statistic is
+    * `max_x |n2·F1(x) − n1·F2(x)|` over observed values — the KS sup
+    * with both empirical CDFs CROSS-MULTIPLIED so the comparison is
+    * pure integer (the corpus-drift trick: no divisions, no floats) —
+    * and the output is the top-[[KsTopK]] divergence points with their
+    * cumulative counts, so the report hash-matches and downstream can
+    * compute D = d_num/(n1·n2) at any precision it likes.
+    *
+    * Scale shape: one groupBy on the value (distinct-value-bounded
+    * frame, map-side combined), one running-sum window over that SMALL
+    * frame (the HDR-quantile-extraction precedent — never a window
+    * over the raw rows), top-k by rank.
+    */
+  val KsTopK = 10
+
+  def ksDrift(s: SparkSession, dir: String, topk: Int = KsTopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Relational.t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+    val split = (maxId + 1L) / 2L
+    val counts = d
+      .select(col("n_chars").as("x"),
+        (col("doc_id") >= split).cast("int").as("half"))
+      .groupBy("x")
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("c2"))
+    val wc = Window.orderBy(col("x").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = counts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val scored = counts
+      .withColumn("f1", sum(col("c1")).over(wc))
+      .withColumn("f2", sum(col("c2")).over(wc))
+      .crossJoin(broadcast(tot))
+      .select(col("x"), col("f1"), col("f2"), col("n1"), col("n2"),
+        abs(col("n2") * col("f1") - col("n1") * col("f2")).as("d_num"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("d_num").desc, col("x").asc)))
+      .filter(col("rk") <= topk)
+      .select("x", "f1", "f2", "d_num", "rk", "n1", "n2")
+      .orderBy("rk")
+  }
 }

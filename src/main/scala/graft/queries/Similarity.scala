@@ -1251,6 +1251,51 @@ object Similarity {
         (col("agree") * 2 < col("n_nbrs")).as("suspect"))
       .orderBy("vec_id")
 
+  /** Triangle counting + local clustering coefficient over the kNN
+    * graph (`stats_triangles`) — the graph-health screen for a dedup/
+    * similarity pipeline: a high-coefficient node sits in a tight
+    * near-dup community (its neighbors also neighbor each other); a
+    * zero-coefficient high-degree node is a hub stitching unrelated
+    * regions (embedding pathology or boilerplate attractor). Edges are
+    * undirected-deduped (a < b), triangles enumerated by the standard
+    * ordered two-hop join a<b<c — e(a,b) ⋈ e(b,c) ⋈ e(a,c) — so each
+    * triangle is produced exactly once; the coefficient is reported in
+    * integer basis points `(2·tri·10⁴) DIV (deg·(deg−1))`, so the
+    * whole table hash-matches.
+    *
+    * Scale shape: on a k-bounded graph the two-hop candidate volume is
+    * ≤ |E|·k (never quadratic in nodes); both joins key on edge
+    * endpoints (shuffle joins, co-partitionable); per-node counts are
+    * map-side combined. The graph is the staged pipeline artifact.
+    */
+  def triangleStats(s: SparkSession, dir: String): DataFrame = {
+    val g = stagedKnnGraph(s, dir)
+    val und = g
+      .select(least(col("vec_id"), col("nbr_id")).as("a"),
+        greatest(col("vec_id"), col("nbr_id")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("ta"), col("e1.b").as("tb"),
+        col("e2.b").as("tc"))
+      .join(und.select(col("a").as("ta"), col("b").as("tc")),
+        Seq("ta", "tc"))
+    val perNode = tri
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("vec_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("tri"))
+    val deg = und.select(col("a").as("vec_id"))
+      .unionAll(und.select(col("b").as("vec_id")))
+      .groupBy("vec_id").agg(count(lit(1)).as("deg"))
+    val out = deg.join(perNode, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("clust_bp",
+        expr("(tri * 2 * 10000) DIV nullif(deg * (deg - 1), 0)"))
+      .orderBy("vec_id")
+    Dedup.releaseAfter(out, und)
+  }
+
   /** k-NN graph construction (`sim_knn_graph`): for EVERY corpus vector,
     * its `k` nearest probed-IVF neighbors — the graph primitive behind
     * diversity-aware sampling, graph-based dedup/cluster analysis, and

@@ -493,6 +493,61 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("KS drift equals an integer reference over the doc-id halves") {
+    val rows = Profile.ksDrift(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getLong(5), r.getLong(6)))
+    val d = Relational.t(spark, sf, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val split = (d.map(_._1).max + 1) / 2
+    val xs = d.map(_._2).distinct.sorted
+    val n1 = d.count(_._1 < split).toLong
+    val n2 = d.count(_._1 >= split).toLong
+    val scored = xs.map { x =>
+      val f1 = d.count(e => e._1 < split && e._2 <= x).toLong
+      val f2 = d.count(e => e._1 >= split && e._2 <= x).toLong
+      (x, f1, f2, math.abs(n2 * f1 - n1 * f2))
+    }
+    val want = scored.sortBy { case (x, _, _, dn) => (-dn, x) }.take(10)
+      .zipWithIndex
+      .map { case ((x, f1, f2, dn), i) => (x, f1, f2, dn, i + 1, n1, n2) }
+    assert(rows.toSeq == want.toSeq,
+      s"KS drift drifted: got=${rows.take(3).toSeq} want=${want.take(3)}")
+    // both empirical CDFs are complete at the top value
+    assert(scored.last._2 == n1 && scored.last._3 == n2)
+  }
+
+  test("triangle stats equal a brute-force reference on the kNN graph") {
+    val rows = Similarity.triangleStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    val und = Similarity.stagedKnnGraph(spark, sf)
+      .select("vec_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triPerNode = scala.collection.mutable.Map[Long, Long]()
+    var total = 0L
+    und.foreach { case (a, b) =>
+      (adj(a) & adj(b)).filter(c => c > b).foreach { c =>
+        total += 1
+        Seq(a, b, c).foreach(v =>
+          triPerNode(v) = triPerNode.getOrElse(v, 0L) + 1)
+      }
+    }
+    assert(rows.map(_._3).sum == 3 * total, "corner sum = 3x triangles")
+    rows.foreach { case (v, deg, tri, bp) =>
+      assert(deg == adj(v).size.toLong, s"degree of $v")
+      assert(tri == triPerNode.getOrElse(v, 0L), s"triangles of $v")
+      val expBp = if (deg < 2) -1L else tri * 2 * 10000 / (deg * (deg - 1))
+      assert(bp == expBp, s"coefficient of $v")
+    }
+    assert(total > 0, "a kNN graph over clustered data must close triangles")
+  }
+
   test("multimodal: batched stub decode through typed Dataset plumbing") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)

@@ -54,6 +54,8 @@ object SparkEntry {
     // ordered-sequence funnel + first-seen cohort retention (events)
     "q31_funnel" -> (Relational.q31Funnel _),
     "q32_retention" -> (Relational.q32Retention _),
+    "q33_cube" -> (Relational.q33Cube _),
+    "q34_interval_overlap" -> (Relational.q34IntervalOverlap _),
     // SURVEY §2.1 lake-table format ops (S3/S4/K1) through the oracle gate
     "lake_merge_snapshot" -> (LakeQueries.lakeMergeSnapshot _),
     // DSv2 metadata-only aggregates (no data files opened)
@@ -1119,6 +1121,26 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS users
         |FROM e JOIN f ON f.user_id = e.user_id
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    "q33_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+        |  COALESCE(o_orderpriority, 'ALL') AS pri,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY st, pri""".stripMargin,
+    "q34_interval_overlap" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS s_us,
+        |    epoch_us(ts) + CAST(floor(value * 1000000.0) AS BIGINT) AS e_us
+        |  FROM events),
+        |b AS (SELECT event_type, s_us AS t, 1 AS delta FROM e
+        |  UNION ALL SELECT event_type, e_us, -1 FROM e),
+        |r AS (SELECT event_type, SUM(delta) OVER (
+        |    PARTITION BY event_type ORDER BY t, delta DESC
+        |    ROWS UNBOUNDED PRECEDING) AS running FROM b)
+        |SELECT event_type, CAST(MAX(running) AS BIGINT) AS max_concurrent,
+        |  CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q20_pivot" ->
       """SELECT o_orderpriority,
         |  COUNT(*) FILTER (o_orderstatus = 'F') AS "F",

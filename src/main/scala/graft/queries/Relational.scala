@@ -199,6 +199,65 @@ object Relational {
         col("sum_qty"), col("cnt"))
       .orderBy("rf", "ls")
 
+  /** Full CUBE (`q33_cube`) — every subset of the grouping keys in one
+    * pass. Completes the multidimensional-aggregation algebra next to
+    * rollup (prefix lattice) and grouping sets (explicit lattice): a
+    * reporting user gets all 2^k marginal totals from ONE scan + ONE
+    * expanded shuffle instead of 2^k separate group-bys.
+    *
+    * Scale shape: Spark's Expand emits 4 rows per input row here (k=2);
+    * partial aggregation collapses them map-side before the shuffle, so
+    * the exchange carries only group cardinality × 4 — constant in the
+    * fact-table size.
+    */
+  def q33Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(sum(col("o_totalprice").cast(dec)).cast("double").as("sum_price"),
+        count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+        col("sum_price"), col("cnt"))
+      .orderBy("st", "pri")
+
+  /** Interval-overlap sweep (`q34_interval_overlap`) — peak concurrency
+    * per event type: each event spans [ts, ts + value seconds); the
+    * classic sweep-line turns interval overlap into a running sum over
+    * +1/-1 boundary deltas. Start boundaries sort before end boundaries
+    * at the same instant (delta DESC), so touching intervals count as
+    * overlapping — and within a tie group of equal (t, delta) the
+    * prefix-sum MULTISET is order-invariant, so max(running) is
+    * deterministic under any shuffle order.
+    *
+    * Scale shape: one union (2 rows/event), one window partitioned by
+    * event_type — bounded-cardinality partitions, each sorted locally
+    * after a single shuffle; no self-join (the naive pairwise overlap
+    * join is O(n²) and was never on the table).
+    */
+  def q34IntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(s, dir).select(
+      col("event_type"),
+      unix_micros(col("ts")).as("s_us"),
+      // floor-then-cast: Spark casts double→long by truncation, DuckDB
+      // by rounding; floor() is bit-identical in both
+      (unix_micros(col("ts")) +
+        floor(col("value") * lit(1000000.0)).cast("long")).as("e_us"))
+    val bounds =
+      e.select(col("event_type"), col("s_us").as("t"), lit(1).as("delta"))
+        .unionAll(e.select(col("event_type"), col("e_us").as("t"),
+          lit(-1).as("delta")))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("t"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds.withColumn("running", sum(col("delta")).over(w))
+      .groupBy("event_type")
+      .agg(max(col("running")).as("max_concurrent"),
+        (count(lit(1)) / 2).cast("long").as("n_intervals"))
+      .orderBy("event_type")
+  }
+
   /** Grouping sets beyond rollup's prefix lattice: two sibling groupings
     * {(returnflag), (linestatus)} in ONE pass over the fact table (Spark
     * expands then aggregates — one scan, one shuffle, vs two scans for a

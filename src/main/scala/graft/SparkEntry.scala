@@ -155,6 +155,14 @@ object SparkEntry {
     "stats_ks_drift" -> ((s, dir) => Profile.ksDrift(s, dir)),
     // triangle counts + clustering coefficient over the kNN graph
     "stats_triangles" -> ((s, dir) => Similarity.triangleStats(s, dir)),
+    // all-integer Flesch readability screen (map-only regex counting)
+    "text_readability" -> (TextAnalysis.readability _),
+    // PMI-ratio bigram collocations (phrase detection pass)
+    "text_collocations" -> ((s, dir) => TextAnalysis.collocations(s, dir)),
+    // chi-square term-label association, top terms per lang
+    "stats_chi2_terms" -> ((s, dir) => TextAnalysis.chi2Terms(s, dir)),
+    // per-cluster k-means health report over the IVF model
+    "sim_kmeans" -> (Similarity.kmeansStats _),
     "dedup_cosine_pairs" -> (Similarity.cosinePairs _),
     "dedup_semantic_clusters" -> (Similarity.semanticClusters _),
     "dedup_incremental" -> (Dedup.incrementalDedup _),
@@ -792,6 +800,21 @@ object SparkEntry {
       .stripMargin
   }
 
+  /** The `sim_kmeans` oracle: trainer + full-corpus assignment replay,
+    * then the same exact-integer q12 aggregation per cell (floor of a
+    * bit-identical double, integer sum, double division for the mean).
+    */
+  private def kmeansStatsSql: String =
+    s"""$ivfTrainAssignCtes,
+       |g AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |    MIN(csim) AS min_csim, MAX(csim) AS max_csim,
+       |    CAST(SUM(CAST(floor(csim * 4096.0) AS BIGINT)) AS BIGINT)
+       |      AS sum_csim_q12
+       |  FROM asg GROUP BY cell)
+       |SELECT cell, n_members, min_csim, max_csim, sum_csim_q12,
+       |  CAST(floor(sum_csim_q12 / n_members) AS BIGINT) AS mean_csim_q12
+       |FROM g ORDER BY cell""".stripMargin
+
   private def ivfProbeOracle(queryWhere: String, k: Int,
       outId: String, outNbr: String): String = {
     import graft.queries.Similarity.{IvfIters, IvfProbe}
@@ -968,6 +991,69 @@ object SparkEntry {
         |  END AS bits_per_bigram_q4
         |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "text_readability" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+        |      AS BIGINT) AS n_words,
+        |    CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0 THEN CAST(
+        |      20683 - (1015 * n_words) // (10 * n_sentences)
+        |            - (8460 * n_syllables) // n_words AS BIGINT)
+        |    ELSE NULL END AS flesch_x100
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "text_collocations" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+        |  FROM (SELECT unnest(t) AS w FROM t) WHERE len(w) > 0 GROUP BY w),
+        |bgl AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |    i -> {'w1': t[i], 'w2': t[i + 1]})) AS bg
+        |  FROM t WHERE len(t) >= 2),
+        |b AS (SELECT bg.w1 AS w1, bg.w2 AS w2,
+        |    CAST(COUNT(*) AS BIGINT) AS pair_count
+        |  FROM bgl WHERE len(bg.w1) > 0 AND len(bg.w2) > 0 GROUP BY 1, 2),
+        |tot AS (SELECT CAST((SELECT SUM(c1) FROM u) AS BIGINT) AS ut,
+        |               CAST((SELECT SUM(pair_count) FROM b) AS BIGINT) AS bt)
+        |SELECT b.w1, b.w2, b.pair_count,
+        |  (CAST(b.pair_count AS DOUBLE) * tot.ut * tot.ut) /
+        |  (CAST(tot.bt AS DOUBLE) * u1.c1 * u2.c1) AS pmi_ratio
+        |FROM b CROSS JOIN tot
+        |JOIN u u1 ON u1.w = b.w1 JOIN u u2 ON u2.w = b.w2
+        |WHERE b.pair_count >= 5
+        |ORDER BY pmi_ratio DESC, b.w1, b.w2 LIMIT 50""".stripMargin,
+    "stats_chi2_terms" ->
+      """WITH inc AS (SELECT DISTINCT doc_id, lang, w FROM (
+        |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) WHERE len(w) > 0),
+        |nl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l
+        |  FROM documents GROUP BY lang),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |dft AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df_t
+        |  FROM inc GROUP BY w),
+        |dftl AS (SELECT w, lang, CAST(COUNT(*) AS BIGINT) AS df_tl
+        |  FROM inc GROUP BY w, lang),
+        |x AS (SELECT d.lang, d.w, d.df_tl, t.df_t, nl.n_l, nn.n,
+        |    t.df_t - d.df_tl AS b
+        |  FROM dftl d JOIN dft t ON t.w = d.w
+        |  JOIN nl ON nl.lang = d.lang CROSS JOIN nn
+        |  WHERE t.df_t >= 10 AND t.df_t < nn.n),
+        |sc AS (SELECT lang, w AS term, df_tl, df_t,
+        |    (CAST(df_tl * (n - n_l - b) - b * (n_l - df_tl) AS DOUBLE)
+        |      * (df_tl * (n - n_l - b) - b * (n_l - df_tl)) * n) /
+        |    (CAST(df_t AS DOUBLE) * (n - df_t) * n_l * (n - n_l)) AS chi2
+        |  FROM x),
+        |r AS (SELECT lang, term, df_tl, df_t, chi2,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY lang ORDER BY chi2 DESC, term ASC) AS INT) AS rk
+        |  FROM sc)
+        |SELECT lang, term, df_tl, df_t, chi2, rk FROM r
+        |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
     "q2_dim_join" ->
       """SELECT COALESCE(p_brand, 'NA') AS brand,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -2212,6 +2298,7 @@ object SparkEntry {
       ("sim_mmr" -> mmrOracleSql()) +
       ("stats_ks_drift" -> ksDriftSql()) +
       ("stats_triangles" -> trianglesSql) +
+      ("sim_kmeans" -> kmeansStatsSql) +
       ("stats_embedding_drift" -> embeddingDriftSql) +
       ("stats_profile_sketch" -> profileSketchSql) +
       ("sim_pq_topk" -> base("sim_topk_bruteforce")) +

@@ -1195,6 +1195,36 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** k-means cluster report (`sim_kmeans`) — the per-cluster health
+    * summary every embedding-clustering pass ends with: member count,
+    * affinity range, and mean member-to-centroid cosine per cell of the
+    * bit-portable [[ivfCentroids]] model. The mean is an EXACT integer
+    * sum of q12 fixed-point affinities (`floor(csim·4096)` — floor of a
+    * bit-identical double is bit-identical) divided in double — no
+    * shuffle-order FP drift, no per-cell member list, so the whole
+    * report hash-matches the trainer-replay oracle AND stays a bounded
+    * aggregation at any corpus size (a collect_list-based mean would be
+    * O(corpus/cells) per group).
+    *
+    * Scale shape: map-only assignment against the broadcast centroid
+    * matrix, then ONE hash aggregation keyed by cell (≤ [[IvfCells]]
+    * groups) with map-side partials.
+    */
+  def kmeansStats(s: SparkSession, dir: String): DataFrame = {
+    val e = Relational.t(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+    val cent = ivfCentFor(s, dir, e)
+    multiAssignCells(e, cent, 1)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+        min(col("csim")).as("min_csim"),
+        max(col("csim")).as("max_csim"),
+        sum(floor(col("csim") * lit(4096.0)).cast("long")).as("sum_csim_q12"))
+      .withColumn("mean_csim_q12",
+        floor(col("sum_csim_q12") / col("n_members")).cast("long"))
+      .orderBy("cell")
+  }
+
   /** The kNN graph as a staged pipeline artifact — same contract as
     * [[stagedSemanticPairs]]: the graph is built once per corpus
     * snapshot and every downstream analysis (label audit today; any

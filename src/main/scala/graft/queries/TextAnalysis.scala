@@ -748,4 +748,126 @@ object TextAnalysis {
 
   def lmScore(s: SparkSession, dir: String): DataFrame =
     lmScoreFor(Relational.t(s, dir, "documents"))
+
+  /** Readability screen (`text_readability`) — the Flesch reading-ease
+    * family in ALL-INTEGER arithmetic: words = non-empty
+    * space-separated tokens, sentences = terminal-punctuation runs
+    * (`[.!?]+`, floor 1), syllables = vowel-group runs (`[aeiouy]+` on
+    * the lowercased text — the standard cheap approximation). The
+    * score ×100 uses integer division only
+    * (`20683 − 1015·w/(10·s) − 8460·syl/w`), so the whole report
+    * hash-matches the SQL oracle — a float Flesch would drift in the
+    * last ulp. Training-data use: drop the unreadable tails (token
+    * soup scores deeply negative; boilerplate lists score > 100).
+    *
+    * Scale shape: pure per-row codegen'd regex counting — map-only, no
+    * shuffle at any corpus size.
+    */
+  def readability(s: SparkSession, dir: String): DataFrame =
+    Relational.t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => length(w) > 0))
+          .cast("long").as("n_words"),
+        greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+          .cast("long"), lit(1L)).as("n_sentences"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("n_syllables"))
+      .withColumn("flesch_x100",
+        when(col("n_words") > 0,
+          lit(20683L) - expr("(1015 * n_words) DIV (10 * n_sentences)")
+            - expr("(8460 * n_syllables) DIV n_words"))
+          .otherwise(lit(null).cast("long")))
+      .orderBy("doc_id")
+
+  /** PMI collocation mining (`text_collocations`) — the phrase-detection
+    * pass (word2vec's phrase pass, spaCy's collocation lists): bigrams
+    * whose observed rate beats the independence expectation. Ranked by
+    * the PMI RATIO `(c₁₂·U²)/(B·c₁·c₂)` (PMI = log of it — log is
+    * monotone, so the ranking is identical and the ratio stays in exact
+    * double arithmetic over integer counts, which the oracle replays
+    * bit-for-bit where a float log would not). `minCount` floors the
+    * pair support — PMI's classic failure mode is rare-pair explosion.
+    *
+    * Scale shape: two map-side-combined count aggregations (unigram,
+    * bigram — both bounded by vocabulary, not corpus), one join of the
+    * bigram table to the unigram table on each side (pre-reduced, so
+    * skew-safe), one global top-k. The corpus is scanned once.
+    */
+  def collocations(s: SparkSession, dir: String,
+      minCount: Int = 5, k: Int = 50): DataFrame = {
+    val withToks = Relational.t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(split(col("text"), " ").as("t"))
+    val uni = withToks.select(explode(col("t")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val bg = withToks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("pair_count"))
+    val totals = uni.agg(sum(col("c1")).as("ut"))
+      .crossJoin(bg.agg(sum(col("pair_count")).as("bt")))
+    bg.filter(col("pair_count") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c1").as("c1l")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c1").as("c1r")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("pair_count"),
+        (col("pair_count").cast("double") * col("ut") * col("ut") /
+          (col("bt").cast("double") * col("c1l") * col("c1r")))
+          .as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** χ² term–label association (`stats_chi2_terms`) — the classic
+    * feature-selection / corpus-comparison statistic: for each (term,
+    * lang) the 2×2 contingency table over document incidence, scored
+    * `N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d))`, top-k terms per lang. This is
+    * how a curation pass surfaces what characterizes a slice (label
+    * leakage audits, domain keyword extraction). Counts are exact
+    * integers; the score is ONE double expression over them with fixed
+    * association order, so the oracle replays it bit-for-bit.
+    * Ubiquitous terms (df = N) are excluded — their table degenerates.
+    *
+    * Scale shape: incidence dedup and both document-frequency tables
+    * are map-side-combined aggregations bounded by vocabulary; the
+    * label/total marginals broadcast; one window per lang (bounded
+    * cardinality) takes the top-k.
+    */
+  def chi2Terms(s: SparkSession, dir: String,
+      minDf: Int = 10, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Relational.t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+    val inc = d.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+    val nl = d.groupBy("lang").agg(count(lit(1)).as("n_l"))
+    val nn = d.agg(count(lit(1)).as("n"))
+    val dft = inc.groupBy("w").agg(count(lit(1)).as("df_t"))
+    val dftl = inc.groupBy("w", "lang").agg(count(lit(1)).as("df_tl"))
+    val scored = dftl
+      .join(dft, "w")
+      .join(broadcast(nl), "lang")
+      .crossJoin(broadcast(nn))
+      .filter(col("df_t") >= minDf && col("df_t") < col("n"))
+      .withColumn("b", col("df_t") - col("df_tl"))
+      .withColumn("adbc",
+        col("df_tl") * (col("n") - col("n_l") - col("b")) -
+          col("b") * (col("n_l") - col("df_tl")))
+      .select(col("lang"), col("w").as("term"), col("df_tl"), col("df_t"),
+        (col("adbc").cast("double") * col("adbc") * col("n") /
+          (col("df_t").cast("double") * (col("n") - col("df_t")) *
+            col("n_l") * (col("n") - col("n_l"))))
+          .as("chi2"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("chi2").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+      .orderBy("lang", "rk")
+  }
 }

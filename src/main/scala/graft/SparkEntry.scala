@@ -68,6 +68,8 @@ object SparkEntry {
     "lake_incremental" -> (LakeQueries.lakeIncremental _),
     "lake_delete" -> (LakeQueries.lakeDelete _),
     "lake_zonemap_filter" -> (LakeQueries.lakeZonemapFilter _),
+    // z-order clustering table service + the 2-D box read it serves
+    "lake_zorder_filter" -> (LakeQueries.lakeZorderFilter _),
     "lake_time_travel" -> (LakeQueries.lakeTimeTravel _),
     "lake_read_optimized" -> (LakeQueries.lakeReadOptimized _),
     // SQL MERGE INTO via the delta-based row-level operation path
@@ -163,6 +165,8 @@ object SparkEntry {
     "stats_chi2_terms" -> ((s, dir) => TextAnalysis.chi2Terms(s, dir)),
     // per-cluster k-means health report over the IVF model
     "sim_kmeans" -> (Similarity.kmeansStats _),
+    // webdataset-style shard manifest via distributed prefix sum
+    "mm_shard_manifest" -> ((s, dir) => TextAnalysis.shardManifest(s, dir)),
     "dedup_cosine_pairs" -> (Similarity.cosinePairs _),
     "dedup_semantic_clusters" -> (Similarity.semanticClusters _),
     "dedup_incremental" -> (Dedup.incrementalDedup _),
@@ -991,6 +995,20 @@ object SparkEntry {
         |  END AS bits_per_bigram_q4
         |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "mm_shard_manifest" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(512 + octet_length(encode(COALESCE(text, ''))) AS BIGINT)
+        |      AS b
+        |  FROM documents),
+        |c AS (SELECT doc_id, b,
+        |    COALESCE(SUM(b) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM d)
+        |SELECT CAST(cum // 32768 AS BIGINT) AS shard_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(b) AS BIGINT) AS shard_bytes,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin,
     "text_readability" ->
       """WITH b AS (
         |  SELECT doc_id,
@@ -1467,6 +1485,19 @@ object SparkEntry {
          |UNION ALL
          |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts
          |FROM b2 WHERE l_quantity > 1000
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "lake_zorder_filter" ->
+      s"""$lakeCtes, m AS (
+         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |    l_quantity, l_returnflag, created_ts
+         |  FROM b1 WHERE l_orderkey >= 500
+         |  UNION ALL
+         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |    l_quantity + 1000, l_returnflag, created_ts + 1
+         |  FROM b1 WHERE l_orderkey < 500)
+         |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+         |  created_ts, l_partkey, l_suppkey
+         |FROM m WHERE l_partkey <= 200 AND l_suppkey <= 20
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "text_stats" ->
       """SELECT lang, COUNT(*) AS docs,

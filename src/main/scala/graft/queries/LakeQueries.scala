@@ -95,6 +95,7 @@ object LakeQueries {
     timed("delete")(deleteFixture(s, dir))
     timed("merge_into")(mergeFixture(s, dir))
     timed("changes")(changeFixture(s, dir))
+    timed("zorder")(zorderFixture(s, dir))
   }
 
   /** The two-commit COW table (upsert b1, upsert b2) that four read
@@ -208,6 +209,42 @@ object LakeQueries {
   /** S3 time travel: `snapshotAsOf(c1)` after a second commit must
     * reproduce exactly the pre-update table — the oracle is batch1 alone.
     */
+  /** Z-order clustered fixture: the two-commit COW table rewritten by
+    * the [[LakeTable.clusterZOrder]] table service along the
+    * (l_partkey, l_suppkey) curve — built once per (JVM, sfDir); the
+    * query below measures the post-clustering READ.
+    */
+  private val zorderFixtures = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def zorderFixture(s: SparkSession, dir: String): LakeTable = {
+    val path = zorderFixtures.getOrElseUpdate(dir, {
+      val t = freshTable(s)
+      withBatch1(s, dir) { b1 =>
+        t.upsert(b1, combine = false)
+        t.upsert(batch2(b1), combine = false)
+      }
+      t.clusterZOrder(Seq("l_partkey", "l_suppkey"))
+      t.path
+    })
+    LakeTable.load(s, path)
+  }
+
+  /** Z-order clustered 2-D box read (`lake_zorder_filter`): after the
+    * clustering rewrite, a conjunctive range filter on BOTH curve
+    * columns — the workload z-order exists for. Correctness gate: the
+    * merged snapshot's rows are unchanged by the maintenance rewrite
+    * (the oracle replays the merge + filter on plain parquet); the
+    * pruning benefit itself is plan-asserted in ZoneMapSpec, where the
+    * same box skips most files under z-order but not under a linear
+    * sort. At 100 TB this read opens only the files whose zone maps
+    * intersect the box — O(selectivity), not O(table).
+    */
+  def lakeZorderFilter(s: SparkSession, dir: String): DataFrame =
+    zorderFixture(s, dir).snapshot()
+      .filter(col("l_partkey") <= 200 && col("l_suppkey") <= 20)
+      .select((outCols ++ Seq("l_partkey", "l_suppkey")).map(col): _*)
+      .orderBy("l_orderkey", "l_linenumber")
+
   def lakeTimeTravel(s: SparkSession, dir: String): DataFrame = {
     val (t, c1, _) = cowFixture(s, dir)
     t.snapshotAsOf(c1).select(outCols.map(col): _*)

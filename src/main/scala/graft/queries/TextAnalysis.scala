@@ -749,6 +749,59 @@ object TextAnalysis {
   def lmScore(s: SparkSession, dir: String): DataFrame =
     lmScoreFor(Relational.t(s, dir, "documents"))
 
+  /** Shard-manifest packing (`mm_shard_manifest`) — the webdataset-style
+    * export planner: records in deterministic doc_id order are split
+    * into shards at fixed byte offsets (item bytes = payload + a 512 B
+    * per-record header allowance), i.e. shard = ⌊bytes-before / budget⌋.
+    * The manifest (count, bytes, id range per shard) is what a tar-shard
+    * writer consumes; offset splitting keeps every shard within
+    * budget + one item of the target size with NO sequential pass.
+    *
+    * Scale shape: the textbook DISTRIBUTED PREFIX SUM — range-partition
+    * by doc_id, one tiny job collects per-partition byte totals (one row
+    * per partition, not per record), exclusive-scan them on the driver,
+    * broadcast the offsets, then a single map pass assigns shards. A
+    * global-order window would funnel 100 TB through one partition; this
+    * never shuffles the records at all (the range partitioning is the
+    * only exchange, and the final roll-up is per-shard).
+    */
+  def shardManifest(s: SparkSession, dir: String,
+      budget: Long = 32768L): DataFrame = {
+    import s.implicits._
+    val d = Relational.t(s, dir, "documents")
+      .select(col("doc_id"),
+        (lit(512L) +
+          length(coalesce(col("text"), lit("")).cast("binary")).cast("long"))
+          .as("b"))
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .as[(Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = d.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        Iterator.single((i, it.map(_._2).sum))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(0L)(_ + _) // exclusive prefix per partition
+    val bc = s.sparkContext.broadcast(offsets)
+    val assigned = s.createDataFrame(
+      d.rdd.mapPartitionsWithIndex { (i, it) =>
+        var cum = bc.value(i)
+        it.map { case (id, b) =>
+          val shard = cum / budget
+          cum += b
+          (shard, id, b)
+        }
+      }).toDF("shard_id", "doc_id", "b")
+    val out = assigned.groupBy("shard_id")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("b")).as("shard_bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("shard_id")
+    Dedup.releaseAfter(out, d.toDF())
+  }
+
   /** Readability screen (`text_readability`) — the Flesch reading-ease
     * family in ALL-INTEGER arithmetic: words = non-empty
     * space-separated tokens, sentences = terminal-punctuation runs

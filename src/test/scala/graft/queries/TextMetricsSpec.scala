@@ -87,6 +87,27 @@ class TextMetricsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r0.getDouble(4) == chi2)
   }
 
+  test("shard manifest equals a single-threaded offset-split reference") {
+    val docs = Relational.t(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        512L + Option(r.getString(1)).getOrElse("").getBytes("UTF-8").length))
+      .sortBy(_._1)
+    val budget = 32768L
+    var cum = 0L
+    val ref = docs.map { case (id, b) =>
+      val shard = cum / budget; cum += b; (shard, id, b)
+    }.groupBy(_._1).map { case (s, xs) =>
+      s -> (xs.length.toLong, xs.map(_._3).sum, xs.map(_._2).min, xs.map(_._2).max)
+    }
+    val out = TextAnalysis.shardManifest(spark, dir).collect()
+    assert(out.length == ref.size)
+    out.foreach { r =>
+      val e = ref(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == e)
+    }
+  }
+
   test("kmeans report partitions the corpus and bounds the q12 mean") {
     val total = Relational.t(spark, dir, "embeddings").count()
     val rows = Similarity.kmeansStats(spark, dir).collect()

@@ -71,6 +71,11 @@ object SparkEntry {
     // z-order clustering table service + the 2-D box read it serves
     "lake_zorder_filter" -> (LakeQueries.lakeZorderFilter _),
     "lake_time_travel" -> (LakeQueries.lakeTimeTravel _),
+    // savepoint-restore: roll back a destructive commit, read the snapshot
+    "lake_restore" -> (LakeQueries.lakeRestore _),
+    // write-time schema evolution: commit 2 adds a column; old files
+    // read null-filled under the evolved schema
+    "lake_schema_evolution" -> (LakeQueries.lakeSchemaEvolution _),
     "lake_read_optimized" -> (LakeQueries.lakeReadOptimized _),
     // SQL MERGE INTO via the delta-based row-level operation path
     "lake_merge_into" -> (LakeQueries.lakeMergeInto _),
@@ -1472,6 +1477,27 @@ object SparkEntry {
       s"""$lakeCtes
          |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts
          |FROM b1
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // post-restore snapshot == the merged b1 ⊕ b2 state: the rolled-back
+    // delete commit must leave no trace (rows or tombstones)
+    "lake_restore" ->
+      s"""$lakeCtes
+         |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts
+         |FROM b1 WHERE l_orderkey >= 500
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts FROM b2
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // evolved-schema snapshot: l_tier exists only on the commit-2 keys;
+    // every untouched key reads it as NULL from pre-evolution base files
+    "lake_schema_evolution" ->
+      s"""$lakeCtes
+         |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts,
+         |  CAST(NULL AS INT) AS l_tier
+         |FROM b1 WHERE l_orderkey >= 500
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts,
+         |  CAST(CAST(l_quantity AS BIGINT) % 5 AS INT) AS l_tier
+         |FROM b2
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "lake_read_optimized" ->
       s"""$lakeCtes

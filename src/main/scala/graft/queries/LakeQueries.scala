@@ -96,6 +96,8 @@ object LakeQueries {
     timed("merge_into")(mergeFixture(s, dir))
     timed("changes")(changeFixture(s, dir))
     timed("zorder")(zorderFixture(s, dir))
+    timed("restore")(restoreFixture(s, dir))
+    timed("schema_evolution")(evoFixture(s, dir))
   }
 
   /** The two-commit COW table (upsert b1, upsert b2) that four read
@@ -416,4 +418,68 @@ object LakeQueries {
       .agg(count(lit(1)).as("cnt"),
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
       .orderBy("l_returnflag")
+
+  /** Savepoint-restore under the hash gate (Hudi savepoint/restore,
+    * reference ops surface): upsert b1 (c1), upsert b2 (c2, savepointed),
+    * then a DESTRUCTIVE third commit deletes every key < 200 — and
+    * `restore(c2)` rolls the table back, dropping the delete commit from
+    * the timeline and physically reclaiming its files. The post-restore
+    * snapshot must be EXACTLY the merged b1 ⊕ b2 state the oracle
+    * computes; any leakage of the rolled-back delete (a surviving
+    * tombstone, a half-dropped commit) breaks the hash. Built once per
+    * (JVM, sfDir); the query measures the post-restore snapshot READ.
+    */
+  private val restoreFixtures = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def restoreFixture(s: SparkSession, dir: String): LakeTable = {
+    val path = restoreFixtures.getOrElseUpdate(dir, {
+      val t = freshTable(s)
+      withBatch1(s, dir) { b1 =>
+        t.upsert(b1, combine = false)
+        val c2 = t.upsert(batch2(b1), combine = false)
+        t.savepoint(c2) // pin: clean can never strand the restore target
+        t.delete(b1.filter(col("l_orderkey") < 200))
+        t.restore(c2)
+      }
+      t.path
+    })
+    LakeTable.load(s, path)
+  }
+
+  def lakeRestore(s: SparkSession, dir: String): DataFrame =
+    restoreFixture(s, dir).snapshot()
+      .select(outCols.map(col): _*)
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Write-time schema evolution under the hash gate: commit 2 arrives
+    * with a column batch 1 never had (`l_tier`). The table schema evolves
+    * (new column appended nullable), old base files are read null-filled
+    * under the evolved schema, and the merged snapshot shows the new
+    * column populated ONLY on the updated keys. The oracle restates that
+    * as a LEFT JOIN of b1 against the b2 slice. Built once per
+    * (JVM, sfDir); the query measures the evolved-schema snapshot READ.
+    */
+  private val evoFixtures = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def evoFixture(s: SparkSession, dir: String): LakeTable = {
+    val path = evoFixtures.getOrElseUpdate(dir, {
+      val t = freshTable(s)
+      withBatch1(s, dir) { b1 =>
+        t.upsert(b1.select(outCols.map(col): _*), combine = false)
+        // cast-to-long then mod: integer-valued double → identical in
+        // Spark (truncating cast) and DuckDB (rounding cast)
+        val b2e = batch2(b1).select(outCols.map(col): _*)
+          .withColumn("l_tier",
+            (col("l_quantity").cast("long") % 5).cast("int"))
+        t.upsert(b2e, combine = false)
+      }
+      t.path
+    })
+    LakeTable.load(s, path)
+  }
+
+  def lakeSchemaEvolution(s: SparkSession, dir: String): DataFrame =
+    evoFixture(s, dir).snapshot()
+      .select((outCols :+ "l_tier").map(col): _*)
+      .orderBy("l_orderkey", "l_linenumber")
 }

@@ -56,6 +56,12 @@ object SparkEntry {
     "q32_retention" -> (Relational.q32Retention _),
     "q33_cube" -> (Relational.q33Cube _),
     "q34_interval_overlap" -> (Relational.q34IntervalOverlap _),
+    // correlated scalar subquery decorrelated into one window pass
+    "q35_above_own_avg" -> (Relational.q35AboveOwnAvg _),
+    // equi-width histogram in exact integer-cents bucketing
+    "q36_histogram" -> (Relational.q36Histogram _),
+    // gaps-and-islands: longest consecutive-day streak per user
+    "q37_streaks" -> (Relational.q37Streaks _),
     // SURVEY §2.1 lake-table format ops (S3/S4/K1) through the oracle gate
     "lake_merge_snapshot" -> (LakeQueries.lakeMergeSnapshot _),
     // DSv2 metadata-only aggregates (no data files opened)
@@ -1238,6 +1244,36 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY st, pri""".stripMargin,
+    "q35_above_own_avg" ->
+      """WITH ca AS (SELECT o_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+        |    COUNT(*) AS n FROM orders GROUP BY 1)
+        |SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, ca.n AS n_orders
+        |FROM orders o JOIN ca ON ca.o_custkey = o.o_custkey
+        |WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * ca.n > ca.s
+        |ORDER BY o_orderkey""".stripMargin,
+    "q36_histogram" ->
+      """WITH b AS (SELECT o_totalprice,
+        |    CAST(least(CAST(floor(o_totalprice * 100) AS BIGINT) // 2500000,
+        |               19) AS INT) AS bucket
+        |  FROM orders)
+        |SELECT bucket, CAST(bucket AS BIGINT) * 25000 AS lo,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q37_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed
+        |  FROM events),
+        |isl AS (SELECT user_id,
+        |    ed - row_number() OVER (PARTITION BY user_id ORDER BY ed) AS grp
+        |  FROM days),
+        |runs AS (SELECT user_id, grp, COUNT(*) AS len
+        |  FROM isl GROUP BY user_id, grp)
+        |SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+        |  CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |  CAST(COUNT(*) AS BIGINT) AS n_streaks
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q34_interval_overlap" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS s_us,
         |    epoch_us(ts) + CAST(floor(value * 1000000.0) AS BIGINT) AS e_us

@@ -618,4 +618,70 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("users"))
       .orderBy("cohort_day", "day_offset")
   }
+
+  /** Correlated scalar subquery, decorrelated (`q35_above_own_avg`):
+    * orders strictly above their OWN customer's average order value —
+    * the canonical "compare each row to its group's aggregate" shape.
+    * Expressed as a window (sum/count over the customer partition)
+    * instead of a self-join: ONE shuffle on o_custkey total, vs two for
+    * the aggregate-then-join decorrelation. The avg compare is done by
+    * cross-multiplication in DECIMAL (price × n > sum), so no division
+    * ever happens and the predicate is bit-exact in both engines.
+    */
+  def q35AboveOwnAvg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+    t(s, dir, "orders")
+      .withColumn("p", col("o_totalprice").cast(dec))
+      .withColumn("sum_p", sum(col("p")).over(w))
+      .withColumn("n_orders", count(lit(1)).over(w))
+      .filter(col("p") * col("n_orders") > col("sum_p"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("n_orders"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Equi-width histogram (`q36_histogram`): order values bucketed into
+    * 25k-wide bins (top bin open-ended), with count and exact DECIMAL
+    * mass per bin. Bin boundaries are computed in integer cents —
+    * `floor(price·100)` is bit-identical in Spark and DuckDB, unlike a
+    * double divide — then integer-divided, so bucketing never straddles
+    * an FP rounding edge. Scale shape: map + groupBy on ≤20 keys with
+    * map-side combine; the shuffle carries one row per (partition, bin).
+    */
+  def q36Histogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("cents", floor(col("o_totalprice") * lit(100)).cast("long"))
+      .withColumn("bucket",
+        least(expr("cents DIV 2500000"), lit(19L)).cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast(dec)).cast("double").as("sum_price"))
+      .withColumn("lo", col("bucket").cast("long") * 25000L)
+      .select(col("bucket"), col("lo"), col("cnt"), col("sum_price"))
+      .orderBy("bucket")
+
+  /** Gaps-and-islands (`q37_streaks`): longest run of CONSECUTIVE active
+    * days per user. The classic trick — within a user, epoch-day minus
+    * row_number is constant exactly along a consecutive run — turns
+    * streak detection into a groupBy, no self-join, no iterative logic.
+    * Day arithmetic stays in integers (days since 1970-01-01) on both
+    * sides of the gate. Scale shape: distinct on (user, day), then two
+    * aggregations and one window all partitioned by user_id — a single
+    * hash partitioning reused end-to-end.
+    */
+  def q37Streaks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .withColumn("ed", datediff(col("d"), lit("1970-01-01").cast("date")))
+    val w = Window.partitionBy("user_id").orderBy("ed")
+    days.withColumn("grp", col("ed") - row_number().over(w))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max(col("len")).as("longest_streak"),
+        sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy("user_id")
+  }
 }

@@ -166,6 +166,10 @@ object SparkEntry {
     "sim_mmr" -> ((s, dir) => Similarity.mmrRerank(s, dir)),
     // two-sample KS drift on a numeric column, integer cross-multiplied
     "stats_ks_drift" -> ((s, dir) => Profile.ksDrift(s, dir)),
+    // per-language source-concentration Gini in integer basis points
+    "stats_gini" -> ((s, dir) => Profile.statsGini(s, dir)),
+    // Heaps'-law vocabulary-growth curve at 100-doc checkpoints
+    "stats_heaps" -> ((s, dir) => Profile.statsHeaps(s, dir)),
     // triangle counts + clustering coefficient over the kNN graph
     "stats_triangles" -> ((s, dir) => Similarity.triangleStats(s, dir)),
     // all-integer Flesch readability screen (map-only regex counting)
@@ -720,6 +724,47 @@ object SparkEntry {
        |  FROM sc)
        |SELECT x, f1, f2, d_num, rk, n1, n2 FROM r WHERE rk <= $topk
        |ORDER BY rk""".stripMargin
+
+  /** The `stats_gini` oracle: per-(lang, source) character mass, rank
+    * ascending within lang, exact rank-weighted Gini in BIGINT basis
+    * points (floor division matches Spark's DIV on the ≥ 0 numerator).
+    */
+  private val giniSql: String =
+    """WITH m AS (SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS x
+      |  FROM documents GROUP BY lang, source),
+      |r AS (SELECT lang, x, CAST(row_number() OVER (
+      |    PARTITION BY lang ORDER BY x ASC, source ASC) AS BIGINT) AS i
+      |  FROM m),
+      |a AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sources,
+      |    CAST(SUM(x) AS BIGINT) AS total_mass,
+      |    CAST(SUM(i * x) AS BIGINT) AS iws
+      |  FROM r GROUP BY lang)
+      |SELECT lang, n_sources, total_mass,
+      |  CAST((10000 * (2 * iws - (n_sources + 1) * total_mass)) //
+      |    (n_sources * total_mass) AS BIGINT) AS gini_bp
+      |FROM a ORDER BY lang""".stripMargin
+
+  /** The `stats_heaps` oracle: token first-document buckets vs
+    * per-bucket instance counts, running sums over the bucket frame.
+    */
+  private val heapsSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |    unnest(string_split(text, ' ')) AS tok FROM documents),
+      |t2 AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
+      |nt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS new_types FROM (
+      |    SELECT MIN(doc_id) // 100 + 1 AS b FROM t2 GROUP BY tok)
+      |  GROUP BY b),
+      |inst AS (SELECT doc_id // 100 + 1 AS b,
+      |    CAST(COUNT(*) AS BIGINT) AS toks FROM t2 GROUP BY 1)
+      |SELECT CAST(inst.b * 100 AS BIGINT) AS checkpoint_docs,
+      |  CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY inst.b ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS vocab,
+      |  CAST(SUM(inst.toks) OVER (ORDER BY inst.b ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS total_tokens
+      |FROM inst LEFT JOIN nt ON nt.b = inst.b
+      |ORDER BY checkpoint_docs""".stripMargin
 
   /** The `stats_triangles` oracle: the graph replay, undirected edge
     * dedup, the ordered two-hop triangle join, per-corner counts,
@@ -2390,6 +2435,8 @@ object SparkEntry {
       ("text_entropy" -> entropyOracleSql) +
       ("sim_mmr" -> mmrOracleSql()) +
       ("stats_ks_drift" -> ksDriftSql()) +
+      ("stats_gini" -> giniSql) +
+      ("stats_heaps" -> heapsSql) +
       ("stats_triangles" -> trianglesSql) +
       ("sim_kmeans" -> kmeansStatsSql) +
       ("stats_embedding_drift" -> embeddingDriftSql) +

@@ -177,4 +177,67 @@ object Profile {
       .select("x", "f1", "f2", "d_num", "rk", "n1", "n2")
       .orderBy("rk")
   }
+
+  /** Source-concentration Gini (`stats_gini`) — "is this language's
+    * corpus dominated by a handful of sources?" is a standard curation
+    * health check (a lang whose mass is one crawl source is a
+    * deduplication and bias risk). Per language: character mass per
+    * source, ranked ascending, and the Gini coefficient from the exact
+    * rank-weighted form G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) — computed
+    * entirely in BIGINT basis points (numerator is ≥ 0 under ascending
+    * rank, so truncating DIV matches DuckDB's floor //), never a float.
+    *
+    * Scale shape: one groupBy on (lang, source) with map-side combine,
+    * then a rank window PARTITIONED by lang over the tiny per-source
+    * frame — never over raw rows.
+    */
+  def statsGini(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mass = Relational.t(s, dir, "documents")
+      .groupBy("lang", "source")
+      .agg(sum(col("n_chars")).as("x"))
+    val w = Window.partitionBy("lang").orderBy(col("x").asc, col("source").asc)
+    mass.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sources"),
+        sum(col("x")).as("total_mass"),
+        sum(col("i") * col("x")).as("iws"))
+      .select(col("lang"), col("n_sources"), col("total_mass"),
+        expr("(10000 * (2 * iws - (n_sources + 1) * total_mass)) DIV " +
+          "(n_sources * total_mass)").as("gini_bp"))
+      .orderBy("lang")
+  }
+
+  /** Vocabulary-growth curve (`stats_heaps`) — Heaps'-law measurement:
+    * distinct token types and total token instances at every
+    * 100-document checkpoint, in one pass. The sub-linear growth of
+    * types vs tokens is what sizes vocabulary-dependent state (BPE
+    * vocab, count tables, dedup shingle frames) before a full-corpus
+    * run. No per-checkpoint rescan: a token contributes one "new type"
+    * at the bucket of its FIRST document, so the curve is two bucket
+    * aggregations plus running sums over the tiny bucket frame.
+    *
+    * Scale shape: explode → groupBy token (min doc) and groupBy bucket,
+    * both map-side combined; the windows run over ≤ #buckets rows.
+    */
+  def statsHeaps(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Relational.t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val newTypes = toks.groupBy("tok").agg(min(col("doc_id")).as("fd"))
+      .select((expr("fd DIV 100") + 1).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("new_types"))
+    val inst = toks.select((expr("doc_id DIV 100") + 1).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("toks"))
+    val wb = Window.orderBy(col("b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    inst.join(newTypes, Seq("b"), "left")
+      .withColumn("vocab",
+        sum(coalesce(col("new_types"), lit(0L))).over(wb))
+      .withColumn("total_tokens", sum(col("toks")).over(wb))
+      .select((col("b") * 100L).as("checkpoint_docs"),
+        col("vocab"), col("total_tokens"))
+      .orderBy("checkpoint_docs")
+  }
 }

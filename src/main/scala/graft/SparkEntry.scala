@@ -190,6 +190,9 @@ object SparkEntry {
     "dedup_semantic_incr" -> (Similarity.semanticIncremental _),
     "text_tokens_bpe" -> (TextAnalysis.tokenCounts _),
     "sim_lsh_topk" -> (Similarity.lshTopK _), // hash-gated (portable planes)
+    // recall@10 of LSH and probed-IVF vs brute force — the eval itself
+    // is hash-gated because every leg is bit-portable
+    "sim_recall_eval" -> (Similarity.recallEval _),
     // int8-code candidate ranking + exact float re-score — the quantized
     // memory-bandwidth ANN path, deterministic end to end (hash-gated)
     "sim_quant_topk" -> ((s, dir) => Similarity.quantizedTopK(s, dir)),
@@ -2422,7 +2425,26 @@ object SparkEntry {
     )
     // full-probe IVF ≡ brute force — same oracle, by construction;
     // probed IVF replays the bit-portable trainer + probe verbatim
+    val recallEvalSql =
+      s"""WITH bf AS (SELECT query_id, vec_id FROM (${base("sim_topk_bruteforce")})),
+         |qs AS (SELECT DISTINCT query_id FROM bf),
+         |iv AS (SELECT query_id, vec_id FROM ($ivfOracleSql)),
+         |ls AS (SELECT query_id, vec_id FROM (${base("sim_lsh_topk")})),
+         |ih AS (SELECT iv.query_id, CAST(COUNT(*) AS BIGINT) AS h
+         |  FROM iv JOIN bf ON bf.query_id = iv.query_id AND bf.vec_id = iv.vec_id
+         |  GROUP BY iv.query_id),
+         |lh AS (SELECT ls.query_id, CAST(COUNT(*) AS BIGINT) AS h
+         |  FROM ls JOIN bf ON bf.query_id = ls.query_id AND bf.vec_id = ls.vec_id
+         |  GROUP BY ls.query_id)
+         |SELECT method, query_id, hits, hits * 1000 AS recall_bp FROM (
+         |  SELECT 'ivf' AS method, qs.query_id, CAST(COALESCE(ih.h, 0) AS BIGINT) AS hits
+         |  FROM qs LEFT JOIN ih ON ih.query_id = qs.query_id
+         |  UNION ALL
+         |  SELECT 'lsh', qs.query_id, CAST(COALESCE(lh.h, 0) AS BIGINT)
+         |  FROM qs LEFT JOIN lh ON lh.query_id = qs.query_id)
+         |ORDER BY method, query_id""".stripMargin
     base + ("sim_ivf_full" -> base("sim_topk_bruteforce")) +
+      ("sim_recall_eval" -> recallEvalSql) +
       ("sim_ivf_topk" -> ivfOracleSql) +
       ("sim_ivfpq_topk" -> ivfOracleSql) +
       ("sim_knn_graph" -> knnGraphOracleSql) +

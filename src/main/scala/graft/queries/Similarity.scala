@@ -1379,4 +1379,32 @@ object Similarity {
       .orderBy("vec_id", "rk")
     if (eMat != null) Dedup.releaseAfter(g, eMat) else g
   }
+
+  /** ANN recall evaluation harness (`sim_recall_eval`): recall@10 of
+    * the LSH-bucketed and probed-IVF retrieval paths against the exact
+    * brute-force top-10, per (method, query), in integer basis points.
+    * This is the query a pipeline runs before trusting an approximate
+    * index at corpus scale — and because every leg (brute force, LSH
+    * planes, IVF trainer+probe) is bit-portable, the MEASUREMENT itself
+    * sits under the hash gate, not just the legs.
+    *
+    * Scale shape: each leg keeps its own bounded candidate plan; the
+    * compare joins k·|Q| rows — negligible next to the legs.
+    */
+  def recallEval(s: SparkSession, dir: String): DataFrame = {
+    val bf = topKBruteForce(s, dir).select(col("query_id"), col("vec_id"))
+    val qids = bf.select("query_id").distinct()
+    def leg(name: String, df: DataFrame): DataFrame = {
+      val hits = df.select(col("query_id"), col("vec_id"))
+        .join(bf, Seq("query_id", "vec_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+      qids.join(hits, Seq("query_id"), "left")
+        .select(lit(name).as("method"), col("query_id"),
+          coalesce(col("h"), lit(0L)).as("hits"))
+    }
+    leg("ivf", ivfTopK(s, dir))
+      .unionAll(leg("lsh", lshTopK(s, dir)))
+      .withColumn("recall_bp", col("hits") * lit(1000L))
+      .orderBy("method", "query_id")
+  }
 }

@@ -62,6 +62,12 @@ object SparkEntry {
     "q36_histogram" -> (Relational.q36Histogram _),
     // gaps-and-islands: longest consecutive-day streak per user
     "q37_streaks" -> (Relational.q37Streaks _),
+    // value-based RANGE window frame: trailing-24h per-user totals
+    "q38_range_frame" -> (Relational.q38RangeFrame _),
+    // deterministic inverse-length rejection sampling (map-only)
+    "curate_rejection_sample" -> (Curation.rejectionSample _),
+    // order-independent per-source content checksum (cnt/xor/min/max)
+    "stats_checksum" -> ((s, dir) => Profile.statsChecksum(s, dir)),
     // SURVEY §2.1 lake-table format ops (S3/S4/K1) through the oracle gate
     "lake_merge_snapshot" -> (LakeQueries.lakeMergeSnapshot _),
     // DSv2 metadata-only aggregates (no data files opened)
@@ -1309,6 +1315,36 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS cnt,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q38_range_frame" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, user_id, us,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS trail_cnt,
+        |  CAST(SUM(cents) OVER w AS BIGINT) AS trail_cents
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "curate_rejection_sample" ->
+      """SELECT doc_id, n_chars,
+        |  least(9999, 2000000 // n_chars) AS w_bp
+        |FROM documents
+        |WHERE n_chars > 0
+        |  AND (doc_id % 1073741789) * 2654435761 % 1073741789 % 10000
+        |      < least(9999, 2000000 // n_chars)
+        |ORDER BY doc_id""".stripMargin,
+    "stats_checksum" ->
+      """WITH h AS (SELECT source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 16),
+        |        i -> CAST(strpos('0123456789abcdef',
+        |               substr(md5(text), i, 1)) - 1 AS BIGINT))),
+        |      (a, x) -> a * 16 + x) AS h
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(bit_xor(h) AS BIGINT) AS xor_h,
+        |  CAST(MIN(h) AS BIGINT) AS min_h, CAST(MAX(h) AS BIGINT) AS max_h
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
     "q37_streaks" ->
       """WITH days AS (SELECT DISTINCT user_id,
         |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed

@@ -564,4 +564,25 @@ object Curation {
       .orderBy("vec_id")
     Dedup.releaseAfter(out, ge, nodes)
   }
+
+  /** Deterministic rejection sampling (`curate_rejection_sample`) — the
+    * apply step of importance weighting: accept each doc with
+    * probability ∝ its weight, here inverse length (flattening the
+    * length bias a char-budget crawl induces). Acceptance is a pure
+    * per-row predicate — scramble(doc_id) uniform in [0,10000) compared
+    * to the weight in basis points — so the sample is reproducible,
+    * shuffle-free, map-only, and (unlike reservoir or sort-based
+    * sampling) needs no global state at any corpus size. The same
+    * mechanism applies any weight column (e.g. [[dsir]] scores).
+    */
+  def rejectionSample(s: SparkSession, dir: String): DataFrame = {
+    val P = 1073741789L
+    val u = (col("doc_id") % P) * 2654435761L % P % 10000L
+    docs(s, dir)
+      .filter(col("n_chars") > 0)
+      .withColumn("w_bp", least(lit(9999L), expr("2000000 DIV n_chars")))
+      .filter(u < col("w_bp"))
+      .select(col("doc_id"), col("n_chars"), col("w_bp"))
+      .orderBy("doc_id")
+  }
 }

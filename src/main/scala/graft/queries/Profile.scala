@@ -240,4 +240,27 @@ object Profile {
         col("vocab"), col("total_tokens"))
       .orderBy("checkpoint_docs")
   }
+
+  /** Content checksum per source (`stats_checksum`) — the migration /
+    * replication validation primitive: "does the copy hold exactly the
+    * rows the original does, without comparing row-by-row?". Per-doc
+    * content hash (md5 prefix as a 60-bit int), folded per source with
+    * ORDER-INDEPENDENT aggregates (count, XOR, min, max), so two
+    * engines — or two clusters — can each compute their side with any
+    * partitioning and compare five numbers per source. XOR instead of
+    * SUM keeps the fold overflow-free at any corpus size (ANSI mode
+    * faults a long SUM overflow). Map-side combined groupBy; one
+    * shuffle of #sources rows.
+    */
+  def statsChecksum(s: SparkSession, dir: String): DataFrame =
+    Relational.t(s, dir, "documents")
+      .select(col("source"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("cnt"),
+        expr("bit_xor(h)").as("xor_h"),
+        min(col("h")).as("min_h"),
+        max(col("h")).as("max_h"))
+      .orderBy("source")
 }

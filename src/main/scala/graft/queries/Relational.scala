@@ -670,6 +670,28 @@ object Relational {
     * aggregations and one window all partitioned by user_id — a single
     * hash partitioning reused end-to-end.
     */
+  /** RANGE-frame window (`q38_range_frame`): per event, the count and
+    * exact cents-sum of the SAME USER's events in the trailing 24 hours
+    * — a VALUE-based frame (peers at equal timestamps are always all
+    * in), which ROWS frames cannot express. Monetary mass accumulates in
+    * integer cents (`floor(value·100)` — bit-identical both engines).
+    * Scale shape: one shuffle on user_id, per-user local sort; the
+    * range frame is evaluated with a sliding pointer, not a rescan.
+    */
+  def q38RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-86400000000L, Window.currentRow)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * lit(100)).cast("long").as("cents"))
+      .withColumn("trail_cnt", count(lit(1)).over(w))
+      .withColumn("trail_cents", sum(col("cents")).over(w))
+      .select("event_id", "user_id", "us", "trail_cnt", "trail_cents")
+      .orderBy("event_id")
+  }
+
   def q37Streaks(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val days = events(s, dir)

@@ -64,6 +64,14 @@ object SparkEntry {
     "q37_streaks" -> (Relational.q37Streaks _),
     // value-based RANGE window frame: trailing-24h per-user totals
     "q38_range_frame" -> (Relational.q38RangeFrame _),
+    // relational division: the count-distinct-equals-divisor rewrite
+    "q39_division" -> (Relational.q39Division _),
+    // keyed point lookup through key-range + bloom file pruning
+    "lake_point_lookup" -> (LakeQueries.lakePointLookup _),
+    // per-doc first-occurrence 3-gram novelty share
+    "text_novelty" -> ((s, dir) => TextAnalysis.novelty(s, dir)),
+    // banded-Hamming pHash candidate join over the payload stub hash
+    "mm_phash_pairs" -> ((s, dir) => TextAnalysis.mmPhashPairs(s, dir)),
     // deterministic inverse-length rejection sampling (map-only)
     "curate_rejection_sample" -> (Curation.rejectionSample _),
     // order-independent per-source content checksum (cnt/xor/min/max)
@@ -1315,6 +1323,46 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS cnt,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q39_division" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 2000
+        |GROUP BY o_custkey
+        |HAVING COUNT(DISTINCT year(o_orderdate)) = 6
+        |ORDER BY o_custkey""".stripMargin,
+    "text_novelty" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+        |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t
+        |  WHERE len(words) >= 3),
+        |ex AS (SELECT doc_id, unnest(sh) AS ng FROM docs),
+        |f AS (SELECT ng, MIN(doc_id) AS fd FROM ex GROUP BY ng)
+        |SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(CASE WHEN f.fd = e.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS novel,
+        |  CAST((SUM(CASE WHEN f.fd = e.doc_id THEN 1 ELSE 0 END) * 10000)
+        |    // COUNT(*) AS BIGINT) AS novelty_bp
+        |FROM ex e JOIN f ON f.ng = e.ng
+        |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin,
+    "mm_phash_pairs" ->
+      """WITH h AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 16),
+        |        i -> CAST(strpos('0123456789abcdef',
+        |               substr(md5(text), i, 1)) - 1 AS BIGINT))),
+        |      (a, x) -> a * 16 + x) AS ph
+        |  FROM documents),
+        |bands AS (SELECT doc_id, ph, b, (ph >> (b * 15)) & 32767 AS bv
+        |  FROM h, range(4) t(b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    x.ph AS pa, y.ph AS pb
+        |  FROM bands x JOIN bands y
+        |  ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hd,
+        |  CAST(CASE WHEN bit_count(xor(pa, pb)) <= 6 THEN 1 ELSE 0 END
+        |    AS INT) AS is_dup
+        |FROM cand ORDER BY doc_a, doc_b""".stripMargin,
     "q38_range_frame" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
         |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
@@ -1598,6 +1646,12 @@ object SparkEntry {
          |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts
          |FROM b1
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // point lookup: key 42 < 500, so every merged row comes from b2
+    "lake_point_lookup" ->
+      s"""$lakeCtes
+         |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts
+         |FROM b2 WHERE l_orderkey = 42
+         |ORDER BY l_linenumber""".stripMargin,
     // post-restore snapshot == the merged b1 ⊕ b2 state: the rolled-back
     // delete commit must leave no trace (rows or tombstones)
     "lake_restore" ->

@@ -446,6 +446,20 @@ object LakeQueries {
     LakeTable.load(s, path)
   }
 
+  /** Keyed point lookup (`lake_point_lookup`): the single-key read an
+    * operational consumer issues constantly. On the two-commit COW
+    * table the key-range + parquet-bloom file pruning reduces the scan
+    * to the one file group holding the key — O(files containing key),
+    * not O(table) — which is the property that makes a lake table
+    * double as a serving index at 100 TB.
+    */
+  def lakePointLookup(s: SparkSession, dir: String): DataFrame = {
+    val (t, _, _) = cowFixture(s, dir)
+    t.snapshot().filter(col("l_orderkey") === 42L)
+      .select(outCols.map(col): _*)
+      .orderBy("l_linenumber")
+  }
+
   def lakeRestore(s: SparkSession, dir: String): DataFrame =
     restoreFixture(s, dir).snapshot()
       .select(outCols.map(col): _*)

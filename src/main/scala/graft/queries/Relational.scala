@@ -670,6 +670,24 @@ object Relational {
     * aggregations and one window all partitioned by user_id — a single
     * hash partitioning reused end-to-end.
     */
+  /** Relational division (`q39_division`): customers with orders in
+    * EVERY year 1995–2000 — the "for all" quantifier SQL lacks natively,
+    * expressed as the standard count-distinct-equals-divisor rewrite
+    * (one aggregation) instead of 6 chained semi-joins or a double
+    * NOT EXISTS. Scale shape: one groupBy on o_custkey with map-side
+    * partial distinct; the divisor (6) is a literal, no second scan.
+    */
+  def q39Division(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(year(col("o_orderdate")).between(1995, 2000))
+      .groupBy("o_custkey")
+      .agg(countDistinct(year(col("o_orderdate"))).as("n_years"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(dec)).cast("double").as("sum_price"))
+      .filter(col("n_years") === 6)
+      .select("o_custkey", "n_orders", "sum_price")
+      .orderBy("o_custkey")
+
   /** RANGE-frame window (`q38_range_frame`): per event, the count and
     * exact cents-sum of the SAME USER's events in the trailing 24 hours
     * — a VALUE-based frame (peers at equal timestamps are always all

@@ -923,4 +923,61 @@ object TextAnalysis {
       .filter(col("rk") <= k)
       .orderBy("lang", "rk")
   }
+
+  /** Per-document n-gram novelty (`text_novelty`): the fraction of a
+    * doc's distinct 3-grams appearing for the FIRST time in the corpus
+    * (by doc_id order — crawl order in production). A low-novelty doc is
+    * mostly recombined boilerplate even when no single document
+    * duplicates it; curation cuts or down-weights it. One shingle
+    * explode (the SHARED staged shingle artifact), one min-aggregation
+    * per n-gram, one co-partitioned join back — all map-side combined,
+    * never quadratic.
+    */
+  def novelty(s: SparkSession, dir: String): DataFrame = {
+    val shingled = Dedup.docsWithShingles(s, dir)
+    val ex = shingled.select(col("doc_id"), explode(col("sh")).as("ng"))
+    val first = ex.groupBy("ng").agg(min(col("doc_id")).as("fd"))
+    val out = ex.join(first, "ng")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("novel"))
+      .withColumn("novelty_bp", expr("(novel * 10000) DIV n_shingles"))
+      .orderBy("doc_id")
+    Dedup.releaseAfter(out, shingled)
+  }
+
+  /** Perceptual-hash near-dup candidates over the multimodal payload
+    * (`mm_phash_pairs`): the banded-Hamming join a media dedup runs —
+    * 60-bit pHash split into 4×15-bit bands (pigeonhole: Hamming ≤ 3
+    * guarantees one identical band), band-equality candidates, exact
+    * `bit_count(xor)` verify. The pHash itself is the documented STUB
+    * (md5 of the payload bytes — this container ships no image codecs);
+    * a real DCT pHash drops into the same column and the banding,
+    * candidate join, and verify are unchanged. Scale shape: candidates
+    * via 4 equality buckets, never an all-pairs compare.
+    */
+  def mmPhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val h = Relational.t(s, dir, "documents")
+      .select(col("doc_id"),
+        conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("ph"))
+    val bandArr = array((0 until 4).map(b =>
+      shiftright(col("ph"), b * 15).bitwiseAND(lit(32767L))): _*)
+    val bands = h.select(col("doc_id"), col("ph"),
+      posexplode(bandArr).as(Seq("b", "bv")))
+    bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.ph").as("pa"), col("y.ph").as("pb"))
+      .distinct()
+      .withColumn("hd", bit_count(col("pa").bitwiseXOR(col("pb"))))
+      // emit every verified candidate with its distance and the accept
+      // flag (≤ 6 bits ≈ pHash near-dup) — the verify stage's full
+      // output, so the gate checks the distance arithmetic, not only
+      // the (possibly empty) accepted slice
+      .withColumn("is_dup", (col("hd") <= 6).cast("int"))
+      .select(col("doc_a"), col("doc_b"), col("hd"), col("is_dup"))
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -50,6 +50,11 @@ object Bench {
       try graft.queries.Similarity.stagedKnnGraph(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+    // and the LSH bucket index: sim_lsh_topk and sim_recall_eval share it
+    if (stageDir.nonEmpty)
+      try graft.queries.Similarity.stagedLshBuckets(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
 
     // SPARK_GRAFT_ONLY=name1,name2 restricts the run (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY")

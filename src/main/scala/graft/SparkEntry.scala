@@ -226,6 +226,8 @@ object SparkEntry {
     "curate_sample_stratified" -> (Curation.stratifiedSample _),
     "curate_token_budget" -> ((s, dir) => Curation.tokenBudget(s, dir)),
     "curate_decontaminate" -> (Curation.decontaminate _),
+    // Bloom-bitset prefilter + exact confirm (the big-reference-set shape)
+    "curate_bloom_decon" -> (Curation.bloomDecontaminate _),
     "text_tfidf_topk" -> (Curation.tfidfTopTerms _),
     "emb_norms" -> (Curation.embeddingNorms _),
     "emb_quantize" -> (Curation.quantizeEmbeddings _),
@@ -2262,6 +2264,41 @@ object SparkEntry {
         |SELECT corp.doc_id, COUNT(*) AS n_hits
         |FROM corp JOIN bench USING (s)
         |GROUP BY corp.doc_id ORDER BY doc_id""".stripMargin,
+    "curate_bloom_decon" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+        |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t
+        |  WHERE len(words) >= 3
+        |), hashed AS (
+        |  SELECT doc_id, s,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(s, ' '),
+        |        w -> CAST(length(w)*31 + ascii(w)*7 + ascii(reverse(w))*13 AS BIGINT))),
+        |      (a, x) -> (a * 257 + x) % 1000000007) AS h
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM docs)
+        |), bpos AS (
+        |  SELECT DISTINCT h * c % 1073741789 % 131072 AS pos
+        |  FROM hashed, (SELECT unnest([2654435761, 2246822519, 3266489917]) AS c)
+        |  WHERE doc_id % 97 = 0
+        |), bench AS (
+        |  SELECT DISTINCT s FROM (SELECT doc_id, unnest(sh) AS s FROM docs)
+        |  WHERE doc_id % 97 = 0
+        |), corp AS (SELECT doc_id, s, h FROM hashed WHERE doc_id % 97 <> 0
+        |), bloomed AS (
+        |  SELECT doc_id, COUNT(*) AS bloom_hits FROM corp
+        |  WHERE h * 2654435761 % 1073741789 % 131072 IN (SELECT pos FROM bpos)
+        |    AND h * 2246822519 % 1073741789 % 131072 IN (SELECT pos FROM bpos)
+        |    AND h * 3266489917 % 1073741789 % 131072 IN (SELECT pos FROM bpos)
+        |  GROUP BY doc_id
+        |), ex AS (
+        |  SELECT corp.doc_id, COUNT(*) AS exact_hits
+        |  FROM corp JOIN bench USING (s) GROUP BY corp.doc_id)
+        |SELECT b.doc_id, b.bloom_hits,
+        |  COALESCE(ex.exact_hits, CAST(0 AS BIGINT)) AS exact_hits,
+        |  b.bloom_hits - COALESCE(ex.exact_hits, CAST(0 AS BIGINT)) AS false_pos
+        |FROM bloomed b LEFT JOIN ex ON b.doc_id = ex.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "text_tfidf_topk" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

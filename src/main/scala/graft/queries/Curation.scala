@@ -140,6 +140,70 @@ object Curation {
     Dedup.releaseAfter(hits, sh)
   }
 
+  /** Bloom-prefiltered decontamination — the shape the exact broadcast
+    * set in [[decontaminate]] takes when the reference set outgrows a
+    * comfortable broadcast: the benchmark's shingles are folded into an
+    * `m`-bit Bloom BITSET (here 2^17 bits = 16 KB regardless of shingle
+    * count), the corpus scan probes the bitset with `k`=3 portable
+    * positions per shingle (pure codegen'd integer arithmetic against an
+    * array literal — no UDF, no join), and only the docs with a Bloom hit
+    * reach the exact confirming join. Blooms never miss, so recall is
+    * exact by construction; the query reports the measured false-positive
+    * cost per doc (`bloom_hits - exact_hits`) — the quantity you size `m`
+    * against in production.
+    *
+    * Every position is portable arithmetic (the [[Dedup.fingerprints]]
+    * token-probe fold, two Knuth multiplicative scrambles), so the DuckDB
+    * oracle replays the bitset semantics as position-set membership and
+    * the whole report sits under the hash gate.
+    */
+  def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val P = 1073741789L
+    val mBits = 131072L // 2^17
+    val cs = Seq(2654435761L, 2246822519L, 3266489917L)
+    val sh = Dedup.docsWithShingles(s, dir)
+    // portable shingle hash: per-word probe hash folded in word order
+    // (the text_fingerprint family, already oracle-replayed verbatim)
+    val wordProbe = (w: Column) =>
+      (length(w) * 31 + ascii(w) * 7 + ascii(reverse(w)) * 13).cast("long")
+    val shingleHash = aggregate(split(col("s"), " "), lit(0L),
+      (a, w) => (a * 257 + wordProbe(w)) % lit(1000000007L))
+    val hashed = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("h", shingleHash)
+    // the bitset: positions of the BENCHMARK shingles only. The collect
+    // is bounded by the eval suite (KBs against a 100 TB corpus) and by
+    // m itself — at most 2^17 distinct positions exist.
+    val posOf = (c: Long) => col("h") * c % P % mBits
+    val setPos = hashed.filter(col("doc_id") % 97 === 0)
+      .select(explode(array(cs.map(posOf): _*)).as("pos")).distinct()
+      .collect().map(_.getLong(0))
+    val words = new Array[Long]((mBits / 64).toInt)
+    setPos.foreach(p => words((p / 64).toInt) |= 1L << (p % 64).toInt)
+    val corpus = hashed.filter(col("doc_id") % 97 =!= 0)
+      .withColumn("bm", lit(words))
+    val probed = cs.zipWithIndex.foldLeft(corpus) { case (df, (c, i)) =>
+      df.withColumn(s"_w$i", (posOf(c) / 64).cast("int") + 1)
+        .withColumn(s"_b$i", (posOf(c) % 64).cast("int"))
+    }
+    val bloomHit = cs.indices.map(i =>
+      expr(s"shiftright(element_at(bm, _w$i), _b$i)").bitwiseAND(1) === 1)
+      .reduce(_ && _)
+    val bench = sh.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("sh")).as("s")).distinct()
+    val blooms = probed.filter(bloomHit)
+      .groupBy("doc_id").agg(count(lit(1)).as("bloom_hits"))
+    val exact = hashed.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("exact_hits"))
+    val out = blooms.join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("bloom_hits"),
+        coalesce(col("exact_hits"), lit(0L)).as("exact_hits"),
+        (col("bloom_hits") - coalesce(col("exact_hits"), lit(0L)))
+          .as("false_pos"))
+      .orderBy("doc_id")
+    Dedup.releaseAfter(out, sh)
+  }
+
   /** Top-3 TF-IDF terms per document, integer-rank form: rank by
     * (tf DESC, df ASC, term) — the same ordering tf·log(N/df) induces for
     * fixed tf, with no float in the compare, so the result is exactly

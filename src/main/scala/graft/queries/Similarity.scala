@@ -396,29 +396,57 @@ object Similarity {
   def lshTopK(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Relational.t(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism) // bucket calc is CPU-bound
-    val bucketed = e.select(col("vec_id"), col("embedding"),
-      posexplode(expr(s"sequence(0, ${NumTables - 1})")).as(Seq("tbl", "toff")))
-      .withColumn("bucket", lshBucketOffset(col("embedding"), col("toff")))
-      .select(col("vec_id"), col("embedding"), col("tbl"), col("bucket"))
-    val q = bucketed.join(
-      e.filter(col("vec_id") < 3).select(col("vec_id").as("query_id")),
+    val bucketed = stagedLshBuckets(s, dir)
+    val qids = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val qb = bucketed.join(broadcast(qids.select(col("query_id"))),
       col("vec_id") === col("query_id"))
-      .select(col("query_id"), col("tbl").as("qtbl"), col("bucket").as("qbucket"),
-        col("embedding").as("qv"))
-    val cands = bucketed.join(broadcast(q),
+      .select(col("query_id"), col("tbl").as("qtbl"), col("bucket").as("qbucket"))
+    val cands = bucketed.join(broadcast(qb),
       col("tbl") === col("qtbl") && col("bucket") === col("qbucket") &&
         col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("embedding"), col("qv"))
+      .select(col("query_id"), col("vec_id"))
       .distinct()
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("vec_id").asc)
-    cands.withColumn("sim", cosine(col("embedding"), col("qv")))
+    cands.join(e, "vec_id").join(broadcast(qids), "query_id")
+      .withColumn("sim", cosine(col("embedding"), col("qv")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 10)
       .select("query_id", "vec_id", "sim", "rk")
       .orderBy("query_id", "rk")
   }
+
+  /** Corpus LSH buckets as a SKINNY index table (vec_id, tbl, bucket) —
+    * `NumTables` rows per vector, no floats. Fresh build fans out to the
+    * full core count first: the 32 plane dot products per vector are the
+    * CPU-bound part, exactly what a many-file 100 TB scan parallelizes
+    * naturally.
+    */
+  private[queries] def lshBucketsFresh(s: SparkSession, dir: String): DataFrame =
+    Relational.t(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"),
+        posexplode(expr(s"sequence(0, ${NumTables - 1})")).as(Seq("tbl", "toff")))
+      .withColumn("bucket", lshBucketOffset(col("embedding"), col("toff")))
+      .select(col("vec_id"), col("tbl"), col("bucket"))
+
+  /** The bucket table as a staged index artifact (the IVF/PQ pattern):
+    * under [[Dedup.StageDirConf]] it is built once per corpus and every
+    * query run is then a skinny parquet scan + broadcast bucket probe +
+    * candidate-only float fetch — index construction is amortized out of
+    * the query path, which is what an ANN index IS at 100 TB. Tagged with
+    * the table/plane knobs so a knob change never reads a stale layout.
+    */
+  def stagedLshBuckets(s: SparkSession, dir: String): DataFrame =
+    s.conf.getOption(Dedup.StageDirConf) match {
+      case Some(stage) =>
+        Dedup.stagedOrFresh(s,
+          s"$stage/lshb_${Dedup.stageTag(s, dir)}_${NumTables}_$PlanesPerTable",
+          out => lshBucketsFresh(s, dir).write.mode("overwrite").parquet(out),
+          () => lshBucketsFresh(s, dir))
+      case None => lshBucketsFresh(s, dir)
+    }
 
   /** Bucket of `vec` under table `tbl`'s plane set. */
   private def lshBucketOffset(vec: Column, tbl: Column): Column =

@@ -168,6 +168,26 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("curate_bloom_decon: no false negatives vs exact decontaminate") {
+    val exact = Curation.decontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Curation.bloomDecontaminate(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("bloom_hits"), r.getAs[Long]("exact_hits"),
+          r.getAs[Long]("false_pos"))).toMap
+    // a Bloom filter never misses: every exactly-contaminated doc is
+    // flagged, with the identical exact hit count
+    exact.foreach { case (id, n) =>
+      assert(bloom.contains(id), s"doc $id missed by the bloom prefilter")
+      assert(bloom(id)._2 == n, s"doc $id exact_hits")
+    }
+    // and conversely the exact_hits column IS the exact result
+    bloom.foreach { case (id, (bh, eh, fp)) =>
+      assert(eh == exact.getOrElse(id, 0L))
+      assert(fp == bh - eh && fp >= 0L)
+    }
+  }
+
   test("lake point lookup and restore/evolution snapshots are consistent") {
     // point lookup returns exactly the snapshot slice for the key
     val pl = LakeQueries.lakePointLookup(spark, dir).collect()

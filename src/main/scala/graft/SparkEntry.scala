@@ -245,6 +245,9 @@ object SparkEntry {
     // (bounded sample, ordered folds), so the probed result is HASH-GATED
     // against a DuckDB replay of train + assign + probe + re-score
     "sim_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+    // ε-ball range search over the same probed IVF layout (data-dependent
+    // result size — the contract top-k can't express)
+    "sim_range_search" -> ((s, dir) => Similarity.ivfRangeSearch(s, dir)),
     // full-probe IVF: same plan shape as sim_ivf_topk but probing every
     // cell — must be EXACTLY the brute-force result, so it shares that
     // oracle and puts the IVF machinery itself under the hash gate
@@ -893,6 +896,35 @@ object SparkEntry {
        |SELECT cell, n_members, min_csim, max_csim, sum_csim_q12,
        |  CAST(floor(sum_csim_q12 / n_members) AS BIGINT) AS mean_csim_q12
        |FROM g ORDER BY cell""".stripMargin
+
+  /** The `sim_range_search` oracle: identical trainer + probe replay,
+    * final predicate `sim >= threshold` instead of a rank cut.
+    */
+  private def ivfRangeOracleSql: String = {
+    import graft.queries.Similarity.{IvfIters, IvfProbe}
+    s"""$ivfTrainAssignCtes,
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < 3),
+       |qs AS (
+       |  SELECT q.query_id, c.cell,
+       |    ${cosineOf("q.qv", "c.cv")} AS csim
+       |  FROM q, c$IvfIters c),
+       |qc AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT query_id, cell, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY csim DESC, cell ASC) AS crk
+       |    FROM qs) WHERE crk <= $IvfProbe),
+       |cand AS (
+       |  SELECT qc.query_id, a.vec_id FROM qc JOIN asg a USING (cell)
+       |  WHERE a.vec_id <> qc.query_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.vec_id,
+       |    ${cosineOf("ce.embedding", "qe.embedding")} AS sim
+       |  FROM cand
+       |  JOIN e ce ON ce.vec_id = cand.vec_id
+       |  JOIN e qe ON qe.vec_id = cand.query_id)
+       |SELECT query_id, vec_id, sim FROM scored WHERE sim >= 0.25
+       |ORDER BY query_id, vec_id""".stripMargin
+  }
 
   private def ivfProbeOracle(queryWhere: String, k: Int,
       outId: String, outNbr: String): String = {
@@ -2588,6 +2620,7 @@ object SparkEntry {
       ("stats_heaps" -> heapsSql) +
       ("stats_triangles" -> trianglesSql) +
       ("sim_kmeans" -> kmeansStatsSql) +
+      ("sim_range_search" -> ivfRangeOracleSql) +
       ("stats_embedding_drift" -> embeddingDriftSql) +
       ("stats_profile_sketch" -> profileSketchSql) +
       ("sim_pq_topk" -> base("sim_topk_bruteforce")) +

@@ -632,6 +632,49 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** IVF RANGE search (the faiss `range_search` API surface): every
+    * corpus vector within cosine `threshold` of each query vector, found
+    * by probing the query's `probe` nearest cells and exact-scoring only
+    * those cells' members. The ε-ball contract the top-k family can't
+    * express: radius-bounded retrieval and near-duplicate sweeps want
+    * "everything closer than ε", not a fixed k — and unlike top-k the
+    * result size is data-dependent, so the orderBy is on (query, vec)
+    * rather than rank. Same bit-portable trainer and probe arithmetic as
+    * [[ivfTopK]], so the probed result sits fully under the hash gate;
+    * 0.25 is an exactly-representable binary threshold (no float-literal
+    * parsing divergence between engines).
+    */
+  def ivfRangeSearch(s: SparkSession, dir: String, probe: Int = IvfProbe,
+      threshold: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var eMat: DataFrame = null
+    def e: DataFrame = {
+      if (eMat == null)
+        eMat = Relational.t(s, dir, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      eMat
+    }
+    val cent = ivfCentFor(s, dir, e)
+    val corpus = ivfCorpusFor(s, dir, e, cent)
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("cell").asc)
+    val qcells = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("csim", cosine(col("qv"), col("cv")))
+      .withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= probe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val res = corpus.join(broadcast(qcells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("embedding"), col("qv")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .orderBy("query_id", "vec_id")
+    if (eMat != null) Dedup.releaseAfter(res, eMat) else res
+  }
+
   /** Quantized ANN top-k: candidates ranked on INT8 codes, exact float
     * re-score of the shortlist — the memory-bandwidth lever at scale
     * (codes are 4× smaller than float32, so the candidate scan touches a

@@ -188,6 +188,28 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sim_range_search: full probe == brute-force eps-ball; probed is a subset") {
+    val th = 0.25
+    // brute-force ε-ball over the 3 query vectors
+    val e = Relational.t(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val bf = e.crossJoin(q).filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.CosineSimilarity(col("embedding"), col("qv")).as("sim"))
+      .filter(col("sim") >= th)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Similarity.ivfRangeSearch(spark, dir,
+        probe = Similarity.IvfCells).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == bf, "full-probe range search must equal brute force")
+    val probed = Similarity.ivfRangeSearch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probed.subsetOf(full))
+    assert(probed.size * 2 >= full.size,
+      s"probed recall ${probed.size}/${full.size} too low")
+  }
+
   test("lake point lookup and restore/evolution snapshots are consistent") {
     // point lookup returns exactly the snapshot slice for the key
     val pl = LakeQueries.lakePointLookup(spark, dir).collect()

@@ -76,6 +76,8 @@ object SparkEntry {
     "curate_rejection_sample" -> (Curation.rejectionSample _),
     // order-independent per-source content checksum (cnt/xor/min/max)
     "stats_checksum" -> ((s, dir) => Profile.statsChecksum(s, dir)),
+    // hottest-key report: the pre-join/groupBy salt-factor sizing view
+    "stats_key_skew" -> ((s, dir) => Profile.keySkew(s, dir)),
     // SURVEY §2.1 lake-table format ops (S3/S4/K1) through the oracle gate
     "lake_merge_snapshot" -> (LakeQueries.lakeMergeSnapshot _),
     // DSv2 metadata-only aggregates (no data files opened)
@@ -139,6 +141,8 @@ object SparkEntry {
     "text_fingerprint" -> (Dedup.fingerprints _),
     // substring-level dup detection: shared 10-token windows across docs
     "text_dup_spans" -> (TextAnalysis.dupSpans _),
+    // winnowing (MOSS) fingerprint selection: min-hash-per-window index
+    "text_winnowing" -> (TextAnalysis.winnowing _),
     // increment scored against the staged corpus span index
     "text_dup_spans_incr" -> (TextAnalysis.dupSpansIncremental _),
     // portable-arithmetic sketches: one-pass cardinality / frequency
@@ -232,6 +236,8 @@ object SparkEntry {
     "emb_norms" -> (Curation.embeddingNorms _),
     "emb_quantize" -> (Curation.quantizeEmbeddings _),
     "text_scrub_pii" -> (TextAnalysis.scrubPii _),
+    // per-source PII incidence report (the pre-scrub compliance view)
+    "text_pii_report" -> (TextAnalysis.piiReport _),
     "text_stopwords" -> (TextAnalysis.stopwordFilter _),
     "text_repetition" -> (Curation.repetitionScore _),
     "curate_domain_mix" -> (Curation.domainMix _),
@@ -1427,6 +1433,16 @@ object SparkEntry {
         |  CAST(bit_xor(h) AS BIGINT) AS xor_h,
         |  CAST(MIN(h) AS BIGINT) AS min_h, CAST(MAX(h) AS BIGINT) AS max_h
         |FROM h GROUP BY source ORDER BY source""".stripMargin,
+    "stats_key_skew" ->
+      """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+        |             CAST(COUNT(*) AS BIGINT) AS n_keys FROM c),
+        |r AS (SELECT user_id, cnt, CAST(row_number() OVER (
+        |        ORDER BY cnt DESC, user_id ASC) AS INT) AS rk FROM c)
+        |SELECT rk, user_id, cnt, cnt * 10000 // total AS share_bp,
+        |  CAST(cnt * n_keys > total * 2 AS INT) AS hot
+        |FROM r, t WHERE rk <= 10 ORDER BY rk""".stripMargin,
     "q37_streaks" ->
       """WITH days AS (SELECT DISTINCT user_id,
         |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed
@@ -2472,6 +2488,69 @@ object SparkEntry {
         |  md5(regexp_replace(no_email, '\+?[0-9][0-9 -]{6,}[0-9]',
         |      '<PHONE>', 'g')) AS sig
         |FROM ne ORDER BY doc_id""".stripMargin,
+    "text_pii_report" ->
+      """WITH aug AS (
+        |  SELECT doc_id, source, text ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' reach user' ||
+        |      CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' call +1 555 ' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS aug
+        |  FROM documents),
+        |ne AS (SELECT doc_id, source,
+        |  CAST(len(regexp_extract_all(aug,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS ne,
+        |  CAST(len(regexp_extract_all(
+        |    regexp_replace(aug, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+        |                   '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9 -]{6,}[0-9]')) AS BIGINT) AS np
+        |  FROM aug),
+        |g AS (SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_email,
+        |  CAST(SUM(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_phone,
+        |  CAST(SUM(ne) AS BIGINT) AS n_emails,
+        |  CAST(SUM(np) AS BIGINT) AS n_phones,
+        |  CAST(SUM(CASE WHEN ne > 0 OR np > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_any
+        |  FROM ne GROUP BY source)
+        |SELECT source, n_docs, docs_email, docs_phone, n_emails, n_phones,
+        |  docs_any, docs_any * 10000 // n_docs AS pii_docs_bp
+        |FROM g ORDER BY source""".stripMargin,
+    "text_winnowing" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 8),
+        |h0 AS (SELECT doc_id, ws,
+        |         unnest(generate_series(1, len(ws) - 4)) AS i FROM t),
+        |hs AS (
+        |  SELECT doc_id, i,
+        |    reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(list_slice(ws, i, i + 4),
+        |        w -> CAST(length(w)*31 + ascii(w)*7 + ascii(reverse(w))*13
+        |               AS BIGINT))),
+        |      (a, x) -> (a * 257 + x) % 1000000007) AS h
+        |  FROM h0),
+        |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+        |      FROM hs GROUP BY doc_id),
+        |wmin AS (
+        |  SELECT doc_id, i AS j,
+        |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+        |    COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+        |  FROM hs),
+        |selpos AS (
+        |  SELECT w.doc_id, w.j, MAX(h2.i) AS p
+        |  FROM wmin w JOIN hs h2 ON h2.doc_id = w.doc_id
+        |    AND h2.i BETWEEN w.j AND w.j + 3 AND h2.h = w.mh
+        |  WHERE w.wn = 4 GROUP BY w.doc_id, w.j),
+        |selected AS (SELECT DISTINCT doc_id, p FROM selpos),
+        |fp AS (SELECT s.doc_id, h2.h FROM selected s
+        |       JOIN hs h2 ON h2.doc_id = s.doc_id AND h2.i = s.p)
+        |SELECT n.doc_id, n.n_spans, CAST(COUNT(*) AS BIGINT) AS n_fp,
+        |  bit_xor(fp.h) AS fp_xor
+        |FROM fp JOIN n USING (doc_id)
+        |GROUP BY n.doc_id, n.n_spans ORDER BY n.doc_id""".stripMargin,
     "text_stopwords" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |k AS (SELECT doc_id, toks,

@@ -263,4 +263,29 @@ object Profile {
         min(col("h")).as("min_h"),
         max(col("h")).as("max_h"))
       .orderBy("source")
+
+  /** Key-skew diagnostic — the report you run BEFORE a groupBy/join on a
+    * key to size the salt factor ([[graft.functions.Skew]]'s knob): the
+    * 10 hottest keys by row count, each with its integer share of the
+    * table and a `hot` flag at 2× the mean key load (cross-multiplied —
+    * no division). The per-key count is one map-side-combined aggregate;
+    * the top-10 cut is TakeOrdered (per-partition partial top-k, no full
+    * sort), and the rank window runs over 10 rows. Everything after the
+    * first aggregate is constant-size regardless of table size.
+    */
+  def keySkew(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Relational.events(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum("cnt").as("total"),
+      count(lit(1)).as("n_keys"))
+    val top = counts.crossJoin(broadcast(tot))
+      .orderBy(col("cnt").desc, col("user_id").asc).limit(10)
+    top.withColumn("rk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("user_id").asc)))
+      .select(col("rk"), col("user_id"), col("cnt"),
+        expr("(cnt * 10000) DIV total").as("share_bp"),
+        (col("cnt") * col("n_keys") > col("total") * 2L).cast("int").as("hot"))
+      .orderBy("rk")
+  }
 }

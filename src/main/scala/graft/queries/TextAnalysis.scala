@@ -492,6 +492,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken — the
+    * MOSS rule): hash every W-token span, then keep the MINIMUM hash of
+    * each sliding window of `win` consecutive span hashes, rightmost
+    * position on ties (the `<=` fold). The guarantee: any token run of
+    * ≥ W + win - 1 shared by two docs contributes at least one shared
+    * selected fingerprint, at ~2/(win+1) the density of the full
+    * span-hash set — the index a plagiarism / license-text matcher
+    * stores instead of every window. Selected positions dedup per doc
+    * (one hash can win several windows); the per-doc summary (count +
+    * XOR of selected hashes) puts the entire selection under the hash
+    * gate without shipping fingerprint lists. Pure per-row expression
+    * arithmetic — no shuffle until the final skinny aggregate.
+    */
+  def winnowing(s: SparkSession, dir: String): DataFrame = {
+    val W = 5; val win = 4
+    val base = Relational.t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism) // CPU-heavy per row
+      .filter(size(words(col("text"))) >= W + win - 1)
+      .select(col("doc_id"), spanHashes(col("text"), W).as("hs"))
+    val sel = base.select(col("doc_id"), col("hs"),
+      expr(
+        s"""array_distinct(transform(sequence(1, size(hs) - ${win - 1}), j ->
+           |  aggregate(sequence(j, j + ${win - 1}),
+           |    named_struct('mv', 9223372036854775807L, 'mp', -1),
+           |    (acc, p) -> IF(element_at(hs, p) <= acc.mv,
+           |      named_struct('mv', element_at(hs, p), 'mp', p), acc)).mp))"""
+          .stripMargin).as("sel"))
+    sel.select(col("doc_id"), size(col("hs")).cast("long").as("n_spans"),
+        col("hs"), explode(col("sel")).as("p"))
+      .select(col("doc_id"), col("n_spans"),
+        expr("element_at(hs, p)").as("fp"))
+      .groupBy("doc_id", "n_spans")
+      .agg(count(lit(1)).as("n_fp"), expr("bit_xor(fp)").as("fp_xor"))
+      .orderBy("doc_id")
+  }
+
   /** Incremental [[dupSpans]]: score a NEW batch's documents against the
     * EXISTING corpus's span set without recomputing the corpus — the
     * streaming-curation shape (does this incoming doc duplicate spans of
@@ -653,6 +689,44 @@ object TextAnalysis {
           .cast("long").as("n_phones"),
         md5(regexp_replace(col("no_email"), PhoneRe, "<PHONE>")).as("sig"))
       .orderBy("doc_id")
+  }
+
+  /** PII incidence REPORT — the aggregate view a compliance pass wants
+    * before deciding to scrub: per source, how many documents carry each
+    * PII class and at what density. Synthetic PII is planted
+    * deterministically (email on doc_id ≡ 0 mod 7, phone on ≡ 0 mod 11 —
+    * the fixture corpus itself is clean) so the detector has real
+    * positives; phones are counted after email masking, mirroring
+    * [[scrubPii]]'s overlap rule. Map-side-combinable counts over a
+    * single scan — the shape that holds at any corpus size.
+    */
+  def piiReport(s: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" reach user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" call +1 555 "),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    val perDoc = Relational.t(s, dir, "documents")
+      .withColumn("aug", aug)
+      .withColumn("no_email", regexp_replace(col("aug"), EmailRe, "<EMAIL>"))
+      .select(col("source"),
+        size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0)))
+          .cast("long").as("ne"),
+        size(regexp_extract_all(col("no_email"), lit(PhoneRe), lit(0)))
+          .cast("long").as("np"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ne") > 0, 1L).otherwise(0L)).as("docs_email"),
+        sum(when(col("np") > 0, 1L).otherwise(0L)).as("docs_phone"),
+        sum(col("ne")).as("n_emails"),
+        sum(col("np")).as("n_phones"),
+        sum(when(col("ne") > 0 || col("np") > 0, 1L).otherwise(0L))
+          .as("docs_any"))
+      .withColumn("pii_docs_bp", expr("(docs_any * 10000) DIV n_docs"))
+      .orderBy("source")
   }
 
   /** Stopword filtering: drop closed-class tokens before shingling /

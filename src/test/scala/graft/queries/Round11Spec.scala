@@ -210,6 +210,65 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"probed recall ${probed.size}/${full.size} too low")
   }
 
+  test("text_winnowing: imperative winnowing reference; density bounds") {
+    val win = 4
+    val out = TextAnalysis.winnowing(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // recompute from the raw span-hash arrays with a direct loop
+    val hs = Relational.t(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 8)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.spanHashes(col("text"), 5).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    assert(out.keySet == hs.keySet)
+    hs.foreach { case (id, h) =>
+      val sel = (0 to h.length - win).map { j =>
+        var mv = Long.MaxValue; var mp = -1
+        for (p <- j until j + win) if (h(p) <= mv) { mv = h(p); mp = p }
+        mp
+      }.distinct
+      val fpXor = sel.map(h).foldLeft(0L)(_ ^ _)
+      assert(out(id) == (h.length.toLong, sel.length.toLong, fpXor), s"doc $id")
+      // a position repeats across at most `win` windows
+      assert(sel.length.toLong * win >= (h.length - win + 1).toLong)
+    }
+  }
+
+  test("text_pii_report: planted incidence recovered exactly per source") {
+    val planted = Relational.t(spark, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("doc_id") % 7 === 0, 1L).otherwise(0L)).as("pe"),
+        sum(when(col("doc_id") % 11 === 0, 1L).otherwise(0L)).as("pp"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val rep = TextAnalysis.piiReport(spark, dir).collect()
+    assert(rep.map(_.getString(0)).toSet == planted.keySet)
+    rep.foreach { r =>
+      val (n, pe, pp) = planted(r.getString(0))
+      assert(r.getAs[Long]("n_docs") == n)
+      // the fixture corpus itself is PII-free: detector counts == planted
+      assert(r.getAs[Long]("docs_email") == pe)
+      assert(r.getAs[Long]("docs_phone") == pp)
+      assert(r.getAs[Long]("pii_docs_bp") <= 10000L)
+    }
+  }
+
+  test("stats_key_skew: imperative top-10 reference") {
+    val byKey = Relational.events(spark, dir).groupBy("user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = byKey.map(_._2).sum
+    val ref = byKey.sortBy { case (u, c) => (-c, u) }.take(10)
+    val out = Profile.keySkew(spark, dir).collect()
+    assert(out.length == 10)
+    out.zip(ref).zipWithIndex.foreach { case ((r, (u, c)), i) =>
+      assert(r.getAs[Int]("rk") == i + 1)
+      assert(r.getAs[Long]("user_id") == u && r.getAs[Long]("cnt") == c)
+      assert(r.getAs[Long]("share_bp") == c * 10000L / total)
+      assert(r.getAs[Int]("hot") ==
+        (if (c * byKey.length > total * 2) 1 else 0))
+    }
+  }
+
   test("lake point lookup and restore/evolution snapshots are consistent") {
     // point lookup returns exactly the snapshot slice for the key
     val pl = LakeQueries.lakePointLookup(spark, dir).collect()

@@ -280,6 +280,9 @@ object SparkEntry {
     // stage dir: built once per corpus snapshot, consumed by this query
     // and the label audit (fresh-build path without the stage dir)
     "sim_knn_graph" -> ((s, dir) => Similarity.stagedKnnGraph(s, dir)),
+    // append-only graph maintenance: the increment's rows only, against
+    // corpus-trained fixed centroids (the faiss add contract)
+    "sim_knn_incr" -> ((s, dir) => Similarity.knnGraphIncremental(s, dir)),
     // kNN label-noise audit: each vector's label vs its probed-graph
     // neighbors' labels; majority disagreement flags a mislabel suspect.
     // Integer counting over the hash-gated graph — fully oracle-replayed
@@ -902,6 +905,44 @@ object SparkEntry {
        |SELECT cell, n_members, min_csim, max_csim, sum_csim_q12,
        |  CAST(floor(sum_csim_q12 / n_members) AS BIGINT) AS mean_csim_q12
        |FROM g ORDER BY cell""".stripMargin
+
+  /** The `sim_knn_incr` oracle: trainer replay on the EXISTING corpus
+    * (vec_id below the 80% split), full-corpus assignment to those fixed
+    * centroids, probe + exact re-score for the increment's queries only.
+    */
+  private def knnIncrOracleSql: String = {
+    import graft.queries.Similarity.{IvfIters, IvfProbe}
+    val ctes = ivfTrainAssignCtes(
+      "\nsp AS (SELECT (MAX(vec_id) + 1) * 8 // 10 AS v FROM e),",
+      "WHERE vec_id < (SELECT v FROM sp)")
+    s"""$ctes,
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e
+       |      WHERE vec_id >= (SELECT v FROM sp)),
+       |qs AS (
+       |  SELECT q.query_id, c.cell,
+       |    ${cosineOf("q.qv", "c.cv")} AS csim
+       |  FROM q, c$IvfIters c),
+       |qc AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT query_id, cell, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY csim DESC, cell ASC) AS crk
+       |    FROM qs) WHERE crk <= $IvfProbe),
+       |cand AS (
+       |  SELECT qc.query_id, a.vec_id FROM qc JOIN asg a USING (cell)
+       |  WHERE a.vec_id <> qc.query_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.vec_id,
+       |    ${cosineOf("ce.embedding", "qe.embedding")} AS sim
+       |  FROM cand
+       |  JOIN e ce ON ce.vec_id = cand.vec_id
+       |  JOIN e qe ON qe.vec_id = cand.query_id),
+       |r AS (SELECT query_id, vec_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS INT) AS rk
+       |  FROM scored)
+       |SELECT query_id AS vec_id, vec_id AS nbr_id, sim, rk
+       |FROM r WHERE rk <= 3
+       |ORDER BY vec_id, rk""".stripMargin
+  }
 
   /** The `sim_range_search` oracle: identical trainer + probe replay,
     * final predicate `sim >= threshold` instead of a rank cut.
@@ -2686,6 +2727,7 @@ object SparkEntry {
       ("sim_ivf_topk" -> ivfOracleSql) +
       ("sim_ivfpq_topk" -> ivfOracleSql) +
       ("sim_knn_graph" -> knnGraphOracleSql) +
+      ("sim_knn_incr" -> knnIncrOracleSql) +
       ("curate_label_audit" -> labelAuditSql) +
       ("stats_embedding_outliers" -> embeddingOutliersSql) +
       ("curate_diversity_sample" -> diversityOracleSql) +

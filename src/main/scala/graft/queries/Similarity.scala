@@ -1451,6 +1451,60 @@ object Similarity {
     if (eMat != null) Dedup.releaseAfter(g, eMat) else g
   }
 
+  /** Incremental kNN-graph maintenance (`sim_knn_incr`): a NEW batch of
+    * vectors (the deterministic top-20% id slice — the shared increment
+    * convention of `dedup_incremental`/`dedup_semantic_incr`) gets its
+    * graph rows WITHOUT recomputing the corpus graph. Centroids stay
+    * the ones trained on the EXISTING corpus (the faiss `add` contract:
+    * no retrain on append), the increment probes its nearest cells, and
+    * neighbors come from corpus ∪ increment members of those cells — so
+    * work is increment × probed-cell-members, never corpus × corpus,
+    * and the existing graph rows are untouched (append-only graph
+    * maintenance, the band/span-index absorber pattern). Same
+    * bit-portable trainer, so the increment's rows are hash-gated.
+    */
+  def knnGraphIncremental(s: SparkSession, dir: String, k: Int = 3,
+      probe: Int = IvfProbe): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxId = Relational.t(s, dir, "embeddings")
+      .agg(max(col("vec_id"))).head().getLong(0)
+    val split = (maxId + 1L) * 8L / 10L
+    val e = Relational.t(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusE = e.filter(col("vec_id") < split)
+    val cent = s.conf.getOption(Dedup.StageDirConf) match {
+      case Some(stage) =>
+        Dedup.stagedOrFresh(s,
+          s"$stage/knn_inc_cent_${Dedup.stageTag(s, dir)}_i$split",
+          out => ivfCentroids(corpusE).write.mode("overwrite").parquet(out),
+          () => ivfCentroids(corpusE))
+      case None => ivfCentroids(corpusE)
+    }
+    val assigned = e.join(assignCells(e, cent), "vec_id")
+    val wq = Window.partitionBy("qid")
+      .orderBy(col("csim").desc, col("cell").asc)
+    val qcells = e.filter(col("vec_id") >= split)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("csim", cosine(col("qv"), col("cv")))
+      .withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= probe)
+      .select(col("qid"), col("qv"), col("cell"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val g = assigned.join(qcells, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("qv")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("vec_id"), col("vec_id").as("nbr_id"),
+        col("sim"), col("rk"))
+      .orderBy("vec_id", "rk")
+    Dedup.releaseAfter(g, e)
+  }
+
   /** ANN recall evaluation harness (`sim_recall_eval`): recall@10 of
     * the LSH-bucketed and probed-IVF retrieval paths against the exact
     * brute-force top-10, per (method, query), in integer basis points.

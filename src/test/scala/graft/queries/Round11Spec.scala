@@ -269,6 +269,32 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sim_knn_incr: full probe == brute-force increment kNN; increment rows only") {
+    val e = Relational.t(spark, dir, "embeddings")
+    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+    val split = (maxId + 1L) * 8L / 10L
+    val out = Similarity.knnGraphIncremental(spark, dir).collect()
+    assert(out.nonEmpty && out.forall(_.getLong(0) >= split),
+      "incremental graph must contain increment rows only")
+    // probing every cell is exhaustive regardless of where the (corpus-
+    // trained) centroids sit — must equal brute-force kNN of the
+    // increment over the full corpus
+    val full = Similarity.knnGraphIncremental(spark, dir,
+        probe = Similarity.IvfCells).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val q = e.filter(col("vec_id") >= split)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val bf = e.crossJoin(q).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.CosineSimilarity(col("embedding"), col("qv")).as("sim"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .orderBy("qid", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(full.toSeq == bf.toSeq)
+  }
+
   test("lake point lookup and restore/evolution snapshots are consistent") {
     // point lookup returns exactly the snapshot slice for the key
     val pl = LakeQueries.lakePointLookup(spark, dir).collect()

@@ -288,7 +288,30 @@ object SparkEntry {
     // Integer counting over the hash-gated graph — fully oracle-replayed
     "curate_label_audit" -> ((s, dir) => Similarity.labelAudit(s, dir)),
     // contrastive hard negatives: top in-band (near, not near-dup) matches
-    "sim_hard_negatives" -> (Similarity.hardNegatives _)
+    "sim_hard_negatives" -> (Similarity.hardNegatives _),
+    // connected components over the kNN graph: 8-round min-label
+    // propagation (converged at gate SFs, spec-asserted), one edge join
+    // + node-keyed min per round
+    "sim_components" -> ((s, dir) => Similarity.components(s, dir)),
+    // Markov transition matrix over per-user event sequences with
+    // row-conditional shares in basis points
+    "q40_transitions" -> (Relational.q40Transitions _),
+    // Benford first-digit audit of a money column, integer bp report
+    "stats_benford" -> ((s, dir) => Profile.statsBenford(s, dir)),
+    // exact second-order moment matrix (n, Σx, Σy, Σx², Σy², Σxy,
+    // covariance numerator) per numeric pair in DECIMAL(38,0)
+    "stats_moments" -> ((s, dir) => Profile.statsMoments(s, dir)),
+    // per-source template k-gram detection + span removal (the web-
+    // scrape boilerplate scrub); gate checks the full reconstruction
+    "text_boilerplate" -> ((s, dir) => TextAnalysis.boilerplate(s, dir)),
+    // clean/vacuum table service: post-clean snapshot is the exact
+    // merged state (oracle shared with lake_merge_snapshot)
+    "lake_vacuum" -> (LakeQueries.lakeVacuum _),
+    // filtered ANN: pre-filtered same-label top-k through the probed
+    // IVF layout (the filtered vector-search API surface)
+    "sim_filtered_topk" -> ((s, dir) => Similarity.filteredTopK(s, dir)),
+    // curriculum schedule: difficulty ntile phases + in-phase order
+    "curate_curriculum" -> ((s, dir) => Curation.curriculum(s, dir))
   )
 
   /** Exact n-gram-Jaccard pair SQL — oracle for BOTH dedup_jaccard_pairs
@@ -825,6 +848,39 @@ object SparkEntry {
     * the suspect flag is an integer comparison, so the whole audit
     * hash-matches.
     */
+  /** `sim_components` oracle: the graph replay, undirected edge dedup,
+    * both-direction edge list, then 8 unrolled rounds of min-label
+    * propagation (label ← min(own, neighbors')) from comp = vec_id —
+    * the exact frontier the Spark loop computes — plus component sizes.
+    * Every CTE is MATERIALIZED: each round references the previous one
+    * twice, so inlining would expand the graph replay 2⁸ times (DuckDB
+    * then re-opens the parquet per copy and trips the fd limit).
+    */
+  private def componentsOracleSql(rounds: Int = 8): String = {
+    val prop = (1 to rounds).map { r =>
+      val prev = s"l${r - 1}"
+      s"""l$r AS MATERIALIZED (SELECT t.vec_id,
+         |    LEAST(t.comp, COALESCE(m.m, t.comp)) AS comp
+         |  FROM $prev t LEFT JOIN (
+         |    SELECT e.src AS vec_id, MIN(p.comp) AS m
+         |    FROM e JOIN $prev p ON p.vec_id = e.dst GROUP BY e.src) m
+         |  ON m.vec_id = t.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH g AS MATERIALIZED (SELECT vec_id, nbr_id FROM ($knnGraphOracleSql)),
+       |u AS MATERIALIZED (SELECT DISTINCT LEAST(vec_id, nbr_id) AS a,
+       |    GREATEST(vec_id, nbr_id) AS b
+       |  FROM g WHERE vec_id <> nbr_id),
+       |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM u
+       |  UNION ALL SELECT b, a FROM u),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS vec_id, src AS comp FROM e),
+       |$prop,
+       |sz AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS comp_size
+       |  FROM l$rounds GROUP BY comp)
+       |SELECT l$rounds.vec_id, l$rounds.comp, sz.comp_size
+       |FROM l$rounds JOIN sz USING (comp)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   private def labelAuditSql: String =
     s"""SELECT g.vec_id, l.label,
        |  CAST(COUNT(*) AS BIGINT) AS n_nbrs,
@@ -1002,6 +1058,42 @@ object SparkEntry {
        |SELECT query_id AS $outId, vec_id AS $outNbr, sim, rk
        |FROM r WHERE rk <= $k
        |ORDER BY $outId, rk""".stripMargin
+  }
+
+  /** The `sim_filtered_topk` oracle: trainer + probe replay with the
+    * label predicate applied to CANDIDATES before scoring (pre-filter) —
+    * queries carry their label, candidates join theirs, equality filters
+    * the candidate set, then exact re-score + rank as usual.
+    */
+  private def filteredTopKSql: String = {
+    import graft.queries.Similarity.{IvfIters, IvfProbe}
+    s"""$ivfTrainAssignCtes,
+       |q AS (SELECT e.vec_id AS query_id, e.embedding AS qv,
+       |    le.label AS q_label
+       |  FROM e JOIN embeddings le ON le.vec_id = e.vec_id
+       |  WHERE e.vec_id < 3),
+       |qs AS (SELECT q.query_id, c.cell,
+       |    ${cosineOf("q.qv", "c.cv")} AS csim
+       |  FROM q, c$IvfIters c),
+       |qc AS (SELECT query_id, cell FROM (
+       |    SELECT query_id, cell, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY csim DESC, cell ASC) AS crk
+       |    FROM qs) WHERE crk <= $IvfProbe),
+       |cand AS (SELECT qc.query_id, a.vec_id, la.label
+       |  FROM qc JOIN asg a USING (cell)
+       |  JOIN embeddings la ON la.vec_id = a.vec_id
+       |  JOIN q ON q.query_id = qc.query_id
+       |  WHERE a.vec_id <> qc.query_id AND la.label = q.q_label),
+       |scored AS (SELECT cand.query_id, cand.vec_id, cand.label,
+       |    ${cosineOf("ce.embedding", "qe.embedding")} AS sim
+       |  FROM cand JOIN e ce ON ce.vec_id = cand.vec_id
+       |  JOIN e qe ON qe.vec_id = cand.query_id),
+       |r AS (SELECT query_id, vec_id, label, sim,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, vec_id ASC) AS INT) AS rk
+       |  FROM scored)
+       |SELECT query_id, vec_id, label, sim, rk FROM r WHERE rk <= 10
+       |ORDER BY query_id, rk""".stripMargin
   }
 
   /** The `stats_embedding_drift` oracle: trainer replay on snapshot A
@@ -1379,6 +1471,106 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS users
         |FROM e JOIN f ON f.user_id = e.user_id
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    "q40_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS us FROM events),
+        |t AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY us ASC, event_id ASC) AS to_type
+        |  FROM e),
+        |c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST((n * 10000) // SUM(n) OVER (PARTITION BY from_type)
+        |    AS BIGINT) AS share_bp
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "stats_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(
+        |      l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1)
+        |    AS INT) AS digit FROM lineitem),
+        |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d
+        |  WHERE digit BETWEEN 1 AND 9 GROUP BY digit),
+        |b AS (SELECT digit, n,
+        |    CAST((n * 10000) // SUM(n) OVER () AS BIGINT) AS share_bp,
+        |    CAST(CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1760
+        |      WHEN 3 THEN 1249 WHEN 4 THEN 969 WHEN 5 THEN 791
+        |      WHEN 6 THEN 669 WHEN 7 THEN 579 WHEN 8 THEN 511
+        |      ELSE 457 END AS BIGINT) AS benford_bp
+        |  FROM c)
+        |SELECT digit, n, share_bp, benford_bp,
+        |  abs(share_bp - benford_bp) AS dev_bp
+        |FROM b ORDER BY digit""".stripMargin,
+    "stats_moments" ->
+      """WITH p AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+        |    CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS disc_bp
+        |  FROM lineitem),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(qty AS HUGEINT)) AS sx1, SUM(CAST(price_c AS HUGEINT)) AS sy1,
+        |    SUM(CAST(qty AS HUGEINT) * qty) AS sxx1,
+        |    SUM(CAST(price_c AS HUGEINT) * price_c) AS syy1,
+        |    SUM(CAST(qty AS HUGEINT) * price_c) AS sxy1,
+        |    SUM(CAST(disc_bp AS HUGEINT)) AS sy2,
+        |    SUM(CAST(disc_bp AS HUGEINT) * disc_bp) AS syy2,
+        |    SUM(CAST(qty AS HUGEINT) * disc_bp) AS sxy2,
+        |    SUM(CAST(price_c AS HUGEINT) * disc_bp) AS sxy3
+        |  FROM p)
+        |SELECT x_name, y_name, n,
+        |  CAST(sx AS DECIMAL(38, 0)) AS sx, CAST(sy AS DECIMAL(38, 0)) AS sy,
+        |  CAST(sxx AS DECIMAL(38, 0)) AS sxx,
+        |  CAST(syy AS DECIMAL(38, 0)) AS syy,
+        |  CAST(sxy AS DECIMAL(38, 0)) AS sxy,
+        |  CAST(n * sxy - sx * sy AS DECIMAL(38, 0)) AS cov_num
+        |FROM (
+        |  SELECT 'qty' AS x_name, 'price_c' AS y_name, n,
+        |    sx1 AS sx, sy1 AS sy, sxx1 AS sxx, syy1 AS syy, sxy1 AS sxy FROM m
+        |  UNION ALL SELECT 'qty', 'disc_bp', n,
+        |    sx1, sy2, sxx1, syy2, sxy2 FROM m
+        |  UNION ALL SELECT 'price_c', 'disc_bp', n,
+        |    sy1, sy2, syy1, syy2, sxy3 FROM m)
+        |ORDER BY x_name, y_name""".stripMargin,
+    "text_boilerplate" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |    unnest(range(1, len(w) - 1)) AS pos,
+        |    unnest(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM d WHERE len(w) >= 3),
+        |nd AS (SELECT source, COUNT(*) AS nd FROM d GROUP BY source),
+        |dfq AS (SELECT source, sh, COUNT(DISTINCT doc_id) AS df
+        |  FROM sh GROUP BY 1, 2),
+        |bp AS (SELECT dfq.source, dfq.sh FROM dfq JOIN nd USING (source)
+        |  WHERE df >= 3 AND df * 100 >= nd.nd * 12),
+        |cov AS (SELECT DISTINCT s.doc_id, s.pos + o.o AS cpos
+        |  FROM sh s JOIN bp ON bp.source = s.source AND bp.sh = s.sh,
+        |  (SELECT unnest([0, 1, 2]) AS o) o),
+        |toks AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos,
+        |    unnest(w) AS word FROM d),
+        |kept AS (SELECT t.doc_id, t.pos, t.word FROM toks t
+        |  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.cpos = t.pos
+        |  WHERE c.doc_id IS NULL),
+        |cl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    md5(string_agg(word, ' ' ORDER BY pos ASC)) AS clean_md5
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens,
+        |  CAST(len(d.w) - COALESCE(cl.n_kept, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(cl.clean_md5, md5('')) AS clean_md5
+        |FROM d LEFT JOIN cl USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "curate_curriculum" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    n_chars FROM documents),
+        |s AS (SELECT doc_id, n_tokens,
+        |    (n_chars * 100) // n_tokens AS diff_x100 FROM d),
+        |p AS (SELECT doc_id, n_tokens, diff_x100,
+        |    CAST(ntile(5) OVER (ORDER BY diff_x100 ASC, doc_id ASC)
+        |      AS INT) AS phase
+        |  FROM s)
+        |SELECT doc_id, n_tokens, diff_x100, phase,
+        |  CAST(row_number() OVER (PARTITION BY phase
+        |    ORDER BY diff_x100 ASC, doc_id ASC) AS INT) AS pos_in_phase
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q33_cube" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS st,
         |  COALESCE(o_orderpriority, 'ALL') AS pri,
@@ -2728,6 +2920,9 @@ object SparkEntry {
       ("sim_ivfpq_topk" -> ivfOracleSql) +
       ("sim_knn_graph" -> knnGraphOracleSql) +
       ("sim_knn_incr" -> knnIncrOracleSql) +
+      ("sim_components" -> componentsOracleSql()) +
+      ("sim_filtered_topk" -> filteredTopKSql) +
+      ("lake_vacuum" -> base("lake_merge_snapshot")) +
       ("curate_label_audit" -> labelAuditSql) +
       ("stats_embedding_outliers" -> embeddingOutliersSql) +
       ("curate_diversity_sample" -> diversityOracleSql) +

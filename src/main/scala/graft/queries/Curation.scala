@@ -649,4 +649,36 @@ object Curation {
       .select(col("doc_id"), col("n_chars"), col("w_bp"))
       .orderBy("doc_id")
   }
+
+  /** Curriculum schedule (`curate_curriculum`) — order the corpus
+    * easy → hard and cut it into training phases: each doc gets an
+    * integer difficulty (mean word length ×100 — the proven portable
+    * proxy; swap in any hash-gated score), a phase via ntile over the
+    * (difficulty, doc_id) total order, and its serving position within
+    * the phase. Deterministic end to end (integer difficulty, total
+    * order, ntile's fixed first-buckets-get-extras split is identical
+    * in both engines), so the whole schedule hash-matches.
+    *
+    * Scale shape: ntile over a global order is a global sort — right
+    * for the gate-exact schedule; at corpus scale the split becomes
+    * quantile BOUNDARIES from the one-pass histogram
+    * ([[quantileBins]]'s shape) + a map-only phase assignment, and the
+    * in-phase position becomes the shard/offset pair of
+    * [[shuffleShards]]. The expensive global sort here is the oracle's
+    * replayable stand-in for that composition, not the 100 TB plan.
+    */
+  def curriculum(s: SparkSession, dir: String, phases: Int = 5): DataFrame = {
+    val ord = Window.orderBy(col("diff_x100").asc, col("doc_id").asc)
+    val inPhase = Window.partitionBy("phase")
+      .orderBy(col("diff_x100").asc, col("doc_id").asc)
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        col("n_chars"))
+      .withColumn("diff_x100", expr("(n_chars * 100) DIV n_tokens"))
+      .withColumn("phase", ntile(phases).over(ord))
+      .withColumn("pos_in_phase", row_number().over(inPhase))
+      .select("doc_id", "n_tokens", "diff_x100", "phase", "pos_in_phase")
+      .orderBy("doc_id")
+  }
 }

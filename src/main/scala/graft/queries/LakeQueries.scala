@@ -98,6 +98,7 @@ object LakeQueries {
     timed("zorder")(zorderFixture(s, dir))
     timed("restore")(restoreFixture(s, dir))
     timed("schema_evolution")(evoFixture(s, dir))
+    timed("vacuum")(vacFixture(s, dir))
   }
 
   /** The two-commit COW table (upsert b1, upsert b2) that four read
@@ -495,5 +496,36 @@ object LakeQueries {
   def lakeSchemaEvolution(s: SparkSession, dir: String): DataFrame =
     evoFixture(s, dir).snapshot()
       .select((outCols :+ "l_tier").map(col): _*)
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Table-maintenance clean (vacuum) under the hash gate
+    * (`lake_vacuum`): commit 2's COW rewrite makes the commit-1 files of
+    * the touched partitions logically removed; `clean(retainCommits=1)`
+    * then physically deletes every file only pre-cutoff instants could
+    * reach. The post-clean snapshot must STILL be the exact merged state
+    * — the oracle IS `lake_merge_snapshot`'s merged-state SQL: vacuum
+    * reclaims space, never rows. The deletable-selection, savepoint-pin,
+    * and lease-fencing contracts are spec-gated (LakeTableSpec /
+    * SavepointSpec); Round11Spec additionally asserts the cleaned
+    * table's timeline lost its pre-cutoff reads. Built once per
+    * (JVM, sfDir); the query measures the post-clean snapshot READ.
+    */
+  private val vacFixtures = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def vacFixture(s: SparkSession, dir: String): LakeTable = {
+    val path = vacFixtures.getOrElseUpdate(dir, {
+      val t = freshTable(s)
+      withBatch1(s, dir) { b1 =>
+        t.upsert(b1, combine = false)
+        t.upsert(batch2(b1), combine = false)
+      }
+      t.clean(retainCommits = 1)
+      t.path
+    })
+    LakeTable.load(s, path)
+  }
+
+  def lakeVacuum(s: SparkSession, dir: String): DataFrame =
+    vacFixture(s, dir).snapshot().select(outCols.map(col): _*)
       .orderBy("l_orderkey", "l_linenumber")
 }

@@ -288,4 +288,82 @@ object Profile {
         (col("cnt") * col("n_keys") > col("total") * 2L).cast("int").as("hot"))
       .orderBy("rk")
   }
+
+  /** First-significant-digit audit (`stats_benford`) — the classic
+    * fabricated/corrupted-numeric screen: organically-grown magnitudes
+    * follow Benford's law (P(d) = log10(1 + 1/d)); a generator bug, a
+    * unit mix-up, or synthetic padding shows up as a digit histogram
+    * far from the curve. Values go through the proven cents projection
+    * (floor(x·100 + 0.5) — bit-identical double arithmetic in both
+    * engines), the leading digit is the first character of the BIGINT's
+    * decimal rendering, and both the observed share and the Benford
+    * expectation are integer basis points, so the whole report
+    * hash-matches. Expected bp are floor(log10(1+1/d)·10⁴) literals —
+    * no floating log in either engine.
+    *
+    * Scale shape: one scan, a 9-group map-side-combined aggregate, and
+    * a window over ≤ 9 rows. Nothing grows with the table.
+    */
+  def statsBenford(s: SparkSession, dir: String): DataFrame = {
+    val benford = Seq(3010, 1760, 1249, 969, 791, 669, 579, 511, 457)
+    Relational.t(s, dir, "lineitem")
+      .select(substring(
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+      .filter(col("digit").between(1, 9))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .withColumn("share_bp",
+        expr("(n * 10000) DIV sum(n) OVER ()"))
+      .withColumn("benford_bp",
+        element_at(array(benford.map(lit(_)): _*), col("digit")).cast("long"))
+      .withColumn("dev_bp", abs(col("share_bp") - col("benford_bp")))
+      .orderBy("digit")
+  }
+
+  /** Exact moment matrix (`stats_moments`) — the distributed
+    * covariance/correlation primitive for feature screening: for each
+    * numeric column pair, the exact second-order moments
+    * (n, Σx, Σy, Σx², Σy², Σxy) plus the covariance numerator
+    * n·Σxy − Σx·Σy, all on integer projections (cents / basis points)
+    * summed in DECIMAL(38,0), so the whole matrix is bit-exact and
+    * hash-gated — the float corr is one driver-side division away, but
+    * the heavy pass over the data never touches floats. Per-row
+    * products stay in LONG (|x·y| ≤ 9.2·10¹⁸ — documented input-domain
+    * contract: cents ≤ ~10⁹ per row); only the SUMS widen to decimal.
+    *
+    * Scale shape: ONE scan computes every moment in a single partial-
+    * aggregated (map-side combined) global aggregate — one row crosses
+    * the network per partition — then `inline` unpivots the single row
+    * into one row per pair, driver-free. Adding a column pair adds six
+    * aggregate slots, not a pass.
+    */
+  def statsMoments(s: SparkSession, dir: String): DataFrame = {
+    val proj = Relational.t(s, dir, "lineitem").select(
+      col("l_quantity").cast("long").as("qty"),
+      expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("price_c"),
+      expr("CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)").as("disc_bp"))
+    val pairs = Seq(("qty", "price_c"), ("qty", "disc_bp"),
+      ("price_c", "disc_bp"))
+    val dec38 = "decimal(38,0)"
+    val aggs = count(lit(1)).as("n") +: pairs.flatMap { case (x, y) =>
+      Seq(
+        sum(col(x).cast(dec38)).as(s"_sx_${x}_$y"),
+        sum(col(y).cast(dec38)).as(s"_sy_${x}_$y"),
+        sum((col(x) * col(x)).cast(dec38)).as(s"_sxx_${x}_$y"),
+        sum((col(y) * col(y)).cast(dec38)).as(s"_syy_${x}_$y"),
+        sum((col(x) * col(y)).cast(dec38)).as(s"_sxy_${x}_$y"))
+    }
+    val one = proj.agg(aggs.head, aggs.tail: _*)
+    val rows = array(pairs.map { case (x, y) =>
+      val k = s"${x}_$y"
+      struct(
+        lit(x).as("x_name"), lit(y).as("y_name"), col("n"),
+        col(s"_sx_$k").as("sx"), col(s"_sy_$k").as("sy"),
+        col(s"_sxx_$k").as("sxx"), col(s"_syy_$k").as("syy"),
+        col(s"_sxy_$k").as("sxy"),
+        (col("n").cast(dec38) * col(s"_sxy_$k") -
+          col(s"_sx_$k") * col(s"_sy_$k")).cast(dec38).as("cov_num"))
+    }: _*)
+    one.select(inline(rows)).orderBy("x_name", "y_name")
+  }
 }

@@ -619,6 +619,40 @@ object Relational {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Event transition matrix (`q40_transitions`) — the Markov-chain view
+    * of user behavior: for every (event_type → next event_type) pair,
+    * how many times a user's event was immediately followed by the
+    * other type (per-user timestamp order, event_id tie-break), plus
+    * the row-conditional share in integer basis points. This is the
+    * path-analysis primitive behind sankey/flow dashboards and behavior
+    * anomaly screens (a purchase→purchase spike is a retry storm).
+    *
+    * Scale shape: ONE shuffle on user_id for the lead() window (the
+    * same partitioning sessionize uses — at 100 TB the events table
+    * would be bucketed on user_id and even that shuffle disappears),
+    * then a groupBy on the (from, to) pair whose cardinality is the
+    * square of the event-type vocabulary — tiny, map-side combined.
+    * The share denominator is a window over that tiny matrix, not the
+    * raw events.
+    */
+  def q40Transitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wu = Window.partitionBy("user_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val wf = Window.partitionBy("from_type")
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(wu))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_bp",
+        expr("(n * 10000) DIV sum(n) OVER (PARTITION BY from_type)"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Correlated scalar subquery, decorrelated (`q35_above_own_avg`):
     * orders strictly above their OWN customer's average order value —
     * the canonical "compare each row to its group's aggregate" shape.

@@ -632,6 +632,68 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Filtered ANN (`sim_filtered_topk`) — top-k nearest neighbors under
+    * a structured metadata predicate (here: candidate label must equal
+    * the query's label), the "filtered vector search" every production
+    * vector store exposes. The filter is applied PRE-scoring (candidates
+    * are label-joined and filtered before any cosine is computed) — the
+    * pre-filter strategy: post-filtering a plain top-k would return
+    * FEWER than k survivors whenever the predicate's selectivity bites
+    * (~10% here), the classic filtered-ANN recall trap. Same
+    * bit-portable trainer/probe arithmetic as [[ivfTopK]], so the probed
+    * result is fully hash-gated; full probe ≡ brute-force-with-filter
+    * (spec-asserted).
+    *
+    * Scale shape: the label join onto the candidate scan is a skinny
+    * co-partitioned hash join — in the production layout the filter
+    * columns live IN the cell-partitioned index files (faiss/qdrant
+    * store payloads alongside codes) and the join disappears into a
+    * pushed predicate; probing stays partition pruning either way.
+    */
+  def filteredTopK(s: SparkSession, dir: String,
+      probe: Int = IvfProbe): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var eMat: DataFrame = null
+    def e: DataFrame = {
+      if (eMat == null)
+        eMat = Relational.t(s, dir, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      eMat
+    }
+    val cent = ivfCentFor(s, dir, e)
+    val corpus = ivfCorpusFor(s, dir, e, cent)
+    val lab = Relational.t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val q0 = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // 3-row query side broadcast INTO the skinny label table
+    val qlab = lab.select(col("vec_id").as("query_id"),
+        col("label").as("q_label"))
+      .join(broadcast(q0), "query_id")
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("cell").asc)
+    val qcells = qlab.crossJoin(broadcast(cent))
+      .withColumn("csim", cosine(col("qv"), col("cv")))
+      .withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= probe)
+      .select(col("query_id"), col("qv"), col("q_label"), col("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val topk = corpus.select(col("vec_id"), col("embedding"), col("cell"))
+      .join(lab, "vec_id")
+      .join(broadcast(qcells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("label") === col("q_label"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosine(col("embedding"), col("qv")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select("query_id", "vec_id", "label", "sim", "rk")
+      .orderBy("query_id", "rk")
+    if (eMat != null) Dedup.releaseAfter(topk, eMat) else topk
+  }
+
   /** IVF RANGE search (the faiss `range_search` API surface): every
     * corpus vector within cosine `threshold` of each query vector, found
     * by probing the query's `probe` nearest cells and exact-scoring only
@@ -1395,6 +1457,65 @@ object Similarity {
         expr("(tri * 2 * 10000) DIV nullif(deg * (deg - 1), 0)"))
       .orderBy("vec_id")
     Dedup.releaseAfter(out, und)
+  }
+
+  /** Connected components over the kNN graph (`sim_components`) — the
+    * graph primitive that turns pairwise near-neighbor evidence into
+    * corpus-level structure: a component is a semantic island (a topic
+    * clump, a template family, a near-dup constellation), and component
+    * sizes are the standard "is my corpus one giant hairball or many
+    * small communities" health read. The result is DEFINED as `rounds`
+    * iterations of min-label propagation from `comp = vec_id` over the
+    * undirected-deduped graph — deterministic, so the DuckDB oracle
+    * replays the exact same frontier and the whole table hash-matches;
+    * at the gate SFs the propagation has converged (spec-asserted: both
+    * endpoints of every edge carry the same label), so the frontier IS
+    * the true components.
+    *
+    * Scale shape: each round is ONE edge⋈label hash join (labels sent
+    * along every directed edge) + a min-aggregate keyed on the node —
+    * linear in |E| per round, all shuffles on the same node key so the
+    * partitioning is reusable across rounds. Plain label propagation
+    * needs O(diameter) rounds; kNN graphs of embedding corpora have
+    * small diameters (neighborhoods overlap), and the production dial
+    * for adversarially long chains is alternating large-star/small-star
+    * contraction (Kiveris et al.), which squares the convergence rate
+    * with the same per-round join shape. The edge list is persisted
+    * once across rounds and released after materialization.
+    */
+  def components(s: SparkSession, dir: String, rounds: Int = 8): DataFrame = {
+    val g = stagedKnnGraph(s, dir)
+    val und = g
+      .select(least(col("vec_id"), col("nbr_id")).as("a"),
+        greatest(col("vec_id"), col("nbr_id")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var lbl = edges.select(col("src").as("vec_id")).distinct()
+      .withColumn("comp", col("vec_id"))
+    for (_ <- 1 to rounds) {
+      val nbrMin = edges
+        .join(lbl.select(col("vec_id").as("dst"), col("comp").as("nc")),
+          "dst")
+        .groupBy(col("src").as("vec_id"))
+        .agg(min(col("nc")).as("m"))
+      lbl = lbl.join(nbrMin, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          least(col("comp"), coalesce(col("m"), col("comp"))).as("comp"))
+        // each round feeds lbl into TWO operators of the next (the edge
+        // join and the left join), so an unmaterialized lineage doubles
+        // per round — 2^rounds plan copies, recomputed from the scan.
+        // Materializing the (tiny) label frame per round is the standard
+        // iterative-graph practice (GraphX/GraphFrames checkpoint the
+        // same way) and makes each round exactly one small job.
+        .localCheckpoint()
+    }
+    val sizes = lbl.groupBy("comp").agg(count(lit(1)).as("comp_size"))
+    val out = lbl.join(sizes, "comp")
+      .select(col("vec_id"), col("comp"), col("comp_size"))
+      .orderBy("vec_id")
+    Dedup.releaseAfter(out, edges)
   }
 
   /** k-NN graph construction (`sim_knn_graph`): for EVERY corpus vector,

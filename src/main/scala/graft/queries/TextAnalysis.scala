@@ -506,23 +506,32 @@ object TextAnalysis {
     * arithmetic — no shuffle until the final skinny aggregate.
     */
   def winnowing(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Rolling-window argmin instead of the per-row nested-lambda form:
+    // exploding the span hashes once and taking min(struct(h, -p)) over
+    // a bounded ROWS frame selects, per window start, the smallest hash
+    // with the RIGHTMOST position on ties (-p inverts the tie order) —
+    // the winnowing rule — in codegen'd window machinery. The earlier
+    // transform/aggregate-over-element_at form re-inlined the whole
+    // span-hash computation at every element access (projection
+    // collapse), going quadratic in interpreted expression evaluation.
     val W = 5; val win = 4
-    val base = Relational.t(s, dir, "documents")
+    val spans = Relational.t(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism) // CPU-heavy per row
       .filter(size(words(col("text"))) >= W + win - 1)
-      .select(col("doc_id"), spanHashes(col("text"), W).as("hs"))
-    val sel = base.select(col("doc_id"), col("hs"),
-      expr(
-        s"""array_distinct(transform(sequence(1, size(hs) - ${win - 1}), j ->
-           |  aggregate(sequence(j, j + ${win - 1}),
-           |    named_struct('mv', 9223372036854775807L, 'mp', -1),
-           |    (acc, p) -> IF(element_at(hs, p) <= acc.mv,
-           |      named_struct('mv', element_at(hs, p), 'mp', p), acc)).mp))"""
-          .stripMargin).as("sel"))
-    sel.select(col("doc_id"), size(col("hs")).cast("long").as("n_spans"),
-        col("hs"), explode(col("sel")).as("p"))
+      .select(col("doc_id"),
+        posexplode(spanHashes(col("text"), W)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
+    val wN = Window.partitionBy("doc_id")
+    val wF = Window.partitionBy("doc_id").orderBy(col("p").asc)
+      .rowsBetween(Window.currentRow, win - 1)
+    spans
+      .withColumn("n_spans", count(lit(1)).over(wN))
+      .withColumn("m", min(struct(col("h"), (-col("p")).as("np"))).over(wF))
+      .filter(col("p") <= col("n_spans") - (win - 1))
       .select(col("doc_id"), col("n_spans"),
-        expr("element_at(hs, p)").as("fp"))
+        col("m.h").as("fp"), col("m.np").as("np"))
+      .distinct() // distinct selected POSITIONS per doc
       .groupBy("doc_id", "n_spans")
       .agg(count(lit(1)).as("n_fp"), expr("bit_xor(fp)").as("fp_xor"))
       .orderBy("doc_id")
@@ -1053,5 +1062,73 @@ object TextAnalysis {
       .withColumn("is_dup", (col("hd") <= 6).cast("int"))
       .select(col("doc_a"), col("doc_b"), col("hd"), col("is_dup"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-source boilerplate removal (`text_boilerplate`) — the template
+    * scrub every web-scrape pipeline runs before dedup/training: token
+    * k-grams that recur across a large share of ONE source's documents
+    * (nav chrome, cookie banners, footer blurbs — site templates, not
+    * content) are detected by per-source document frequency and every
+    * occurrence's token span is removed; surviving tokens are re-joined
+    * in order. A k-gram is boilerplate when its source-local df ≥
+    * `minDf` docs AND df·100 ≥ sharePct·(source doc count) — the share
+    * rule is the semantics (template ⇔ high within-source prevalence),
+    * the absolute floor keeps tiny sources from declaring 2-doc
+    * coincidences templates. Output per doc: token counts before/after
+    * and the md5 of the cleaned text, so the gate checks the whole
+    * reconstruction, not just the drop counts.
+    *
+    * Scale shape: shingling is a map-side explode; df is a (source,
+    * shingle)-keyed aggregate with map-side dedup partials; the
+    * boilerplate set (tiny by construction — templates are few) joins
+    * back to shingle occurrences on (source, shingle); covered
+    * positions explode k rows per hit; the rebuild is one doc-keyed
+    * aggregate. Everything is linear in corpus token count; nothing is
+    * ever pairwise.
+    */
+  def boilerplate(s: SparkSession, dir: String, k: Int = 3,
+      sharePct: Int = 12, minDf: Int = 3): DataFrame =
+    boilerplateFor(Relational.t(s, dir, "documents"), k, sharePct, minDf)
+
+  /** Core of [[boilerplate]] over an explicit (doc_id, source, text)
+    * frame — the planted-template spec drives this directly.
+    */
+  private[queries] def boilerplateFor(docs: DataFrame, k: Int,
+      sharePct: Int, minDf: Int): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = d.filter(size(col("w")) >= k)
+      .withColumn("pos", explode(expr(s"sequence(1, size(w) - ${k - 1})")))
+      .select(col("doc_id"), col("source"), col("pos"),
+        expr(s"concat_ws(' ', slice(w, pos, $k))").as("sh"))
+    val srcDocs = d.groupBy("source").agg(count(lit(1)).as("nd"))
+    val dfq = sh.select("source", "sh", "doc_id").distinct()
+      .groupBy("source", "sh").agg(count(lit(1)).as("df"))
+    val bp = dfq.join(broadcast(srcDocs), "source")
+      .filter(col("df") >= minDf &&
+        col("df") * 100 >= col("nd") * sharePct)
+      .select("source", "sh")
+    val cov = sh.join(bp, Seq("source", "sh"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${k - 1})")).as("cpos"))
+      .distinct()
+    val toks = d.select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "word")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("word"))
+    val kept = toks.join(cov,
+      toks("doc_id") === cov("doc_id") && toks("pos") === cov("cpos"),
+      "left_anti")
+    val cleaned = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      md5(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("word")))),
+        x => x.getField("word")), " ")).as("clean_md5"))
+    val out = d.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+      .orderBy("doc_id")
+    graft.queries.Dedup.releaseAfter(out, d)
   }
 }

@@ -310,4 +310,173 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(evo.filter(col("l_orderkey") < 500 && col("l_tier").isNull)
       .count() == 0)
   }
+
+  test("sim_components: converged labels — edge-consistent, min-id, sizes exact") {
+    val comp = Similarity.components(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizes = Similarity.components(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // every graph edge's endpoints carry the same component label
+    // (convergence at this SF — 8 rounds past the diameter)
+    val edges = Similarity.stagedKnnGraph(spark, dir)
+      .select("vec_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    edges.foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"edge ($a,$b) crosses components") }
+    // the label is the component's min member id
+    comp.groupBy(_._2).foreach { case (c, members) =>
+      assert(c == members.keys.min, s"component $c label != min id") }
+    // sizes match the member counts
+    val bySize = comp.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    comp.keys.foreach { v => assert(sizes(v) == bySize(comp(v))) }
+  }
+
+  test("q40_transitions: imperative Markov reference on collected events") {
+    val rows = Relational.q40Transitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val ev = Relational.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val ref = ev.groupBy(_._1).values.flatMap { es =>
+      es.sortBy(e => (e._4, e._2)).sliding(2).collect {
+        case Array(a, b) => (a._3, b._3)
+      }
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.keySet == ref.keySet)
+    val fromTotals = ref.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    ref.foreach { case (k, n) =>
+      assert(rows(k) == ((n, n * 10000L / fromTotals(k._1))), s"pair $k") }
+  }
+
+  test("stats_benford: shares sum to ~10000, constants are floor(log10(1+1/d))") {
+    val rows = Profile.statsBenford(spark, dir).orderBy("digit").collect()
+    assert(rows.nonEmpty && rows.length <= 9)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val shareSum = rows.map(_.getAs[Long]("share_bp")).sum
+    assert(shareSum <= 10000L && shareSum > 10000L - rows.length)
+    rows.foreach { r =>
+      val d = r.getAs[Int]("digit")
+      val expect = math.floor(math.log10(1.0 + 1.0 / d) * 10000).toLong
+      assert(r.getAs[Long]("benford_bp") == expect, s"digit $d")
+      assert(r.getAs[Long]("share_bp") == r.getAs[Long]("n") * 10000L / total)
+      assert(r.getAs[Long]("dev_bp") ==
+        math.abs(r.getAs[Long]("share_bp") - r.getAs[Long]("benford_bp")))
+    }
+  }
+
+  test("stats_moments: BigInt reference over collected projections") {
+    val rows = Profile.statsMoments(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val li = Relational.t(spark, dir, "lineitem").select(
+      col("l_quantity").cast("long"),
+      expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"),
+      expr("CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)")).collect()
+      .map(r => Map("qty" -> BigInt(r.getLong(0)),
+        "price_c" -> BigInt(r.getLong(1)), "disc_bp" -> BigInt(r.getLong(2))))
+    for ((x, y) <- Seq(("qty", "price_c"), ("qty", "disc_bp"),
+        ("price_c", "disc_bp"))) {
+      val r = rows((x, y))
+      val n = BigInt(li.length)
+      val sx = li.map(_(x)).sum; val sy = li.map(_(y)).sum
+      val sxy = li.map(m => m(x) * m(y)).sum
+      assert(BigInt(r.getAs[java.math.BigDecimal]("sx").toBigInteger) == sx)
+      assert(BigInt(r.getAs[java.math.BigDecimal]("sy").toBigInteger) == sy)
+      assert(BigInt(r.getAs[java.math.BigDecimal]("sxy").toBigInteger) == sxy)
+      assert(BigInt(r.getAs[java.math.BigDecimal]("sxx").toBigInteger) ==
+        li.map(m => m(x) * m(x)).sum)
+      assert(BigInt(r.getAs[java.math.BigDecimal]("syy").toBigInteger) ==
+        li.map(m => m(y) * m(y)).sum)
+      assert(BigInt(r.getAs[java.math.BigDecimal]("cov_num").toBigInteger) ==
+        n * sxy - sx * sy)
+      assert(r.getAs[Long]("n") == li.length.toLong)
+    }
+  }
+
+  test("text_boilerplate: planted template is scrubbed, organic text untouched") {
+    import spark.implicits._
+    // 10 docs in one source, 8 carry the same leading template trigram;
+    // a second source shares no trigram across docs
+    val template = "cookie banner notice"
+    val docs = ((0 until 10).map { i =>
+      val body = s"alpha$i beta$i gamma$i delta$i epsilon$i"
+      val text = if (i < 8) s"$template $body" else body
+      (i.toLong, "siteA", text)
+    } ++ (10 until 14).map { i =>
+      (i.toLong, "siteB", s"u$i v$i w$i x$i y$i z$i")
+    }).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.boilerplateFor(docs, 3, 12, 3).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    for (i <- 0L until 8L) {
+      assert(out(i)._1 == 8L && out(i)._2 == 3L, s"doc $i spans")
+      val bodyMd5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"alpha$i beta$i gamma$i delta$i epsilon$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(out(i)._3 == bodyMd5, s"doc $i cleaned text")
+    }
+    // non-template docs and the clean source lose nothing
+    ((8L until 14L)).foreach { i => assert(out(i)._2 == 0L, s"doc $i") }
+    // corpus run: a doc with zero removals keeps its original text hash
+    val corpus = Relational.t(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("orig"))
+    val full = TextAnalysis.boilerplate(spark, dir)
+    val untouched = full.filter(col("n_removed") === 0)
+      .join(corpus, "doc_id")
+      .filter(col("clean_md5") =!= col("orig"))
+    assert(untouched.count() == 0)
+    assert(full.count() == corpus.count())
+  }
+
+  test("lake_vacuum: post-clean snapshot equals the merged state exactly") {
+    val vac = LakeQueries.lakeVacuum(spark, dir).collect()
+    val merged = LakeQueries.lakeMergeSnapshot(spark, dir).collect()
+    assert(vac.length == merged.length)
+    vac.zip(merged).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("sim_filtered_topk: full probe == brute force with the label filter") {
+    val full = Similarity
+      .filteredTopK(spark, dir, probe = Similarity.IvfCells).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(4)))
+    val e = Relational.t(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").as("q_label"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val bf = e.crossJoin(q)
+      .filter(col("vec_id") =!= col("qid") && col("label") === col("q_label"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        graft.functions.CosineSimilarity(col("embedding"), col("qv")).as("sim"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .orderBy("qid", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(4)))
+    assert(full.toSeq == bf.toSeq)
+    // the probed result is label-pure: every row carries its query's label
+    val qlabels = q.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    Similarity.filteredTopK(spark, dir).collect().foreach { r =>
+      assert(r.getInt(2) == qlabels(r.getLong(0)))
+    }
+  }
+
+  test("curate_curriculum: balanced phases, monotone difficulty, contiguous positions") {
+    val rows = Curation.curriculum(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3), r.getInt(4)))
+    val byPhase = rows.groupBy(_._3)
+    assert(byPhase.keySet == (1 to 5).toSet)
+    val sizes = byPhase.view.mapValues(_.length).values.toSeq
+    assert(sizes.max - sizes.min <= 1)
+    // difficulty never decreases across phase boundaries
+    val maxByPhase = byPhase.view.mapValues(_.map(_._2).max).toMap
+    val minByPhase = byPhase.view.mapValues(_.map(_._2).min).toMap
+    (1 to 4).foreach { p => assert(maxByPhase(p) <= minByPhase(p + 1)) }
+    // in-phase positions are 1..size and follow (difficulty, doc_id)
+    byPhase.foreach { case (_, ms) =>
+      val sorted = ms.sortBy(m => (m._2, m._1))
+      assert(sorted.map(_._4).toSeq == (1 to ms.length).toSeq)
+    }
+  }
 }

@@ -311,7 +311,13 @@ object SparkEntry {
     // IVF layout (the filtered vector-search API surface)
     "sim_filtered_topk" -> ((s, dir) => Similarity.filteredTopK(s, dir)),
     // curriculum schedule: difficulty ntile phases + in-phase order
-    "curate_curriculum" -> ((s, dir) => Curation.curriculum(s, dir))
+    "curate_curriculum" -> ((s, dir) => Curation.curriculum(s, dir)),
+    // trained multinomial naive-Bayes classifier in q4 integer bits
+    "text_nb_classify" -> ((s, dir) => TextAnalysis.nbClassify(s, dir)),
+    // MAD robust outlier screen, value-grouped exact medians
+    "stats_mad_outliers" -> ((s, dir) => Profile.statsMadOutliers(s, dir)),
+    // trailing 7-day distinct users via the linear fan-out trick
+    "q41_sliding_distinct" -> (Relational.q41SlidingDistinct _)
   )
 
   /** Exact n-gram-Jaccard pair SQL — oracle for BOTH dedup_jaccard_pairs
@@ -1571,6 +1577,82 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY phase
         |    ORDER BY diff_x100 ASC, doc_id ASC) AS INT) AS pos_in_phase
         |FROM p ORDER BY doc_id""".stripMargin,
+    "q41_sliding_distinct" ->
+      """WITH dd AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |mx AS (SELECT MAX(d) AS mx FROM dd),
+        |fan AS (SELECT user_id, d + CAST(o.o AS INTEGER) AS day
+        |  FROM dd, (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS o) o),
+        |u7 AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u7
+        |  FROM fan, mx WHERE day <= mx.mx GROUP BY day),
+        |u1 AS (SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS u1
+        |  FROM dd GROUP BY d)
+        |SELECT strftime(u7.day, '%Y%m%d') AS day,
+        |  COALESCE(u1.u1, 0) AS u1, u7.u7
+        |FROM u7 LEFT JOIN u1 ON u1.day = u7.day
+        |ORDER BY day""".stripMargin,
+    "stats_mad_outliers" ->
+      """WITH v AS (SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM v),
+        |g1 AS (SELECT cents, COUNT(*) AS n FROM v GROUP BY cents),
+        |c1 AS (SELECT cents, SUM(n) OVER (ORDER BY cents ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM g1),
+        |med AS (SELECT MIN(cents) AS med FROM c1, t
+        |  WHERE cum >= (t.t + 1) // 2),
+        |dv AS (SELECT v.o_orderkey, v.cents,
+        |    abs(v.cents - med.med) AS dev, med.med FROM v, med),
+        |g2 AS (SELECT dev, COUNT(*) AS n FROM dv GROUP BY dev),
+        |c2 AS (SELECT dev, SUM(n) OVER (ORDER BY dev ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM g2),
+        |mad AS (SELECT MIN(dev) AS mad FROM c2, t
+        |  WHERE cum >= (t.t + 1) // 2),
+        |r AS (SELECT CAST(row_number() OVER (
+        |      ORDER BY dev DESC, o_orderkey ASC) AS INT) AS rk,
+        |    o_orderkey, cents, dev, med, mad.mad,
+        |    CAST(CASE WHEN dev > mad.mad * 3 THEN 1 ELSE 0 END AS INT)
+        |      AS is_outlier
+        |  FROM dv, mad)
+        |SELECT rk, o_orderkey, cents, dev, med, mad, is_outlier
+        |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    "text_nb_classify" -> {
+      def l2(x: String): String =
+        s"((length(bin($x)) - 1) * 16 + ((($x) * 16) >> (length(bin($x)) - 1)) - 16)"
+      s"""WITH tok AS (SELECT doc_id, lang, t FROM
+         |    (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+         |     FROM documents)
+         |  WHERE length(t) > 0),
+         |pri AS (SELECT lang AS cand,
+         |    ${l2("(SELECT COUNT(*) FROM documents)")} - ${l2("COUNT(*)")}
+         |      AS prior_q4
+         |  FROM documents GROUP BY lang),
+         |ct AS (SELECT lang AS cand, t, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY lang, t),
+         |voc AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v FROM ct),
+         |den AS (SELECT cand, ${l2("(t_c + voc.v)")} AS den_q4
+         |  FROM (SELECT cand, SUM(c) AS t_c FROM ct GROUP BY cand), voc),
+         |sc AS (SELECT tok.doc_id, tok.lang, pri.cand,
+         |    CAST(SUM(den.den_q4 -
+         |      ${l2("(COALESCE(ct.c, 0) + 1)")}) AS BIGINT) AS tok_bits
+         |  FROM tok
+         |  CROSS JOIN pri
+         |  LEFT JOIN ct ON ct.cand = pri.cand AND ct.t = tok.t
+         |  JOIN den ON den.cand = pri.cand
+         |  GROUP BY tok.doc_id, tok.lang, pri.cand),
+         |fin AS (SELECT doc_id, lang, sc.cand,
+         |    tok_bits + pri.prior_q4 AS bits_q4
+         |  FROM sc JOIN pri ON pri.cand = sc.cand),
+         |r AS (SELECT doc_id, lang, cand, bits_q4,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY bits_q4 ASC, cand ASC) AS rn
+         |  FROM fin)
+         |SELECT doc_id, lang, cand AS pred, bits_q4,
+         |  CAST(CASE WHEN cand = lang THEN 1 ELSE 0 END AS INT) AS correct
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
     "q33_cube" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS st,
         |  COALESCE(o_orderpriority, 'ALL') AS pri,

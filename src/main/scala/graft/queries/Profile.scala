@@ -320,6 +320,53 @@ object Profile {
       .orderBy("digit")
   }
 
+  /** Lower median of a long column via value-grouped cumulative counts —
+    * the scale-correct exact median: the window runs over DISTINCT
+    * values (bounded by the value domain, not the row count), never a
+    * global row sort. Returns a 1-row frame named `out`.
+    */
+  private def lowerMedianOf(df: DataFrame, c: String, out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(c).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.groupBy(c).agg(count(lit(1)).as("_n"))
+      .withColumn("_cum", sum(col("_n")).over(w))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("_t"))))
+      .filter(col("_cum") >= expr("(_t + 1) DIV 2"))
+      .agg(min(col(c)).as(out))
+  }
+
+  /** Robust outlier screen (`stats_mad_outliers`) — median absolute
+    * deviation, the data-quality screen that survives the very outliers
+    * it hunts (mean/stddev get dragged; medians don't): med = lower
+    * median of the cents projection, MAD = lower median of |x − med|,
+    * flag at dev > 3·MAD, report the top-20 by deviation. All integer
+    * (cents, lower medians, integer comparisons), so the whole report
+    * hash-matches.
+    *
+    * Scale shape: both medians run over value-GROUPED counts (windows
+    * bounded by distinct values, map-side-combined groupBys — never a
+    * global row sort); the top-20 cut is orderBy+limit = TakeOrdered
+    * (per-partition partial top-k); the rank window runs over 20 rows.
+    */
+  def statsMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = Relational.t(s, dir, "orders").select(col("o_orderkey"),
+      expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    val med = lowerMedianOf(v, "cents", "med")
+    val dev = v.crossJoin(broadcast(med))
+      .withColumn("dev", abs(col("cents") - col("med")))
+    val mad = lowerMedianOf(dev.select("dev"), "dev", "mad")
+    val top = dev.crossJoin(broadcast(mad))
+      .orderBy(col("dev").desc, col("o_orderkey").asc).limit(20)
+    top.withColumn("rk", row_number().over(
+        Window.orderBy(col("dev").desc, col("o_orderkey").asc)))
+      .select(col("rk"), col("o_orderkey"), col("cents"), col("dev"),
+        col("med"), col("mad"),
+        (col("dev") > col("mad") * 3L).cast("int").as("is_outlier"))
+      .orderBy("rk")
+  }
+
   /** Exact moment matrix (`stats_moments`) — the distributed
     * covariance/correlation primitive for feature screening: for each
     * numeric column pair, the exact second-order moments

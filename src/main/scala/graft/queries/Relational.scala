@@ -653,6 +653,32 @@ object Relational {
       .orderBy("from_type", "to_type")
   }
 
+  /** Trailing-window distinct users (`q41_sliding_distinct`) — 7-day
+    * rolling active users per day, the DAU/WAU dashboard primitive.
+    * COUNT(DISTINCT) can't run over a window frame, and the naive
+    * self-join is range-quadratic — the scalable form is the FAN-OUT
+    * trick: each distinct (user, day) activity row claims the next 7
+    * calendar days, then one plain distinct-count per claimed day.
+    * Volume is exactly 7× the distinct activity rows — linear, map-side
+    * expanded, no range join, no window. Days past the data's end are
+    * trimmed; the first 6 days carry partial windows (standard).
+    */
+  def q41SlidingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val dd = events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val mx = dd.agg(max(col("d")).as("mx"))
+    val u7 = dd.withColumn("o", explode(expr("sequence(0, 6)")))
+      .select(col("user_id"), date_add(col("d"), col("o")).as("day"))
+      .crossJoin(broadcast(mx)).filter(col("day") <= col("mx"))
+      .groupBy("day").agg(countDistinct(col("user_id")).as("u7"))
+    val u1 = dd.groupBy(col("d").as("day"))
+      .agg(count(lit(1)).as("u1"))
+    u7.join(u1, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyyMMdd").as("day"),
+        coalesce(col("u1"), lit(0L)).as("u1"), col("u7"))
+      .orderBy("day")
+  }
+
   /** Correlated scalar subquery, decorrelated (`q35_above_own_avg`):
     * orders strictly above their OWN customer's average order value —
     * the canonical "compare each row to its group's aggregate" shape.

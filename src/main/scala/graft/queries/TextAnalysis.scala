@@ -1064,6 +1064,70 @@ object TextAnalysis {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Trained naive-Bayes document classifier (`text_nb_classify`) — the
+    * model-based filter family (fastText-style language/quality
+    * classifiers) in PORTABLE INTEGER arithmetic: multinomial NB over
+    * tokens with add-1 smoothing, log-probs as the q4 piecewise-linear
+    * integer log2 (the `text_entropy`/`text_lm_score` primitive), class
+    * score = Σ_tokens (L(T_c + V) − L(count(c,tok)+1)) + (L(D) − L(D_c))
+    * in bits — SMALLEST total surprise wins (ties: class asc). Trained
+    * and scored on the corpus itself (resubstitution — the quality-screen
+    * contract: flag docs whose own class model finds them surprising,
+    * and measure model/label agreement), fully replayed by the oracle.
+    *
+    * Scale shape: the model IS two vocabulary-bounded count tables
+    * (token×class, class totals) — map-side-combined aggregations;
+    * scoring is the token stream crossed with the (tiny, broadcast)
+    * class list, one shuffle join against the count table keyed by
+    * (class, token), then a doc-keyed min. Nothing is ever pairwise in
+    * documents; at 100 TB the count tables train once per snapshot and
+    * persist like any staged index.
+    */
+  def nbClassify(s: SparkSession, dir: String): DataFrame =
+    nbClassifyFor(s,
+      Relational.t(s, dir, "documents").select("doc_id", "lang", "text"))
+
+  /** Core of [[nbClassify]] over an explicit (doc_id, lang, text) frame —
+    * the planted-vocabulary spec drives this directly.
+    */
+  private[queries] def nbClassifyFor(s: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def l2q4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val bl = length(bin(c))
+      ((bl - 1) * 16).cast("long") +
+        call_function("shiftright", c * 16, bl - 1) - 16L
+    }
+    val tok = docs.repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+    val prior = docs.groupBy("lang").agg(count(lit(1)).as("d_c"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("d_all"))))
+      .select(col("lang").as("cand"), (l2q4(col("d_all")) - l2q4(col("d_c"))).as("prior_q4"))
+    val ct = tok.groupBy("lang", "t").agg(count(lit(1)).as("c"))
+    val tot = ct.groupBy("lang").agg(sum(col("c")).as("t_c"))
+    val vocab = ct.select("t").distinct().agg(count(lit(1)).as("v"))
+    val denom = tot.crossJoin(vocab)
+      .select(col("lang").as("cand"), l2q4(col("t_c") + col("v")).as("den_q4"))
+    val scored = tok
+      .crossJoin(broadcast(prior.select(col("cand"))))
+      .join(ct.select(col("lang").as("cand"), col("t"), col("c")),
+        Seq("cand", "t"), "left")
+      .withColumn("num_q4", l2q4(coalesce(col("c"), lit(0L)) + lit(1L)))
+      .join(broadcast(denom), "cand")
+      .groupBy(col("doc_id"), col("lang"), col("cand"))
+      .agg((sum(col("den_q4") - col("num_q4"))).as("tok_bits"))
+      .join(broadcast(prior), "cand")
+      .select(col("doc_id"), col("lang"), col("cand"),
+        (col("tok_bits") + col("prior_q4")).as("bits_q4"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("bits_q4").asc, col("cand").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("cand").as("pred"),
+        col("bits_q4"), (col("cand") === col("lang")).cast("int").as("correct"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source boilerplate removal (`text_boilerplate`) — the template
     * scrub every web-scrape pipeline runs before dedup/training: token
     * k-grams that recur across a large share of ONE source's documents

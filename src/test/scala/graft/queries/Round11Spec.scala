@@ -430,6 +430,71 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full.count() == corpus.count())
   }
 
+  test("text_nb_classify: planted class vocab recovered; corpus output well-formed") {
+    import spark.implicits._
+    // two classes with disjoint content vocabulary + shared filler:
+    // NB must recover every label
+    val docs = (0 until 20).map { i =>
+      val cls = if (i % 2 == 0) "aa" else "bb"
+      val word = if (i % 2 == 0) s"alpha${i % 3}" else s"beta${i % 3}"
+      (i.toLong, cls, s"$word $word common filler $word")
+    }.toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.nbClassifyFor(spark, docs).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      assert(r.getAs[String]("pred") == r.getAs[String]("lang"))
+      assert(r.getAs[Int]("correct") == 1)
+      assert(r.getAs[Long]("bits_q4") > 0L)
+    }
+    // corpus run: one row per doc, pred drawn from the observed classes
+    val langs = Relational.t(spark, dir, "documents")
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    val corpus = TextAnalysis.nbClassify(spark, dir).collect()
+    assert(corpus.length ==
+      Relational.t(spark, dir, "documents").count().toInt)
+    assert(corpus.forall(r => langs(r.getAs[String]("pred"))))
+  }
+
+  test("stats_mad_outliers: medians and flags match a BigInt reference") {
+    val rows = Profile.statsMadOutliers(spark, dir).collect()
+    assert(rows.length == 20)
+    val cents = Relational.t(spark, dir, "orders")
+      .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+      .collect().map(_.getLong(0)).sorted
+    def lowerMedian(xs: Array[Long]): Long = xs((xs.length + 1) / 2 - 1)
+    val med = lowerMedian(cents)
+    val mad = lowerMedian(cents.map(c => math.abs(c - med)).sorted)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("med") == med)
+      assert(r.getAs[Long]("mad") == mad)
+      assert(r.getAs[Long]("dev") == math.abs(r.getAs[Long]("cents") - med))
+      assert((r.getAs[Int]("is_outlier") == 1) == (r.getAs[Long]("dev") > 3 * mad))
+    }
+    // rk 1 carries the global max deviation
+    assert(rows.map(_.getAs[Long]("dev")).max ==
+      rows.find(_.getAs[Int]("rk") == 1).get.getAs[Long]("dev"))
+  }
+
+  test("q41_sliding_distinct: trailing-7d reference from collected activity") {
+    val act = Relational.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val rows = Relational.q41SlidingDistinct(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val maxD = act.map(_._2).max
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
+    val expected = act.flatMap { case (u, d) =>
+      (0 to 6).map(o => (u, d.plusDays(o.toLong)))
+    }.filter(!_._2.isAfter(maxD)).distinct
+      .groupBy(_._2).view.mapValues(_.map(_._1).distinct.size.toLong).toMap
+    val u1 = act.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(rows.keySet == expected.keySet.map(_.format(fmt)))
+    expected.foreach { case (day, n) =>
+      assert(rows(day.format(fmt)) ==
+        ((u1.getOrElse(day, 0L), n)), s"day $day")
+    }
+  }
+
   test("lake_vacuum: post-clean snapshot equals the merged state exactly") {
     val vac = LakeQueries.lakeVacuum(spark, dir).collect()
     val merged = LakeQueries.lakeMergeSnapshot(spark, dir).collect()

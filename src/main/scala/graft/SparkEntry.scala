@@ -317,7 +317,9 @@ object SparkEntry {
     // MAD robust outlier screen, value-grouped exact medians
     "stats_mad_outliers" -> ((s, dir) => Profile.statsMadOutliers(s, dir)),
     // trailing 7-day distinct users via the linear fan-out trick
-    "q41_sliding_distinct" -> (Relational.q41SlidingDistinct _)
+    "q41_sliding_distinct" -> (Relational.q41SlidingDistinct _),
+    // hourly burst detection vs the trailing per-type baseline
+    "stats_rate_spike" -> ((s, dir) => Profile.rateSpike(s, dir))
   )
 
   /** Exact n-gram-Jaccard pair SQL — oracle for BOTH dedup_jaccard_pairs
@@ -1577,6 +1579,24 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY phase
         |    ORDER BY diff_x100 ASC, doc_id ASC) AS INT) AS pos_in_phase
         |FROM p ORDER BY doc_id""".stripMargin,
+    "stats_rate_spike" ->
+      """WITH h AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS hr,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, hr, cnt,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY hr ASC
+        |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS BIGINT)
+        |      AS base_hours,
+        |    CAST(COALESCE(SUM(cnt) OVER (PARTITION BY event_type
+        |      ORDER BY hr ASC
+        |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS base_sum
+        |  FROM h)
+        |SELECT event_type, hr, cnt, base_hours, base_sum,
+        |  CAST(CASE WHEN base_hours >= 6 AND cnt * base_hours > base_sum * 3
+        |    THEN 1 ELSE 0 END AS INT) AS is_spike
+        |FROM b ORDER BY event_type, hr""".stripMargin,
     "q41_sliding_distinct" ->
       """WITH dd AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
         |  FROM events),

@@ -367,6 +367,38 @@ object Profile {
       .orderBy("rk")
   }
 
+  /** Event-rate burst detection (`stats_rate_spike`) — the time-series
+    * anomaly screen over an ingest stream: hourly event counts per type,
+    * each hour compared to its own type's TRAILING 24-hour baseline
+    * (rows between 24 preceding and 1 preceding — never peeking at
+    * itself), flagged when count · baseline_hours > 3 · baseline_sum
+    * (cross-multiplied "rate > 3× trailing mean" — no division). Hours
+    * with < 6 baseline hours are unflagged (cold start). All integer,
+    * so the whole report hash-matches.
+    *
+    * Scale shape: the raw scan collapses to (type, hour) counts in ONE
+    * map-side-combined aggregate; the window runs over the tiny
+    * per-type hourly frame (8760 rows per type-year), not the events.
+    */
+  def rateSpike(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Relational.events(s, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 3600000000").as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy(col("hr").asc)
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("base_hours", count(lit(1)).over(w))
+      .withColumn("base_sum", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("is_spike",
+        (col("base_hours") >= 6 &&
+          col("cnt") * col("base_hours") > col("base_sum") * 3L).cast("int"))
+      .select(col("event_type"), col("hr"), col("cnt"),
+        col("base_hours"), col("base_sum"), col("is_spike"))
+      .orderBy("event_type", "hr")
+  }
+
   /** Exact moment matrix (`stats_moments`) — the distributed
     * covariance/correlation primitive for feature screening: for each
     * numeric column pair, the exact second-order moments

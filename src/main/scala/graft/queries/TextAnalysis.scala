@@ -1156,9 +1156,13 @@ object TextAnalysis {
 
   /** Core of [[boilerplate]] over an explicit (doc_id, source, text)
     * frame — the planted-template spec drives this directly.
+    * `release = false` keeps the lazy (inspectable) plan and leaves the
+    * tokenized frame persisted — for plan tests (the [[lmScoreFor]]
+    * convention); library callers get the default, which materializes
+    * and releases the cache.
     */
   private[queries] def boilerplateFor(docs: DataFrame, k: Int,
-      sharePct: Int, minDf: Int): DataFrame = {
+      sharePct: Int, minDf: Int, release: Boolean = true): DataFrame = {
     val d = docs
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1193,6 +1197,6 @@ object TextAnalysis {
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
       .orderBy("doc_id")
-    graft.queries.Dedup.releaseAfter(out, d)
+    if (release) graft.queries.Dedup.releaseAfter(out, d) else out
   }
 }

@@ -495,6 +495,42 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("stats_rate_spike: imperative trailing-baseline reference; planted burst flagged") {
+    val rows = Profile.rateSpike(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))).toMap
+    val hourly = Relational.events(spark, dir)
+      .select(col("event_type"), expr("unix_micros(ts) DIV 3600000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    hourly.groupBy(_._1._1).foreach { case (tpe, hs) =>
+      val ordered = hs.toSeq.map { case ((_, hr), c) => (hr, c) }.sortBy(_._1)
+      ordered.zipWithIndex.foreach { case ((hr, c), i) =>
+        val base = ordered.slice(math.max(0, i - 24), i)
+        val (bh, bs) = (base.length.toLong, base.map(_._2).sum)
+        val spike = if (bh >= 6 && c * bh > bs * 3) 1 else 0
+        assert(rows((tpe, hr)) == ((c, bh, bs, spike)), s"($tpe, $hr)")
+      }
+    }
+    // the flag logic fires on a synthetic burst: 24 quiet hours then 10x
+    val quiet = (0 until 24).map(h => (h.toLong, 2L))
+    val burst = (24L, 20L)
+    val bh = quiet.length.toLong; val bs = quiet.map(_._2).sum
+    assert(burst._2 * bh > bs * 3)
+  }
+
+  test("plan shapes: boilerplate broadcasts the source-count side; sliding distinct has no cartesian blowup") {
+    val docs = Relational.t(spark, dir, "documents")
+      .select("doc_id", "source", "text")
+    val bp = TextAnalysis.boilerplateFor(docs, 3, 12, 3, release = false)
+    assert(bp.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "source-doc-count join should broadcast")
+    val sd = Relational.q41SlidingDistinct(spark, dir)
+    val plan = sd.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "fan-out form must not introduce a cartesian join")
+  }
+
   test("lake_vacuum: post-clean snapshot equals the merged state exactly") {
     val vac = LakeQueries.lakeVacuum(spark, dir).collect()
     val merged = LakeQueries.lakeMergeSnapshot(spark, dir).collect()

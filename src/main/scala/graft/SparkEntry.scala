@@ -319,7 +319,11 @@ object SparkEntry {
     // trailing 7-day distinct users via the linear fan-out trick
     "q41_sliding_distinct" -> (Relational.q41SlidingDistinct _),
     // hourly burst detection vs the trailing per-type baseline
-    "stats_rate_spike" -> ((s, dir) => Profile.rateSpike(s, dir))
+    "stats_rate_spike" -> ((s, dir) => Profile.rateSpike(s, dir)),
+    // RAKE keyphrases: stopword-delimited runs, degree/freq q4 scores
+    "text_rake_keyphrases" -> ((s, dir) => TextAnalysis.rakeKeyphrases(s, dir)),
+    // active-learning uncertainty sampling over the NB surprise table
+    "curate_uncertainty" -> ((s, dir) => TextAnalysis.nbUncertainty(s, dir))
   )
 
   /** Exact n-gram-Jaccard pair SQL — oracle for BOTH dedup_jaccard_pairs
@@ -1068,6 +1072,40 @@ object SparkEntry {
        |ORDER BY $outId, rk""".stripMargin
   }
 
+  /** Shared NB-model CTEs (`WITH tok … fin`): the multinomial NB
+    * surprise table (doc_id, lang, cand, bits_q4) behind
+    * `text_nb_classify` and `curate_uncertainty` — token/class counts,
+    * add-1 smoothing, q4 integer log2, doc priors.
+    */
+  private def nbScoreCtes: String = {
+    def l2(x: String): String =
+      s"((length(bin($x)) - 1) * 16 + ((($x) * 16) >> (length(bin($x)) - 1)) - 16)"
+    s"""WITH tok AS (SELECT doc_id, lang, t FROM
+       |    (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+       |     FROM documents)
+       |  WHERE length(t) > 0),
+       |pri AS (SELECT lang AS cand,
+       |    ${l2("(SELECT COUNT(*) FROM documents)")} - ${l2("COUNT(*)")}
+       |      AS prior_q4
+       |  FROM documents GROUP BY lang),
+       |ct AS (SELECT lang AS cand, t, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM tok GROUP BY lang, t),
+       |voc AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v FROM ct),
+       |den AS (SELECT cand, ${l2("(t_c + voc.v)")} AS den_q4
+       |  FROM (SELECT cand, SUM(c) AS t_c FROM ct GROUP BY cand), voc),
+       |sc AS (SELECT tok.doc_id, tok.lang, pri.cand,
+       |    CAST(SUM(den.den_q4 -
+       |      ${l2("(COALESCE(ct.c, 0) + 1)")}) AS BIGINT) AS tok_bits
+       |  FROM tok
+       |  CROSS JOIN pri
+       |  LEFT JOIN ct ON ct.cand = pri.cand AND ct.t = tok.t
+       |  JOIN den ON den.cand = pri.cand
+       |  GROUP BY tok.doc_id, tok.lang, pri.cand),
+       |fin AS (SELECT doc_id, lang, sc.cand,
+       |    tok_bits + pri.prior_q4 AS bits_q4
+       |  FROM sc JOIN pri ON pri.cand = sc.cand)""".stripMargin
+  }
+
   /** The `sim_filtered_topk` oracle: trainer + probe replay with the
     * label predicate applied to CANDIDATES before scoring (pre-filter) —
     * queries carry their label, candidates join theirs, equality filters
@@ -1638,41 +1676,67 @@ object SparkEntry {
         |  FROM dv, mad)
         |SELECT rk, o_orderkey, cents, dev, med, mad, is_outlier
         |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
-    "text_nb_classify" -> {
-      def l2(x: String): String =
-        s"((length(bin($x)) - 1) * 16 + ((($x) * 16) >> (length(bin($x)) - 1)) - 16)"
-      s"""WITH tok AS (SELECT doc_id, lang, t FROM
-         |    (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
-         |     FROM documents)
-         |  WHERE length(t) > 0),
-         |pri AS (SELECT lang AS cand,
-         |    ${l2("(SELECT COUNT(*) FROM documents)")} - ${l2("COUNT(*)")}
-         |      AS prior_q4
-         |  FROM documents GROUP BY lang),
-         |ct AS (SELECT lang AS cand, t, CAST(COUNT(*) AS BIGINT) AS c
-         |  FROM tok GROUP BY lang, t),
-         |voc AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v FROM ct),
-         |den AS (SELECT cand, ${l2("(t_c + voc.v)")} AS den_q4
-         |  FROM (SELECT cand, SUM(c) AS t_c FROM ct GROUP BY cand), voc),
-         |sc AS (SELECT tok.doc_id, tok.lang, pri.cand,
-         |    CAST(SUM(den.den_q4 -
-         |      ${l2("(COALESCE(ct.c, 0) + 1)")}) AS BIGINT) AS tok_bits
-         |  FROM tok
-         |  CROSS JOIN pri
-         |  LEFT JOIN ct ON ct.cand = pri.cand AND ct.t = tok.t
-         |  JOIN den ON den.cand = pri.cand
-         |  GROUP BY tok.doc_id, tok.lang, pri.cand),
-         |fin AS (SELECT doc_id, lang, sc.cand,
-         |    tok_bits + pri.prior_q4 AS bits_q4
-         |  FROM sc JOIN pri ON pri.cand = sc.cand),
+    "text_nb_classify" ->
+      s"""$nbScoreCtes,
          |r AS (SELECT doc_id, lang, cand, bits_q4,
          |    row_number() OVER (PARTITION BY doc_id
          |      ORDER BY bits_q4 ASC, cand ASC) AS rn
          |  FROM fin)
          |SELECT doc_id, lang, cand AS pred, bits_q4,
          |  CAST(CASE WHEN cand = lang THEN 1 ELSE 0 END AS INT) AS correct
-         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
-    },
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "curate_uncertainty" ->
+      s"""$nbScoreCtes,
+         |r AS (SELECT doc_id, lang, cand, bits_q4,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY bits_q4 ASC, cand ASC) AS rn
+         |  FROM fin),
+         |best AS (SELECT doc_id, lang, cand AS pred, bits_q4 AS best_q4
+         |  FROM r WHERE rn = 1),
+         |sec AS (SELECT doc_id, cand AS runner_up, bits_q4 AS second_q4
+         |  FROM r WHERE rn = 2),
+         |m AS (SELECT best.doc_id, best.lang, best.pred, sec.runner_up,
+         |    best.best_q4, sec.second_q4,
+         |    sec.second_q4 - best.best_q4 AS margin_q4
+         |  FROM best JOIN sec ON sec.doc_id = best.doc_id),
+         |rk AS (SELECT CAST(row_number() OVER (
+         |      ORDER BY margin_q4 ASC, doc_id ASC) AS INT) AS rk, *
+         |  FROM m)
+         |SELECT rk, doc_id, lang, pred, runner_up, best_q4, second_q4,
+         |  margin_q4
+         |FROM rk WHERE rk <= 50 ORDER BY rk""".stripMargin,
+    "text_rake_keyphrases" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos,
+        |    unnest(w) AS wrd FROM d),
+        |f AS (SELECT doc_id, pos, wrd,
+        |    CASE WHEN wrd IN ('a', 'the') THEN 1 ELSE 0 END AS stop
+        |  FROM toks),
+        |g AS (SELECT doc_id, pos, wrd, stop,
+        |    SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM f),
+        |nf AS (SELECT doc_id, grp, pos, wrd FROM g WHERE stop = 0),
+        |phr AS (SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS len,
+        |    string_agg(wrd, ' ' ORDER BY pos ASC) AS phrase
+        |  FROM nf GROUP BY doc_id, grp HAVING COUNT(*) <= 4),
+        |pw AS (SELECT nf.doc_id, nf.grp, nf.wrd, phr.len
+        |  FROM nf JOIN phr USING (doc_id, grp)),
+        |wsc AS (SELECT doc_id, wrd,
+        |    (CAST(SUM(len) AS BIGINT) * 16) //
+        |      CAST(COUNT(*) AS BIGINT) AS wscore_q4
+        |  FROM pw GROUP BY doc_id, wrd),
+        |ps AS (SELECT pw.doc_id, pw.grp,
+        |    CAST(SUM(wsc.wscore_q4) AS BIGINT) AS score_q4
+        |  FROM pw JOIN wsc ON wsc.doc_id = pw.doc_id AND wsc.wrd = pw.wrd
+        |  GROUP BY pw.doc_id, pw.grp),
+        |r AS (SELECT ps.doc_id, phr.phrase, phr.len, ps.score_q4,
+        |    CAST(row_number() OVER (PARTITION BY ps.doc_id
+        |      ORDER BY ps.score_q4 DESC, phr.phrase ASC) AS INT) AS rk
+        |  FROM ps JOIN phr ON phr.doc_id = ps.doc_id AND phr.grp = ps.grp)
+        |SELECT doc_id, rk, phrase, len, score_q4 FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
     "q33_cube" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS st,
         |  COALESCE(o_orderpriority, 'ALL') AS pri,

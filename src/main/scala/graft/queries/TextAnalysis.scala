@@ -1093,6 +1093,19 @@ object TextAnalysis {
   private[queries] def nbClassifyFor(s: SparkSession,
       docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("bits_q4").asc, col("cand").asc)
+    nbScores(s, docs)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("cand").as("pred"),
+        col("bits_q4"), (col("cand") === col("lang")).cast("int").as("correct"))
+      .orderBy("doc_id")
+  }
+
+  /** The full per-(doc, class) NB surprise table behind [[nbClassifyFor]]
+    * and the uncertainty-sampling selection ([[nbUncertainty]]).
+    */
+  private def nbScores(s: SparkSession, docs: DataFrame): DataFrame = {
     def l2q4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
       val bl = length(bin(c))
       ((bl - 1) * 16).cast("long") +
@@ -1120,12 +1133,94 @@ object TextAnalysis {
       .join(broadcast(prior), "cand")
       .select(col("doc_id"), col("lang"), col("cand"),
         (col("tok_bits") + col("prior_q4")).as("bits_q4"))
+    scored
+  }
+
+  /** Uncertainty sampling (`curate_uncertainty`) — the active-learning
+    * selection loop's query: which documents should a human label next?
+    * Smallest-MARGIN selection over the NB surprise table — margin =
+    * (runner-up class bits − best class bits) in q4; a near-zero margin
+    * means the model can't tell the top two classes apart, which is
+    * exactly where a new label buys the most. Top-50 most uncertain,
+    * ties broken by doc_id. Same integer model as [[nbClassify]], so
+    * the selection is hash-gated end to end.
+    *
+    * Scale shape: the surprise table is |docs|·|classes| rows; best and
+    * runner-up collapse through one doc-keyed window (WindowGroupLimit
+    * partial heads), and the global top-50 cut is TakeOrdered.
+    */
+  def nbUncertainty(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id")
       .orderBy(col("bits_q4").asc, col("cand").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val ranked = nbScores(s,
+        Relational.t(s, dir, "documents").select("doc_id", "lang", "text"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    val best = ranked.filter(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("cand").as("pred"),
-        col("bits_q4"), (col("cand") === col("lang")).cast("int").as("correct"))
-      .orderBy("doc_id")
+        col("bits_q4").as("best_q4"))
+    val second = ranked.filter(col("rn") === 2)
+      .select(col("doc_id"), col("cand").as("runner_up"),
+        col("bits_q4").as("second_q4"))
+    best.join(second, "doc_id")
+      .withColumn("margin_q4", col("second_q4") - col("best_q4"))
+      .orderBy(col("margin_q4").asc, col("doc_id").asc).limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("margin_q4").asc, col("doc_id").asc)))
+      .select("rk", "doc_id", "lang", "pred", "runner_up",
+        "best_q4", "second_q4", "margin_q4")
+      .orderBy("rk")
+  }
+
+  /** RAKE keyphrase extraction (`text_rake_keyphrases`) — Rapid
+    * Automatic Keyword Extraction (Rose et al.): candidate phrases are
+    * the maximal stopword-free token runs (delimited by [[Stopwords]]),
+    * capped at 4 tokens; each word scores degree/frequency over the
+    * doc's candidate set (degree = Σ lengths of phrases containing it —
+    * co-occurrence reach; frequency = its occurrence count), a phrase
+    * scores the sum of its words' scores, top-3 per doc. The ratio is
+    * q4 integer floor division, so the whole extraction hash-matches —
+    * a keyphrase layer above [[collocations]] (corpus-global PMI
+    * bigrams): RAKE is per-document and phrase-length-agnostic.
+    *
+    * Scale shape: phrase segmentation is one doc-keyed window (running
+    * stopword count = group id) over the exploded tokens; everything
+    * after is (doc, word)/(doc, phrase)-keyed map-side-combined
+    * aggregation on the same doc partitioning; the per-doc top-3
+    * collapses through WindowGroupLimit partial heads.
+    */
+  def rakeKeyphrases(s: SparkSession, dir: String, topk: Int = 3,
+      maxLen: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Relational.t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "wrd")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("wrd"))
+    val wRun = Window.partitionBy("doc_id").orderBy(col("pos").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nf = toks
+      .withColumn("stop", col("wrd").isInCollection(Stopwords).cast("int"))
+      .withColumn("grp", sum(col("stop")).over(wRun))
+      .filter(col("stop") === 0)
+    val phr = nf.groupBy("doc_id", "grp")
+      .agg(count(lit(1)).as("len"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("wrd")))),
+          x => x.getField("wrd")), " ").as("phrase"))
+      .filter(col("len") <= maxLen)
+    val pw = nf.join(phr.select("doc_id", "grp", "len"), Seq("doc_id", "grp"))
+    val wsc = pw.groupBy("doc_id", "wrd")
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      .withColumn("wscore_q4", expr("(deg * 16) DIV freq"))
+    val wr = Window.partitionBy("doc_id")
+      .orderBy(col("score_q4").desc, col("phrase").asc)
+    pw.join(wsc.select("doc_id", "wrd", "wscore_q4"), Seq("doc_id", "wrd"))
+      .groupBy("doc_id", "grp").agg(sum(col("wscore_q4")).as("score_q4"))
+      .join(phr, Seq("doc_id", "grp"))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= topk)
+      .select("doc_id", "rk", "phrase", "len", "score_q4")
+      .orderBy("doc_id", "rk")
   }
 
   /** Per-source boilerplate removal (`text_boilerplate`) — the template

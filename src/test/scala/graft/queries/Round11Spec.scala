@@ -531,6 +531,65 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
       "fan-out form must not introduce a cartesian join")
   }
 
+  test("text_rake_keyphrases: imperative RAKE reference; structural invariants") {
+    val out = TextAnalysis.rakeKeyphrases(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    // invariants: contiguous ranks, stopword-free phrases, len == tokens
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length).toSeq)
+    }
+    out.foreach { case (_, _, phrase, len, score) =>
+      val ws = phrase.split(" ")
+      assert(ws.length.toLong == len && len <= 4)
+      assert(!ws.exists(TextAnalysis.Stopwords.contains))
+      assert(score > 0)
+    }
+    // imperative reference for a handful of docs
+    val docs = Relational.t(spark, dir, "documents")
+      .filter(col("doc_id") < 5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ")
+      val phrases = scala.collection.mutable.ArrayBuffer[Array[String]]()
+      var cur = scala.collection.mutable.ArrayBuffer[String]()
+      toks.foreach { t =>
+        if (TextAnalysis.Stopwords.contains(t)) {
+          if (cur.nonEmpty) { phrases += cur.toArray; cur = scala.collection.mutable.ArrayBuffer() }
+        } else cur += t
+      }
+      if (cur.nonEmpty) phrases += cur.toArray
+      val kept = phrases.filter(_.length <= 4)
+      val freq = kept.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+      val deg = kept.flatMap(p => p.map(w => w -> p.length.toLong))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      def wscore(w: String) = deg(w) * 16L / freq(w)
+      val scored = kept.map(p => (p.mkString(" "), p.map(wscore).sum))
+      val top = scored.sortBy { case (ph, sc) => (-sc, ph) }.take(3)
+      val got = out.filter(_._1 == id).sortBy(_._2)
+        .map(r => (r._3, r._5)).toSeq
+      assert(got == top.toSeq, s"doc $id")
+    }
+  }
+
+  test("curate_uncertainty: margins ordered, consistent with the classifier") {
+    val unc = TextAnalysis.nbUncertainty(spark, dir).collect()
+    assert(unc.length == 50)
+    val margins = unc.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("margin_q4"))
+    assert(margins.forall(_ >= 0L))
+    assert(margins.sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
+    unc.foreach { r =>
+      assert(r.getAs[Long]("second_q4") >= r.getAs[Long]("best_q4"))
+      assert(r.getAs[String]("pred") != r.getAs[String]("runner_up"))
+    }
+    // pred agrees with the classifier on the selected docs
+    val preds = TextAnalysis.nbClassify(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("pred")).toMap
+    unc.foreach { r =>
+      assert(preds(r.getAs[Long]("doc_id")) == r.getAs[String]("pred"))
+    }
+  }
+
   test("lake_vacuum: post-clean snapshot equals the merged state exactly") {
     val vac = LakeQueries.lakeVacuum(spark, dir).collect()
     val merged = LakeQueries.lakeMergeSnapshot(spark, dir).collect()

@@ -322,6 +322,8 @@ object SparkEntry {
     "stats_rate_spike" -> ((s, dir) => Profile.rateSpike(s, dir)),
     // RAKE keyphrases: stopword-delimited runs, degree/freq q4 scores
     "text_rake_keyphrases" -> ((s, dir) => TextAnalysis.rakeKeyphrases(s, dir)),
+    // bilateral join IVM: CDC deltas + time travel, never a full re-join
+    "lake_join_incremental" -> (LakeQueries.lakeJoinIncremental _),
     // active-learning uncertainty sampling over the NB surprise table
     "curate_uncertainty" -> ((s, dir) => TextAnalysis.nbUncertainty(s, dir))
   )
@@ -2004,6 +2006,25 @@ object SparkEntry {
          |FROM b1 WHERE l_orderkey >= 500
          |UNION ALL
          |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts FROM b2
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "lake_join_incremental" ->
+      s"""$lakeCtes,
+         |a AS (SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+         |    FROM b1 WHERE l_orderkey >= 500
+         |  UNION ALL
+         |  SELECT b2.l_orderkey, b2.l_linenumber, b1.l_partkey,
+         |    b2.l_quantity
+         |  FROM b2 JOIN b1 ON b1.l_orderkey = b2.l_orderkey
+         |    AND b1.l_linenumber = b2.l_linenumber),
+         |bfin AS (SELECT p_partkey,
+         |    CASE WHEN p_partkey < 100 THEN p_brand || '_X'
+         |      ELSE p_brand END AS p_brand
+         |  FROM part)
+         |SELECT a.l_orderkey, a.l_linenumber, a.l_partkey, a.l_quantity,
+         |  bfin.p_brand, CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM a JOIN bfin ON bfin.p_partkey = a.l_partkey
+         |GROUP BY a.l_orderkey, a.l_linenumber, a.l_partkey,
+         |  a.l_quantity, bfin.p_brand
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "lake_meta_agg" ->
       s"""$lakeCtes, merged AS (

@@ -1,0 +1,106 @@
+package graft.pipelines
+
+import graft.lake.LakeTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Incremental view maintenance for a materialized equi-JOIN — the
+  * second IVM family next to [[RollupMaintain]]'s aggregates: keep
+  * `V = A ⋈ B` current from both tables' CDC feeds without ever
+  * re-joining the full tables. The bilateral delta is the classic
+  * asymmetric split
+  *
+  *   V@b − V@a = ΔA ⋈ B@b  ∪  A@a ⋈ ΔB
+  *
+  * — the NEW snapshot on the A-delta side, the OLD snapshot on the
+  * B-delta side, so ΔA×ΔB interactions are counted exactly once. The
+  * lake table supplies both ingredients natively: the change feed
+  * ([[LakeTable.changes]], pruned to touched file groups) and the old
+  * snapshot via time travel ([[LakeTable.snapshotAsOf]]) — no shadow
+  * copies of table state anywhere. Change images carry signs
+  * (insert/update_postimage +1, delete/update_preimage −1), so an
+  * update that MOVES the join key retracts the old joined rows and
+  * asserts the new ones in the same advance.
+  *
+  * The maintained state is the joined-row MULTISET as (row, cnt) —
+  * integer counts, no floats — and `state ⊕ delta(a→b) =
+  * fullState(A@b ⋈ B@b)` exactly, for any committed range (the algebra
+  * the oracle query and the spec pin).
+  *
+  * Why this matters at 100 TB: the deltas are O(changed rows) and each
+  * joins ONE side's snapshot — with both tables bucketed on the join
+  * key even those are co-located hash joins of a sliver against a
+  * pruned scan; the state merge is state×delta keyed on the full row,
+  * map-side combinable. A nightly full re-join of two petabyte tables
+  * is the thing this replaces.
+  */
+object JoinMaintain {
+
+  private def sign = when(col(LakeTable.ChangeTypeCol)
+    .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+
+  /** The maintained multiset, computed fresh: distinct joined rows with
+    * multiplicities.
+    */
+  def fullState(a: DataFrame, b: DataFrame, aKey: String, bKey: String,
+      outCols: Seq[String]): DataFrame =
+    a.join(b, a(aKey) === b(bKey))
+      .groupBy(outCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Signed joined-row delta for one advance: A's change images join the
+    * NEW B snapshot; the OLD A snapshot joins B's change images.
+    */
+  def delta(aChanges: DataFrame, aOld: DataFrame, bNew: DataFrame,
+      bChanges: DataFrame, aKey: String, bKey: String,
+      outCols: Seq[String]): DataFrame = {
+    val aCols = outCols.filter(aChanges.columns.contains)
+    val bCols = outCols.filterNot(aCols.contains)
+    val d1 = aChanges
+      .select((aCols.map(col) :+ sign.as("_sgn")): _*)
+      .join(bNew.select((bCols :+ bKey).distinct.map(col): _*),
+        col(aKey) === col(bKey))
+    val d2 = aOld.select((aCols :+ aKey).distinct.map(col): _*)
+      .join(bChanges.select((bCols.map(col) :+ col(bKey) :+
+        sign.as("_sgn")): _*), col(aKey) === col(bKey))
+    d1.select((outCols.map(col) :+ col("_sgn")): _*)
+      .unionByName(d2.select((outCols.map(col) :+ col("_sgn")): _*))
+      .groupBy(outCols.map(col): _*)
+      .agg(sum(col("_sgn")).as("dcnt"))
+  }
+
+  /** state ⊕ delta: full-outer on the whole row, counts added, rows
+    * netting to zero dropped — state×delta sized, never data sized.
+    */
+  def applyDelta(state: DataFrame, d: DataFrame,
+      outCols: Seq[String]): DataFrame =
+    state.join(d, outCols, "full_outer")
+      .select(outCols.map(col) ++ Seq(
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L)))
+          .as("cnt")): _*)
+      .filter(col("cnt") =!= 0)
+
+  /** Drive one advance over lake tables: fold the (aFrom→aTo, bFrom→bTo)
+    * commit ranges into `state`.
+    */
+  def advance(state: DataFrame, a: LakeTable, b: LakeTable,
+      aFrom: String, aTo: String, bFrom: String, bTo: String,
+      aKey: String, bKey: String, outCols: Seq[String]): DataFrame = {
+    // from-genesis advances have an empty old-A side (instants are
+    // zero-padded digit strings, so the "earliest" sentinel must not
+    // reach the lexicographic as-of compare)
+    val aOld =
+      if (aFrom == graft.lake.Timeline.Earliest)
+        a.snapshot().filter(lit(false))
+      else a.snapshotAsOf(aFrom)
+    applyDelta(state,
+      delta(a.changes(aFrom, aTo), aOld, b.snapshotAsOf(bTo),
+        b.changes(bFrom, bTo), aKey, bKey, outCols),
+      outCols)
+  }
+
+  /** An empty state with the right schema. */
+  def emptyState(a: DataFrame, b: DataFrame, aKey: String, bKey: String,
+      outCols: Seq[String]): DataFrame =
+    fullState(a, b, aKey, bKey, outCols).filter(lit(false))
+}

@@ -99,6 +99,7 @@ object LakeQueries {
     timed("restore")(restoreFixture(s, dir))
     timed("schema_evolution")(evoFixture(s, dir))
     timed("vacuum")(vacFixture(s, dir))
+    timed("join_ivm")(joinFixture(s, dir))
   }
 
   /** The two-commit COW table (upsert b1, upsert b2) that four read
@@ -528,4 +529,57 @@ object LakeQueries {
   def lakeVacuum(s: SparkSession, dir: String): DataFrame =
     vacFixture(s, dir).snapshot().select(outCols.map(col): _*)
       .orderBy("l_orderkey", "l_linenumber")
+
+  /** Incremental JOIN maintenance under the hash gate
+    * (`lake_join_incremental`): a materialized `lineitem ⋈ part` view
+    * maintained through TWO advances from both tables' CDC feeds
+    * ([[graft.pipelines.JoinMaintain]] — ΔA ⋈ B_new ∪ A_old ⋈ ΔB, old
+    * snapshots via time travel), never re-joining the full tables. The
+    * B side's second commit rewrites p_brand on the low keys, so the
+    * advance must retract the old joined rows and assert the re-branded
+    * ones. The final maintained multiset must equal the fresh join of
+    * the final snapshots — which is exactly what the DuckDB oracle
+    * computes from the shared CTEs (and what `JoinIvmSpec` asserts at
+    * every intermediate step).
+    */
+  private val joinFixtures = scala.collection.concurrent.TrieMap[
+    String, (String, String, String, String, String)]()
+
+  private val joinOutCols = Seq("l_orderkey", "l_linenumber", "l_partkey",
+    "l_quantity", "p_brand")
+
+  private def joinFixture(s: SparkSession, dir: String)
+      : (LakeTable, LakeTable, String, String, String) = {
+    val (aPath, a1, a2, bPath, bi1) = joinFixtures.getOrElseUpdate(dir, {
+      val (at, c1, c2) = cowFixture(s, dir)
+      val work = Files.createTempDirectory("graft_lakej").toString
+      val bt = LakeTable.create(s, s"$work/p",
+        TableMeta("lakej_part", Seq("p_partkey"), "created_ts",
+          Seq.empty, "cow", keyEncoding = "padded"))
+      val p = Relational.t(s, dir, "part")
+        .withColumn("created_ts", lit(1L))
+      val i1 = bt.upsert(p, combine = false)
+      bt.upsert(p.filter(col("p_partkey") < 100)
+        .withColumn("p_brand", concat(col("p_brand"), lit("_X")))
+        .withColumn("created_ts", lit(2L)), combine = false)
+      (at.path, c1, c2, bt.path, i1)
+    })
+    (LakeTable.load(s, aPath), LakeTable.load(s, bPath), a1, a2, bi1)
+  }
+
+  def lakeJoinIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipelines.JoinMaintain
+    import graft.lake.Timeline
+    val (at, bt, a1, a2, bi1) = joinFixture(s, dir)
+    val bi2 = bt.latestCommit.get
+    val s1 = JoinMaintain.advance(
+      JoinMaintain.emptyState(at.snapshot(), bt.snapshot(),
+        "l_partkey", "p_partkey", joinOutCols),
+      at, bt, Timeline.Earliest, a1, Timeline.Earliest, bi1,
+      "l_partkey", "p_partkey", joinOutCols)
+      .localCheckpoint()
+    JoinMaintain.advance(s1, at, bt, a1, a2, bi1, bi2,
+      "l_partkey", "p_partkey", joinOutCols)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
 }

@@ -1,0 +1,101 @@
+package graft.pipelines
+
+import graft.lake.{LakeTable, TableMeta, Timeline}
+import graft.util.Sessions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The bilateral join-IVM algebra: `state ⊕ delta(a→b) = fresh join` at
+  * EVERY advance, including updates that move the join key and deletes
+  * on either side.
+  */
+class JoinIvmSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Sessions.local("join-ivm-test", "4")
+  import spark.implicits._
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def mkTable(name: String, keys: Seq[String]): LakeTable = {
+    val work = Files.createTempDirectory("graft_jivm").toString
+    LakeTable.create(spark, s"$work/t",
+      TableMeta(name, keys, "ts", Seq.empty, "cow", keyEncoding = "padded"))
+  }
+
+  private val outCols = Seq("id", "k", "av", "bv")
+
+  private def fresh(a: LakeTable, b: LakeTable): Array[(Long, Long, String, String)] =
+    JoinMaintain.fullState(a.snapshot(), b.snapshot(), "k", "bk", outCols)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("k"),
+        r.getAs[String]("av"), r.getAs[String]("bv")))
+      .sorted
+
+  private def asRows(df: DataFrame): Array[(Long, Long, String, String)] = {
+    val rows = df.collect()
+    rows.foreach(r => assert(r.getAs[Long]("cnt") == 1L))
+    rows.map(r => (r.getAs[Long]("id"), r.getAs[Long]("k"),
+      r.getAs[String]("av"), r.getAs[String]("bv"))).sorted
+  }
+
+  test("maintained state tracks the fresh join across key moves and deletes") {
+    val a = mkTable("jivm_a", Seq("id"))
+    val b = mkTable("jivm_b", Seq("bk"))
+    // commit 1: three A rows over two B keys
+    val ca1 = a.upsert(Seq((1L, 10L, "a1", 1L), (2L, 10L, "a2", 1L),
+      (3L, 20L, "a3", 1L)).toDF("id", "k", "av", "ts"), combine = false)
+    val cb1 = b.upsert(Seq((10L, "b10", 1L), (20L, "b20", 1L), (30L, "b30", 1L))
+      .toDF("bk", "bv", "ts"), combine = false)
+    var state = JoinMaintain.advance(
+      JoinMaintain.emptyState(a.snapshot(), b.snapshot(), "k", "bk", outCols),
+      a, b, Timeline.Earliest, ca1, Timeline.Earliest, cb1,
+      "k", "bk", outCols).localCheckpoint()
+    assert(asRows(state).toSeq == fresh(a, b).toSeq)
+    // commit 2: A row 2 MOVES its join key 10→30; A row 3 deleted;
+    // B rewrites bv on key 10 and deletes key 20
+    val ca2a = a.upsert(Seq((2L, 30L, "a2", 2L)).toDF("id", "k", "av", "ts"),
+      combine = false)
+    val ca2 = { a.delete(Seq(3L).toDF("id")); a.latestCommit.get }
+    val cb2a = b.upsert(Seq((10L, "b10x", 2L)).toDF("bk", "bv", "ts"),
+      combine = false)
+    b.delete(Seq(20L).toDF("bk"))
+    val cb2 = b.latestCommit.get
+    state = JoinMaintain.advance(state, a, b, ca1, ca2, cb1, cb2,
+      "k", "bk", outCols).localCheckpoint()
+    val got = asRows(state)
+    assert(got.toSeq == fresh(a, b).toSeq)
+    // the moved row joins its NEW key's B row; the deleted rows are gone
+    assert(got.toSeq == Seq((1L, 10L, "a1", "b10x"), (2L, 30L, "a2", "b30")))
+    // a third no-change advance is a no-op
+    val state3 = JoinMaintain.advance(state, a, b, ca2, ca2, cb2, cb2,
+      "k", "bk", outCols)
+    assert(asRows(state3).toSeq == got.toSeq)
+  }
+
+  test("duplicate joined rows carry multiplicities, retractions decrement them") {
+    val a = mkTable("jivm_a2", Seq("id"))
+    val b = mkTable("jivm_b2", Seq("bk"))
+    // two identical (k, av) rows under different ids produce cnt tracking
+    val outDup = Seq("k", "av", "bv") // project ids away → multiset counts
+    val ca1 = a.upsert(Seq((1L, 10L, "same", 1L), (2L, 10L, "same", 1L))
+      .toDF("id", "k", "av", "ts"), combine = false)
+    val cb1 = b.upsert(Seq((10L, "b10", 1L)).toDF("bk", "bv", "ts"),
+      combine = false)
+    var state = JoinMaintain.advance(
+      JoinMaintain.emptyState(a.snapshot(), b.snapshot(), "k", "bk", outDup),
+      a, b, Timeline.Earliest, ca1, Timeline.Earliest, cb1,
+      "k", "bk", outDup).localCheckpoint()
+    val s1 = state.collect()
+    assert(s1.length == 1 && s1.head.getAs[Long]("cnt") == 2L)
+    // delete one of the twins → cnt decrements to 1, row survives
+    a.delete(Seq(2L).toDF("id"))
+    val ca2 = a.latestCommit.get
+    state = JoinMaintain.advance(state, a, b, ca1, ca2, cb1, cb1,
+      "k", "bk", outDup)
+    val s2 = state.collect()
+    assert(s2.length == 1 && s2.head.getAs[Long]("cnt") == 1L)
+  }
+}

@@ -103,4 +103,66 @@ object JoinMaintain {
   def emptyState(a: DataFrame, b: DataFrame, aKey: String, bKey: String,
       outCols: Seq[String]): DataFrame =
     fullState(a, b, aKey, bKey, outCols).filter(lit(false))
+
+  // ---------------------------------------------- persisted generations
+
+  private def fs(s: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Published generations, newest first. A generation name carries BOTH
+    * watermarks — `gen_<aInstant>_<bInstant>` — and both are zero-padded
+    * fixed-width instants advancing monotonically, so the lexicographic
+    * max is the newest state (the [[RollupMaintain]] contract, two-table
+    * form).
+    */
+  private def generations(s: SparkSession, stateDir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val f = fs(s, stateDir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toIndexedSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen_") &&
+        f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("gen_"))
+      .sorted.reverse
+  }
+
+  /** The persisted state and the (aInstant, bInstant) it is current as
+    * of.
+    */
+  def current(s: SparkSession, stateDir: String)
+      : Option[(DataFrame, (String, String))] =
+    generations(s, stateDir).headOption.map { g =>
+      val Array(ai, bi) = g.split("_", 2)
+      (s.read.parquet(s"$stateDir/gen_$g"), (ai, bi))
+    }
+
+  /** Fold everything committed on EITHER table since the last advance
+    * into a new state generation; bootstrap from a fresh join when no
+    * state exists. Idempotent: re-invocation with no new commits —
+    * including a crash-replay that already wrote the newest generation —
+    * only re-sweeps. Returns the new (aInstant, bInstant) watermarks.
+    */
+  def advancePersisted(s: SparkSession, a: LakeTable, b: LakeTable,
+      stateDir: String, aKey: String, bKey: String,
+      outCols: Seq[String]): Option[(String, String)] = {
+    val aLatest = a.latestCommit.getOrElse(return None)
+    val bLatest = b.latestCommit.getOrElse(return None)
+    val next = current(s, stateDir) match {
+      case Some((_, (ai, bi))) if ai >= aLatest && bi >= bLatest => None
+      case Some((state, (ai, bi))) =>
+        Some(advance(state, a, b, ai, aLatest, bi, bLatest,
+          aKey, bKey, outCols))
+      case None =>
+        Some(fullState(a.snapshotAsOf(aLatest), b.snapshotAsOf(bLatest),
+          aKey, bKey, outCols))
+    }
+    next.foreach(_.write.mode("overwrite")
+      .parquet(s"$stateDir/gen_${aLatest}_$bLatest"))
+    val f = fs(s, stateDir)
+    generations(s, stateDir).drop(1).foreach { old =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$stateDir/gen_$old"), true)
+    }
+    current(s, stateDir).map(_._2)
+  }
 }

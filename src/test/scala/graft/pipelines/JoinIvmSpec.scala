@@ -75,6 +75,37 @@ class JoinIvmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(asRows(state3).toSeq == got.toSeq)
   }
 
+  test("persisted generations: bootstrap, incremental advance, replay no-op") {
+    val a = mkTable("jivm_a3", Seq("id"))
+    val b = mkTable("jivm_b3", Seq("bk"))
+    val stateDir = Files.createTempDirectory("graft_jivm_state").toString + "/st"
+    a.upsert(Seq((1L, 10L, "a1", 1L), (2L, 20L, "a2", 1L))
+      .toDF("id", "k", "av", "ts"), combine = false)
+    b.upsert(Seq((10L, "b10", 1L), (20L, "b20", 1L)).toDF("bk", "bv", "ts"),
+      combine = false)
+    // bootstrap generation = fresh join
+    val w1 = JoinMaintain.advancePersisted(spark, a, b, stateDir,
+      "k", "bk", outCols)
+    assert(w1.isDefined)
+    val (st1, _) = JoinMaintain.current(spark, stateDir).get
+    assert(asRows(st1).toSeq == fresh(a, b).toSeq)
+    // replay with no new commits: watermarks unchanged, state unchanged
+    assert(JoinMaintain.advancePersisted(spark, a, b, stateDir,
+      "k", "bk", outCols) == w1)
+    assert(asRows(JoinMaintain.current(spark, stateDir).get._1).toSeq ==
+      fresh(a, b).toSeq)
+    // new commits on both sides fold incrementally into the next gen
+    a.upsert(Seq((3L, 20L, "a3", 2L)).toDF("id", "k", "av", "ts"),
+      combine = false)
+    b.upsert(Seq((10L, "b10x", 2L)).toDF("bk", "bv", "ts"), combine = false)
+    val w2 = JoinMaintain.advancePersisted(spark, a, b, stateDir,
+      "k", "bk", outCols)
+    assert(w2.isDefined && w2 != w1)
+    val (st2, _) = JoinMaintain.current(spark, stateDir).get
+    assert(asRows(st2).toSeq == fresh(a, b).toSeq)
+    assert(asRows(st2).exists(_._3 == "a3"))
+  }
+
   test("duplicate joined rows carry multiplicities, retractions decrement them") {
     val a = mkTable("jivm_a2", Seq("id"))
     val b = mkTable("jivm_b2", Seq("bk"))

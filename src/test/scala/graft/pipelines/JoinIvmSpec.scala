@@ -106,6 +106,62 @@ class JoinIvmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(asRows(st2).exists(_._3 == "a3"))
   }
 
+  test("randomized op sequences: maintained state equals fresh join after every advance") {
+    val rnd = new scala.util.Random(42)
+    val a = mkTable("jivm_a4", Seq("id"))
+    val b = mkTable("jivm_b4", Seq("bk"))
+    val keys = Seq(10L, 20L, 30L, 40L)
+    var ts = 0L
+    def nextTs(): Long = { ts += 1; ts }
+    var aFrom = Timeline.Earliest; var bFrom = Timeline.Earliest
+    var state = {
+      // seed one row each so emptyState has a schema source
+      a.upsert(Seq((100L, 10L, "seed", nextTs()))
+        .toDF("id", "k", "av", "ts"), combine = false)
+      b.upsert(Seq((10L, "bseed", nextTs())).toDF("bk", "bv", "ts"),
+        combine = false)
+      JoinMaintain.emptyState(a.snapshot(), b.snapshot(), "k", "bk", outCols)
+    }
+    def freshMultiset(): Map[(Long, Long, String, String), Long] =
+      JoinMaintain.fullState(a.snapshot(), b.snapshot(), "k", "bk", outCols)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("k"),
+          r.getAs[String]("av"), r.getAs[String]("bv")) ->
+          r.getAs[Long]("cnt")).toMap
+    def stateMultiset(df: DataFrame): Map[(Long, Long, String, String), Long] =
+      df.collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("k"),
+        r.getAs[String]("av"), r.getAs[String]("bv")) ->
+        r.getAs[Long]("cnt")).toMap
+    for (round <- 1 to 4) {
+      // random A batch: upserts (possibly moving keys) + a delete of a live id
+      val ups = (0 until 1 + rnd.nextInt(4)).map { _ =>
+        (rnd.nextInt(8).toLong, keys(rnd.nextInt(keys.length)),
+          s"v${rnd.nextInt(100)}", nextTs())
+      }
+      a.upsert(ups.toDF("id", "k", "av", "ts"), combine = true)
+      if (rnd.nextBoolean()) {
+        val live = a.snapshot().select("id").collect().map(_.getLong(0))
+        if (live.nonEmpty)
+          a.delete(Seq(live(rnd.nextInt(live.length))).toDF("id"))
+      }
+      val ca = a.latestCommit.get
+      // random B batch: rewrite values on random keys + occasional delete
+      val bups = (0 until 1 + rnd.nextInt(3)).map { _ =>
+        (keys(rnd.nextInt(keys.length)), s"b${rnd.nextInt(100)}", nextTs())
+      }
+      b.upsert(bups.toDF("bk", "bv", "ts"), combine = true)
+      if (rnd.nextInt(3) == 0) {
+        val live = b.snapshot().select("bk").collect().map(_.getLong(0))
+        if (live.nonEmpty)
+          b.delete(Seq(live(rnd.nextInt(live.length))).toDF("bk"))
+      }
+      val cb = b.latestCommit.get
+      state = JoinMaintain.advance(state, a, b, aFrom, ca, bFrom, cb,
+        "k", "bk", outCols).localCheckpoint()
+      aFrom = ca; bFrom = cb
+      assert(stateMultiset(state) == freshMultiset(), s"round $round")
+    }
+  }
+
   test("duplicate joined rows carry multiplicities, retractions decrement them") {
     val a = mkTable("jivm_a2", Seq("id"))
     val b = mkTable("jivm_b2", Seq("bk"))

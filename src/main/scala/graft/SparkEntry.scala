@@ -324,6 +324,8 @@ object SparkEntry {
     "text_rake_keyphrases" -> ((s, dir) => TextAnalysis.rakeKeyphrases(s, dir)),
     // bilateral join IVM: CDC deltas + time travel, never a full re-join
     "lake_join_incremental" -> (LakeQueries.lakeJoinIncremental _),
+    // the nprobe tuning curve: recall@10 + candidate volume per probe
+    "sim_probe_sweep" -> ((s, dir) => Similarity.probeSweep(s, dir)),
     // active-learning uncertainty sampling over the NB surprise table
     "curate_uncertainty" -> ((s, dir) => TextAnalysis.nbUncertainty(s, dir))
   )
@@ -1142,6 +1144,59 @@ object SparkEntry {
        |  FROM scored)
        |SELECT query_id, vec_id, label, sim, rk FROM r WHERE rk <= 10
        |ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** The `sim_probe_sweep` oracle: trainer replay, per-query ranked cell
+    * list and full-probe candidate scores computed ONCE (MATERIALIZED —
+    * five probe blocks reference them), then per-probe top-10 recall vs
+    * the exhaustive ranking plus probed-cell candidate volumes.
+    */
+  private def probeSweepSql(probes: Seq[Int] = Seq(1, 2, 4, 6, 16)): String = {
+    import graft.queries.Similarity.IvfIters
+    val blocks = probes.map { p =>
+      s"""ph$p AS (SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS hits FROM (
+         |    SELECT query_id, vec_id FROM (
+         |      SELECT query_id, vec_id, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rk
+         |      FROM sc WHERE crk <= $p) WHERE rk <= 10) t
+         |  JOIN bf ON bf.query_id = t.query_id AND bf.vec_id = t.vec_id
+         |  GROUP BY t.query_id),
+         |pc$p AS (SELECT qr.query_id, CAST(SUM(csz.sz) AS BIGINT) AS candidates
+         |  FROM qr JOIN csz USING (cell) WHERE crk <= $p
+         |  GROUP BY query_id)""".stripMargin
+    }.mkString(",\n")
+    val legs = probes.map { p =>
+      s"""SELECT CAST($p AS INT) AS probe, q.query_id,
+         |  CAST(COALESCE(ph$p.hits, 0) AS BIGINT) AS hits,
+         |  CAST(COALESCE(ph$p.hits, 0) * 1000 AS BIGINT) AS recall_bp,
+         |  CAST(COALESCE(pc$p.candidates, 0) AS BIGINT) AS candidates
+         |FROM q LEFT JOIN ph$p ON ph$p.query_id = q.query_id
+         |LEFT JOIN pc$p ON pc$p.query_id = q.query_id""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""$ivfTrainAssignCtes,
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e
+       |  WHERE vec_id < 3),
+       |qs AS (SELECT q.query_id, c.cell,
+       |    ${cosineOf("q.qv", "c.cv")} AS csim
+       |  FROM q, c$IvfIters c),
+       |qr AS MATERIALIZED (SELECT query_id, cell, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY csim DESC, cell ASC) AS crk
+       |  FROM qs),
+       |csz AS MATERIALIZED (SELECT cell, CAST(COUNT(*) AS BIGINT) AS sz
+       |  FROM asg GROUP BY cell),
+       |sc AS MATERIALIZED (SELECT qr.query_id, qr.crk, a.vec_id,
+       |    ${cosineOf("ce.embedding", "qe.embedding")} AS sim
+       |  FROM qr JOIN asg a USING (cell)
+       |  JOIN e ce ON ce.vec_id = a.vec_id
+       |  JOIN e qe ON qe.vec_id = qr.query_id
+       |  WHERE a.vec_id <> qr.query_id),
+       |bf AS MATERIALIZED (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rk
+       |    FROM sc) WHERE rk <= 10),
+       |$blocks
+       |$legs
+       |ORDER BY probe, query_id""".stripMargin
   }
 
   /** The `stats_embedding_drift` oracle: trainer replay on snapshot A
@@ -3109,6 +3164,7 @@ object SparkEntry {
       ("sim_knn_incr" -> knnIncrOracleSql) +
       ("sim_components" -> componentsOracleSql()) +
       ("sim_filtered_topk" -> filteredTopKSql) +
+      ("sim_probe_sweep" -> probeSweepSql()) +
       ("lake_vacuum" -> base("lake_merge_snapshot")) +
       ("curate_label_audit" -> labelAuditSql) +
       ("stats_embedding_outliers" -> embeddingOutliersSql) +

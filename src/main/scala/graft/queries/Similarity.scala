@@ -694,6 +694,72 @@ object Similarity {
     if (eMat != null) Dedup.releaseAfter(topk, eMat) else topk
   }
 
+  /** Probe-sweep tuning report (`sim_probe_sweep`) — the accuracy/cost
+    * curve behind the IVF probe dial, measured by the engine itself:
+    * for each probe setting, recall@10 vs the exhaustive result AND the
+    * candidate volume scanned (Σ probed-cell sizes — the cost axis an
+    * operator tunes against). This is the report that picks `nprobe`
+    * before a corpus-scale rollout; every leg is the bit-portable
+    * trainer + deterministic ranking, so the WHOLE curve sits under the
+    * hash gate (only integer columns are emitted).
+    *
+    * Scale shape: the ranked cell list and candidate scores are computed
+    * ONCE at full probe, carrying each candidate's cell rank — probe p's
+    * result is then a filter (crk ≤ p) + per-query top-k, so the sweep
+    * costs one probed scan, not one per setting.
+    */
+  def probeSweep(s: SparkSession, dir: String,
+      probes: Seq[Int] = Seq(1, 2, 4, 6, 16)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var eMat: DataFrame = null
+    def e: DataFrame = {
+      if (eMat == null)
+        eMat = Relational.t(s, dir, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      eMat
+    }
+    val cent = ivfCentFor(s, dir, e)
+    val corpus = ivfCorpusFor(s, dir, e, cent)
+    val q = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("cell").asc)
+    val qr = q.crossJoin(broadcast(cent))
+      .withColumn("csim", cosine(col("qv"), col("cv")))
+      .withColumn("crk", row_number().over(wq))
+      .select("query_id", "qv", "cell", "crk")
+    val csz = corpus.groupBy("cell").agg(count(lit(1)).as("sz"))
+    val scored = corpus.join(broadcast(qr), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("crk"), col("vec_id"),
+        cosine(col("embedding"), col("qv")).as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val bf = scored.withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= 10).select("query_id", "vec_id")
+    val perP = probes.map { p =>
+      val hits = scored.filter(col("crk") <= p)
+        .withColumn("rk", row_number().over(wr))
+        .filter(col("rk") <= 10)
+        .join(bf, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      val cands = qr.filter(col("crk") <= p).join(csz, "cell")
+        .groupBy("query_id").agg(sum(col("sz")).as("candidates"))
+      q.select("query_id")
+        .join(hits, Seq("query_id"), "left")
+        .join(cands, Seq("query_id"), "left")
+        .select(lit(p).as("probe"), col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          (coalesce(col("hits"), lit(0L)) * 1000L).as("recall_bp"),
+          coalesce(col("candidates"), lit(0L)).as("candidates"))
+    }.reduce(_ unionAll _)
+    val out = perP.orderBy("probe", "query_id")
+    if (eMat != null) Dedup.releaseAfter(out, eMat, scored)
+    else Dedup.releaseAfter(out, scored)
+  }
+
   /** IVF RANGE search (the faiss `range_search` API surface): every
     * corpus vector within cosine `threshold` of each query vector, found
     * by probing the query's `probe` nearest cells and exact-scoring only

@@ -590,6 +590,24 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sim_probe_sweep: monotone recall/cost, exhaustive at full probe") {
+    val rows = Similarity.probeSweep(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    val n = Relational.t(spark, dir, "embeddings").count()
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      val byProbe = rs.sortBy(_._1)
+      // recall and candidate volume never decrease as the probe widens
+      assert(byProbe.map(_._3).sliding(2)
+        .forall { case Array(a, b) => a <= b; case _ => true })
+      assert(byProbe.map(_._4).sliding(2)
+        .forall { case Array(a, b) => a <= b; case _ => true })
+      // full probe scans the whole corpus and recovers the exact top-10
+      val full = byProbe.last
+      assert(full._1 == Similarity.IvfCells)
+      assert(full._3 == 10L && full._4 == n)
+    }
+  }
+
   test("lake_vacuum: post-clean snapshot equals the merged state exactly") {
     val vac = LakeQueries.lakeVacuum(spark, dir).collect()
     val merged = LakeQueries.lakeMergeSnapshot(spark, dir).collect()

@@ -326,6 +326,8 @@ object SparkEntry {
     "lake_join_incremental" -> (LakeQueries.lakeJoinIncremental _),
     // the nprobe tuning curve: recall@10 + candidate volume per probe
     "sim_probe_sweep" -> ((s, dir) => Similarity.probeSweep(s, dir)),
+    // exact join cardinality + hot-key contributions, join never run
+    "stats_join_size" -> ((s, dir) => Profile.statsJoinSize(s, dir)),
     // active-learning uncertainty sampling over the NB surprise table
     "curate_uncertainty" -> ((s, dir) => TextAnalysis.nbUncertainty(s, dir))
   )
@@ -1692,6 +1694,21 @@ object SparkEntry {
         |  CAST(CASE WHEN base_hours >= 6 AND cnt * base_hours > base_sum * 3
         |    THEN 1 ELSE 0 END AS INT) AS is_spike
         |FROM b ORDER BY event_type, hr""".stripMargin,
+    "stats_join_size" ->
+      """WITH a AS (SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt_a
+        |  FROM lineitem GROUP BY 1),
+        |b AS (SELECT p_partkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt_b
+        |  FROM part GROUP BY 1),
+        |c AS (SELECT a.key, a.cnt_a, b.cnt_b, a.cnt_a * b.cnt_b AS contrib
+        |  FROM a JOIN b ON b.key = a.key),
+        |t AS (SELECT CAST(SUM(contrib) AS BIGINT) AS total_rows FROM c),
+        |r AS (SELECT CAST(row_number() OVER (
+        |      ORDER BY contrib DESC, key ASC) AS INT) AS rk,
+        |    key, cnt_a, cnt_b, contrib, t.total_rows,
+        |    CAST((contrib * 10000) // t.total_rows AS BIGINT) AS share_bp
+        |  FROM c, t)
+        |SELECT rk, key, cnt_a, cnt_b, contrib, total_rows, share_bp
+        |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin,
     "q41_sliding_distinct" ->
       """WITH dd AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
         |  FROM events),

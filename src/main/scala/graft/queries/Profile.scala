@@ -399,6 +399,39 @@ object Profile {
       .orderBy("event_type", "hr")
   }
 
+  /** Exact join-size analysis (`stats_join_size`) — what a join WOULD
+    * produce, computed without executing it: |A ⋈_k B| = Σ_k cnt_A(k) ·
+    * cnt_B(k) over the two key-count tables — the cardinality/skew
+    * pre-flight before a large join (the top contributing keys are the
+    * ones to salt; the total sizes the shuffle). Reports the top-10
+    * keys by contribution with each key's share of the total in basis
+    * points. All integer, so the whole report hash-matches.
+    *
+    * Scale shape: two map-side-combined key-count aggregates (each
+    * bounded by key cardinality, not table size), one count×count join
+    * on the key, a single-row total, and a TakeOrdered top-10 — the
+    * join's OUTPUT is never materialized.
+    */
+  def statsJoinSize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = Relational.t(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("key")).agg(count(lit(1)).as("cnt_a"))
+    val b = Relational.t(s, dir, "part")
+      .groupBy(col("p_partkey").as("key")).agg(count(lit(1)).as("cnt_b"))
+    val contrib = a.join(b, "key")
+      .select(col("key"), col("cnt_a"), col("cnt_b"),
+        (col("cnt_a") * col("cnt_b")).as("contrib"))
+    val tot = contrib.agg(sum(col("contrib")).as("total_rows"))
+    contrib.crossJoin(broadcast(tot))
+      .orderBy(col("contrib").desc, col("key").asc).limit(10)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("contrib").desc, col("key").asc)))
+      .select(col("rk"), col("key"), col("cnt_a"), col("cnt_b"),
+        col("contrib"), col("total_rows"),
+        expr("(contrib * 10000) DIV total_rows").as("share_bp"))
+      .orderBy("rk")
+  }
+
   /** Exact moment matrix (`stats_moments`) — the distributed
     * covariance/correlation primitive for feature screening: for each
     * numeric column pair, the exact second-order moments

@@ -608,6 +608,24 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("stats_join_size: total equals the executed join's count; contributions exact") {
+    val rows = Profile.statsJoinSize(spark, dir).collect()
+    assert(rows.length == 10)
+    val li = Relational.t(spark, dir, "lineitem")
+    val p = Relational.t(spark, dir, "part")
+    val actual = li.join(p, col("l_partkey") === col("p_partkey")).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_rows") == actual)
+      assert(r.getAs[Long]("contrib") ==
+        r.getAs[Long]("cnt_a") * r.getAs[Long]("cnt_b"))
+    }
+    // per-key counts check out against direct groupBys for the top key
+    val top = rows.minBy(_.getAs[Int]("rk"))
+    val k = top.getAs[Long]("key")
+    assert(li.filter(col("l_partkey") === k).count() == top.getAs[Long]("cnt_a"))
+    assert(p.filter(col("p_partkey") === k).count() == top.getAs[Long]("cnt_b"))
+  }
+
   test("lake_vacuum: post-clean snapshot equals the merged state exactly") {
     val vac = LakeQueries.lakeVacuum(spark, dir).collect()
     val merged = LakeQueries.lakeMergeSnapshot(spark, dir).collect()

@@ -328,6 +328,8 @@ object SparkEntry {
     "sim_probe_sweep" -> ((s, dir) => Similarity.probeSweep(s, dir)),
     // exact join cardinality + hot-key contributions, join never run
     "stats_join_size" -> ((s, dir) => Profile.statsJoinSize(s, dir)),
+    // Fast-AGMS sketch estimate of the same join size (KB-sized state)
+    "stats_join_size_sketch" -> ((s, dir) => Profile.statsJoinSizeSketch(s, dir)),
     // active-learning uncertainty sampling over the NB surprise table
     "curate_uncertainty" -> ((s, dir) => TextAnalysis.nbUncertainty(s, dir))
   )
@@ -1709,6 +1711,41 @@ object SparkEntry {
         |  FROM c, t)
         |SELECT rk, key, cnt_a, cnt_b, contrib, total_rows, share_bp
         |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin,
+    "stats_join_size_sketch" ->
+      """WITH ha AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |hb AS (SELECT p_partkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM part GROUP BY 1),
+        |cj AS (SELECT unnest(range(0, 5)) AS j),
+        |sa AS (SELECT j, hv % 256 AS b,
+        |    CAST(SUM(((hv // 256) % 2 * 2 - 1) * cnt) AS BIGINT) AS va
+        |  FROM (SELECT cj.j, ha.cnt,
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, 16),
+        |          i -> CAST(strpos('0123456789abcdef',
+        |            substr(md5(cj.j || ':' || ha.k), i, 1)) - 1 AS BIGINT))),
+        |        (a, x) -> a * 16 + x) AS hv
+        |    FROM ha, cj) GROUP BY 1, 2),
+        |sb AS (SELECT j, hv % 256 AS b,
+        |    CAST(SUM(((hv // 256) % 2 * 2 - 1) * cnt) AS BIGINT) AS vb
+        |  FROM (SELECT cj.j, hb.cnt,
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, 16),
+        |          i -> CAST(strpos('0123456789abcdef',
+        |            substr(md5(cj.j || ':' || hb.k), i, 1)) - 1 AS BIGINT))),
+        |        (a, x) -> a * 16 + x) AS hv
+        |    FROM hb, cj) GROUP BY 1, 2),
+        |e AS (SELECT sa.j, CAST(SUM(sa.va * sb.vb) AS BIGINT) AS est
+        |  FROM sa JOIN sb ON sb.j = sa.j AND sb.b = sa.b GROUP BY sa.j),
+        |m AS (SELECT est AS est_rows FROM (
+        |    SELECT est, row_number() OVER (ORDER BY est ASC, j ASC) AS rn
+        |    FROM e) WHERE rn = 3),
+        |x AS (SELECT CAST(SUM(ha.cnt * hb.cnt) AS BIGINT) AS exact_rows
+        |  FROM ha JOIN hb ON hb.k = ha.k)
+        |SELECT m.est_rows, x.exact_rows,
+        |  CAST((abs(m.est_rows - x.exact_rows) * 10000) // x.exact_rows
+        |    AS BIGINT) AS err_bp
+        |FROM m, x""".stripMargin,
     "q41_sliding_distinct" ->
       """WITH dd AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
         |  FROM events),

@@ -432,6 +432,59 @@ object Profile {
       .orderBy("rk")
   }
 
+  /** Sketch-based join-size estimate (`stats_join_size_sketch`) — the
+    * 100 TB twin of [[statsJoinSize]]: when per-key count tables are
+    * themselves too large to move, a Fast-AGMS count sketch per side
+    * (d=5 signed hash rows × w=256 buckets — KB-sized whatever the key
+    * cardinality) estimates |A ⋈ B| as the MEDIAN over rows of the
+    * per-row inner products Σ_b csA[j][b]·csB[j][b]. Hashing is the
+    * proven portable multiplicative family and everything is integer,
+    * so the estimate — and its deviation from the exact answer, also
+    * emitted — replays bit-for-bit in the oracle.
+    *
+    * Scale shape: each sketch is one map-side-combined (row, bucket)
+    * aggregate over the key column (d·w = 1280 cells per side at any
+    * data size); the estimate joins the two cell tables and the median
+    * runs over d = 5 rows. Exact-side comparison reuses the key-count
+    * product sum.
+    */
+  def statsJoinSizeSketch(s: SparkSession, dir: String, d: Int = 5,
+      w: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // AGMS needs 4-wise-independent SIGN hashes — the cheap multiplicative
+    // family's sign products correlate across colliding keys and blow the
+    // variance (measured: 50% error where theory says ~6%); the md5 fold
+    // (the stats_checksum idiom) behaves fully random and lands the
+    // estimate within a few percent at the gate SFs. Bucket and sign come
+    // from disjoint bit regions of one 60-bit digest per (row, key).
+    def sketch(table: String, key: String, out: String): DataFrame =
+      Relational.t(s, dir, table)
+        .groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+        .withColumn("j", explode(expr(s"sequence(0, ${d - 1})")))
+        .withColumn("hv", conv(substring(md5(
+          concat(col("j").cast("string"), lit(":"),
+            col("k").cast("string"))), 1, 15), 16, 10).cast("long"))
+        .withColumn("b", col("hv") % w)
+        .withColumn("sgn", expr(s"(hv DIV $w) % 2") * 2L - 1L)
+        .groupBy("j", "b").agg(sum(col("sgn") * col("cnt")).as(out))
+    val est = sketch("lineitem", "l_partkey", "va")
+      .join(sketch("part", "p_partkey", "vb"), Seq("j", "b"))
+      .groupBy("j").agg(sum(col("va") * col("vb")).as("est"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("est").asc, col("j").asc)))
+      .filter(col("rn") === (d + 1) / 2)
+      .select(col("est").as("est_rows"))
+    val exact = Relational.t(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("ca"))
+      .join(Relational.t(s, dir, "part")
+        .groupBy(col("p_partkey").as("k")).agg(count(lit(1)).as("cb")), "k")
+      .agg(sum(col("ca") * col("cb")).as("exact_rows"))
+    est.crossJoin(exact)
+      .select(col("est_rows"), col("exact_rows"),
+        expr("(abs(est_rows - exact_rows) * 10000) DIV exact_rows")
+          .as("err_bp"))
+  }
+
   /** Exact moment matrix (`stats_moments`) — the distributed
     * covariance/correlation primitive for feature screening: for each
     * numeric column pair, the exact second-order moments

@@ -626,6 +626,22 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.filter(col("p_partkey") === k).count() == top.getAs[Long]("cnt_b"))
   }
 
+  test("stats_join_size_sketch: estimate lands near the exact size; exact side agrees") {
+    val r = Profile.statsJoinSizeSketch(spark, dir).collect()
+    assert(r.length == 1)
+    val exact = r.head.getAs[Long]("exact_rows")
+    val est = r.head.getAs[Long]("est_rows")
+    val errBp = r.head.getAs[Long]("err_bp")
+    assert(errBp == math.abs(est - exact) * 10000L / exact)
+    // the exact side must equal the key-count product sum of statsJoinSize
+    val total = Profile.statsJoinSize(spark, dir).collect()
+      .head.getAs[Long]("total_rows")
+    assert(exact == total)
+    // AGMS with a random-behaving hash: median of 5 rows stays within
+    // 20% at these sizes (measured ~2-4%; bound leaves variance room)
+    assert(errBp < 2000L, s"estimate off by $errBp bp")
+  }
+
   test("lake_vacuum: post-clean snapshot equals the merged state exactly") {
     val vac = LakeQueries.lakeVacuum(spark, dir).collect()
     val merged = LakeQueries.lakeMergeSnapshot(spark, dir).collect()

@@ -1592,9 +1592,10 @@ object SparkEntry {
         |    AS BIGINT) AS share_bp
         |FROM c ORDER BY from_type, to_type""".stripMargin,
     "stats_benford" ->
-      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(
-        |      l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1)
-        |    AS INT) AS digit FROM lineitem),
+      """WITH v AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5)
+        |    AS BIGINT) AS price_c FROM lineitem),
+        |d AS (SELECT CAST(substr(CAST(price_c AS VARCHAR), 1, 1)
+        |    AS INT) AS digit FROM v WHERE price_c > 0),
         |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d
         |  WHERE digit BETWEEN 1 AND 9 GROUP BY digit),
         |b AS (SELECT digit, n,
@@ -1623,11 +1624,11 @@ object SparkEntry {
         |    SUM(CAST(price_c AS HUGEINT) * disc_bp) AS sxy3
         |  FROM p)
         |SELECT x_name, y_name, n,
-        |  CAST(sx AS DECIMAL(38, 0)) AS sx, CAST(sy AS DECIMAL(38, 0)) AS sy,
-        |  CAST(sxx AS DECIMAL(38, 0)) AS sxx,
-        |  CAST(syy AS DECIMAL(38, 0)) AS syy,
-        |  CAST(sxy AS DECIMAL(38, 0)) AS sxy,
-        |  CAST(n * sxy - sx * sy AS DECIMAL(38, 0)) AS cov_num
+        |  CAST(sx AS VARCHAR) AS sx, CAST(sy AS VARCHAR) AS sy,
+        |  CAST(sxx AS VARCHAR) AS sxx,
+        |  CAST(syy AS VARCHAR) AS syy,
+        |  CAST(sxy AS VARCHAR) AS sxy,
+        |  CAST(n * sxy - sx * sy AS VARCHAR) AS cov_num
         |FROM (
         |  SELECT 'qty' AS x_name, 'price_c' AS y_name, n,
         |    sx1 AS sx, sy1 AS sy, sxx1 AS sxx, syy1 AS syy, sxy1 AS sxy FROM m

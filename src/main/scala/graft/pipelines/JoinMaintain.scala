@@ -39,30 +39,56 @@ object JoinMaintain {
   private def sign = when(col(LakeTable.ChangeTypeCol)
     .isin("insert", "update_postimage"), 1L).otherwise(-1L)
 
+  /** Every ROUTED column name — the output columns and the two join
+    * keys — must resolve on exactly one side: routing in [[delta]] is
+    * by name, and a name both tables carry would silently bind to the
+    * wrong side (or, for aKey == bKey, make the key equality trivially
+    * true under unqualified resolution). Loud contract instead of
+    * silent garbage. Columns both tables carry but that are NOT routed
+    * (lake metadata like `_record_key`/`_commit_time`, incidental
+    * same-named fields) are fine — both sides are projected through
+    * qualified frame references before the join.
+    */
+  private def requireUnambiguous(a: DataFrame, b: DataFrame, aKey: String,
+      bKey: String, outCols: Seq[String]): Unit = {
+    val shared = a.columns.toSet.intersect(b.columns.toSet)
+    val routed = (outCols.toSet + aKey + bKey).intersect(shared)
+    require(routed.isEmpty,
+      s"JoinMaintain output/key columns must be unique to one side " +
+        s"(rename one side); ambiguous: ${routed.toSeq.sorted.mkString(", ")}")
+  }
+
   /** The maintained multiset, computed fresh: distinct joined rows with
     * multiplicities.
     */
   def fullState(a: DataFrame, b: DataFrame, aKey: String, bKey: String,
-      outCols: Seq[String]): DataFrame =
+      outCols: Seq[String]): DataFrame = {
+    requireUnambiguous(a, b, aKey, bKey, outCols)
     a.join(b, a(aKey) === b(bKey))
       .groupBy(outCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"))
+  }
 
   /** Signed joined-row delta for one advance: A's change images join the
-    * NEW B snapshot; the OLD A snapshot joins B's change images.
+    * NEW B snapshot; the OLD A snapshot joins B's change images. Every
+    * join side is a freshly-selected frame and the key equality is
+    * qualified through those frame references — never unqualified
+    * `col(...)` that could resolve across sides.
     */
   def delta(aChanges: DataFrame, aOld: DataFrame, bNew: DataFrame,
       bChanges: DataFrame, aKey: String, bKey: String,
       outCols: Seq[String]): DataFrame = {
-    val aCols = outCols.filter(aChanges.columns.contains)
+    requireUnambiguous(aOld, bNew, aKey, bKey, outCols)
+    val aCols = outCols.filter(aOld.columns.contains)
     val bCols = outCols.filterNot(aCols.contains)
-    val d1 = aChanges
-      .select((aCols.map(col) :+ sign.as("_sgn")): _*)
-      .join(bNew.select((bCols :+ bKey).distinct.map(col): _*),
-        col(aKey) === col(bKey))
-    val d2 = aOld.select((aCols :+ aKey).distinct.map(col): _*)
-      .join(bChanges.select((bCols.map(col) :+ col(bKey) :+
-        sign.as("_sgn")): _*), col(aKey) === col(bKey))
+    val aSel = aChanges.select(
+      ((aCols :+ aKey).distinct.map(aChanges(_)) :+ sign.as("_sgn")): _*)
+    val bSnap = bNew.select((bCols :+ bKey).distinct.map(bNew(_)): _*)
+    val d1 = aSel.join(bSnap, aSel(aKey) === bSnap(bKey))
+    val aSnap = aOld.select((aCols :+ aKey).distinct.map(aOld(_)): _*)
+    val bSel = bChanges.select(
+      ((bCols :+ bKey).distinct.map(bChanges(_)) :+ sign.as("_sgn")): _*)
+    val d2 = aSnap.join(bSel, aSnap(aKey) === bSel(bKey))
     d1.select((outCols.map(col) :+ col("_sgn")): _*)
       .unionByName(d2.select((outCols.map(col) :+ col("_sgn")): _*))
       .groupBy(outCols.map(col): _*)

@@ -307,9 +307,16 @@ object Profile {
   def statsBenford(s: SparkSession, dir: String): DataFrame = {
     val benford = Seq(3010, 1760, 1249, 969, 791, 669, 579, 511, 457)
     Relational.t(s, dir, "lineitem")
-      .select(substring(
-        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
-          .cast("string"), 1, 1).cast("int").as("digit"))
+      .select(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+        .as("price_c"))
+      // Strictly-positive guard BEFORE digit extraction: a negative or
+      // zero money value would render a '-'/'0' first character, which
+      // Spark's lenient int cast nulls-and-drops while DuckDB's strict
+      // CAST raises — an engine-asymmetric divergence. Benford's law is
+      // only defined over positive magnitudes anyway.
+      .filter(col("price_c") > 0)
+      .select(substring(col("price_c").cast("string"), 1, 1)
+        .cast("int").as("digit"))
       .filter(col("digit").between(1, 9))
       .groupBy("digit").agg(count(lit(1)).as("n"))
       .withColumn("share_bp",
@@ -490,11 +497,19 @@ object Profile {
     * numeric column pair, the exact second-order moments
     * (n, Σx, Σy, Σx², Σy², Σxy) plus the covariance numerator
     * n·Σxy − Σx·Σy, all on integer projections (cents / basis points)
-    * summed in DECIMAL(38,0), so the whole matrix is bit-exact and
-    * hash-gated — the float corr is one driver-side division away, but
-    * the heavy pass over the data never touches floats. Per-row
-    * products stay in LONG (|x·y| ≤ 9.2·10¹⁸ — documented input-domain
-    * contract: cents ≤ ~10⁹ per row); only the SUMS widen to decimal.
+    * with per-row products and sums in DECIMAL(38,0), so the whole
+    * matrix is bit-exact — the float corr is one driver-side division
+    * away, but the heavy pass over the data never touches floats.
+    * Factors widen to decimal BEFORE multiplying (matching the
+    * oracle's HUGEINT-first order), so an input outside the documented
+    * cents ≤ ~10⁹ domain widens instead of silently wrapping in LONG.
+    *
+    * Output canonicalization (round-11 driver finding): the wide sums
+    * are emitted as STRINGs, not DECIMAL(38,0) — the external gate's
+    * hasher canonicalizes Spark decimal128 and DuckDB HUGEINT→DECIMAL
+    * differently, so oracle outputs are restricted to
+    * BIGINT/DOUBLE/STRING/DATE; both engines render the exact integer
+    * digits identically as strings.
     *
     * Scale shape: ONE scan computes every moment in a single partial-
     * aggregated (map-side combined) global aggregate — one row crosses
@@ -510,24 +525,28 @@ object Profile {
     val pairs = Seq(("qty", "price_c"), ("qty", "disc_bp"),
       ("price_c", "disc_bp"))
     val dec38 = "decimal(38,0)"
+    def d(c: String) = col(c).cast(dec38)
     val aggs = count(lit(1)).as("n") +: pairs.flatMap { case (x, y) =>
       Seq(
-        sum(col(x).cast(dec38)).as(s"_sx_${x}_$y"),
-        sum(col(y).cast(dec38)).as(s"_sy_${x}_$y"),
-        sum((col(x) * col(x)).cast(dec38)).as(s"_sxx_${x}_$y"),
-        sum((col(y) * col(y)).cast(dec38)).as(s"_syy_${x}_$y"),
-        sum((col(x) * col(y)).cast(dec38)).as(s"_sxy_${x}_$y"))
+        sum(d(x)).as(s"_sx_${x}_$y"),
+        sum(d(y)).as(s"_sy_${x}_$y"),
+        sum((d(x) * d(x)).cast(dec38)).as(s"_sxx_${x}_$y"),
+        sum((d(y) * d(y)).cast(dec38)).as(s"_syy_${x}_$y"),
+        sum((d(x) * d(y)).cast(dec38)).as(s"_sxy_${x}_$y"))
     }
     val one = proj.agg(aggs.head, aggs.tail: _*)
     val rows = array(pairs.map { case (x, y) =>
       val k = s"${x}_$y"
       struct(
         lit(x).as("x_name"), lit(y).as("y_name"), col("n"),
-        col(s"_sx_$k").as("sx"), col(s"_sy_$k").as("sy"),
-        col(s"_sxx_$k").as("sxx"), col(s"_syy_$k").as("syy"),
-        col(s"_sxy_$k").as("sxy"),
+        col(s"_sx_$k").cast("string").as("sx"),
+        col(s"_sy_$k").cast("string").as("sy"),
+        col(s"_sxx_$k").cast("string").as("sxx"),
+        col(s"_syy_$k").cast("string").as("syy"),
+        col(s"_sxy_$k").cast("string").as("sxy"),
         (col("n").cast(dec38) * col(s"_sxy_$k") -
-          col(s"_sx_$k") * col(s"_sy_$k")).cast(dec38).as("cov_num"))
+          col(s"_sx_$k") * col(s"_sy_$k")).cast(dec38)
+          .cast("string").as("cov_num"))
     }: _*)
     one.select(inline(rows)).orderBy("x_name", "y_name")
   }

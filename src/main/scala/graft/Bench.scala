@@ -40,9 +40,12 @@ object Bench {
     catch { case _: Throwable => () }
     // pre-stage the lake queries' shared batch1 input (input prep shared
     // with the oracle CTE, documented not-under-test) so the first lake
-    // query's number measures ITS work, not the shared staging
-    try graft.queries.LakeQueries.warmFixtures(spark, sfDir)
-    catch { case _: Throwable => () }
+    // query's number measures ITS work, not the shared staging. Build
+    // seconds are kept and published in the JSON artifact so one-time
+    // fixture cost attributes honestly, separate from query time.
+    val fixtureSecs =
+      try graft.queries.LakeQueries.warmFixtures(spark, sfDir)
+      catch { case _: Throwable => Seq.empty[(String, Double)] }
     // likewise the shared kNN-graph index artifact: three queries
     // (graph, label audit, centrality) consume it; whichever ran first
     // was paying the one-time stage build instead of its own plan
@@ -116,8 +119,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // one-time lake fixture builds, reported OUTSIDE the per-query
+    // numbers (they run before any timed region)
+    val fx = fixtureSecs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"fixture_build":$fx,"sf":"$sfDir"}"""
     println(json)
     // stdout goes through sbt's logger ([info] prefixes); also drop the
     // bare JSON line in the working directory so it is machine-readable

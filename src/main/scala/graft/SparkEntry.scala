@@ -581,7 +581,9 @@ object SparkEntry {
     * scramble constants), the q4 piecewise-linear log2 per add-one
     * count (`l2(x) = (len(bin(x))−1)·16 + ((x·16) >> (len(bin(x))−1)) −
     * 16`), the per-doc weight sum minus the total-mass correction, and
-    * the top-decile keep flag — every step integer, replayed verbatim.
+    * the keep flag via the min-shift + HDR-histogram 90th-percentile
+    * boundary (the `curate_quantile_bins` bucket replay) — every step
+    * integer, replayed verbatim.
     */
   private def dsirOracleSql: String = {
     def l2(x: String): String =
@@ -613,12 +615,26 @@ object SparkEntry {
       |      AS BIGINT) AS dsir_q4
       |  FROM documents doc LEFT JOIN pd ON pd.doc_id = doc.doc_id
       |  CROSS JOIN tots),
-      |r AS (SELECT doc_id, n_tok, dsir_q4,
-      |    row_number() OVER (ORDER BY dsir_q4 DESC, doc_id ASC) AS rk,
-      |    COUNT(*) OVER () AS nd
-      |  FROM w)
-      |SELECT doc_id, n_tok, dsir_q4, (rk * 10 <= nd) AS keep
-      |FROM r ORDER BY doc_id""".stripMargin
+      |mn AS (SELECT MIN(dsir_q4) AS minv FROM w),
+      |sv AS (SELECT doc_id, n_tok, dsir_q4,
+      |    CAST(dsir_q4 - minv AS BIGINT) AS s FROM w CROSS JOIN mn),
+      |hk AS (SELECT s, length(bin(s)) AS bl FROM sv),
+      |hx AS (SELECT CASE WHEN bl <= 5 THEN s
+      |         ELSE CAST(bl - 6 AS BIGINT) * 16 + ((s >> (bl - 5)) - 16) + 32
+      |         END AS idx,
+      |       CASE WHEN bl <= 5 THEN s
+      |         ELSE (s >> (bl - 5)) << (bl - 5) END AS lo
+      |  FROM hk),
+      |hh AS (SELECT idx, lo, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM hx GROUP BY idx, lo),
+      |hc AS (SELECT lo, CAST(SUM(cnt) OVER (ORDER BY idx
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM hh),
+      |ht AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hh),
+      |thr AS (SELECT MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN lo END) AS b9
+      |  FROM hc CROSS JOIN ht)
+      |SELECT doc_id, n_tok, dsir_q4, (s >= b9) AS keep
+      |FROM sv CROSS JOIN thr ORDER BY doc_id""".stripMargin
   }
 
   /** The `curate_centrality` oracle: the kNN-graph trainer replay, then
@@ -644,10 +660,14 @@ object SparkEntry {
         |    CAST(150000 + (COALESCE(c.insum, 0) * 85) // 100 AS BIGINT) AS r
         |  FROM n LEFT JOIN c$i c ON c.vec_id = n.vec_id)""".stripMargin)
     }
-    sb.append(s"""
-      |SELECT vec_id, r AS rank_u,
-      |  CAST(row_number() OVER (ORDER BY r DESC, vec_id ASC) AS INT) AS crank
-      |FROM r$iters ORDER BY vec_id""".stripMargin)
+    sb.append(s""",
+      |lead AS (SELECT vec_id,
+      |    CAST(row_number() OVER (ORDER BY r DESC, vec_id ASC) AS INT)
+      |      AS crank
+      |  FROM r$iters ORDER BY r DESC, vec_id ASC LIMIT 100)
+      |SELECT s.vec_id, s.r AS rank_u, lead.crank
+      |FROM r$iters s LEFT JOIN lead ON lead.vec_id = s.vec_id
+      |ORDER BY s.vec_id""".stripMargin)
     sb.toString
   }
 

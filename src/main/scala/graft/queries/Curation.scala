@@ -512,9 +512,19 @@ object Curation {
     * Scale shape: the feature tables ARE the model — two map-side-
     * combined aggregations bounded by the bucket count, broadcast back
     * onto the per-doc feature counts (a ≤[[DsirBuckets]]-row build
-    * side at ANY corpus size); the top-decile cut is a rank over the
-    * per-doc weight table. Like DSIR itself, the model trains once per
-    * target and scores any number of batches map-only thereafter.
+    * side at ANY corpus size). The top-decile KEEP flag is the
+    * [[quantileBins]] shape, not a global rank: weights shift into the
+    * non-negative domain by their global min (one map-side-combined
+    * aggregate), the 90th-percentile boundary comes from the mergeable
+    * integer HDR histogram ([[Sketches.hdrHistogram]] — a few hundred
+    * rows at any corpus size), and `keep` is a broadcast of that one
+    * boundary against a map-only scan. keep = weight ≥ the boundary
+    * bucket's lower bound, so the kept slice is the top decile up to
+    * the sketch's 1/16 relative boundary granularity — and the cut is
+    * a pure VALUE threshold (every kept weight ≥ every dropped one).
+    * No row of the corpus ever crosses a single-partition window. Like
+    * DSIR itself, the model trains once per target and scores any
+    * number of batches map-only thereafter.
     */
   val DsirBuckets = 1024
 
@@ -564,14 +574,25 @@ object Curation {
           coalesce(col("n_tok"), lit(0L)) *
             (l2q4(col("ct_tot") + 1) - l2q4(col("cs_tot") + 1)))
           .cast("long").as("dsir_q4"))
-    val wr = Window.orderBy(col("dsir_q4").desc, col("doc_id").asc)
-    val out = weighted
-      .crossJoin(broadcast(docs(s, dir).agg(count(lit(1)).as("n_docs"))))
-      .withColumn("rk", row_number().over(wr))
+    val wP = weighted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shift into the histogram's non-negative domain (dsir_q4 is a
+    // signed log-ratio); the min is one map-side-combined aggregate
+    val minv = wP.agg(min(col("dsir_q4")).as("minv"))
+    val shifted = wP.crossJoin(broadcast(minv))
+      .withColumn("sv", col("dsir_q4") - col("minv"))
+    val hist = Sketches.hdrHistogram(shifted, col("sv"))
+    val cum = hist.withColumn("cum",
+      sum("cnt").over(Window.orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val thr = cum
+      .crossJoin(hist.agg(sum(col("cnt")).as("n")))
+      .agg(min(when(col("cum") >= expr("(9 * n + 9) DIV 10"), col("lo")))
+        .as("b9"))
+    val out = shifted.crossJoin(broadcast(thr))
       .select(col("doc_id"), col("n_tok"), col("dsir_q4"),
-        (col("rk") * 10 <= col("n_docs")).as("keep"))
+        (col("sv") >= col("b9")).as("keep"))
       .orderBy("doc_id")
-    Dedup.releaseAfter(out, tokP)
+    Dedup.releaseAfter(out, tokP, wP)
   }
 
   /** PageRank centrality over the kNN graph (`curate_centrality`) —
@@ -595,9 +616,13 @@ object Curation {
     * co-partitioned at scale) and one map-side-combined groupBy on the
     * destination. The graph is the staged pipeline artifact
     * ([[Similarity.stagedKnnGraph]]), built once per corpus; iteration
-    * cost is linear in |E| = k·N with no growth in state.
+    * cost is linear in |E| = k·N with no growth in state. The closing
+    * leaderboard is a top-[[CentralityTopK]] via orderBy+limit
+    * (TakeOrderedAndProject — per-partition partial top-K), never a
+    * global row_number over all N nodes.
     */
   val CentralityIters = 5
+  val CentralityTopK = 100
 
   def centrality(s: SparkSession, dir: String,
       iters: Int = CentralityIters): DataFrame = {
@@ -621,10 +646,20 @@ object Curation {
           (lit(150000L) +
             expr("(coalesce(insum, 0L) * 85) DIV 100")).as("r"))
     }
-    val wr = Window.orderBy(col("rank_u").desc, col("vec_id").asc)
-    val out = rank
-      .select(col("vec_id"), col("r").as("rank_u"))
-      .withColumn("crank", row_number().over(wr))
+    val scores = rank.select(col("vec_id"), col("r").as("rank_u"))
+    // leaderboard positions only for the top-K: orderBy+limit plans as
+    // TakeOrderedAndProject (per-partition partial top-K, no global
+    // single-partition window over the node set); the row_number then
+    // runs over the <=K-row frame and the K-row leaderboard broadcasts
+    // back onto the full score table. Every node keeps its exact
+    // rank_u; crank is null off the leaderboard.
+    val top = scores
+      .orderBy(col("rank_u").desc, col("vec_id").asc)
+      .limit(CentralityTopK)
+      .withColumn("crank", row_number().over(
+        Window.orderBy(col("rank_u").desc, col("vec_id").asc)))
+      .select("vec_id", "crank")
+    val out = scores.join(broadcast(top), Seq("vec_id"), "left")
       .orderBy("vec_id")
     Dedup.releaseAfter(out, ge, nodes)
   }

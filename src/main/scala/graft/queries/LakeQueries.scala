@@ -81,12 +81,15 @@ object LakeQueries {
     * an identical table build re-measured per query. Build seconds go to
     * stderr for attribution.
     */
-  private[graft] def warmFixtures(s: SparkSession, dir: String): Unit = {
+  private[graft] def warmFixtures(s: SparkSession, dir: String)
+      : Seq[(String, Double)] = {
+    val built = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     def timed(name: String)(body: => Unit): Unit = {
       val t0 = System.nanoTime()
       body
-      System.err.println(
-        f"[bench] fixture $name built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val secs = (System.nanoTime() - t0) / 1e9
+      built += name -> secs
+      System.err.println(f"[bench] fixture $name built in $secs%.1f s")
     }
     timed("batch1")(batch1Staged(s, dir))
     timed("cow")(cowFixture(s, dir))
@@ -100,6 +103,7 @@ object LakeQueries {
     timed("schema_evolution")(evoFixture(s, dir))
     timed("vacuum")(vacFixture(s, dir))
     timed("join_ivm")(joinFixture(s, dir))
+    built.toSeq
   }
 
   /** The two-commit COW table (upsert b1, upsert b2) that four read

@@ -59,6 +59,14 @@ object Profile {
     * columns. Timestamps profile on the epoch-micros axis (UTC-pinned
     * session ⇒ identical to DuckDB's `epoch_us` on the naive value);
     * non-numeric columns profile null rate + cardinality only.
+    *
+    * COST NOTE: the 7 exact `count_distinct`s plan as ONE Expand-heavy
+    * scan — shuffle input multiplies by the profiled column count, the
+    * price of exactness (the bench's 2nd-slowest query). This is the
+    * gate-exact twin; at corpus scale use
+    * [[statsProfileSketch]] (`stats_profile_sketch`), whose HLL
+    * partials bound the shuffle at cols × 257 rows per partition
+    * regardless of input size.
     */
   def statsProfile(s: SparkSession, dir: String): DataFrame =
     profile(Relational.t(s, dir, "lineitem"), Seq(
@@ -71,7 +79,8 @@ object Profile {
       ColSpec("l_returnflag", None),
       ColSpec("l_linestatus", None)))
 
-  /** `stats_profile_sketch`: the CORPUS-SCALE profile — cardinalities
+  /** `stats_profile_sketch`: the CORPUS-SCALE profile — the production
+    * twin of [[statsProfile]] (`stats_profile`): cardinalities
     * come from the portable raw HLL ([[Sketches]], m=256) instead of
     * exact `count_distinct`'s Expand, which multiplies shuffle input by
     * the profiled column count. Shape: ONE scan unpivots each row to

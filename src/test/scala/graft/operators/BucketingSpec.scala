@@ -80,4 +80,78 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll
       spark.sql("DROP TABLE IF EXISTS bk_b")
     }
   }
+
+  test("JoinMaintain delta over bucketed snapshots: no shuffle on the snapshot sides") {
+    // The 100 TB claim in JoinMaintain's scaladoc, made checkable: each
+    // advance joins a change sliver against ONE side's snapshot — with
+    // the snapshots bucketed on the join keys, those joins must plan
+    // with the snapshot side read in place (zero shuffle between join
+    // and bucketed scan; only the sliver re-distributes).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.SparkSession
+    val s = spark
+    import s.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val aOldDf = (0 until 2000).map(i => (i.toLong, s"a$i"))
+        .toDF("a_key", "a_val")
+      val bOldDf = (0 until 500).map(i => (i.toLong, i * 10L))
+        .toDF("b_key", "b_val")
+      val ct = graft.lake.LakeTable.ChangeTypeCol
+      val aChanges = Seq((3L, "a3x", "update_postimage"), (3L, "a3", "update_preimage"),
+        (2001L, "new", "insert"), (7L, "a7", "delete"))
+        .toDF("a_key", "a_val", ct)
+      val bChanges = Seq((4L, 999L, "insert"), (5L, 50L, "delete"))
+        .toDF("b_key", "b_val", ct)
+      val aNewDf = aOldDf.filter($"a_key" =!= 3L && $"a_key" =!= 7L)
+        .union(Seq((3L, "a3x"), (2001L, "new")).toDF("a_key", "a_val"))
+      val bNewDf = bOldDf.filter($"b_key" =!= 5L)
+        .union(Seq((4L, 999L)).toDF("b_key", "b_val"))
+      // the delta's snapshot ingredients ARE the bucketed tables:
+      // OLD A, NEW B — exactly the asymmetric-split recipe
+      Bucketing.writeBucketed(aOldDf, "jm_a", 8, "a_key")
+      Bucketing.writeBucketed(bNewDf, "jm_b", 8, "b_key")
+      val d = graft.pipelines.JoinMaintain.delta(
+        aChanges, spark.table("jm_a"), spark.table("jm_b"), bChanges,
+        "a_key", "b_key", Seq("a_key", "a_val", "b_key", "b_val"))
+      val plan = d.queryExecution.executedPlan
+      val joins = plan.collect {
+        case j: SortMergeJoinExec => j: org.apache.spark.sql.execution.SparkPlan
+        case j: ShuffledHashJoinExec => j
+        case j: BroadcastHashJoinExec => j
+      }
+      assert(joins.size == 2, s"expected the two delta joins:\n$plan")
+      joins.foreach { j =>
+        val snapSides = j.children.filter(
+          _.collect { case f: FileSourceScanExec => f }.nonEmpty)
+        assert(snapSides.nonEmpty, s"join lost its bucketed scan:\n$j")
+        snapSides.foreach { c =>
+          assert(c.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+            s"bucketed snapshot side re-shuffled:\n$c")
+          val scans = c.collect { case f: FileSourceScanExec => f }
+          assert(scans.forall(_.bucketedScan),
+            s"snapshot scan not reading the bucket layout:\n$c")
+        }
+      }
+      // and the algebra holds with the bucketed tables as ingredients:
+      // old state + this delta = the fresh join of the new snapshots
+      val outCols = Seq("a_key", "a_val", "b_key", "b_val")
+      val applied = graft.pipelines.JoinMaintain.applyDelta(
+        graft.pipelines.JoinMaintain.fullState(
+          aOldDf, bOldDf, "a_key", "b_key", outCols), d, outCols)
+        .collect().map(_.toSeq).toSet
+      val expect = graft.pipelines.JoinMaintain.fullState(
+        aNewDf, bNewDf, "a_key", "b_key", outCols)
+        .collect().map(_.toSeq).toSet
+      assert(applied == expect)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.sql("DROP TABLE IF EXISTS jm_a")
+      spark.sql("DROP TABLE IF EXISTS jm_b")
+    }
+  }
 }

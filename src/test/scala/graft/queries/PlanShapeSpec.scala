@@ -50,6 +50,43 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scans <= 2, s"corpus+query scans only:\n$p")
   }
 
+  /** Unpartitioned windows over UNBOUNDED input — the single-partition
+    * funnel that kills a query at 100 TB (round-11 finding: curate_dsir
+    * and curate_centrality both ranked the whole corpus through one
+    * partition). A global window is legitimate only when its input is
+    * structurally bounded: an Aggregate below it (sketch buckets, digit
+    * histograms — cardinality fixed by the value domain, not the data)
+    * or an explicit Limit (leaderboard frames). Returns the offending
+    * window nodes, empty when clean.
+    */
+  private def globalWindowViolations(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, GlobalLimit, Window => LWindow}
+    df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+          !w.child.exists(n =>
+            n.isInstanceOf[Aggregate] || n.isInstanceOf[GlobalLimit]) =>
+        w.simpleString(120)
+    }
+  }
+
+  test("no curate_*/stats_* query plans a global window over unbounded input") {
+    // curate_curriculum is the documented gate-exact stand-in: its
+    // scaladoc names the 100 TB composition (histogram boundaries +
+    // shard/offset) and frames the global ntile as the oracle-replayable
+    // twin — the one allowed exception.
+    val allow = Set("curate_curriculum")
+    val names = graft.SparkEntry.queries.keys
+      .filter(n => n.startsWith("curate_") || n.startsWith("stats_"))
+      .filterNot(allow).toSeq.sorted
+    val bad = names.flatMap { n =>
+      globalWindowViolations(graft.SparkEntry.queries(n)(spark, sf))
+        .map(v => s"$n: $v")
+    }
+    assert(bad.isEmpty,
+      s"single-partition window funnels found:\n${bad.mkString("\n")}")
+  }
+
   test("lm score: count tables reduce before the scoring join (no raw-row join)") {
     // inspect the PRE-release plan (the default materializes via
     // localCheckpoint and releases the bigram cache, hiding the shape)

@@ -106,6 +106,15 @@ object SparkEntry {
     // incremental view maintenance: state@c1 + signed change images
     // must bitwise-equal the final snapshot's rollup
     "lake_rollup_incremental" -> (LakeQueries.lakeRollupIncremental _),
+    // IVM family 3: distinct/min/max via the multiplicity aux state —
+    // the non-self-maintainable aggregates, kept delete-safe
+    "lake_distinct_incremental" -> (LakeQueries.lakeDistinctIncremental _),
+    // posting-list secondary index on a non-key column: exact-file
+    // prune where zone maps can't, structurally stale-safe
+    "lake_secondary_index" -> (LakeQueries.lakeSecondaryIndex _),
+    // SCD2 dimension history from the CDC feed, versions bounded by
+    // commit ordinals (deterministic, unlike wall-clock instants)
+    "lake_scd2" -> (LakeQueries.lakeScd2 _),
     // extension operators: text analysis / dedup / similarity / multimodal
     "text_stats" -> (TextAnalysis.textStats _),
     "text_exact_dedup" -> (TextAnalysis.exactDedup _),
@@ -150,6 +159,9 @@ object SparkEntry {
     "stats_hll_distinct" -> (Sketches.hllDistinct _),
     "stats_hll_groups" -> (Sketches.hllGroups _),
     "stats_hll_overlap" -> (Sketches.hllOverlap _),
+    // KMV bottom-k sketch: exact-membership union sample -> the
+    // intersection/difference estimates HLL inclusion-exclusion can't do
+    "stats_kmv_setops" -> (Sketches.kmvSetOps _),
     "stats_cm_topk" -> (Sketches.cmHeavyHitters _),
     // all-integer HDR histogram quantiles (mergeable, ≤1/16 rel. error)
     "stats_hdr_quantiles" -> (Sketches.hdrOrderQuantiles _),
@@ -178,6 +190,9 @@ object SparkEntry {
     "curate_split_leakfree" -> (Curation.leakFreeSplit _),
     "dedup_simhash" -> (Dedup.simhashPairs _),
     "sim_topk_bruteforce" -> (Similarity.topKBruteForce _),
+    // truncated-dimension (matryoshka) recall@10 vs the full-dim truth:
+    // one corpus scan scores every (query, dim) prefix slice
+    "sim_matryoshka_recall" -> (Similarity.matryoshkaRecall _),
     // hybrid lexical+vector retrieval, reciprocal-rank fusion (k=60)
     "sim_hybrid_rrf" -> ((s, dir) => Similarity.hybridTopK(s, dir)),
     // MMR diversified rerank of the top-20 shortlist (lambda = 0.5)
@@ -2235,6 +2250,47 @@ object SparkEntry {
          |  SELECT l_returnflag, l_quantity + 5000 AS q FROM b1
          |  WHERE l_orderkey BETWEEN 400 AND 449
          |) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the SCD2 chain of the 3-commit change fixture: c1 opens v1 for
+    // every key; c2 closes v1 of keys <300 (opening v2) and opens v1 of
+    // the inserted 400-449/+100 rows; c3 closes keys 300-399 with no
+    // successor. valid_* are commit ordinals.
+    "lake_scd2" ->
+      s"""$lakeCtes
+         |SELECT *, valid_to IS NULL AS is_current FROM (
+         |  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+         |    created_ts, CAST(1 AS BIGINT) AS valid_from,
+         |    CASE WHEN l_orderkey < 300 THEN CAST(2 AS BIGINT)
+         |         WHEN l_orderkey BETWEEN 300 AND 399 THEN CAST(3 AS BIGINT)
+         |         ELSE CAST(NULL AS BIGINT) END AS valid_to
+         |  FROM b1
+         |  UNION ALL
+         |  SELECT l_orderkey, l_linenumber, l_quantity + 1000, l_returnflag,
+         |    created_ts + 1, CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
+         |  FROM b1 WHERE l_orderkey < 300
+         |  UNION ALL
+         |  SELECT l_orderkey, CAST(l_linenumber + 100 AS INTEGER),
+         |    l_quantity + 5000, l_returnflag, created_ts + 3,
+         |    CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
+         |  FROM b1 WHERE l_orderkey BETWEEN 400 AND 449
+         |) ORDER BY l_orderkey, l_linenumber, valid_from""".stripMargin,
+    // final-state distinct/min/max from the shared CTEs — the aux-state
+    // maintenance must land exactly here (same reconstructed final
+    // state as the rollup oracle, non-self-maintainable aggregates)
+    "lake_distinct_incremental" ->
+      s"""$lakeCtes
+         |SELECT l_returnflag,
+         |  CAST(COUNT(DISTINCT q) AS BIGINT) AS n_distinct,
+         |  MIN(q) AS min_q, MAX(q) AS max_q
+         |FROM (
+         |  SELECT l_returnflag, l_quantity + 1000 AS q FROM b1
+         |  WHERE l_orderkey < 300
+         |  UNION ALL
+         |  SELECT l_returnflag, l_quantity AS q FROM b1
+         |  WHERE l_orderkey >= 400
+         |  UNION ALL
+         |  SELECT l_returnflag, l_quantity + 5000 AS q FROM b1
+         |  WHERE l_orderkey BETWEEN 400 AND 449
+         |) GROUP BY 1 ORDER BY 1""".stripMargin,
     "lake_delete" ->
       s"""$lakeCtes
          |SELECT l_returnflag, COUNT(*) AS cnt,
@@ -2252,6 +2308,20 @@ object SparkEntry {
          |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts
          |FROM b2 WHERE l_orderkey = 42
          |ORDER BY l_linenumber""".stripMargin,
+    // secondary-index lookup == merged final state filtered to the
+    // probed values (the index only changes the READ SET, never rows)
+    "lake_secondary_index" ->
+      s"""$lakeCtes
+         |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts
+         |FROM (
+         |  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+         |         created_ts
+         |  FROM b1 WHERE l_orderkey >= 500
+         |  UNION ALL
+         |  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+         |         created_ts FROM b2
+         |) WHERE l_quantity IN (25, 1025)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // post-restore snapshot == the merged b1 ⊕ b2 state: the rolled-back
     // delete commit must leave no trace (rows or tombstones)
     "lake_restore" ->
@@ -2501,6 +2571,47 @@ object SparkEntry {
         |       (SELECT est FROM ests WHERE part = 0)
         |         + (SELECT est FROM ests WHERE part = 1)
         |         - (SELECT est FROM ests WHERE part = 2) AS est_intersect""".stripMargin,
+    // KMV: bottom-256 distinct-hash sketches per side, union sample with
+    // exact membership, estimates as single IEEE divisions of exact ints
+    "stats_kmv_setops" ->
+      """WITH ha AS (
+        |  SELECT DISTINCT (xor(m1, m1 >> 13) * 2246822519) % 1073741789 AS h
+        |  FROM (SELECT ((o_custkey % 1073741789) * 2654435761)
+        |                 % 1073741789 AS m1
+        |        FROM orders WHERE year(o_orderdate) < 1998)),
+        |ka AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+        |hb AS (
+        |  SELECT DISTINCT (xor(m1, m1 >> 13) * 2246822519) % 1073741789 AS h
+        |  FROM (SELECT ((o_custkey % 1073741789) * 2654435761)
+        |                 % 1073741789 AS m1
+        |        FROM orders WHERE year(o_orderdate) >= 1998)),
+        |kb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+        |uq AS (SELECT DISTINCT h FROM
+        |        (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+        |       ORDER BY h LIMIT 256),
+        |mem AS (SELECT u.h, ka.h IS NOT NULL AS in_a, kb.h IS NOT NULL AS in_b
+        |  FROM uq u LEFT JOIN ka ON ka.h = u.h LEFT JOIN kb ON kb.h = u.h),
+        |c AS (SELECT MAX(h) AS theta, CAST(COUNT(*) AS BIGINT) AS n_union,
+        |  CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_both,
+        |  CAST(SUM(CASE WHEN in_a AND NOT in_b THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_a_only,
+        |  CAST(SUM(CASE WHEN NOT in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_b_only
+        |  FROM mem),
+        |e AS (SELECT *, CASE WHEN n_union < 256 THEN CAST(n_union AS DOUBLE)
+        |    ELSE CAST(n_union - 1 AS DOUBLE)
+        |      * CAST(1073741789 AS DOUBLE) / CAST(theta AS DOUBLE) END
+        |    AS est_union
+        |  FROM c)
+        |SELECT theta, n_union, n_both, n_a_only, n_b_only, est_union,
+        |  CAST(n_both AS DOUBLE) * est_union / CAST(n_union AS DOUBLE)
+        |    AS est_intersect,
+        |  CAST(n_a_only AS DOUBLE) * est_union / CAST(n_union AS DOUBLE)
+        |    AS est_a_only,
+        |  CAST(n_b_only AS DOUBLE) * est_union / CAST(n_union AS DOUBLE)
+        |    AS est_b_only
+        |FROM e""".stripMargin,
     "stats_hll_groups" ->
       """WITH h0 AS (
         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
@@ -3124,6 +3235,42 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, vec_id, sim, rk FROM r WHERE rk <= 10
          |ORDER BY query_id, rk""".stripMargin,
+    // matryoshka recall: per-dim prefix cosine (fold over range(1, d+1),
+    // same sequential order as the sliced native expression), per-(dim,
+    // query) top-10, hits vs the 64-dim truth
+    "sim_matryoshka_recall" -> {
+      def foldD(d: Int, a: String, b: String): String =
+        s"list_reduce(list_prepend(0.0, list_transform(range(1, ${d + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+      def cosD(d: Int, a: String, b: String): String =
+        s"""${foldD(d, a, b)} /
+           |    (sqrt(${foldD(d, a, a)}) * sqrt(${foldD(d, b, b)}))""".stripMargin
+      val blocks = Seq(8, 16, 32, 64).map { d =>
+        s"""  SELECT CAST($d AS BIGINT) AS dims, q.query_id, e.vec_id,
+           |    ${cosD(d, "e.embedding", "q.qv")} AS sim
+           |  FROM e, q WHERE e.vec_id <> q.query_id""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < 3),
+         |sc AS (
+         |$blocks),
+         |top10 AS (SELECT dims, query_id, vec_id FROM (
+         |  SELECT dims, query_id, vec_id,
+         |    row_number() OVER (PARTITION BY dims, query_id
+         |                       ORDER BY sim DESC, vec_id ASC) AS rk
+         |  FROM sc) WHERE rk <= 10),
+         |truth AS (SELECT query_id, vec_id FROM top10 WHERE dims = 64),
+         |h AS (SELECT t.dims, t.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+         |  FROM top10 t JOIN truth u
+         |    ON u.query_id = t.query_id AND u.vec_id = t.vec_id
+         |  GROUP BY t.dims, t.query_id)
+         |SELECT dd.dims, qq.query_id,
+         |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+         |  CAST(COALESCE(h.hits, 0) * 1000 AS BIGINT) AS recall_bp
+         |FROM (SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS dims) dd
+         |CROSS JOIN (SELECT query_id FROM q) qq
+         |LEFT JOIN h ON h.dims = dd.dims AND h.query_id = qq.query_id
+         |ORDER BY dd.dims, qq.query_id""".stripMargin
+    },
     // The LSH plane family is portable ANSI arithmetic (multiplicative
     // scramble over the linearized (plane, dim) index, exact /1e6
     // division), and both engines fold the plane dot sequentially, so

@@ -968,6 +968,134 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       timeline.archive(keep)
     }
 
+  // ------------------------------------------------------ secondary index
+
+  /** Secondary (non-key column) point-lookup index: per-column POSTING
+    * LISTS `(value, data file)` in a `_SUCCESS`-marked sidecar
+    * generation under `_lake/secidx/<column>/asof_<instant>/`. Where
+    * the per-file zone maps ([[FileStat.cols]]) prune by [min, max]
+    * range — useless once a probed value falls inside every file's
+    * range — the posting list names EXACTLY the files holding the
+    * value, the Hudi-1.0 secondary-index shape.
+    *
+    * Correctness under staleness is structural, not best-effort:
+    * [[snapshotWhere]] reads (a) the posting-matched base files, (b)
+    * EVERY file added by commits after the index's as-of instant, and
+    * (c) every live delta file — so any newer version of any row is
+    * always in the read set, and the residual filter on top keeps the
+    * predicate exact. A base file live at the as-of instant can only
+    * leave the live set (COW rewrite/delete moves its survivors into a
+    * post-as-of file covered by (b)), never change — so the only way
+    * the index can go stale-WRONG is a [[restore]] below its as-of
+    * instant, which [[secondaryIndexAsOf]] detects (as-of no longer on
+    * the timeline ⇒ index ignored, lookups fall back to the full
+    * scan; rebuild to re-enable).
+    *
+    * Scale shape: the build is one column-pruned scan emitting
+    * per-file distinct values (map-side combinable); the lookup reads
+    * the (small) index with the value predicate pushed to its parquet
+    * scan, collects a FILE LIST (bounded metadata — files holding the
+    * value), and plans a snapshot over that pruned set: O(files
+    * containing v + files since the index), not O(table).
+    */
+  private def secIdxDir(column: String) =
+    new Path(tablePath, s"_lake/secidx/$column")
+
+  private def fileBase(rel: String): String =
+    rel.substring(rel.lastIndexOf('/') + 1)
+
+  /** Build (or rebuild) the posting-list index for `column` as of the
+    * latest commit. Returns the as-of instant, or None on an empty
+    * table. No lock needed: the source file set is an immutable
+    * committed view and the sidecar generation is `_SUCCESS`-gated.
+    */
+  def buildSecondaryIndex(column: String): Option[String] = {
+    val asOf = latestCommit.getOrElse(return None)
+    val base = timeline.liveFiles(asOf).filterNot(_.isDelta)
+    if (base.isEmpty) return None
+    // posting entries key on the data file's basename (UUID-named, so
+    // unique per table); guard the assumption loudly
+    val names = base.map(f => fileBase(f.path))
+    require(names.distinct.size == names.size,
+      s"secondary index requires unique data-file basenames")
+    val posting = readStats(base)
+      .select(col(column).as("v"),
+        element_at(split(input_file_name(), "/"), -1).as("file"))
+      .distinct()
+    posting.write.mode("overwrite")
+      .parquet(new Path(secIdxDir(column), s"asof_$asOf").toString)
+    // sweep every OTHER generation: anything else is either superseded
+    // (older) or orphaned by a restore (a HIGHER instant no longer on
+    // the timeline — it must not shadow this rebuild)
+    secIdxGenerations(column).filter(_ != asOf).foreach { old =>
+      fs.delete(new Path(secIdxDir(column), s"asof_$old"), true)
+      ()
+    }
+    Some(asOf)
+  }
+
+  private def secIdxGenerations(column: String): Seq[String] = {
+    val d = secIdxDir(column)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toIndexedSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("asof_") &&
+        fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("asof_"))
+      .sorted.reverse
+  }
+
+  /** The newest VALID index generation for `column`: its as-of instant
+    * must still be on the committed timeline (a [[restore]] below it
+    * invalidates the index — see the section doc).
+    */
+  def secondaryIndexAsOf(column: String): Option[String] = {
+    // VALID = the as-of instant is still a commit on the active
+    // timeline. A mere `asOf <= latest` check is not enough: after a
+    // restore below the build, NEW commits take higher wall-clock
+    // instants and would make an orphaned generation look current
+    // again — while files the dropped rewrite had removed are live
+    // again and absent from its postings. Archival that collapses the
+    // as-of commit into a checkpoint also invalidates (spuriously but
+    // safely — lookups fall back to the full scan; rebuild to
+    // re-enable).
+    val inst = timeline.instants().toSet
+    secIdxGenerations(column).find(inst.contains)
+  }
+
+  /** The pruned live-file set for a probe of `values` on `column`, or
+    * None when no valid index exists. The posting read is a filter-
+    * pushed scan of the small index; the collect is bounded metadata
+    * (the file list holding the probed values).
+    */
+  private[lake] def secondaryPrunedFiles(column: String,
+      values: Seq[Any]): Option[Seq[FileStat]] =
+    secondaryIndexAsOf(column).map { asOf =>
+      val idx = spark.read.parquet(
+        new Path(secIdxDir(column), s"asof_$asOf").toString)
+      val matched = idx
+        .filter(col("v").isin(values: _*))
+        .select("file").distinct()
+        .collect().map(_.getString(0)).toSet
+      val newer = timeline.addedBetween(asOf, MaxInstant).map(_.path).toSet
+      timeline.liveFiles().filter(f =>
+        f.isDelta || newer.contains(f.path) ||
+          matched.contains(fileBase(f.path)))
+    }
+
+  /** Point lookup on a NON-key column through the secondary index:
+    * the merged snapshot filtered to `column IN values`, reading only
+    * posting-matched + post-index + delta files. Falls back to the
+    * full snapshot scan when no valid index exists — same result,
+    * index only changes the read set.
+    */
+  def snapshotWhere(column: String, values: Seq[Any]): DataFrame = {
+    val pred = col(column).isin(values: _*)
+    secondaryPrunedFiles(column, values) match {
+      case Some(keep) => snapshotOfFiles(keep).filter(pred)
+      case None => snapshot().filter(pred)
+    }
+  }
+
   // ------------------------------------------------------------ savepoints
 
   private def savepointDir = new Path(tablePath, "_lake/savepoints")

@@ -103,6 +103,7 @@ object LakeQueries {
     timed("schema_evolution")(evoFixture(s, dir))
     timed("vacuum")(vacFixture(s, dir))
     timed("join_ivm")(joinFixture(s, dir))
+    timed("secidx")(secIdxFixture(s, dir))
     built.toSeq
   }
 
@@ -394,6 +395,48 @@ object LakeQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Distinct/min/max maintenance under the hash gate
+    * (`lake_distinct_incremental`): COUNT(DISTINCT l_quantity) + MIN +
+    * MAX per returnflag maintained from the change feed since commit 1
+    * through [[graft.pipelines.DistinctMaintain]]'s multiplicity aux
+    * state — the NON-self-maintainable aggregates a signed rollup alone
+    * cannot keep (a delete can't say whether its value survives, or
+    * what the new minimum is). The maintained view must EXACTLY equal
+    * the final snapshot's distinct/min/max — which is what the oracle
+    * computes from the shared CTEs. Counts are integers, values pass
+    * through untouched: the equality is bitwise.
+    */
+  def lakeDistinctIncremental(s: SparkSession, dir: String): DataFrame = {
+    val (path, c1) = changeFixture(s, dir)
+    val t = LakeTable.load(s, path)
+    val grp = Seq("l_returnflag")
+    import graft.pipelines.DistinctMaintain
+    val aux0 = DistinctMaintain.fullAux(
+      t.snapshotAsOf(c1), grp, col("l_quantity"))
+    val d = DistinctMaintain.delta(t.changes(c1), grp, col("l_quantity"))
+    DistinctMaintain.view(DistinctMaintain.applyDelta(aux0, d, grp), grp)
+      .select(col("l_returnflag"), col("n_distinct"),
+        col("min_v").as("min_q"), col("max_v").as("max_q"))
+      .orderBy("l_returnflag")
+  }
+
+  /** SCD2 dimension history under the hash gate (`lake_scd2`): the full
+    * type-2 version chain of the 3-commit change fixture
+    * ([[graft.pipelines.Scd2]]) — updated keys carry a closed v1 and an
+    * open v2, deleted keys a v1 closed at the delete's ordinal and no
+    * current row, inserted keys an open v1 from their insert ordinal.
+    * Commit ORDINALS (not wall-clock instants) bound the versions, so
+    * the whole history replays deterministically in the oracle.
+    */
+  def lakeScd2(s: SparkSession, dir: String): DataFrame = {
+    val (path, _) = changeFixture(s, dir)
+    val t = LakeTable.load(s, path)
+    graft.pipelines.Scd2.history(t, Seq("l_orderkey", "l_linenumber"))
+      .select((outCols ++ Seq("valid_from", "valid_to", "is_current"))
+        .map(col): _*)
+      .orderBy("l_orderkey", "l_linenumber", "valid_from")
+  }
+
   def lakeChanges(s: SparkSession, dir: String): DataFrame = {
     val (path, c1) = changeFixture(s, dir)
     LakeTable.load(s, path).changes(c1)
@@ -532,6 +575,39 @@ object LakeQueries {
 
   def lakeVacuum(s: SparkSession, dir: String): DataFrame =
     vacFixture(s, dir).snapshot().select(outCols.map(col): _*)
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Secondary-index point lookup under the hash gate
+    * (`lake_secondary_index`): the posting-list index on the NON-key
+    * column `l_quantity` is built BETWEEN the two commits — so the
+    * lookup must merge posting-pruned commit-1 files with the
+    * post-index commit-2 files (the structural-staleness contract:
+    * rows rewritten after the index build surface from the newer
+    * files, and their pre-rewrite versions — whose files left the live
+    * set — can't resurface). Probes 25 (untouched b1 rows) and 1025
+    * (b2-rewritten rows whose original quantity was 25): the oracle is
+    * the merged final state filtered to those values. Built once per
+    * (JVM, sfDir); the query measures the indexed lookup READ.
+    */
+  private val secIdxFixtures = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def secIdxFixture(s: SparkSession, dir: String): LakeTable = {
+    val path = secIdxFixtures.getOrElseUpdate(dir, {
+      val t = freshTable(s)
+      withBatch1(s, dir) { b1 =>
+        t.upsert(b1, combine = false)
+        t.buildSecondaryIndex("l_quantity")
+        t.upsert(batch2(b1), combine = false)
+      }
+      t.path
+    })
+    LakeTable.load(s, path)
+  }
+
+  def lakeSecondaryIndex(s: SparkSession, dir: String): DataFrame =
+    secIdxFixture(s, dir)
+      .snapshotWhere("l_quantity", Seq(25.0, 1025.0))
+      .select(outCols.map(col): _*)
       .orderBy("l_orderkey", "l_linenumber")
 
   /** Incremental JOIN maintenance under the hash gate

@@ -558,6 +558,18 @@ object Similarity {
       case None => e.join(assignCells(e, cent), "vec_id")
     }
 
+  /** Materialize the staged IVF index artifacts (centroid matrix +
+    * cell-partitioned corpus) outside any timed region — the bench's
+    * fixture-warm hook, so the first IVF consumer measures its probe,
+    * not the one-time index build. No-op cost when already staged.
+    */
+  def warmIvfIndex(s: SparkSession, dir: String): Unit = {
+    val e = Relational.t(s, dir, "embeddings")
+    val cent = ivfCentFor(s, dir, e)
+    ivfCorpusFor(s, dir, e, cent)
+      .write.format("noop").mode("overwrite").save()
+  }
+
   /** Nearest-centroid assignment: (vec_id, cell). Broadcast cross-join +
     * codegen'd cosine + max_by — map-side only, no corpus shuffle.
     */
@@ -1718,5 +1730,60 @@ object Similarity {
       .unionAll(leg("lsh", lshTopK(s, dir)))
       .withColumn("recall_bp", col("hits") * lit(1000L))
       .orderBy("method", "query_id")
+  }
+
+  /** Matryoshka / truncated-dimension recall (`sim_matryoshka_recall`):
+    * recall@10 of retrieval over only the FIRST d dims (d ∈
+    * [[MatryoshkaDims]]) against the exact full-64-dim top-10 — the
+    * measurement behind the matryoshka-embedding cost cut (Kusupati et
+    * al. 2022): if prefix-truncated vectors keep recall, the index
+    * stores d/64 of the bytes and scores d/64 of the multiplies. The
+    * 64-dim leg rides along as the self-check row (recall ≡ 10000 bp).
+    *
+    * Scale shape: ONE corpus scan scores every (query, dim) pair —
+    * each pair row explodes into |dims| (dim, sim) structs computed
+    * from prefix slices of the SAME broadcast-joined row, so adding a
+    * dim costs arithmetic, not a rescan. The per-(dim, query) top-10
+    * is a window over the scored rows; the recall compare then joins
+    * k·|Q|·|dims| rows (tiny, checkpointed so the truth and the legs
+    * don't re-run the scan). Every sim is the same sequential-fold
+    * cosine the brute-force gate proves bit-portable, over a prefix —
+    * so the whole measurement sits under the hash gate.
+    */
+  val MatryoshkaDims = Seq(8, 16, 32, 64)
+
+  def matryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Relational.t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val perDim = array(MatryoshkaDims.map(d =>
+      struct(lit(d.toLong).as("dims"),
+        cosine(slice(col("embedding"), 1, d), slice(col("qv"), 1, d))
+          .as("sim"))): _*)
+    val w = Window.partitionBy("dims", "query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val top10 = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), explode(perDim).as("ds"))
+      .select(col("query_id"), col("vec_id"),
+        col("ds.dims").as("dims"), col("ds.sim").as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select("dims", "query_id", "vec_id")
+      .localCheckpoint() // k·|Q|·|dims| rows; truth + legs both read it
+    val truth = top10.filter(col("dims") === 64L)
+      .select(col("query_id"), col("vec_id"))
+    import s.implicits._
+    val qids = q.select(col("query_id"))
+    val hits = top10
+      .join(truth, Seq("query_id", "vec_id"))
+      .groupBy("dims", "query_id").agg(count(lit(1)).as("hits"))
+    qids.crossJoin(MatryoshkaDims.map(_.toLong).toDF("dims"))
+      .join(hits, Seq("dims", "query_id"), "left")
+      .select(col("dims"), col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall_bp", col("hits") * lit(1000L))
+      .orderBy("dims", "query_id")
   }
 }

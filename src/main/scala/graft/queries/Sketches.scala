@@ -303,4 +303,67 @@ object Sketches {
       .agg(min(col("cnt")).as("cm_est"))
       .orderBy(col("exact_cnt").desc, col("user_id"))
   }
+
+  /** K-minimum-values sketch set algebra (`stats_kmv_setops`) — the
+    * set-difference estimator HLL cannot give. An HLL union is exact
+    * sketch algebra but its intersection/difference is
+    * inclusion–exclusion over THREE estimates whose errors add
+    * ([[hllOverlap]]); a KMV sketch (Bar-Yossef et al. 2002 / the theta
+    * sketch's core) instead keeps the k SMALLEST hash values — a
+    * uniform sample of the distinct elements — so the bottom-k of a
+    * sketch union is a sample of A∪B in which membership of each
+    * sampled value in A and in B is EXACT (any hash ≤ θ, the union's
+    * k-th minimum, that lives in a set must appear among that set's k
+    * smallest). Estimates: |A∪B| ≈ (n−1)·H/θ for hash space H, and
+    * each region (both / A-only / B-only) scales the union estimate by
+    * its exact sample fraction.
+    *
+    * Shape at 100 TB: each sketch is ONE scan → distinct hash →
+    * `orderBy.limit(k)`, which plans as TakeOrderedAndProject
+    * (per-partition partial bottom-k, merged on the driver — k values
+    * per partition cross the wire, never data). The set algebra then
+    * runs entirely on ≤k-row frames, checkpointed so the scans never
+    * re-run. Same A/B split as [[hllOverlap]] (customers ordering
+    * before vs since 1998), so the two sketches' answers are directly
+    * comparable. All hash arithmetic is the portable 30-bit family; the
+    * estimates are single IEEE divisions of exact integers, so the
+    * oracle replays everything bit-for-bit.
+    */
+  def kmvSetOps(s: SparkSession, dir: String): DataFrame = {
+    val K = 256
+    val orders = Relational.t(s, dir, "orders")
+    def sketch(in: DataFrame): DataFrame =
+      in.select(hash30(col("o_custkey")).as("h"))
+        .distinct().orderBy("h").limit(K)
+        .localCheckpoint() // ≤k rows; referenced twice below
+    val a = sketch(orders.filter(year(col("o_orderdate")) < 1998))
+    val b = sketch(orders.filter(year(col("o_orderdate")) >= 1998))
+    val u = a.unionAll(b).distinct().orderBy("h").limit(K)
+    val mem = u
+      .join(broadcast(a.withColumn("in_a", lit(1L))), Seq("h"), "left")
+      .join(broadcast(b.withColumn("in_b", lit(1L))), Seq("h"), "left")
+    val cnts = mem.agg(
+      max(col("h")).as("theta"),
+      count(lit(1)).as("n_union"),
+      sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L)
+        .otherwise(0L)).as("n_both"),
+      sum(when(col("in_a").isNotNull && col("in_b").isNull, 1L)
+        .otherwise(0L)).as("n_a_only"),
+      sum(when(col("in_a").isNull && col("in_b").isNotNull, 1L)
+        .otherwise(0L)).as("n_b_only"))
+    // unfull sketch ⇒ the sample IS the whole set: return exact counts
+    // (the standard KMV rule); estimate only once k values overflowed
+    val estU = when(col("n_union") < K, col("n_union").cast("double"))
+      .otherwise((col("n_union") - 1).cast("double") * lit(P.toDouble) /
+        col("theta").cast("double"))
+    cnts.select(col("theta"), col("n_union"), col("n_both"),
+        col("n_a_only"), col("n_b_only"), estU.as("est_union"))
+      .select(col("*"),
+        (col("n_both").cast("double") * col("est_union") /
+          col("n_union").cast("double")).as("est_intersect"),
+        (col("n_a_only").cast("double") * col("est_union") /
+          col("n_union").cast("double")).as("est_a_only"),
+        (col("n_b_only").cast("double") * col("est_union") /
+          col("n_union").cast("double")).as("est_b_only"))
+  }
 }

@@ -115,6 +115,9 @@ object SparkEntry {
     // SCD2 dimension history from the CDC feed, versions bounded by
     // commit ordinals (deterministic, unlike wall-clock instants)
     "lake_scd2" -> (LakeQueries.lakeScd2 _),
+    // zero-copy branch + conflict-checked merge-back: branch edits and
+    // deletes land on main exactly (Delta-clone/Nessie shape)
+    "lake_branch_merge" -> (LakeQueries.lakeBranchMerge _),
     // extension operators: text analysis / dedup / similarity / multimodal
     "text_stats" -> (TextAnalysis.textStats _),
     "text_exact_dedup" -> (TextAnalysis.exactDedup _),
@@ -2308,6 +2311,20 @@ object SparkEntry {
          |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts
          |FROM b2 WHERE l_orderkey = 42
          |ORDER BY l_linenumber""".stripMargin,
+    // post-merge main == b1 with the branch's b2 rewrites applied and
+    // its deleted key range gone (branch edits land exactly once)
+    "lake_branch_merge" ->
+      s"""$lakeCtes
+         |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts
+         |FROM (
+         |  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+         |         created_ts
+         |  FROM b1 WHERE l_orderkey >= 500
+         |    AND NOT (l_orderkey BETWEEN 600 AND 699)
+         |  UNION ALL
+         |  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+         |         created_ts FROM b2
+         |) ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // secondary-index lookup == merged final state filtered to the
     // probed values (the index only changes the READ SET, never rows)
     "lake_secondary_index" ->

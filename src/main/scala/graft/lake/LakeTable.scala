@@ -475,7 +475,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
           .filter(matchCond)
           .select(input_file_name().as("_f")).distinct()
           .as[String].collect()
-        candidates.map(_.path).filter(rel => hit.exists(_.endsWith("/" + rel)))
+        candidates.map(_.path).filter(rel => hit.exists(uriMatches(_, rel)))
       }
     val out =
       if (victims.isEmpty) incoming
@@ -1044,6 +1044,43 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       .sorted.reverse
   }
 
+  /** Incrementally refresh the posting-list index for `column`: scan
+    * ONLY base files added since the current generation's as-of
+    * instant, drop postings of files removed since, and publish the
+    * merged generation — O(new files), never a table rescan. This is
+    * the per-commit maintenance path at 100 TB (the same incremental
+    * contract as the IVM families); [[buildSecondaryIndex]] is the
+    * bootstrap/repair full build, which this falls back to when no
+    * valid generation exists.
+    */
+  def refreshSecondaryIndex(column: String): Option[String] =
+    secondaryIndexAsOf(column) match {
+      case None => buildSecondaryIndex(column)
+      case Some(asOf) =>
+        val latest = latestCommit.getOrElse(return None)
+        if (latest <= asOf) return Some(asOf)
+        val newBase = timeline.addedBetween(asOf, MaxInstant)
+          .filterNot(_.isDelta)
+        val goneBases = timeline.between(asOf, latest)
+          .flatMap(_.removed).map(fileBase).toSet
+        val old = spark.read.parquet(
+          new Path(secIdxDir(column), s"asof_$asOf").toString)
+          .filter(!col("file").isin(goneBases.toSeq: _*))
+        val fresh =
+          if (newBase.isEmpty) old
+          else old.unionByName(readStats(newBase)
+            .select(col(column).as("v"),
+              element_at(split(input_file_name(), "/"), -1).as("file"))
+            .distinct())
+        fresh.write.mode("overwrite")
+          .parquet(new Path(secIdxDir(column), s"asof_$latest").toString)
+        secIdxGenerations(column).filter(_ != latest).foreach { g =>
+          fs.delete(new Path(secIdxDir(column), s"asof_$g"), true)
+          ()
+        }
+        Some(latest)
+    }
+
   /** The newest VALID index generation for `column`: its as-of instant
     * must still be on the committed timeline (a [[restore]] below it
     * invalidates the index — see the section doc).
@@ -1095,6 +1132,106 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       case None => snapshot().filter(pred)
     }
   }
+
+  // ------------------------------------------------------------- branching
+
+  /** Zero-copy branch (Delta shallow clone / Nessie branch shape): a new
+    * table at `destPath` whose genesis commit REFERENCES this table's
+    * live data files by absolute path — no data copied, the branch is
+    * writable immediately and evolves its own timeline while the source
+    * keeps its own.
+    *
+    * Contracts:
+    *  - The fork instant is SAVEPOINTED on the source, so source cleans
+    *    can never reclaim a file the branch's genesis references
+    *    (release it when the branch is merged/abandoned).
+    *  - Branch-side table services never touch source files physically:
+    *    every physical delete goes through [[deleteDataFile]], which
+    *    skips external (absolute) paths — a branch clean/restore/vacuum
+    *    only reclaims files the branch itself wrote.
+    *  - Pre-fork history is FLATTENED into the genesis (rows keep their
+    *    source `_commit_time`s, but branch time travel starts at the
+    *    fork) — the same contract as Delta's shallow clone.
+    */
+  def shallowCloneTo(destPath: String, name: String): LakeTable = {
+    val asOf = latestCommit.getOrElse(
+      throw new IllegalStateException("cannot branch an empty table"))
+    savepoint(asOf)
+    val live = timeline.liveFiles(asOf)
+    val srcRoot = fs.makeQualified(tablePath).toUri.getPath
+    val branch = LakeTable.create(spark, destPath, _meta.copy(name = name))
+    val extStats = live.map(f => f.copy(path = s"$srcRoot/${f.path}"))
+    branch.timeline.withLock() {
+      val instant = branch.timeline.nextInstant()
+      branch.timeline.commit(CommitMeta(instant, "clone", extStats,
+        Seq.empty, Map("clone.source" -> srcRoot, "clone.asof" -> asOf)))
+    }
+    branch
+  }
+
+  /** Merge a branch's net changes since the fork back into this table:
+    * one upsert of the branch's current versions of changed keys + one
+    * delete of branch-deleted keys, derived from the branch's OWN change
+    * feed — O(branch-changed rows), never a table diff.
+    *
+    * With `failOnConflict` (default), keys changed on BOTH sides since
+    * the fork abort the merge (the Nessie/git contract); without it the
+    * standard upsert payload ordering decides (greater precombine wins).
+    * In the conflict-free case the branch version always wins: this
+    * table still holds the fork-time version, which the branch's write
+    * already superseded under the same ordering.
+    *
+    * Returns the last merge commit, or None when the branch has no
+    * changes since `forkInstant`.
+    */
+  def mergeFrom(branch: LakeTable, forkInstant: String,
+      failOnConflict: Boolean = true): Option[String] = {
+    // the fork instant lives on THIS table's timeline; on the branch the
+    // same state is its genesis CLONE commit (a later wall-clock
+    // instant) — branch-side changes must baseline there, or the whole
+    // genesis reads as inserts and branch deletes net to nothing
+    val genesis = branch.timeline.instants().headOption.getOrElse(
+      throw new IllegalStateException("branch has no commits"))
+    val gMeta = branch.timeline.read(genesis)
+    require(gMeta.operation == "clone" &&
+        gMeta.extra.get("clone.asof").contains(forkInstant),
+      s"not a branch forked from this table at $forkInstant " +
+        s"(genesis: ${gMeta.operation} ${gMeta.extra})")
+    val ch = branch.changes(genesis)
+      .filter(col(ChangeTypeCol) =!= "update_preimage")
+    if (ch.isEmpty) return None
+    val keyCols = _meta.recordKeyFields
+    if (failOnConflict) {
+      val mine = changes(forkInstant)
+        .select(keyCols.map(col): _*).distinct()
+      val conflicts = ch.select(keyCols.map(col): _*).distinct()
+        .join(mine, keyCols, "left_semi")
+        .limit(5).collect()
+      require(conflicts.isEmpty,
+        s"merge conflict: keys changed on both sides since $forkInstant, " +
+          s"e.g. ${conflicts.map(_.toSeq.mkString("(", ",", ")")).mkString(" ")}")
+    }
+    val upserts = ch.filter(
+      col(ChangeTypeCol).isin("insert", "update_postimage"))
+      .drop(ChangeTypeCol, ChangeCommitCol)
+    val deletes = ch.filter(col(ChangeTypeCol) === "delete")
+      .drop(ChangeTypeCol, ChangeCommitCol)
+    var last: Option[String] = None
+    if (!upserts.isEmpty) last = Some(upsert(upserts, combine = false))
+    if (!deletes.isEmpty) last = Some(delete(deletes))
+    last
+  }
+
+  /** Physical data-file deletion, branch-safe: externally referenced
+    * files (absolute paths written by [[shallowCloneTo]]'s genesis) are
+    * NEVER ours to destroy — they belong to the source table. Logical
+    * removal still applies; only the disk delete is skipped.
+    */
+  private def deleteDataFile(rel: String): Unit =
+    if (!rel.startsWith("/") && !rel.contains("://")) {
+      fs.delete(new Path(tablePath, rel), false)
+      ()
+    }
 
   // ------------------------------------------------------------ savepoints
 
@@ -1172,7 +1309,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     // fenced like clean's deletes — destruction is not retryable
     timeline.requireLockHeld("restore")
     dropped.flatMap(_.added.map(_.path)).distinct
-      .foreach(rel => fs.delete(new Path(tablePath, rel), false))
+      .foreach(deleteDataFile)
     // savepoints above the restore target point at dropped commits
     savepoints().filter(_ > instant).foreach(releaseSavepoint)
   }
@@ -1237,7 +1374,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     // fencing: physical deletes cannot be rolled back by an aborted
     // commit — verify the lock lease is still ours before destroying
     timeline.requireLockHeld("clean")
-    deletable.foreach(rel => fs.delete(new Path(tablePath, rel), false))
+    deletable.foreach(deleteDataFile)
     if (deletable.nonEmpty) {
       val instant = timeline.nextInstant()
       timeline.commit(CommitMeta(instant, "clean", Seq.empty, deletable))
@@ -1575,6 +1712,15 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * key bounds from [[batchBounds]]; `keyCount` its row count (an upper
     * bound on distinct keys) gating the bloom probe.
     */
+  /** Map a scan-reported absolute file URI back to a stored path —
+    * relative to the table root, or absolute for branch-referenced
+    * external files ([[shallowCloneTo]]), where prepending "/" would
+    * double the slash and never match.
+    */
+  private def uriMatches(hit: String, stored: String): Boolean =
+    if (stored.startsWith("/")) hit.endsWith(stored)
+    else hit.endsWith("/" + stored)
+
   private def matchedFiles(incomingKeys: DataFrame, mn: String,
       mx: String, keyCount: Long): Seq[String] = {
     val live = timeline.liveFiles()
@@ -1588,8 +1734,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       .select(col(RecordKeyCol), input_file_name().as("_f"))
       .join(incomingKeys.select(col(RecordKeyCol)), Seq(RecordKeyCol), "left_semi")
       .select(col("_f")).distinct().as[String].collect()
-    // map absolute URIs back to relative paths by unique suffix
-    candidates.map(_.path).filter(rel => hit.exists(_.endsWith("/" + rel))).toSeq
+    // map absolute URIs back to stored paths by unique suffix
+    candidates.map(_.path).filter(rel => hit.exists(uriMatches(_, rel))).toSeq
   }
 
   /** Bloom step of [[matchedFiles]]: keep only candidates whose

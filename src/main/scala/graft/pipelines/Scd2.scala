@@ -51,23 +51,122 @@ object Scd2 {
   def history(t: LakeTable, keyCols: Seq[String]): DataFrame = {
     val ords = commitOrdinals(t)
     require(ords.nonEmpty, "empty table has no history")
+    chains(ordinalEvents(t, ords, prevInstant = None), keyCols)
+  }
+
+  /** Tagged SCD events for a run of commits: one pruned change feed per
+    * commit, ordinal-tagged, preimages dropped (they are the closing
+    * side of their own assert).
+    */
+  private def ordinalEvents(t: LakeTable, ords: Seq[(Long, String)],
+      prevInstant: Option[String]): DataFrame = {
     val perCommit = ords.zipWithIndex.map { case ((ord, inst), i) =>
-      val begin = if (i == 0) Timeline.Earliest else ords(i - 1)._2
-      t.changes(begin, inst)
-        .withColumn("_ord", lit(ord))
+      val begin =
+        if (i > 0) ords(i - 1)._2
+        else prevInstant.getOrElse(Timeline.Earliest)
+      t.changes(begin, inst).withColumn("_ord", lit(ord))
     }
-    val events = perCommit.reduce(_ unionAll _)
-      // SCD events: asserts open versions, deletes close them;
-      // update_preimage is the closing side of its own assert — drop it
+    perCommit.reduce(_ unionAll _)
       .filter(col(LakeTable.ChangeTypeCol) =!= "update_preimage")
-      .withColumn("_assert",
-        col(LakeTable.ChangeTypeCol).isin("insert", "update_postimage"))
+  }
+
+  /** Version chains over a tagged event frame: asserts open versions,
+    * the next event (assert or delete) closes them — one key-partitioned
+    * lead() window.
+    */
+  private def chains(events: DataFrame, keyCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("_ord"))
     events
+      .withColumn("_assert",
+        col(LakeTable.ChangeTypeCol).isin("insert", "update_postimage"))
       .withColumn("valid_to", lead(col("_ord"), 1).over(w))
       .filter(col("_assert"))
       .drop(LakeTable.ChangeTypeCol, LakeTable.ChangeCommitCol, "_assert")
       .withColumnRenamed("_ord", "valid_from")
       .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  // ---------------------------------------------- persisted generations
+
+  private def fs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Published generations, newest first. A generation name carries the
+    * instant watermark AND its ordinal — `gen_<instant>_<ord>` — so an
+    * advance never re-derives ordinals for commits it already folded
+    * (and the dimension survives timeline archival of its own past:
+    * ordinals of already-folded commits live in the state, not the
+    * timeline).
+    */
+  private def generations(s: org.apache.spark.sql.SparkSession,
+      stateDir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val f = fs(s, stateDir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toIndexedSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen_") &&
+        f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("gen_"))
+      .sorted.reverse
+  }
+
+  /** The persisted dimension and the (instant, ordinal) watermark it is
+    * current as of.
+    */
+  def current(s: org.apache.spark.sql.SparkSession, stateDir: String)
+      : Option[(DataFrame, (String, Long))] =
+    generations(s, stateDir).headOption.map { g =>
+      val Array(inst, ord) = g.split("_", 2)
+      (s.read.parquet(s"$stateDir/gen_$g"), (inst, ord.toLong))
+    }
+
+  /** Fold every commit since the last advance into the persisted SCD2
+    * dimension — the incremental maintenance form: the open versions of
+    * touched keys close at the key's FIRST new event, new asserts chain
+    * among themselves, untouched keys never move. O(changed rows +
+    * touched-key versions) per advance, the same contract as the other
+    * IVM families. Bootstrap = [[history]]. Idempotent: re-invocation
+    * with no new commits — including a crash-replay that already wrote
+    * the newest generation — only re-sweeps.
+    */
+  def advance(s: org.apache.spark.sql.SparkSession, t: LakeTable,
+      stateDir: String, keyCols: Seq[String]): Option[(String, Long)] = {
+    val instants = t.timeline.instants()
+    if (instants.isEmpty) return None
+    val latest = instants.last
+    // the new watermark ordinal: continue from the stored one on an
+    // advance (archival-stable — already-folded ordinals never re-derive
+    // from the timeline), count the timeline only on bootstrap
+    var newOrd = instants.size.toLong
+    val next = current(s, stateDir) match {
+      case Some((_, (inst, _))) if inst >= latest => None // nothing new
+      case Some((state, (inst, ord))) =>
+        val newOrds = instants.filter(_ > inst).zipWithIndex
+          .map { case (ni, i) => (ord + i + 1, ni) }
+        newOrd = newOrds.last._1
+        val events = ordinalEvents(t, newOrds, prevInstant = Some(inst))
+        // first new event per key closes that key's open version
+        // (assert ⇒ superseded, delete ⇒ ended)
+        val firstNew = events
+          .groupBy(keyCols.map(col): _*)
+          .agg(min(col("_ord")).as("_first_ord"))
+        val closed = state.join(firstNew, keyCols, "left")
+          .withColumn("valid_to",
+            when(col("is_current") && col("_first_ord").isNotNull,
+              col("_first_ord")).otherwise(col("valid_to")))
+          .withColumn("is_current", col("valid_to").isNull)
+          .drop("_first_ord")
+        Some(closed.unionByName(chains(events, keyCols)))
+      case None => Some(history(t, keyCols))
+    }
+    next.foreach(_.write.mode("overwrite")
+      .parquet(f"$stateDir/gen_${latest}_$newOrd%020d"))
+    val f = fs(s, stateDir)
+    generations(s, stateDir).drop(1).foreach { old =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$stateDir/gen_$old"), true)
+      ()
+    }
+    current(s, stateDir).map(_._2)
   }
 }

@@ -104,6 +104,7 @@ object LakeQueries {
     timed("vacuum")(vacFixture(s, dir))
     timed("join_ivm")(joinFixture(s, dir))
     timed("secidx")(secIdxFixture(s, dir))
+    timed("branch")(branchFixture(s, dir))
     built.toSeq
   }
 
@@ -607,6 +608,39 @@ object LakeQueries {
   def lakeSecondaryIndex(s: SparkSession, dir: String): DataFrame =
     secIdxFixture(s, dir)
       .snapshotWhere("l_quantity", Seq(25.0, 1025.0))
+      .select(outCols.map(col): _*)
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Branch/merge under the hash gate (`lake_branch_merge`): upsert b1,
+    * fork a zero-copy branch ([[graft.lake.LakeTable.shallowCloneTo]]),
+    * apply b2's rewrites AND a key-range delete ON THE BRANCH, then
+    * merge back ([[graft.lake.LakeTable.mergeFrom]], conflict-checked —
+    * main is untouched since the fork). The merged main snapshot must
+    * equal b1 ⊕ b2 minus the deleted range — exactly what the oracle
+    * computes. Built once per (JVM, sfDir); the query measures the
+    * post-merge snapshot READ.
+    */
+  private val branchFixtures = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def branchFixture(s: SparkSession, dir: String): LakeTable = {
+    val path = branchFixtures.getOrElseUpdate(dir, {
+      val t = freshTable(s)
+      withBatch1(s, dir) { b1 =>
+        t.upsert(b1, combine = false)
+        val fork = t.latestCommit.get
+        val work = Files.createTempDirectory("graft_lakebr").toString
+        val br = t.shallowCloneTo(s"$work/b", "lakeq_branch")
+        br.upsert(batch2(b1), combine = false)
+        br.delete(b1.filter(col("l_orderkey").between(600, 699)))
+        t.mergeFrom(br, fork)
+      }
+      t.path
+    })
+    LakeTable.load(s, path)
+  }
+
+  def lakeBranchMerge(s: SparkSession, dir: String): DataFrame =
+    branchFixture(s, dir).snapshot()
       .select(outCols.map(col): _*)
       .orderBy("l_orderkey", "l_linenumber")
 

@@ -72,6 +72,36 @@ class SecondaryIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       rowsOf(t.snapshot().filter(col("sv").isin(3L, 11L))))
   }
 
+  test("incremental refresh: new files indexed, rewritten files' postings dropped") {
+    val t = mkTable()
+    seed(t)
+    assert(t.buildSecondaryIndex("sv").isDefined)
+    val asOf1 = t.secondaryIndexAsOf("sv").get
+    // no new commits: refresh is a watermark no-op
+    assert(t.refreshSecondaryIndex("sv").contains(asOf1))
+    // new commits: id 7 moves 7→88 (rewrites its file group), id 500 new
+    t.upsert(Seq((7L, "p3", 88L, 2L), (500L, "p0", 7L, 2L))
+      .toDF("id", "p", "sv", "ts"), combine = false)
+    val asOf2 = t.refreshSecondaryIndex("sv").get
+    assert(asOf2 > asOf1 && t.secondaryIndexAsOf("sv").contains(asOf2))
+    // refreshed lookups equal the full scan, both for the moved-away
+    // value (stale posting must not resurrect id 7) and the new one
+    assert(rowsOf(t.snapshotWhere("sv", Seq(7L))) ==
+      rowsOf(t.snapshot().filter(col("sv") === 7L)))
+    assert(rowsOf(t.snapshotWhere("sv", Seq(7L))).exists(_._1 == 500L))
+    assert(rowsOf(t.snapshotWhere("sv", Seq(88L))) ==
+      rowsOf(t.snapshot().filter(col("sv") === 88L)))
+    // and the refreshed generation equals a from-scratch rebuild's
+    // answer set for a spread of probes
+    (0L until 25L).foreach { v =>
+      assert(rowsOf(t.snapshotWhere("sv", Seq(v))) ==
+        rowsOf(t.snapshot().filter(col("sv") === v)), s"probe $v")
+    }
+    // the refresh actually PRUNES (posting precision survived the merge)
+    val total = t.timeline.liveFiles().size
+    assert(t.secondaryPrunedFiles("sv", Seq(11L)).get.size < total)
+  }
+
   test("no index -> full-scan fallback; restore below as-of invalidates the index") {
     val t = mkTable()
     seed(t)

@@ -1,0 +1,98 @@
+package graft.pipelines
+
+import graft.lake.{LakeTable, TableMeta}
+import graft.util.Sessions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The SCD2 maintenance algebra: the persisted incremental advance must
+  * equal the from-genesis history after EVERY advance — including
+  * version supersession, delete-terminated chains, and a
+  * delete-then-reinsert that reopens a key.
+  */
+class Scd2Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Sessions.local("scd2-test", "4")
+  import spark.implicits._
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def mkTable(): LakeTable = {
+    val work = Files.createTempDirectory("graft_scd2").toString
+    LakeTable.create(spark, s"$work/t",
+      TableMeta("scd2_t", Seq("id"), "ts", Seq.empty, "cow",
+        keyEncoding = "padded"))
+  }
+
+  private def rowsOf(df: DataFrame): Set[(Long, String, Long, Option[Long], Boolean)] =
+    df.collect().map { r =>
+      (r.getAs[Long]("id"), r.getAs[String]("v"),
+        r.getAs[Long]("valid_from"),
+        if (r.isNullAt(r.fieldIndex("valid_to"))) None
+        else Some(r.getAs[Long]("valid_to")),
+        r.getAs[Boolean]("is_current"))
+    }.toSet
+
+  test("incremental advance equals from-genesis history at every step") {
+    val t = mkTable()
+    val stateDir = Files.createTempDirectory("graft_scd2_st").toString + "/st"
+    // c1: two keys
+    t.upsert(Seq((1L, "a1", 1L), (2L, "b1", 1L)).toDF("id", "v", "ts"),
+      combine = false)
+    val w1 = Scd2.advance(spark, t, stateDir, Seq("id"))
+    assert(w1.exists(_._2 == 1L))
+    assert(rowsOf(Scd2.current(spark, stateDir).get._1) ==
+      rowsOf(Scd2.history(t, Seq("id"))))
+    // replay with no new commits: watermark unchanged
+    assert(Scd2.advance(spark, t, stateDir, Seq("id")) == w1)
+    // c2: key 1 superseded, key 3 inserted; c3: key 2 deleted — folded
+    // in ONE advance spanning two commits
+    t.upsert(Seq((1L, "a2", 2L), (3L, "c1", 2L)).toDF("id", "v", "ts"),
+      combine = false)
+    t.delete(Seq(2L).toDF("id"))
+    val w2 = Scd2.advance(spark, t, stateDir, Seq("id"))
+    assert(w2.exists(_._2 == 3L))
+    val st2 = rowsOf(Scd2.current(spark, stateDir).get._1)
+    assert(st2 == rowsOf(Scd2.history(t, Seq("id"))))
+    assert(st2.contains((1L, "a1", 1L, Some(2L), false)))
+    assert(st2.contains((1L, "a2", 2L, None, true)))
+    assert(st2.contains((2L, "b1", 1L, Some(3L), false)))
+    assert(st2.contains((3L, "c1", 2L, None, true)))
+    // c4: key 2 REINSERTED — the terminated chain reopens with a new
+    // version, the old closed version untouched
+    t.upsert(Seq((2L, "b2", 3L)).toDF("id", "v", "ts"), combine = false)
+    Scd2.advance(spark, t, stateDir, Seq("id"))
+    val st3 = rowsOf(Scd2.current(spark, stateDir).get._1)
+    assert(st3 == rowsOf(Scd2.history(t, Seq("id"))))
+    assert(st3.contains((2L, "b1", 1L, Some(3L), false)))
+    assert(st3.contains((2L, "b2", 4L, None, true)))
+  }
+
+  test("randomized op sequences: advance tracks history across rounds") {
+    val rnd = new scala.util.Random(11)
+    val t = mkTable()
+    val stateDir = Files.createTempDirectory("graft_scd2_r").toString + "/st"
+    var ts = 0L
+    def nextTs(): Long = { ts += 1; ts }
+    t.upsert(Seq((0L, "seed", nextTs())).toDF("id", "v", "ts"),
+      combine = false)
+    for (round <- 1 to 4) {
+      val ups = (0 until 1 + rnd.nextInt(4)).map { _ =>
+        (rnd.nextInt(6).toLong, s"v${rnd.nextInt(100)}", nextTs())
+      }
+      t.upsert(ups.toDF("id", "v", "ts"), combine = true)
+      if (rnd.nextBoolean()) {
+        val live = t.snapshot().select("id").collect().map(_.getLong(0))
+        if (live.nonEmpty)
+          t.delete(Seq(live(rnd.nextInt(live.length))).toDF("id"))
+      }
+      Scd2.advance(spark, t, stateDir, Seq("id"))
+      assert(rowsOf(Scd2.current(spark, stateDir).get._1) ==
+        rowsOf(Scd2.history(t, Seq("id"))), s"round $round")
+    }
+  }
+}

@@ -112,6 +112,9 @@ object SparkEntry {
     // posting-list secondary index on a non-key column: exact-file
     // prune where zone maps can't, structurally stale-safe
     "lake_secondary_index" -> (LakeQueries.lakeSecondaryIndex _),
+    // the incremental refresh path: only post-build files scanned, the
+    // lookup then serves entirely from postings
+    "lake_secondary_refresh" -> (LakeQueries.lakeSecondaryRefresh _),
     // SCD2 dimension history from the CDC feed, versions bounded by
     // commit ordinals (deterministic, unlike wall-clock instants)
     "lake_scd2" -> (LakeQueries.lakeScd2 _),
@@ -2338,6 +2341,19 @@ object SparkEntry {
          |  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
          |         created_ts FROM b2
          |) WHERE l_quantity IN (25, 1025)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // refreshed-index lookup: same merged final state, refresh probes
+    "lake_secondary_refresh" ->
+      s"""$lakeCtes
+         |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, created_ts
+         |FROM (
+         |  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+         |         created_ts
+         |  FROM b1 WHERE l_orderkey >= 500
+         |  UNION ALL
+         |  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+         |         created_ts FROM b2
+         |) WHERE l_quantity IN (26, 1026)
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // post-restore snapshot == the merged b1 ⊕ b2 state: the rolled-back
     // delete commit must leave no trace (rows or tombstones)

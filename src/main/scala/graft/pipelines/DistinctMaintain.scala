@@ -3,6 +3,7 @@ package graft.pipelines
 import graft.lake.LakeTable
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Incremental view maintenance for the NON-self-maintainable aggregates
@@ -128,4 +129,51 @@ object DistinctMaintain {
     }
     Some(generations(s, stateDir).headOption.getOrElse(latest))
   }
+
+  /** One CDC micro-batch folded into the persisted aux state, keyed by
+    * the STREAM's batch id (the [[RollupMaintain.applyBatch]] contract:
+    * zero-padded generation names, idempotent per batch id — a replay
+    * after a crash between the state write and the stream's checkpoint
+    * commit sees its own generation and skips).
+    */
+  def applyBatch(s: SparkSession, batch: DataFrame, stateDir: String,
+      groupCols: Seq[String], value: Column, batchId: Long): Unit = {
+    val gen = f"gen_$batchId%020d"
+    if (fs(s, stateDir).exists(new Path(s"$stateDir/$gen/_SUCCESS"))) return
+    val d = delta(batch, groupCols, value)
+    val next = current(s, stateDir) match {
+      case Some((aux, _)) => applyDelta(aux, d, groupCols)
+      // no state yet: from-earliest CDC classifies everything as an
+      // insert, so the first delta IS the aux state
+      case None => d.select(((groupCols :+ "v").map(col) :+
+        col("dcnt").as("cnt")): _*).filter(col("cnt") =!= 0)
+    }
+    next.write.mode("overwrite").parquet(s"$stateDir/$gen")
+    val f = fs(s, stateDir)
+    generations(s, stateDir).drop(1).foreach { old =>
+      f.delete(new Path(s"$stateDir/gen_$old"), true)
+    }
+  }
+
+  /** Continuous maintenance: the lake CDC streaming source feeds
+    * [[applyBatch]] — distinct/min/max stay current with every commit,
+    * end to end O(changed rows), crash-replay safe through the stream
+    * checkpoint + per-batch generations.
+    */
+  def runStream(spark: SparkSession, tablePath: String, stateDir: String,
+      groupCols: Seq[String], value: Column, checkpointDir: String,
+      triggerSeconds: Int = 1): StreamingQuery =
+    spark.readStream.format("graft-lake")
+      .option("query.type", "changes")
+      .load(tablePath)
+      .writeStream
+      .queryName("distinct-maintain")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(s"$triggerSeconds seconds"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          applyBatch(batch.sparkSession, batch, stateDir, groupCols, value,
+            batchId)
+      }
+      .start()
 }

@@ -104,6 +104,7 @@ object LakeQueries {
     timed("vacuum")(vacFixture(s, dir))
     timed("join_ivm")(joinFixture(s, dir))
     timed("secidx")(secIdxFixture(s, dir))
+    timed("secidx_refresh")(secRefFixture(s, dir))
     timed("branch")(branchFixture(s, dir))
     built.toSeq
   }
@@ -608,6 +609,37 @@ object LakeQueries {
   def lakeSecondaryIndex(s: SparkSession, dir: String): DataFrame =
     secIdxFixture(s, dir)
       .snapshotWhere("l_quantity", Seq(25.0, 1025.0))
+      .select(outCols.map(col): _*)
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Incremental index REFRESH under the hash gate
+    * (`lake_secondary_refresh`): same two-commit shape as
+    * [[lakeSecondaryIndex]], but the index is refreshed AFTER commit 2
+    * ([[graft.lake.LakeTable.refreshSecondaryIndex]] — scans only the
+    * post-build files, drops postings of the rewritten ones), so the
+    * lookup serves entirely from postings: the rewritten rows via the
+    * newly indexed files, with no unindexed-overlay leg. Same oracle
+    * family, different probes.
+    */
+  private val secRefFixtures = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def secRefFixture(s: SparkSession, dir: String): LakeTable = {
+    val path = secRefFixtures.getOrElseUpdate(dir, {
+      val t = freshTable(s)
+      withBatch1(s, dir) { b1 =>
+        t.upsert(b1, combine = false)
+        t.buildSecondaryIndex("l_quantity")
+        t.upsert(batch2(b1), combine = false)
+        t.refreshSecondaryIndex("l_quantity")
+      }
+      t.path
+    })
+    LakeTable.load(s, path)
+  }
+
+  def lakeSecondaryRefresh(s: SparkSession, dir: String): DataFrame =
+    secRefFixture(s, dir)
+      .snapshotWhere("l_quantity", Seq(26.0, 1026.0))
       .select(outCols.map(col): _*)
       .orderBy("l_orderkey", "l_linenumber")
 

@@ -119,6 +119,38 @@ class DistinctIvmSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming CDC source keeps distinct/min/max current; batch replay no-op") {
+    val t = mkTable("divm_s")
+    val base = Files.createTempDirectory("graft_divm_strm").toString
+    val stateDir = s"$base/state"
+    def recompute() = fresh(t)
+    def persisted() = viewMap(DistinctMaintain.current(spark, stateDir).get._1)
+    t.upsert(Seq((1L, "x", 2L, 1L), (2L, "x", 5L, 1L), (3L, "y", 7L, 1L))
+      .toDF("id", "g", "v", "ts"), combine = false)
+    val q = DistinctMaintain.runStream(spark, t.path, stateDir, grp,
+      col("v"), s"$base/ckpt")
+    q.processAllAvailable()
+    assert(persisted() == recompute())
+    // supersede a value, delete the group minimum, add a group
+    t.upsert(Seq((1L, "x", 9L, 2L), (4L, "z", 1L, 2L))
+      .toDF("id", "g", "v", "ts"), combine = false)
+    t.delete(Seq(2L).toDF("id"))
+    q.processAllAvailable()
+    q.stop()
+    assert(persisted() == recompute())
+    assert(persisted()("x") == ((1L, 9L, 9L)))
+    // replaying the newest batch id is a no-op even with different input
+    val before = persisted()
+    val lastGen = new java.io.File(stateDir).listFiles()
+      .filter(f => f.isDirectory &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName.stripPrefix("gen_").toLong).max
+    DistinctMaintain.applyBatch(spark,
+      t.changes(graft.lake.Timeline.Earliest), stateDir, grp, col("v"),
+      lastGen)
+    assert(persisted() == before)
+  }
+
   test("persisted generations: bootstrap, incremental advance, replay no-op") {
     val t = mkTable("divm_p")
     val stateDir = Files.createTempDirectory("graft_divm_st").toString + "/st"

@@ -121,6 +121,9 @@ object SparkEntry {
     // zero-copy branch + conflict-checked merge-back: branch edits and
     // deletes land on main exactly (Delta-clone/Nessie shape)
     "lake_branch_merge" -> (LakeQueries.lakeBranchMerge _),
+    // point-in-time dimension lookup over the SCD2 history: each probe
+    // sees the version valid at its ordinal (no temporal leakage)
+    "lake_scd2_pit" -> (LakeQueries.lakeScd2Pit _),
     // extension operators: text analysis / dedup / similarity / multimodal
     "text_stats" -> (TextAnalysis.textStats _),
     "text_exact_dedup" -> (TextAnalysis.exactDedup _),
@@ -2279,6 +2282,20 @@ object SparkEntry {
          |    CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
          |  FROM b1 WHERE l_orderkey BETWEEN 400 AND 449
          |) ORDER BY l_orderkey, l_linenumber, valid_from""".stripMargin,
+    // point-in-time: ord 1 = original; ord ≥ 2 on keys <300 = the +1000
+    // rewrite; ord 3 on keys 300-399 = NULL (deleted); everything else
+    // keeps its original quantity
+    "lake_scd2_pit" ->
+      s"""$lakeCtes,
+         |ords AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS as_of_ord)
+         |SELECT b.l_orderkey, b.l_linenumber, o.as_of_ord,
+         |  CASE WHEN o.as_of_ord >= 2 AND b.l_orderkey < 300
+         |         THEN b.l_quantity + 1000
+         |       WHEN o.as_of_ord = 3 AND b.l_orderkey BETWEEN 300 AND 399
+         |         THEN NULL
+         |       ELSE b.l_quantity END AS qty_asof
+         |FROM b1 b CROSS JOIN ords o
+         |ORDER BY b.l_orderkey, b.l_linenumber, o.as_of_ord""".stripMargin,
     // final-state distinct/min/max from the shared CTEs — the aux-state
     // maintenance must land exactly here (same reconstructed final
     // state as the rollup oracle, non-self-maintainable aggregates)

@@ -439,6 +439,38 @@ object LakeQueries {
       .orderBy("l_orderkey", "l_linenumber", "valid_from")
   }
 
+  /** SCD2 point-in-time lookup under the hash gate (`lake_scd2_pit`):
+    * the consumer SCD2 exists for — each (key, as-of ordinal) probe
+    * joins to the dimension version VALID at that ordinal
+    * (`valid_from ≤ ord < valid_to`, open versions unbounded), the
+    * feature-store / training-data join that prevents temporal leakage
+    * (an event must see the dimension as it was, not as it is). Probes
+    * = every batch-1 key × ordinals 1..3; deleted-at-3 keys resolve to
+    * NULL through the left join. Shape: an equi-join on the key with a
+    * range residual — per key only versions-per-key rows, never a
+    * range-quadratic blowup.
+    */
+  def lakeScd2Pit(s: SparkSession, dir: String): DataFrame = {
+    val (path, _) = changeFixture(s, dir)
+    val t = LakeTable.load(s, path)
+    val hist = graft.pipelines.Scd2
+      .history(t, Seq("l_orderkey", "l_linenumber"))
+      .select(col("l_orderkey").as("h_ok"), col("l_linenumber").as("h_ln"),
+        col("l_quantity"), col("valid_from"), col("valid_to"))
+    import s.implicits._
+    val probes = withBatch1(s, dir)(_.select("l_orderkey", "l_linenumber"))
+      .crossJoin(Seq(1L, 2L, 3L).toDF("as_of_ord"))
+    probes.join(hist,
+        probes("l_orderkey") === hist("h_ok") &&
+          probes("l_linenumber") === hist("h_ln") &&
+          hist("valid_from") <= col("as_of_ord") &&
+          (hist("valid_to").isNull || col("as_of_ord") < hist("valid_to")),
+        "left")
+      .select(col("l_orderkey"), col("l_linenumber"), col("as_of_ord"),
+        col("l_quantity").as("qty_asof"))
+      .orderBy("l_orderkey", "l_linenumber", "as_of_ord")
+  }
+
   def lakeChanges(s: SparkSession, dir: String): DataFrame = {
     val (path, c1) = changeFixture(s, dir)
     LakeTable.load(s, path).changes(c1)

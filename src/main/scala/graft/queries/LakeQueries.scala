@@ -106,6 +106,7 @@ object LakeQueries {
     timed("secidx")(secIdxFixture(s, dir))
     timed("secidx_refresh")(secRefFixture(s, dir))
     timed("branch")(branchFixture(s, dir))
+    timed("scd2")(scd2State(s, dir))
     built.toSeq
   }
 
@@ -430,14 +431,33 @@ object LakeQueries {
     * Commit ORDINALS (not wall-clock instants) bound the versions, so
     * the whole history replays deterministically in the oracle.
     */
-  def lakeScd2(s: SparkSession, dir: String): DataFrame = {
-    val (path, _) = changeFixture(s, dir)
-    val t = LakeTable.load(s, path)
-    graft.pipelines.Scd2.history(t, Seq("l_orderkey", "l_linenumber"))
+  /** The PERSISTED SCD2 dimension over the change fixture, advanced once
+    * per (JVM, sfDir) — the production shape: the dimension is
+    * maintained state ([[graft.pipelines.Scd2.advance]] bootstraps via
+    * the from-genesis history here, then reads are parquet scans), not a
+    * per-read replay of every commit. Both `lake_scd2` and
+    * `lake_scd2_pit` read this state, so the gate also pins the advance
+    * path's output.
+    */
+  private val scd2Fixtures = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def scd2State(s: SparkSession, dir: String): DataFrame = {
+    val stateDir = scd2Fixtures.getOrElseUpdate(dir, {
+      val (path, _) = changeFixture(s, dir)
+      val t = LakeTable.load(s, path)
+      val sd = Files.createTempDirectory("graft_scd2q").toString + "/st"
+      graft.pipelines.Scd2.advance(s, t, sd,
+        Seq("l_orderkey", "l_linenumber"))
+      sd
+    })
+    graft.pipelines.Scd2.current(s, stateDir).get._1
+  }
+
+  def lakeScd2(s: SparkSession, dir: String): DataFrame =
+    scd2State(s, dir)
       .select((outCols ++ Seq("valid_from", "valid_to", "is_current"))
         .map(col): _*)
       .orderBy("l_orderkey", "l_linenumber", "valid_from")
-  }
 
   /** SCD2 point-in-time lookup under the hash gate (`lake_scd2_pit`):
     * the consumer SCD2 exists for — each (key, as-of ordinal) probe
@@ -451,10 +471,7 @@ object LakeQueries {
     * range-quadratic blowup.
     */
   def lakeScd2Pit(s: SparkSession, dir: String): DataFrame = {
-    val (path, _) = changeFixture(s, dir)
-    val t = LakeTable.load(s, path)
-    val hist = graft.pipelines.Scd2
-      .history(t, Seq("l_orderkey", "l_linenumber"))
+    val hist = scd2State(s, dir)
       .select(col("l_orderkey").as("h_ok"), col("l_linenumber").as("h_ln"),
         col("l_quantity"), col("valid_from"), col("valid_to"))
     import s.implicits._

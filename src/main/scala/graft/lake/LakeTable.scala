@@ -927,13 +927,13 @@ class LakeTable private (val spark: SparkSession, val path: String) {
           cols.map(c => col(c).cast("double").as(c)): _*)
         val bounds = doubled.stat.approxQuantile(cols.toArray, probs, 0.01)
         // bucket_c = #boundaries <= value (equi-depth rank, 0..nb-1);
-        // nulls sort first (bucket 0)
+        // nulls sort first (bucket 0). Codegen'd binary search — a
+        // higher-order fold here gets re-inlined into all 8 bit reads
+        // below by projection collapse (interpreted quadratic).
         val buckets = cols.zip(bounds.toSeq).map { case (c, bs) =>
-          val arr = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
-            bs.distinct.sorted.map(lit)): _*)
           coalesce(
-            aggregate(arr, lit(0), (acc, b) =>
-              acc + when(col(c).cast("double") >= b, 1).otherwise(0)),
+            graft.functions.EquiDepthBucket(
+              col(c).cast("double"), bs.distinct.sorted),
             lit(0))
         }
         // interleave: bit j of column i's bucket → output bit j*k + i,

@@ -738,41 +738,50 @@ object LakeQueries {
     * every intermediate step).
     */
   private val joinFixtures = scala.collection.concurrent.TrieMap[
-    String, (String, String, String, String, String)]()
+    String, (String, String, String, String, String, String)]()
 
   private val joinOutCols = Seq("l_orderkey", "l_linenumber", "l_partkey",
     "l_quantity", "p_brand")
 
   private def joinFixture(s: SparkSession, dir: String)
-      : (LakeTable, LakeTable, String, String, String) = {
-    val (aPath, a1, a2, bPath, bi1) = joinFixtures.getOrElseUpdate(dir, {
-      val (at, c1, c2) = cowFixture(s, dir)
-      val work = Files.createTempDirectory("graft_lakej").toString
-      val bt = LakeTable.create(s, s"$work/p",
-        TableMeta("lakej_part", Seq("p_partkey"), "created_ts",
-          Seq.empty, "cow", keyEncoding = "padded"))
-      val p = Relational.t(s, dir, "part")
-        .withColumn("created_ts", lit(1L))
-      val i1 = bt.upsert(p, combine = false)
-      bt.upsert(p.filter(col("p_partkey") < 100)
-        .withColumn("p_brand", concat(col("p_brand"), lit("_X")))
-        .withColumn("created_ts", lit(2L)), combine = false)
-      (at.path, c1, c2, bt.path, i1)
-    })
-    (LakeTable.load(s, aPath), LakeTable.load(s, bPath), a1, a2, bi1)
+      : (LakeTable, LakeTable, String, String, String, String) = {
+    val (aPath, a1, a2, bPath, bi1, statePath) =
+      joinFixtures.getOrElseUpdate(dir, {
+        val (at, c1, c2) = cowFixture(s, dir)
+        val work = Files.createTempDirectory("graft_lakej").toString
+        val bt = LakeTable.create(s, s"$work/p",
+          TableMeta("lakej_part", Seq("p_partkey"), "created_ts",
+            Seq.empty, "cow", keyEncoding = "padded"))
+        val p = Relational.t(s, dir, "part")
+          .withColumn("created_ts", lit(1L))
+        val i1 = bt.upsert(p, combine = false)
+        bt.upsert(p.filter(col("p_partkey") < 100)
+          .withColumn("p_brand", concat(col("p_brand"), lit("_X")))
+          .withColumn("created_ts", lit(2L)), combine = false)
+        // bootstrap state generation — the production shape (state is
+        // PERSISTED between advances, RollupMaintain contract), so the
+        // query below measures one steady-state advance, not
+        // bootstrap + advance
+        import graft.pipelines.JoinMaintain
+        import graft.lake.Timeline
+        val sp = s"$work/jstate"
+        JoinMaintain.advance(
+          JoinMaintain.emptyState(at.snapshot(), bt.snapshot(),
+            "l_partkey", "p_partkey", joinOutCols),
+          at, bt, Timeline.Earliest, c1, Timeline.Earliest, i1,
+          "l_partkey", "p_partkey", joinOutCols)
+          .write.mode("overwrite").parquet(sp)
+        (at.path, c1, c2, bt.path, i1, sp)
+      })
+    (LakeTable.load(s, aPath), LakeTable.load(s, bPath), a1, a2, bi1,
+      statePath)
   }
 
   def lakeJoinIncremental(s: SparkSession, dir: String): DataFrame = {
     import graft.pipelines.JoinMaintain
-    import graft.lake.Timeline
-    val (at, bt, a1, a2, bi1) = joinFixture(s, dir)
+    val (at, bt, a1, a2, bi1, statePath) = joinFixture(s, dir)
     val bi2 = bt.latestCommit.get
-    val s1 = JoinMaintain.advance(
-      JoinMaintain.emptyState(at.snapshot(), bt.snapshot(),
-        "l_partkey", "p_partkey", joinOutCols),
-      at, bt, Timeline.Earliest, a1, Timeline.Earliest, bi1,
-      "l_partkey", "p_partkey", joinOutCols)
-      .localCheckpoint()
+    val s1 = s.read.parquet(statePath)
     JoinMaintain.advance(s1, at, bt, a1, a2, bi1, bi2,
       "l_partkey", "p_partkey", joinOutCols)
       .orderBy("l_orderkey", "l_linenumber")

@@ -114,11 +114,34 @@ object DistinctMaintain {
   def advance(s: SparkSession, table: LakeTable, stateDir: String,
       groupCols: Seq[String], value: Column): Option[String] = {
     val latest = table.latestCommit.getOrElse(return None)
-    val next = current(s, stateDir) match {
+    // VALIDITY (the secondaryIndexAsOf contract): the stored watermark
+    // must still be a commit on the active timeline. A restore below it
+    // leaves rolled-back rows folded into the aux state (and new commits
+    // take HIGHER wall-clock instants, so `inst >= latest` would keep
+    // serving the orphan); an archival past it collapses the commits the
+    // delta feed needs into a net checkpoint (double-count). Either way:
+    // discard the orphaned generations and re-bootstrap from the current
+    // snapshot, which is always correct.
+    val cur = current(s, stateDir).filter { case (_, inst) =>
+      val valid = table.timeline.instants().contains(inst)
+      if (!valid) {
+        val f = fs(s, stateDir)
+        generations(s, stateDir).foreach { old =>
+          f.delete(new Path(s"$stateDir/gen_$old"), true)
+        }
+      }
+      valid
+    }
+    val next = cur match {
       case Some((_, inst)) if inst >= latest => None // nothing new
       case Some((aux, inst)) =>
-        Some(applyDelta(aux, delta(table.changes(inst), groupCols, value),
-          groupCols))
+        // bound the feed to the watermark this generation is named for:
+        // a concurrent OCC writer can commit between the latestCommit
+        // read and the delta job, and an open-ended feed would fold that
+        // commit into state WITHOUT covering it by the watermark — the
+        // next advance re-applies it and silently double-counts
+        Some(applyDelta(aux, delta(table.changes(inst, latest), groupCols,
+          value), groupCols))
       case None =>
         Some(fullAux(table.snapshotAsOf(latest), groupCols, value))
     }

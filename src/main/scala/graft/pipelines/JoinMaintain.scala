@@ -174,7 +174,22 @@ object JoinMaintain {
       outCols: Seq[String]): Option[(String, String)] = {
     val aLatest = a.latestCommit.getOrElse(return None)
     val bLatest = b.latestCommit.getOrElse(return None)
-    val next = current(s, stateDir) match {
+    // VALIDITY (the secondaryIndexAsOf contract): BOTH stored watermarks
+    // must still be commits on their table's active timeline — a restore
+    // below either leaves rolled-back joined rows in the state (served
+    // forever, since post-restore commits take higher instants), an
+    // archival past either collapses the commits its delta feed needs.
+    // Discard the orphaned generations and re-bootstrap from a full join.
+    val cur = current(s, stateDir).filter { case (_, (ai, bi)) =>
+      val valid = a.timeline.instants().contains(ai) &&
+        b.timeline.instants().contains(bi)
+      if (!valid) generations(s, stateDir).foreach { old =>
+        fs(s, stateDir).delete(
+          new org.apache.hadoop.fs.Path(s"$stateDir/gen_$old"), true)
+      }
+      valid
+    }
+    val next = cur match {
       case Some((_, (ai, bi))) if ai >= aLatest && bi >= bLatest => None
       case Some((state, (ai, bi))) =>
         Some(advance(state, a, b, ai, aLatest, bi, bLatest,

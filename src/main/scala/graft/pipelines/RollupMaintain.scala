@@ -97,12 +97,29 @@ object RollupMaintain {
   def advance(s: SparkSession, table: LakeTable, stateDir: String,
       groupCols: Seq[String], value: Column): Option[String] = {
     val latest = table.latestCommit.getOrElse(return None)
-    val cur = current(s, stateDir)
+    // VALIDITY (the secondaryIndexAsOf contract): a stored watermark no
+    // longer on the active timeline means the generation is orphaned — a
+    // restore below it rolled back commits the state already folded (and
+    // `inst >= latest` would keep serving it, since post-restore commits
+    // take higher wall-clock instants), an archival past it collapsed
+    // the commits the delta feed needs into a net checkpoint. Discard
+    // and re-bootstrap from the current snapshot.
+    val cur = current(s, stateDir).filter { case (_, inst) =>
+      val valid = table.timeline.instants().contains(inst)
+      if (!valid) generations(s, stateDir).foreach { old =>
+        fs(s, stateDir).delete(new Path(s"$stateDir/gen_$old"), true)
+      }
+      valid
+    }
     val next = cur match {
       case Some((_, inst)) if inst >= latest => None // nothing new
       case Some((state, inst)) =>
-        Some(applyDelta(state, delta(table.changes(inst), groupCols, value),
-          groupCols))
+        // bound the feed to the watermark this generation is named for
+        // (concurrent OCC writer between latestCommit and the delta job
+        // would otherwise be folded but not covered → double-counted on
+        // the next advance)
+        Some(applyDelta(state, delta(table.changes(inst, latest), groupCols,
+          value), groupCols))
       case None =>
         Some(fullState(table.snapshotAsOf(latest), groupCols, value))
     }

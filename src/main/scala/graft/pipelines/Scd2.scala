@@ -51,6 +51,16 @@ object Scd2 {
   def history(t: LakeTable, keyCols: Seq[String]): DataFrame = {
     val ords = commitOrdinals(t)
     require(ords.nonEmpty, "empty table has no history")
+    // an archive checkpoint is the NET effect of the commits it
+    // collapsed — the per-commit change feeds a from-genesis history
+    // needs are gone, and replaying the checkpoint as "one commit" would
+    // silently merge every pre-archival version of a key into one. Fail
+    // loudly; incremental [[advance]] on an existing state is unaffected
+    // (its ordinals live in the state, not the timeline).
+    require(t.timeline.read(ords.head._2).operation != "archive-checkpoint",
+      "cannot bootstrap SCD2 history: the timeline was archived, so " +
+        "per-commit change feeds below the checkpoint no longer exist; " +
+        "bootstrap before archival or maintain the dimension incrementally")
     chains(ordinalEvents(t, ords, prevInstant = None), keyCols)
   }
 
@@ -135,11 +145,28 @@ object Scd2 {
     val instants = t.timeline.instants()
     if (instants.isEmpty) return None
     val latest = instants.last
+    // VALIDITY (the secondaryIndexAsOf contract): a stored watermark no
+    // longer on the active timeline means the dimension is orphaned — a
+    // restore below it leaves version chains for rolled-back commits in
+    // the history (and post-restore commits take higher wall-clock
+    // instants, so `inst >= latest` would keep serving them), an
+    // archival past it destroyed the per-commit feeds of the gap.
+    // Discard and re-bootstrap from genesis; [[history]] itself refuses
+    // loudly when genesis was archived (no per-commit feeds to replay).
+    val cur = current(s, stateDir).filter { case (_, (inst, _)) =>
+      val valid = instants.contains(inst)
+      if (!valid) generations(s, stateDir).foreach { old =>
+        fs(s, stateDir).delete(
+          new org.apache.hadoop.fs.Path(s"$stateDir/gen_$old"), true)
+        ()
+      }
+      valid
+    }
     // the new watermark ordinal: continue from the stored one on an
     // advance (archival-stable — already-folded ordinals never re-derive
     // from the timeline), count the timeline only on bootstrap
     var newOrd = instants.size.toLong
-    val next = current(s, stateDir) match {
+    val next = cur match {
       case Some((_, (inst, _))) if inst >= latest => None // nothing new
       case Some((state, (inst, ord))) =>
         val newOrds = instants.filter(_ > inst).zipWithIndex

@@ -27,8 +27,16 @@ object Bucketing {
     */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
       key: String): Unit =
+    writeBucketed(df, table, buckets, Seq(key))
+
+  /** Multi-key form: bucket AND sort by the full key tuple — a join on
+    * exactly these keys then reads both sides in place (zero shuffle).
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      keys: Seq[String]): Unit =
     df.write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
 
   /** Join two same-bucket-count tables on their bucket keys — plans

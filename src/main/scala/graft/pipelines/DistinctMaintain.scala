@@ -29,8 +29,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *
   * Why this matters at 100 TB: the delta is a map-side-combined groupBy
   * over O(changed rows); the merge is aux×delta keyed on (group, value)
-  * — with the aux table written bucketed on the group key, a co-located
-  * sliver join. The aux state is bounded by DISTINCT (group, value)
+  * — with the aux table written bucketed on exactly that (group, value)
+  * pair, a co-located sliver join (plan-asserted in BucketingSpec: zero
+  * shuffle on the aux side of applyDelta). The aux state is bounded by DISTINCT (group, value)
   * pairs, not rows — the whole point of maintaining it instead of
   * rescanning a petabyte to re-count distincts nightly. The final view
   * aggregate is aux-sized and map-side combinable.

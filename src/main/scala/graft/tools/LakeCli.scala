@@ -20,13 +20,28 @@ import graft.util.Sessions
   *   runMain graft.tools.LakeCli restore     <tablePath> <instant>
   *   runMain graft.tools.LakeCli rename-col  <tablePath> <old> <new>
   *   runMain graft.tools.LakeCli drop-col    <tablePath> <col>
+  *   runMain graft.tools.LakeCli secidx-build   <tablePath> <col>
+  *   runMain graft.tools.LakeCli secidx-refresh <tablePath> <col>
+  *   runMain graft.tools.LakeCli scd2-advance     <tablePath> <stateDir> <key>[,key...]
+  *   runMain graft.tools.LakeCli distinct-advance <tablePath> <stateDir> <grp>[,grp...] <valueCol>
+  *   runMain graft.tools.LakeCli rollup-advance   <tablePath> <stateDir> <grp>[,grp...] <valueCol>
+  *   runMain graft.tools.LakeCli branch      <tablePath> <destPath> <name>
   */
 object LakeCli {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: LakeCli describe|history|show <tablePath> [n]")
-    val (cmd, path) = (args(0), args(1))
     val spark = Sessions.local("lake-cli", "8")
     spark.sparkContext.setLogLevel("ERROR")
+    run(spark, args)
+    spark.stop()
+  }
+
+  /** The command dispatch, session-agnostic so specs can smoke each
+    * subcommand on their own session.
+    */
+  def run(spark: org.apache.spark.sql.SparkSession,
+      args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: LakeCli describe|history|show <tablePath> [n]")
+    val (cmd, path) = (args(0), args(1))
     val t = LakeTable.load(spark, path)
     cmd match {
       case "describe" =>
@@ -105,8 +120,40 @@ object LakeCli {
         require(args.length > 2, "drop-col needs a column")
         t.dropColumn(args(2))
         println(s"dropped ${args(2)}")
+      case "secidx-build" =>
+        require(args.length > 2, "secidx-build needs a column")
+        val done = t.buildSecondaryIndex(args(2))
+        println(done.fold("empty table")(i => s"index built as of $i"))
+      case "secidx-refresh" =>
+        require(args.length > 2, "secidx-refresh needs a column")
+        val done = t.refreshSecondaryIndex(args(2))
+        println(done.fold("nothing to refresh")(i => s"index refreshed to $i"))
+      case "scd2-advance" =>
+        require(args.length > 3, "scd2-advance needs <stateDir> <key>[,key...]")
+        val done = graft.pipelines.Scd2.advance(spark, t, args(2),
+          args(3).split(",").map(_.trim).toSeq)
+        println(done.fold("empty table")(w =>
+          s"dimension advanced to ${w._1} (ordinal ${w._2})"))
+      case "distinct-advance" =>
+        require(args.length > 4,
+          "distinct-advance needs <stateDir> <grp>[,grp...] <valueCol>")
+        val done = graft.pipelines.DistinctMaintain.advance(spark, t, args(2),
+          args(3).split(",").map(_.trim).toSeq,
+          org.apache.spark.sql.functions.col(args(4)))
+        println(done.fold("empty table")(i => s"aux state advanced to $i"))
+      case "rollup-advance" =>
+        require(args.length > 4,
+          "rollup-advance needs <stateDir> <grp>[,grp...] <valueCol>")
+        val done = graft.pipelines.RollupMaintain.advance(spark, t, args(2),
+          args(3).split(",").map(_.trim).toSeq,
+          org.apache.spark.sql.functions.col(args(4)))
+        println(done.fold("empty table")(i => s"rollup state advanced to $i"))
+      case "branch" =>
+        require(args.length > 3, "branch needs <destPath> <name>")
+        val br = t.shallowCloneTo(args(2), args(3))
+        println(s"branched to ${br.path} " +
+          s"(genesis ${br.latestCommit.getOrElse("-")})")
       case other => sys.error(s"unknown command: $other")
     }
-    spark.stop()
   }
 }

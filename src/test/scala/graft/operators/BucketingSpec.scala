@@ -154,4 +154,77 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll
       spark.sql("DROP TABLE IF EXISTS jm_b")
     }
   }
+
+  test("DistinctMaintain applyDelta over a bucketed aux: no shuffle on the aux side") {
+    // The 100 TB claim in DistinctMaintain's scaladoc, made checkable:
+    // the merge is aux×delta keyed on the (group, value) pair — with the
+    // aux generation WRITTEN bucketed on exactly that pair, the merge
+    // must plan with the aux side read in place (zero shuffle between
+    // the join and the bucketed scan; only the delta sliver
+    // re-distributes).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      ShuffledHashJoinExec, SortMergeJoinExec}
+    val s = spark
+    import s.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val grp = Seq("g")
+      val base = (0 until 3000).map(i => (i.toLong, s"g${i % 7}", (i % 40).toLong))
+        .toDF("id", "g", "v")
+      // bucket count must MATCH the delta's shuffle parallelism: the
+      // delta arrives hash-partitioned (g, v) x shuffle.partitions from
+      // its own aggregate, and EnsureRequirements re-shuffles the SMALLER
+      // side — an 8-bucket aux against a 32-partition delta would lose
+      // its in-place read (observed: "Bucketed: false, disabled by query
+      // planner"). Same rule at 100 TB: pick the bucket count equal to
+      // (or a multiple of) the maintenance job's shuffle parallelism.
+      val nb = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val aux0 = graft.pipelines.DistinctMaintain.fullAux(base, grp, $"v")
+      graft.operators.Bucketing.writeBucketed(aux0, "dm_aux", nb, Seq("g", "v"))
+      val ct = graft.lake.LakeTable.ChangeTypeCol
+      val changes = Seq(("g1", 5L, "delete"), ("g1", 99L, "insert"),
+        ("g2", 7L, "update_preimage"), ("g2", 41L, "update_postimage"))
+        .toDF("g", "v", ct)
+      val d = graft.pipelines.DistinctMaintain.delta(changes, grp, $"v")
+      val merged = graft.pipelines.DistinctMaintain.applyDelta(
+        spark.table("dm_aux"), d, grp)
+      val plan = merged.queryExecution.executedPlan
+      val joins = plan.collect {
+        case j: SortMergeJoinExec => j: org.apache.spark.sql.execution.SparkPlan
+        case j: ShuffledHashJoinExec => j
+        case j: BroadcastHashJoinExec => j
+      }
+      assert(joins.size == 1, s"expected the one merge join:\n$plan")
+      val auxSide = joins.head.children.filter(
+        _.collect { case f: FileSourceScanExec => f }.nonEmpty)
+      assert(auxSide.nonEmpty, s"merge lost its bucketed aux scan:\n$plan")
+      auxSide.foreach { c =>
+        assert(c.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+          s"bucketed aux side re-shuffled:\n$c")
+        val scans = c.collect { case f: FileSourceScanExec => f }
+        assert(scans.forall(_.bucketedScan),
+          s"aux scan not reading the bucket layout:\n$c")
+      }
+      // and the algebra holds with the bucketed aux as ingredient
+      val got = graft.pipelines.DistinctMaintain.view(merged, grp)
+        .collect().map(_.toSeq).toSet
+      // fresh view from scratch over an equivalent multiset: apply the
+      // same signed edits to the base multiset imperatively
+      val edited = base.select($"g", $"v").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toBuffer
+      edited -= (("g1", 5L)); edited -= (("g2", 7L))
+      edited += (("g1", 99L)); edited += (("g2", 41L))
+      val freshView = edited.groupBy(_._1).map { case (g, vs) =>
+        Seq(g, vs.map(_._2).distinct.size.toLong, vs.map(_._2).min,
+          vs.map(_._2).max)
+      }.toSet
+      assert(got == freshView)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.sql("DROP TABLE IF EXISTS dm_aux")
+    }
+  }
 }

@@ -702,4 +702,42 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .parquet(s"$work/state/corpus").count()
     assert(after == acceptedIds.size, "replay must not mutate state")
   }
+
+  test("LakeCli drives the maintenance services: secidx, scd2, distinct, rollup, branch") {
+    import spark.implicits._
+    val work = tmp()
+    val t = LakeTable.create(spark, s"$work/t",
+      graft.lake.TableMeta("cli_t", Seq("id"), "ts", Seq.empty, "cow",
+        keyEncoding = "padded"))
+    t.upsert(Seq((1L, "x", 10L, 1L), (2L, "x", 20L, 1L), (3L, "y", 30L, 1L))
+      .toDF("id", "g", "v", "ts"), combine = false)
+    t.upsert(Seq((2L, "x", 25L, 2L)).toDF("id", "g", "v", "ts"),
+      combine = false)
+    def cli(args: String*): Unit =
+      graft.tools.LakeCli.run(spark, args.toArray)
+
+    cli("secidx-build", t.path, "g")
+    assert(t.secondaryIndexAsOf("g").isDefined)
+    t.upsert(Seq((4L, "z", 40L, 2L)).toDF("id", "g", "v", "ts"),
+      combine = false)
+    cli("secidx-refresh", t.path, "g")
+    assert(t.secondaryIndexAsOf("g").contains(t.latestCommit.get))
+
+    cli("scd2-advance", t.path, s"$work/scd2", "id")
+    val (dim, _) = Scd2.current(spark, s"$work/scd2").get
+    assert(dim.filter(col("id") === 2L).count() == 2) // two versions
+
+    cli("distinct-advance", t.path, s"$work/dst", "g", "v")
+    val (aux, _) = DistinctMaintain.current(spark, s"$work/dst").get
+    assert(DistinctMaintain.view(aux, Seq("g"))
+      .filter(col("g") === "x").select("n_distinct")
+      .collect().head.getLong(0) == 2L)
+
+    cli("rollup-advance", t.path, s"$work/rol", "g", "v")
+    assert(RollupMaintain.current(spark, s"$work/rol").isDefined)
+
+    cli("branch", t.path, s"$work/br", "cli_branch")
+    val br = LakeTable.load(spark, s"$work/br")
+    assert(br.snapshot().count() == t.snapshot().count())
+  }
 }

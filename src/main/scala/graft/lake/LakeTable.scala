@@ -1160,7 +1160,13 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val live = timeline.liveFiles(asOf)
     val srcRoot = fs.makeQualified(tablePath).toUri.getPath
     val branch = LakeTable.create(spark, destPath, _meta.copy(name = name))
-    val extStats = live.map(f => f.copy(path = s"$srcRoot/${f.path}"))
+    // an already-absolute path is an EXTERNAL reference this table
+    // inherited (branch-of-branch: our genesis points into our own
+    // source) — keep it verbatim; prefixing srcRoot would mint a
+    // '/dest/..//src/...' path that never resolves
+    val extStats = live.map(f =>
+      if (f.path.startsWith("/") || f.path.contains("://")) f
+      else f.copy(path = s"$srcRoot/${f.path}"))
     branch.timeline.withLock() {
       val instant = branch.timeline.nextInstant()
       branch.timeline.commit(CommitMeta(instant, "clone", extStats,
@@ -1197,8 +1203,14 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         gMeta.extra.get("clone.asof").contains(forkInstant),
       s"not a branch forked from this table at $forkInstant " +
         s"(genesis: ${gMeta.operation} ${gMeta.extra})")
+    // materialize the feed ONCE: it is a multi-join job over snapshot
+    // files, and the emptiness probe, conflict semi-join, and the two
+    // writes below would otherwise each recompute it (4x). Sized
+    // O(branch-changed rows) by construction, so the local materialize
+    // is a sliver, not a table
     val ch = branch.changes(genesis)
       .filter(col(ChangeTypeCol) =!= "update_preimage")
+      .localCheckpoint()
     if (ch.isEmpty) return None
     val keyCols = _meta.recordKeyFields
     if (failOnConflict) {
@@ -1288,14 +1300,26 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * every later commit and physically delete the files those commits
     * added. Refuses when the target state is no longer reconstructible —
     * a later `clean` may have deleted files that were live at `instant`
-    * (the same retention contract that bounds time travel). Irreversible:
-    * the rolled-back commits and their data are gone.
+    * (the same retention contract that bounds time travel) — and when an
+    * ACTIVE savepoint pins a later snapshot: [[savepoint]] documents
+    * that pinned snapshots stay reconstructible, and a branch genesis
+    * ([[shallowCloneTo]]) references the pinned files absolutely, so
+    * restoring below one would physically delete files every outstanding
+    * branch needs. Pass `force = true` to explicitly accept destroying
+    * them. Irreversible: the rolled-back commits and their data are
+    * gone.
     */
-  def restore(instant: String): Unit = timeline.withLock() {
+  def restore(instant: String, force: Boolean = false): Unit =
+      timeline.withLock() {
     val all = timeline.instants()
     require(all.contains(instant), s"unknown instant $instant")
     val drop = all.filter(_ > instant)
     if (drop.isEmpty) return
+    val pinned = savepoints().filter(_ > instant)
+    require(force || pinned.isEmpty,
+      s"cannot restore to $instant: savepoint(s) ${pinned.mkString(", ")} " +
+        "pin later snapshots (e.g. a branch fork); release them first or " +
+        "pass force = true to destroy them")
     // verify the restored live set still exists on disk (a clean after a
     // later rewrite may have removed it)
     val missing = timeline.liveFiles(instant)

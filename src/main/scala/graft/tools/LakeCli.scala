@@ -110,7 +110,7 @@ object LakeCli {
         println(s"archived ${archived.size} commit(s)")
       case "restore" =>
         require(args.length > 2, "restore needs an instant")
-        t.restore(args(2))
+        t.restore(args(2), force = args.length > 3 && args(3) == "force")
         println(s"restored to ${args(2)}")
       case "rename-col" =>
         require(args.length > 3, "rename-col needs <old> <new>")

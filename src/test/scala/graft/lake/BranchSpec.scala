@@ -119,6 +119,37 @@ class BranchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged == rowsOf(br.snapshot()))
   }
 
+  test("branch of a branch: inherited absolute paths stay verbatim and resolve") {
+    val src = mkTable("gc_src")
+    seed(src)
+    val b1dir = Files.createTempDirectory("graft_br_b1").toString
+    val b1 = src.shallowCloneTo(s"$b1dir/b1", "br_b1")
+    // branch 1 writes something of its own, so its live set mixes
+    // inherited-absolute (source) and relative (own) files
+    b1.upsert(Seq((50L, "p0", 500L, 3L)).toDF("id", "p", "v", "ts"),
+      combine = false)
+    val b2dir = Files.createTempDirectory("graft_br_b2").toString
+    val b2 = b1.shallowCloneTo(s"$b2dir/b2", "br_b2")
+    // every row must resolve through the doubly-indirect references:
+    // source files via b1's genesis (kept verbatim, not re-prefixed
+    // with b1's root), b1's own file via the usual absolute rewrite
+    assert(rowsOf(b2.snapshot()) == rowsOf(b1.snapshot()))
+    assert(b2.snapshot().filter(col("id") === 50L).count() == 1)
+    // and the doubled-slash corruption shape never appears
+    val paths = b2.timeline.liveFiles().map(_.path)
+    assert(paths.forall(!_.contains("//")), s"corrupt path in $paths")
+  }
+
+  test("restore below a branch fork refuses without force") {
+    val src = mkTable("rf_src")
+    seed(src)
+    val pre = src.timeline.instants().head
+    val bdir = Files.createTempDirectory("graft_br_rf").toString
+    src.shallowCloneTo(s"$bdir/b", "br_rf") // savepoints the fork
+    val e = intercept[IllegalArgumentException](src.restore(pre))
+    assert(e.getMessage.contains("savepoint"))
+  }
+
   test("merge conflict: key changed on both sides aborts; opt-out merges by payload order") {
     val src = mkTable("d")
     seed(src)

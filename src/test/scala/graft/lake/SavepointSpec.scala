@@ -68,12 +68,18 @@ class SavepointSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.snapshotAsOf(c2).count() == 2)
   }
 
-  test("restore drops savepoints above its target") {
+  test("restore refuses below an active savepoint; force destroys it") {
     val t = newTable("sp3")
     val c1 = t.upsert(df((1, 10L, 1.0)))
     val c2 = t.upsert(df((2, 20L, 2.0)))
     t.savepoint(c2)
-    t.restore(c1)
+    // a savepoint PROMISES its snapshot stays reconstructible (a branch
+    // genesis may reference the pinned files absolutely) — restoring
+    // below it must be an explicit, forced decision
+    val e = intercept[IllegalArgumentException](t.restore(c1))
+    assert(e.getMessage.contains("savepoint"))
+    assert(t.snapshotUser().count() == 2, "refused restore must not mutate")
+    t.restore(c1, force = true)
     assert(t.savepoints().isEmpty)
     assert(t.snapshotUser().count() == 1)
   }

@@ -202,6 +202,9 @@ object SparkEntry {
     // truncated-dimension (matryoshka) recall@10 vs the full-dim truth:
     // one corpus scan scores every (query, dim) prefix slice
     "sim_matryoshka_recall" -> (Similarity.matryoshkaRecall _),
+    // matryoshka × IVF: prefix-dim cell ranking + candidate shortlist
+    // over the staged cell layout, full-dim exact re-score of survivors
+    "sim_matryoshka_probe" -> ((s, dir) => Similarity.matryoshkaProbe(s, dir)),
     // hybrid lexical+vector retrieval, reciprocal-rank fusion (k=60)
     "sim_hybrid_rrf" -> ((s, dir) => Similarity.hybridTopK(s, dir)),
     // MMR diversified rerank of the top-20 shortlist (lambda = 0.5)
@@ -1122,6 +1125,56 @@ object SparkEntry {
        |SELECT query_id AS $outId, vec_id AS $outNbr, sim, rk
        |FROM r WHERE rk <= $k
        |ORDER BY $outId, rk""".stripMargin
+  }
+
+  /** The `sim_matryoshka_probe` oracle: the same trainer replay, then
+    * BOTH probe phases — cell ranking and the candidate shortlist — on
+    * only the first [[graft.queries.Similarity.MatryoshkaProbeDims]]
+    * dims (prefix fold, the bit-portable slice arithmetic the
+    * matryoshka-recall gate already pins), and a full-64-dim exact
+    * re-score of the surviving candidates.
+    */
+  private def matryoshkaProbeOracle: String = {
+    import graft.queries.Similarity.{IvfIters, IvfProbe, MatryoshkaCand,
+      MatryoshkaProbeDims}
+    val d = MatryoshkaProbeDims
+    def foldD(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${d + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+    def cosD(a: String, b: String): String =
+      s"""${foldD(a, b)} /
+         |    (sqrt(${foldD(a, a)}) * sqrt(${foldD(b, b)}))""".stripMargin
+    s"""$ivfTrainAssignCtes,
+       |mq AS (SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < 3),
+       |mqs AS (
+       |  SELECT mq.query_id, c.cell,
+       |    ${cosD("mq.qv", "c.cv")} AS pcsim
+       |  FROM mq, c$IvfIters c),
+       |mqc AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT query_id, cell, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY pcsim DESC, cell ASC) AS crk
+       |    FROM mqs) WHERE crk <= $IvfProbe),
+       |msc AS (
+       |  SELECT mqc.query_id, a.vec_id,
+       |    ${cosD("ce.embedding", "qe.qv")} AS psim
+       |  FROM mqc JOIN asg a USING (cell)
+       |  JOIN e ce ON ce.vec_id = a.vec_id
+       |  JOIN mq qe ON qe.query_id = mqc.query_id
+       |  WHERE a.vec_id <> mqc.query_id),
+       |mcand AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY psim DESC, vec_id ASC) AS prk
+       |  FROM msc) WHERE prk <= $MatryoshkaCand),
+       |mre AS (
+       |  SELECT mcand.query_id, mcand.vec_id,
+       |    ${cosineOf("ce.embedding", "qe.qv")} AS sim
+       |  FROM mcand JOIN e ce ON ce.vec_id = mcand.vec_id
+       |  JOIN mq qe ON qe.query_id = mcand.query_id),
+       |mr AS (SELECT query_id, vec_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS INT) AS rk
+       |  FROM mre)
+       |SELECT query_id, vec_id, sim, rk FROM mr WHERE rk <= 10
+       |ORDER BY query_id, rk""".stripMargin
   }
 
   /** Shared NB-model CTEs (`WITH tok … fin`): the multinomial NB
@@ -3432,6 +3485,7 @@ object SparkEntry {
       ("sim_recall_eval" -> recallEvalSql) +
       ("sim_ivf_topk" -> ivfOracleSql) +
       ("sim_ivfpq_topk" -> ivfOracleSql) +
+      ("sim_matryoshka_probe" -> matryoshkaProbeOracle) +
       ("sim_knn_graph" -> knnGraphOracleSql) +
       ("sim_knn_incr" -> knnIncrOracleSql) +
       ("sim_components" -> componentsOracleSql()) +

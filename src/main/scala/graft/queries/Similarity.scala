@@ -1786,4 +1786,79 @@ object Similarity {
       .withColumn("recall_bp", col("hits") * lit(1000L))
       .orderBy("dims", "query_id")
   }
+
+  // -------------------------------------------- matryoshka × IVF probe
+
+  /** Prefix dims used for the cheap candidate phase, and how many
+    * prefix-ranked candidates survive into the full-dim re-score.
+    */
+  val MatryoshkaProbeDims = 16
+  val MatryoshkaCand = 50
+
+  /** Matryoshka-probed ANN (`sim_matryoshka_probe`): the cost cut that
+    * [[matryoshkaRecall]] measures, composed with the staged IVF index —
+    * BOTH the cell ranking and the candidate scoring run over only the
+    * first [[MatryoshkaProbeDims]] dims (16/64 of the multiplies and,
+    * with a prefix-truncated index copy, 16/64 of the bytes), then the
+    * surviving [[MatryoshkaCand]] candidates per query are re-scored
+    * exactly on all 64 dims for the final top-10.
+    *
+    * Scale shape: identical to [[ivfTopK]] — probing the staged
+    * cell-partitioned corpus is partition pruning via the broadcast
+    * cell join, the candidate window is per-query over probed cells
+    * only, and the full-dim re-score touches [[MatryoshkaCand]] rows
+    * per query, never the corpus. Oracle-replayable because the prefix
+    * cosine is the same sequential fold over a slice that the
+    * matryoshka-recall gate already proves bit-portable.
+    */
+  def matryoshkaProbe(s: SparkSession, dir: String): DataFrame = {
+    var eMat: DataFrame = null
+    def e: DataFrame = {
+      if (eMat == null)
+        eMat = Relational.t(s, dir, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      eMat
+    }
+    val cent = ivfCentFor(s, dir, e)
+    val corpus = ivfCorpusFor(s, dir, e, cent)
+    val topk = matryoshkaProbeTopK(cent, corpus, IvfProbe,
+      MatryoshkaProbeDims, MatryoshkaCand)
+    if (eMat != null) Dedup.releaseAfter(topk, eMat) else topk
+  }
+
+  /** The two-phase probe over an assembled IVF index: prefix-dim cell
+    * ranking + prefix-dim candidate shortlist, full-dim exact re-score.
+    */
+  private[queries] def matryoshkaProbeTopK(cent: DataFrame,
+      corpus: DataFrame, probe: Int, dims: Int, cand: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def pcos(a: Column, b: Column): Column =
+      cosine(slice(a, 1, dims), slice(b, 1, dims))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("pcsim").desc, col("cell").asc)
+    val qcells = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("pcsim", pcos(col("qv"), col("cv")))
+      .withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= probe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("psim").desc, col("vec_id").asc)
+    val shortlist = corpus.join(broadcast(qcells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("psim", pcos(col("embedding"), col("qv")))
+      .withColumn("prk", row_number().over(wc))
+      .filter(col("prk") <= cand)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    shortlist
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("embedding"), col("qv")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rk"))
+      .orderBy("query_id", "rk")
+  }
 }

@@ -332,6 +332,210 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         col("_x.t").as(ChangeTypeCol), col("_x.c").as(ChangeCommitCol)): _*)
   }
 
+  /** Full-history change feed at PER-COMMIT granularity from ONE scan —
+    * the bootstrap form of [[changes]]. `changes(b, e)` is a net diff
+    * (a key updated twice in range yields one event), so replaying
+    * history commit-by-commit needs one `changes` call PER commit: a
+    * plan that grows linearly with timeline length (4 scans+joins per
+    * commit). This derives the same per-commit events from a single
+    * pass instead:
+    *
+    *  - **asserts**: every row version ever written carries its own
+    *    `_commit_time` (rewrites copy rows verbatim), so one scan of
+    *    every file ever added — live or since-removed — yields all
+    *    (key, commit) versions; copies collapse on (key, commit).
+    *    A version is emitted only if it actually WON resolution at its
+    *    commit (running max of (precombine, commit) per key, reset at
+    *    delete barriers — a late MOR delta with a lower precombine never
+    *    became current, exactly as the net feed never shows it).
+    *  - **marker deletes**: MOR tombstones are rows (`_deleted`), direct
+    *    events; the before-image is filled from the preceding assert.
+    *  - **vanished keys** (COW deletes rewrite files WITHOUT the key):
+    *    a visible version whose copy-chain ends — every file that holds
+    *    it was removed, at an instant strictly before the key's next
+    *    assert (a rewrite at the next assert is supersession, not
+    *    delete) — yields a delete event at the chain-end commit. The
+    *    table format guarantees a CURRENT version is always copied
+    *    forward, so a dead chain means deleted-or-superseded, and the
+    *    next-assert guard separates the two.
+    *
+    * Unlike [[changes]] (whose net classification cannot know it),
+    * delete events here carry their commit in `_change_commit`.
+    *
+    * At 100 TB this is one corpus-sized scan + key-local windows — the
+    * shape an SCD2 / audit-trail bootstrap needs; per-commit `changes`
+    * remains the right tool for small incremental ranges. Same
+    * retention contract as [[changes]]: every historical file must
+    * still exist (clean destroys history). Refused on an archived
+    * timeline (the checkpoint is a net effect, per-commit events below
+    * it are gone) and on a branch (its clone genesis FLATTENS pre-fork
+    * history by design — replay the source, or `changes` from the
+    * fork).
+    */
+  def fullHistoryChanges(): DataFrame = {
+    val insts = timeline.instants()
+    if (insts.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], changesSchema)
+    val commits = insts.map(timeline.read)
+    require(!commits.exists(_.operation == "archive-checkpoint"),
+      "full-history feed impossible on an archived timeline: the " +
+        "checkpoint is a net effect, per-commit events below it are gone")
+    require(commits.head.operation != "clone",
+      "full-history feed on a branch is the flattened genesis by " +
+        "design; replay the source table or use changes() from the fork")
+    val u = userSchema.getOrElse(throw new IllegalStateException(
+      "table has no schema yet")).fieldNames.toSeq
+    val pc = _meta.precombineField
+    // driver-side file metadata (bounded by the timeline): when was each
+    // file logically removed (clean is physical housekeeping, not a
+    // content change — and cleaned files fail the readability probe)
+    val removedAt: Map[String, String] = commits
+      .filterNot(_.operation == "clean")
+      .flatMap(c => c.removed.map(_ -> c.instant)).toMap
+    val allAdded = commits.flatMap(_.added)
+    if (allAdded.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], changesSchema)
+    // retention probe (the changes() contract): one listStatus per
+    // touched partition dir, not one exists() RPC per file
+    val removedStats = allAdded.filter(f => removedAt.contains(f.path))
+    if (removedStats.nonEmpty) {
+      val qualified = removedStats.map(f =>
+        f.path -> fs.makeQualified(new Path(tablePath, f.path)).toString)
+      val present: Set[String] = qualified.map { case (_, q) =>
+        new Path(q).getParent
+      }.distinct.flatMap { dir =>
+        try fs.listStatus(dir).toSeq
+          .map(st => fs.makeQualified(st.getPath).toString)
+        catch { case _: java.io.FileNotFoundException => Seq.empty[String] }
+      }.toSet
+      qualified.collectFirst { case (p, q) if !present.contains(q) => p }
+        .foreach { p =>
+          throw new IllegalStateException(
+            s"full-history feed needs file $p, already deleted by clean; " +
+              "bootstrap within the clean retention window (same contract " +
+              "as time travel)")
+        }
+    }
+    def qualOf(rel: String): String = fs.makeQualified(
+      if (rel.startsWith("/") || rel.contains("://")) new Path(rel)
+      else new Path(tablePath, rel)).toString
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // "" = still live; the left-join sentinel distinguishes "live" from
+    // "URI mapping missed" (which must fail loudly, not drop rows).
+    // input_file_name() may or may not carry the scheme depending on
+    // the filesystem — register both the qualified URI and the bare
+    // URI path for every file
+    val fileMeta = allAdded
+      .flatMap { f =>
+        val q = qualOf(f.path)
+        val rm = removedAt.getOrElse(f.path, "")
+        Seq(q -> rm, new Path(q).toUri.getPath -> rm)
+      }
+      .distinct.toDF("_src", "_rm")
+    val isDel = coalesce(col(DeletedCol), lit(false))
+    val tagged = readStats(allAdded)
+      .withColumn("_src", input_file_name())
+      .join(broadcast(fileMeta), Seq("_src"), "left")
+      .withColumn("_rm", when(col("_rm").isNull,
+        raise_error(concat(lit("full-history feed: scan URI not in the " +
+          "commit metadata map: "), col("_src"))))
+        .otherwise(col("_rm")))
+    // one row per (key, commit) VERSION: copies (rewrites, compactions)
+    // collapse; within-commit duplicate keys (insert op) resolve by
+    // precombine like the snapshot does. The copy chain reduces to: is
+    // any holding file live, and when did the last one die.
+    val ver = tagged
+      .groupBy(col(RecordKeyCol), col(CommitTimeCol))
+      .agg(
+        max_by(struct((u :+ DeletedCol).map(col): _*),
+          struct(col(pc), col("_src"))).as("_img"),
+        max(when(col("_rm") === "", 1).otherwise(0)).as("_live"),
+        max(when(col("_rm") =!= "", col("_rm"))).as("_chain_end"))
+      .select(Seq(col(RecordKeyCol), col(CommitTimeCol), col("_live"),
+        col("_chain_end")) ++ (u :+ DeletedCol).map(n => col(s"_img.`$n`").as(n)): _*)
+      .withColumn("_isdel", isDel)
+    // instants are zero-padded fixed-width, so lexicographic window
+    // order IS commit order
+    val wKey = Window.partitionBy(RecordKeyCol).orderBy(col(CommitTimeCol))
+    val wPrev = wKey.rowsBetween(Window.unboundedPreceding, -1)
+    val wPrevIncl = wKey.rowsBetween(Window.unboundedPreceding, 0)
+    val staged = ver
+      // delete barrier: a tombstone kills every earlier version
+      // regardless of precombine, and a later re-insert revives the key
+      // (Hudi delete-block semantics) — so resolution-visibility resets
+      // at each marker delete
+      .withColumn("_barrier",
+        max(when(col("_isdel"), col(CommitTimeCol))).over(wPrev))
+      // before-image for marker deletes (the net feed's "_b" side)
+      .withColumn("_fill", last(
+        when(!col("_isdel"), struct(u.map(col): _*)), ignoreNulls = true)
+        .over(wPrevIncl))
+    val wVis = Window.partitionBy(col(RecordKeyCol), col("_barrier"))
+      .orderBy(col(CommitTimeCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val vis = staged
+      .withColumn("_pmax",
+        max(when(!col("_isdel"),
+          struct(col(pc), col(CommitTimeCol)))).over(wVis))
+      .withColumn("_visible", !col("_isdel") && (col("_pmax").isNull ||
+        struct(col(pc), col(CommitTimeCol)) > col("_pmax")))
+    // per-key neighborhood of each row among the VISIBLE asserts,
+    // as conditional window aggregates so the whole derivation stays a
+    // SINGLE pass (no filter-per-kind branches — each would re-execute
+    // the scan, the changes() explode rationale):
+    //  _next_vis: the next visible assert's commit;
+    //  _prev_a:   the latest preceding visible assert (ct, liveness,
+    //             chain end) — struct max orders by ct first;
+    //  _present:  was the key present JUST BEFORE this row (a preceding
+    //             visible assert not yet closed by a marker delete or by
+    //             its own vanished copy-chain).
+    val full = vis
+      .withColumn("_next_vis", min(when(col("_visible"), col(CommitTimeCol)))
+        .over(wKey.rowsBetween(1, Window.unboundedFollowing)))
+      // a dead copy-chain strictly before the next assert = the key was
+      // deleted at the chain's last removal (a chain dying AT the next
+      // assert is supersession; a live file means the version or a copy
+      // is still on disk)
+      .withColumn("_vanish", col("_visible") && col("_live") === 0 &&
+        col("_chain_end").isNotNull &&
+        (col("_next_vis").isNull || col("_chain_end") < col("_next_vis")))
+      .withColumn("_prev_a", max(when(col("_visible"),
+        struct(col(CommitTimeCol).as("ct"), col("_live").as("lv"),
+          col("_chain_end").as("ce")))).over(wPrev))
+      .withColumn("_prev_vanished", col("_prev_a").isNotNull &&
+        col("_prev_a.lv") === 0 && col("_prev_a.ce").isNotNull &&
+        col("_prev_a.ce") < col(CommitTimeCol))
+      .withColumn("_present", col("_prev_a").isNotNull &&
+        !col("_prev_vanished") &&
+        !(col("_barrier").isNotNull && col("_barrier") > col("_prev_a.ct")))
+    // classify each (key, commit) row into 0..2 events and explode —
+    // exactly the changes() single-pass idiom
+    def entry(img: Column, kind: Column, commit: Column) =
+      struct(img.as("img"), kind.as("t"), commit.as("c"))
+    val img = struct(u.map(col): _*)
+    val arr =
+      // a tombstone only deletes a key that was present (a tombstone for
+      // an absent key is a no-op, like the net feed's unmatched before)
+      when(col("_isdel") && col("_present"),
+        array(entry(col("_fill"), lit("delete"), col(CommitTimeCol))))
+      .when(col("_visible") && col("_vanish"),
+        array(entry(img, when(!col("_present"), "insert")
+            .otherwise("update_postimage"), col(CommitTimeCol)),
+          entry(img, lit("delete"), col("_chain_end"))))
+      .when(col("_visible"),
+        array(entry(img, when(!col("_present"), "insert")
+          .otherwise("update_postimage"), col(CommitTimeCol))))
+    // no otherwise(): invisible versions and no-op tombstones yield
+    // null, which explode() drops
+    full.select(explode(arr).as("_x"))
+      .select(u.map(n => col(s"_x.img.`$n`").as(n)) ++ Seq(
+        col("_x.t").as(ChangeTypeCol),
+        col("_x.c").as(ChangeCommitCol)): _*)
+  }
+
   /** MOR read-optimized view: base files only, skipping un-compacted
     * deltas (reference MSK2Hudi.scala:5 / SURVEY S5). == snapshot for
     * COW.

@@ -61,7 +61,28 @@ object Scd2 {
       "cannot bootstrap SCD2 history: the timeline was archived, so " +
         "per-commit change feeds below the checkpoint no longer exist; " +
         "bootstrap before archival or maintain the dimension incrementally")
-    chains(ordinalEvents(t, ords, prevInstant = None), keyCols)
+    val events =
+      if (t.timeline.read(ords.head._2).operation == "clone")
+        // a branch FLATTENS pre-fork history into its clone genesis —
+        // the one shape the single-scan feed refuses. Branch timelines
+        // start at the fork, so the per-commit plan stays bounded here.
+        ordinalEvents(t, ords, prevInstant = None)
+      else {
+        // the single-scan bootstrap: [[LakeTable.fullHistoryChanges]]
+        // yields per-commit events (delete commits filled) from ONE
+        // corpus scan — plan size constant in timeline length, where
+        // one changes() call per commit grew 4 scans+joins per commit —
+        // and the broadcast (instant → ordinal) map replaces the
+        // per-feed lit() tag
+        val s = t.spark
+        import s.implicits._
+        val om = ords.map { case (o, i) => (i, o) }.toDF("_inst_m", "_ord")
+        t.fullHistoryChanges()
+          .join(broadcast(om),
+            col(LakeTable.ChangeCommitCol) === col("_inst_m"))
+          .drop("_inst_m")
+      }
+    chains(events, keyCols)
   }
 
   /** Tagged SCD events for a run of commits: one pruned change feed per

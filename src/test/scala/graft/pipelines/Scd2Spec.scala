@@ -72,6 +72,43 @@ class Scd2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st3.contains((2L, "b2", 4L, None, true)))
   }
 
+  test("bootstrap history plans ONE file scan regardless of timeline length") {
+    // the VERDICT-r12 plan-growth fix: a from-genesis bootstrap used one
+    // changes() plan per commit (4 scans+joins each, linear in timeline
+    // length); the fullHistoryChanges rewrite derives the same events
+    // from a single corpus scan, so analyzer cost is constant in commits
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val t = mkTable()
+    def df(rows: (Long, String, Long)*) =
+      rows.map { case (i, v, ts) => (i, v, ts) }.toDF("id", "v", "ts")
+    for (c <- 1 to 6)
+      t.upsert(df((c.toLong % 3, s"v$c", c.toLong), (10L + c, s"w$c", c.toLong)),
+        combine = false)
+    t.delete(Seq(1L).toDF("id"))
+    val h = Scd2.history(t, Seq("id"))
+    h.collect() // finalize the adaptive plan before inspecting it
+    val helper = new org.apache.spark.sql.execution.adaptive
+      .AdaptiveSparkPlanHelper {}
+    val scans = helper.collectWithSubqueries(
+      h.queryExecution.executedPlan) {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.size == 1,
+      s"bootstrap must read the corpus ONCE, found ${scans.size} scans")
+    // and the single-scan history is internally consistent: per key,
+    // version intervals tile [first, open/close) with no overlap
+    val byKey = h.collect().groupBy(_.getAs[Long]("id"))
+    byKey.values.foreach { vs =>
+      val sorted = vs.sortBy(_.getAs[Long]("valid_from"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to") == b.getAs[Long]("valid_from"))
+        case _ =>
+      }
+      assert(sorted.init.forall(!_.getAs[Boolean]("is_current")))
+    }
+  }
+
   test("randomized op sequences: advance tracks history across rounds") {
     val rnd = new scala.util.Random(11)
     val t = mkTable()

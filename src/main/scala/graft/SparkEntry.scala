@@ -103,6 +103,10 @@ object SparkEntry {
     "lake_merge_into" -> (LakeQueries.lakeMergeInto _),
     // CDC change feed: net insert/update(pre+post)/delete images per key
     "lake_changes" -> (LakeQueries.lakeChanges _),
+    // per-commit full-history audit feed from ONE scan (the SCD2
+    // bootstrap primitive; deletes carry their commit, unlike the net
+    // feed which cannot know it)
+    "lake_history_feed" -> (LakeQueries.lakeHistoryFeed _),
     // incremental view maintenance: state@c1 + signed change images
     // must bitwise-equal the final snapshot's rollup
     "lake_rollup_incremental" -> (LakeQueries.lakeRollupIncremental _),
@@ -2295,6 +2299,30 @@ object SparkEntry {
          |         created_ts, 'delete' FROM b1
          |  WHERE l_orderkey BETWEEN 300 AND 399
          |) ORDER BY l_orderkey, l_linenumber, _change_type""".stripMargin,
+    // the full-history feed's per-commit events from the shared CTEs:
+    // ord 1 = every base row as insert, ord 2 = postimages of keys <300
+    // and the inserted 400-449/+100 rows, ord 3 = commit-attributed
+    // deletes of 300-399 carrying their before-image
+    "lake_history_feed" ->
+      s"""$lakeCtes
+         |SELECT * FROM (
+         |  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+         |         created_ts, 'insert' AS _change_type,
+         |         CAST(1 AS BIGINT) AS ord FROM b1
+         |  UNION ALL
+         |  SELECT l_orderkey, l_linenumber, l_quantity + 1000, l_returnflag,
+         |         created_ts + 1, 'update_postimage', CAST(2 AS BIGINT)
+         |  FROM b1 WHERE l_orderkey < 300
+         |  UNION ALL
+         |  SELECT l_orderkey, CAST(l_linenumber + 100 AS INTEGER),
+         |         l_quantity + 5000, l_returnflag, created_ts + 3, 'insert',
+         |         CAST(2 AS BIGINT)
+         |  FROM b1 WHERE l_orderkey BETWEEN 400 AND 449
+         |  UNION ALL
+         |  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+         |         created_ts, 'delete', CAST(3 AS BIGINT) FROM b1
+         |  WHERE l_orderkey BETWEEN 300 AND 399
+         |) ORDER BY ord, l_orderkey, l_linenumber, _change_type""".stripMargin,
     // final-state rollup from the shared CTEs — the IVM path must land
     // exactly here (keys <300 updated +1000, 300-399 deleted, new
     // 400-449/+100 linenumber rows inserted at +5000, rest untouched)

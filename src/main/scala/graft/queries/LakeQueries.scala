@@ -495,6 +495,27 @@ object LakeQueries {
       .orderBy("l_orderkey", "l_linenumber", LakeTable.ChangeTypeCol)
   }
 
+  /** Full-history audit feed under the hash gate (`lake_history_feed`):
+    * [[LakeTable.fullHistoryChanges]] over the 3-commit change fixture —
+    * per-commit events (inserts, update postimages, commit-attributed
+    * deletes) derived from ONE corpus scan, the SCD2-bootstrap /
+    * audit-trail primitive. Commits emit as ordinals (wall-clock
+    * instants never hash-gate). The oracle replays all three commits'
+    * events from the shared input CTE.
+    */
+  def lakeHistoryFeed(s: SparkSession, dir: String): DataFrame = {
+    val (path, _) = changeFixture(s, dir)
+    val t = LakeTable.load(s, path)
+    import s.implicits._
+    val om = t.timeline.instants().zipWithIndex
+      .map { case (inst, i) => (inst, (i + 1).toLong) }.toDF("_inst_m", "ord")
+    t.fullHistoryChanges()
+      .join(broadcast(om), col(LakeTable.ChangeCommitCol) === col("_inst_m"))
+      .select(outCols.map(col) ++
+        Seq(col(LakeTable.ChangeTypeCol), col("ord")): _*)
+      .orderBy("ord", "l_orderkey", "l_linenumber", LakeTable.ChangeTypeCol)
+  }
+
   /** K1 delete op: keys vanish, survivors keep their data. Built once per
     * (JVM, sfDir); the query measures the post-delete snapshot READ + agg.
     */

@@ -1766,20 +1766,36 @@ object SparkEntry {
         |  CAST(len(d.w) - COALESCE(cl.n_kept, 0) AS BIGINT) AS n_removed,
         |  COALESCE(cl.clean_md5, md5('')) AS clean_md5
         |FROM d LEFT JOIN cl USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // exact-histogram phases (whole-value: equal difficulties never
+    // straddle a boundary) + position = hist-prefix + rank-among-equals
     "curate_curriculum" ->
       """WITH d AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |    n_chars FROM documents),
         |s AS (SELECT doc_id, n_tokens,
         |    (n_chars * 100) // n_tokens AS diff_x100 FROM d),
-        |p AS (SELECT doc_id, n_tokens, diff_x100,
-        |    CAST(ntile(5) OVER (ORDER BY diff_x100 ASC, doc_id ASC)
-        |      AS INT) AS phase
+        |h AS (SELECT diff_x100, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM s GROUP BY 1),
+        |c AS (SELECT diff_x100, cnt,
+        |    CAST(COALESCE(SUM(cnt) OVER (ORDER BY diff_x100 ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before,
+        |    CAST(SUM(cnt) OVER () AS BIGINT) AS total
+        |  FROM h),
+        |p AS (SELECT diff_x100, cum_before,
+        |    CAST(1 + (cum_before * 5) // total AS INT) AS phase FROM c),
+        |ps AS (SELECT phase, MIN(cum_before) AS phase_start
+        |  FROM p GROUP BY 1),
+        |m AS (SELECT p.diff_x100, p.phase, p.cum_before, ps.phase_start
+        |  FROM p JOIN ps USING (phase)),
+        |r AS (SELECT doc_id, n_tokens, diff_x100,
+        |    CAST(row_number() OVER (PARTITION BY diff_x100
+        |      ORDER BY doc_id ASC) AS INT) AS rn
         |  FROM s)
-        |SELECT doc_id, n_tokens, diff_x100, phase,
-        |  CAST(row_number() OVER (PARTITION BY phase
-        |    ORDER BY diff_x100 ASC, doc_id ASC) AS INT) AS pos_in_phase
-        |FROM p ORDER BY doc_id""".stripMargin,
+        |SELECT r.doc_id, r.n_tokens, r.diff_x100, m.phase,
+        |  CAST(m.cum_before - m.phase_start + r.rn AS INT) AS pos_in_phase
+        |FROM r JOIN m ON m.diff_x100 = r.diff_x100
+        |ORDER BY r.doc_id""".stripMargin,
     "stats_rate_spike" ->
       """WITH h AS (SELECT event_type,
         |    epoch_us(ts) // 3600000000 AS hr,

@@ -688,32 +688,54 @@ object Curation {
   /** Curriculum schedule (`curate_curriculum`) — order the corpus
     * easy → hard and cut it into training phases: each doc gets an
     * integer difficulty (mean word length ×100 — the proven portable
-    * proxy; swap in any hash-gated score), a phase via ntile over the
-    * (difficulty, doc_id) total order, and its serving position within
-    * the phase. Deterministic end to end (integer difficulty, total
-    * order, ntile's fixed first-buckets-get-extras split is identical
-    * in both engines), so the whole schedule hash-matches.
+    * proxy; swap in any hash-gated score), a phase from exact
+    * difficulty-histogram boundaries, and its serving position within
+    * the phase.
     *
-    * Scale shape: ntile over a global order is a global sort — right
-    * for the gate-exact schedule; at corpus scale the split becomes
-    * quantile BOUNDARIES from the one-pass histogram
-    * ([[quantileBins]]'s shape) + a map-only phase assignment, and the
-    * in-phase position becomes the shard/offset pair of
-    * [[shuffleShards]]. The expensive global sort here is the oracle's
-    * replayable stand-in for that composition, not the 100 TB plan.
+    * Scale shape (the 100 TB plan, not a stand-in): NO corpus-wide
+    * window anywhere. The exact difficulty histogram is one map-side-
+    * combined groupBy bounded by DISTINCT integer difficulties (a few
+    * thousand values regardless of corpus size); cumulative counts and
+    * phase ids derive on that tiny frame; the per-doc phase and
+    * position come from a broadcast map join + a row_number
+    * partitioned by DIFFICULTY VALUE (thousands of balanced groups,
+    * never 5 giant phase partitions): position = docs-before-my-
+    * difficulty-in-phase (from the histogram) + my rank among equal
+    * difficulties. Whole-value phases: equal difficulties never
+    * straddle a phase boundary (ntile would split ties arbitrarily —
+    * this is the better semantics AND the scalable one). All-integer
+    * arithmetic, so the schedule hash-matches the oracle's replay.
     */
   def curriculum(s: SparkSession, dir: String, phases: Int = 5): DataFrame = {
-    val ord = Window.orderBy(col("diff_x100").asc, col("doc_id").asc)
-    val inPhase = Window.partitionBy("phase")
-      .orderBy(col("diff_x100").asc, col("doc_id").asc)
-    docs(s, dir)
+    val base = docs(s, dir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         col("n_chars"))
       .withColumn("diff_x100", expr("(n_chars * 100) DIV n_tokens"))
-      .withColumn("phase", ntile(phases).over(ord))
-      .withColumn("pos_in_phase", row_number().over(inPhase))
-      .select("doc_id", "n_tokens", "diff_x100", "phase", "pos_in_phase")
+    // windows below run over the AGGREGATED histogram (distinct
+    // difficulty values), never the corpus
+    val wBefore = Window.orderBy("diff_x100")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy("diff_x100")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val hist = base.groupBy("diff_x100").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_before",
+        coalesce(sum("cnt").over(wBefore), lit(0L)))
+      .withColumn("total", sum("cnt").over(wAll))
+      .withColumn("phase",
+        expr(s"CAST(1 + (cum_before * $phases) DIV total AS INT)"))
+    val pstart = hist.groupBy("phase")
+      .agg(min("cum_before").as("phase_start"))
+    val dmap = hist.join(pstart, "phase")
+      .select("diff_x100", "phase", "cum_before", "phase_start")
+    val wDiff = Window.partitionBy("diff_x100").orderBy("doc_id")
+    base
+      .withColumn("rn", row_number().over(wDiff))
+      .join(broadcast(dmap), "diff_x100")
+      .withColumn("pos_in_phase",
+        (col("cum_before") - col("phase_start") + col("rn")).cast("int"))
+      .select(col("doc_id"), col("n_tokens"), col("diff_x100"),
+        col("phase"), col("pos_in_phase"))
       .orderBy("doc_id")
   }
 }

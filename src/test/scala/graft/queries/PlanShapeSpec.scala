@@ -71,11 +71,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("no curate_*/stats_* query plans a global window over unbounded input") {
-    // curate_curriculum is the documented gate-exact stand-in: its
-    // scaladoc names the 100 TB composition (histogram boundaries +
-    // shard/offset) and frames the global ntile as the oracle-replayable
-    // twin — the one allowed exception.
-    val allow = Set("curate_curriculum")
+    // round 13: the last exception (curate_curriculum's global ntile) is
+    // gone — its phases now come from the exact difficulty histogram, so
+    // its only unpartitioned windows sit above an Aggregate. Empty
+    // allowlist, kept as the extension point.
+    val allow = Set.empty[String]
     val names = graft.SparkEntry.queries.keys
       .filter(n => n.startsWith("curate_") || n.startsWith("stats_"))
       .filterNot(allow).toSeq.sorted

@@ -678,8 +678,13 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(2), r.getInt(3), r.getInt(4)))
     val byPhase = rows.groupBy(_._3)
     assert(byPhase.keySet == (1 to 5).toSet)
+    // whole-value phases (round 13): equal difficulties never straddle a
+    // boundary, so imbalance is bounded by the largest difficulty tie
+    // group, not ±1
     val sizes = byPhase.view.mapValues(_.length).values.toSeq
-    assert(sizes.max - sizes.min <= 1)
+    val maxTie = rows.groupBy(_._2).values.map(_.length).max
+    assert(sizes.max - sizes.min <= math.max(1, maxTie),
+      s"phase sizes $sizes exceed tie-group bound $maxTie")
     // difficulty never decreases across phase boundaries
     val maxByPhase = byPhase.view.mapValues(_.map(_._2).max).toMap
     val minByPhase = byPhase.view.mapValues(_.map(_._2).min).toMap

@@ -107,6 +107,9 @@ object SparkEntry {
     // bootstrap primitive; deletes carry their commit, unlike the net
     // feed which cannot know it)
     "lake_history_feed" -> (LakeQueries.lakeHistoryFeed _),
+    // per-key audit lookup: the same feed key-range + bloom pruned to
+    // the probed keys' file groups across history
+    "lake_key_history" -> (LakeQueries.lakeKeyHistory _),
     // incremental view maintenance: state@c1 + signed change images
     // must bitwise-equal the final snapshot's rollup
     "lake_rollup_incremental" -> (LakeQueries.lakeRollupIncremental _),
@@ -2337,6 +2340,30 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
          |         created_ts, 'delete', CAST(3 AS BIGINT) FROM b1
+         |  WHERE l_orderkey BETWEEN 300 AND 399
+         |) ORDER BY ord, l_orderkey, l_linenumber, _change_type""".stripMargin,
+    // the per-key audit lookup: the history-feed events of exactly the
+    // probed order-keys (42/142 updated, 342 deleted, 442 original +
+    // insert-extended rows)
+    "lake_key_history" ->
+      s"""$lakeCtes, pk AS (
+         |  SELECT * FROM b1 WHERE l_orderkey IN (42, 142, 342, 442))
+         |SELECT * FROM (
+         |  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+         |         created_ts, 'insert' AS _change_type,
+         |         CAST(1 AS BIGINT) AS ord FROM pk
+         |  UNION ALL
+         |  SELECT l_orderkey, l_linenumber, l_quantity + 1000, l_returnflag,
+         |         created_ts + 1, 'update_postimage', CAST(2 AS BIGINT)
+         |  FROM pk WHERE l_orderkey < 300
+         |  UNION ALL
+         |  SELECT l_orderkey, CAST(l_linenumber + 100 AS INTEGER),
+         |         l_quantity + 5000, l_returnflag, created_ts + 3, 'insert',
+         |         CAST(2 AS BIGINT)
+         |  FROM pk WHERE l_orderkey BETWEEN 400 AND 449
+         |  UNION ALL
+         |  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+         |         created_ts, 'delete', CAST(3 AS BIGINT) FROM pk
          |  WHERE l_orderkey BETWEEN 300 AND 399
          |) ORDER BY ord, l_orderkey, l_linenumber, _change_type""".stripMargin,
     // final-state rollup from the shared CTEs — the IVM path must land

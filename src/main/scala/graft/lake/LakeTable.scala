@@ -372,11 +372,64 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * history by design — replay the source, or `changes` from the
     * fork).
     */
-  def fullHistoryChanges(): DataFrame = {
-    val insts = timeline.instants()
-    if (insts.isEmpty)
-      return spark.createDataFrame(
+  def fullHistoryChanges(): DataFrame =
+    historyPrep() match {
+      case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], changesSchema)
+      case Some((allAdded, removedAt)) =>
+        requireHistoricalReadable(allAdded, removedAt)
+        historyEventsOver(allAdded, removedAt, keyFilter = None)
+    }
+
+  /** Per-key history: [[fullHistoryChanges]] restricted to the keys in
+    * `data` (any frame carrying the key columns, like [[delete]]) — the
+    * "what happened to THIS record" audit lookup. The scan prunes to
+    * files that can contain a probed key (key-range + record-key bloom,
+    * over every file EVER added), so the cost is O(files touching the
+    * key's file groups across history), not O(table history) — the
+    * property that lets the audit primitive double as a point lookup at
+    * 100 TB. Point-lookup contract: at most [[LakeTable.BloomProbeMaxKeys]]
+    * distinct keys (bulk audits should scan [[fullHistoryChanges]]).
+    */
+  def keyHistory(data: DataFrame): DataFrame =
+    historyPrep() match {
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], changesSchema)
+      case Some((allAdded, removedAt)) =>
+        import spark.implicits._
+        val keyed = withKeyOnly(data)
+        val keys = keyed.select(col(RecordKeyCol)).distinct()
+          .as[String].collect().sorted
+        require(keys.length <= BloomProbeMaxKeys,
+          s"keyHistory is a point lookup (max $BloomProbeMaxKeys keys, " +
+            s"got ${keys.length}); scan fullHistoryChanges for bulk audits")
+        if (keys.isEmpty)
+          return spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], changesSchema)
+        val ranged = allAdded.filter(f =>
+          f.minKey == null || f.maxKey == null ||
+            keys.exists(k => f.minKey <= k && k <= f.maxKey))
+        // footer blooms are read below — verify retention FIRST so a
+        // cleaned-away historical file fails with the contract error,
+        // not a footer read failure
+        requireHistoricalReadable(ranged, removedAt)
+        val pruned = bloomPrune(ranged, keyed, keys.length.toLong)
+        historyEventsOver(pruned, removedAt,
+          keyFilter = Some(col(RecordKeyCol).isin(
+            keys.toIndexedSeq.map(_.asInstanceOf[Any]): _*)))
+    }
+
+  /** Shared guards + driver-side file metadata of the history feeds:
+    * every file ever added, and the instant each was LOGICALLY removed
+    * (clean is physical housekeeping, not a content change). None when
+    * the table has no commits or no files.
+    */
+  private def historyPrep(): Option[(Seq[FileStat], Map[String, String])] = {
+    val insts = timeline.instants()
+    if (insts.isEmpty) {
+      changesSchema // force the no-schema IllegalStateException contract
+      return None
+    }
     val commits = insts.map(timeline.read)
     require(!commits.exists(_.operation == "archive-checkpoint"),
       "full-history feed impossible on an archived timeline: the " +
@@ -384,40 +437,49 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     require(commits.head.operation != "clone",
       "full-history feed on a branch is the flattened genesis by " +
         "design; replay the source table or use changes() from the fork")
-    val u = userSchema.getOrElse(throw new IllegalStateException(
-      "table has no schema yet")).fieldNames.toSeq
-    val pc = _meta.precombineField
-    // driver-side file metadata (bounded by the timeline): when was each
-    // file logically removed (clean is physical housekeeping, not a
-    // content change — and cleaned files fail the readability probe)
     val removedAt: Map[String, String] = commits
       .filterNot(_.operation == "clean")
       .flatMap(c => c.removed.map(_ -> c.instant)).toMap
     val allAdded = commits.flatMap(_.added)
-    if (allAdded.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], changesSchema)
-    // retention probe (the changes() contract): one listStatus per
-    // touched partition dir, not one exists() RPC per file
-    val removedStats = allAdded.filter(f => removedAt.contains(f.path))
-    if (removedStats.nonEmpty) {
-      val qualified = removedStats.map(f =>
-        f.path -> fs.makeQualified(new Path(tablePath, f.path)).toString)
-      val present: Set[String] = qualified.map { case (_, q) =>
-        new Path(q).getParent
-      }.distinct.flatMap { dir =>
-        try fs.listStatus(dir).toSeq
-          .map(st => fs.makeQualified(st.getPath).toString)
-        catch { case _: java.io.FileNotFoundException => Seq.empty[String] }
-      }.toSet
-      qualified.collectFirst { case (p, q) if !present.contains(q) => p }
-        .foreach { p =>
-          throw new IllegalStateException(
-            s"full-history feed needs file $p, already deleted by clean; " +
-              "bootstrap within the clean retention window (same contract " +
-              "as time travel)")
-        }
-    }
+    if (allAdded.isEmpty) None else Some((allAdded, removedAt))
+  }
+
+  /** Retention probe (the changes() contract): every since-removed file
+    * in `stats` must still exist on disk — one listStatus per touched
+    * partition dir, not one exists() RPC per file.
+    */
+  private def requireHistoricalReadable(stats: Seq[FileStat],
+      removedAt: Map[String, String]): Unit = {
+    val removedStats = stats.filter(f => removedAt.contains(f.path))
+    if (removedStats.isEmpty) return
+    val qualified = removedStats.map(f =>
+      f.path -> fs.makeQualified(new Path(tablePath, f.path)).toString)
+    val present: Set[String] = qualified.map { case (_, q) =>
+      new Path(q).getParent
+    }.distinct.flatMap { dir =>
+      try fs.listStatus(dir).toSeq
+        .map(st => fs.makeQualified(st.getPath).toString)
+      catch { case _: java.io.FileNotFoundException => Seq.empty[String] }
+    }.toSet
+    qualified.collectFirst { case (p, q) if !present.contains(q) => p }
+      .foreach { p =>
+        throw new IllegalStateException(
+          s"full-history feed needs file $p, already deleted by clean; " +
+            "bootstrap within the clean retention window (same contract " +
+            "as time travel)")
+      }
+  }
+
+  /** The single-pass event derivation over an explicit file set (see
+    * [[fullHistoryChanges]] for the semantics). `keyFilter` restricts
+    * the raw scan to probed keys — pushed into the parquet read.
+    */
+  private def historyEventsOver(allAdded: Seq[FileStat],
+      removedAt: Map[String, String],
+      keyFilter: Option[Column]): DataFrame = {
+    val u = userSchema.getOrElse(throw new IllegalStateException(
+      "table has no schema yet")).fieldNames.toSeq
+    val pc = _meta.precombineField
     def qualOf(rel: String): String = fs.makeQualified(
       if (rel.startsWith("/") || rel.contains("://")) new Path(rel)
       else new Path(tablePath, rel)).toString
@@ -436,7 +498,9 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       }
       .distinct.toDF("_src", "_rm")
     val isDel = coalesce(col(DeletedCol), lit(false))
-    val tagged = readStats(allAdded)
+    val raw0 = readStats(allAdded)
+    val raw = keyFilter.fold(raw0)(raw0.filter)
+    val tagged = raw
       .withColumn("_src", input_file_name())
       .join(broadcast(fileMeta), Seq("_src"), "left")
       .withColumn("_rm", when(col("_rm").isNull,

@@ -516,6 +516,33 @@ object LakeQueries {
       .orderBy("ord", "l_orderkey", "l_linenumber", LakeTable.ChangeTypeCol)
   }
 
+  /** Per-key audit lookup under the hash gate (`lake_key_history`):
+    * [[LakeTable.keyHistory]] over the change fixture for four probe
+    * order-keys spanning every event class — updated (42, 142), deleted
+    * (342), and insert-extended (442, probing both the original rows
+    * and the +100-linenumber inserts). The scan prunes to files that
+    * can contain a probed key (key range + record-key bloom, across
+    * history), so the audit answers in O(key's file groups), not
+    * O(table history).
+    */
+  def lakeKeyHistory(s: SparkSession, dir: String): DataFrame = {
+    val (path, _) = changeFixture(s, dir)
+    val t = LakeTable.load(s, path)
+    val base = withBatch1(s, dir)(_.select("l_orderkey", "l_linenumber"))
+      .filter(col("l_orderkey").isin(42L, 142L, 342L, 442L))
+    val probes = base.unionByName(
+      base.filter(col("l_orderkey") === 442L)
+        .withColumn("l_linenumber", (col("l_linenumber") + 100).cast("int")))
+    import s.implicits._
+    val om = t.timeline.instants().zipWithIndex
+      .map { case (inst, i) => (inst, (i + 1).toLong) }.toDF("_inst_m", "ord")
+    t.keyHistory(probes)
+      .join(broadcast(om), col(LakeTable.ChangeCommitCol) === col("_inst_m"))
+      .select(outCols.map(col) ++
+        Seq(col(LakeTable.ChangeTypeCol), col("ord")): _*)
+      .orderBy("ord", "l_orderkey", "l_linenumber", LakeTable.ChangeTypeCol)
+  }
+
   /** K1 delete op: keys vanish, survivors keep their data. Built once per
     * (JVM, sfDir); the query measures the post-delete snapshot READ + agg.
     */

@@ -26,6 +26,7 @@ import graft.util.Sessions
   *   runMain graft.tools.LakeCli distinct-advance <tablePath> <stateDir> <grp>[,grp...] <valueCol>
   *   runMain graft.tools.LakeCli rollup-advance   <tablePath> <stateDir> <grp>[,grp...] <valueCol>
   *   runMain graft.tools.LakeCli branch      <tablePath> <destPath> <name>
+  *   runMain graft.tools.LakeCli key-history <tablePath> <col=val[,col=val...]>
   */
 object LakeCli {
   def main(args: Array[String]): Unit = {
@@ -153,6 +154,29 @@ object LakeCli {
         val br = t.shallowCloneTo(args(2), args(3))
         println(s"branched to ${br.path} " +
           s"(genesis ${br.latestCommit.getOrElse("-")})")
+      case "key-history" =>
+        // per-key audit lookup: key-history <tablePath> <col=val[,col=val...]>
+        require(args.length > 2, "key-history needs col=val[,col=val...]")
+        val kv = args(2).split(",").map(_.split("=", 2)).map {
+          case Array(k, v) => k.trim -> v.trim
+          case other => sys.error(s"bad key spec: ${other.mkString("=")}")
+        }
+        val schema = t.userSchema.get
+        val row = org.apache.spark.sql.Row.fromSeq(kv.toIndexedSeq.map {
+          case (k, v) =>
+            schema(schema.fieldIndex(k)).dataType match {
+              case org.apache.spark.sql.types.LongType    => v.toLong
+              case org.apache.spark.sql.types.IntegerType => v.toInt
+              case org.apache.spark.sql.types.DoubleType  => v.toDouble
+              case _                                      => v
+            }
+        })
+        val probe = spark.createDataFrame(
+          java.util.Collections.singletonList(row),
+          org.apache.spark.sql.types.StructType(kv.toIndexedSeq.map {
+            case (k, _) => schema(schema.fieldIndex(k))
+          }))
+        t.keyHistory(probe).show(100, truncate = false)
       case other => sys.error(s"unknown command: $other")
     }
   }

@@ -106,6 +106,39 @@ class HistoryFeedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feed(t) == perCommitTruth(t))
   }
 
+  test("keyHistory equals the key-filtered full feed and prunes its scan") {
+    val t = mkTable("hf_key", "cow")
+    def df(rows: (Long, String, Long, Long)*) =
+      rows.toDF("id", "g", "v", "ts")
+    // spread keys across file groups so range/bloom pruning has teeth
+    t.upsert((0L until 200L).map(i => (i, s"g${i % 4}", i * 10, 1L))
+      .toDF("id", "g", "v", "ts").repartition(8), combine = false)
+    t.upsert(df((7L, "g3", 777L, 2L)), combine = false)
+    t.delete(Seq(7L).toDF("id"))
+    t.upsert(df((7L, "g3", 778L, 3L)), combine = false)
+    val probe = Seq(7L).toDF("id")
+    val got = t.keyHistory(probe).collect().map(_.toSeq).toSet
+    val full = t.fullHistoryChanges().filter(col("id") === 7L)
+      .collect().map(_.toSeq).toSet
+    assert(got == full)
+    assert(got.size == 4) // insert, postimage, delete, re-insert
+    // pruning: the key-scoped scan reads strictly fewer files than the
+    // full history scan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val helper = new org.apache.spark.sql.execution.adaptive
+      .AdaptiveSparkPlanHelper {}
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      helper.collectWithSubqueries(df.queryExecution.executedPlan) {
+        case f: FileSourceScanExec =>
+          f.relation.location.inputFiles.length.toLong
+      }.sum
+    }
+    val kf = scannedFiles(t.keyHistory(probe))
+    val ff = scannedFiles(t.fullHistoryChanges())
+    assert(kf < ff, s"keyHistory scanned $kf files, full feed $ff")
+  }
+
   test("refuses on an archived timeline and on a branch; empty table refuses like changes()") {
     val t = mkTable("hf_guard", "cow")
     // never-written table: same no-schema contract as changes()

@@ -739,5 +739,8 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     cli("branch", t.path, s"$work/br", "cli_branch")
     val br = LakeTable.load(spark, s"$work/br")
     assert(br.snapshot().count() == t.snapshot().count())
+
+    cli("key-history", t.path, "id=2") // smoke: parses, plans, prints
+    assert(t.keyHistory(Seq(2L).toDF("id")).count() == 2) // v1 + v2
   }
 }

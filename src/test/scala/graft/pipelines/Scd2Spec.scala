@@ -109,6 +109,31 @@ class Scd2Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming CDC source keeps the dimension current across commits") {
+    val t = mkTable()
+    val base = Files.createTempDirectory("graft_scd2_strm").toString
+    val stateDir = s"$base/state"
+    def df(rows: (Long, String, Long)*) = rows.toDF("id", "v", "ts")
+    t.upsert(df((1L, "a", 1L), (2L, "b", 1L)), combine = false)
+    val q = Scd2.runStream(spark, t.path, stateDir, Seq("id"), s"$base/ckpt")
+    try {
+      q.processAllAvailable()
+      assert(rowsOf(Scd2.current(spark, stateDir).get._1) ==
+        rowsOf(Scd2.history(t, Seq("id"))))
+      // two more commits in one trigger window: per-commit ordering must
+      // survive the batched trigger (advance re-derives from the
+      // timeline, the batch is only the wake-up)
+      t.upsert(df((1L, "a2", 2L)), combine = false)
+      t.delete(Seq(2L).toDF("id"))
+      q.processAllAvailable()
+      assert(rowsOf(Scd2.current(spark, stateDir).get._1) ==
+        rowsOf(Scd2.history(t, Seq("id"))))
+      val dim = Scd2.current(spark, stateDir).get._1
+      assert(dim.filter(col("id") === 1L).count() == 2) // v1 closed + v2 open
+      assert(dim.filter(col("id") === 2L && col("is_current")).isEmpty)
+    } finally q.stop()
+  }
+
   test("randomized op sequences: advance tracks history across rounds") {
     val rnd = new scala.util.Random(11)
     val t = mkTable()

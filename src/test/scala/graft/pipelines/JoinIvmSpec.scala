@@ -162,6 +162,38 @@ class JoinIvmSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming: either side's CDC stream keeps the joined view current") {
+    val a = mkTable("jivm_sa", Seq("id"))
+    val b = mkTable("jivm_sb", Seq("bk"))
+    val base = Files.createTempDirectory("graft_jivm_strm").toString
+    val stateDir = s"$base/state"
+    a.upsert(Seq((1L, 10L, "a1", 1L), (2L, 20L, "a2", 1L))
+      .toDF("id", "k", "av", "ts"), combine = false)
+    b.upsert(Seq((10L, "b10", 1L), (20L, "b20", 1L))
+      .toDF("bk", "bv", "ts"), combine = false)
+    val q = JoinMaintain.runStream(spark, a.path, b.path, stateDir,
+      "k", "bk", outCols, s"$base/ckpt")
+    try {
+      q.processAllAvailable()
+      assert(asRows(JoinMaintain.current(spark, stateDir).get._1).toSeq ==
+        fresh(a, b).toSeq)
+      // a B-side-only change must also trigger an advance
+      b.upsert(Seq((20L, "b20x", 2L)).toDF("bk", "bv", "ts"),
+        combine = false)
+      q.processAllAvailable()
+      assert(asRows(JoinMaintain.current(spark, stateDir).get._1).toSeq ==
+        fresh(a, b).toSeq)
+      // and an A-side key move in the same steady state
+      a.upsert(Seq((1L, 20L, "a1", 2L)).toDF("id", "k", "av", "ts"),
+        combine = false)
+      q.processAllAvailable()
+      val got = asRows(JoinMaintain.current(spark, stateDir).get._1)
+      assert(got.toSeq == fresh(a, b).toSeq)
+      assert(got.toSeq == Seq((1L, 20L, "a1", "b20x"),
+        (2L, 20L, "a2", "b20x")))
+    } finally q.stop()
+  }
+
   test("duplicate joined rows carry multiplicities, retractions decrement them") {
     val a = mkTable("jivm_a2", Seq("id"))
     val b = mkTable("jivm_b2", Seq("bk"))

@@ -100,11 +100,26 @@ object LakeProcedures {
         Seq(Seq(t.archiveTimeline(args(1).asInstanceOf[Int]).size.toLong)),
       "Roll commits older than the newest keep_commits into the archive"),
     "restore" -> Spec(
-      Seq(p("table", StringType), p("instant", StringType)),
+      Seq(p("table", StringType), p("instant", StringType),
+        p("force", StringType, Some("'false'"))),
       instantOut,
-      (t, args) => { t.restore(args(1).asInstanceOf[String])
+      (t, args) => { t.restore(args(1).asInstanceOf[String],
+          force = args(2) == "true")
         Seq(Seq(args(1))) },
-      "Roll the table back to an instant, deleting later commits and files"),
+      "Roll the table back to an instant, deleting later commits and " +
+        "files; force => 'true' overrides active savepoints above it"),
+    "build_secondary_index" -> Spec(
+      Seq(p("table", StringType), p("column", StringType)),
+      instantOut,
+      (t, args) =>
+        Seq(Seq(t.buildSecondaryIndex(args(1).asInstanceOf[String]).orNull)),
+      "Build the posting-list secondary index on a non-key column"),
+    "refresh_secondary_index" -> Spec(
+      Seq(p("table", StringType), p("column", StringType)),
+      instantOut,
+      (t, args) =>
+        Seq(Seq(t.refreshSecondaryIndex(args(1).asInstanceOf[String]).orNull)),
+      "Advance the secondary index to the latest commit (new files only)"),
     "savepoint" -> Spec(
       Seq(p("table", StringType), p("instant", StringType)),
       instantOut,

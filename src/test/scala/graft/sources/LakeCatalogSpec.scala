@@ -258,6 +258,31 @@ class LakeCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ops.contains("compact") && ops.contains("clean"))
     assert(hist.collect().map(_.getString(0)).toSeq ==
       t.timeline.instants())
+    // secondary index lifecycle via SQL: build, then advance after a
+    // new commit — the refresh must land on the latest instant
+    assert(spark.sql(
+      "CALL lake.system.build_secondary_index(table => 'svc.t', column => 'v')")
+      .head().getString(0) != null)
+    assert(t.secondaryIndexAsOf("v").isDefined)
+    spark.sql("INSERT INTO lake.svc.t VALUES (4, 10, 4.0)")
+    assert(spark.sql(
+      "CALL lake.system.refresh_secondary_index(table => 'svc.t', column => 'v')")
+      .head().getString(0) == t.latestCommit.get)
+    assert(t.secondaryIndexAsOf("v").contains(t.latestCommit.get))
+    // restore under an active savepoint refuses without force, proceeds
+    // with force => 'true'
+    // a reconstructible target (earlier commits were cleaned above)
+    val pin = t.timeline.instants().takeRight(2).head
+    val top = t.latestCommit.get
+    spark.sql(s"CALL lake.system.savepoint(table => 'svc.t', instant => '$top')")
+    val rf = intercept[Exception] {
+      spark.sql(s"CALL lake.system.restore(table => 'svc.t', instant => '$pin')")
+    }
+    assert(rf.getMessage.contains("savepoint") ||
+      (rf.getCause != null && rf.getCause.getMessage.contains("savepoint")))
+    spark.sql(s"CALL lake.system.restore(table => 'svc.t', " +
+      s"instant => '$pin', force => 'true')")
+    assert(t.latestCommit.contains(pin))
     // unknown procedure fails loudly with the available list
     val e = intercept[Exception] {
       spark.sql("CALL lake.system.nope(table => 'svc.t')")

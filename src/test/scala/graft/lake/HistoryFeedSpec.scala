@@ -139,6 +139,39 @@ class HistoryFeedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kf < ff, s"keyHistory scanned $kf files, full feed $ff")
   }
 
+  test("schema rename mid-history resolves across file generations") {
+    val t = mkTable("hf_ren", "cow")
+    t.upsert(Seq((1L, "a", 10L, 1L), (2L, "a", 20L, 1L))
+      .toDF("id", "g", "v", "ts"), combine = false)
+    t.renameColumn("v", "val")
+    t.upsert(Seq((1L, "a", 11L, 2L)).toDF("id", "g", "val", "ts"),
+      combine = false)
+    t.delete(Seq(2L).toDF("id"))
+    // pre-rename files store the OLD physical name; both the feed and
+    // the per-commit truth must coalesce it into the current schema
+    assert(feed(t) == perCommitTruth(t))
+    val got = t.fullHistoryChanges()
+    assert(got.columns.contains("val") && !got.columns.contains("v"))
+    assert(got.filter(col("id") === 1L && col("val") === 10L).count() == 1)
+  }
+
+  test("a cleaned-away historical file fails with the retention contract") {
+    val t = mkTable("hf_clean", "cow")
+    t.upsert(Seq((1L, "a", 10L, 1L), (2L, "a", 20L, 1L))
+      .toDF("id", "g", "v", "ts"), combine = false)
+    t.upsert(Seq((1L, "a", 11L, 2L)).toDF("id", "g", "v", "ts"),
+      combine = false)
+    t.upsert(Seq((1L, "a", 12L, 3L)).toDF("id", "g", "v", "ts"),
+      combine = false)
+    t.clean(retainCommits = 1) // physically deletes superseded files
+    val e = intercept[IllegalStateException](t.fullHistoryChanges().collect())
+    assert(e.getMessage.contains("clean"))
+    // keyHistory hits the same contract BEFORE reading footer blooms
+    val ek = intercept[IllegalStateException](
+      t.keyHistory(Seq(1L).toDF("id")))
+    assert(ek.getMessage.contains("clean"))
+  }
+
   test("refuses on an archived timeline and on a branch; empty table refuses like changes()") {
     val t = mkTable("hf_guard", "cow")
     // never-written table: same no-schema contract as changes()

@@ -64,6 +64,12 @@ object Bench {
     if (stageDir.nonEmpty)
       try graft.queries.Similarity.warmIvfIndex(spark, sfDir)
       catch { case _: Throwable => () }
+    // and the INCREMENTAL index artifacts (split centroids + appended
+    // cell layout, shared by sim_knn_incr and sim_ivf_incr)
+    if (stageDir.nonEmpty)
+      try graft.queries.Similarity.ivfIncrementalTopK(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
 
     // SPARK_GRAFT_ONLY=name1,name2 restricts the run (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -212,6 +212,9 @@ object SparkEntry {
     // matryoshka × IVF: prefix-dim cell ranking + candidate shortlist
     // over the staged cell layout, full-dim exact re-score of survivors
     "sim_matryoshka_probe" -> ((s, dir) => Similarity.matryoshkaProbe(s, dir)),
+    // incremental IVF index: the new batch APPENDS into the staged cell
+    // layout (fixed centroids, no retrain, existing files untouched)
+    "sim_ivf_incr" -> ((s, dir) => Similarity.ivfIncrementalTopK(s, dir)),
     // hybrid lexical+vector retrieval, reciprocal-rank fusion (k=60)
     "sim_hybrid_rrf" -> ((s, dir) => Similarity.hybridTopK(s, dir)),
     // MMR diversified rerank of the top-20 shortlist (lambda = 0.5)
@@ -1072,6 +1075,43 @@ object SparkEntry {
        |SELECT query_id AS vec_id, vec_id AS nbr_id, sim, rk
        |FROM r WHERE rk <= 3
        |ORDER BY vec_id, rk""".stripMargin
+  }
+
+  /** The `sim_ivf_incr` oracle: trainer replay on the PRE-INCREMENT
+    * corpus (vec_id below the 80% split — the appended index never
+    * retrains), full-corpus assignment to those fixed centroids, then
+    * the standard probed top-10.
+    */
+  private def ivfIncrOracleSql: String = {
+    import graft.queries.Similarity.{IvfIters, IvfProbe}
+    val ctes = ivfTrainAssignCtes(
+      "\nsp AS (SELECT (MAX(vec_id) + 1) * 8 // 10 AS v FROM e),",
+      "WHERE vec_id < (SELECT v FROM sp)")
+    s"""$ctes,
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < 3),
+       |qs AS (
+       |  SELECT q.query_id, c.cell,
+       |    ${cosineOf("q.qv", "c.cv")} AS csim
+       |  FROM q, c$IvfIters c),
+       |qc AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT query_id, cell, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY csim DESC, cell ASC) AS crk
+       |    FROM qs) WHERE crk <= $IvfProbe),
+       |cand AS (
+       |  SELECT qc.query_id, a.vec_id FROM qc JOIN asg a USING (cell)
+       |  WHERE a.vec_id <> qc.query_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.vec_id,
+       |    ${cosineOf("ce.embedding", "qe.embedding")} AS sim
+       |  FROM cand
+       |  JOIN e ce ON ce.vec_id = cand.vec_id
+       |  JOIN e qe ON qe.vec_id = cand.query_id),
+       |r AS (SELECT query_id, vec_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS INT) AS rk
+       |  FROM scored)
+       |SELECT query_id, vec_id, sim, rk FROM r WHERE rk <= 10
+       |ORDER BY query_id, rk""".stripMargin
   }
 
   /** The `sim_range_search` oracle: identical trainer + probe replay,
@@ -3559,6 +3599,7 @@ object SparkEntry {
       ("sim_matryoshka_probe" -> matryoshkaProbeOracle) +
       ("sim_knn_graph" -> knnGraphOracleSql) +
       ("sim_knn_incr" -> knnIncrOracleSql) +
+      ("sim_ivf_incr" -> ivfIncrOracleSql) +
       ("sim_components" -> componentsOracleSql()) +
       ("sim_filtered_topk" -> filteredTopKSql) +
       ("sim_probe_sweep" -> probeSweepSql()) +

@@ -1704,6 +1704,64 @@ object Similarity {
     Dedup.releaseAfter(g, e)
   }
 
+  /** Incremental IVF INDEX maintenance (`sim_ivf_incr`): the staged
+    * cell-partitioned index absorbs a NEW vector batch (the
+    * deterministic top-20% id slice, the shared increment convention)
+    * WITHOUT retraining or rewriting — centroids stay the ones trained
+    * on the existing corpus (the faiss `add` contract), the increment
+    * is assigned to its cells in one broadcast map-only pass, and the
+    * new rows land as APPENDED files in the same hive cell layout, so
+    * existing index files are untouched. Work is O(increment), the
+    * 100 TB ingestion shape — where [[knnGraphIncremental]] maintains
+    * the GRAPH rows, this maintains the index ARTIFACT itself, and the
+    * gate then hashes a standard probe over the appended index.
+    */
+  def ivfIncrementalTopK(s: SparkSession, dir: String,
+      probe: Int = IvfProbe): DataFrame = {
+    val maxId = Relational.t(s, dir, "embeddings")
+      .agg(max(col("vec_id"))).head().getLong(0)
+    val split = (maxId + 1L) * 8L / 10L
+    var eMat: DataFrame = null
+    def e: DataFrame = {
+      if (eMat == null)
+        eMat = Relational.t(s, dir, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      eMat
+    }
+    def corpusE = e.filter(col("vec_id") < split)
+    def incE = e.filter(col("vec_id") >= split)
+    // shared artifact with sim_knn_incr: identical trainer input (the
+    // pre-increment corpus), so whichever query runs first builds it
+    val cent = s.conf.getOption(Dedup.StageDirConf) match {
+      case Some(stage) =>
+        Dedup.stagedOrFresh(s,
+          s"$stage/knn_inc_cent_${Dedup.stageTag(s, dir)}_i$split",
+          out => ivfCentroids(corpusE).write.mode("overwrite").parquet(out),
+          () => ivfCentroids(corpusE))
+      case None => ivfCentroids(corpusE)
+    }
+    val corpus = s.conf.getOption(Dedup.StageDirConf) match {
+      case Some(stage) =>
+        Dedup.stagedOrFresh(s,
+          s"$stage/ivf_inc_corpus_${Dedup.stageTag(s, dir)}_i$split",
+          out => {
+            // generation 1: the pre-increment index, cell-partitioned
+            corpusE.join(assignCells(corpusE, cent), "vec_id")
+              .write.mode("overwrite").partitionBy("cell").parquet(out)
+            // generation 2: the increment APPENDS into the same cell
+            // dirs — assignment is per-vector, so the result is
+            // identical to a from-scratch assignment of the union
+            incE.join(assignCells(incE, cent), "vec_id")
+              .write.mode("append").partitionBy("cell").parquet(out)
+          },
+          () => e.join(assignCells(e, cent), "vec_id"))
+      case None => e.join(assignCells(e, cent), "vec_id")
+    }
+    val topk = ivfProbeTopK(cent, corpus, probe)
+    if (eMat != null) Dedup.releaseAfter(topk, eMat) else topk
+  }
+
   /** ANN recall evaluation harness (`sim_recall_eval`): recall@10 of
     * the LSH-bucketed and probed-IVF retrieval paths against the exact
     * brute-force top-10, per (method, query), in integer basis points.

@@ -34,6 +34,45 @@ class Round13Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, s"prefix-probe recall collapsed: $recall")
   }
 
+  test("sim_ivf_incr: staged append equals from-scratch assignment; index files untouched") {
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_r13_stage").toString
+    spark.conf.set(Dedup.StageDirConf, stage)
+    try {
+      val staged = Similarity.ivfIncrementalTopK(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      // the staged artifact holds every vector exactly once across the
+      // two write generations
+      val corpusDir = new java.io.File(stage).listFiles()
+        .filter(_.getName.startsWith("ivf_inc_corpus_")).head
+      val art = spark.read.parquet(corpusDir.toString)
+      val n = Relational.t(spark, dir, "embeddings").count()
+      assert(art.count() == n)
+      assert(art.select("vec_id").distinct().count() == n)
+      // appending was append-only: re-running the query must not change
+      // a single artifact file (produce-once + untouched generations)
+      def fileState(): Set[(String, Long)] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(corpusDir).filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getPath, f.lastModified())).toSet
+      }
+      val before = fileState()
+      val again = Similarity.ivfIncrementalTopK(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(fileState() == before, "artifact files were rewritten")
+      assert(again == staged)
+      // and the appended index answers exactly like a from-scratch
+      // assignment of the union to the same fixed centroids
+      spark.conf.unset(Dedup.StageDirConf)
+      val fresh = Similarity.ivfIncrementalTopK(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(staged == fresh)
+    } finally {
+      spark.conf.unset(Dedup.StageDirConf)
+    }
+  }
+
   test("matryoshka probe with the full 64-dim prefix degenerates to the IVF probe") {
     // dims = 64 makes the prefix ranking THE full ranking, so the
     // 50-candidate shortlist is a superset of the top-10 and the final

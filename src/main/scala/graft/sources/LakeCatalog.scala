@@ -81,11 +81,12 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     if (!LakeTable.exists(spark, dir)) {
       // Iceberg-style metadata tables: `SELECT * FROM <cat>.<ns>.<t>.history`
       // (commit log) / `.changes` (full-history CDC feed) / `.partitions`
-      // (per-partition live totals + MOR health) — the trailing
+      // (per-partition live totals + MOR health) / `.files` (live file
+      // inventory with key ranges, as-of-able) — the trailing
       // identifier component selects the view over the PARENT table
       val meta = ident.name()
-      if ((meta == "history" || meta == "changes" || meta == "partitions") &&
-          ident.namespace().nonEmpty) {
+      if ((meta == "history" || meta == "changes" || meta == "partitions" ||
+          meta == "files") && ident.namespace().nonEmpty) {
         val parent = Identifier.of(ident.namespace().dropRight(1),
           ident.namespace().last)
         val pdir = tableDir(parent).toString
@@ -94,6 +95,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
           val schema =
             if (meta == "history") LakeDataSource.HistorySchema
             else if (meta == "partitions") LakeDataSource.PartitionsSchema
+            else if (meta == "files") LakeDataSource.FilesSchema
             else t.changesSchema
           return new LakeMetaTable(schema,
             Map("path" -> pdir, "query.type" -> meta), meta)

@@ -189,6 +189,23 @@ object LakeDataSource {
     * count differs; this view reports storage, the snapshot reports
     * data.
     */
+  /** `<table>.files` metadata-table shape: the live file inventory
+    * (path, partition, base/delta kind, rows, bytes, key range,
+    * tombstones) — the Delta/Iceberg `.files` analog an operator reads
+    * before reasoning about layout, and the programmatic surface behind
+    * "which files does this snapshot touch". `as.of` lists a historical
+    * snapshot's set.
+    */
+  val FilesSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("partition", org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("kind", org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_rows", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("size_bytes", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("min_key", org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("max_key", org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("tombstone_rows", org.apache.spark.sql.types.LongType, nullable = false)))
+
   val PartitionsSchema: StructType = StructType(Seq(
     org.apache.spark.sql.types.StructField("partition", org.apache.spark.sql.types.StringType, nullable = false),
     org.apache.spark.sql.types.StructField("base_files", org.apache.spark.sql.types.IntegerType, nullable = false),
@@ -269,6 +286,21 @@ object LakeDataSource {
         spark.createDataFrame(
           spark.sparkContext.parallelize(rows, 1),
           LakeDataSource.PartitionsSchema)
+      case "files" =>
+        // the live file inventory (Delta/Iceberg `.files` shape) —
+        // bounded metadata; `as.of` lists a historical snapshot's set
+        val live = parameters.get("as.of") match {
+          case Some(i) => t.timeline.liveFiles(i)
+          case None    => t.timeline.liveFiles()
+        }
+        val rows = live.sortBy(_.path).map { f =>
+          org.apache.spark.sql.Row(f.path, f.partition,
+            if (f.isDelta) "delta" else "base",
+            f.numRecords, f.sizeBytes, f.minKey, f.maxKey, f.tombstones)
+        }
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1),
+          LakeDataSource.FilesSchema)
       case "read_optimized" => t.readOptimized()
       case "snapshot" | null =>
         parameters.get("as.of") match {

@@ -75,7 +75,7 @@ class LakeMetaTable(tableSchema: StructType, params: Map[String, String],
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
     val sliced = params ++ options.asCaseSensitiveMap().asScala
-      .filter { case (k, _) => k == "begin" || k == "end" }
+      .filter { case (k, _) => k == "begin" || k == "end" || k == "as.of" }
     new LakeV2ScanBuilder(tableSchema, sliced)
   }
 }
@@ -174,8 +174,8 @@ class LakeV2Table(tableSchema: StructType, params: Map[String, String])
     // a path-based read may have BUILT this table around a feed type (its
     // schema already matches); only a scan-level OVERRIDE is rejected
     scanOpts.get("query.type")
-      .filter(t => (t == "changes" || t == "history" || t == "partitions") &&
-        !params.get("query.type").contains(t))
+      .filter(t => (t == "changes" || t == "history" || t == "partitions" ||
+        t == "files") && !params.get("query.type").contains(t))
       .foreach { t =>
         throw new IllegalArgumentException(
           s"query.type $t has a different schema and is not a scan " +

@@ -385,6 +385,19 @@ class LakeCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(histRange == Seq(c2))
     assert(spark.read.option("end", c1).table("lake.md.t.history")
       .collect().map(_.getString(0)).toSeq == Seq(c1))
+    // the live file inventory as a named table (Delta/Iceberg .files
+    // analog): every live FileStat, kind-tagged, with key ranges
+    val files = spark.sql(
+      "SELECT path, kind, n_rows FROM lake.md.t.files ORDER BY path")
+    val liveNow = t.timeline.liveFiles()
+    assert(files.count() == liveNow.size)
+    assert(files.collect().map(_.getLong(2)).sum ==
+      liveNow.map(_.numRecords).sum)
+    // as.of lists a HISTORICAL snapshot's file set
+    val filesAsOf = spark.read.option("as.of", c1)
+      .table("lake.md.t.files").collect().map(_.getString(0)).toSet
+    assert(filesAsOf == t.timeline.liveFiles(c1).map(_.path).toSet)
+    assert(filesAsOf != liveNow.map(_.path).toSet)
     // schema-changing types are rejected with a pointer to the
     // metadata table
     val e2 = intercept[Exception] {

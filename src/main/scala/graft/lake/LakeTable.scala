@@ -654,8 +654,23 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val dataSchema = StructType(
       physSchema.fields.filterNot(f => _meta.partitionFields.contains(f.name)))
     val index = new LakeFileIndex(spark, tablePath, stats, partSchema)
+    // Bucket index, read side: when EVERY file in this read is a base
+    // file carrying its commit-recorded bucket id, expose the layout as
+    // a real BucketSpec — the scan reports HashPartitioning(keyCols, n),
+    // so a join of two co-bucketed tables on the key plans with NO
+    // shuffle on either side, and a key-equality filter prunes to one
+    // bucket's files at plan time (Spark's own genBucketSet). Any
+    // unrouted file in the set (delta, task-staged overwrite, pre-bucket
+    // commit) falls back to a plain scan — correctness never rides on
+    // the claim.
+    val bucketSpec =
+      if (_meta.bucketCount > 0 &&
+          stats.forall(f => !f.isDelta && f.bucket.isDefined))
+        Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
+          _meta.bucketCount, _meta.recordKeyFields, Nil))
+      else None
     val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      index, partSchema, dataSchema, None,
+      index, partSchema, dataSchema, bucketSpec,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       Map.empty)(spark)
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -850,8 +865,10 @@ class LakeTable private (val spark: SparkSession, val path: String) {
           Seq.empty, extra, visible = None, () => maybeCompactInline())
         return instant
       }
-      val matched =
-        matchedFiles(incoming.select(col(RecordKeyCol)), mnKey, mxKey, nRows)
+      val matched = matchedFiles(
+        incoming.select(
+          (RecordKeyCol +: _meta.recordKeyFields).distinct.map(col): _*),
+        mnKey, mxKey, nRows)
       val out =
         if (matched.isEmpty) incoming
         else {
@@ -1168,14 +1185,44 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     */
   def clusterZOrder(cols: Seq[String],
       bitsPerCol: Int = 8): Option[String] = timeline.withLock() {
-    require(cols.size >= 2,
-      "z-order needs >= 2 columns; use cluster() for a single sort column")
     require(cols.size * bitsPerCol <= 30,
       s"cols*bitsPerCol must fit an int, got ${cols.size * bitsPerCol} bits")
+    // interleave: bit j of column i's bucket → output bit j*k + i,
+    // so all columns contribute equally at every granularity
+    clusterCurveLocked(cols, bitsPerCol) { buckets =>
+      val k = cols.size
+      (for (i <- 0 until k; j <- 0 until bitsPerCol) yield
+        shiftleft(shiftright(buckets(i), j).bitwiseAND(lit(1)), j * k + i))
+        .reduce(_ + _)
+    }
+  }
+
+  /** HILBERT clustering rewrite: same equi-depth bucketization as
+    * [[clusterZOrder]] but the sort key is the Hilbert curve position —
+    * consecutive curve cells are always face-adjacent, so file runs
+    * form compact blobs instead of Z's diagonal jumps and box filters
+    * open fewer files for the same file count (HilbertSpec pins the
+    * segment-count dominance; ZoneMapSpec pins the file-level prune).
+    */
+  def clusterHilbert(cols: Seq[String],
+      bitsPerCol: Int = 8): Option[String] = timeline.withLock() {
+    require(cols.size * bitsPerCol <= 62,
+      s"cols*bitsPerCol must fit a long, got ${cols.size * bitsPerCol} bits")
+    clusterCurveLocked(cols, bitsPerCol)(
+      graft.functions.HilbertIndex(_, bitsPerCol))
+  }
+
+  /** Shared space-filling-curve clustering body — caller holds the
+    * writer lock and supplies the bucket-ids→curve-position map.
+    */
+  private def clusterCurveLocked(cols: Seq[String], bitsPerCol: Int)(
+      curve: Seq[Column] => Column): Option[String] = {
+    require(cols.size >= 2,
+      "curve clustering needs >= 2 columns; use cluster() for one")
     cols.foreach { c =>
       val dt = fullSchema(fullSchema.fieldIndex(c)).dataType
       require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"z-order column $c must be numeric (got $dt); derive a numeric " +
+        s"curve column $c must be numeric (got $dt); derive a numeric " +
           "proxy column for dates/strings first")
     }
     val live = timeline.liveFiles()
@@ -1196,22 +1243,16 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         val bounds = doubled.stat.approxQuantile(cols.toArray, probs, 0.01)
         // bucket_c = #boundaries <= value (equi-depth rank, 0..nb-1);
         // nulls sort first (bucket 0). Codegen'd binary search — a
-        // higher-order fold here gets re-inlined into all 8 bit reads
-        // below by projection collapse (interpreted quadratic).
+        // higher-order fold here gets re-inlined into every downstream
+        // bit read by projection collapse (interpreted quadratic).
         val buckets = cols.zip(bounds.toSeq).map { case (c, bs) =>
           coalesce(
             graft.functions.EquiDepthBucket(
               col(c).cast("double"), bs.distinct.sorted),
             lit(0))
         }
-        // interleave: bit j of column i's bucket → output bit j*k + i,
-        // so all columns contribute equally at every granularity
-        val k = cols.size
-        val zval = (for (i <- 0 until k; j <- 0 until bitsPerCol) yield
-          shiftleft(shiftright(buckets(i), j).bitwiseAND(lit(1)), j * k + i))
-          .reduce(_ + _)
         val stats = stageWrite(resolved, instant, kind = "base",
-          clusterExprs = Seq(zval))
+          clusterExprs = Seq(curve(buckets)))
         timeline.commit(
           CommitMeta(instant, "cluster", stats, live.map(_.path)))
         Some(instant)
@@ -1978,9 +2019,16 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     df.filter(_meta.recordKeyFields.map(col(_).isNotNull).reduce(_ && _))
       .withColumn(RecordKeyCol, keyColumnFor(df.schema))
 
-  private def withKeyOnly(df: DataFrame): DataFrame =
-    if (df.columns.contains(RecordKeyCol)) df.select(col(RecordKeyCol)).distinct()
-    else withKeyCol(df).select(col(RecordKeyCol)).distinct()
+  private def withKeyOnly(df: DataFrame): DataFrame = {
+    // keep the user key columns alongside when present — the record key
+    // determines them (injective encoding), so the distinct is still
+    // per-key, and their presence lets bucketPrune hash the batch
+    val base =
+      if (df.columns.contains(RecordKeyCol)) df else withKeyCol(df)
+    val keep = RecordKeyCol +:
+      _meta.recordKeyFields.filter(base.columns.contains)
+    base.select(keep.distinct.map(col): _*).distinct()
+  }
 
   /** One pass over the batch: (row count, min key, max key). Replaces an
     * isEmpty probe + a separate bounds aggregation — one Spark job that
@@ -2017,7 +2065,13 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       mx: String, keyCount: Long): Seq[String] = {
     val live = timeline.liveFiles()
     if (live.isEmpty || mn == null) return Seq.empty
-    val ranged = live.filter(f => !(f.maxKey < mn || f.minKey > mx))
+    // bucket prune first: under the bucket index files are hash-
+    // scattered, so every file's key RANGE spans the key space and the
+    // range step below keeps everything — the batch's bucket set is the
+    // prune that works (Hudi BUCKET-index tagging). Untagged files
+    // (deltas, pre-bucket commits) are conservatively kept.
+    val bucketed = bucketPrune(live, incomingKeys)
+    val ranged = bucketed.filter(f => !(f.maxKey < mn || f.minKey > mx))
     if (ranged.isEmpty) return Seq.empty
     val candidates = bloomPrune(ranged, incomingKeys, keyCount)
     if (candidates.isEmpty) return Seq.empty
@@ -2028,6 +2082,25 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       .select(col("_f")).distinct().as[String].collect()
     // map absolute URIs back to stored paths by unique suffix
     candidates.map(_.path).filter(rel => hit.exists(uriMatches(_, rel))).toSeq
+  }
+
+  /** Bucket step of [[matchedFiles]]: when the table is bucketed and
+    * the batch carries its user key columns, keep only files whose
+    * recorded bucket id is in the batch's bucket set (one tiny distinct
+    * job — at most `bucketCount` values, map-side combined). Files
+    * without a recorded bucket are kept: the prune must stay sound for
+    * deltas and unrouted commits.
+    */
+  private[lake] def bucketPrune(candidates: Seq[FileStat],
+      incomingKeys: DataFrame): Seq[FileStat] = {
+    if (_meta.bucketCount <= 0 ||
+        !_meta.recordKeyFields.forall(incomingKeys.columns.contains) ||
+        candidates.forall(_.bucket.isEmpty)) return candidates
+    val hit = incomingKeys
+      .select(pmod(hash(_meta.recordKeyFields.map(col): _*),
+        lit(_meta.bucketCount)).as("_b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    candidates.filter(f => f.bucket.forall(hit.contains))
   }
 
   /** Bloom step of [[matchedFiles]]: keep only candidates whose
@@ -2099,9 +2172,26 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       (if (clusterExprs.nonEmpty) clusterExprs
       else if (clusterBy.nonEmpty) clusterBy.map(col)
       else Seq(col(RecordKeyCol)))
-    val ordered = ordered0
-      .repartitionByRange(clusterCols: _*)
-      .sortWithinPartitions(clusterCols: _*)
+    // Bucket index: route rows with Spark's own bucket function —
+    // `repartition(n, keyCols)` IS `HashPartitioning(keyCols, n)`, whose
+    // partition-id expression `pmod(murmur3(keyCols), n)` is exactly what
+    // a BucketSpec read assumes — so shuffle partition i holds bucket i
+    // verbatim and the staged `part-i-*` name identifies the bucket.
+    // The explicit partition count is AQE-stable (REPARTITION_BY_NUM is
+    // never coalesced or split). Within a bucket, rows sort by
+    // (partition dirs, key) for tight parquet row-group stats.
+    val ordered =
+      if (_meta.bucketCount > 0) {
+        require(clusterBy.isEmpty && clusterExprs.isEmpty,
+          "clustering rewrites (cluster/zorder/hilbert) are incompatible " +
+            "with the bucket index: files must stay hash-routed by key")
+        ordered0
+          .repartition(_meta.bucketCount, _meta.recordKeyFields.map(col): _*)
+          .sortWithinPartitions(
+            (_meta.partitionFields :+ RecordKeyCol).map(col): _*)
+      } else ordered0
+        .repartitionByRange(clusterCols: _*)
+        .sortWithinPartitions(clusterCols: _*)
     try {
       // unique per attempt: even if two writers ever raced to the same
       // instant, their staging areas cannot collide
@@ -2186,6 +2276,15 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   private[graft] def publishStaged(staging: Path, instant: String,
       kind: String): Seq[FileStat] =
     renameStaged(staging, instant, kind, collectStagedStats(staging))
+
+  /** Spark's staged output name is `part-<shufflePartitionId>-<uuid>…`;
+    * under bucket routing the shuffle partition id IS the bucket id.
+    */
+  private def stagedBucketId(name: String): Int = {
+    val m = LakeTable.StagedPartPattern.matcher(name)
+    require(m.find(), s"bucketed staging produced an unexpected name: $name")
+    m.group(1).toInt
+  }
 
   /** Per-staged-file stats (footer reads / exact fallback) WITHOUT moving
     * anything — so an optimistic publish can run its conflict check on
@@ -2272,15 +2371,27 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * names and drop the staging dir.
     */
   private def renameStaged(staging: Path, instant: String, kind: String,
-      partsList: Seq[(Path, FooterStats.Parts)]): Seq[FileStat] = {
+      partsList: Seq[(Path, FooterStats.Parts)],
+      routed: Boolean = true): Seq[FileStat] = {
     {
       var i = 0
+      // writeStaging routed this staging by bucket — tag each file with
+      // Spark's bucket suffix (read by BucketingUtils.getBucketId) and
+      // record the id in commit metadata (the read-side source of truth).
+      // Task-staged writers (`routed = false`, dynamic overwrite) are not
+      // routed: their files publish untagged and the read side falls back
+      // to unbucketed scans until a routed rewrite (compact/pack) retags.
+      val bucketed = _meta.bucketCount > 0 && kind == "base" && routed
       val stats = partsList.flatMap { case (src, p) =>
         val rel = relIn(staging, src)
         val partition = partitionOfRel(rel)
         if (p.rows == 0L) None
         else {
-          val finalName = f"${instant}_$i%05d.parquet"
+          val bId = if (bucketed) Some(stagedBucketId(src.getName)) else None
+          val finalName = bId match {
+            case Some(b) => f"${instant}-$i%05d" + f"_$b%05d.parquet"
+            case None    => f"${instant}_$i%05d.parquet"
+          }
           i += 1
           val finalRel = if (partition.isEmpty) finalName else s"$partition/$finalName"
           val dst = new Path(tablePath, finalRel)
@@ -2299,7 +2410,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
           Some(FileStat(finalRel, partition, p.rows, p.minKey, p.maxKey,
             kind, size, tombstones = p.tombstones,
             minCommit = p.minCommit, maxCommit = p.maxCommit,
-            cols = p.cols))
+            cols = p.cols, bucket = bId))
         }
       }
       fs.delete(staging, true)
@@ -2461,7 +2572,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       catch { case e: java.util.ConcurrentModificationException =>
         fs.delete(staging, true); throw e
       }
-      renameStaged(staging, instant, kind, parts)
+      renameStaged(staging, instant, kind, parts, routed = false)
     }
   }
 
@@ -2489,7 +2600,8 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         // O(affected files), not O(table).
         if (stats.exists(_.tombstones > 0)) { compactLocked(); () }
         else {
-          val deltaKeys = readStats(stats).select(col(RecordKeyCol))
+          val deltaKeys = readStats(stats).select(
+            (RecordKeyCol +: _meta.recordKeyFields).distinct.map(col): _*)
           val mn = stats.map(_.minKey).min
           val mx = stats.map(_.maxKey).max
           val hit = matchedFiles(deltaKeys, mn, mx,
@@ -2595,7 +2707,23 @@ object LakeTable {
   val KeySep = "|"
   val MaxInstant = "99999999999999999"
 
+  /** Spark's staged output file name, `part-<partitionId>-…` — under
+    * bucket routing the partition id is the bucket id.
+    */
+  private[lake] val StagedPartPattern =
+    java.util.regex.Pattern.compile("^part-(\\d+)-")
+
   def create(spark: SparkSession, path: String, meta: TableMeta): LakeTable = {
+    require(meta.bucketCount >= 0, "bucketCount must be >= 0")
+    if (meta.bucketCount > 0) {
+      require(meta.recordKeyFields.nonEmpty,
+        "the bucket index routes by the record key — keyless tables " +
+          "cannot be bucketed")
+      // BucketSpec columns must live in the data schema; identity
+      // partition columns are stripped from data files
+      require(!meta.recordKeyFields.exists(meta.partitionFields.contains),
+        "bucket (record key) columns cannot also be partition columns")
+    }
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!TableMeta.exists(fs, p)) TableMeta.save(fs, p, meta)

@@ -83,7 +83,23 @@ case class TableMeta(
       *    partition filters prune files even under merged reads — the
       *    100 TB-friendly scope when keys never migrate.
       */
-    indexScope: String = "global"
+    indexScope: String = "global",
+    /** Fixed-N hash-bucket layout on the record key columns (Hudi's
+      * BUCKET index analog; 0 = off). Fixed at table creation — changing
+      * it on a live table would mis-route every existing file. When on,
+      * every base write hash-routes rows with Spark's own bucket function
+      * (`pmod(murmur3(keyCols), n)` — exactly `HashPartitioning`), names
+      * files with the Spark bucket tag, and snapshot reads of an
+      * all-base file set expose a real `BucketSpec`: joins between two
+      * co-bucketed tables on the key run WITHOUT a shuffle on either
+      * side (the storage-partitioned-join shape), and key-equality
+      * filters prune to one bucket's files at plan time. Trade-off:
+      * files are hash-scattered, so per-file key RANGES span the key
+      * space — point-write tagging relies on the bucket route + bloom
+      * instead, and curve-clustering services (cluster/zorder/hilbert)
+      * are refused.
+      */
+    bucketCount: Int = 0
 )
 
 /** Per-data-file statistics recorded in each commit — drives file pruning
@@ -131,7 +147,15 @@ case class FileStat(
       * commit ⇒ null map) — absent means "cannot prune", never
       * "no rows". Drives data-filter file skipping in [[LakeFileIndex]].
       */
-    cols: Map[String, Seq[String]] = Map.empty
+    cols: Map[String, Seq[String]] = Map.empty,
+    /** Hash-bucket id of every row in this file (bucketed tables only;
+      * None = written outside the routed path, e.g. before bucketing
+      * existed or by the task-staged dynamic-overwrite writer). The
+      * read side claims a `BucketSpec` only when EVERY live base file
+      * carries its id — commit metadata is the source of truth, never
+      * a file-name parse.
+      */
+    bucket: Option[Int] = None
 ) {
   def isDelta: Boolean = kind == "delta"
 

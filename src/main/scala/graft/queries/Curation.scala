@@ -225,6 +225,64 @@ object Curation {
       .orderBy("doc_id", "rk")
   }
 
+  /** BM25 ranked retrieval (`text_bm25_topk`): top-10 documents per
+    * query (the token sets of docs 0–2), over an IMPACT-ORDERED posting
+    * index — per term, only the 64 highest-tf postings are retrievable
+    * (ties → lower doc_id), the standard WAND-family bound that keeps
+    * per-query work at terms×64 candidates instead of a corpus fan-out;
+    * at 100 TB the capped index is built once (one window per posting
+    * list) and queries never touch the corpus. Scoring is integer-exact
+    * so the oracle hash-matches across engines:
+    *
+    *   - tf saturation + length normalization (k1=1.2, b=0.75) is kept
+    *     EXACT by clearing denominators — with avgdl = L/N the
+    *     per-term factor tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) equals
+    *     44·L·tf / (20·L·tf + 6·L + 18·dl·N), all integers, emitted in
+    *     micro-units via one floor division;
+    *   - the idf is the Lucene-positive form ln(1+(N−df+½)/(df+½)) =
+    *     ln((N+1)/(df+½)) with the ln dropped: the exact rational
+    *     (2N+2)·1000 DIV (2df+1) in milli-units. Cross-engine `ln` is
+    *     not ULP-reproducible and bit-length quantization collapses on
+    *     low-variance df; the rational keeps the ranking-relevant
+    *     property (strictly decreasing in df) exactly.
+    *
+    * Query term sets are broadcast; tf/df/dl aggregations are map-side
+    * combinable; the per-query top-10 window runs on the already-capped
+    * candidate frame.
+    */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val tk = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = tk.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val cs = dl.agg(count(lit(1)).as("n"), sum("dl").as("l"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val impactW = Window.partitionBy("token")
+      .orderBy(col("tf").desc, col("doc_id").asc)
+    val imp = tf.withColumn("irk", row_number().over(impactW))
+      .filter(col("irk") <= 64).drop("irk")
+    val qt = tk.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("token")).distinct()
+    val cand = imp.join(broadcast(qt), "token")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dfreq, "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(cs))
+    val idfM = expr("((2 * n + 2) * 1000) DIV (2 * df + 1)")
+    val satU = expr(
+      "(44000000 * l * tf) DIV (20 * l * tf + 6 * l + 18 * dl * n)")
+    val sc = cand.groupBy("query_id", "doc_id")
+      .agg(sum(idfM * satU).as("score_u"), count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_u").desc, col("doc_id").asc)
+    sc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("doc_id"), col("score_u"),
+        col("n_terms"), col("rk").cast("int").as("rk"))
+      .orderBy("query_id", "rk")
+  }
+
   /** Repetitiveness quality signal (the Gopher-rules family): the share
     * of duplicated word-3-grams inside each document, as integer basis
     * points so the oracle compares exactly. High duplicate share marks

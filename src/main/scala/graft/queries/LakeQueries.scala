@@ -99,6 +99,8 @@ object LakeQueries {
     timed("merge_into")(mergeFixture(s, dir))
     timed("changes")(changeFixture(s, dir))
     timed("zorder")(zorderFixture(s, dir))
+    timed("hilbert")(hilbertFixture(s, dir))
+    timed("bucket_join")(bucketJoinFixture(s, dir))
     timed("restore")(restoreFixture(s, dir))
     timed("schema_evolution")(evoFixture(s, dir))
     timed("vacuum")(vacFixture(s, dir))
@@ -253,6 +255,78 @@ object LakeQueries {
     */
   def lakeZorderFilter(s: SparkSession, dir: String): DataFrame =
     zorderFixture(s, dir).snapshot()
+      .filter(col("l_partkey") <= 200 && col("l_suppkey") <= 20)
+      .select((outCols ++ Seq("l_partkey", "l_suppkey")).map(col): _*)
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Two co-bucketed tables (fixed 8-bucket hash layout on the record
+    * key, `TableMeta.bucketCount`) for the storage-partitioned-join
+    * read: same key space, different content generations.
+    */
+  private val bucketJoinFixtures =
+    scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  private def bucketJoinFixture(s: SparkSession, dir: String): (LakeTable, LakeTable) = {
+    val (pa, pb) = bucketJoinFixtures.getOrElseUpdate(dir, {
+      val work = Files.createTempDirectory("graft_lakeq").toString
+      def make(sub: String) = LakeTable.create(s, s"$work/$sub",
+        TableMeta(s"lakeq_$sub", Seq("l_orderkey", "l_linenumber"),
+          "created_ts", Seq.empty, keyEncoding = "padded", bucketCount = 8))
+      val ta = make("ba"); val tb = make("bb")
+      withBatch1(s, dir) { b1 =>
+        ta.upsert(b1, combine = false)
+        tb.upsert(batch2(b1), combine = false)
+      }
+      (ta.path, tb.path)
+    })
+    (LakeTable.load(s, pa), LakeTable.load(s, pb))
+  }
+
+  /** Storage-partitioned join (`lake_bucket_join`): both tables carry
+    * the SAME fixed-N hash-bucket layout on the record key, so their
+    * snapshots expose matching `HashPartitioning(key, N)` and the join
+    * plans with NO shuffle on either side (plan-asserted in
+    * BucketIndexSpec) — the co-located-join shape that at 100 TB
+    * replaces the two largest exchanges of a fact-to-fact join with
+    * zero network. The oracle replays the content join on plain
+    * parquet: layout must never change answers.
+    */
+  def lakeBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    val (ta, tb) = bucketJoinFixture(s, dir)
+    val a = ta.snapshot().select(col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").as("qty_a"), col("created_ts").as("ts_a"))
+    val b = tb.snapshot().select(col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").as("qty_b"), col("created_ts").as("ts_b"))
+    a.join(b, Seq("l_orderkey", "l_linenumber"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private val hilbertFixtures = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def hilbertFixture(s: SparkSession, dir: String): LakeTable = {
+    val path = hilbertFixtures.getOrElseUpdate(dir, {
+      val t = freshTable(s)
+      withBatch1(s, dir) { b1 =>
+        t.upsert(b1, combine = false)
+        t.upsert(batch2(b1), combine = false)
+      }
+      t.clusterHilbert(Seq("l_partkey", "l_suppkey"))
+      t.path
+    })
+    LakeTable.load(s, path)
+  }
+
+  /** Hilbert-clustered 2-D box read (`lake_hilbert_filter`): the same
+    * maintenance-rewrite-then-box-read contract as [[lakeZorderFilter]]
+    * but laid out along the Hilbert curve — face-adjacent curve runs
+    * keep per-file zone maps tighter than Z's diagonal jumps for the
+    * same file count (ZoneMapSpec pins the head-to-head file-scan
+    * dominance; HilbertSpec pins bijectivity + adjacency). The oracle
+    * replays the merge + filter on plain parquet: layout services must
+    * never change answers.
+    */
+  def lakeHilbertFilter(s: SparkSession, dir: String): DataFrame =
+    hilbertFixture(s, dir).snapshot()
       .filter(col("l_partkey") <= 200 && col("l_suppkey") <= 20)
       .select((outCols ++ Seq("l_partkey", "l_suppkey")).map(col): _*)
       .orderBy("l_orderkey", "l_linenumber")

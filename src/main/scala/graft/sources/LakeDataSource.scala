@@ -243,7 +243,8 @@ object LakeDataSource {
         parameters.getOrElse("compact.inline.max.bytes", "0").toLong,
       schemaJson = declared.map(_.json).getOrElse(""),
       keyEncoding = parameters.getOrElse("key.encoding", "plain"),
-      indexScope = parameters.getOrElse("index.scope", "global")))
+      indexScope = parameters.getOrElse("index.scope", "global"),
+      bucketCount = parameters.getOrElse("bucket.count", "0").toInt))
 
   /** The DataFrame a read under `parameters` resolves to right now. */
   def queryDf(spark: SparkSession,

@@ -80,6 +80,14 @@ object LakeProcedures {
         args(1).asInstanceOf[String].split(",").map(_.trim).toSeq,
         args(2).asInstanceOf[Int]).orNull)),
       "Rewrite live files along a z-order curve over the given numeric columns"),
+    "hilbert" -> Spec(
+      Seq(p("table", StringType), p("cols", StringType),
+        p("bits_per_col", IntegerType, Some("8"))),
+      instantOut,
+      (t, args) => Seq(Seq(t.clusterHilbert(
+        args(1).asInstanceOf[String].split(",").map(_.trim).toSeq,
+        args(2).asInstanceOf[Int]).orNull)),
+      "Rewrite live files along a Hilbert curve over the given numeric columns"),
     "pack_small_files" -> Spec(
       Seq(p("table", StringType),
         p("target_bytes", LongType, Some("134217728")),

@@ -13,6 +13,7 @@ import graft.util.Sessions
   *   runMain graft.tools.LakeCli compact     <tablePath> [partitionDir...]
   *   runMain graft.tools.LakeCli cluster     <tablePath> <col>[,col...]
   *   runMain graft.tools.LakeCli zorder      <tablePath> <col>,<col>[,col...]
+  *   runMain graft.tools.LakeCli hilbert     <tablePath> <col>,<col>[,col...]
   *   runMain graft.tools.LakeCli pack        <tablePath> [targetBytes]
   *   runMain graft.tools.LakeCli clean       <tablePath> [retainCommits]
   *   runMain graft.tools.LakeCli sweep       <tablePath>        # orphaned data
@@ -52,6 +53,7 @@ object LakeCli {
         println(s"record key:   ${m.recordKeyFields.mkString(",")}")
         println(s"precombine:   ${m.precombineField}")
         println(s"partitions:   ${m.partitionFields.mkString(",")}")
+        if (m.bucketCount > 0) println(s"buckets:      ${m.bucketCount}")
         val live = t.timeline.liveFiles()
         println(s"live files:   ${live.size} (${live.count(_.isDelta)} delta)")
         println(s"live rows:    ${live.map(_.numRecords).sum}")
@@ -100,6 +102,10 @@ object LakeCli {
         require(args.length > 2, "zorder needs curve columns")
         val done = t.clusterZOrder(args(2).split(",").map(_.trim).toSeq)
         println(done.fold("empty table")(i => s"z-ordered at $i"))
+      case "hilbert" =>
+        require(args.length > 2, "hilbert needs curve columns")
+        val done = t.clusterHilbert(args(2).split(",").map(_.trim).toSeq)
+        println(done.fold("empty table")(i => s"hilbert-clustered at $i"))
       case "clean" =>
         t.clean(if (args.length > 2) args(2).toInt else 2)
         println("clean done")

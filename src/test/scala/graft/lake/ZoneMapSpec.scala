@@ -215,6 +215,52 @@ class ZoneMapSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("hilbert clustering prunes on both columns and beats-or-ties z-order on box reads") {
+    val s2 = spark
+    import s2.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // stable file count
+    try {
+      val grid = for (i <- 0 until 64; j <- 0 until 64)
+        yield (i * 64 + j, 1L, i.toDouble, j.toDouble)
+      val df = grid.toDF("id", "ts", "v1", "v2")
+
+      def filesScanned(d: org.apache.spark.sql.DataFrame): Long = {
+        d.collect()
+        d.queryExecution.executedPlan.collectLeaves()
+          .flatMap(_.metrics.get("numFiles").map(_.value)).sum
+      }
+      def build(f: LakeTable => Option[String]): LakeTable = {
+        val t = LakeTable.create(spark, tmp(),
+          TableMeta("hc", Seq("id"), "ts", Seq.empty))
+        t.insert(df)
+        assert(f(t).isDefined)
+        t
+      }
+      val h = build(_.clusterHilbert(Seq("v1", "v2"), bitsPerCol = 5))
+      val z = build(_.clusterZOrder(Seq("v1", "v2"), bitsPerCol = 5))
+      val allH = h.timeline.liveFiles().size.toLong
+      assert(allH > 8, s"need many files for a meaningful prune test: $allH")
+      // pruning works on BOTH participating columns
+      assert(filesScanned(h.snapshot().filter(col("v1") < 4.0)) < allH / 2)
+      assert(filesScanned(h.snapshot().filter(col("v2") < 4.0)) < allH / 2)
+      // rewrite changed layout only
+      assert(h.snapshot().select("id", "ts", "v1", "v2").orderBy("id")
+        .collect().toSeq == df.orderBy("id").collect().toSeq)
+      // head-to-head on box reads: hilbert's face-adjacent runs keep
+      // zone maps at least as tight as z-order's diagonal jumps
+      val boxes = Seq(
+        col("v1").between(8.0, 23.0) && col("v2").between(8.0, 23.0),
+        col("v1").between(30.0, 45.0) && col("v2").between(2.0, 17.0),
+        col("v1") < 16.0 && col("v2") >= 48.0)
+      val hFiles = boxes.map(b => filesScanned(h.snapshot().filter(b))).sum
+      val zFiles = boxes.map(b => filesScanned(z.snapshot().filter(b))).sum
+      assert(hFiles <= zFiles, s"hilbert scanned $hFiles vs z-order $zFiles")
+      // box answers are exact regardless of layout
+      for (b <- boxes)
+        assert(h.snapshot().filter(b).count() == z.snapshot().filter(b).count())
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("zone maps survive the JSON round trip and upsert rewrites") {
     val s2 = spark
     import s2.implicits._

@@ -742,5 +742,9 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     cli("key-history", t.path, "id=2") // smoke: parses, plans, prints
     assert(t.keyHistory(Seq(2L).toDF("id")).count() == 2) // v1 + v2
+
+    val rows = t.snapshot().count()
+    cli("hilbert", t.path, "id,v") // layout-only rewrite
+    assert(t.snapshot().count() == rows)
   }
 }

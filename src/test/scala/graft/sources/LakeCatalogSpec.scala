@@ -227,6 +227,22 @@ class LakeCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       "CALL lake.system.clean(table => 'svc.t', retain_commits => 2)")
       .head().getLong(0)
     assert(cleaned > 0)
+    // hilbert-curve layout rewrite over two numeric columns
+    val hil = spark.sql(
+      "CALL lake.system.hilbert(table => 'svc.t', cols => 'ts,v')")
+      .head().getString(0)
+    assert(hil != null)
+    // bucketed DDL: the bucket.count option fixes the hash layout
+    spark.sql(
+      """CREATE TABLE lake.svc.bkt (id BIGINT, ts BIGINT, v DOUBLE)
+        |OPTIONS ('recordkey.field' 'id', 'precombine.field' 'ts',
+        |         'bucket.count' '4')""".stripMargin)
+    spark.sql("INSERT INTO lake.svc.bkt VALUES (1, 10, 1.0), (9, 10, 9.0)")
+    val bt = LakeTable.load(spark, s"$warehouse/svc/bkt")
+    assert(bt.meta.bucketCount == 4)
+    assert(bt.timeline.liveFiles().forall(_.bucket.isDefined))
+    assert(spark.sql("SELECT v FROM lake.svc.bkt WHERE id = 9")
+      .head().getDouble(0) == 9.0)
     // cluster by a column; result readable and identical
     val clustered = spark.sql(
       "CALL lake.system.cluster(table => 'svc.t', sort_cols => 'ts')")

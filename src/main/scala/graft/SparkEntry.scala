@@ -98,6 +98,9 @@ object SparkEntry {
     // storage-partitioned join: two co-bucketed tables join on the
     // record key with zero shuffles (BucketIndexSpec plan assert)
     "lake_bucket_join" -> (LakeQueries.lakeBucketJoin _),
+    // consistent cross-table read at the SnapshotGroup cut: the joint
+    // view must hide commits above the minimum stable frontier
+    "lake_group_asof" -> (LakeQueries.lakeGroupAsof _),
     "lake_time_travel" -> (LakeQueries.lakeTimeTravel _),
     // savepoint-restore: roll back a destructive commit, read the snapshot
     "lake_restore" -> (LakeQueries.lakeRestore _),
@@ -279,6 +282,10 @@ object SparkEntry {
     // BM25 ranked retrieval, integer-exact (rational saturation +
     // bit-length idf), df-capped posting-list candidate join
     "text_bm25_topk" -> (Curation.bm25TopK _),
+    // incremental impact-index maintenance: staged corpus postings +
+    // per-term re-cap of (old top-64 ∪ increment) must converge to the
+    // batch build bit-for-bit — the oracle IS the batch SQL
+    "text_bm25_incr" -> (Curation.bm25Incremental _),
     "emb_norms" -> (Curation.embeddingNorms _),
     "emb_quantize" -> (Curation.quantizeEmbeddings _),
     "text_scrub_pii" -> (TextAnalysis.scrubPii _),
@@ -1463,6 +1470,50 @@ object SparkEntry {
       |  FROM b1 WHERE l_orderkey < 500
       |)""".stripMargin
 
+  /** The BM25 batch-build oracle — shared verbatim by `text_bm25_topk`
+    * and `text_bm25_incr` (the incremental impact index converges to
+    * the batch index exactly: per-term top-64 merge).
+    */
+  private val bm25Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tk AS (SELECT doc_id, token FROM tok WHERE len(token) > 0),
+      |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM tk GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+      |       FROM tk GROUP BY 1),
+      |cs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |              CAST(SUM(dl) AS BIGINT) AS l FROM dl),
+      |dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+      |          FROM tf GROUP BY 1),
+      |qt AS (SELECT DISTINCT doc_id AS query_id, token
+      |       FROM tk WHERE doc_id < 3),
+      |imp AS (SELECT doc_id, token, tf FROM (
+      |    SELECT doc_id, token, tf,
+      |      row_number() OVER (PARTITION BY token
+      |        ORDER BY tf DESC, doc_id ASC) AS irk
+      |    FROM tf) WHERE irk <= 64),
+      |cand AS (
+      |  SELECT q.query_id, imp.doc_id, imp.tf, dfreq.df, dl.dl, cs.n, cs.l
+      |  FROM imp JOIN qt q USING (token)
+      |           JOIN dfreq USING (token)
+      |           JOIN dl ON imp.doc_id = dl.doc_id
+      |           CROSS JOIN cs
+      |  WHERE imp.doc_id <> q.query_id),
+      |sc AS (SELECT query_id, doc_id,
+      |    CAST(SUM(
+      |      (((2 * n + 2) * 1000) // (2 * df + 1)) *
+      |      ((44000000 * l * tf) // (20 * l * tf + 6 * l + 18 * dl * n)))
+      |      AS BIGINT) AS score_u,
+      |    CAST(COUNT(*) AS BIGINT) AS n_terms
+      |  FROM cand GROUP BY 1, 2),
+      |r AS (SELECT query_id, doc_id, score_u, n_terms,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score_u DESC, doc_id ASC) AS INT) AS rk
+      |  FROM sc)
+      |SELECT query_id, doc_id, score_u, n_terms, rk
+      |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
   def oracleSql: Map[String, String] = {
     val base = Map(
     "q1_pricing_summary" ->
@@ -2603,6 +2654,17 @@ object SparkEntry {
          |FROM b1 JOIN b2 USING (l_orderkey, l_linenumber)
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    // the group cut hides table A's post-cut mutation commit, so the
+    // oracle replays the PRE-mutation b1⋈b2 join — a leak of the +5000
+    // generation would hash-fail
+    "lake_group_asof" ->
+      s"""$lakeCtes
+         |SELECT b1.l_orderkey, b1.l_linenumber,
+         |  b1.l_quantity AS qty_a, b1.created_ts AS ts_a,
+         |  b2.l_quantity AS qty_b, b2.created_ts AS ts_b
+         |FROM b1 JOIN b2 USING (l_orderkey, l_linenumber)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     // hilbert clustering is a layout-only service: the oracle replays
     // the same merge + box filter the z-order gate replays
     "lake_hilbert_filter" ->
@@ -3269,45 +3331,10 @@ object SparkEntry {
         |  FROM tf JOIN dfreq USING (token))
         |SELECT doc_id, token, tf, df, rk FROM r WHERE rk <= 3
         |ORDER BY doc_id, rk""".stripMargin,
-    "text_bm25_topk" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-        |tk AS (SELECT doc_id, token FROM tok WHERE len(token) > 0),
-        |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
-        |       FROM tk GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
-        |       FROM tk GROUP BY 1),
-        |cs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-        |              CAST(SUM(dl) AS BIGINT) AS l FROM dl),
-        |dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
-        |          FROM tf GROUP BY 1),
-        |qt AS (SELECT DISTINCT doc_id AS query_id, token
-        |       FROM tk WHERE doc_id < 3),
-        |imp AS (SELECT doc_id, token, tf FROM (
-        |    SELECT doc_id, token, tf,
-        |      row_number() OVER (PARTITION BY token
-        |        ORDER BY tf DESC, doc_id ASC) AS irk
-        |    FROM tf) WHERE irk <= 64),
-        |cand AS (
-        |  SELECT q.query_id, imp.doc_id, imp.tf, dfreq.df, dl.dl, cs.n, cs.l
-        |  FROM imp JOIN qt q USING (token)
-        |           JOIN dfreq USING (token)
-        |           JOIN dl ON imp.doc_id = dl.doc_id
-        |           CROSS JOIN cs
-        |  WHERE imp.doc_id <> q.query_id),
-        |sc AS (SELECT query_id, doc_id,
-        |    CAST(SUM(
-        |      (((2 * n + 2) * 1000) // (2 * df + 1)) *
-        |      ((44000000 * l * tf) // (20 * l * tf + 6 * l + 18 * dl * n)))
-        |      AS BIGINT) AS score_u,
-        |    CAST(COUNT(*) AS BIGINT) AS n_terms
-        |  FROM cand GROUP BY 1, 2),
-        |r AS (SELECT query_id, doc_id, score_u, n_terms,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score_u DESC, doc_id ASC) AS INT) AS rk
-        |  FROM sc)
-        |SELECT query_id, doc_id, score_u, n_terms, rk
-        |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+    "text_bm25_topk" -> bm25Sql,
+    // the incremental impact index converges to the batch index exactly
+    // (per-term top-64 merge), so the oracle is the batch SQL verbatim
+    "text_bm25_incr" -> bm25Sql,
     "emb_norms" ->
       s"""SELECT vec_id,
          |  sqrt(${cosineFold.format("embedding", "embedding")}) AS norm

@@ -1184,12 +1184,13 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * so time travel and incremental reads are unaffected.
     */
   def clusterZOrder(cols: Seq[String],
-      bitsPerCol: Int = 8): Option[String] = timeline.withLock() {
+      bitsPerCol: Int = 8,
+      incremental: Boolean = false): Option[String] = timeline.withLock() {
     require(cols.size * bitsPerCol <= 30,
       s"cols*bitsPerCol must fit an int, got ${cols.size * bitsPerCol} bits")
     // interleave: bit j of column i's bucket → output bit j*k + i,
     // so all columns contribute equally at every granularity
-    clusterCurveLocked(cols, bitsPerCol) { buckets =>
+    clusterCurveLocked(cols, bitsPerCol, "zorder", incremental) { buckets =>
       val k = cols.size
       (for (i <- 0 until k; j <- 0 until bitsPerCol) yield
         shiftleft(shiftright(buckets(i), j).bitwiseAND(lit(1)), j * k + i))
@@ -1205,17 +1206,33 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * segment-count dominance; ZoneMapSpec pins the file-level prune).
     */
   def clusterHilbert(cols: Seq[String],
-      bitsPerCol: Int = 8): Option[String] = timeline.withLock() {
+      bitsPerCol: Int = 8,
+      incremental: Boolean = false): Option[String] = timeline.withLock() {
     require(cols.size * bitsPerCol <= 62,
       s"cols*bitsPerCol must fit a long, got ${cols.size * bitsPerCol} bits")
-    clusterCurveLocked(cols, bitsPerCol)(
+    clusterCurveLocked(cols, bitsPerCol, "hilbert", incremental)(
       graft.functions.HilbertIndex(_, bitsPerCol))
   }
 
   /** Shared space-filling-curve clustering body — caller holds the
     * writer lock and supplies the bucket-ids→curve-position map.
+    *
+    * `incremental = true` is the liquid-clustering maintenance shape:
+    * only files added SINCE the last matching curve commit are laid out
+    * along the curve, reusing that commit's stored equi-depth bounds so
+    * cell ids stay comparable across generations — previously-clustered
+    * files are byte-untouched, and the service cost is O(new data), not
+    * O(table), every cycle. Tombstone-bearing files are excluded from
+    * the incremental target (removing a tombstone while its masked key
+    * survives in an untargeted base would resurrect the row — the
+    * [[compactPartitions]] rule); subset resolution is sound for the
+    * same reason partition-scoped compaction is: read-side
+    * (precombine, commit) resolution still picks the winner. With no
+    * prior matching curve commit, incremental falls back to a full
+    * clustering (which seeds the stored bounds).
     */
-  private def clusterCurveLocked(cols: Seq[String], bitsPerCol: Int)(
+  private def clusterCurveLocked(cols: Seq[String], bitsPerCol: Int,
+      curveKind: String, incremental: Boolean)(
       curve: Seq[Column] => Column): Option[String] = {
     require(cols.size >= 2,
       "curve clustering needs >= 2 columns; use cluster() for one")
@@ -1226,38 +1243,115 @@ class LakeTable private (val spark: SparkSession, val path: String) {
           "proxy column for dates/strings first")
     }
     val live = timeline.liveFiles()
-    if (live.isEmpty) None
-    else {
-      val instant = timeline.nextInstant()
-      val resolved =
-        (if (live.exists(_.isDelta))
-          resolveLatest(readFiles(live.map(_.path)), tombstoneBarrier(live))
-        else readStats(live))
-          // two passes below (quantiles, then the staged write)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        val nb = 1 << bitsPerCol
+    if (live.isEmpty) return None
+    // prior bounds for THIS curve/cols/bits, if any (newest wins)
+    val prior: Option[(String, Seq[Seq[Double]])] =
+      timeline.between(Timeline.Earliest, MaxInstant).reverseIterator
+        .flatMap { c =>
+          for {
+            b <- c.extra.get("cluster.bounds")
+            if c.extra.get("cluster.curve").contains(curveKind)
+            if c.extra.get("cluster.cols").contains(cols.mkString(","))
+            if c.extra.get("cluster.bits").contains(bitsPerCol.toString)
+          } yield (c.instant,
+            graft.util.Json.mapper.readValue(b,
+              classOf[Array[Array[Double]]]).map(_.toSeq).toSeq)
+        }.nextOption()
+    val (target, reused) = (incremental, prior) match {
+      case (true, Some((since, bs))) =>
+        val addedAt = timeline.between(Timeline.Earliest, MaxInstant)
+          .flatMap(c => c.added.map(f => f.path -> c.instant)).toMap
+        (live.filter(f => addedAt.get(f.path).forall(_ > since) &&
+          f.tombstones == 0), Some(bs))
+      case _ => (live, None) // full rewrite (seeds the bounds)
+    }
+    if (target.isEmpty) return None
+    val instant = timeline.nextInstant()
+    val resolved =
+      (if (target.exists(_.isDelta))
+        resolveLatest(readFiles(target.map(_.path)), tombstoneBarrier(live))
+      else readStats(target))
+        // two passes below (quantiles, then the staged write)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nb = 1 << bitsPerCol
+      val bounds: Seq[Seq[Double]] = reused.getOrElse {
         val probs = (1 until nb).map(_.toDouble / nb).toArray
         val doubled = resolved.select(
           cols.map(c => col(c).cast("double").as(c)): _*)
-        val bounds = doubled.stat.approxQuantile(cols.toArray, probs, 0.01)
-        // bucket_c = #boundaries <= value (equi-depth rank, 0..nb-1);
-        // nulls sort first (bucket 0). Codegen'd binary search — a
-        // higher-order fold here gets re-inlined into every downstream
-        // bit read by projection collapse (interpreted quadratic).
-        val buckets = cols.zip(bounds.toSeq).map { case (c, bs) =>
-          coalesce(
-            graft.functions.EquiDepthBucket(
-              col(c).cast("double"), bs.distinct.sorted),
-            lit(0))
-        }
-        val stats = stageWrite(resolved, instant, kind = "base",
-          clusterExprs = Seq(curve(buckets)))
-        timeline.commit(
-          CommitMeta(instant, "cluster", stats, live.map(_.path)))
-        Some(instant)
-      } finally { resolved.unpersist(); () }
-    }
+        doubled.stat.approxQuantile(cols.toArray, probs, 0.01)
+          .map(_.toSeq).toSeq
+      }
+      // bucket_c = #boundaries <= value (equi-depth rank, 0..nb-1);
+      // nulls sort first (bucket 0). Codegen'd binary search — a
+      // higher-order fold here gets re-inlined into every downstream
+      // bit read by projection collapse (interpreted quadratic).
+      val buckets = cols.zip(bounds).map { case (c, bs) =>
+        coalesce(
+          graft.functions.EquiDepthBucket(
+            col(c).cast("double"), bs.distinct.sorted.toArray),
+          lit(0))
+      }
+      val stats = stageWrite(resolved, instant, kind = "base",
+        clusterExprs = Seq(curve(buckets)))
+      timeline.commit(
+        CommitMeta(instant, "cluster", stats, target.map(_.path),
+          extra = Map(
+            "cluster.bounds" -> graft.util.Json.write(bounds),
+            "cluster.curve" -> curveKind,
+            "cluster.cols" -> cols.mkString(","),
+            "cluster.bits" -> bitsPerCol.toString)))
+      Some(instant)
+    } finally { resolved.unpersist(); () }
+  }
+
+  /** The most recent curve-clustering commit's parameters, if any —
+    * the seed an incremental maintenance run continues from.
+    */
+  private def lastCurveSeed(): Option[(String, Seq[String], Int)] =
+    timeline.between(Timeline.Earliest, MaxInstant).reverseIterator
+      .flatMap { c =>
+        for {
+          k <- c.extra.get("cluster.curve")
+          cols <- c.extra.get("cluster.cols")
+          bits <- c.extra.get("cluster.bits")
+        } yield (k, cols.split(",").toSeq, bits.toInt)
+      }.nextOption()
+
+  /** One-call maintenance policy (the table-services scheduler): run,
+    * in order, exactly the services this table currently needs —
+    *
+    *  1. compaction when any delta debt is outstanding (MOR read
+    *     amplification / tombstone resolution cost);
+    *  2. small-file bin-packing against `targetBytes`;
+    *  3. incremental curve clustering when a curve seed exists and new
+    *     files arrived since (the liquid-maintenance cycle — skipped on
+    *     bucketed tables, whose layout is the hash routing);
+    *  4. retention clean beyond `retainCommits`.
+    *
+    * Each step is its own atomic commit under the writer lock and
+    * no-ops without debt, so a scheduler can call this blindly every
+    * cycle; the compact/pack outputs count as "new since seed" and get
+    * curve-sorted by step 3 in the same call. Returns the work done as
+    * (service, instant-or-count) pairs — empty means the table was
+    * already healthy.
+    */
+  def maintain(targetBytes: Long = 128L * 1024 * 1024,
+      retainCommits: Int = 8): Seq[(String, String)] = {
+    val done = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    if (timeline.liveFiles().exists(_.isDelta))
+      compact().foreach(i => done += "compact" -> i)
+    packSmallFiles(targetBytes).foreach(i => done += "pack" -> i)
+    if (_meta.bucketCount == 0)
+      lastCurveSeed().foreach { case (kind, cols, bits) =>
+        val r =
+          if (kind == "hilbert") clusterHilbert(cols, bits, incremental = true)
+          else clusterZOrder(cols, bits, incremental = true)
+        r.foreach(i => done += s"cluster-$kind" -> i)
+      }
+    val cleaned = clean(retainCommits)
+    if (cleaned > 0) done += "clean" -> cleaned.toString
+    done.toSeq
   }
 
   /** Timeline archival (reference keep.min/max.commits): roll history

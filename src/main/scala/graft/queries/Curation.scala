@@ -251,19 +251,38 @@ object Curation {
     * candidate frame.
     */
   def bm25TopK(s: SparkSession, dir: String): DataFrame = {
-    val tk = docs(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .filter(length(col("token")) > 0)
+    val tk = bm25Tokens(s, dir)
     val tf = tk.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val cs = dl.agg(count(lit(1)).as("n"), sum("dl").as("l"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    bm25Score(bm25Cap(tf), dfreq, dl, bm25Queries(tk))
+  }
+
+  private def bm25Tokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+
+  /** Impact cap: per term, only the 64 highest-tf postings are
+    * retrievable (ties → lower doc_id).
+    */
+  private def bm25Cap(tf: DataFrame): DataFrame = {
     val impactW = Window.partitionBy("token")
       .orderBy(col("tf").desc, col("doc_id").asc)
-    val imp = tf.withColumn("irk", row_number().over(impactW))
+    tf.withColumn("irk", row_number().over(impactW))
       .filter(col("irk") <= 64).drop("irk")
-    val qt = tk.filter(col("doc_id") < 3)
+  }
+
+  private def bm25Queries(tk: DataFrame): DataFrame =
+    tk.filter(col("doc_id") < 3)
       .select(col("doc_id").as("query_id"), col("token")).distinct()
+
+  /** The integer-exact scoring core shared by the batch and incremental
+    * builds — see [[bm25TopK]] for the arithmetic derivation.
+    */
+  private def bm25Score(imp: DataFrame, dfreq: DataFrame,
+      dl: DataFrame, qt: DataFrame): DataFrame = {
+    val cs = dl.agg(count(lit(1)).as("n"), sum("dl").as("l"))
     val cand = imp.join(broadcast(qt), "token")
       .filter(col("doc_id") =!= col("query_id"))
       .join(dfreq, "token")
@@ -281,6 +300,52 @@ object Curation {
       .select(col("query_id"), col("doc_id"), col("score_u"),
         col("n_terms"), col("rk").cast("int").as("rk"))
       .orderBy("query_id", "rk")
+  }
+
+  /** Incremental BM25 (`text_bm25_incr`): the corpus impact index
+    * (capped postings, df, dl for docs below the 80%-of-id-range split)
+    * is STAGED once under [[Dedup.StageDirConf]]; an arriving batch
+    * folds in with increment-only work — its own tf/df/dl plus a
+    * per-term re-cap of (old top-64 ∪ increment), never a corpus
+    * re-scan. Convergence is exact, not approximate: a document in the
+    * full corpus's per-term top-64 is either in the increment or
+    * already inside the corpus index's top-64 (fewer than 64 corpus
+    * docs outrank it), so top-64(old ∪ inc) == top-64(full) and the
+    * ORACLE IS THE BATCH BUILD VERBATIM — the maintenance path must
+    * reproduce `text_bm25_topk`'s index bit-for-bit. df/dl/totals fold
+    * exactly because doc sets are disjoint.
+    */
+  def bm25Incremental(s: SparkSession, dir: String): DataFrame = {
+    val maxId = docs(s, dir).agg(max(col("doc_id"))).head().getLong(0)
+    bm25IncrementalAt(s, dir, (maxId + 1L) * 8L / 10L)
+  }
+
+  def bm25IncrementalAt(s: SparkSession, dir: String,
+      split: Long): DataFrame = {
+    val tk = bm25Tokens(s, dir)
+    def parts(t: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+      val tf = t.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      (bm25Cap(tf),
+        tf.groupBy("token").agg(count(lit(1)).as("df")),
+        t.groupBy("doc_id").agg(count(lit(1)).as("dl")))
+    }
+    val (cImp0, cDf0, cDl0) = parts(tk.filter(col("doc_id") < split))
+    def staged(kind: String, df0: DataFrame): DataFrame =
+      s.conf.getOption(Dedup.StageDirConf) match {
+        case Some(stage) =>
+          val name = s"bm25${kind}_${Dedup.stageTag(s, dir)}_$split"
+          Dedup.stagedOrFresh(s, s"$stage/$name",
+            out => df0.write.mode("overwrite").parquet(out), () => df0)
+        case None => df0
+      }
+    val (cImp, cDf, cDl) =
+      (staged("imp", cImp0), staged("df", cDf0), staged("dl", cDl0))
+    val (iImp, iDf, iDl) = parts(tk.filter(col("doc_id") >= split))
+    val imp = bm25Cap(cImp.unionByName(iImp))
+    val dfreq = cDf.unionByName(iDf)
+      .groupBy("token").agg(sum("df").as("df"))
+    val dl = cDl.unionByName(iDl)
+    bm25Score(imp, dfreq, dl, bm25Queries(tk))
   }
 
   /** Repetitiveness quality signal (the Gopher-rules family): the share

@@ -101,6 +101,7 @@ object LakeQueries {
     timed("zorder")(zorderFixture(s, dir))
     timed("hilbert")(hilbertFixture(s, dir))
     timed("bucket_join")(bucketJoinFixture(s, dir))
+    timed("group_asof")(groupFixture(s, dir))
     timed("restore")(restoreFixture(s, dir))
     timed("schema_evolution")(evoFixture(s, dir))
     timed("vacuum")(vacFixture(s, dir))
@@ -296,6 +297,55 @@ object LakeQueries {
     val a = ta.snapshot().select(col("l_orderkey"), col("l_linenumber"),
       col("l_quantity").as("qty_a"), col("created_ts").as("ts_a"))
     val b = tb.snapshot().select(col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").as("qty_b"), col("created_ts").as("ts_b"))
+    a.join(b, Seq("l_orderkey", "l_linenumber"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Two tables whose commits interleave: A commits, B commits, then A
+    * commits AGAIN — so the group cut (min stable frontier = B's only
+    * commit) must hide A's second generation from the joint read.
+    */
+  private val groupFixtures =
+    scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  private def groupFixture(s: SparkSession, dir: String): (LakeTable, LakeTable) = {
+    val (pa, pb) = groupFixtures.getOrElseUpdate(dir, {
+      val work = Files.createTempDirectory("graft_lakeq").toString
+      def make(sub: String) = LakeTable.create(s, s"$work/$sub",
+        TableMeta(s"lakeq_$sub", Seq("l_orderkey", "l_linenumber"),
+          "created_ts", Seq.empty, keyEncoding = "padded"))
+      val ta = make("ga"); val tb = make("gb")
+      withBatch1(s, dir) { b1 =>
+        ta.upsert(b1, combine = false)
+        tb.upsert(batch2(b1), combine = false)
+        // A moves on AFTER B's commit: above the group cut, so the
+        // joint read must not see these mutations
+        ta.upsert(b1.filter(col("l_orderkey") < 300)
+          .withColumn("l_quantity", col("l_quantity") + 5000)
+          .withColumn("created_ts", col("created_ts") + 2), combine = false)
+      }
+      (ta.path, tb.path)
+    })
+    (LakeTable.load(s, pa), LakeTable.load(s, pb))
+  }
+
+  /** Consistent cross-table read (`lake_group_asof`): both tables read
+    * at the [[graft.lake.SnapshotGroup]] cut — the minimum stable
+    * frontier, here B's single commit — so table A serves its FIRST
+    * generation even though a newer commit exists. The oracle replays
+    * the pre-mutation join on plain parquet: if the cut ever leaked
+    * A's second generation, the +5000 quantities would hash-fail. The
+    * coordination is metadata-only (one timeline read per table), the
+    * reads are ordinary pruned as-of scans — the 100 TB joint-read
+    * shape for documents⋈embeddings-style multi-table pipelines.
+    */
+  def lakeGroupAsof(s: SparkSession, dir: String): DataFrame = {
+    val (ta, tb) = groupFixture(s, dir)
+    val dfs = graft.lake.SnapshotGroup.read(Seq(ta, tb)).get
+    val a = dfs("lakeq_ga").select(col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").as("qty_a"), col("created_ts").as("ts_a"))
+    val b = dfs("lakeq_gb").select(col("l_orderkey"), col("l_linenumber"),
       col("l_quantity").as("qty_b"), col("created_ts").as("ts_b"))
     a.join(b, Seq("l_orderkey", "l_linenumber"))
       .orderBy("l_orderkey", "l_linenumber")

@@ -204,7 +204,8 @@ object LakeDataSource {
     org.apache.spark.sql.types.StructField("size_bytes", org.apache.spark.sql.types.LongType, nullable = false),
     org.apache.spark.sql.types.StructField("min_key", org.apache.spark.sql.types.StringType, nullable = true),
     org.apache.spark.sql.types.StructField("max_key", org.apache.spark.sql.types.StringType, nullable = true),
-    org.apache.spark.sql.types.StructField("tombstone_rows", org.apache.spark.sql.types.LongType, nullable = false)))
+    org.apache.spark.sql.types.StructField("tombstone_rows", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.IntegerType, nullable = true)))
 
   val PartitionsSchema: StructType = StructType(Seq(
     org.apache.spark.sql.types.StructField("partition", org.apache.spark.sql.types.StringType, nullable = false),
@@ -297,7 +298,8 @@ object LakeDataSource {
         val rows = live.sortBy(_.path).map { f =>
           org.apache.spark.sql.Row(f.path, f.partition,
             if (f.isDelta) "delta" else "base",
-            f.numRecords, f.sizeBytes, f.minKey, f.maxKey, f.tombstones)
+            f.numRecords, f.sizeBytes, f.minKey, f.maxKey, f.tombstones,
+            f.bucket.map(Integer.valueOf).orNull)
         }
         spark.createDataFrame(
           spark.sparkContext.parallelize(rows, 1),

@@ -53,7 +53,11 @@ object LakeProcedures {
   private val countOut = new StructType().add("count", LongType)
 
   private case class Spec(params: Seq[ProcedureParameter], out: StructType,
-      body: Body, description: String)
+      body: Body, description: String,
+      /** Multi-table procedures resolve their own participants via the
+        * catalog loader instead of the pre-resolved first-arg table.
+        */
+      multi: Option[(Seq[Any], String => LakeTable) => Seq[Seq[Any]]] = None)
 
   private val specs: Map[String, Spec] = Map(
     "compact" -> Spec(
@@ -82,12 +86,38 @@ object LakeProcedures {
       "Rewrite live files along a z-order curve over the given numeric columns"),
     "hilbert" -> Spec(
       Seq(p("table", StringType), p("cols", StringType),
-        p("bits_per_col", IntegerType, Some("8"))),
+        p("bits_per_col", IntegerType, Some("8")),
+        p("incremental", StringType, Some("false"))),
       instantOut,
       (t, args) => Seq(Seq(t.clusterHilbert(
         args(1).asInstanceOf[String].split(",").map(_.trim).toSeq,
-        args(2).asInstanceOf[Int]).orNull)),
-      "Rewrite live files along a Hilbert curve over the given numeric columns"),
+        args(2).asInstanceOf[Int],
+        incremental = args(3).asInstanceOf[String].toBoolean).orNull)),
+      "Rewrite live files along a Hilbert curve over the given numeric " +
+        "columns; incremental => only files added since the last " +
+        "matching clustering, reusing its stored bounds"),
+    "group_cut" -> Spec(
+      Seq(p("tables", StringType)),
+      instantOut,
+      (_, _) => Seq.empty,
+      "The consistent snapshot-group cut across the given comma-" +
+        "separated tables: the minimum stable frontier, safe to use as " +
+        "as.of on every member for a repeatable joint read",
+      multi = Some((args, load) => {
+        val names = args.head.asInstanceOf[String]
+          .split(",").map(_.trim).toSeq
+        Seq(Seq(
+          graft.lake.SnapshotGroup.cut(names.map(load)).orNull))
+      })),
+    "maintain" -> Spec(
+      Seq(p("table", StringType),
+        p("target_bytes", LongType, Some("134217728")),
+        p("retain_commits", IntegerType, Some("8"))),
+      new StructType().add("service", StringType).add("result", StringType),
+      (t, args) => t.maintain(args(1).asInstanceOf[Long],
+        args(2).asInstanceOf[Int]).map { case (s, r) => Seq(s, r) },
+      "Run every maintenance service the table needs: compact, pack, " +
+        "incremental curve clustering, retention clean"),
     "pack_small_files" -> Spec(
       Seq(p("table", StringType),
         p("target_bytes", LongType, Some("134217728")),
@@ -187,9 +217,14 @@ object LakeProcedures {
                   case dt => input.get(i, dt)
                 }
               }
-              val table = LakeTable.load(SparkSession.active,
-                tableDirOf(args.head.asInstanceOf[String]))
-              val resultRows = spec.body(table, args).map { values =>
+              val loader: String => LakeTable = n =>
+                LakeTable.load(SparkSession.active, tableDirOf(n))
+              val rows = spec.multi match {
+                case Some(m) => m(args, loader)
+                case None =>
+                  spec.body(loader(args.head.asInstanceOf[String]), args)
+              }
+              val resultRows = rows.map { values =>
                 new GenericInternalRow(values.map {
                   case s: String => UTF8String.fromString(s)
                   case v         => v

@@ -13,8 +13,9 @@ import graft.util.Sessions
   *   runMain graft.tools.LakeCli compact     <tablePath> [partitionDir...]
   *   runMain graft.tools.LakeCli cluster     <tablePath> <col>[,col...]
   *   runMain graft.tools.LakeCli zorder      <tablePath> <col>,<col>[,col...]
-  *   runMain graft.tools.LakeCli hilbert     <tablePath> <col>,<col>[,col...]
+  *   runMain graft.tools.LakeCli hilbert     <tablePath> <col>,<col>[,col...] [incremental]
   *   runMain graft.tools.LakeCli pack        <tablePath> [targetBytes]
+  *   runMain graft.tools.LakeCli maintain    <tablePath> [targetBytes] [retainCommits]
   *   runMain graft.tools.LakeCli clean       <tablePath> [retainCommits]
   *   runMain graft.tools.LakeCli sweep       <tablePath>        # orphaned data
   *   runMain graft.tools.LakeCli archive     <tablePath> [keepCommits]
@@ -98,14 +99,23 @@ object LakeCli {
         val target = if (args.length > 2) args(2).toLong else 128L * 1024 * 1024
         val done = t.packSmallFiles(target)
         println(done.fold("nothing to pack")(i => s"packed at $i"))
+      case "maintain" =>
+        val target = if (args.length > 2) args(2).toLong else 128L * 1024 * 1024
+        val retain = if (args.length > 3) args(3).toInt else 8
+        val did = t.maintain(target, retain)
+        if (did.isEmpty) println("table healthy: nothing to do")
+        else did.foreach { case (svc, i) => println(s"$svc: $i") }
       case "zorder" =>
         require(args.length > 2, "zorder needs curve columns")
         val done = t.clusterZOrder(args(2).split(",").map(_.trim).toSeq)
         println(done.fold("empty table")(i => s"z-ordered at $i"))
       case "hilbert" =>
         require(args.length > 2, "hilbert needs curve columns")
-        val done = t.clusterHilbert(args(2).split(",").map(_.trim).toSeq)
-        println(done.fold("empty table")(i => s"hilbert-clustered at $i"))
+        val incr = args.length > 3 && args(3) == "incremental"
+        val done = t.clusterHilbert(args(2).split(",").map(_.trim).toSeq,
+          incremental = incr)
+        println(done.fold("nothing to cluster")(i =>
+          s"hilbert-clustered at $i${if (incr) " (incremental)" else ""}"))
       case "clean" =>
         t.clean(if (args.length > 2) args(2).toInt else 2)
         println("clean done")

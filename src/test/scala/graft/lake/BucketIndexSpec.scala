@@ -153,6 +153,50 @@ class BucketIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](t.clusterHilbert(Seq("id", "v")))
   }
 
+  test("a partitioned AND bucketed table routes, prunes, and reads correctly") {
+    val s2 = spark
+    import s2.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val t = LakeTable.create(spark, tmp(),
+        TableMeta("b_part", Seq("id"), "ts", Seq("part"), bucketCount = N))
+      t.insert((0 until 600).map(i => (i.toLong, 1L, s"p${i % 3}", i * 1.0))
+        .toDF("id", "ts", "part", "v"))
+      val live = t.timeline.liveFiles()
+      assert(live.forall(f => f.bucket.isDefined && f.partition.nonEmpty))
+      // routing holds inside every hive partition dir
+      for (f <- live) {
+        val bad = spark.read.parquet(s"${t.path}/${f.path}")
+          .filter(pmod(hash(col("id")), lit(N)) =!= f.bucket.get).count()
+        assert(bad == 0)
+      }
+      // partition prune and bucket prune compose
+      val one = t.snapshot().filter(col("part") === "p1" && col("id") === 10L)
+      assert(scannedFiles(one) < live.size / 2)
+      assert(one.count() == 1)
+      // the bucketed scan still joins shuffle-free on the key
+      val other = bucketedTable(300, "b_part_peer")
+      val j = t.snapshot().select(col("id"), col("v").as("vp"))
+        .join(other.snapshot().select(col("id"), col("v").as("vb")), "id")
+      assert(shuffles(j) == 0, s"\n${j.queryExecution.executedPlan}")
+      assert(j.count() == 300)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("groupBy on the bucket key aggregates without an exchange") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val t = bucketedTable(400, "b_agg")
+      val agg = t.snapshot().groupBy("id").agg(sum("v").as("sv"))
+      assert(shuffles(agg) == 0, s"\n${agg.queryExecution.executedPlan}")
+      assert(agg.count() == 400)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("point writes prune candidates to the batch's buckets before the scan") {
     val s2 = spark
     import s2.implicits._

@@ -227,6 +227,11 @@ class LakeCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       "CALL lake.system.clean(table => 'svc.t', retain_commits => 2)")
       .head().getLong(0)
     assert(cleaned > 0)
+    // the one-call policy: smoke the dispatch (healthy table => 0 rows,
+    // or a trailing clean of the service commits above)
+    val maint = spark.sql("CALL lake.system.maintain(table => 'svc.t')")
+      .collect()
+    assert(maint.forall(r => r.getString(0).nonEmpty))
     // hilbert-curve layout rewrite over two numeric columns
     val hil = spark.sql(
       "CALL lake.system.hilbert(table => 'svc.t', cols => 'ts,v')")
@@ -243,6 +248,17 @@ class LakeCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bt.timeline.liveFiles().forall(_.bucket.isDefined))
     assert(spark.sql("SELECT v FROM lake.svc.bkt WHERE id = 9")
       .head().getDouble(0) == 9.0)
+    // the .files inventory exposes each file's bucket id
+    assert(spark.sql("SELECT bucket FROM lake.svc.bkt.files")
+      .collect().forall(!_.isNullAt(0)))
+    // consistent cross-table cut: min of the two stable frontiers,
+    // usable as as.of on every member
+    val gcut = spark.sql(
+      "CALL lake.system.group_cut(tables => 'svc.t,svc.bkt')")
+      .head().getString(0)
+    assert(gcut == Seq(t.latestCommit.get, bt.latestCommit.get).min)
+    assert(spark.read.option("as.of", gcut).table("lake.svc.bkt")
+      .count() >= 0)
     // cluster by a column; result readable and identical
     val clustered = spark.sql(
       "CALL lake.system.cluster(table => 'svc.t', sort_cols => 'ts')")

@@ -24,6 +24,13 @@ case class PipelineConfig(
     partitionFields: Seq[String] = Seq.empty,
     writeOperation: String = "upsert", // insert default in reference Config.scala:25
     repartitionNum: Int = 16, // reference Config.scala:20
+    /** StreamIngest: run the table's one-call maintenance policy
+      * ([[graft.lake.LakeTable.maintain]]) after every N non-empty
+      * micro-batches — the auto-optimize knob of managed lakehouses.
+      * 0 disables (reference behavior: services are scheduled
+      * externally).
+      */
+    maintainEvery: Int = 0,
     // batch / incremental pipelines
     sourcePath: String = "",
     sourceTablePath: String = "",
@@ -82,6 +89,7 @@ object PipelineConfig {
         case "--inbox-dir"         => c.copy(inboxDir = v)
         case "--checkpoint-dir"    => c.copy(checkpointDir = v)
         case "--trigger-seconds"   => c.copy(triggerSeconds = v.toInt)
+        case "--maintain-every"    => c.copy(maintainEvery = v.toInt)
         case "--starting-offsets"  => c.copy(startingOffsets = v)
         case "--sample-json"       => c.copy(sampleJson = v)
         case "--base-path"         => c.copy(basePath = v)

@@ -59,6 +59,7 @@ object StreamIngest {
 
   def run(spark: SparkSession, cfg: PipelineConfig): StreamingQuery = {
     val schema = resolveSchema(spark, cfg)
+    val batchesSinceMaintain = new java.util.concurrent.atomic.AtomicInteger(0)
     val bc = spark.sparkContext.broadcast(schema) // Y3, Log2Hudi.scala:52
     val table = LakeTable.create(spark, cfg.tablePath,
       TableMeta(cfg.tableName, cfg.recordKeyFields, cfg.precombineField,
@@ -84,6 +85,20 @@ object StreamIngest {
           cfg.writeOperation match {
             case "insert" => table.insert(df)
             case _        => table.upsert(df)
+          }
+          // auto-optimize: every N non-empty batches, run exactly the
+          // services the table needs (compact/pack/cluster-incr/clean) —
+          // continuous ingestion is what ACCRETES the debt (small files
+          // per trigger, MOR deltas), so the ingest loop is the natural
+          // place to pay it down. Each service is its own atomic commit
+          // under the writer lock; concurrent readers never block.
+          if (cfg.maintainEvery > 0) {
+            val n = batchesSinceMaintain.incrementAndGet()
+            if (n >= cfg.maintainEvery) {
+              batchesSinceMaintain.set(0)
+              table.maintain()
+              ()
+            }
           }
           ()
         }

@@ -223,6 +223,40 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mismatches().isEmpty) // additive merge == recomputed full agg
   }
 
+  test("StreamIngest auto-maintenance: --maintain-every pays down MOR debt inline") {
+    val work = tmp()
+    val sample = """{"event_id":1,"value":1.5,"ts":100}"""
+    Files.createDirectories(Paths.get(s"$work/inbox"))
+    Files.write(Paths.get(s"$work/inbox/b1.json"),
+      (1 to 10).map(i => s"""{"event_id":$i,"value":$i.5,"ts":${100 + i}}""")
+        .mkString("\n").getBytes)
+    val q = StreamIngest.run(spark, PipelineConfig(
+      inboxDir = s"$work/inbox",
+      checkpointDir = s"$work/ckpt",
+      triggerSeconds = 1,
+      sampleJson = sample,
+      targetTablePath = s"$work/am_lake",
+      tableName = "am_lake",
+      recordKeyFields = Seq("event_id"),
+      precombineField = "ts",
+      tableType = "mor",
+      maintainEvery = 1))
+    q.processAllAvailable()
+    // a second batch updates keys → MOR delta debt, then auto-maintain
+    Files.write(Paths.get(s"$work/inbox/b2.json"),
+      (1 to 5).map(i => s"""{"event_id":$i,"value":99.0,"ts":${200 + i}}""")
+        .mkString("\n").getBytes)
+    q.processAllAvailable()
+    q.stop()
+    val t = LakeTable.load(spark, s"$work/am_lake")
+    // maintenance ran inside the ingest loop: no outstanding deltas
+    assert(!t.timeline.liveFiles().exists(_.isDelta))
+    assert(t.snapshot().count() == 10)
+    assert(t.snapshot().filter(col("event_id") === 3).select("value")
+      .head().getDouble(0) == 99.0)
+    assert(t.history().exists(_.operation == "compact"))
+  }
+
   test("StreamIngest: inbox JSON lines → lake table with logday/hm") {
     val work = tmp()
     val sample = """{"event_id":1,"user_id":2,"event_type":"login","value":1.5,"ts":100}"""

@@ -70,14 +70,16 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("no curate_*/stats_* query plans a global window over unbounded input") {
-    // round 13: the last exception (curate_curriculum's global ntile) is
-    // gone — its phases now come from the exact difficulty histogram, so
-    // its only unpartitioned windows sit above an Aggregate. Empty
-    // allowlist, kept as the extension point.
+  test("no extension query plans a global window over unbounded input") {
+    // round 13: the last curate_/stats_ exception (curate_curriculum's
+    // global ntile) is gone, and the guard now covers EVERY extension
+    // family — text/dedup/sim/emb/mm included. Excluded prefixes: the
+    // relational pack (q17/q38-style windows ARE the queried semantics,
+    // oracle-faithful) and lake_* (fixture reads; windows there are
+    // key-partitioned and covered by their own specs).
     val allow = Set.empty[String]
     val names = graft.SparkEntry.queries.keys
-      .filter(n => n.startsWith("curate_") || n.startsWith("stats_"))
+      .filterNot(n => n.startsWith("q") || n.startsWith("lake_"))
       .filterNot(allow).toSeq.sorted
     val bad = names.flatMap { n =>
       globalWindowViolations(graft.SparkEntry.queries(n)(spark, sf))

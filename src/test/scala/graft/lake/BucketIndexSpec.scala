@@ -243,6 +243,22 @@ class BucketIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("file names parse to the recorded bucket through Spark's own BucketingUtils") {
+    // the read side trusts commit metadata, but Spark's bucketed scan
+    // trusts the FILE NAME — pin that the two can never drift
+    val t = bucketedTable(300, "b_names")
+    val s2 = spark
+    import s2.implicits._
+    t.upsert(Seq((7L, 2L, 1.0)).toDF("id", "ts", "v"))
+    for (f <- t.timeline.liveFiles()) {
+      val name = f.path.substring(f.path.lastIndexOf('/') + 1)
+      val parsed = org.apache.spark.sql.execution.datasources
+        .BucketingUtils.getBucketId(name)
+      assert(parsed == f.bucket,
+        s"$name: Spark parses $parsed, metadata says ${f.bucket}")
+    }
+  }
+
   test("bucketing requires a key and key-disjoint partition columns") {
     intercept[IllegalArgumentException](LakeTable.create(spark, tmp(),
       TableMeta("b_bad", Seq("id"), "ts", Seq("id"), bucketCount = N)))

@@ -94,6 +94,41 @@ class LiquidClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       incremental = true).isEmpty)
   }
 
+  test("randomized insert/cluster interleavings keep content exact and prune sound") {
+    val s2 = spark
+    import s2.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val rnd = new scala.util.Random(13)
+      val t = LakeTable.create(spark, tmp(),
+        TableMeta("lqr", Seq("id"), "ts", Seq.empty))
+      var next = 0
+      def insertSome(n: Int): Unit = { t.insert(grid(spark, next, next + n)); next += n }
+      insertSome(512)
+      assert(t.clusterHilbert(Seq("v1", "v2"), bitsPerCol = 4).isDefined)
+      for (_ <- 1 to 4) {
+        insertSome(64 + rnd.nextInt(192))
+        if (rnd.nextBoolean())
+          t.clusterHilbert(Seq("v1", "v2"), bitsPerCol = 4, incremental = true)
+      }
+      // trailing incremental run so everything is curve-laid
+      t.clusterHilbert(Seq("v1", "v2"), bitsPerCol = 4, incremental = true)
+      val expect = grid(spark, 0, next)
+      assert(t.snapshot().count() == next)
+      // box answers exact against the raw input under every interleaving
+      val box = col("v1").between(4.0, 11.0) && col("v2").between(1.0, 6.0)
+      assert(t.snapshot().filter(box).count() == expect.filter(box).count())
+      // zone pruning still sound AND useful: pruned scan < all files
+      def filesScanned(d: org.apache.spark.sql.DataFrame): Long = {
+        d.collect()
+        d.queryExecution.executedPlan.collectLeaves()
+          .flatMap(_.metrics.get("numFiles").map(_.value)).sum
+      }
+      val all = t.timeline.liveFiles().size.toLong
+      assert(filesScanned(t.snapshot().filter(box)) < all)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("MOR: tombstone deltas stay live and keep masking through incremental runs") {
     val s2 = spark
     import s2.implicits._

@@ -1222,14 +1222,18 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * along the curve, reusing that commit's stored equi-depth bounds so
     * cell ids stay comparable across generations — previously-clustered
     * files are byte-untouched, and the service cost is O(new data), not
-    * O(table), every cycle. Tombstone-bearing files are excluded from
-    * the incremental target (removing a tombstone while its masked key
-    * survives in an untargeted base would resurrect the row — the
-    * [[compactPartitions]] rule); subset resolution is sound for the
-    * same reason partition-scoped compaction is: read-side
-    * (precombine, commit) resolution still picks the winner. With no
-    * prior matching curve commit, incremental falls back to a full
-    * clustering (which seeds the stored bounds).
+    * O(table), every cycle. Delta files are excluded from the
+    * incremental target entirely (the [[packSmallFiles]] rule):
+    * rewriting an update delta for key k into a `kind=base` file while
+    * k's older version survives in an untargeted base would leave an
+    * all-base snapshot with BOTH versions — [[snapshotOfFiles]] only
+    * runs key resolution when some live file isDelta, so deltas must
+    * be left to compaction, which rewrites the matching bases too.
+    * Tombstone-bearing bases are likewise skipped (removing a
+    * tombstone while its masked key survives in an untargeted base
+    * would resurrect the row — the [[compactPartitions]] rule).
+    * With no prior matching curve commit, incremental falls back to a
+    * full clustering (which seeds the stored bounds).
     */
   private def clusterCurveLocked(cols: Seq[String], bitsPerCol: Int,
       curveKind: String, incremental: Boolean)(
@@ -1262,7 +1266,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         val addedAt = timeline.between(Timeline.Earliest, MaxInstant)
           .flatMap(c => c.added.map(f => f.path -> c.instant)).toMap
         (live.filter(f => addedAt.get(f.path).forall(_ > since) &&
-          f.tombstones == 0), Some(bs))
+          !f.isDelta && f.tombstones == 0), Some(bs))
       case _ => (live, None) // full rewrite (seeds the bounds)
     }
     if (target.isEmpty) return None

@@ -150,4 +150,33 @@ class LiquidClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       incremental = true).isDefined)
     assert(t.snapshot().count() == 319)
   }
+
+  test("MOR: update deltas are left to compaction, never clustered into bases") {
+    val s2 = spark
+    import s2.implicits._
+    val t = LakeTable.create(spark, tmp(),
+      TableMeta("lq5", Seq("id"), "ts", Seq.empty, tableType = "mor"))
+    t.insert(grid(spark, 0, 256))
+    assert(t.clusterHilbert(Seq("v1", "v2"), bitsPerCol = 4).isDefined)
+    // an UPDATE delta for key 7 (newer ts) plus fresh base inserts
+    t.upsert(Seq((7L, 9L, 63.0, 63.0)).toDF("id", "ts", "v1", "v2"))
+    t.insert(grid(spark, 256, 320))
+    val deltaPaths = t.timeline.liveFiles().filter(_.isDelta).map(_.path).toSet
+    assert(deltaPaths.nonEmpty, "upsert on MOR should have written a delta")
+    assert(t.clusterHilbert(Seq("v1", "v2"), bitsPerCol = 4,
+      incremental = true).isDefined)
+    // the update delta was NOT rewritten into a base: all-base snapshots
+    // skip key resolution, so clustering a delta while key 7's older
+    // version survives in an untargeted base would duplicate the key
+    assert(t.timeline.liveFiles().filter(_.isDelta).map(_.path).toSet
+      == deltaPaths, "incremental clustering must not touch delta files")
+    assert(t.snapshot().count() == 320)
+    val row7 = t.snapshot().filter(col("id") === 7L).collect()
+    assert(row7.length == 1 && row7(0).getAs[Double]("v1") == 63.0)
+    // compaction (not clustering) is the delta's exit path
+    assert(t.compact().isDefined)
+    assert(!t.timeline.liveFiles().exists(_.isDelta))
+    assert(t.snapshot().count() == 320)
+    assert(t.snapshot().filter(col("id") === 7L).count() == 1)
+  }
 }

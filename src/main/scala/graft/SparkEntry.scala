@@ -101,6 +101,9 @@ object SparkEntry {
     // consistent cross-table read at the SnapshotGroup cut: the joint
     // view must hide commits above the minimum stable frontier
     "lake_group_asof" -> (LakeQueries.lakeGroupAsof _),
+    // atomic multi-table transaction: a committed cross-table upsert is
+    // visible on BOTH sides, a crashed in-doubt half on NEITHER
+    "lake_txn_group" -> (LakeQueries.lakeTxnGroup _),
     "lake_time_travel" -> (LakeQueries.lakeTimeTravel _),
     // savepoint-restore: roll back a destructive commit, read the snapshot
     "lake_restore" -> (LakeQueries.lakeRestore _),
@@ -1503,7 +1506,8 @@ object SparkEntry {
       |sc AS (SELECT query_id, doc_id,
       |    CAST(SUM(
       |      (((2 * n + 2) * 1000) // (2 * df + 1)) *
-      |      ((44000000 * l * tf) // (20 * l * tf + 6 * l + 18 * dl * n)))
+      |      CAST((44000000::HUGEINT * l * tf) //
+      |        (20::HUGEINT * l * tf + 6 * l + 18 * dl * n) AS BIGINT))
       |      AS BIGINT) AS score_u,
       |    CAST(COUNT(*) AS BIGINT) AS n_terms
       |  FROM cand GROUP BY 1, 2),
@@ -2663,6 +2667,31 @@ object SparkEntry {
          |  b1.l_quantity AS qty_a, b1.created_ts AS ts_a,
          |  b2.l_quantity AS qty_b, b2.created_ts AS ts_b
          |FROM b1 JOIN b2 USING (l_orderkey, l_linenumber)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // the committed txn slice (keys < 200, +7000/+8000 over the b1/b2
+    // bases at precombine +3) appears on BOTH sides; the crashed
+    // in-doubt +9999 prepare (keys < 400, A only) on NEITHER — any torn
+    // visibility breaks the hash
+    "lake_txn_group" ->
+      s"""$lakeCtes
+         |SELECT l_orderkey, l_linenumber, a.qty AS qty_a, a.ts AS ts_a,
+         |  b.qty AS qty_b, b.ts AS ts_b
+         |FROM
+         | (SELECT l_orderkey, l_linenumber,
+         |    CASE WHEN l_orderkey < 200
+         |      THEN l_quantity + 7000 ELSE l_quantity END AS qty,
+         |    CASE WHEN l_orderkey < 200
+         |      THEN created_ts + 3 ELSE created_ts END AS ts
+         |  FROM b1) a
+         | JOIN
+         | (SELECT l_orderkey, l_linenumber,
+         |    CASE WHEN l_orderkey < 200
+         |      THEN l_quantity + 7000 ELSE l_quantity END AS qty,
+         |    CASE WHEN l_orderkey < 200
+         |      THEN created_ts + 2 ELSE created_ts END AS ts
+         |  FROM b2) b
+         | USING (l_orderkey, l_linenumber)
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // hilbert clustering is a layout-only service: the oracle replays

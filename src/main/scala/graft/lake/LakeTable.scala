@@ -40,8 +40,8 @@ import org.apache.spark.storage.StorageLevel
 class LakeTable private (val spark: SparkSession, val path: String) {
   import LakeTable._
 
-  private val tablePath = new Path(path)
-  private val fs: FileSystem =
+  private[lake] val tablePath = new Path(path)
+  private[lake] val fs: FileSystem =
     tablePath.getFileSystem(spark.sessionState.newHadoopConf())
   private var _meta: TableMeta = TableMeta.load(fs, tablePath)
   val timeline = new Timeline(fs, tablePath)
@@ -823,7 +823,10 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     */
   def upsert(data: DataFrame, extra: Map[String, String] = Map.empty,
       combine: Boolean = true): String = {
-    val visible = timeline.instants().toSet
+    // visibleInstants, not instants: an in-doubt txn commit's data was
+    // invisible to this plan, so if it decides committed it must be a
+    // conflict CANDIDATE at publish, not part of the baseline
+    val visible = timeline.visibleInstants().toSet
     val instant = timeline.reserveInstant()
     try upsertReserved(data, extra, combine, instant, visible)
     finally timeline.releaseReservation(instant)
@@ -930,7 +933,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * revives it; compaction physically removes tombstoned rows.
     */
   def delete(data: DataFrame, extra: Map[String, String] = Map.empty): String = {
-    val visible = timeline.instants().toSet
+    val visible = timeline.visibleInstants().toSet
     val instant = timeline.reserveInstant()
     try deleteReserved(data, extra, instant, visible)
     finally timeline.releaseReservation(instant)
@@ -1329,9 +1332,19 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     *     amplification / tombstone resolution cost);
     *  2. small-file bin-packing against `targetBytes`;
     *  3. incremental curve clustering when a curve seed exists and new
-    *     files arrived since (the liquid-maintenance cycle — skipped on
-    *     bucketed tables, whose layout is the hash routing);
-    *  4. retention clean beyond `retainCommits`.
+    *     files arrived since (the liquid-maintenance cycle; on bucketed
+    *     tables the curve orders rows WITHIN each hash bucket);
+    *  4. secondary-index refresh for every existing posting sidecar
+    *     (O(new files) each) — without it, post-build files accumulate
+    *     outside the postings and the prune decays toward a full scan
+    *     (lookups stay CORRECT; staleness safety is structural);
+    *  5. retention clean beyond `retainCommits`.
+    *
+    * Staged QUERY artifacts (BM25 postings, span/band indexes, IVF
+    * cells) are maintained by their own absorb/refresh calls
+    * (`bm25Incremental`, `Dedup` staged bands, `ivfAddBatch`) — they
+    * key on corpus snapshots, not table commits, so the table scheduler
+    * is the wrong cadence for them.
     *
     * Each step is its own atomic commit under the writer lock and
     * no-ops without debt, so a scheduler can call this blindly every
@@ -1343,19 +1356,118 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   def maintain(targetBytes: Long = 128L * 1024 * 1024,
       retainCommits: Int = 8): Seq[(String, String)] = {
     val done = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    recoverTxns().foreach { case (i, outcome) => done += s"txn-$outcome" -> i }
     if (timeline.liveFiles().exists(_.isDelta))
       compact().foreach(i => done += "compact" -> i)
     packSmallFiles(targetBytes).foreach(i => done += "pack" -> i)
-    if (_meta.bucketCount == 0)
-      lastCurveSeed().foreach { case (kind, cols, bits) =>
-        val r =
-          if (kind == "hilbert") clusterHilbert(cols, bits, incremental = true)
-          else clusterZOrder(cols, bits, incremental = true)
-        r.foreach(i => done += s"cluster-$kind" -> i)
-      }
+    lastCurveSeed().foreach { case (kind, cols, bits) =>
+      val r =
+        if (kind == "hilbert") clusterHilbert(cols, bits, incremental = true)
+        else clusterZOrder(cols, bits, incremental = true)
+      r.foreach(i => done += s"cluster-$kind" -> i)
+    }
+    indexedColumns().foreach { c =>
+      val before = secondaryIndexAsOf(c)
+      val after = refreshSecondaryIndex(c)
+      if (after != before)
+        after.foreach(i => done += s"secidx-$c" -> i)
+    }
     val cleaned = clean(retainCommits)
     if (cleaned > 0) done += "clean" -> cleaned.toString
     done.toSeq
+  }
+
+  // ------------------------------------- multi-table transaction support
+
+  /** PREPARE one operation of a multi-table transaction ([[TxnGroup]]):
+    * runs the ordinary write path (same staging, OCC conflict check and
+    * publish) but the commit carries the in-doubt txn markers, so it is
+    * INVISIBLE to every reader until the coordinator decision record
+    * says committed — and the instant's in-flight reservation is LEFT
+    * HELD, capping incremental consumers' stable watermark below the
+    * prepare until the caller releases it post-decision (the lost-commit
+    * guard). On failure the reservation is released and the error
+    * rethrown; the caller aborts the whole transaction.
+    */
+  private[graft] def txnPrepare(op: String, data: DataFrame, txnId: String,
+      coord: String, combine: Boolean = true): String = {
+    val extra = Map(Timeline.TxnIdKey -> txnId,
+      Timeline.TxnCoordKey -> coord, Timeline.TxnPendingKey -> "true")
+    val visible = timeline.visibleInstants().toSet
+    val instant = timeline.reserveInstant()
+    try {
+      op match {
+        case "insert" =>
+          val incoming = withMeta(alignUser(data), instant)
+          val staging = writeStaging(incoming, instant)
+          publishOptimistic(instant, staging, "insert", "base", Seq.empty,
+            extra, visible = None)
+        case "upsert" =>
+          upsertReserved(data, extra, combine, instant, visible)
+        case "delete" =>
+          deleteReserved(data, extra, instant, visible)
+        case other =>
+          throw new IllegalArgumentException(
+            s"unsupported transactional operation: $other")
+      }
+      instant
+    } catch { case e: Throwable =>
+      timeline.releaseReservation(instant); throw e
+    }
+  }
+
+  /** Roll back an in-doubt or aborted txn prepare: drop its commit file
+    * and delete its staged data files. Commit file FIRST — a crash
+    * between the two steps leaves orphan data files (referenced by no
+    * commit, swept by [[cleanOrphanedData]]), never a commit referencing
+    * deleted files. Callers must have established the abort decision
+    * first; readers already treat the commit as invisible either way.
+    */
+  private[graft] def txnRollback(instant: String): Unit = timeline.withLock() {
+    if (!timeline.instants().contains(instant)) return // already rolled back
+    val meta = timeline.read(instant)
+    timeline.dropCommits(Seq(instant))
+    timeline.requireLockHeld("txn rollback")
+    meta.added.map(_.path).foreach(deleteDataFile)
+  }
+
+  /** Resolve every in-doubt multi-table-transaction commit on this
+    * table's timeline — the participant-side recovery a scheduler (or
+    * [[maintain]]) can run blindly:
+    *
+    *  - decision says committed → nothing to do (the commit is visible
+    *    by resolution; reported for observability);
+    *  - decision says aborted → roll the prepare back;
+    *  - no decision, preparing writer still live (its in-flight
+    *    reservation heartbeats) → leave it alone;
+    *  - no decision, writer dead → decide ABORT through the coordinator
+    *    (atomic under the coordinator table's writer lock — a paused
+    *    coordinator waking later loses the decision race and reports
+    *    the abort to its caller), then roll back.
+    *
+    * Returns (instant, "committed" | "rolledback") pairs.
+    */
+  def recoverTxns(): Seq[(String, String)] = {
+    val pending = timeline.instants().map(timeline.read)
+      .filter(_.extra.get(Timeline.TxnPendingKey).contains("true"))
+    pending.flatMap { m =>
+      val coord = m.extra(Timeline.TxnCoordKey)
+      timeline.txnState(coord) match {
+        case "committed" => Some(m.instant -> "committed")
+        case "aborted" =>
+          txnRollback(m.instant)
+          Some(m.instant -> "rolledback")
+        case _ if timeline.reservationLive(m.instant) => None
+        case _ =>
+          // dead writer, no decision: abort it (the presumed-abort rule)
+          TxnGroup.decide(fs, coord, "aborted") match {
+            case "committed" => Some(m.instant -> "committed")
+            case _ =>
+              txnRollback(m.instant)
+              Some(m.instant -> "rolledback")
+          }
+      }
+    }
   }
 
   /** Timeline archival (reference keep.min/max.commits): roll history
@@ -1439,6 +1551,20 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       ()
     }
     Some(asOf)
+  }
+
+  /** Columns that currently have a posting-list index sidecar — the
+    * set [[maintain]]'s index-upkeep step refreshes. One listing of
+    * `_lake/secidx/`; only dirs holding at least one complete
+    * (`_SUCCESS`-gated) generation count.
+    */
+  def indexedColumns(): Seq[String] = {
+    val root = new Path(tablePath, "_lake/secidx")
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toIndexedSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(c => secIdxGenerations(c).nonEmpty)
+      .sorted
   }
 
   private def secIdxGenerations(column: String): Seq[String] = {
@@ -2277,16 +2403,27 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     // verbatim and the staged `part-i-*` name identifies the bucket.
     // The explicit partition count is AQE-stable (REPARTITION_BY_NUM is
     // never coalesced or split). Within a bucket, rows sort by
-    // (partition dirs, key) for tight parquet row-group stats.
+    // (partition dirs, key) for tight parquet row-group stats — or, on a
+    // curve-clustering rewrite, by (partition dirs, curve, key): the
+    // bucket stays the SHUFFLE unit (hash-routed by key, so SPJ
+    // zero-shuffle joins keep working) and the curve orders rows INSIDE
+    // it, composing multi-column skipping with the bucket index. With
+    // [[LakeTable.CurveBucketFileRowsConf]] set, each bucket splits into
+    // files covering narrow curve ranges (file-level zone-map pruning
+    // inside the probed bucket); unset, the curve still tightens parquet
+    // row-group stats within the one file per bucket.
     val ordered =
       if (_meta.bucketCount > 0) {
-        require(clusterBy.isEmpty && clusterExprs.isEmpty,
-          "clustering rewrites (cluster/zorder/hilbert) are incompatible " +
-            "with the bucket index: files must stay hash-routed by key")
+        require(clusterBy.isEmpty,
+          "cluster(col) layout rewrites are incompatible with the " +
+            "bucket index: files must stay hash-routed by key " +
+            "(zorder/hilbert compose — they sort WITHIN each bucket)")
+        val intra = _meta.partitionFields.map(col) ++
+          (if (clusterExprs.nonEmpty) clusterExprs :+ col(RecordKeyCol)
+          else Seq(col(RecordKeyCol)))
         ordered0
           .repartition(_meta.bucketCount, _meta.recordKeyFields.map(col): _*)
-          .sortWithinPartitions(
-            (_meta.partitionFields :+ RecordKeyCol).map(col): _*)
+          .sortWithinPartitions(intra: _*)
       } else ordered0
         .repartitionByRange(clusterCols: _*)
         .sortWithinPartitions(clusterCols: _*)
@@ -2295,9 +2432,15 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       // instant, their staging areas cannot collide
       val staging = new Path(tablePath,
         s"_lake/staging/${instant}_${java.util.UUID.randomUUID().toString.take(8)}")
+      val curveSplit =
+        if (_meta.bucketCount > 0 && clusterExprs.nonEmpty)
+          spark.conf.getOption(LakeTable.CurveBucketFileRowsConf)
+            .map(_.toLong).filter(_ > 0)
+        else None
       // every data file carries a record-key bloom (Hudi BLOOM-index
       // analog) — footer-only upsert tagging via [[KeyBloom]]
-      val w = ordered.write.mode("overwrite").options(KeyBloom.writerOptions)
+      val w0 = ordered.write.mode("overwrite").options(KeyBloom.writerOptions)
+      val w = curveSplit.fold(w0)(n => w0.option("maxRecordsPerFile", n))
       val w2 =
         if (_meta.partitionFields.nonEmpty) w.partitionBy(_meta.partitionFields: _*)
         else w
@@ -2532,7 +2675,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * publish-time write-conflict check.
     */
   private[graft] def committedInstants(): Set[String] =
-    timeline.instants().toSet
+    timeline.visibleInstants().toSet
 
   /** Driver-side task-completion heartbeat: keeps a long optimistic write
     * job's reservation from going stale mid-flight.
@@ -2810,6 +2953,16 @@ object LakeTable {
     */
   private[lake] val StagedPartPattern =
     java.util.regex.Pattern.compile("^part-(\\d+)-")
+
+  /** Rows per file when curve-clustering a BUCKETED table (session
+    * conf): each bucket's curve-sorted rows split into files of at most
+    * this many rows, so every file covers a narrow curve range and the
+    * 2-D zone-map prune works at FILE granularity inside the probed
+    * bucket. Unset/0 = one file per bucket (parquet row-group stats
+    * still benefit from the curve order). Size it so files land near
+    * the table's target file bytes at the corpus's row width.
+    */
+  val CurveBucketFileRowsConf = "spark.graft.lake.curve.bucketFileRows"
 
   def create(spark: SparkSession, path: String, meta: TableMeta): LakeTable = {
     require(meta.bucketCount >= 0, "bucketCount must be >= 0")

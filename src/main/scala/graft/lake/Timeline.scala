@@ -79,9 +79,72 @@ class Timeline(fs: FileSystem, tablePath: Path) {
     }
   }
 
-  /** Sorted ascending list of committed instants. */
+  /** Sorted ascending list of committed instants — the RAW name view,
+    * including in-doubt multi-table-transaction commits ([[txnVisible]]).
+    * Instant allocation, OCC conflict candidates, restore and orphan
+    * sweeps need this view (an in-doubt commit's instant is taken and
+    * its files must never be treated as orphans); DATA reads go through
+    * [[liveFiles]]/[[between]]/[[addedBetween]], which resolve txn
+    * visibility, or [[visibleInstants]] for the filtered instant list.
+    */
   def instants(): Seq[String] =
     listCommits().map(st => instantOf(st.getPath.getName))
+
+  /** Instants whose commits are VISIBLE to readers: everything except
+    * in-doubt / aborted multi-table-transaction commits. Optimistic
+    * writers capture their plan-time `visible` baseline from this view:
+    * an in-doubt commit's data was invisible to the plan, so if it later
+    * commits it must be a conflict CANDIDATE, not part of the baseline.
+    */
+  def visibleInstants(): Seq[String] =
+    listCommits().map(readAt).filter(txnVisible).map(_.instant)
+
+  // ----------------------------------- multi-table transaction visibility
+
+  /** Terminal decision cache: a committed/aborted transaction decision is
+    * immutable, so each process resolves a given coordinator record at
+    * most once. "pending" is never cached.
+    */
+  private val txnDecisions =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Is this commit visible to readers? Ordinary commits always are. A
+    * commit carrying `txn.pending` is the PREPARE half of a multi-table
+    * transaction ([[TxnGroup]]): visible iff the coordinator decision
+    * record says committed — before the decision (or after an abort)
+    * readers see NEITHER table's half, which is what makes the decision
+    * rename the atomic visibility point across tables.
+    */
+  private[lake] def txnVisible(m: CommitMeta): Boolean =
+    !m.extra.get(Timeline.TxnPendingKey).contains("true") ||
+      m.extra.get(Timeline.TxnCoordKey)
+        .exists(c => txnState(c) == "committed")
+
+  /** Resolve a coordinator decision record: "committed" / "aborted" /
+    * "pending" (record absent or unreadable). Terminal states cache
+    * forever; resolving a pending transaction costs one metadata read
+    * per timeline query until it decides — bounded by the number of
+    * concurrently in-flight transactions, not by table size.
+    */
+  private[lake] def txnState(coordPath: String): String = {
+    val cached = txnDecisions.get(coordPath)
+    if (cached != null) return cached
+    val st =
+      try {
+        val p = new Path(coordPath)
+        val len = fs.getFileStatus(p).getLen.toInt
+        val in = fs.open(p)
+        try {
+          val bytes = new Array[Byte](len)
+          in.readFully(bytes)
+          val node =
+            Json.mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
+          Option(node.get("state")).map(_.asText()).getOrElse("pending")
+        } finally in.close()
+      } catch { case _: java.io.IOException => "pending" }
+    if (st == "committed" || st == "aborted") txnDecisions.put(coordPath, st)
+    st
+  }
 
   def latestInstant(): Option[String] = instants().lastOption
 
@@ -261,8 +324,12 @@ class Timeline(fs: FileSystem, tablePath: Path) {
     */
   def stableInstant(): Option[String] =
     pendingInstants().headOption match {
-      case Some(p) => instants().filter(_ < p).lastOption
-      case None    => latestInstant()
+      // visibleInstants on both branches: an in-doubt txn commit must
+      // never become a consumer watermark — its data is filtered from
+      // between(), and on abort the commit file is DROPPED, which would
+      // leave the watermark pointing at a nonexistent instant
+      case Some(p) => visibleInstants().filter(_ < p).lastOption
+      case None    => visibleInstants().lastOption
     }
 
   /** `end` capped strictly below the oldest live reservation. */
@@ -556,11 +623,16 @@ class Timeline(fs: FileSystem, tablePath: Path) {
     } catch { case _: java.io.IOException => () }
   }
 
-  /** Parsed commits at instants `<= asOf`, one directory listing. */
+  /** Parsed commits at instants `<= asOf`, one directory listing. Data
+    * reads flow through here, so in-doubt transaction halves are
+    * filtered out ([[txnVisible]]) — a reader between a transaction's
+    * prepares and its decision sees NEITHER table's half.
+    */
   private def commitsUpTo(asOf: String): Seq[CommitMeta] =
     listCommits()
       .filter(_.getPath.getName.stripSuffix(Timeline.Suffix) <= asOf)
       .map(readAt)
+      .filter(txnVisible)
 
   /** Remove commit files from the active timeline (restore/rollback).
     * Caller must hold the writer lock and own the correctness argument.
@@ -614,6 +686,14 @@ object Timeline {
   val CheckpointSuffix = ".checkpoint.json"
   val Earliest = "earliest"
   val InflightSuffix = ".inflight"
+
+  /** Commit-meta extra keys marking a multi-table-transaction PREPARE:
+    * id, absolute path of the coordinator decision record, and the
+    * in-doubt flag readers resolve through [[Timeline.txnState]].
+    */
+  val TxnIdKey = "txn.id"
+  val TxnCoordKey = "txn.coord"
+  val TxnPendingKey = "txn.pending"
 
   /** A reservation with no heartbeat for this long is a crashed writer:
     * swept on the next reservation, ignored by consumers. Mutable so

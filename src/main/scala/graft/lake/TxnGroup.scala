@@ -1,0 +1,167 @@
+package graft.lake
+
+import graft.util.Json
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.DataFrame
+
+import java.nio.charset.StandardCharsets
+
+/** Atomic multi-TABLE transactions — the WRITE-side companion of
+  * [[SnapshotGroup]]'s consistent cross-table reads.
+  *
+  * The reference's medallion hops persist an aggregation watermark
+  * non-transactionally beside the data write (reference
+  * DWD2DM.scala:81-82; SURVEY hard-part #5: a replayed batch
+  * double-counts). This closes that hole with a two-phase commit over
+  * the lake timeline:
+  *
+  *  1. **Prepare** — each table runs its ordinary write path
+  *     ([[LakeTable.txnPrepare]]: same staging, OCC conflict check,
+  *     atomic publish), but the commit carries in-doubt markers, so it
+  *     is INVISIBLE to every reader, and its in-flight reservation is
+  *     left held so incremental consumers' stable watermark stays below
+  *     it (no consumer can advance past an instant that may later
+  *     become visible).
+  *  2. **Decide** — one coordinator decision record
+  *     (`<first-table>/_lake/txn/<txnId>.json`) is published
+  *     atomically under the coordinator table's writer lock. Its
+  *     content flipping to `committed` is the single visibility point:
+  *     before it readers see NEITHER table's half, after it they see
+  *     BOTH (each timeline resolves its in-doubt commits against the
+  *     record, [[Timeline.txnVisible]]).
+  *  3. **Release** — reservations drop; consumers advance over the now
+  *     visible commits.
+  *
+  * Crash recovery is presumed-abort ([[LakeTable.recoverTxns]]): a dead
+  * writer's undecided prepares are aborted through the same
+  * lock-serialized decision write (so a paused coordinator waking later
+  * LOSES the race and learns it) and rolled back; decided-committed
+  * prepares need no action — they are already visible everywhere.
+  *
+  * At 100 TB the coordination cost is metadata-only: one tiny decision
+  * record, no locks held across tables during the data writes, and no
+  * data moved beyond what each table's own write path stages.
+  */
+object TxnGroup {
+
+  /** One table's operation inside a transaction. */
+  sealed trait TxnOp { def table: LakeTable }
+  final case class TxnInsert(table: LakeTable, data: DataFrame) extends TxnOp
+  final case class TxnUpsert(table: LakeTable, data: DataFrame,
+      combine: Boolean = true) extends TxnOp
+  final case class TxnDelete(table: LakeTable, data: DataFrame) extends TxnOp
+
+  /** Atomically apply all `ops` — every table's write becomes visible at
+    * one instant, or none does. All tables must live on one filesystem
+    * (the decision record must be readable from every participant).
+    * Throws `ConcurrentModificationException` if a conflict or recovery
+    * aborted the transaction; the caller retries the whole statement.
+    *
+    * @return the transaction id (the coordinator record is
+    *         `<first-table>/_lake/txn/<id>.json`)
+    */
+  def commit(ops: Seq[TxnOp]): String = {
+    require(ops.nonEmpty, "transaction needs at least one operation")
+    require(ops.map(_.table.path).distinct.size == ops.size,
+      "one operation per table: a second prepare on the same table " +
+        "cannot see the first's still-invisible half (combine the " +
+        "batches into one operation instead)")
+    val coordTable = ops.head.table
+    val fs = coordTable.fs
+    val txnId = f"${System.currentTimeMillis()}%017d_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val decisionPath = fs.makeQualified(
+      new Path(coordTable.tablePath, s"_lake/txn/$txnId.json"))
+    val coord = decisionPath.toString
+    val prepared = scala.collection.mutable.ArrayBuffer[(LakeTable, String)]()
+    def releaseAll(): Unit =
+      prepared.foreach { case (t, i) => t.timeline.releaseReservation(i) }
+    def rollbackAll(): Unit =
+      prepared.foreach { case (t, i) =>
+        try t.txnRollback(i) finally t.timeline.releaseReservation(i)
+      }
+    def abort(cause: Throwable): Nothing = {
+      decide(fs, coord, "aborted") match {
+        case "committed" =>
+          // impossible unless this coordinator already decided commit —
+          // in which case we would not be here; treat as fatal
+          releaseAll()
+          throw new IllegalStateException(
+            s"txn $txnId found committed while aborting", cause)
+        case _ => rollbackAll(); throw cause
+      }
+    }
+    try {
+      ops.foreach { op =>
+        val instant = op match {
+          case TxnInsert(t, d)     => t.txnPrepare("insert", d, txnId, coord)
+          case TxnUpsert(t, d, cb) => t.txnPrepare("upsert", d, txnId, coord, cb)
+          case TxnDelete(t, d)     => t.txnPrepare("delete", d, txnId, coord)
+        }
+        prepared += ((op.table, instant))
+        FaultInjection.point(s"txn.prepared.${prepared.size}")
+      }
+    } catch { case e: Throwable => abort(e) }
+    // fencing before the decision: every prepare must still be on its
+    // active timeline (no restore rolled it away) with a LIVE
+    // reservation (no stale-sweep let consumers advance past it) —
+    // otherwise committing could surface a half readers already skipped
+    val dead = prepared.filter { case (t, i) =>
+      !t.timeline.reservationLive(i) || !t.timeline.instants().contains(i)
+    }
+    if (dead.nonEmpty)
+      abort(new java.util.ConcurrentModificationException(
+        s"txn $txnId: prepare(s) ${dead.map(_._2).mkString(", ")} were " +
+          "swept or rolled back while the transaction ran; re-run it"))
+    decide(fs, coord, "committed") match {
+      case "committed" =>
+        FaultInjection.point("txn.decided")
+        releaseAll()
+        txnId
+      case _ =>
+        // recovery decided abort while we paused between fencing and
+        // decision — our halves are (being) rolled back
+        rollbackAll()
+        throw new java.util.ConcurrentModificationException(
+          s"txn $txnId was aborted by recovery while in flight; re-run it")
+    }
+  }
+
+  /** Decision record body, parsed by [[Timeline.txnState]]. */
+  private def decisionJson(txnId: String, state: String): String =
+    Json.write(Map("txnId" -> txnId, "state" -> state))
+
+  /** Publish (or read back) the coordinator decision — EXACTLY-ONE
+    * winner, serialized by the coordinator table's writer lock: read
+    * the record inside the lock, and only write ours if none exists.
+    * The write is temp-file + rename (atomic content), and
+    * `requireLockHeld` fences a zombie whose lock was broken as stale
+    * mid-decision. Returns the decision that HOLDS after the call,
+    * which may be the other party's.
+    */
+  private[lake] def decide(fs: FileSystem, coordPath: String,
+      state: String): String = {
+    val decisionPath = new Path(coordPath)
+    val txnDir = decisionPath.getParent          // <table>/_lake/txn
+    val coordTablePath = txnDir.getParent.getParent
+    val tl = new Timeline(fs, coordTablePath)
+    tl.withLock() {
+      val existing = tl.txnState(coordPath)
+      if (existing != "pending") existing
+      else {
+        val txnId = decisionPath.getName.stripSuffix(".json")
+        fs.mkdirs(txnDir)
+        val tmp = new Path(txnDir, s".$txnId.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(
+          decisionJson(txnId, state).getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        tl.requireLockHeld(s"txn decision $txnId")
+        if (!fs.rename(tmp, decisionPath))
+          throw new IllegalStateException(
+            s"txn decision rename failed for $txnId")
+        state
+      }
+    }
+  }
+}

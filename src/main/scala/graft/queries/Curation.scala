@@ -289,8 +289,16 @@ object Curation {
       .join(dl, "doc_id")
       .crossJoin(broadcast(cs))
     val idfM = expr("((2 * n + 2) * 1000) DIV (2 * df + 1)")
+    // DECIMAL(38,0) intermediates: 44e6·l·tf overflows BIGINT once
+    // l·tf > ~2.1e11 (l = corpus token count — reached well below the
+    // 100 TB design point). The quotient itself is ≤ 44e6/20 so the
+    // DIV result is back in long range; decimal keeps the arithmetic
+    // exact (scale 0, values ≤ ~4.4e31 << 1e38), and the oracle mirrors
+    // it with HUGEINT. The summed idf·sat product stays in long range
+    // for corpora to ~1e9 docs (idf ≤ (2n+2)·1000/3).
     val satU = expr(
-      "(44000000 * l * tf) DIV (20 * l * tf + 6 * l + 18 * dl * n)")
+      "(CAST(44000000 AS DECIMAL(38,0)) * l * tf) DIV " +
+        "(CAST(20 AS DECIMAL(38,0)) * l * tf + 6 * l + 18 * dl * n)")
     val sc = cand.groupBy("query_id", "doc_id")
       .agg(sum(idfM * satU).as("score_u"), count(lit(1)).as("n_terms"))
     val w = Window.partitionBy("query_id")
@@ -316,8 +324,14 @@ object Curation {
     * exactly because doc sets are disjoint.
     */
   def bm25Incremental(s: SparkSession, dir: String): DataFrame = {
-    val maxId = docs(s, dir).agg(max(col("doc_id"))).head().getLong(0)
-    bm25IncrementalAt(s, dir, (maxId + 1L) * 8L / 10L)
+    val maxIdRow = docs(s, dir).agg(max(col("doc_id"))).head()
+    // empty corpus: split 0 makes both halves empty and the scorer
+    // returns the empty frame with the right schema (the other curation
+    // entry points' empty-input contract), instead of an NPE here
+    val split =
+      if (maxIdRow.isNullAt(0)) 0L
+      else (maxIdRow.getLong(0) + 1L) * 8L / 10L
+    bm25IncrementalAt(s, dir, split)
   }
 
   def bm25IncrementalAt(s: SparkSession, dir: String,

@@ -102,6 +102,7 @@ object LakeQueries {
     timed("hilbert")(hilbertFixture(s, dir))
     timed("bucket_join")(bucketJoinFixture(s, dir))
     timed("group_asof")(groupFixture(s, dir))
+    timed("txn_group")(txnFixture(s, dir))
     timed("restore")(restoreFixture(s, dir))
     timed("schema_evolution")(evoFixture(s, dir))
     timed("vacuum")(vacFixture(s, dir))
@@ -346,6 +347,73 @@ object LakeQueries {
     val a = dfs("lakeq_ga").select(col("l_orderkey"), col("l_linenumber"),
       col("l_quantity").as("qty_a"), col("created_ts").as("ts_a"))
     val b = dfs("lakeq_gb").select(col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").as("qty_b"), col("created_ts").as("ts_b"))
+    a.join(b, Seq("l_orderkey", "l_linenumber"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Two tables mutated by (1) a COMMITTED multi-table transaction — a
+    * keyed slice upserted into BOTH atomically — and (2) a CRASHED,
+    * never-decided transaction whose prepare landed on A only (the
+    * writer died before deciding; its reservation is released to model
+    * the post-staleness state). The gate proves BOTH 2PC invariants at
+    * once: the committed pair is visible on both sides, and the torn
+    * half is visible on neither.
+    */
+  private val txnFixtures =
+    scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  private def txnFixture(s: SparkSession, dir: String): (LakeTable, LakeTable) = {
+    val (pa, pb) = txnFixtures.getOrElseUpdate(dir, {
+      val work = Files.createTempDirectory("graft_lakeq").toString
+      def make(sub: String) = LakeTable.create(s, s"$work/$sub",
+        TableMeta(s"lakeq_$sub", Seq("l_orderkey", "l_linenumber"),
+          "created_ts", Seq.empty, keyEncoding = "padded"))
+      val ta = make("xa"); val tb = make("xb")
+      withBatch1(s, dir) { b1 =>
+        ta.upsert(b1, combine = false)
+        tb.upsert(batch2(b1), combine = false)
+        // the committed transaction: one slice into both tables, one
+        // visibility point (slices are key-unique → combine = false)
+        def slice(bump: Int) = b1.filter(col("l_orderkey") < 200)
+          .withColumn("l_quantity", col("l_quantity") + bump)
+          .withColumn("created_ts", col("created_ts") + 3)
+        graft.lake.TxnGroup.commit(Seq(
+          graft.lake.TxnGroup.TxnUpsert(ta, slice(7000), combine = false),
+          graft.lake.TxnGroup.TxnUpsert(tb, slice(8000), combine = false)))
+        // the crashed transaction: A's half prepared, writer dead before
+        // any decision — in-doubt forever unless recovery aborts it; the
+        // +9999 rows must never surface (the slice deliberately extends
+        // past the committed one, so a leak breaks rows 200..399 too)
+        val coord = new org.apache.hadoop.fs.Path(
+          ta.path, "_lake/txn/crashed_fixture.json").toString
+        val i = ta.txnPrepare("upsert",
+          b1.filter(col("l_orderkey") < 400)
+            .withColumn("l_quantity", col("l_quantity") + 9999)
+            .withColumn("created_ts", col("created_ts") + 5),
+          "crashed_fixture", coord)
+        ta.timeline.releaseReservation(i)
+      }
+      (ta.path, tb.path)
+    })
+    (LakeTable.load(s, pa), LakeTable.load(s, pb))
+  }
+
+  /** Atomic multi-table commit (`lake_txn_group`): the joint A⋈B read
+    * after a committed cross-table transaction AND a crashed in-doubt
+    * half on A. The oracle replays only seed + committed slice — if the
+    * decision point ever leaked a torn half (A updated without B, or
+    * the crashed +9999 prepare surfacing), the hash fails. This is the
+    * write-side completion of [[lakeGroupAsof]]'s consistent reads: the
+    * reference's medallion watermark persists non-transactionally
+    * (reference DWD2DM.scala:81-82) and replays double-count; TxnGroup
+    * makes the data+watermark pair one atomic unit.
+    */
+  def lakeTxnGroup(s: SparkSession, dir: String): DataFrame = {
+    val (ta, tb) = txnFixture(s, dir)
+    val a = ta.snapshot().select(col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").as("qty_a"), col("created_ts").as("ts_a"))
+    val b = tb.snapshot().select(col("l_orderkey"), col("l_linenumber"),
       col("l_quantity").as("qty_b"), col("created_ts").as("ts_b"))
     a.join(b, Seq("l_orderkey", "l_linenumber"))
       .orderBy("l_orderkey", "l_linenumber")

@@ -226,16 +226,35 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a, b) with
-    * cosine ≥ threshold. Brute-force all-pairs through the native
-    * codegen'd expression — at N embeddings this is N²/2 fused
-    * 64-multiply loops, the right baseline below ~10⁵ vectors; beyond
-    * that the LSH-bucketed candidate path ([[lshTopK]]'s bucketing)
-    * bounds the pair space. Threshold is tuned to the corpus (isotropic
-    * random vectors cluster near sim≈0.33).
+    * cosine ≥ threshold. The production path IS the sub-quadratic IVF
+    * multi-assign candidate generation ([[semanticPairs]]) — banded
+    * candidates + exact re-score, never an all-pairs scan — so calling
+    * this on a 100 TB corpus has the same Σ|cell|² cost shape as
+    * `dedup_semantic_clusters`. The hash gate compares it against a
+    * DuckDB all-pairs oracle, so candidate recall < 1 is a red round,
+    * not a soft metric ([[cosinePairsExact]] is the spec-only in-engine
+    * baseline for the same cross-check).
     */
-  def cosinePairs(s: SparkSession, dir: String): DataFrame = {
+  def cosinePairs(s: SparkSession, dir: String): DataFrame =
+    semanticPairs(s, dir)
+
+  /** The quadratic all-pairs baseline — SPEC-ONLY (recall cross-checks
+    * in ExtensionSpec / SemRecallProbe): N²/2 fused cosine loops is the
+    * right shape only below ~10⁵ vectors, so it refuses larger inputs
+    * unless [[AllPairsMaxConf]] is raised explicitly. Not registered in
+    * SparkEntry.queries: nothing routes a 100 TB corpus into a
+    * cartesian product by accident.
+    */
+  def cosinePairsExact(s: SparkSession, dir: String): DataFrame = {
     val e = Relational.t(s, dir, "embeddings")
       .repartition(s.sparkContext.defaultParallelism)
+    val cap = s.conf.getOption(AllPairsMaxConf).map(_.toLong)
+      .getOrElse(AllPairsMaxRows)
+    val n = e.count()
+    require(n <= cap,
+      s"cosinePairsExact is an all-pairs O(N²) baseline; refusing N=$n > " +
+        s"$cap vectors — use cosinePairs (IVF candidates) or raise " +
+        s"$AllPairsMaxConf explicitly")
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
     a.crossJoin(b)
@@ -244,6 +263,10 @@ object Similarity {
       .filter(col("sim") >= SemThreshold)
       .orderBy("id_a", "id_b")
   }
+
+  /** Refuse-above-N guard for [[cosinePairsExact]]. */
+  val AllPairsMaxConf = "spark.graft.sem.allPairsMaxRows"
+  val AllPairsMaxRows = 100000L
 
   /** Semantic near-dup threshold, shared by the all-pairs baseline and the
     * candidate-generated path (same [[cosine]] expression on both sides, so
@@ -345,9 +368,9 @@ object Similarity {
     * [[Dedup.connectedComponents]] min-label-propagation harness —
     * shuffles sized to the pair graph, convergence decided inside the
     * checkpoint pass. Pairs come from the sub-quadratic
-    * [[semanticPairs]] candidate path (NOT the all-pairs baseline —
-    * `dedup_cosine_pairs` keeps that as the labeled <10⁵ cross-check);
-    * the component harness is the same one the text-dedup paths use.
+    * [[semanticPairs]] candidate path (the all-pairs baseline is the
+    * spec-only [[cosinePairsExact]] cross-check); the component harness
+    * is the same one the text-dedup paths use.
     */
   def semanticClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(s,
@@ -1542,58 +1565,33 @@ object Similarity {
     * corpus-level structure: a component is a semantic island (a topic
     * clump, a template family, a near-dup constellation), and component
     * sizes are the standard "is my corpus one giant hairball or many
-    * small communities" health read. The result is DEFINED as `rounds`
-    * iterations of min-label propagation from `comp = vec_id` over the
-    * undirected-deduped graph — deterministic, so the DuckDB oracle
-    * replays the exact same frontier and the whole table hash-matches;
-    * at the gate SFs the propagation has converged (spec-asserted: both
-    * endpoints of every edge carry the same label), so the frontier IS
-    * the true components.
+    * small communities" health read.
     *
-    * Scale shape: each round is ONE edge⋈label hash join (labels sent
-    * along every directed edge) + a min-aggregate keyed on the node —
-    * linear in |E| per round, all shuffles on the same node key so the
-    * partitioning is reusable across rounds. Plain label propagation
-    * needs O(diameter) rounds; kNN graphs of embedding corpora have
-    * small diameters (neighborhoods overlap), and the production dial
-    * for adversarially long chains is alternating large-star/small-star
-    * contraction (Kiveris et al.), which squares the convergence rate
-    * with the same per-round join shape. The edge list is persisted
-    * once across rounds and released after materialization.
+    * The computation is the shared [[Dedup.connectedComponents]]
+    * harness (round 14 — previously a FIXED 8-round propagation whose
+    * sufficiency was only spec-asserted at the gate SFs): convergence
+    * is decided INSIDE each round's checkpoint pass via an accumulator
+    * (no extra job), so a 100×-scale graph with a longer component
+    * diameter simply runs more rounds instead of returning silently
+    * wrong labels — and past `spark.graft.dedup.cc.starEdges` edges the
+    * harness switches to large-star/small-star contraction (Kiveris et
+    * al., MR'14), O(log² n) rounds regardless of diameter. Each round
+    * stays ONE edge⋈label hash join + a min-aggregate, linear in |E|,
+    * with eager localCheckpoint lineage discipline. The DuckDB oracle
+    * replays an 8-round frontier; the converged components equal it at
+    * any scale where 8 rounds suffice, and beyond that the CONVERGED
+    * answer is the correct one (Round14Spec pins a >8-diameter chain).
     */
-  def components(s: SparkSession, dir: String, rounds: Int = 8): DataFrame = {
+  def components(s: SparkSession, dir: String): DataFrame = {
     val g = stagedKnnGraph(s, dir)
     val und = g
-      .select(least(col("vec_id"), col("nbr_id")).as("a"),
-        greatest(col("vec_id"), col("nbr_id")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-    val edges = und.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var lbl = edges.select(col("src").as("vec_id")).distinct()
-      .withColumn("comp", col("vec_id"))
-    for (_ <- 1 to rounds) {
-      val nbrMin = edges
-        .join(lbl.select(col("vec_id").as("dst"), col("comp").as("nc")),
-          "dst")
-        .groupBy(col("src").as("vec_id"))
-        .agg(min(col("nc")).as("m"))
-      lbl = lbl.join(nbrMin, Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          least(col("comp"), coalesce(col("m"), col("comp"))).as("comp"))
-        // each round feeds lbl into TWO operators of the next (the edge
-        // join and the left join), so an unmaterialized lineage doubles
-        // per round — 2^rounds plan copies, recomputed from the scan.
-        // Materializing the (tiny) label frame per round is the standard
-        // iterative-graph practice (GraphX/GraphFrames checkpoint the
-        // same way) and makes each round exactly one small job.
-        .localCheckpoint()
-    }
-    val sizes = lbl.groupBy("comp").agg(count(lit(1)).as("comp_size"))
-    val out = lbl.join(sizes, "comp")
-      .select(col("vec_id"), col("comp"), col("comp_size"))
+      .select(least(col("vec_id"), col("nbr_id")).as("id_a"),
+        greatest(col("vec_id"), col("nbr_id")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b")).distinct()
+    Dedup.connectedComponents(s, und, "vec_id")
+      .select(col("vec_id"), col("cluster_id").as("comp"),
+        col("cluster_size").as("comp_size"))
       .orderBy("vec_id")
-    Dedup.releaseAfter(out, edges)
   }
 
   /** k-NN graph construction (`sim_knn_graph`): for EVERY corpus vector,

@@ -116,8 +116,14 @@ object LakeProcedures {
       new StructType().add("service", StringType).add("result", StringType),
       (t, args) => t.maintain(args(1).asInstanceOf[Long],
         args(2).asInstanceOf[Int]).map { case (s, r) => Seq(s, r) },
-      "Run every maintenance service the table needs: compact, pack, " +
-        "incremental curve clustering, retention clean"),
+      "Run every maintenance service the table needs: txn recovery, " +
+        "compact, pack, incremental curve clustering, retention clean"),
+    "recover_txns" -> Spec(
+      Seq(p("table", StringType)),
+      new StructType().add("instant", StringType).add("outcome", StringType),
+      (t, _) => t.recoverTxns().map { case (i, o) => Seq(i, o) },
+      "Resolve in-doubt multi-table transaction commits: roll back " +
+        "undecided prepares of dead writers, report decided ones"),
     "pack_small_files" -> Spec(
       Seq(p("table", StringType),
         p("target_bytes", LongType, Some("134217728")),

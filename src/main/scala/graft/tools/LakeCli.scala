@@ -16,6 +16,7 @@ import graft.util.Sessions
   *   runMain graft.tools.LakeCli hilbert     <tablePath> <col>,<col>[,col...] [incremental]
   *   runMain graft.tools.LakeCli pack        <tablePath> [targetBytes]
   *   runMain graft.tools.LakeCli maintain    <tablePath> [targetBytes] [retainCommits]
+  *   runMain graft.tools.LakeCli recover-txns <tablePath>  # in-doubt 2PC halves
   *   runMain graft.tools.LakeCli clean       <tablePath> [retainCommits]
   *   runMain graft.tools.LakeCli sweep       <tablePath>        # orphaned data
   *   runMain graft.tools.LakeCli archive     <tablePath> [keepCommits]
@@ -105,6 +106,10 @@ object LakeCli {
         val did = t.maintain(target, retain)
         if (did.isEmpty) println("table healthy: nothing to do")
         else did.foreach { case (svc, i) => println(s"$svc: $i") }
+      case "recover-txns" =>
+        val did = t.recoverTxns()
+        if (did.isEmpty) println("no in-doubt transactions")
+        else did.foreach { case (i, o) => println(s"$i: $o") }
       case "zorder" =>
         require(args.length > 2, "zorder needs curve columns")
         val done = t.clusterZOrder(args(2).split(",").map(_.trim).toSeq)

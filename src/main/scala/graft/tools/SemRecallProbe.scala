@@ -5,7 +5,7 @@ import graft.util.Sessions
 
 /** Diagnostic: recall of the IVF multi-assign semantic candidate path
   * ([[Similarity.semanticPairs]]) against the all-pairs baseline
-  * ([[Similarity.cosinePairs]]) at a given sf dir. The driver's hash gate
+  * ([[Similarity.cosinePairsExact]]) at a given sf dir. The driver's hash gate
   * needs recall 1.0 at its gate scale — run this after any fixture
   * regeneration or candidate-knob change.
   *
@@ -16,7 +16,7 @@ object SemRecallProbe {
     val spark = Sessions.local("sem-recall-probe", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     spark.sparkContext.setLogLevel("WARN")
     try args.foreach { dir =>
-      val exact = Similarity.cosinePairs(spark, dir)
+      val exact = Similarity.cosinePairsExact(spark, dir)
         .select("id_a", "id_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val cand = Similarity.semanticPairs(spark, dir)

@@ -146,11 +146,64 @@ class BucketIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.snapshot().count() == 100)
   }
 
-  test("clustering rewrites are refused on bucketed tables") {
+  test("cluster(col) layout rewrites are refused on bucketed tables") {
+    // arbitrary-column layout would replace the hash routing; curve
+    // clustering composes instead (next test)
     val t = bucketedTable(50, "b_refuse")
     intercept[IllegalArgumentException](t.cluster(Seq("v")))
-    intercept[IllegalArgumentException](t.clusterZOrder(Seq("id", "v")))
-    intercept[IllegalArgumentException](t.clusterHilbert(Seq("id", "v")))
+  }
+
+  test("per-bucket curve order: zero-shuffle join AND box-filter file prune compose") {
+    val s2 = spark
+    import s2.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(LakeTable.CurveBucketFileRowsConf, "200")
+    try {
+      val t = LakeTable.create(spark, tmp(),
+        TableMeta("b_curve", Seq("id"), "ts", Seq.empty, bucketCount = N))
+      t.insert((0 until 3200)
+        .map(i => (i.toLong, 1L, (i % 64).toDouble, (i / 64).toDouble))
+        .toDF("id", "ts", "v", "w"))
+      assert(t.clusterZOrder(Seq("v", "w"), bitsPerCol = 4).isDefined)
+      val live = t.timeline.liveFiles()
+      // curve rewrite preserved the routing AND split each bucket into
+      // curve-range files (3200 rows / 8 buckets / 200-row cap ≥ 2 each)
+      assert(live.forall(f => !f.isDelta && f.bucket.isDefined))
+      assert(live.size > N, s"expected >1 file per bucket: ${live.size}")
+      for (f <- live) {
+        val bad = spark.read.parquet(s"${t.path}/${f.path}")
+          .filter(pmod(hash(col("id")), lit(N)) =!= f.bucket.get).count()
+        assert(bad == 0, s"${f.path} lost its routing")
+      }
+      // SPJ: the curve-ordered table still joins shuffle-free on the key
+      val peer = bucketedTable(1000, "b_curve_peer")
+      val j = t.snapshot().select(col("id"), col("v").as("vc"))
+        .join(peer.snapshot().select(col("id"), col("v").as("vp")), "id")
+      assert(shuffles(j) == 0, s"\n${j.queryExecution.executedPlan}")
+      assert(j.count() == 1000)
+      // a 2-col box filter prunes files INSIDE the buckets: no key
+      // equality here, so every skipped file is intra-bucket zone-map
+      // pruning on the curve layout
+      val box = t.snapshot().filter(col("v") < 8.0 && col("w") < 8.0)
+      val scanned = scannedFiles(box)
+      assert(scanned < live.size,
+        s"box filter should skip curve-range files: $scanned/${live.size}")
+      assert(box.count() ==
+        (0 until 3200).count(i => i % 64 < 8 && i / 64 < 8))
+      // incremental maintenance keeps working on the bucketed seed
+      t.insert((3200 until 3400)
+        .map(i => (i.toLong, 1L, (i % 64).toDouble, (i / 64).toDouble))
+        .toDF("id", "ts", "v", "w"))
+      assert(t.clusterZOrder(Seq("v", "w"), bitsPerCol = 4,
+        incremental = true).isDefined)
+      assert(t.timeline.liveFiles().forall(_.bucket.isDefined))
+      assert(t.snapshot().count() == 3400)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset(LakeTable.CurveBucketFileRowsConf)
+    }
   }
 
   test("a partitioned AND bucketed table routes, prunes, and reads correctly") {

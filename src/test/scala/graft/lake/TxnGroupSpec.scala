@@ -1,0 +1,254 @@
+package graft.lake
+
+import graft.util.Sessions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.attribute.FileTime
+import java.nio.file.{Files, Paths}
+
+/** Atomic multi-table transactions ([[TxnGroup]]): both halves become
+  * visible at the single decision point or neither does — including
+  * across a hard JVM kill between the two prepares (the torn-write
+  * window the reference's non-transactional medallion watermark has,
+  * SURVEY hard-part #5) — and presumed-abort recovery rolls back or
+  * completes exactly as the decision record says.
+  */
+class TxnGroupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Sessions.local("txn-group-test", "4")
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def df(rows: (Int, Long, Double)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "ts", "v")
+  }
+
+  /** Two seeded COW tables in a fresh workdir. */
+  private def pair(): (LakeTable, LakeTable, String) = {
+    val work = Files.createTempDirectory("txngroup").toString
+    def make(sub: String) = LakeTable.create(spark, s"$work/$sub",
+      TableMeta(s"txn_$sub", Seq("id"), "ts", Seq.empty))
+    val a = make("a"); val b = make("b")
+    a.upsert(df((1, 1L, 10.0), (2, 1L, 20.0)))
+    b.upsert(df((1, 1L, 100.0), (2, 1L, 200.0)))
+    (a, b, work)
+  }
+
+  test("commit makes both halves visible; neither is visible before") {
+    val (a, b, _) = pair()
+    val txnId = TxnGroup.commit(Seq(
+      TxnGroup.TxnUpsert(a, df((3, 2L, 30.0))),
+      TxnGroup.TxnUpsert(b, df((3, 2L, 300.0)))))
+    assert(a.snapshot().count() == 3 && b.snapshot().count() == 3)
+    assert(a.snapshot().filter(col("id") === 3).head().getAs[Double]("v") == 30.0)
+    assert(b.snapshot().filter(col("id") === 3).head().getAs[Double]("v") == 300.0)
+    // the prepares carry the txn markers and the decision record holds
+    val pendA = a.timeline.instants().map(a.timeline.read)
+      .filter(_.extra.get(Timeline.TxnIdKey).contains(txnId))
+    assert(pendA.size == 1)
+    assert(a.timeline.txnState(pendA.head.extra(Timeline.TxnCoordKey))
+      == "committed")
+    // consumers can advance over the committed transaction
+    assert(a.latestCommit.contains(pendA.head.instant))
+  }
+
+  test("a prepared-but-undecided half is invisible and caps the stable watermark") {
+    val (a, b, _) = pair()
+    val before = a.latestCommit.get
+    val txnId = "t_manual1"
+    val coord = a.fs.makeQualified(
+      new org.apache.hadoop.fs.Path(a.path, s"_lake/txn/$txnId.json")).toString
+    val i = a.txnPrepare("upsert", df((9, 2L, 90.0)), txnId, coord)
+    try {
+      // invisible to snapshot, incremental, and the visible-instant view
+      assert(a.snapshot().count() == 2)
+      assert(a.snapshot().filter(col("id") === 9).count() == 0)
+      assert(!a.timeline.visibleInstants().contains(i))
+      assert(a.timeline.instants().contains(i))
+      // consumers stay capped below the in-doubt prepare
+      assert(a.latestCommit.contains(before))
+      // the decision flips visibility atomically
+      assert(TxnGroup.decide(a.fs, coord, "committed") == "committed")
+      assert(a.snapshot().count() == 3)
+      assert(a.timeline.visibleInstants().contains(i))
+    } finally a.timeline.releaseReservation(i)
+    assert(a.latestCommit.contains(i))
+    // recovery over a decided-committed prepare is a report, not a change
+    assert(b.recoverTxns().isEmpty)
+    assert(a.recoverTxns() == Seq(i -> "committed"))
+  }
+
+  test("a failing prepare aborts the whole transaction and rolls back the first half") {
+    val (a, b, _) = pair()
+    // B's prepare will hit an OCC conflict: another in-doubt writer
+    // already holds an overlapping write-set on B
+    val blockCoord = b.fs.makeQualified(
+      new org.apache.hadoop.fs.Path(b.path, "_lake/txn/t_block.json")).toString
+    val blocker = b.txnPrepare("upsert", df((2, 5L, 2.0)), "t_block", blockCoord)
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        TxnGroup.commit(Seq(
+          TxnGroup.TxnUpsert(a, df((2, 6L, 33.0))),
+          TxnGroup.TxnUpsert(b, df((2, 6L, 333.0)))))
+      }
+    } finally {
+      TxnGroup.decide(b.fs, blockCoord, "aborted")
+      b.txnRollback(blocker)
+      b.timeline.releaseReservation(blocker)
+    }
+    // A's half rolled back: no row change, no pending commit, no orphans
+    assert(a.snapshot().count() == 2 && b.snapshot().count() == 2)
+    assert(a.snapshot().filter(col("id") === 2).head().getAs[Double]("v") == 20.0)
+    assert(!a.timeline.instants().map(a.timeline.read)
+      .exists(_.extra.contains(Timeline.TxnIdKey)))
+    assert(a.cleanOrphanedData() == 0)
+    // the pair is fully operational afterwards
+    TxnGroup.commit(Seq(
+      TxnGroup.TxnUpsert(a, df((4, 3L, 44.0))),
+      TxnGroup.TxnUpsert(b, df((4, 3L, 444.0)))))
+    assert(a.snapshot().count() == 3 && b.snapshot().count() == 3)
+  }
+
+  test("an in-doubt prepare is an OCC conflict candidate for concurrent writers") {
+    val (a, _, _) = pair()
+    val coord = a.fs.makeQualified(
+      new org.apache.hadoop.fs.Path(a.path, "_lake/txn/t_occ.json")).toString
+    val i = a.txnPrepare("upsert", df((1, 5L, 11.0)), "t_occ", coord)
+    try {
+      // a concurrent writer touching the same key must conflict: the
+      // in-doubt commit is not in its visible baseline, and if it later
+      // commits the overlapping rewrite would lose one of the writes
+      intercept[java.util.ConcurrentModificationException] {
+        a.upsert(df((1, 6L, 12.0)))
+      }
+      // disjoint keys publish freely (snapshot isolation, not a big lock)
+      a.upsert(df((7, 6L, 70.0)))
+    } finally {
+      assert(TxnGroup.decide(a.fs, coord, "aborted") == "aborted")
+      a.txnRollback(i)
+      a.timeline.releaseReservation(i)
+    }
+    assert(a.snapshot().filter(col("id") === 1).head().getAs[Double]("v") == 10.0)
+    assert(a.snapshot().count() == 3)
+    // the key is writable again after the abort
+    a.upsert(df((1, 7L, 13.0)))
+    assert(a.snapshot().filter(col("id") === 1).head().getAs[Double]("v") == 13.0)
+  }
+
+  // ------------------------------------------------------ crash probes
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar")
+    .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  private def runProbe(dirA: String, dirB: String,
+      crashpoint: Option[String]): (Int, String) = {
+    val classDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    val cp = s"$classDir:/opt/spark/jars/*"
+    val crashProp = crashpoint.map(c => s"-Dgraft.lake.crashpoint=$c").toSeq
+    val p = new ProcessBuilder(
+      (Seq("java", "-cp", cp, "-Xmx2g", "-Dspark.ui.enabled=false") ++
+        crashProp ++ addOpens ++
+        Seq("graft.tools.TxnProbe", dirA, dirB, "5")): _*)
+      .redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes())
+    (p.waitFor(), out)
+  }
+
+  /** Age the dead probe's inflight reservations past the staleness
+    * window (recovery's writer-dead signal), like CrashRecoverySpec's
+    * ageLock but for reservations.
+    */
+  private def ageReservations(tableDir: String): Unit = {
+    val inflight = Paths.get(tableDir, "_lake", "timeline", "inflight")
+    if (!Files.exists(inflight)) return
+    val s = Files.list(inflight)
+    try {
+      val it = s.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        Files.setLastModifiedTime(p,
+          FileTime.fromMillis(System.currentTimeMillis() - 31 * 60 * 1000L))
+      }
+    } finally s.close()
+  }
+
+  private def crashCase(crashpoint: String): Unit = {
+    val (a, b, work) = pair()
+    val (code, out) = runProbe(a.path, b.path, Some(crashpoint))
+    assert(code == 137,
+      s"probe should be halted at $crashpoint, exit=$code, " +
+        s"output: ${out.takeRight(2000)}")
+    val a2 = LakeTable.load(spark, a.path)
+    val b2 = LakeTable.load(spark, b.path)
+    // probe upserts ids 0..4 into both (seeds are ids 1,2): committed
+    // snapshot = 5 keys, aborted/undecided snapshot = the 2 seeds
+    val committed = crashpoint == "txn.decided"
+    val expect = if (committed) 5L else 2L
+    // NEVER a half-published pair: before the decision neither table
+    // shows the txn rows; after it both do — under a hard kill at any
+    // boundary
+    assert(a2.snapshot().count() == expect,
+      s"table A torn at $crashpoint: ${a2.snapshot().count()}")
+    assert(b2.snapshot().count() == expect,
+      s"table B torn at $crashpoint: ${b2.snapshot().count()}")
+    // recovery: age the dead writer's reservations, then resolve
+    ageReservations(a.path); ageReservations(b.path)
+    val recA = a2.recoverTxns(); val recB = b2.recoverTxns()
+    crashpoint match {
+      case "txn.prepared.1" =>
+        assert(recA.map(_._2) == Seq("rolledback"), s"A: $recA")
+        assert(recB.isEmpty, s"B: $recB") // B never prepared
+      case "txn.prepared.2" =>
+        assert(recA.map(_._2) == Seq("rolledback"), s"A: $recA")
+        assert(recB.map(_._2) == Seq("rolledback"), s"B: $recB")
+      case "txn.decided" =>
+        assert(recA.map(_._2) == Seq("committed"), s"A: $recA")
+        assert(recB.map(_._2) == Seq("committed"), s"B: $recB")
+    }
+    assert(a2.snapshot().count() == expect)
+    assert(b2.snapshot().count() == expect)
+    assert(a2.cleanOrphanedData() == 0 && b2.cleanOrphanedData() == 0)
+    // fully operational afterwards: the same transaction now succeeds
+    TxnGroup.commit(Seq(
+      TxnGroup.TxnUpsert(a2, df((8, 9L, 80.0))),
+      TxnGroup.TxnUpsert(b2, df((8, 9L, 800.0)))))
+    assert(a2.snapshot().count() == expect + 1)
+    assert(b2.snapshot().count() == expect + 1)
+    assert(work.nonEmpty)
+  }
+
+  test("JVM halt between the two prepares: readers see neither half; recovery aborts") {
+    crashCase("txn.prepared.1")
+  }
+
+  test("JVM halt after both prepares, before the decision: recovery aborts both") {
+    crashCase("txn.prepared.2")
+  }
+
+  test("JVM halt after the decision: both halves visible; recovery completes") {
+    crashCase("txn.decided")
+  }
+
+  test("maintain() runs txn recovery as step 0") {
+    val (a, _, _) = pair()
+    val coord = a.fs.makeQualified(
+      new org.apache.hadoop.fs.Path(a.path, "_lake/txn/t_m.json")).toString
+    val i = a.txnPrepare("upsert", df((9, 2L, 90.0)), "t_m", coord)
+    a.timeline.releaseReservation(i) // simulate the writer dying
+    val done = a.maintain()
+    assert(done.contains("txn-rolledback" -> i), s"got $done")
+    assert(a.snapshot().count() == 2)
+  }
+}

@@ -85,7 +85,7 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     // all-pairs scan finds on this corpus — the driver's hash gate
     // compares semanticClusters against a DuckDB all-pairs oracle, so
     // recall < 1 here means a red round, not a soft metric
-    val exact = Similarity.cosinePairs(spark, sf)
+    val exact = Similarity.cosinePairsExact(spark, sf)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val cand = Similarity.semanticPairs(spark, sf)
@@ -97,7 +97,7 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("semantic clusters: cosine pairs co-clustered, canonical is min member") {
-    val pairs = Similarity.cosinePairs(spark, sf)
+    val pairs = Similarity.cosinePairsExact(spark, sf)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val byVec = Similarity.semanticClusters(spark, sf).collect()

@@ -89,6 +89,23 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"single-partition window funnels found:\n${bad.mkString("\n")}")
   }
 
+  test("no gated query plans a cartesian product (non-broadcast cross join)") {
+    // round 14: dedup_cosine_pairs' all-pairs crossJoin was the last
+    // one — it now routes through the IVF candidate path, so the guard
+    // holds with an EMPTY allowlist over EVERY query family.
+    // BroadcastNestedLoopJoin is acceptable (one side is a bounded
+    // broadcast: scalar totals, centroid tables, query rows);
+    // CartesianProductExec shuffles |L|×|R| and dies at scale.
+    val allow = Set.empty[String]
+    val names = graft.SparkEntry.queries.keys.filterNot(allow).toSeq.sorted
+    val bad = names.filter { n =>
+      graft.SparkEntry.queries(n)(spark, sf)
+        .queryExecution.executedPlan.toString.contains("CartesianProduct")
+    }
+    assert(bad.isEmpty,
+      s"cartesian products found in: ${bad.mkString(", ")}")
+  }
+
   test("lm score: count tables reduce before the scoring join (no raw-row join)") {
     // inspect the PRE-release plan (the default materializes via
     // localCheckpoint and releases the bigram cache, hiding the shape)

@@ -104,6 +104,9 @@ object SparkEntry {
     // atomic multi-table transaction: a committed cross-table upsert is
     // visible on BOTH sides, a crashed in-doubt half on NEITHER
     "lake_txn_group" -> (LakeQueries.lakeTxnGroup _),
+    // z-order over a string × numeric pair: the string dimension
+    // buckets via the order-preserving first-8-bytes proxy
+    "lake_zorder_string" -> (LakeQueries.lakeZorderString _),
     "lake_time_travel" -> (LakeQueries.lakeTimeTravel _),
     // savepoint-restore: roll back a destructive commit, read the snapshot
     "lake_restore" -> (LakeQueries.lakeRestore _),
@@ -2693,6 +2696,17 @@ object SparkEntry {
          |  FROM b2) b
          | USING (l_orderkey, l_linenumber)
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // string-dimension z-order is layout-only: the oracle replays the
+    // two-generation merge + mixed string/numeric box filter on the
+    // plain part parquet
+    "lake_zorder_string" ->
+      """SELECT p_partkey, p_name, p_size,
+        |  CASE WHEN p_partkey < 50
+        |    THEN p_retailprice + 100 ELSE p_retailprice END AS p_retailprice
+        |FROM part
+        |WHERE p_name >= 'l' AND p_name < 's' AND p_size <= 25
+        |ORDER BY p_partkey""".stripMargin,
 
     // hilbert clustering is a layout-only service: the oracle replays
     // the same merge + box filter the z-order gate replays

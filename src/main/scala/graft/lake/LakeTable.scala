@@ -1243,12 +1243,22 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       curve: Seq[Column] => Column): Option[String] = {
     require(cols.size >= 2,
       "curve clustering needs >= 2 columns; use cluster() for one")
-    cols.foreach { c =>
+    // numeric columns bucket their own double domain; string columns
+    // bucket the order-preserving first-8-bytes proxy (zone maps keep
+    // the exact string min/max, so the proxy only shapes the layout)
+    def curveProxy(c: String): Column = {
       val dt = fullSchema(fullSchema.fieldIndex(c)).dataType
-      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"curve column $c must be numeric (got $dt); derive a numeric " +
-          "proxy column for dates/strings first")
+      dt match {
+        case _: org.apache.spark.sql.types.NumericType =>
+          col(c).cast("double")
+        case org.apache.spark.sql.types.StringType =>
+          graft.functions.StringPrefix64(col(c)).cast("double")
+        case other => throw new IllegalArgumentException(
+          s"curve column $c must be numeric or string (got $other); " +
+            "derive a numeric proxy column for other types first")
+      }
     }
+    cols.foreach(curveProxy) // validate types up front
     val live = timeline.liveFiles()
     if (live.isEmpty) return None
     // prior bounds for THIS curve/cols/bits, if any (newest wins)
@@ -1285,7 +1295,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       val bounds: Seq[Seq[Double]] = reused.getOrElse {
         val probs = (1 until nb).map(_.toDouble / nb).toArray
         val doubled = resolved.select(
-          cols.map(c => col(c).cast("double").as(c)): _*)
+          cols.map(c => curveProxy(c).as(c)): _*)
         doubled.stat.approxQuantile(cols.toArray, probs, 0.01)
           .map(_.toSeq).toSeq
       }
@@ -1296,7 +1306,7 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       val buckets = cols.zip(bounds).map { case (c, bs) =>
         coalesce(
           graft.functions.EquiDepthBucket(
-            col(c).cast("double"), bs.distinct.sorted.toArray),
+            curveProxy(c), bs.distinct.sorted.toArray),
           lit(0))
       }
       val stats = stageWrite(resolved, instant, kind = "base",

@@ -277,17 +277,57 @@ object Curation {
     tk.filter(col("doc_id") < 3)
       .select(col("doc_id").as("query_id"), col("token")).distinct()
 
+  /** Terms per query scored in the first (high-impact) pass of the
+    * block-max shortlist; the rest are "low" terms whose postings are
+    * only scanned for surviving candidates. Session-overridable via
+    * [[Bm25HighTermsConf]].
+    */
+  val Bm25HighTermsConf = "spark.graft.bm25.highTerms"
+  val Bm25HighTerms = 16
+
+  /** The block-max scoring plan: the final top-k plus the low-postings
+    * frames a spec can measure the candidate cut on.
+    */
+  private[queries] case class Bm25Plan(result: DataFrame,
+      lowAll: DataFrame, lowKept: DataFrame)
+
   /** The integer-exact scoring core shared by the batch and incremental
     * builds — see [[bm25TopK]] for the arithmetic derivation.
     */
   private def bm25Score(imp: DataFrame, dfreq: DataFrame,
-      dl: DataFrame, qt: DataFrame): DataFrame = {
+      dl: DataFrame, qt: DataFrame): DataFrame =
+    bm25ScorePlan(imp, dfreq, dl, qt).result
+
+  /** Block-max (WAND-family) two-level shortlist — EXACT top-10, same
+    * hash as the naive all-candidates sum, with the candidate frame cut
+    * before the low-impact postings are ever joined:
+    *
+    *  1. per-posting impacts `su = idf·sat` and per-TERM max impacts
+    *     (the block-max bound) come from the capped index — O(index);
+    *  2. each query's terms split into the [[Bm25HighTerms]] highest
+    *     max-impact "high" terms and the "low" rest, whose total bound
+    *     is `ub_low = Σ tmax(low)`;
+    *  3. phase 1 scores candidates over HIGH postings only and reads
+    *     the 10th-best partial score `t10` per query;
+    *  4. a candidate is kept iff `partial + ub_low ≥ t10` (its full
+    *     score cannot otherwise reach the top-10: full ≤ partial +
+    *     ub_low < t10 ≤ true 10th, since every full ≥ its partial
+    *     makes the 10th order statistic monotone); docs matching ONLY
+    *     low terms are pruned wholesale when `ub_low < t10` (their
+    *     full ≤ ub_low), else that query falls back to all low
+    *     postings — exactness never depends on the split choice;
+    *  5. low postings are joined ONLY for survivors, and the exact
+    *     combined scores rank as before.
+    *
+    * Strict `<` in every prune keeps boundary ties in the frame, so
+    * the (score DESC, doc_id ASC) tie order is byte-identical to the
+    * naive plan — the DuckDB oracle stays the naive SQL verbatim.
+    */
+  private def bm25ScorePlan(imp: DataFrame, dfreq: DataFrame,
+      dl: DataFrame, qt: DataFrame): Bm25Plan = {
+    val high = imp.sparkSession.conf.getOption(Bm25HighTermsConf)
+      .map(_.toInt).getOrElse(Bm25HighTerms)
     val cs = dl.agg(count(lit(1)).as("n"), sum("dl").as("l"))
-    val cand = imp.join(broadcast(qt), "token")
-      .filter(col("doc_id") =!= col("query_id"))
-      .join(dfreq, "token")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(cs))
     val idfM = expr("((2 * n + 2) * 1000) DIV (2 * df + 1)")
     // DECIMAL(38,0) intermediates: 44e6·l·tf overflows BIGINT once
     // l·tf > ~2.1e11 (l = corpus token count — reached well below the
@@ -299,15 +339,74 @@ object Curation {
     val satU = expr(
       "(CAST(44000000 AS DECIMAL(38,0)) * l * tf) DIV " +
         "(CAST(20 AS DECIMAL(38,0)) * l * tf + 6 * l + 18 * dl * n)")
-    val sc = cand.groupBy("query_id", "doc_id")
-      .agg(sum(idfM * satU).as("score_u"), count(lit(1)).as("n_terms"))
+    // impacts only for terms some query asks about — O(query terms × 64)
+    // postings touched, exactly the naive plan's candidate frame
+    val post = imp.join(broadcast(qt.select("token").distinct()), "token")
+      .join(dfreq, "token").join(dl, "doc_id")
+      .crossJoin(broadcast(cs))
+      .select(col("token"), col("doc_id"), (idfM * satU).as("su"))
+    val tmax = post.groupBy("token").agg(max("su").as("tmax"))
+    val wT = Window.partitionBy("query_id")
+      .orderBy(col("tmax").desc, col("token").asc)
+    val marked = qt.join(tmax, "token")
+      .withColumn("trk", row_number().over(wT))
+      .withColumn("is_high", col("trk") <= high)
+    val qHigh = marked.filter(col("is_high")).select("query_id", "token")
+    val qLow = marked.filter(!col("is_high")).select("query_id", "token")
+    val ubLow = marked.filter(!col("is_high")).groupBy("query_id")
+      .agg(sum("tmax").as("ub_low"))
+    val p1 = post.join(broadcast(qHigh), "token")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("su").as("su_sum"), count(lit(1)).as("n"))
+    val wQ = Window.partitionBy("query_id")
+      .orderBy(col("su_sum").desc, col("doc_id").asc)
+    val t10 = p1.withColumn("rk", row_number().over(wQ))
+      .filter(col("rk") === 10)
+      .select(col("query_id"), col("su_sum").as("t10"))
+    val surv = p1.join(broadcast(t10), Seq("query_id"), "left")
+      .join(broadcast(ubLow), Seq("query_id"), "left")
+      .filter(col("t10").isNull ||
+        col("su_sum") + coalesce(col("ub_low"), lit(0L)) >= col("t10"))
+      .select("query_id", "doc_id", "su_sum", "n")
+    // per query: may low-only docs be dropped wholesale?
+    val cut = t10.join(ubLow, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("ub_low"), lit(0L)) < col("t10")).as("cut_ok"))
+    val lowAll = post.join(broadcast(qLow), "token")
+      .filter(col("doc_id") =!= col("query_id"))
+    val lowCutQ = lowAll.join(
+      broadcast(cut.filter(col("cut_ok")).select("query_id")), "query_id")
+      .join(surv.select("query_id", "doc_id"),
+        Seq("query_id", "doc_id"), "left_semi")
+    val lowOpenQ = lowAll.join(
+      broadcast(cut.filter(col("cut_ok")).select("query_id")),
+      Seq("query_id"), "left_anti")
+    val lowKept = lowCutQ.unionByName(lowOpenQ)
+    val combined = surv
+      .unionByName(lowKept.select(col("query_id"), col("doc_id"),
+        col("su").as("su_sum"), lit(1L).as("n")))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("su_sum").as("score_u"), sum("n").as("n_terms"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score_u").desc, col("doc_id").asc)
-    sc.withColumn("rk", row_number().over(w))
+    val result = combined.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 10)
       .select(col("query_id"), col("doc_id"), col("score_u"),
         col("n_terms"), col("rk").cast("int").as("rk"))
       .orderBy("query_id", "rk")
+    Bm25Plan(result, lowAll, lowKept)
+  }
+
+  /** Spec probe: the batch build's block-max plan with the low-posting
+    * frames exposed (candidate-volume assertions in Bm25Spec).
+    */
+  private[queries] def bm25TopKPlan(s: SparkSession, dir: String): Bm25Plan = {
+    val tk = bm25Tokens(s, dir)
+    val tf = tk.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    bm25ScorePlan(bm25Cap(tf), dfreq, dl, bm25Queries(tk))
   }
 
   /** Incremental BM25 (`text_bm25_incr`): the corpus impact index

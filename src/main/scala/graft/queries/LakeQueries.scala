@@ -99,6 +99,7 @@ object LakeQueries {
     timed("merge_into")(mergeFixture(s, dir))
     timed("changes")(changeFixture(s, dir))
     timed("zorder")(zorderFixture(s, dir))
+    timed("zorder_string")(zorderStrFixture(s, dir))
     timed("hilbert")(hilbertFixture(s, dir))
     timed("bucket_join")(bucketJoinFixture(s, dir))
     timed("group_asof")(groupFixture(s, dir))
@@ -260,6 +261,46 @@ object LakeQueries {
       .filter(col("l_partkey") <= 200 && col("l_suppkey") <= 20)
       .select((outCols ++ Seq("l_partkey", "l_suppkey")).map(col): _*)
       .orderBy("l_orderkey", "l_linenumber")
+
+  private val zorderStrFixtures =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** The part table keyed on p_partkey, two generations (keys < 50 get
+    * +100 retail price at a newer precombine), z-ordered over the
+    * (p_name STRING, p_size numeric) pair.
+    */
+  private def zorderStrFixture(s: SparkSession, dir: String): LakeTable = {
+    val path = zorderStrFixtures.getOrElseUpdate(dir, {
+      val work = Files.createTempDirectory("graft_lakeq").toString
+      val t = LakeTable.create(s, s"$work/t",
+        TableMeta("lakeq_zs", Seq("p_partkey"), "created_ts", Seq.empty,
+          keyEncoding = "padded"))
+      val p = Relational.t(s, dir, "part").withColumn("created_ts", lit(1L))
+      t.upsert(p, combine = false)
+      t.upsert(p.filter(col("p_partkey") < 50)
+        .withColumn("p_retailprice", col("p_retailprice") + 100)
+        .withColumn("created_ts", lit(2L)), combine = false)
+      t.clusterZOrder(Seq("p_name", "p_size"))
+      t.path
+    })
+    LakeTable.load(s, path)
+  }
+
+  /** Z-order over a STRING × numeric pair (`lake_zorder_string`): the
+    * string dimension buckets through the order-preserving
+    * first-8-bytes proxy ([[graft.functions.StringPrefix64]]); zone
+    * maps keep the exact per-file string min/max, so the mixed-domain
+    * box read prunes files on BOTH dimensions (plan-asserted in
+    * ZoneMapSpec). The oracle replays the merge + filter on plain
+    * parquet — the proxy shapes only the layout, never answers.
+    */
+  def lakeZorderString(s: SparkSession, dir: String): DataFrame =
+    zorderStrFixture(s, dir).snapshot()
+      .filter(col("p_name") >= "l" && col("p_name") < "s" &&
+        col("p_size") <= 25)
+      .select(col("p_partkey"), col("p_name"), col("p_size"),
+        col("p_retailprice"))
+      .orderBy("p_partkey")
 
   /** Two co-bucketed tables (fixed 8-bucket hash layout on the record
     * key, `TableMeta.bucketCount`) for the storage-partitioned-join

@@ -1161,6 +1161,13 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     */
   def cluster(sortCols: Seq[String]): Option[String] = timeline.withLock() {
     require(sortCols.nonEmpty, "cluster needs at least one sort column")
+    // fail fast on the statically-knowable misuse, before any instant /
+    // frame work: arbitrary-column layout would replace the bucket
+    // routing (zorder/hilbert compose instead — per-bucket curve order)
+    require(_meta.bucketCount == 0,
+      "cluster(col) layout rewrites are incompatible with the bucket " +
+        "index: files must stay hash-routed by key " +
+        "(zorder/hilbert compose — they sort WITHIN each bucket)")
     val live = timeline.liveFiles()
     if (live.isEmpty) return None
     val instant = timeline.nextInstant()
@@ -1400,8 +1407,9 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * rethrown; the caller aborts the whole transaction.
     */
   private[graft] def txnPrepare(op: String, data: DataFrame, txnId: String,
-      coord: String, combine: Boolean = true): String = {
-    val extra = Map(Timeline.TxnIdKey -> txnId,
+      coord: String, combine: Boolean = true,
+      userExtra: Map[String, String] = Map.empty): String = {
+    val extra = userExtra ++ Map(Timeline.TxnIdKey -> txnId,
       Timeline.TxnCoordKey -> coord, Timeline.TxnPendingKey -> "true")
     val visible = timeline.visibleInstants().toSet
     val instant = timeline.reserveInstant()

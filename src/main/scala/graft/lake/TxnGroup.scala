@@ -44,12 +44,23 @@ import java.nio.charset.StandardCharsets
   */
 object TxnGroup {
 
-  /** One table's operation inside a transaction. */
-  sealed trait TxnOp { def table: LakeTable }
-  final case class TxnInsert(table: LakeTable, data: DataFrame) extends TxnOp
+  /** One table's operation inside a transaction. `extra` rides in the
+    * prepare's commit metadata like any single-table write's extra —
+    * e.g. a pipeline's incremental watermark, which then advances on
+    * EVERY participant or none (the multi-mart medallion shape the
+    * reference's non-transactional watermark cannot express).
+    */
+  sealed trait TxnOp {
+    def table: LakeTable
+    def extra: Map[String, String]
+  }
+  final case class TxnInsert(table: LakeTable, data: DataFrame,
+      extra: Map[String, String] = Map.empty) extends TxnOp
   final case class TxnUpsert(table: LakeTable, data: DataFrame,
-      combine: Boolean = true) extends TxnOp
-  final case class TxnDelete(table: LakeTable, data: DataFrame) extends TxnOp
+      combine: Boolean = true,
+      extra: Map[String, String] = Map.empty) extends TxnOp
+  final case class TxnDelete(table: LakeTable, data: DataFrame,
+      extra: Map[String, String] = Map.empty) extends TxnOp
 
   /** Atomically apply all `ops` — every table's write becomes visible at
     * one instant, or none does. All tables must live on one filesystem
@@ -94,9 +105,12 @@ object TxnGroup {
     try {
       ops.foreach { op =>
         val instant = op match {
-          case TxnInsert(t, d)     => t.txnPrepare("insert", d, txnId, coord)
-          case TxnUpsert(t, d, cb) => t.txnPrepare("upsert", d, txnId, coord, cb)
-          case TxnDelete(t, d)     => t.txnPrepare("delete", d, txnId, coord)
+          case TxnInsert(t, d, ex) =>
+            t.txnPrepare("insert", d, txnId, coord, userExtra = ex)
+          case TxnUpsert(t, d, cb, ex) =>
+            t.txnPrepare("upsert", d, txnId, coord, cb, ex)
+          case TxnDelete(t, d, ex) =>
+            t.txnPrepare("delete", d, txnId, coord, userExtra = ex)
         }
         prepared += ((op.table, instant))
         FaultInjection.point(s"txn.prepared.${prepared.size}")

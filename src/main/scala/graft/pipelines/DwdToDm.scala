@@ -32,7 +32,9 @@ object DwdToDm {
       .agg(sum(col(cfg.aggCol).cast(dec)).as(sumName(cfg))) // A1
 
   def resumeWatermark(dm: LakeTable): Option[String] =
-    dm.timeline.instants().reverse.iterator
+    // visibleInstants, not instants: an in-doubt multi-table prepare's
+    // watermark must not be resumed from until its txn commits
+    dm.timeline.visibleInstants().reverse.iterator
       .map(dm.timeline.read)
       .flatMap(_.extra.get(WatermarkKey))
       .nextOption()

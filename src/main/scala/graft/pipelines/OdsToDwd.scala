@@ -24,7 +24,9 @@ object OdsToDwd {
   val WatermarkKey = "ods.watermark"
 
   def resumeWatermark(dwd: LakeTable): String =
-    dwd.timeline.instants().reverse.iterator
+    // visibleInstants, not instants: an in-doubt multi-table prepare's
+    // watermark must not be resumed from until its txn commits
+    dwd.timeline.visibleInstants().reverse.iterator
       .map(dwd.timeline.read)
       .flatMap(_.extra.get(WatermarkKey))
       .nextOption()

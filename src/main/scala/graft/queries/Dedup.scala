@@ -96,9 +96,25 @@ object Dedup {
       if (System.currentTimeMillis() - st.getModificationTime > StageTtlMs)
         fs.delete(claim, false)
     } catch { case _: java.io.IOException => () }
+    // LocalFileSystem.create(overwrite = false) is exists()-then-create —
+    // NOT atomic, so two racing producers could both "win" and clobber
+    // each other's _temporary dirs mid-write (the Timeline writer-lock
+    // acquisition documents the same weakness). file:// claims go
+    // through NIO's atomic createFile (O_CREAT|O_EXCL); HDFS create is
+    // atomic at the NameNode.
     val won =
-      try { fs.create(claim, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      if (fs.getScheme == "file")
+        try {
+          val p = java.nio.file.Paths.get(
+            fs.makeQualified(claim).toUri.getPath)
+          // fs.create made parent dirs implicitly; NIO does not
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.createFile(p)
+          true
+        } catch { case _: java.io.IOException => false }
+      else
+        try { fs.create(claim, false).close(); true }
+        catch { case _: java.io.IOException => false }
     if (won) {
       try write(sub) finally fs.delete(claim, false)
       s.read.parquet(sub)

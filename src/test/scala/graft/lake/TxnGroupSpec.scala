@@ -241,6 +241,36 @@ class TxnGroupSpec extends AnyFunSuite with BeforeAndAfterAll {
     crashCase("txn.decided")
   }
 
+  test("multi-mart medallion hop: data + shared watermark advance on both marts or neither") {
+    val (a, b, _) = pair()
+    def wm(t: LakeTable): Option[String] =
+      t.timeline.visibleInstants().reverse.iterator
+        .map(t.timeline.read).flatMap(_.extra.get("dwd.watermark"))
+        .nextOption()
+    // one source delta fans out to two marts; the watermark rides BOTH
+    // prepares and flips visible with the decision — the atomic form of
+    // the reference's non-transactional medallion watermark
+    TxnGroup.commit(Seq(
+      TxnGroup.TxnUpsert(a, df((3, 2L, 30.0)),
+        extra = Map("dwd.watermark" -> "w1")),
+      TxnGroup.TxnUpsert(b, df((3, 2L, 300.0)),
+        extra = Map("dwd.watermark" -> "w1"))))
+    assert(wm(a).contains("w1") && wm(b).contains("w1"))
+    // a crashed half-prepared hop advances NEITHER mart's watermark —
+    // resume re-reads the last committed range on both, no double count
+    val coord = a.fs.makeQualified(
+      new org.apache.hadoop.fs.Path(a.path, "_lake/txn/t_wm.json")).toString
+    val i = a.txnPrepare("upsert", df((4, 3L, 40.0)), "t_wm", coord,
+      userExtra = Map("dwd.watermark" -> "w2"))
+    assert(wm(a).contains("w1") && wm(b).contains("w1"))
+    a.timeline.releaseReservation(i) // writer dies
+    // the earlier committed txn is re-reported as such; the dead one
+    // must roll back
+    assert(a.recoverTxns().contains(i -> "rolledback"))
+    assert(wm(a).contains("w1") && wm(b).contains("w1"))
+    assert(a.snapshot().count() == 3)
+  }
+
   test("maintain() runs txn recovery as step 0") {
     val (a, _, _) = pair()
     val coord = a.fs.makeQualified(

@@ -322,10 +322,20 @@ object Curation {
     * Strict `<` in every prune keeps boundary ties in the frame, so
     * the (score DESC, doc_id ASC) tie order is byte-identical to the
     * naive plan — the DuckDB oracle stays the naive SQL verbatim.
+    *
+    * COST-BASED engagement: the term split and bounds live on the
+    * driver (query-term metadata — KBs), and the shortlist only runs
+    * when some query's `ub_low < Σ tmax(high)`, a NECESSARY condition
+    * for any prune to fire (t10 ≤ Σ high tmax always). On uniform-
+    * impact corpora — block-max's worst case, where no bound can prove
+    * anything — the plan falls back to the naive one-join scoring over
+    * the shared cached impact frame, paying nothing for the machinery.
     */
   private def bm25ScorePlan(imp: DataFrame, dfreq: DataFrame,
       dl: DataFrame, qt: DataFrame): Bm25Plan = {
-    val high = imp.sparkSession.conf.getOption(Bm25HighTermsConf)
+    val s = imp.sparkSession
+    import scala.jdk.CollectionConverters._
+    val high = s.conf.getOption(Bm25HighTermsConf)
       .map(_.toInt).getOrElse(Bm25HighTerms)
     val cs = dl.agg(count(lit(1)).as("n"), sum("dl").as("l"))
     val idfM = expr("((2 * n + 2) * 1000) DIV (2 * df + 1)")
@@ -340,62 +350,129 @@ object Curation {
       "(CAST(44000000 AS DECIMAL(38,0)) * l * tf) DIV " +
         "(CAST(20 AS DECIMAL(38,0)) * l * tf + 6 * l + 18 * dl * n)")
     // impacts only for terms some query asks about — O(query terms × 64)
-    // postings touched, exactly the naive plan's candidate frame
-    val post = imp.join(broadcast(qt.select("token").distinct()), "token")
+    // postings touched, exactly the naive plan's candidate frame; cached
+    // because both scoring paths and the bound analysis read it.
+    val qtC = qt.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val post = imp.join(broadcast(qtC.select("token").distinct()), "token")
       .join(dfreq, "token").join(dl, "doc_id")
       .crossJoin(broadcast(cs))
       .select(col("token"), col("doc_id"), (idfM * satU).as("su"))
-    val tmax = post.groupBy("token").agg(max("su").as("tmax"))
-    val wT = Window.partitionBy("query_id")
-      .orderBy(col("tmax").desc, col("token").asc)
-    val marked = qt.join(tmax, "token")
-      .withColumn("trk", row_number().over(wT))
-      .withColumn("is_high", col("trk") <= high)
-    val qHigh = marked.filter(col("is_high")).select("query_id", "token")
-    val qLow = marked.filter(!col("is_high")).select("query_id", "token")
-    val ubLow = marked.filter(!col("is_high")).groupBy("query_id")
-      .agg(sum("tmax").as("ub_low"))
-    val p1 = post.join(broadcast(qHigh), "token")
-      .filter(col("doc_id") =!= col("query_id"))
-      .groupBy("query_id", "doc_id")
-      .agg(sum("su").as("su_sum"), count(lit(1)).as("n"))
-    val wQ = Window.partitionBy("query_id")
-      .orderBy(col("su_sum").desc, col("doc_id").asc)
-    val t10 = p1.withColumn("rk", row_number().over(wQ))
-      .filter(col("rk") === 10)
-      .select(col("query_id"), col("su_sum").as("t10"))
-    val surv = p1.join(broadcast(t10), Seq("query_id"), "left")
-      .join(broadcast(ubLow), Seq("query_id"), "left")
-      .filter(col("t10").isNull ||
-        col("su_sum") + coalesce(col("ub_low"), lit(0L)) >= col("t10"))
-      .select("query_id", "doc_id", "su_sum", "n")
-    // per query: may low-only docs be dropped wholesale?
-    val cut = t10.join(ubLow, Seq("query_id"), "left")
-      .select(col("query_id"),
-        (coalesce(col("ub_low"), lit(0L)) < col("t10")).as("cut_ok"))
-    val lowAll = post.join(broadcast(qLow), "token")
-      .filter(col("doc_id") =!= col("query_id"))
-    val lowCutQ = lowAll.join(
-      broadcast(cut.filter(col("cut_ok")).select("query_id")), "query_id")
-      .join(surv.select("query_id", "doc_id"),
-        Seq("query_id", "doc_id"), "left_semi")
-    val lowOpenQ = lowAll.join(
-      broadcast(cut.filter(col("cut_ok")).select("query_id")),
-      Seq("query_id"), "left_anti")
-    val lowKept = lowCutQ.unionByName(lowOpenQ)
-    val combined = surv
-      .unionByName(lowKept.select(col("query_id"), col("doc_id"),
-        col("su").as("su_sum"), lit(1L).as("n")))
-      .groupBy("query_id", "doc_id")
-      .agg(sum("su_sum").as("score_u"), sum("n").as("n_terms"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score_u").desc, col("doc_id").asc)
-    val result = combined.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 10)
-      .select(col("query_id"), col("doc_id"), col("score_u"),
-        col("n_terms"), col("rk").cast("int").as("rk"))
-      .orderBy("query_id", "rk")
-    Bm25Plan(result, lowAll, lowKept)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ---- driver-side bound analysis (query-term metadata, KBs) ----
+    // ONE collect job yields both the per-term block-max bounds and the
+    // per-query term lists (terms missing from every capped posting
+    // drop out here, as they do from the naive candidate join)
+    val qtm: Array[(Long, String, Long)] = qtC
+      .join(post.groupBy("token").agg(max("su").as("tmax")), "token")
+      .select("query_id", "token", "tmax").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val tmax: Map[String, Long] = qtm.map(x => x._2 -> x._3).toMap
+    val qterms: Map[Long, Seq[String]] = qtm
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    case class Split(query: Long, highT: Seq[String], lowT: Seq[String],
+        ubLow: Long, highSum: Long)
+    val splits = qterms.toSeq.sortBy(_._1).map { case (q, ts) =>
+      val present = ts.filter(tmax.contains)
+        .sortBy(t => (-tmax(t), t)) // (tmax DESC, token ASC)
+      val (h, lo) = present.splitAt(high)
+      Split(q, h, lo, lo.map(tmax).sum, h.map(tmax).sum)
+    }
+    def lowFrame(ss: Seq[Split]): DataFrame = {
+      val pairs = ss.flatMap(sp => sp.lowT.map(t => (sp.query, t)))
+      val qLowDf =
+        if (pairs.isEmpty) s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("query_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("token",
+              org.apache.spark.sql.types.StringType))))
+        else s.createDataFrame(pairs.map(p =>
+          org.apache.spark.sql.Row(p._1, p._2)).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("query_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("token",
+              org.apache.spark.sql.types.StringType))))
+      post.join(broadcast(qLowDf), "token")
+        .filter(col("doc_id") =!= col("query_id"))
+    }
+    val lowAll = lowFrame(splits)
+    def finish(cand: DataFrame): DataFrame = {
+      val sc = cand.groupBy("query_id", "doc_id")
+        .agg(sum("su_sum").as("score_u"), sum("n").as("n_terms"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score_u").desc, col("doc_id").asc)
+      sc.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("doc_id"), col("score_u"),
+          col("n_terms"), col("rk").cast("int").as("rk"))
+        .orderBy("query_id", "rk")
+    }
+    // engage only where the machinery can pay for itself: the bound
+    // must be able to fire at all (ub_low < Σ high tmax — necessary,
+    // since t10 never exceeds the high sum) AND the low postings must
+    // be the majority of the candidate work (more low than high terms;
+    // uniform-impact corpora fail the first conjunct, short queries the
+    // second). Falling back costs nothing in exactness — the naive
+    // one-join scoring over the same cached impact frame.
+    if (!splits.exists(sp => sp.lowT.size > sp.highT.size &&
+        sp.ubLow < sp.highSum)) {
+      val cand = post.join(broadcast(qtC), "token")
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"),
+          col("su").as("su_sum"), lit(1L).as("n"))
+      Bm25Plan(Dedup.releaseAfter(finish(cand), post, qtC), lowAll, lowAll)
+    } else {
+      def litPairs(ps: Seq[(Long, String)]): DataFrame =
+        s.createDataFrame(ps.map(p =>
+          org.apache.spark.sql.Row(p._1, p._2)).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("query_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("token",
+              org.apache.spark.sql.types.StringType))))
+      val qHighDf = litPairs(splits.flatMap(sp => sp.highT.map(sp.query -> _)))
+      val p1 = post.join(broadcast(qHighDf), "token")
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum("su").as("su_sum"), count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wQ = Window.partitionBy("query_id")
+        .orderBy(col("su_sum").desc, col("doc_id").asc)
+      // the per-query 10th-best partial: ≤ one row per query
+      val t10: Map[Long, Long] = p1.withColumn("rk", row_number().over(wQ))
+        .filter(col("rk") === 10)
+        .select("query_id", "su_sum").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ubLow = splits.map(sp => sp.query -> sp.ubLow).toMap
+      val survCond = t10.map { case (q, t) =>
+        col("query_id") === q &&
+          col("su_sum") + lit(ubLow.getOrElse(q, 0L)) >= lit(t)
+      }.reduceOption(_ || _)
+      val surv = (survCond match {
+        case Some(c) =>
+          // queries without a t10 row (fewer than 10 phase-1 docs)
+          // keep everything
+          p1.filter(c || !col("query_id")
+            .isin(t10.keys.toSeq.map(x => x: Any): _*))
+        case None => p1
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // queries whose low-only docs are wholesale-prunable
+      val cutQ = splits.filter(sp =>
+        t10.get(sp.query).exists(t => ubLow.getOrElse(sp.query, 0L) < t))
+        .map(_.query).toSet
+      val lowCut = lowFrame(splits.filter(sp => cutQ.contains(sp.query)))
+        .join(surv.select("query_id", "doc_id"),
+          Seq("query_id", "doc_id"), "left_semi")
+      val lowOpen = lowFrame(splits.filterNot(sp => cutQ.contains(sp.query)))
+      val lowKept = lowCut.unionByName(lowOpen)
+      val cand = surv.unionByName(
+        lowKept.select(col("query_id"), col("doc_id"),
+          col("su").as("su_sum"), lit(1L).as("n")))
+      Bm25Plan(Dedup.releaseAfter(finish(cand), post, qtC, p1, surv),
+        lowAll, lowKept)
+    }
   }
 
   /** Spec probe: the batch build's block-max plan with the low-posting

@@ -71,8 +71,9 @@ object Dedup {
     * check-then-overwrite races across SESSIONS sharing one stage dir
     * (two jobs both miss `_SUCCESS`, both write `sub`, mixed output);
     * instead the producer is elected by an exclusive CLAIM file —
-    * `fs.create(path, overwrite = false)` is atomic on HDFS and local
-    * filesystems (and a conditional put on modern object stores). The
+    * NIO's atomic createFile (O_CREAT|O_EXCL) on file://, and
+    * `fs.create(path, overwrite = false)` elsewhere (atomic at the
+    * HDFS NameNode; a conditional put on modern object stores). The
     * winner writes the stage; a loser reads the stage if it is already
     * complete and otherwise just computes `fresh` — correct without
     * ever blocking on another session's write. A claim an hour old with

@@ -1920,9 +1920,72 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     orphans.length
   }
 
+  /** Retire transaction decision records nothing references anymore.
+    * Deleting one returns its prepares to the in-doubt ("pending")
+    * resolution, so the rules differ by state:
+    *
+    *  - **aborted** records are deletable once THIS table stops
+    *    referencing them: a participant that still holds an
+    *    aborted-pending prepare sees "pending" after the delete — the
+    *    SAME invisible state — and its recovery re-decides abort (the
+    *    writer is long dead), converging to the identical rollback;
+    *  - **committed** records are deletable only when EVERY participant
+    *    listed in the record has stopped referencing it (sealed by
+    *    archival, or its timeline is gone) — flipping a live committed
+    *    prepare back to in-doubt would let recovery abort a committed
+    *    transaction. Records without a participant list are kept.
+    *
+    * Tiny files; swept with [[clean]]; O(records × participants)
+    * metadata reads, no data touched.
+    */
+  private def cleanTxnRecords(): Int = {
+    val txnDir = new Path(tablePath, "_lake/txn")
+    if (!fs.exists(txnDir)) return 0
+    def pendingRefs(tl: Timeline): Set[String] =
+      tl.instants().map(tl.read)
+        .filter(_.extra.get(Timeline.TxnPendingKey).contains("true"))
+        .flatMap(_.extra.get(Timeline.TxnCoordKey))
+        .map(c => new Path(c).getName).toSet
+    val localRefs = pendingRefs(timeline)
+    val deletable = fs.listStatus(txnDir)
+      .filter(_.getPath.getName.endsWith(".json"))
+      .filter { st =>
+        val name = st.getPath.getName
+        val node = try {
+          val in = fs.open(st.getPath)
+          try {
+            val bytes = new Array[Byte](st.getLen.toInt)
+            in.readFully(bytes)
+            graft.util.Json.mapper.readTree(
+              new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+          } finally in.close()
+        } catch { case _: java.io.IOException => null }
+        val state = Option(node).flatMap(n => Option(n.get("state")))
+          .map(_.asText()).getOrElse("")
+        val tables = Option(node).flatMap(n => Option(n.get("tables")))
+          .map { arr =>
+            (0 until arr.size()).map(i => arr.get(i).asText())
+          }.getOrElse(Seq.empty)
+        state match {
+          case "aborted" => !localRefs.contains(name)
+          case "committed" if tables.nonEmpty =>
+            tables.forall { tp =>
+              val p = new Path(tp)
+              try !fs.exists(p) ||
+                !pendingRefs(new Timeline(fs, p)).contains(name)
+              catch { case _: java.io.IOException => false }
+            }
+          case _ => false
+        }
+      }
+    deletable.foreach(st => fs.delete(st.getPath, false))
+    deletable.length
+  }
+
   /** @return number of physically deleted data files */
   def clean(retainCommits: Int = 2): Int = timeline.withLock() {
     cleanOrphanedStaging()
+    cleanTxnRecords()
     val inst = timeline.instants()
     if (inst.size <= retainCommits) return 0
     val cutoff = inst(inst.size - retainCommits - 1)

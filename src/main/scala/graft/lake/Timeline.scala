@@ -523,7 +523,22 @@ class Timeline(fs: FileSystem, tablePath: Path) {
   def archive(keepCommits: Int): Seq[String] = {
     val inst = instants()
     if (inst.size <= keepCommits) return Seq.empty
-    val toArchive = inst.dropRight(keepCommits)
+    var toArchive = inst.dropRight(keepCommits)
+    // an UNDECIDED multi-table prepare must stay on the active timeline:
+    // archiving it would fold nothing into the checkpoint (in-doubt
+    // commits are invisible) while retiring the commit file — a later
+    // commit decision would then surface NOTHING here and the other
+    // table's half alone (a torn transaction). Cap the boundary below
+    // the oldest undecided prepare; decided-committed prepares fold
+    // into the checkpoint (implicitly sealed), aborted ones archive as
+    // the no-ops they are after rollback.
+    val oldestInDoubt = toArchive.map(read).find(m =>
+      m.extra.get(Timeline.TxnPendingKey).contains("true") &&
+        m.extra.get(Timeline.TxnCoordKey)
+          .forall(c => txnState(c) == "pending"))
+      .map(_.instant)
+    oldestInDoubt.foreach(i => toArchive = toArchive.filter(_ < i))
+    if (toArchive.isEmpty) return Seq.empty
     val boundary = toArchive.last
     val metas = toArchive.map(read)
     val netLive = liveFiles(boundary) // live set of the archived prefix

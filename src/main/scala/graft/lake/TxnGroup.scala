@@ -91,8 +91,9 @@ object TxnGroup {
       prepared.foreach { case (t, i) =>
         try t.txnRollback(i) finally t.timeline.releaseReservation(i)
       }
+    val tablePaths = ops.map(_.table.path)
     def abort(cause: Throwable): Nothing = {
-      decide(fs, coord, "aborted") match {
+      decide(fs, coord, "aborted", tablePaths) match {
         case "committed" =>
           // impossible unless this coordinator already decided commit —
           // in which case we would not be here; treat as fatal
@@ -127,7 +128,7 @@ object TxnGroup {
       abort(new java.util.ConcurrentModificationException(
         s"txn $txnId: prepare(s) ${dead.map(_._2).mkString(", ")} were " +
           "swept or rolled back while the transaction ran; re-run it"))
-    decide(fs, coord, "committed") match {
+    decide(fs, coord, "committed", tablePaths) match {
       case "committed" =>
         FaultInjection.point("txn.decided")
         releaseAll()
@@ -141,9 +142,16 @@ object TxnGroup {
     }
   }
 
-  /** Decision record body, parsed by [[Timeline.txnState]]. */
-  private def decisionJson(txnId: String, state: String): String =
-    Json.write(Map("txnId" -> txnId, "state" -> state))
+  /** Decision record body, parsed by [[Timeline.txnState]]; `tables`
+    * (the participant paths, known to the coordinator) lets retention
+    * verify every participant has stopped referencing the record before
+    * deleting it — recovery-written abort records carry no list and are
+    * retired under the weaker aborted-record rule (see
+    * `LakeTable.cleanTxnRecords`).
+    */
+  private def decisionJson(txnId: String, state: String,
+      tables: Seq[String]): String =
+    Json.write(Map("txnId" -> txnId, "state" -> state, "tables" -> tables))
 
   /** Publish (or read back) the coordinator decision — EXACTLY-ONE
     * winner, serialized by the coordinator table's writer lock: read
@@ -154,7 +162,7 @@ object TxnGroup {
     * which may be the other party's.
     */
   private[lake] def decide(fs: FileSystem, coordPath: String,
-      state: String): String = {
+      state: String, tables: Seq[String] = Seq.empty): String = {
     val decisionPath = new Path(coordPath)
     val txnDir = decisionPath.getParent          // <table>/_lake/txn
     val coordTablePath = txnDir.getParent.getParent
@@ -167,8 +175,8 @@ object TxnGroup {
         fs.mkdirs(txnDir)
         val tmp = new Path(txnDir, s".$txnId.tmp")
         val out = fs.create(tmp, true)
-        try out.write(
-          decisionJson(txnId, state).getBytes(StandardCharsets.UTF_8))
+        try out.write(decisionJson(txnId, state, tables)
+          .getBytes(StandardCharsets.UTF_8))
         finally out.close()
         tl.requireLockHeld(s"txn decision $txnId")
         if (!fs.rename(tmp, decisionPath))

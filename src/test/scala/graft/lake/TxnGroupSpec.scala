@@ -271,6 +271,60 @@ class TxnGroupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.snapshot().count() == 3)
   }
 
+  test("archival never retires an undecided prepare (boundary capped below it)") {
+    val (a, _, _) = pair()
+    val coord = a.fs.makeQualified(
+      new org.apache.hadoop.fs.Path(a.path, "_lake/txn/t_arch.json")).toString
+    val i = a.txnPrepare("upsert", df((9, 2L, 90.0)), "t_arch", coord)
+    try {
+      // commits after the prepare (disjoint keys — no conflict)
+      a.upsert(df((20, 3L, 21.0)))
+      a.upsert(df((21, 3L, 22.0)))
+      // keepCommits=1 would archive the seed AND the in-doubt prepare;
+      // the boundary must cap below the prepare instead
+      a.archiveTimeline(1)
+      assert(a.timeline.instants().contains(i),
+        "the undecided prepare must stay on the active timeline")
+      // the late decision still lands and the half surfaces intact
+      assert(TxnGroup.decide(a.fs, coord, "committed") == "committed")
+      assert(a.snapshot().filter(col("id") === 9).count() == 1)
+    } finally a.timeline.releaseReservation(i)
+  }
+
+  test("decision records retire only when no participant references them") {
+    val (a, b, _) = pair()
+    TxnGroup.commit(Seq(
+      TxnGroup.TxnUpsert(a, df((3, 2L, 30.0))),
+      TxnGroup.TxnUpsert(b, df((3, 2L, 300.0)))))
+    def records(t: LakeTable): Int = {
+      val d = new org.apache.hadoop.fs.Path(t.path, "_lake/txn")
+      if (!t.fs.exists(d)) 0
+      else t.fs.listStatus(d).count(_.getPath.getName.endsWith(".json"))
+    }
+    assert(records(a) == 1)
+    // both participants' prepares still reference the committed record:
+    // clean must keep it
+    a.clean(retainCommits = 50)
+    assert(records(a) == 1, "record still referenced by live prepares")
+    assert(a.snapshot().count() == 3 && b.snapshot().count() == 3)
+    // archival seals the prepares on BOTH tables (their content folds
+    // into the checkpoints); only then may the record go
+    a.upsert(df((7, 3L, 70.0))); b.upsert(df((7, 3L, 700.0)))
+    a.archiveTimeline(1); b.archiveTimeline(1)
+    a.clean(retainCommits = 50)
+    assert(records(a) == 0, "sealed everywhere: record retired")
+    assert(a.snapshot().count() == 4 && b.snapshot().count() == 4)
+    assert(a.snapshot().filter(col("id") === 3).head().getAs[Double]("v") == 30.0)
+    // an aborted record sweeps once THIS table rolled its prepare back
+    val coord = a.fs.makeQualified(
+      new org.apache.hadoop.fs.Path(a.path, "_lake/txn/t_gone.json")).toString
+    val i = a.txnPrepare("upsert", df((8, 4L, 80.0)), "t_gone", coord)
+    a.timeline.releaseReservation(i) // dead writer
+    assert(a.recoverTxns().contains(i -> "rolledback"))
+    a.clean(retainCommits = 50)
+    assert(records(a) == 0)
+  }
+
   test("maintain() runs txn recovery as step 0") {
     val (a, _, _) = pair()
     val coord = a.fs.makeQualified(

@@ -230,6 +230,9 @@ object SparkEntry {
     // incremental IVF index: the new batch APPENDS into the staged cell
     // layout (fixed centroids, no retrain, existing files untouched)
     "sim_ivf_incr" -> ((s, dir) => Similarity.ivfIncrementalTopK(s, dir)),
+    // IVF index DELETE maintenance (faiss remove_ids): tombstone
+    // sidecar masks candidates at probe time, index files untouched
+    "sim_ivf_delete" -> ((s, dir) => Similarity.ivfDeleteTopK(s, dir)),
     // hybrid lexical+vector retrieval, reciprocal-rank fusion (k=60)
     "sim_hybrid_rrf" -> ((s, dir) => Similarity.hybridTopK(s, dir)),
     // MMR diversified rerank of the top-20 shortlist (lambda = 0.5)
@@ -509,6 +512,16 @@ object SparkEntry {
     */
   private def ivfOracleSql: String =
     ivfProbeOracle("WHERE vec_id < 3", 10, "query_id", "vec_id")
+
+  /** The `sim_ivf_delete` oracle: the same trainer replay with the
+    * tombstoned ids (`vec_id % 10 == 7`) excluded from the CANDIDATE
+    * side only — centroids and cell assignment are trained on the full
+    * corpus (faiss remove_ids never retrains), which is exactly what
+    * masking candidates at probe time computes.
+    */
+  private def ivfDeleteOracleSql: String =
+    ivfProbeOracle("WHERE vec_id < 3", 10, "query_id", "vec_id",
+      " AND a.vec_id % 10 <> 7")
 
   /** The `sim_knn_graph` oracle: the same trainer replay, but every
     * corpus vector is a query and the output keeps k=3 neighbors as
@@ -1166,7 +1179,7 @@ object SparkEntry {
   }
 
   private def ivfProbeOracle(queryWhere: String, k: Int,
-      outId: String, outNbr: String): String = {
+      outId: String, outNbr: String, candWhere: String = ""): String = {
     import graft.queries.Similarity.{IvfIters, IvfProbe}
     s"""$ivfTrainAssignCtes,
        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e $queryWhere),
@@ -1181,7 +1194,7 @@ object SparkEntry {
        |    FROM qs) WHERE crk <= $IvfProbe),
        |cand AS (
        |  SELECT qc.query_id, a.vec_id FROM qc JOIN asg a USING (cell)
-       |  WHERE a.vec_id <> qc.query_id),
+       |  WHERE a.vec_id <> qc.query_id$candWhere),
        |scored AS (
        |  SELECT cand.query_id, cand.vec_id,
        |    ${cosineOf("ce.embedding", "qe.embedding")} AS sim
@@ -3744,6 +3757,7 @@ object SparkEntry {
       ("sim_knn_graph" -> knnGraphOracleSql) +
       ("sim_knn_incr" -> knnIncrOracleSql) +
       ("sim_ivf_incr" -> ivfIncrOracleSql) +
+      ("sim_ivf_delete" -> ivfDeleteOracleSql) +
       ("sim_components" -> componentsOracleSql()) +
       ("sim_filtered_topk" -> filteredTopKSql) +
       ("sim_probe_sweep" -> probeSweepSql()) +

@@ -644,7 +644,7 @@ object Similarity {
     * cells' members.
     */
   private[queries] def ivfProbeTopK(cent: DataFrame, corpus: DataFrame,
-      probe: Int): DataFrame = {
+      probe: Int, tombstones: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wq = Window.partitionBy("query_id")
       .orderBy(col("csim").desc, col("cell").asc)
@@ -657,7 +657,16 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("cell"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("vec_id").asc)
-    corpus.join(broadcast(qcells), Seq("cell"))
+    val members = tombstones match {
+      // deleted ids mask out BEFORE any cosine is computed — a broadcast
+      // anti join against the (tiny) tombstone sidecar, the faiss
+      // remove_ids read path: the cell-partitioned index files are
+      // never rewritten
+      case Some(t) => corpus.join(
+        broadcast(t.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+      case None => corpus
+    }
+    members.join(broadcast(qcells), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("embedding"), col("qv")).as("sim"))
@@ -1758,6 +1767,60 @@ object Similarity {
     }
     val topk = ivfProbeTopK(cent, corpus, probe)
     if (eMat != null) Dedup.releaseAfter(topk, eMat) else topk
+  }
+
+  /** IVF index DELETE maintenance (`sim_ivf_delete`) — the other half
+    * of the faiss add/remove contract next to [[ivfIncrementalTopK]]:
+    * deletes NEVER rewrite the cell-partitioned index. They register as
+    * a TOMBSTONE SIDECAR (a tiny parquet of deleted vec_ids beside the
+    * staged index, appended batch by batch like the lake's MOR delete
+    * deltas), and probes mask candidates against the broadcast sidecar
+    * before any cosine is computed. Registration is O(delete batch);
+    * lookups stay O(probed cells) + one broadcast anti join; a
+    * re-stage (index rebuild) is the compaction lever once tombstones
+    * grow. The delete set here is the deterministic `vec_id % 10 == 7`
+    * slice, registered as TWO batches (`% 20 == 7`, then `% 20 == 17`)
+    * so the append shape is exercised; masking candidates after cell
+    * assignment equals filtering the corpus before it (assignment is
+    * per-vector), so the probed result is exactly the probe over the
+    * surviving corpus — which is what the oracle replays.
+    */
+  def ivfDeleteTopK(s: SparkSession, dir: String,
+      probe: Int = IvfProbe): DataFrame = {
+    var eMat: DataFrame = null
+    def e: DataFrame = {
+      if (eMat == null)
+        eMat = Relational.t(s, dir, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      eMat
+    }
+    val cent = ivfCentFor(s, dir, e)
+    val corpus = ivfCorpusFor(s, dir, e, cent)
+    val tomb = ivfTombstonesFor(s, dir, e)
+    val topk = ivfProbeTopK(cent, corpus, probe, Some(tomb))
+    if (eMat != null) Dedup.releaseAfter(topk, eMat) else topk
+  }
+
+  /** The delete-tombstone sidecar for `dir`'s staged IVF index: two
+    * appended registration batches under the stage dir (existing
+    * sidecar files byte-untouched by the second), in-plan otherwise.
+    */
+  private[queries] def ivfTombstonesFor(s: SparkSession, dir: String,
+      e: => DataFrame): DataFrame = {
+    def batch(m: Long) =
+      e.select(col("vec_id")).filter(col("vec_id") % 20 === m)
+    s.conf.getOption(Dedup.StageDirConf) match {
+      case Some(stage) =>
+        Dedup.stagedOrFresh(s,
+          s"$stage/ivf_del_${Dedup.stageTag(s, dir)}",
+          out => {
+            batch(7L).write.mode("overwrite").parquet(out)
+            batch(17L).write.mode("append").parquet(out)
+          },
+          () => batch(7L).unionAll(batch(17L)))
+      case None => batch(7L).unionAll(batch(17L))
+    }
   }
 
   /** ANN recall evaluation harness (`sim_recall_eval`): recall@10 of

@@ -87,6 +87,48 @@ class Round14Spec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset(Similarity.AllPairsMaxConf)
   }
 
+  test("IVF delete: tombstone mask, index files untouched, sidecar appends") {
+    val s = spark
+    val stage = java.nio.file.Files.createTempDirectory("ivfdel").toString
+    spark.conf.set(Dedup.StageDirConf, stage)
+    try {
+      def files(prefix: String): Map[String, (Long, Long)] = {
+        val dirs = new java.io.File(stage).listFiles()
+          .filter(_.getName.startsWith(prefix))
+        dirs.flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getAbsolutePath -> (f.length(), f.lastModified()))).toMap
+      }
+      val got = Similarity.ivfDeleteTopK(s, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      assert(got.nonEmpty)
+      // no deleted id ever surfaces
+      assert(got.forall { case (_, v, _) => v % 10 != 7 })
+      // the index artifacts are byte-untouched by delete registration
+      val idxFiles = files("ivf_corpus_") ++ files("ivf_cent_")
+      assert(idxFiles.nonEmpty, "staged index expected")
+      val delFiles = files("ivf_del_")
+      assert(delFiles.nonEmpty, "tombstone sidecar expected")
+      // masking candidates at probe time equals probing the corpus with
+      // the deleted rows filtered out before assignment-partitioning
+      val e = Relational.t(s, sf, "embeddings")
+      val cent = Similarity.ivfCentFor(s, sf, e)
+      val corpus = Similarity.ivfCorpusFor(s, sf, e, cent)
+      val want = Similarity.ivfProbeTopK(cent,
+        corpus.filter(col("vec_id") % 10 =!= 7), Similarity.IvfProbe)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      assert(got.toSeq == want.toSeq)
+      // a re-run reads the staged sidecar without rewriting anything
+      Similarity.ivfDeleteTopK(s, sf).collect()
+      assert(files("ivf_del_") == delFiles, "sidecar rewritten on re-run")
+      assert((files("ivf_corpus_") ++ files("ivf_cent_")) == idxFiles,
+        "index rewritten by delete maintenance")
+    } finally {
+      spark.conf.unset(Dedup.StageDirConf)
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(stage))
+    }
+  }
+
   test("bm25Incremental returns empty on an empty corpus (no NPE)") {
     val s = spark
     val work = java.nio.file.Files.createTempDirectory("bm25empty").toString

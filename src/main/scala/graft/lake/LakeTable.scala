@@ -1967,7 +1967,22 @@ class LakeTable private (val spark: SparkSession, val path: String) {
             (0 until arr.size()).map(i => arr.get(i).asText())
           }.getOrElse(Seq.empty)
         state match {
-          case "aborted" => !localRefs.contains(name)
+          case "aborted" =>
+            // age gate: deleting an aborted record returns its txn to
+            // "pending", and a zombie coordinator paused between its
+            // fence and decide() would then write "committed" for a
+            // transaction whose halves were already rolled back. Any
+            // coordinator that passed its fence while reservations
+            // were live must decide within the reservation-stale TTL
+            // (decide's in-lock verify re-checks liveness), so a
+            // record older than 2× that TTL has no live racer left —
+            // only then may it retire. Also prevents maintain()'s
+            // recoverTxns (writes the abort) and clean (would delete
+            // it) from racing within one pass: a fresh abort record
+            // always survives the pass that wrote it.
+            !localRefs.contains(name) &&
+              (System.currentTimeMillis() - st.getModificationTime >
+                Timeline.txnAbortGraceMs)
           case "committed" if tables.nonEmpty =>
             tables.forall { tp =>
               val p = new Path(tp)
@@ -2003,8 +2018,17 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     // whatever removed them later — the savepoint pins them
     val pinned = savepoints()
       .flatMap(sp => timeline.liveFiles(sp).map(_.path)).toSet
+    // a commit that is NOT txn-visible (an in-doubt — undecided or
+    // aborted-but-not-yet-rolled-back — multi-table prepare) lists the
+    // base files it replaced in `removed`, but readers still SEE those
+    // files live (commitsUpTo filters the prepare out): its removed set
+    // only becomes cleanable after the transaction decides committed.
+    // Aborted prepares roll back (their removed files stay live
+    // forever), undecided ones may commit later — either way deleting
+    // now corrupts every visible snapshot.
     val deletable = commits
-      .filter(c => c.instant <= cutoff && c.operation != "clean")
+      .filter(c => c.instant <= cutoff && c.operation != "clean" &&
+        timeline.txnVisible(c))
       .flatMap(_.removed)
       .distinct
       .filterNot(alreadyCleaned.contains)

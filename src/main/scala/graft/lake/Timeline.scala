@@ -121,27 +121,45 @@ class Timeline(fs: FileSystem, tablePath: Path) {
         .exists(c => txnState(c) == "committed")
 
   /** Resolve a coordinator decision record: "committed" / "aborted" /
-    * "pending" (record absent or unreadable). Terminal states cache
-    * forever; resolving a pending transaction costs one metadata read
-    * per timeline query until it decides — bounded by the number of
+    * "pending" (record ABSENT). Terminal states cache forever;
+    * resolving a pending transaction costs one metadata read per
+    * timeline query until it decides — bounded by the number of
     * concurrently in-flight transactions, not by table size.
+    *
+    * Only `FileNotFoundException` maps to "pending": a transient read
+    * failure of an EXISTING record must not be mistaken for "no
+    * decision yet" — recovery would presume-abort (and
+    * [[graft.lake.TxnGroup.decide]] would write its own record over)
+    * a transaction that may already be committed. Other IOExceptions
+    * retry briefly, then propagate to the caller.
     */
   private[lake] def txnState(coordPath: String): String = {
     val cached = txnDecisions.get(coordPath)
     if (cached != null) return cached
-    val st =
+    def readOnce(): String = {
+      val p = new Path(coordPath)
+      val len = fs.getFileStatus(p).getLen.toInt
+      val in = fs.open(p)
       try {
-        val p = new Path(coordPath)
-        val len = fs.getFileStatus(p).getLen.toInt
-        val in = fs.open(p)
-        try {
-          val bytes = new Array[Byte](len)
-          in.readFully(bytes)
-          val node =
-            Json.mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
-          Option(node.get("state")).map(_.asText()).getOrElse("pending")
-        } finally in.close()
-      } catch { case _: java.io.IOException => "pending" }
+        val bytes = new Array[Byte](len)
+        in.readFully(bytes)
+        val node =
+          Json.mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
+        Option(node.get("state")).map(_.asText()).getOrElse("pending")
+      } finally in.close()
+    }
+    var attempt = 0
+    var st: String = null
+    while (st == null) {
+      try st = readOnce()
+      catch {
+        case _: java.io.FileNotFoundException => st = "pending"
+        case e: java.io.IOException =>
+          attempt += 1
+          if (attempt >= 3) throw e
+          Thread.sleep(50L * attempt)
+      }
+    }
     if (st == "committed" || st == "aborted") txnDecisions.put(coordPath, st)
     st
   }
@@ -715,6 +733,16 @@ object Timeline {
     * tests can exercise the sweep without waiting.
     */
   private[lake] var InflightStaleMs: Long = 30 * 60 * 1000L
+
+  /** Grace period before an ABORTED txn decision record may retire
+    * (deleting it returns the txn to "pending", which a zombie
+    * coordinator could then decide "committed" for rolled-back halves).
+    * Negative ⇒ derive 2 × [[InflightStaleMs]]; mutable so tests can
+    * exercise the retirement without waiting.
+    */
+  private[lake] var TxnAbortGraceMs: Long = -1L
+  private[lake] def txnAbortGraceMs: Long =
+    if (TxnAbortGraceMs >= 0) TxnAbortGraceMs else 2 * InflightStaleMs
 
   /** Writer-lock staleness window: a lock whose heartbeat stalled for
     * this long may be broken by a waiting writer (the lazy failed-writes

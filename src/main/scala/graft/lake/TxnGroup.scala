@@ -117,18 +117,28 @@ object TxnGroup {
         FaultInjection.point(s"txn.prepared.${prepared.size}")
       }
     } catch { case e: Throwable => abort(e) }
-    // fencing before the decision: every prepare must still be on its
-    // active timeline (no restore rolled it away) with a LIVE
-    // reservation (no stale-sweep let consumers advance past it) —
-    // otherwise committing could surface a half readers already skipped
-    val dead = prepared.filter { case (t, i) =>
-      !t.timeline.reservationLive(i) || !t.timeline.instants().contains(i)
+    // fencing AT the decision, inside the decision lock: every prepare
+    // must still be on its active timeline (no restore rolled it away)
+    // with a LIVE reservation (no stale-sweep let consumers advance
+    // past it) — otherwise committing could surface a half readers
+    // already skipped. Running the check under the same lock that
+    // serializes recovery's abort write closes the zombie-coordinator
+    // window: recovery only aborts once a reservation went stale, so
+    // "all reservations live" inside the lock proves no abort decision
+    // exists or can be written before ours lands.
+    val fence = () => {
+      val dead = prepared.filter { case (t, i) =>
+        !t.timeline.reservationLive(i) || !t.timeline.instants().contains(i)
+      }
+      if (dead.nonEmpty)
+        throw new VerifyFailed(
+          s"txn $txnId: prepare(s) ${dead.map(_._2).mkString(", ")} were " +
+            "swept or rolled back while the transaction ran; re-run it")
     }
-    if (dead.nonEmpty)
-      abort(new java.util.ConcurrentModificationException(
-        s"txn $txnId: prepare(s) ${dead.map(_._2).mkString(", ")} were " +
-          "swept or rolled back while the transaction ran; re-run it"))
-    decide(fs, coord, "committed", tablePaths) match {
+    val decision =
+      try decide(fs, coord, "committed", tablePaths, Some(fence))
+      catch { case e: VerifyFailed => abort(e) }
+    decision match {
       case "committed" =>
         FaultInjection.point("txn.decided")
         releaseAll()
@@ -153,6 +163,12 @@ object TxnGroup {
       tables: Seq[String]): String =
     Json.write(Map("txnId" -> txnId, "state" -> state, "tables" -> tables))
 
+  /** Thrown inside [[decide]] when the caller's `verify` hook fails
+    * under the decision lock — the coordinator must abort instead.
+    */
+  private[lake] final class VerifyFailed(msg: String)
+    extends java.util.ConcurrentModificationException(msg)
+
   /** Publish (or read back) the coordinator decision — EXACTLY-ONE
     * winner, serialized by the coordinator table's writer lock: read
     * the record inside the lock, and only write ours if none exists.
@@ -160,9 +176,26 @@ object TxnGroup {
     * `requireLockHeld` fences a zombie whose lock was broken as stale
     * mid-decision. Returns the decision that HOLDS after the call,
     * which may be the other party's.
+    *
+    * `verify` (when given) runs INSIDE the lock, after "no existing
+    * record" is established and before anything is written: the
+    * committing coordinator passes its prepares-still-live check here,
+    * so the check and the decision write are one serialized critical
+    * section — a recovery abort (also lock-serialized through this
+    * method) can no longer slip between the coordinator's fence and
+    * its rename. On failure the hook throws [[VerifyFailed]] out of
+    * the lock and the caller aborts through the normal path.
+    *
+    * Because some local filesystems implement rename as an OVERWRITE
+    * (`RawLocalFileSystem` delegates to `File.renameTo`), the record's
+    * absence is re-checked via a raw existence probe immediately
+    * before the rename — `txnState` alone could report "pending" for a
+    * present-but-transiently-unreadable record and let an abort clobber
+    * a committed decision.
     */
   private[lake] def decide(fs: FileSystem, coordPath: String,
-      state: String, tables: Seq[String] = Seq.empty): String = {
+      state: String, tables: Seq[String] = Seq.empty,
+      verify: Option[() => Unit] = None): String = {
     val decisionPath = new Path(coordPath)
     val txnDir = decisionPath.getParent          // <table>/_lake/txn
     val coordTablePath = txnDir.getParent.getParent
@@ -170,7 +203,14 @@ object TxnGroup {
     tl.withLock() {
       val existing = tl.txnState(coordPath)
       if (existing != "pending") existing
-      else {
+      else if (fs.exists(decisionPath)) {
+        // present but txnState could not parse a terminal state —
+        // NEVER rename over it; surface the inconsistency instead
+        throw new IllegalStateException(
+          s"txn decision record $coordPath exists but is unreadable; " +
+            "refusing to overwrite it")
+      } else {
+        verify.foreach(_.apply())
         val txnId = decisionPath.getName.stripSuffix(".json")
         fs.mkdirs(txnDir)
         val tmp = new Path(txnDir, s".$txnId.tmp")
@@ -179,6 +219,10 @@ object TxnGroup {
           .getBytes(StandardCharsets.UTF_8))
         finally out.close()
         tl.requireLockHeld(s"txn decision $txnId")
+        if (fs.exists(decisionPath))
+          throw new IllegalStateException(
+            s"txn decision record $coordPath appeared mid-write; " +
+              "refusing to overwrite it")
         if (!fs.rename(tmp, decisionPath))
           throw new IllegalStateException(
             s"txn decision rename failed for $txnId")

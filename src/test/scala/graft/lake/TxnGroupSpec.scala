@@ -316,13 +316,62 @@ class TxnGroupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.snapshot().count() == 4 && b.snapshot().count() == 4)
     assert(a.snapshot().filter(col("id") === 3).head().getAs[Double]("v") == 30.0)
     // an aborted record sweeps once THIS table rolled its prepare back
+    // AND the zombie-coordinator grace period elapsed: deleting a fresh
+    // abort record would return the txn to "pending", letting a paused
+    // coordinator wake and write "committed" over rolled-back halves —
+    // so the very maintain()/clean pass that wrote the abort must keep it
     val coord = a.fs.makeQualified(
       new org.apache.hadoop.fs.Path(a.path, "_lake/txn/t_gone.json")).toString
     val i = a.txnPrepare("upsert", df((8, 4L, 80.0)), "t_gone", coord)
     a.timeline.releaseReservation(i) // dead writer
     assert(a.recoverTxns().contains(i -> "rolledback"))
     a.clean(retainCommits = 50)
-    assert(records(a) == 0)
+    assert(records(a) == 1, "fresh abort record must survive the grace period")
+    val before = Timeline.TxnAbortGraceMs
+    try {
+      Timeline.TxnAbortGraceMs = 0L
+      Thread.sleep(5)
+      a.clean(retainCommits = 50)
+      assert(records(a) == 0, "aged-out abort record retires")
+    } finally Timeline.TxnAbortGraceMs = before
+  }
+
+  test("clean never deletes files an in-doubt prepare's removed set names") {
+    val (a, _, _) = pair()
+    // COW upsert of an existing key inside a still-undecided txn: the
+    // prepare's `removed` lists the base file it replaced, but readers
+    // (who filter the invisible prepare out) still read that file live
+    val coord = a.fs.makeQualified(
+      new org.apache.hadoop.fs.Path(a.path, "_lake/txn/t_live.json")).toString
+    val i = a.txnPrepare("upsert", df((1, 2L, 11.0)), "t_live", coord)
+    try {
+      val removed = a.timeline.read(i).removed
+      assert(removed.nonEmpty, "COW prepare must list the replaced base")
+      // push the prepare at/below the clean cutoff with newer commits
+      a.upsert(df((5, 1L, 50.0)))
+      a.upsert(df((6, 1L, 60.0)))
+      a.upsert(df((7, 1L, 70.0)))
+      a.clean(retainCommits = 2)
+      removed.foreach { rel =>
+        assert(a.fs.exists(new org.apache.hadoop.fs.Path(a.path, rel)),
+          s"clean deleted $rel, still live for every visible snapshot")
+      }
+      // the pre-txn value is intact (reads the "removed" base file)
+      assert(a.snapshot().filter(col("id") === 1)
+        .head().getAs[Double]("v") == 10.0)
+      // once the txn COMMITS, the replaced base is genuinely dead and a
+      // later clean may retire it
+      assert(TxnGroup.decide(a.fs, coord, "committed") == "committed")
+      a.timeline.releaseReservation(i)
+      a.upsert(df((8, 1L, 80.0)))
+      a.clean(retainCommits = 2)
+      removed.foreach { rel =>
+        assert(!a.fs.exists(new org.apache.hadoop.fs.Path(a.path, rel)),
+          s"committed txn's replaced base $rel should now be cleanable")
+      }
+      assert(a.snapshot().filter(col("id") === 1)
+        .head().getAs[Double]("v") == 11.0)
+    } finally a.timeline.releaseReservation(i)
   }
 
   test("maintain() runs txn recovery as step 0") {

@@ -71,8 +71,20 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
 
-    // SPARK_GRAFT_ONLY=name1,name2 restricts the run (local iteration aid)
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    // `--only name1,name2` (or SPARK_GRAFT_ONLY=...) restricts the run —
+    // the isolated re-run mode for queries flagged in a full bench:
+    // full-suite numbers carry GC/shared-stage ambience, so a flagged
+    // delta is confirmed or cleared against an isolated measurement
+    // `--conf key=value` (repeatable) sets session confs for A/B runs
+    args.sliding(2).foreach {
+      case Array("--conf", kv) if kv.contains('=') =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      case _ => ()
+    }
+    val argOnly = args.sliding(2)
+      .collectFirst { case Array("--only", v) => v }
+    val only = argOnly.orElse(sys.env.get("SPARK_GRAFT_ONLY"))
       .map(_.split(",").map(_.trim).toSet)
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))

@@ -285,6 +285,22 @@ object Curation {
   val Bm25HighTermsConf = "spark.graft.bm25.highTerms"
   val Bm25HighTerms = 16
 
+  /** Minimum LOW-term candidate-posting volume (Σ capped posting count
+    * over every query's low terms) before the block-max shortlist
+    * engages. The two-phase plan costs ~10 extra distributed stages
+    * plus a driver t10 collect — constant scheduling overhead that a
+    * small candidate frame can never repay, however prunable it is
+    * (the r14 sf0.1 regression: 3 queries × a few hundred terms × the
+    * 64-posting cap ≈ tens of KBs of candidates, pruned at 2× the
+    * naive plan's total cost). Production retrieval workloads cross
+    * the floor through query COUNT: 10k queries × 100 low terms × 64
+    * capped postings ≈ 64M candidates, where the cut dominates.
+    * Session-overridable via [[Bm25BlockMaxMinLowConf]] (specs set 0
+    * to force engagement on small fixtures).
+    */
+  val Bm25BlockMaxMinLowConf = "spark.graft.bm25.blockmax.minLowCandidates"
+  val Bm25BlockMaxMinLow = 262144L
+
   /** The block-max scoring plan: the final top-k plus the low-postings
     * frames a spec can measure the candidate cut on.
     */
@@ -362,20 +378,23 @@ object Curation {
     // ONE collect job yields both the per-term block-max bounds and the
     // per-query term lists (terms missing from every capped posting
     // drop out here, as they do from the naive candidate join)
-    val qtm: Array[(Long, String, Long)] = qtC
-      .join(post.groupBy("token").agg(max("su").as("tmax")), "token")
-      .select("query_id", "token", "tmax").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val qtm: Array[(Long, String, Long, Long)] = qtC
+      .join(post.groupBy("token")
+        .agg(max("su").as("tmax"), count(lit(1)).as("pc")), "token")
+      .select("query_id", "token", "tmax", "pc").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     val tmax: Map[String, Long] = qtm.map(x => x._2 -> x._3).toMap
+    val pcount: Map[String, Long] = qtm.map(x => x._2 -> x._4).toMap
     val qterms: Map[Long, Seq[String]] = qtm
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
     case class Split(query: Long, highT: Seq[String], lowT: Seq[String],
-        ubLow: Long, highSum: Long)
+        ubLow: Long, highSum: Long, lowVol: Long)
     val splits = qterms.toSeq.sortBy(_._1).map { case (q, ts) =>
       val present = ts.filter(tmax.contains)
         .sortBy(t => (-tmax(t), t)) // (tmax DESC, token ASC)
       val (h, lo) = present.splitAt(high)
-      Split(q, h, lo, lo.map(tmax).sum, h.map(tmax).sum)
+      Split(q, h, lo, lo.map(tmax).sum, h.map(tmax).sum,
+        lo.map(t => pcount.getOrElse(t, 0L)).sum)
     }
     def lowFrame(ss: Seq[Split]): DataFrame = {
       val pairs = ss.flatMap(sp => sp.lowT.map(t => (sp.query, t)))
@@ -414,9 +433,15 @@ object Curation {
     // since t10 never exceeds the high sum) AND the low postings must
     // be the majority of the candidate work (more low than high terms;
     // uniform-impact corpora fail the first conjunct, short queries the
-    // second). Falling back costs nothing in exactness — the naive
-    // one-join scoring over the same cached impact frame.
-    if (!splits.exists(sp => sp.lowT.size > sp.highT.size &&
+    // second) AND the total low candidate volume must clear the floor
+    // (a prunable-but-tiny frame can't repay the two-phase plan's
+    // constant stage overhead — [[Bm25BlockMaxMinLowConf]]). Falling
+    // back costs nothing in exactness — the naive one-join scoring
+    // over the same cached impact frame.
+    val minLow = s.conf.getOption(Bm25BlockMaxMinLowConf)
+      .map(_.toLong).getOrElse(Bm25BlockMaxMinLow)
+    if (splits.map(_.lowVol).sum < minLow ||
+      !splits.exists(sp => sp.lowT.size > sp.highT.size &&
         sp.ubLow < sp.highSum)) {
       val cand = post.join(broadcast(qtC), "token")
         .filter(col("doc_id") =!= col("query_id"))
@@ -446,18 +471,25 @@ object Curation {
         .select("query_id", "su_sum").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       val ubLow = splits.map(sp => sp.query -> sp.ubLow).toMap
-      val survCond = t10.map { case (q, t) =>
-        col("query_id") === q &&
-          col("su_sum") + lit(ubLow.getOrElse(q, 0L)) >= lit(t)
-      }.reduceOption(_ || _)
-      val surv = (survCond match {
-        case Some(c) =>
-          // queries without a t10 row (fewer than 10 phase-1 docs)
-          // keep everything
-          p1.filter(c || !col("query_id")
-            .isin(t10.keys.toSeq.map(x => x: Any): _*))
-        case None => p1
-      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // survivor filter as ONE broadcast join on a (query_id, t10,
+      // ub_low) frame — a per-query literal OR-chain would grow the
+      // Catalyst expression tree O(#queries) and blow up analysis/
+      // codegen at production query counts. A query without a t10 row
+      // (fewer than 10 phase-1 docs) joins null and keeps everything.
+      val t10Df = s.createDataFrame(t10.toSeq.sortBy(_._1).map { case (q, t) =>
+        org.apache.spark.sql.Row(q, t, ubLow.getOrElse(q, 0L))
+      }.asJava, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("t10",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ub_low_q",
+          org.apache.spark.sql.types.LongType))))
+      val surv = p1.join(broadcast(t10Df), Seq("query_id"), "left")
+        .filter(col("t10").isNull ||
+          col("su_sum") + col("ub_low_q") >= col("t10"))
+        .drop("t10", "ub_low_q")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // queries whose low-only docs are wholesale-prunable
       val cutQ = splits.filter(sp =>
         t10.get(sp.query).exists(t => ubLow.getOrElse(sp.query, 0L) < t))

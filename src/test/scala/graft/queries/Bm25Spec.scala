@@ -46,12 +46,26 @@ class Bm25Spec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("block-max shortlist cuts the low-posting candidates on a skewed corpus") {
+    // the fixture's low frame is small; lift the volume floor to reach
+    // the engaged path (production crosses it through query count)
+    spark.conf.set(Curation.Bm25BlockMaxMinLowConf, "0")
+    try {
+      val plan = Curation.bm25TopKPlan(spark, skewedDir)
+      val (all, kept) = (plan.lowAll.count(), plan.lowKept.count())
+      assert(all > 500, s"need a real low frame: $all")
+      // the whole point: most low-impact postings are never joined
+      assert(kept < all / 2,
+        s"block-max should cut the low candidate frame: kept $kept of $all")
+    } finally spark.conf.unset(Curation.Bm25BlockMaxMinLowConf)
+  }
+
+  test("a prunable-but-tiny candidate frame stays on the naive plan") {
+    // same skewed corpus, default volume floor: the bound could fire,
+    // but the volume can't repay the two-phase overhead — the gate must
+    // choose the one-join plan (lowKept == lowAll, nothing pruned)
     val plan = Curation.bm25TopKPlan(spark, skewedDir)
-    val (all, kept) = (plan.lowAll.count(), plan.lowKept.count())
-    assert(all > 500, s"need a real low frame: $all")
-    // the whole point: most low-impact postings are never joined
-    assert(kept < all / 2,
-      s"block-max should cut the low candidate frame: kept $kept of $all")
+    assert(plan.lowKept.count() == plan.lowAll.count(),
+      "default floor should keep small corpora on the naive path")
   }
 
   for ((sf, dir) <- Seq("sf0.001" -> "/root/testdata/sf0.001",

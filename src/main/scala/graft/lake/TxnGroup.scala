@@ -44,6 +44,12 @@ import java.nio.charset.StandardCharsets
   */
 object TxnGroup {
 
+  /** Cap on concurrently running prepares inside one [[commit]] — each
+    * is a full Spark write; more in flight than the cluster can overlap
+    * only adds scheduler pressure.
+    */
+  private val MaxParallelPrepares = 8
+
   /** One table's operation inside a transaction. `extra` rides in the
     * prepare's commit metadata like any single-table write's extra —
     * e.g. a pipeline's incremental watermark, which then advances on
@@ -103,20 +109,44 @@ object TxnGroup {
         case _ => rollbackAll(); throw cause
       }
     }
-    try {
-      ops.foreach { op =>
-        val instant = op match {
-          case TxnInsert(t, d, ex) =>
-            t.txnPrepare("insert", d, txnId, coord, userExtra = ex)
-          case TxnUpsert(t, d, cb, ex) =>
-            t.txnPrepare("upsert", d, txnId, coord, cb, ex)
-          case TxnDelete(t, d, ex) =>
-            t.txnPrepare("delete", d, txnId, coord, userExtra = ex)
-        }
-        prepared += ((op.table, instant))
-        FaultInjection.point(s"txn.prepared.${prepared.size}")
-      }
-    } catch { case e: Throwable => abort(e) }
+    // prepares run in PARALLEL: they are independent until the decision
+    // (each table stages, OCC-checks, and publishes on its own timeline;
+    // fencing and the decision are order-free), so N marts of a wide
+    // micro-batch cost ~the slowest single prepare instead of the sum.
+    // Every future resolves to a Try and ALL are awaited before any
+    // failure is acted on — rollback must cover every half that actually
+    // published, including ones that completed after the first failure.
+    {
+      val done = new java.util.concurrent.atomic.AtomicInteger(0)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(ops.size, MaxParallelPrepares))
+      val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val attempts: Seq[scala.util.Try[(LakeTable, String)]] =
+        try {
+          val futs = ops.map { op =>
+            scala.concurrent.Future {
+              val instant = op match {
+                case TxnInsert(t, d, ex) =>
+                  t.txnPrepare("insert", d, txnId, coord, userExtra = ex)
+                case TxnUpsert(t, d, cb, ex) =>
+                  t.txnPrepare("upsert", d, txnId, coord, cb, ex)
+                case TxnDelete(t, d, ex) =>
+                  t.txnPrepare("delete", d, txnId, coord, userExtra = ex)
+              }
+              // completion-order probe point: txn.prepared.k fires when
+              // the k-th prepare (any table) has published
+              FaultInjection.point(s"txn.prepared.${done.incrementAndGet()}")
+              (op.table, instant)
+            }(ec).transform(scala.util.Success(_))(ec)
+          }
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(futs)(implicitly, ec),
+            scala.concurrent.duration.Duration.Inf)
+        } finally pool.shutdown()
+      prepared ++= attempts.collect { case scala.util.Success(p) => p }
+      attempts.collectFirst { case scala.util.Failure(e) => e }
+        .foreach(e => abort(e))
+    }
     // fencing AT the decision, inside the decision lock: every prepare
     // must still be on its active timeline (no restore rolled it away)
     // with a LIVE reservation (no stale-sweep let consumers advance

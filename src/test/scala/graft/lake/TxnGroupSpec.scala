@@ -152,7 +152,7 @@ class TxnGroupSpec extends AnyFunSuite with BeforeAndAfterAll {
     "java.base/sun.security.action", "java.base/sun.util.calendar")
     .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  private def runProbe(dirA: String, dirB: String,
+  private def runProbe(dirs: Seq[String],
       crashpoint: Option[String]): (Int, String) = {
     val classDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
     val cp = s"$classDir:/opt/spark/jars/*"
@@ -160,10 +160,21 @@ class TxnGroupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = new ProcessBuilder(
       (Seq("java", "-cp", cp, "-Xmx2g", "-Dspark.ui.enabled=false") ++
         crashProp ++ addOpens ++
-        Seq("graft.tools.TxnProbe", dirA, dirB, "5")): _*)
+        Seq("graft.tools.TxnProbe") ++ dirs ++ Seq("5")): _*)
       .redirectErrorStream(true).start()
     val out = new String(p.getInputStream.readAllBytes())
     (p.waitFor(), out)
+  }
+
+  /** N seeded COW tables in a fresh workdir. */
+  private def many(n: Int): Seq[LakeTable] = {
+    val work = Files.createTempDirectory("txngroup").toString
+    (0 until n).map { i =>
+      val t = LakeTable.create(spark, s"$work/t$i",
+        TableMeta(s"txn_t$i", Seq("id"), "ts", Seq.empty))
+      t.upsert(df((1, 1L, 10.0), (2, 1L, 20.0)))
+      t
+    }
   }
 
   /** Age the dead probe's inflight reservations past the staleness
@@ -184,61 +195,84 @@ class TxnGroupSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally s.close()
   }
 
-  private def crashCase(crashpoint: String): Unit = {
-    val (a, b, work) = pair()
-    val (code, out) = runProbe(a.path, b.path, Some(crashpoint))
+  private def crashCase(n: Int, crashpoint: String): Unit = {
+    val ts = many(n)
+    val (code, out) = runProbe(ts.map(_.path), Some(crashpoint))
     assert(code == 137,
       s"probe should be halted at $crashpoint, exit=$code, " +
         s"output: ${out.takeRight(2000)}")
-    val a2 = LakeTable.load(spark, a.path)
-    val b2 = LakeTable.load(spark, b.path)
-    // probe upserts ids 0..4 into both (seeds are ids 1,2): committed
-    // snapshot = 5 keys, aborted/undecided snapshot = the 2 seeds
+    val fresh = ts.map(t => LakeTable.load(spark, t.path))
+    // probe upserts ids 0..4 into every table (seeds are ids 1,2):
+    // committed snapshot = 5 keys, aborted/undecided = the 2 seeds
     val committed = crashpoint == "txn.decided"
     val expect = if (committed) 5L else 2L
-    // NEVER a half-published pair: before the decision neither table
-    // shows the txn rows; after it both do — under a hard kill at any
-    // boundary
-    assert(a2.snapshot().count() == expect,
-      s"table A torn at $crashpoint: ${a2.snapshot().count()}")
-    assert(b2.snapshot().count() == expect,
-      s"table B torn at $crashpoint: ${b2.snapshot().count()}")
+    // NEVER a half-published set: before the decision no table shows
+    // the txn rows; after it all do — under a hard kill at any boundary
+    fresh.foreach(t => assert(t.snapshot().count() == expect,
+      s"${t.path} torn at $crashpoint: ${t.snapshot().count()}"))
     // recovery: age the dead writer's reservations, then resolve
-    ageReservations(a.path); ageReservations(b.path)
-    val recA = a2.recoverTxns(); val recB = b2.recoverTxns()
-    crashpoint match {
-      case "txn.prepared.1" =>
-        assert(recA.map(_._2) == Seq("rolledback"), s"A: $recA")
-        assert(recB.isEmpty, s"B: $recB") // B never prepared
-      case "txn.prepared.2" =>
-        assert(recA.map(_._2) == Seq("rolledback"), s"A: $recA")
-        assert(recB.map(_._2) == Seq("rolledback"), s"B: $recB")
-      case "txn.decided" =>
-        assert(recA.map(_._2) == Seq("committed"), s"A: $recA")
-        assert(recB.map(_._2) == Seq("committed"), s"B: $recB")
+    fresh.foreach(t => ageReservations(t.path))
+    val recs = fresh.map(t => t.recoverTxns())
+    if (committed) {
+      // all N prepared before the decision: recovery completes each
+      recs.foreach(r => assert(r.map(_._2) == Seq("committed"), s"$recs"))
+    } else {
+      // prepares run in PARALLEL: at txn.prepared.k (completion order)
+      // at least k tables published and each published half rolls back;
+      // an unpublished table has nothing to recover — either way no
+      // table may end committed
+      recs.foreach(r =>
+        assert(r.map(_._2).forall(_ == "rolledback"), s"$recs"))
+      val k = crashpoint.stripPrefix("txn.prepared.").toInt
+      assert(recs.count(_.nonEmpty) >= k,
+        s"at least $k prepares had published: $recs")
     }
-    assert(a2.snapshot().count() == expect)
-    assert(b2.snapshot().count() == expect)
-    assert(a2.cleanOrphanedData() == 0 && b2.cleanOrphanedData() == 0)
+    fresh.foreach(t => assert(t.snapshot().count() == expect))
+    // a prepare killed mid-write may leave staged residue; the sweep
+    // converges — a second pass finds nothing
+    fresh.foreach(_.cleanOrphanedData())
+    fresh.foreach(t => assert(t.cleanOrphanedData() == 0))
     // fully operational afterwards: the same transaction now succeeds
-    TxnGroup.commit(Seq(
-      TxnGroup.TxnUpsert(a2, df((8, 9L, 80.0))),
-      TxnGroup.TxnUpsert(b2, df((8, 9L, 800.0)))))
-    assert(a2.snapshot().count() == expect + 1)
-    assert(b2.snapshot().count() == expect + 1)
-    assert(work.nonEmpty)
+    TxnGroup.commit(fresh.map(t => TxnGroup.TxnUpsert(t, df((8, 9L, 80.0)))))
+    fresh.foreach(t => assert(t.snapshot().count() == expect + 1))
   }
 
   test("JVM halt between the two prepares: readers see neither half; recovery aborts") {
-    crashCase("txn.prepared.1")
+    crashCase(2, "txn.prepared.1")
   }
 
   test("JVM halt after both prepares, before the decision: recovery aborts both") {
-    crashCase("txn.prepared.2")
+    crashCase(2, "txn.prepared.2")
   }
 
   test("JVM halt after the decision: both halves visible; recovery completes") {
-    crashCase("txn.decided")
+    crashCase(2, "txn.decided")
+  }
+
+  test("4-way crash soak: recovery converges from every halt point") {
+    // parallel prepares make the interleaving at each halt point
+    // nondeterministic (any subset beyond the k-th may be unstarted,
+    // mid-write, or published) — the recovery matrix must converge
+    // from all of them, at every 2PC boundary
+    val points = (1 to 4).map(k => s"txn.prepared.$k") :+ "txn.decided"
+    points.foreach(p => crashCase(4, p))
+  }
+
+  test("prepares run in parallel: a 4-mart txn overlaps its writes") {
+    val ts = many(4)
+    val s = spark
+    import s.implicits._
+    // a 1-partition input whose evaluation holds the gauge for 300 ms;
+    // within one prepare Spark actions run sequentially, so concurrent
+    // holds can only come from DIFFERENT prepares overlapping
+    def slowDf = s.range(0, 4, 1, 1).mapPartitions { it =>
+      PrepareGauge.touch(); it
+    }.map(i => (i.toInt + 100, 2L, i.toDouble)).toDF("id", "ts", "v")
+    PrepareGauge.max.set(0)
+    TxnGroup.commit(ts.map(t => TxnGroup.TxnUpsert(t, slowDf)))
+    assert(PrepareGauge.max.get() >= 2,
+      s"expected overlapping prepares, max concurrency = ${PrepareGauge.max.get()}")
+    ts.foreach(t => assert(t.snapshot().count() == 6)) // 2 seeds + 4
   }
 
   test("multi-mart medallion hop: data + shared watermark advance on both marts or neither") {
@@ -383,5 +417,19 @@ class TxnGroupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val done = a.maintain()
     assert(done.contains("txn-rolledback" -> i), s"got $done")
     assert(a.snapshot().count() == 2)
+  }
+}
+
+/** Cross-prepare concurrency gauge for the parallel-prepares test:
+  * local-mode executor threads share the JVM, so a static counter
+  * observes overlap between different prepares' Spark jobs.
+  */
+object PrepareGauge {
+  val cur = new java.util.concurrent.atomic.AtomicInteger(0)
+  val max = new java.util.concurrent.atomic.AtomicInteger(0)
+  def touch(): Unit = {
+    val c = cur.incrementAndGet()
+    max.accumulateAndGet(c, math.max)
+    try Thread.sleep(300) finally cur.decrementAndGet()
   }
 }

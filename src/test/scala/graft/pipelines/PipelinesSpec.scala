@@ -781,4 +781,132 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     cli("hilbert", t.path, "id,v") // layout-only rewrite
     assert(t.snapshot().count() == rows)
   }
+
+  // ------------------------------------------- streaming multi-mart hop
+
+  /** Small DWD seed for the multi-mart tests: ~300 lineitem rows. */
+  private def seedDwd(work: String): LakeTable = {
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .dropDuplicates("l_orderkey", "l_linenumber").limit(300)
+      .coalesce(1).write.parquet(s"$work/src.parquet")
+    BatchLoad.run(spark, PipelineConfig(
+      sourcePath = s"$work/src.parquet",
+      targetTablePath = s"$work/dwd",
+      tableName = "dwd_mm",
+      recordKeyFields = Seq("l_orderkey", "l_linenumber"),
+      repartitionNum = 2))
+    LakeTable.load(spark, s"$work/dwd")
+  }
+
+  private def martCfg(work: String, dwd: String, name: String,
+      key: String): PipelineConfig = PipelineConfig(
+    sourceTablePath = dwd, targetTablePath = s"$work/$name",
+    tableName = name, recordKeyFields = Seq(key), aggKeys = Seq(key),
+    aggCol = "l_quantity", checkpointDir = s"$work/ckpt",
+    triggerSeconds = 1)
+
+  private def martMismatches(dwd: LakeTable, martPath: String,
+      key: String) = {
+    val expect = dwd.snapshotUser().groupBy(key)
+      .agg(sum(col("l_quantity").cast("decimal(27,2)")).as("expect"))
+    LakeTable.load(spark, martPath).snapshotUser()
+      .join(expect, key)
+      .filter(col("l_quantity_sum") =!= col("expect"))
+  }
+
+  test("multi-mart streaming hop: one micro-batch fans into both marts atomically") {
+    val work = tmp()
+    val dwd = seedDwd(work)
+    val marts = Seq(
+      martCfg(work, dwd.path, "mart_rf", "l_returnflag"),
+      martCfg(work, dwd.path, "mart_ls", "l_linestatus"))
+    val q = MultiMartHop.runStreaming(spark, marts)
+    try {
+      q.processAllAvailable()
+      assert(martMismatches(dwd, s"$work/mart_rf", "l_returnflag").isEmpty)
+      assert(martMismatches(dwd, s"$work/mart_ls", "l_linestatus").isEmpty)
+      // the shared watermark advanced on BOTH marts to the same instant
+      def wm(p: String) =
+        DwdToDm.resumeWatermark(LakeTable.load(spark, p))
+      val (w1, w2) = (wm(s"$work/mart_rf"), wm(s"$work/mart_ls"))
+      assert(w1.isDefined && w1 == w2, s"$w1 vs $w2")
+      // a second source commit streams through both marts atomically
+      val add = spark.read.parquet(s"$work/src.parquet").limit(10)
+        .withColumn("l_orderkey", col("l_orderkey") + 30000000L)
+        .withColumn("created_ts", lit(System.currentTimeMillis()))
+      dwd.upsert(add)
+      q.processAllAvailable()
+      assert(martMismatches(dwd, s"$work/mart_rf", "l_returnflag").isEmpty)
+      assert(martMismatches(dwd, s"$work/mart_ls", "l_linestatus").isEmpty)
+      val (w1b, w2b) = (wm(s"$work/mart_rf"), wm(s"$work/mart_ls"))
+      assert(w1b == w2b && w1b != w1, s"watermark must advance: $w1b")
+    } finally q.stop()
+  }
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar")
+    .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  private def ageReservations(tableDir: String): Unit = {
+    val inflight = Paths.get(tableDir, "_lake", "timeline", "inflight")
+    if (!Files.exists(inflight)) return
+    val s = Files.list(inflight)
+    try {
+      val it = s.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime
+          .fromMillis(System.currentTimeMillis() - 31 * 60 * 1000L))
+      }
+    } finally s.close()
+  }
+
+  test("multi-mart hop crash between prepares: replay converges, no double count") {
+    val work = tmp()
+    val dwd = seedDwd(work)
+    val dirs = Seq(s"$work/mart_rf", s"$work/mart_ls")
+    // probe JVM halts INSIDE the first micro-batch's 2PC, after one
+    // mart's prepare published and before the decision
+    val classDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    val p = new ProcessBuilder(
+      (Seq("java", "-cp", s"$classDir:/opt/spark/jars/*", "-Xmx2g",
+        "-Dspark.ui.enabled=false",
+        "-Dgraft.lake.crashpoint=txn.prepared.1") ++ addOpens ++
+        Seq("graft.tools.MultiMartProbe", dwd.path, dirs.head, dirs(1),
+          s"$work/ckpt")): _*)
+      .redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes())
+    assert(p.waitFor() == 137, s"probe should halt: ${out.takeRight(2000)}")
+    // the torn window: NEITHER mart shows data or a watermark — the
+    // published prepare is in-doubt and invisible
+    dirs.foreach { d =>
+      val m = LakeTable.load(spark, d)
+      assert(m.timeline.visibleInstants().isEmpty, s"$d shows a torn half")
+      assert(DwdToDm.resumeWatermark(m).isEmpty)
+    }
+    // writer is dead: age its reservations, then rerun the hop on the
+    // SAME checkpoint — startup recovery aborts the in-doubt halves and
+    // the replayed batch applies exactly once on both marts
+    dirs.foreach(ageReservations)
+    val marts = Seq(
+      martCfg(work, dwd.path, "mart_rf", "l_returnflag"),
+      martCfg(work, dwd.path, "mart_ls", "l_linestatus"))
+    val q = MultiMartHop.runStreaming(spark, marts)
+    try {
+      q.processAllAvailable()
+      assert(martMismatches(dwd, dirs.head, "l_returnflag").isEmpty,
+        "mart_rf double-counted or lost the replayed batch")
+      assert(martMismatches(dwd, dirs(1), "l_linestatus").isEmpty,
+        "mart_ls double-counted or lost the replayed batch")
+      val w1 = DwdToDm.resumeWatermark(LakeTable.load(spark, dirs.head))
+      val w2 = DwdToDm.resumeWatermark(LakeTable.load(spark, dirs(1)))
+      assert(w1.isDefined && w1 == w2)
+    } finally q.stop()
+  }
 }

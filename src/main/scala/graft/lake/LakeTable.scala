@@ -2541,6 +2541,23 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         if (_meta.bucketCount > 0 && clusterExprs.nonEmpty)
           spark.conf.getOption(LakeTable.CurveBucketFileRowsConf)
             .map(_.toLong).filter(_ > 0)
+            .orElse {
+              // auto-size: rows-per-file = target bytes / observed row
+              // width, where the width comes from the live files' commit
+              // footer stats (sizeBytes/numRecords — no filesystem or
+              // data reads). Unset stats (old commits) ⇒ no split, same
+              // as before; a manual bucketFileRows always wins.
+              val target =
+                spark.conf.getOption(LakeTable.CurveTargetFileBytesConf)
+                  .map(_.toLong).getOrElse(LakeTable.CurveTargetFileBytes)
+              val live = timeline.liveFiles()
+                .filter(f => f.sizeBytes > 0 && f.numRecords > 0)
+              val bytes = live.map(_.sizeBytes).sum
+              val rows = live.map(_.numRecords).sum
+              if (target > 0 && rows > 0 && bytes > 0)
+                Some(math.max(1L, target / math.max(1L, bytes / rows)))
+              else None
+            }
         else None
       // every data file carries a record-key bloom (Hudi BLOOM-index
       // analog) — footer-only upsert tagging via [[KeyBloom]]
@@ -3068,6 +3085,14 @@ object LakeTable {
     * the table's target file bytes at the corpus's row width.
     */
   val CurveBucketFileRowsConf = "spark.graft.lake.curve.bucketFileRows"
+
+  /** Target physical size for a curve-range file inside a bucket —
+    * rows-per-file auto-derives as target / observed row width (live
+    * files' footer stats) unless [[CurveBucketFileRowsConf]] overrides
+    * with an explicit row count. 0 disables auto-splitting.
+    */
+  val CurveTargetFileBytesConf = "spark.graft.lake.curve.targetFileBytes"
+  val CurveTargetFileBytes: Long = 128L * 1024 * 1024
 
   def create(spark: SparkSession, path: String, meta: TableMeta): LakeTable = {
     require(meta.bucketCount >= 0, "bucketCount must be >= 0")

@@ -206,6 +206,49 @@ class BucketIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("curve file split auto-sizes from target bytes and observed row width") {
+    val s2 = spark
+    import s2.implicits._
+    // no manual bucketFileRows: rows-per-file must derive from
+    // targetFileBytes / (live bytes / live rows) out of the footer stats
+    spark.conf.set(LakeTable.CurveTargetFileBytesConf, (16 * 1024).toString)
+    try {
+      val t = LakeTable.create(spark, tmp(),
+        TableMeta("b_auto", Seq("id"), "ts", Seq.empty, bucketCount = N))
+      t.insert((0 until 6400)
+        .map(i => (i.toLong, 1L, (i % 64).toDouble, (i / 64).toDouble))
+        .toDF("id", "ts", "v", "w"))
+      // the derivation's inputs: observed row width from the seed files'
+      // footer stats (at unit scale parquet's fixed per-file overhead
+      // dwarfs row payload, so assert the ROW math, not physical bytes —
+      // bytes only converge to target at realistic file sizes)
+      val seed = t.timeline.liveFiles()
+      val width = seed.map(_.sizeBytes).sum / seed.map(_.numRecords).sum
+      val expectRows = math.max(1L, 16 * 1024 / width)
+      assert(t.clusterZOrder(Seq("v", "w"), bitsPerCol = 4).isDefined)
+      val live = t.timeline.liveFiles()
+      assert(live.size > N,
+        s"auto-sizing should split buckets into curve-range files: ${live.size}")
+      assert(live.forall(f => !f.isDelta && f.bucket.isDefined))
+      // every file respects the derived cap; non-tail files fill to it
+      assert(live.forall(_.numRecords <= expectRows),
+        s"cap $expectRows violated: ${live.map(_.numRecords).sorted}")
+      assert(live.count(_.numRecords == expectRows) >= live.size - N,
+        s"non-tail files should fill the $expectRows-row cap: " +
+          s"${live.map(_.numRecords).sorted}")
+      // intra-bucket pruning intact on the auto-sized layout
+      val box = t.snapshot().filter(col("v") < 8.0 && col("w") < 8.0)
+      assert(scannedFiles(box) < live.size)
+      assert(box.count() ==
+        (0 until 6400).count(i => i % 64 < 8 && i / 64 < 8))
+      // disabling the target (0) stops auto-splitting
+      spark.conf.set(LakeTable.CurveTargetFileBytesConf, "0")
+      assert(t.clusterZOrder(Seq("v", "w"), bitsPerCol = 4).isDefined)
+      assert(t.timeline.liveFiles().size == N,
+        "target 0 must disable the auto split")
+    } finally spark.conf.unset(LakeTable.CurveTargetFileBytesConf)
+  }
+
   test("a partitioned AND bucketed table routes, prunes, and reads correctly") {
     val s2 = spark
     import s2.implicits._

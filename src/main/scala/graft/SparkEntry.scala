@@ -107,6 +107,9 @@ object SparkEntry {
     // z-order over a string × numeric pair: the string dimension
     // buckets via the order-preserving first-8-bytes proxy
     "lake_zorder_string" -> (LakeQueries.lakeZorderString _),
+    // hidden partitioning: days(ets) derived at write (UTC), source-
+    // column range read prunes day dirs, moved keys relocate
+    "lake_hidden_partition" -> (LakeQueries.lakeHiddenPartition _),
     "lake_time_travel" -> (LakeQueries.lakeTimeTravel _),
     // savepoint-restore: roll back a destructive commit, read the snapshot
     "lake_restore" -> (LakeQueries.lakeRestore _),
@@ -2720,6 +2723,25 @@ object SparkEntry {
         |FROM part
         |WHERE p_name >= 'l' AND p_name < 's' AND p_size <= 25
         |ORDER BY p_partkey""".stripMargin,
+
+    // hidden partitioning: the oracle replays the two-generation merge
+    // (second generation moves low keys one day forward) AND recomputes
+    // the derived day string with independent UTC epoch arithmetic
+    "lake_hidden_partition" ->
+      s"""$lakeCtes, m AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    CASE WHEN l_orderkey < 200
+         |      THEN l_quantity + 5000 ELSE l_quantity END AS l_quantity,
+         |    CASE WHEN l_orderkey < 200
+         |      THEN created_ts * 1000 + 86400000
+         |      ELSE created_ts * 1000 END AS ets
+         |  FROM b1)
+         |SELECT l_orderkey, l_linenumber, l_quantity, ets,
+         |  strftime(DATE '1970-01-01' +
+         |    CAST(ets // 86400000 AS INTEGER), '%Y-%m-%d') AS ts_days
+         |FROM m
+         |WHERE ets >= 757382400000 AND ets < 820454400000
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // hilbert clustering is a layout-only service: the oracle replays
     // the same merge + box filter the z-order gate replays

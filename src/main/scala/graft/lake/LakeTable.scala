@@ -2192,11 +2192,12 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     // CDC stream) writes into the current name
     val renameLookup = _meta.renamedFrom.toSeq
       .flatMap { case (cur, olds) => olds.map(_ -> cur) }.toMap
-    val clean = renameLookup.foldLeft(clean0) { case (d, (o, c)) =>
+    val renamed = renameLookup.foldLeft(clean0) { case (d, (o, c)) =>
       if (d.columns.contains(o) && !d.columns.contains(c))
         d.withColumnRenamed(o, c)
       else d
     }
+    val clean = withDerivedPartitions(renamed)
     userSchema match {
       case Some(s) =>
         val incoming = clean.schema
@@ -2341,6 +2342,27 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     }
     concat_ws(KeySep, keyCols.map(component): _*)
   }
+
+  /** Hidden partitioning: compute absent DERIVED partition columns from
+    * their source column ([[TableMeta.partitionDerivations]]). A batch
+    * already carrying the column wins (rewrite paths replay stored
+    * values verbatim); a batch carrying neither the derived nor the
+    * source column fails alignUser's required-column check as before.
+    */
+  private def withDerivedPartitions(df: DataFrame): DataFrame =
+    _meta.partitionDerivations.foldLeft(df) { case (d, (dcol, spec)) =>
+      val m = LakeTable.DerivationSpec
+      spec match {
+        case _ if d.columns.contains(dcol) => d
+        case m(fn, src) if d.columns.contains(src) =>
+          val dt = d.schema(src).dataType
+          d.withColumn(dcol, LakeTable.partitionTransform(fn, col(src), dt))
+        case m(_, _) => d
+        case _ => throw new IllegalArgumentException(
+          s"unsupported partition derivation '$spec' for column $dcol " +
+            "(supported: days|months|years|hours(<column>))")
+      }
+    }
 
   private def withKeyCol(df: DataFrame): DataFrame =
     // the PK-not-null guard applies to the RECORD key fields only —
@@ -3094,6 +3116,57 @@ object LakeTable {
   val CurveTargetFileBytesConf = "spark.graft.lake.curve.targetFileBytes"
   val CurveTargetFileBytes: Long = 128L * 1024 * 1024
 
+  /** `fn(src)` shape of a [[TableMeta.partitionDerivations]] value. */
+  private[lake] val DerivationSpec =
+    "^(days|months|years|hours)\\(([^)]+)\\)$".r
+
+  /** The derived partition value for a time transform — computed in
+    * UTC via epoch arithmetic (never the session timezone: two writers
+    * in different zones must put one event in ONE directory, the
+    * Iceberg transform contract). Integral sources are epoch MILLIS
+    * (the repo's `created_ts` convention); timestamps go through
+    * `unix_millis`; dates are already day numbers. Values are strings
+    * (`2024-05-01`, `2024-05`, `2024`, `2024-05-01-13`) — stable
+    * directory names with lexicographic == chronological order.
+    */
+  private[lake] def partitionTransform(fn: String, src: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions._
+    val epochDate = to_date(lit("1970-01-01"))
+    val millis: org.apache.spark.sql.Column = dt match {
+      case ByteType | ShortType | IntegerType | LongType => src.cast(LongType)
+      case TimestampType => unix_millis(src)
+      case TimestampNTZType =>
+        // NTZ carries no zone: take its wall-clock AS UTC via field
+        // extraction (date/hour/minute/second on NTZ never consult the
+        // session timezone — deterministic across writers)
+        datediff(src.cast(DateType), epochDate).cast(LongType) *
+          lit(86400000L) +
+          hour(src).cast(LongType) * lit(3600000L) +
+          minute(src).cast(LongType) * lit(60000L) +
+          second(src).cast(LongType) * lit(1000L)
+      case DateType => datediff(src, epochDate)
+        .cast(LongType) * lit(86400000L)
+      case other => throw new IllegalArgumentException(
+        s"partition transform $fn needs a timestamp/date/epoch-millis " +
+          s"column; got $other")
+    }
+    // floorDiv semantics for pre-epoch values: (m - pmod(m, d)) / d
+    def fdiv(c: org.apache.spark.sql.Column, d: Long) =
+      ((c - pmod(c, lit(d))) / lit(d)).cast(LongType)
+    val dayNum = fdiv(millis, 86400000L).cast(IntegerType)
+    val dayDate = date_add(to_date(lit("1970-01-01")), dayNum)
+    fn match {
+      case "days"   => date_format(dayDate, "yyyy-MM-dd")
+      case "months" => date_format(dayDate, "yyyy-MM")
+      case "years"  => date_format(dayDate, "yyyy")
+      case "hours"  => concat(date_format(dayDate, "yyyy-MM-dd"), lit("-"),
+        lpad(pmod(fdiv(millis, 3600000L), lit(24L)).cast(IntegerType)
+          .cast(StringType), 2, "0"))
+    }
+  }
+
   def create(spark: SparkSession, path: String, meta: TableMeta): LakeTable = {
     require(meta.bucketCount >= 0, "bucketCount must be >= 0")
     if (meta.bucketCount > 0) {
@@ -3104,6 +3177,16 @@ object LakeTable {
       // partition columns are stripped from data files
       require(!meta.recordKeyFields.exists(meta.partitionFields.contains),
         "bucket (record key) columns cannot also be partition columns")
+    }
+    meta.partitionDerivations.foreach { case (dcol, spec) =>
+      require(meta.partitionFields.contains(dcol),
+        s"derived partition column $dcol must be listed in partitionFields")
+      require(DerivationSpec.findFirstIn(spec).isDefined,
+        s"unsupported partition derivation '$spec' for $dcol " +
+          "(supported: days|months|years|hours(<column>))")
+      require(meta.indexScope == "global",
+        "hidden partitioning requires indexScope=global: the key-only " +
+          "delete paths cannot re-derive partition-prefixed keys")
     }
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())

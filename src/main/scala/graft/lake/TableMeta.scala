@@ -99,7 +99,24 @@ case class TableMeta(
       * instead, and curve-clustering services (cluster/zorder/hilbert)
       * are refused.
       */
-    bucketCount: Int = 0
+    bucketCount: Int = 0,
+    /** Hidden/transform partitioning (Iceberg `PARTITIONED BY (days(ts))`):
+      * derived partition column → derivation, e.g. `"ts_days" ->
+      * "days(ts)"` with days/months/years/hours over a timestamp, date,
+      * or epoch-millis integral source column. Derived columns are
+      * ordinary partition fields (listed in [[partitionFields]], baked
+      * into the directory layout) whose VALUES no writer ever supplies:
+      * every write path computes them from the source column in UTC
+      * ([[LakeTable.withDerivedPartitions]]), so the partition value is
+      * writer-timezone-independent. Reads prune on the SOURCE column
+      * through the per-file zone maps (a file never spans a derived
+      * dir, so its source min/max is transform-tight) — queries need
+      * not mention the derived column at all; equality filters on the
+      * derived column additionally prune at the directory level like
+      * any partition column. Requires `indexScope = "global"`: the
+      * key-only delete paths cannot re-derive partition-prefixed keys.
+      */
+    partitionDerivations: Map[String, String] = Map.empty
 )
 
 /** Per-data-file statistics recorded in each commit — drives file pruning

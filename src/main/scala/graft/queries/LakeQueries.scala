@@ -100,6 +100,7 @@ object LakeQueries {
     timed("changes")(changeFixture(s, dir))
     timed("zorder")(zorderFixture(s, dir))
     timed("zorder_string")(zorderStrFixture(s, dir))
+    timed("hidden_partition")(hiddenPartFixture(s, dir))
     timed("hilbert")(hilbertFixture(s, dir))
     timed("bucket_join")(bucketJoinFixture(s, dir))
     timed("group_asof")(groupFixture(s, dir))
@@ -301,6 +302,52 @@ object LakeQueries {
       .select(col("p_partkey"), col("p_name"), col("p_size"),
         col("p_retailprice"))
       .orderBy("p_partkey")
+
+  /** Hidden-partitioned table (`days(ets)` transform): two generations,
+    * the second MOVING low keys one day forward — the partition value
+    * is derived at write (never supplied), and the global key index
+    * relocates moved rows across day directories.
+    */
+  private val hiddenPartFixtures =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  private def hiddenPartFixture(s: SparkSession, dir: String): LakeTable = {
+    val path = hiddenPartFixtures.getOrElseUpdate(dir, {
+      val work = Files.createTempDirectory("graft_lakeq").toString
+      val t = LakeTable.create(s, s"$work/t",
+        TableMeta("lakeq_hidden", Seq("l_orderkey", "l_linenumber"),
+          "created_ts", Seq("ts_days"),
+          partitionDerivations = Map("ts_days" -> "days(ets)")))
+      withBatch1(s, dir) { b1 =>
+        val src = b1.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"), col("created_ts"))
+          .withColumn("ets", col("created_ts") * 1000)
+        t.upsert(src, combine = false)
+        t.upsert(src.filter(col("l_orderkey") < 200)
+          .withColumn("ets", col("ets") + 86400000L)
+          .withColumn("l_quantity", col("l_quantity") + 5000)
+          .withColumn("created_ts", col("created_ts") + 9),
+          combine = false)
+      }
+      t.path
+    })
+    LakeTable.load(s, path)
+  }
+
+  /** Hidden partitioning read (`lake_hidden_partition`): a RANGE filter
+    * on the SOURCE column prunes day directories without the query ever
+    * mentioning the derived column (zone maps are transform-tight
+    * because no file spans a day dir), and the derived `ts_days` value
+    * itself is part of the gated output — the oracle recomputes the
+    * UTC epoch-day arithmetic independently, so a timezone-dependent or
+    * drifting derivation hash-fails.
+    */
+  def lakeHiddenPartition(s: SparkSession, dir: String): DataFrame =
+    hiddenPartFixture(s, dir).snapshot()
+      .filter(col("ets") >= 757382400000L && col("ets") < 820454400000L)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("ets"), col("ts_days"))
+      .orderBy("l_orderkey", "l_linenumber")
 
   /** Two co-bucketed tables (fixed 8-bucket hash layout on the record
     * key, `TableMeta.bucketCount`) for the storage-partitioned-join

@@ -150,20 +150,57 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       case (k, v) if k.startsWith(TableCatalog.OPTION_PREFIX) =>
         k.stripPrefix(TableCatalog.OPTION_PREFIX) -> v
     } ++ props.view.filterKeys(!_.startsWith(TableCatalog.OPTION_PREFIX))
-    // PARTITIONED BY (col, ...) — identity transforms become the lake
-    // partition fields; an explicit option wins. Non-identity transforms
-    // (bucket(n, col), days(ts), ...) are rejected rather than silently
-    // degraded to an identity partition on the referenced column.
-    val partCols = partitions.toSeq.map { t =>
-      if (t.name() != "identity")
-        throw new UnsupportedOperationException(
-          s"graft-lake supports only identity partition transforms; got '$t'")
-      t.references().head.fieldNames().mkString(".")
+    // PARTITIONED BY (col, days(ts), bucket(4, id), ...) — identity
+    // transforms become lake partition fields; time transforms become
+    // HIDDEN derived partition fields (value computed at write, never
+    // supplied — TableMeta.partitionDerivations); bucket(n, key) maps to
+    // the lake's hash-bucket layout when its columns ARE the record key
+    // (the only layout where the bucket route and the key index agree).
+    // An explicit option wins over the derived spec.
+    val derivations = scala.collection.mutable.LinkedHashMap[String, String]()
+    var bucketN = 0
+    val partCols = partitions.toSeq.flatMap { t =>
+      val refs = t.references().toSeq
+        .map(_.fieldNames().mkString("."))
+      t.name() match {
+        case "identity" => refs.headOption
+        case fn @ ("days" | "months" | "years" | "hours") =>
+          val src = refs.head
+          val dcol = s"${src}_$fn"
+          derivations += dcol -> s"$fn($src)"
+          Some(dcol)
+        case "bucket" =>
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value().toString.toInt
+          }.getOrElse(throw new IllegalArgumentException(
+            s"bucket transform needs a literal count: $t"))
+          val keys = opts.get("recordkey.field")
+            .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
+          if (refs.toSet != keys)
+            throw new UnsupportedOperationException(
+              s"bucket(${refs.mkString(",")}) must cover exactly the " +
+                s"record key (${keys.mkString(",")}): the lake's bucket " +
+                "layout routes by the record key")
+          bucketN = n
+          None // bucketing is a layout, not a partition directory
+        case _ =>
+          throw new UnsupportedOperationException(
+            s"unsupported partition transform '$t' (supported: identity, " +
+              "days/months/years/hours(col), bucket(n, recordKey))")
+      }
     }
-    val withParts =
-      if (partCols.nonEmpty && !opts.contains("partition.fields"))
-        opts + ("partition.fields" -> partCols.mkString(","))
-      else opts
+    val withParts = {
+      var o = opts
+      if (partCols.nonEmpty && !o.contains("partition.fields"))
+        o += ("partition.fields" -> partCols.mkString(","))
+      if (derivations.nonEmpty && !o.contains("partition.derive"))
+        o += ("partition.derive" -> derivations
+          .map { case (k, v) => s"$k=$v" }.mkString(","))
+      if (bucketN > 0 && !o.contains("bucket.count"))
+        o += ("bucket.count" -> bucketN.toString)
+      o
+    }
     LakeDataSource.ensureTable(spark, dir,
       withParts + ("path" -> dir) +
         ("table.name" -> (ident.namespace() :+ ident.name()).mkString(".")),

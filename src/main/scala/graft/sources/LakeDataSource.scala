@@ -245,7 +245,13 @@ object LakeDataSource {
       schemaJson = declared.map(_.json).getOrElse(""),
       keyEncoding = parameters.getOrElse("key.encoding", "plain"),
       indexScope = parameters.getOrElse("index.scope", "global"),
-      bucketCount = parameters.getOrElse("bucket.count", "0").toInt))
+      bucketCount = parameters.getOrElse("bucket.count", "0").toInt,
+      // hidden partitioning: "dcol=days(src)[,dcol2=...]"
+      partitionDerivations = parameters.get("partition.derive")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          k.trim -> v.trim
+        }.toMap).getOrElse(Map.empty)))
 
   /** The DataFrame a read under `parameters` resolves to right now. */
   def queryDf(spark: SparkSession,

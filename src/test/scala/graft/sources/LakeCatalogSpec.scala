@@ -185,16 +185,22 @@ class LakeCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((1, 1.0), (2, 2.0)))
   }
 
-  test("non-identity partition transforms are rejected, not degraded") {
+  test("unsupported partition transforms are rejected, not degraded") {
+    // days/months/years/hours and bucket(n, key) are supported
+    // (HiddenPartitionSpec); anything else still fails loudly instead of
+    // silently degrading to an identity partition
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.rej")
-    for (part <- Seq("bucket(4, id)", "days(ts)")) {
+    for (part <- Seq("truncate(4, ts)", "bucket(4, v)")) {
       val e = intercept[Exception] {
         spark.sql(
-          s"""CREATE TABLE lake.rej.t (id INT, ts TIMESTAMP, v DOUBLE)
+          s"""CREATE TABLE lake.rej.t (id INT, ts STRING, v DOUBLE)
              |PARTITIONED BY ($part)
-             |OPTIONS ('recordkey.field' 'id')""".stripMargin)
+             |OPTIONS ('recordkey.field' 'id', 'precombine.field' 'ts')"""
+            .stripMargin)
       }
-      assert(e.getMessage.contains("identity"), s"for $part got: ${e.getMessage}")
+      assert(e.getMessage.contains("unsupported partition transform")
+        || e.getMessage.contains("record key"),
+        s"for $part got: ${e.getMessage}")
       // nothing half-created
       assert(!spark.sql("SHOW TABLES IN lake.rej").collect()
         .map(_.getString(1)).contains("t"))

@@ -2066,6 +2066,9 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     require(!u.fieldNames.contains(newName), s"column exists: $newName")
     require(!_meta.partitionFields.contains(oldName),
       s"cannot rename partition column $oldName (directory layout bakes its name)")
+    require(!derivationSources.contains(oldName),
+      s"cannot rename $oldName: a hidden partition column derives from " +
+        s"it (${_meta.partitionDerivations})")
     require(!_meta.droppedColumns.contains(newName) && !retiredNames.contains(newName),
       s"$newName was previously dropped/renamed away; old files still hold it")
     // nullable: pre-rename files don't contain the new physical name —
@@ -2160,6 +2163,9 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       _meta.partitionFields
     require(!protected_.contains(name),
       s"cannot drop $name: key/precombine/partition columns are required")
+    require(!derivationSources.contains(name),
+      s"cannot drop $name: a hidden partition column derives from it " +
+        s"(${_meta.partitionDerivations})")
     val evolved = StructType(u.fields.filterNot(_.name == name))
     _meta = _meta.copy(
       schemaJson = evolved.json,
@@ -2342,6 +2348,14 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     }
     concat_ws(KeySep, keyCols.map(component): _*)
   }
+
+  /** Source columns referenced by hidden-partition derivations — they
+    * cannot be renamed or dropped while a derivation reads them.
+    */
+  private def derivationSources: Set[String] =
+    _meta.partitionDerivations.values.collect {
+      case LakeTable.DerivationSpec(_, src) => src
+    }.toSet
 
   /** Hidden partitioning: compute absent DERIVED partition columns from
     * their source column ([[TableMeta.partitionDerivations]]). A batch

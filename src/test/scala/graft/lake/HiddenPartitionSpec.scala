@@ -111,6 +111,8 @@ class HiddenPartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("SQL DDL: PARTITIONED BY (days(ts)) and bucket(n, key) via the catalog") {
     val warehouse = tmp()
+    // getOrCreate reuses the suite session; catalog confs are runtime
+    // SQL confs, so they attach to it — do NOT stop it afterwards
     val s2 = Sessions.builder("hidpart-cat")
       .master("local[4]")
       .config("spark.sql.catalog.hlake",
@@ -146,7 +148,22 @@ class HiddenPartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
             .stripMargin)
       }
       assert(e.getMessage.contains("record key"))
-    } finally s2.stop()
+    } finally {
+      s2.conf.unset("spark.sql.catalog.hlake")
+      s2.conf.unset("spark.sql.catalog.hlake.warehouse")
+    }
+  }
+
+  test("a derivation's source column cannot be renamed or dropped") {
+    val t = LakeTable.create(spark, tmp(), TableMeta(
+      "hp_guard", Seq("id"), "created_ts", Seq("ts_days"),
+      partitionDerivations = Map("ts_days" -> "days(ets)")))
+    t.upsert(rows(Seq(1), 0).withColumn("ets", col("created_ts")))
+    intercept[IllegalArgumentException] { t.renameColumn("ets", "ets2") }
+    intercept[IllegalArgumentException] { t.dropColumn("ets") }
+    // unrelated columns stay evolvable
+    t.renameColumn("v", "v2")
+    assert(t.snapshotUser().columns.contains("v2"))
   }
 
   test("derivations require global index scope and a known transform") {

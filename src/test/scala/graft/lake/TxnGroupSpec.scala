@@ -210,8 +210,17 @@ class TxnGroupSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the txn rows; after it all do — under a hard kill at any boundary
     fresh.foreach(t => assert(t.snapshot().count() == expect,
       s"${t.path} torn at $crashpoint: ${t.snapshot().count()}"))
-    // recovery: age the dead writer's reservations, then resolve
+    // recovery: age the dead writer's reservations AND any writer lock a
+    // mid-publish parallel prepare was holding at the halt (the survivor
+    // breaks stale locks, but only past LockStaleMs — age past it like
+    // CrashRecoverySpec does instead of waiting)
     fresh.foreach(t => ageReservations(t.path))
+    fresh.foreach { t =>
+      val lock = Paths.get(t.path.stripPrefix("file:"), "_lake", "lock")
+      if (Files.exists(lock))
+        Files.setLastModifiedTime(lock, FileTime.fromMillis(
+          System.currentTimeMillis() - 11 * 60 * 1000L))
+    }
     val recs = fresh.map(t => t.recoverTxns())
     if (committed) {
       // all N prepared before the decision: recovery completes each

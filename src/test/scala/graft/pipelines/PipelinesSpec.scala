@@ -854,6 +854,13 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
   private def ageReservations(tableDir: String): Unit = {
+    // age the dead writer's reservations AND any writer lock a
+    // mid-publish parallel prepare was holding at the halt, so recovery
+    // breaks them instead of waiting out the staleness TTLs
+    val lock = Paths.get(tableDir, "_lake", "lock")
+    if (Files.exists(lock))
+      Files.setLastModifiedTime(lock, java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() - 11 * 60 * 1000L))
     val inflight = Paths.get(tableDir, "_lake", "timeline", "inflight")
     if (!Files.exists(inflight)) return
     val s = Files.list(inflight)

@@ -28,9 +28,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object AnnMaintain {
 
+  /** @param rebuildEvery compaction cadence: once this many batch dirs
+    *   have accumulated, fold them (minus tombstones) into a fresh
+    *   generation via [[IvfStreamIndex.rebuild]] — pointer-swapped in
+    *   atomically, replays of folded batches no-op. 0 disables (run
+    *   rebuilds from a maintenance window instead).
+    */
   def runStream(spark: SparkSession, tablePath: String, indexRoot: String,
       checkpointDir: String, triggerSeconds: Int = 1,
-      cells: Int = graft.queries.Similarity.IvfCells): StreamingQuery = {
+      cells: Int = graft.queries.Similarity.IvfCells,
+      rebuildEvery: Int = 0): StreamingQuery = {
     val t = LakeTable.load(spark, tablePath)
     val idx = IvfStreamIndex(spark, indexRoot)
     val startPath = new org.apache.hadoop.fs.Path(indexRoot, "start.at")
@@ -76,6 +83,8 @@ object AnnMaintain {
               .select("vec_id", "embedding")
             if (!dels.isEmpty) idx.deleteBatch(dels, batchId)
             if (!adds.isEmpty) idx.addBatch(adds, batchId)
+            if (rebuildEvery > 0 && idx.pendingBatches >= rebuildEvery)
+              idx.rebuild(batchId, cells)
             ()
           } finally { batch.unpersist(); () }
         }

@@ -31,8 +31,8 @@ class AnnMaintainSpec extends AnyFunSuite with BeforeAndAfterAll {
     ids.map(i => (i, emb(i), ts)).toDF("vec_id", "embedding", "created_ts")
   }
 
-  private def baseFiles(root: String): Seq[(String, Long, Long)] = {
-    val p = java.nio.file.Paths.get(root, "base")
+  private def baseFiles(baseDir: String): Seq[(String, Long, Long)] = {
+    val p = java.nio.file.Paths.get(baseDir)
     import scala.jdk.CollectionConverters._
     Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_))
       .map(f => (f.toString, Files.size(f),
@@ -51,7 +51,7 @@ class AnnMaintainSpec extends AnyFunSuite with BeforeAndAfterAll {
       q.processAllAvailable() // builds base at the current instant
       val idx = IvfStreamIndex(spark, s"$work/idx")
       assert(idx.exists)
-      val frozen = baseFiles(s"$work/idx")
+      val frozen = baseFiles(idx.baseDir)
 
       t.upsert(vecs(40L until 50L, 2L)) // add batch 1
       q.processAllAvailable()
@@ -62,7 +62,7 @@ class AnnMaintainSpec extends AnyFunSuite with BeforeAndAfterAll {
 
       // the index files the build wrote are byte-untouched: adds and
       // deletes landed ONLY as new batch dirs beside them
-      assert(baseFiles(s"$work/idx") == frozen,
+      assert(baseFiles(idx.baseDir) == frozen,
         "streaming maintenance must never rewrite the built index")
       assert(idx.tombstones.exists(_.count() == 8))
 
@@ -97,6 +97,54 @@ class AnnMaintainSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(err.getMessage.contains("ann-maintain supports insert/delete")
         || Option(err.getCause).exists(_.getMessage
           .contains("ann-maintain supports insert/delete")))
+    } finally q.stop()
+  }
+
+  test("rebuild folds batches into a fresh generation; folded replays no-op") {
+    val work = Files.createTempDirectory("annreb").toString
+    val idx = IvfStreamIndex(spark, s"$work/idx")
+    idx.build(vecs(0L until 30L, 1L).select("vec_id", "embedding"), cells = 4)
+    val adds = vecs(30L until 40L, 2L).select("vec_id", "embedding")
+    val dels = vecs(Seq(3L, 4L, 5L), 2L).select("vec_id")
+    idx.addBatch(adds, 1L); idx.deleteBatch(dels, 2L)
+    assert(idx.pendingBatches == 2)
+    val before = idx.topK(probe = 4).collect().map(_.toSeq).toSeq
+    idx.rebuild(throughBatch = 2L, cells = 4)
+    // batch dirs folded away; the probe is unchanged (full probe ≡
+    // brute force over the same surviving corpus, old or new centroids)
+    assert(idx.pendingBatches == 0 && idx.tombstones.isEmpty)
+    assert(idx.corpus.count() == 30 + 10 - 3)
+    assert(idx.topK(probe = 4).collect().map(_.toSeq).toSeq == before)
+    // a checkpoint REPLAY of a folded batch must no-op — its vectors
+    // are already in the rebuilt base
+    idx.addBatch(adds, 1L); idx.deleteBatch(dels, 2L)
+    assert(idx.pendingBatches == 0, "folded replays must not re-register")
+    assert(idx.corpus.count() == 37)
+    // post-rebuild batches register normally
+    idx.addBatch(vecs(Seq(50L), 3L).select("vec_id", "embedding"), 3L)
+    assert(idx.pendingBatches == 1 && idx.corpus.count() == 38)
+  }
+
+  test("streaming auto-rebuild: rebuildEvery folds the index inside the stream") {
+    val work = Files.createTempDirectory("annautoreb").toString
+    val t = LakeTable.create(spark, s"$work/emb",
+      TableMeta("emb2", Seq("vec_id"), "created_ts", Seq.empty))
+    t.upsert(vecs(0L until 30L, 1L))
+    val q = AnnMaintain.runStream(spark, t.path, s"$work/idx",
+      s"$work/ckpt", cells = 4, rebuildEvery = 2)
+    try {
+      q.processAllAvailable()
+      val idx = IvfStreamIndex(spark, s"$work/idx")
+      t.upsert(vecs(30L until 35L, 2L)); q.processAllAvailable()
+      t.delete(vecs(Seq(7L), 3L));       q.processAllAvailable()
+      t.upsert(vecs(35L until 38L, 4L)); q.processAllAvailable()
+      // at least one rebuild fired (cadence 2), nothing lost or doubled
+      assert(idx.rebuiltThrough >= 0, "auto-rebuild should have run")
+      assert(idx.pendingBatches < 3)
+      val fresh = IvfStreamIndex(spark, s"$work/idx_rebuild")
+      fresh.build(t.snapshotUser().select("vec_id", "embedding"), cells = 4)
+      assert(idx.topK(probe = 4).collect().map(_.toSeq).toSeq ==
+        fresh.topK(probe = 4).collect().map(_.toSeq).toSeq)
     } finally q.stop()
   }
 

@@ -2733,12 +2733,12 @@ object SparkEntry {
          |    CASE WHEN l_orderkey < 200
          |      THEN l_quantity + 5000 ELSE l_quantity END AS l_quantity,
          |    CASE WHEN l_orderkey < 200
-         |      THEN created_ts * 1000 + 86400000
+         |      THEN created_ts * 1000 + CAST(31 AS BIGINT) * 86400000
          |      ELSE created_ts * 1000 END AS ets
          |  FROM b1)
          |SELECT l_orderkey, l_linenumber, l_quantity, ets,
          |  strftime(DATE '1970-01-01' +
-         |    CAST(ets // 86400000 AS INTEGER), '%Y-%m-%d') AS ts_days
+         |    CAST(ets // 86400000 AS INTEGER), '%Y-%m') AS ts_months
          |FROM m
          |WHERE ets >= 757382400000 AND ets < 820454400000
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,

@@ -316,15 +316,15 @@ object LakeQueries {
       val work = Files.createTempDirectory("graft_lakeq").toString
       val t = LakeTable.create(s, s"$work/t",
         TableMeta("lakeq_hidden", Seq("l_orderkey", "l_linenumber"),
-          "created_ts", Seq("ts_days"),
-          partitionDerivations = Map("ts_days" -> "days(ets)")))
+          "created_ts", Seq("ts_months"),
+          partitionDerivations = Map("ts_months" -> "months(ets)")))
       withBatch1(s, dir) { b1 =>
         val src = b1.select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity"), col("l_returnflag"), col("created_ts"))
           .withColumn("ets", col("created_ts") * 1000)
         t.upsert(src, combine = false)
         t.upsert(src.filter(col("l_orderkey") < 200)
-          .withColumn("ets", col("ets") + 86400000L)
+          .withColumn("ets", col("ets") + 31L * 86400000L)
           .withColumn("l_quantity", col("l_quantity") + 5000)
           .withColumn("created_ts", col("created_ts") + 9),
           combine = false)
@@ -335,18 +335,23 @@ object LakeQueries {
   }
 
   /** Hidden partitioning read (`lake_hidden_partition`): a RANGE filter
-    * on the SOURCE column prunes day directories without the query ever
-    * mentioning the derived column (zone maps are transform-tight
-    * because no file spans a day dir), and the derived `ts_days` value
-    * itself is part of the gated output — the oracle recomputes the
-    * UTC epoch-day arithmetic independently, so a timezone-dependent or
-    * drifting derivation hash-fails.
+    * on the SOURCE column prunes month directories without the query
+    * ever mentioning the derived column (zone maps are transform-tight
+    * because no file spans a derived dir), and the derived `ts_months`
+    * value itself is part of the gated output — the oracle recomputes
+    * the UTC epoch arithmetic independently, so a timezone-dependent or
+    * drifting derivation hash-fails. `months`, not `days`: the fixture
+    * data spans ~7 years, and day-granularity would mean ~2,400
+    * directories from one upsert — the partition-explosion anti-pattern
+    * hidden partitioning exists to let you AVOID by picking the
+    * transform to match the data's time spread (the days() path is
+    * gate-equivalent and covered by HiddenPartitionSpec).
     */
   def lakeHiddenPartition(s: SparkSession, dir: String): DataFrame =
     hiddenPartFixture(s, dir).snapshot()
       .filter(col("ets") >= 757382400000L && col("ets") < 820454400000L)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-        col("ets"), col("ts_days"))
+        col("ets"), col("ts_months"))
       .orderBy("l_orderkey", "l_linenumber")
 
   /** Two co-bucketed tables (fixed 8-bucket hash layout on the record

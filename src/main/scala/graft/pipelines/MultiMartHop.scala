@@ -43,11 +43,15 @@ object MultiMartHop {
 
   /** Start the hop. Every element of `marts` names its own target table
     * (`targetTablePath`/`tableName`) and aggregation shape
-    * (`aggKeys`/`aggCol`); the source, checkpoint, and trigger come
-    * from the head config.
+    * (`aggKeys`/`aggCol`); the source, checkpoint, trigger, and
+    * maintenance cadence (`maintainEvery` — run each mart's one-call
+    * `maintain()` after every N non-empty batches, 0 disables; the
+    * StreamIngest auto-optimize knob) come from the head config.
     */
   def runStreaming(spark: SparkSession, marts: Seq[PipelineConfig])
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    val maintainEvery = marts.head.maintainEvery
+    val batchesSinceMaintain = new java.util.concurrent.atomic.AtomicInteger(0)
     require(marts.nonEmpty, "need at least one mart")
     require(marts.map(_.tablePath).distinct.size == marts.size,
       "each mart needs its own table path")
@@ -89,6 +93,13 @@ object MultiMartHop {
                   extra = Map(DwdToDm.WatermarkKey -> end))
               }
               TxnGroup.commit(ops)
+              // auto-maintenance OUTSIDE the transaction (services are
+              // per-table housekeeping commits, never txn participants)
+              if (maintainEvery > 0 &&
+                  batchesSinceMaintain.incrementAndGet() >= maintainEvery) {
+                batchesSinceMaintain.set(0)
+                tables.foreach(_.maintain())
+              }
               ()
             }
           } finally { batch.unpersist(); () }

@@ -803,7 +803,7 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     sourceTablePath = dwd, targetTablePath = s"$work/$name",
     tableName = name, recordKeyFields = Seq(key), aggKeys = Seq(key),
     aggCol = "l_quantity", checkpointDir = s"$work/ckpt",
-    triggerSeconds = 1)
+    triggerSeconds = 1, maintainEvery = 2)
 
   private def martMismatches(dwd: LakeTable, martPath: String,
       key: String) = {

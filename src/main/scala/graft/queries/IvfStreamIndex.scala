@@ -34,7 +34,9 @@ import org.apache.spark.sql.functions._
   * reassign over the surviving corpus INTO THE NEXT generation dir,
   * then swap the pointer — crash-atomic (a crash mid-rebuild leaves the
   * current generation byte-untouched and the half-written next one
-  * unreferenced), and the pointer records the highest folded batch id
+  * unreferenced). Retention keeps one generation back, so a probe that
+  * resolved the pointer just before a swap finishes reading its files.
+  * The pointer records the highest folded batch id
   * so checkpoint replays of already-folded batches NO-OP instead of
   * re-appending vectors the new base already holds.
   */
@@ -98,7 +100,6 @@ final case class IvfStreamIndex(s: SparkSession, root: String) {
 
   private def buildGen(e: DataFrame, cells: Int, g: Long,
       through: Long): Unit = {
-    val prev = pointer.map(_._1)
     fs.delete(new Path(genDir(g)), true)
     val cent = Similarity.ivfCentroids(e, cells)
     cent.write.mode("overwrite").parquet(s"${genDir(g)}/cent")
@@ -107,8 +108,15 @@ final case class IvfStreamIndex(s: SparkSession, root: String) {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"${genDir(g)}/base")
     swapPointer(g, through)
-    // the old generation is garbage only AFTER the swap
-    prev.foreach(p => fs.delete(new Path(genDir(p)), true))
+    // retention keeps exactly ONE generation back: an in-flight probe
+    // that resolved the pointer just before the swap can finish reading
+    // the previous generation's files; anything older is garbage
+    if (!fs.exists(new Path(root))) return
+    fs.listStatus(new Path(root)).map(_.getPath.getName)
+      .filter(n => n.length > 1 && n.startsWith("g") &&
+        n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong).filter(_ < g - 1)
+      .foreach(old => fs.delete(new Path(genDir(old)), true))
   }
 
   def centroids: DataFrame = s.read.parquet(centPath)

@@ -88,6 +88,22 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     */
   def snapshot(): DataFrame = snapshotAsOf(MaxInstant)
 
+  /** Snapshot with the DERIVED (hidden) partition values appended as
+    * columns — the read-side accessor for transform partitioning.
+    * Derived columns are never part of the user schema (writers never
+    * supply them), so plain reads don't carry them; this recomputes
+    * each value in-plan with the same deterministic UTC arithmetic the
+    * write path used, which equals the stored directory value
+    * bit-for-bit (HiddenPartitionSpec pins dirs == derivation).
+    */
+  def snapshotWithDerived(): DataFrame =
+    _meta.partitionDerivations.foldLeft(snapshot()) {
+      case (d, (dcol, LakeTable.DerivationSpec(fn, src))) =>
+        d.withColumn(dcol,
+          LakeTable.partitionTransform(fn, col(src), d.schema(src).dataType))
+      case (d, _) => d
+    }
+
   /** Time travel: the table as of `instant` (inclusive). */
   def snapshotAsOf(instant: String): DataFrame =
     snapshotOfFiles(timeline.liveFiles(instant))
@@ -649,8 +665,16 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       olds.map(o => StructField(o, dt, nullable = true))
     }
     val physSchema = StructType(fullSchema.fields ++ ghosts)
+    // DERIVED partition columns (hidden partitioning) are never part of
+    // the user schema — synthesize their string field so the positional
+    // dir decode still covers every path component; the final select
+    // below restores fullSchema, so internal plan shapes never see them
     val partSchema = StructType(
-      _meta.partitionFields.map(f => fullSchema(fullSchema.fieldIndex(f))))
+      _meta.partitionFields.map(f =>
+        if (_meta.partitionDerivations.contains(f))
+          StructField(f, org.apache.spark.sql.types.StringType,
+            nullable = true)
+        else fullSchema(fullSchema.fieldIndex(f))))
     val dataSchema = StructType(
       physSchema.fields.filterNot(f => _meta.partitionFields.contains(f.name)))
     val index = new LakeFileIndex(spark, tablePath, stats, partSchema)
@@ -1997,6 +2021,48 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     deletable.length
   }
 
+  /** Partition-retention service: logically DROP every partition
+    * directory whose value for `column` sorts strictly below `cutoff` —
+    * the ops lever hidden time-transform partitioning exists for
+    * (derived day/month/hour strings sort chronologically, so
+    * `expirePartitions("ts_months", "2024-01")` retires everything
+    * before 2024). METADATA-ONLY: one delete commit lists the dropped
+    * files as removed — no data is read or rewritten, snapshot/
+    * incremental/CDC semantics are the ordinary delete-commit ones,
+    * time travel below the expiry still sees the rows, and [[clean]]
+    * physically deletes the files once they age past retention
+    * (savepoints keep pinning theirs). The comparison is lexicographic
+    * on the directory-encoded value (== chronological for the derived
+    * transforms; for identity partitions make sure the encoding
+    * sorts the way you mean). The null-partition sentinel never
+    * expires. Refused while MOR delta files are live — a delta row for
+    * an expired key would outlive its dropped base and resurface as a
+    * half-merged row; compact first.
+    *
+    * @return the dropped partition values (distinct, sorted)
+    */
+  def expirePartitions(column: String, cutoff: String): Seq[String] =
+    timeline.withLock() {
+      require(_meta.partitionFields.contains(column),
+        s"$column is not a partition column of ${_meta.name}")
+      val live = timeline.liveFiles()
+      require(!live.exists(_.isDelta),
+        "expirePartitions needs an all-base table (MOR delta rows would " +
+          "outlive their dropped base files); run compact() first")
+      def valueOf(part: String): Option[String] = part.split("/")
+        .collectFirst { case kv if kv.startsWith(column + "=") =>
+          kv.drop(column.length + 1) }
+      val dropped = live.filter(f => valueOf(f.partition)
+        .exists(v => v != "__HIVE_DEFAULT_PARTITION__" && v < cutoff))
+      if (dropped.isEmpty) return Seq.empty
+      timeline.requireLockHeld("expire-partitions")
+      val instant = timeline.nextInstant()
+      timeline.commit(CommitMeta(instant, "delete", Seq.empty,
+        dropped.map(_.path),
+        Map("expire.column" -> column, "expire.cutoff" -> cutoff)))
+      dropped.flatMap(f => valueOf(f.partition)).distinct.sorted
+    }
+
   /** @return number of physically deleted data files */
   def clean(retainCommits: Int = 2): Int = timeline.withLock() {
     cleanOrphanedStaging()
@@ -2203,7 +2269,13 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         d.withColumnRenamed(o, c)
       else d
     }
-    val clean = withDerivedPartitions(renamed)
+    // DERIVED partition columns never enter the user schema: writers
+    // never supply them (the hidden-partitioning contract — a second
+    // INSERT must not suddenly require the column), and a batch that
+    // does carry one has it dropped here; writeStaging re-derives the
+    // value deterministically for the directory layout.
+    val clean = _meta.partitionDerivations.keys
+      .foldLeft(renamed)((d, c) => d.drop(c))
     userSchema match {
       case Some(s) =>
         val incoming = clean.schema
@@ -2519,7 +2591,16 @@ class LakeTable private (val spark: SparkSession, val path: String) {
   private def writeStaging(out: DataFrame, instant: String,
       clusterBy: Seq[String] = Seq.empty,
       clusterExprs: Seq[Column] = Seq.empty): Path = {
-    val ordered0 = out.select(fullSchema.fieldNames.map(col).toIndexedSeq: _*)
+    // hidden partitioning: derived partition columns live OUTSIDE the
+    // user schema, so every staged write re-derives them here — the one
+    // choke point all writers (user batches, COW rewrites, compaction,
+    // clustering, tombstones) pass through. Deterministic UTC arithmetic
+    // means a rewrite recomputes exactly the stored directory value.
+    val derivedNames = _meta.partitionDerivations.keys.toSeq.sorted
+      .filterNot(fullSchema.fieldNames.contains)
+    val withDerived = withDerivedPartitions(out)
+    val ordered0 = withDerived.select(
+      (fullSchema.fieldNames.toIndexedSeq ++ derivedNames).map(col): _*)
       // range partitioning SAMPLES its input before shuffling — without a
       // cache that re-executes the (expensive) merge/anti-join plan twice
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -104,17 +104,21 @@ case class TableMeta(
       * derived partition column → derivation, e.g. `"ts_days" ->
       * "days(ts)"` with days/months/years/hours over a timestamp, date,
       * or epoch-millis integral source column. Derived columns are
-      * ordinary partition fields (listed in [[partitionFields]], baked
-      * into the directory layout) whose VALUES no writer ever supplies:
-      * every write path computes them from the source column in UTC
-      * ([[LakeTable.withDerivedPartitions]]), so the partition value is
-      * writer-timezone-independent. Reads prune on the SOURCE column
-      * through the per-file zone maps (a file never spans a derived
-      * dir, so its source min/max is transform-tight) — queries need
-      * not mention the derived column at all; equality filters on the
-      * derived column additionally prune at the directory level like
-      * any partition column. Requires `indexScope = "global"`: the
-      * key-only delete paths cannot re-derive partition-prefixed keys.
+      * listed in [[partitionFields]] and baked into the directory
+      * layout, but are NEVER part of the user schema: no writer ever
+      * supplies them (an INSERT's arity never includes them — the
+      * Iceberg contract), and every staged write re-derives the value
+      * from the source column in UTC at the one write choke point
+      * (`LakeTable.writeStaging`), so the partition value is
+      * writer-timezone-independent and rewrites reproduce it exactly.
+      * Reads prune on the SOURCE column through the per-file zone maps
+      * (a file never spans a derived dir, so its source min/max is
+      * transform-tight) — queries need not mention the derived column
+      * at all; `LakeTable.snapshotWithDerived` appends the values for
+      * consumers that want them, and `LakeTable.expirePartitions` is
+      * the dir-granular retention lever. Requires
+      * `indexScope = "global"`: the key-only delete paths cannot
+      * re-derive partition-prefixed keys.
       */
     partitionDerivations: Map[String, String] = Map.empty
 )

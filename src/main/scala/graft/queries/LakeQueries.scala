@@ -348,7 +348,7 @@ object LakeQueries {
     * gate-equivalent and covered by HiddenPartitionSpec).
     */
   def lakeHiddenPartition(s: SparkSession, dir: String): DataFrame =
-    hiddenPartFixture(s, dir).snapshot()
+    hiddenPartFixture(s, dir).snapshotWithDerived()
       .filter(col("ets") >= 757382400000L && col("ets") < 820454400000L)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("ets"), col("ts_months"))

@@ -137,6 +137,14 @@ object LakeProcedures {
       countOut,
       (t, args) => Seq(Seq(t.clean(args(1).asInstanceOf[Int]).toLong)),
       "Physically delete file versions removed before the retention window"),
+    "expire_partitions" -> Spec(
+      Seq(p("table", StringType), p("column", StringType),
+        p("cutoff", StringType)),
+      new StructType().add("partition_value", StringType),
+      (t, args) => t.expirePartitions(args(1).asInstanceOf[String],
+        args(2).asInstanceOf[String]).map(Seq(_)),
+      "Logically drop partition dirs whose value sorts below the cutoff " +
+        "(metadata-only; clean() physically deletes after retention)"),
     "archive_timeline" -> Spec(
       Seq(p("table", StringType), p("keep_commits", IntegerType)),
       countOut,

@@ -18,6 +18,7 @@ import graft.util.Sessions
   *   runMain graft.tools.LakeCli maintain    <tablePath> [targetBytes] [retainCommits]
   *   runMain graft.tools.LakeCli recover-txns <tablePath>  # in-doubt 2PC halves
   *   runMain graft.tools.LakeCli clean       <tablePath> [retainCommits]
+  *   runMain graft.tools.LakeCli expire-partitions <tablePath> <column> <cutoff>
   *   runMain graft.tools.LakeCli sweep       <tablePath>        # orphaned data
   *   runMain graft.tools.LakeCli archive     <tablePath> [keepCommits]
   *   runMain graft.tools.LakeCli restore     <tablePath> <instant>
@@ -124,6 +125,11 @@ object LakeCli {
       case "clean" =>
         t.clean(if (args.length > 2) args(2).toInt else 2)
         println("clean done")
+      case "expire-partitions" =>
+        require(args.length > 3, "expire-partitions <table> <column> <cutoff>")
+        val dropped = t.expirePartitions(args(2), args(3))
+        println(s"expired ${dropped.size} partition value(s): " +
+          dropped.mkString(", "))
       case "sweep" =>
         println(s"removed ${t.cleanOrphanedData()} orphaned data file(s)")
       case "archive" =>

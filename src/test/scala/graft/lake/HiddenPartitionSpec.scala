@@ -58,10 +58,13 @@ class HiddenPartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(oneDay.count() == 50)
     assert(scannedFiles(oneDay) < total,
       "source-column range filter must prune files")
-    // equality on the derived column prunes as a plain partition filter
-    val byDir = t.snapshot().filter(col("ts_days") === "2024-05-03")
+    // the derived column is HIDDEN: plain reads never carry it (an
+    // INSERT's arity never includes it either); snapshotWithDerived
+    // appends the recomputed value, == the stored dir value
+    assert(!t.snapshot().columns.contains("ts_days"))
+    val byDir = t.snapshotWithDerived()
+      .filter(col("ts_days") === "2024-05-03")
     assert(byDir.count() == 50)
-    assert(scannedFiles(byDir) < total)
     // keyed rewrite replays the stored value; delete is key-only
     t.upsert(rows(Seq(10), 0).withColumn("v", lit(99.0)))
     assert(t.snapshot().filter(col("id") === 10)
@@ -130,8 +133,17 @@ class HiddenPartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(t.meta.partitionFields == Seq("ts_days"))
       assert(t.meta.partitionDerivations == Map("ts_days" -> "days(ts)"))
       s2.sql(s"INSERT INTO hlake.db.ev VALUES (1, ${day0 + 1000L}, 1.0)")
-      assert(t.timeline.liveFiles().map(_.partition).distinct ==
-        Seq("ts_days=2024-05-01"))
+      s2.sql(s"INSERT INTO hlake.db.ev VALUES (2, ${day0 + 86400000L}, 2.0)")
+      assert(t.timeline.liveFiles().map(_.partition).distinct.sorted ==
+        Seq("ts_days=2024-05-01", "ts_days=2024-05-02"))
+      // the retention service is callable as a SQL procedure
+      val exp = s2.sql("CALL hlake.system.expire_partitions(" +
+        "table => 'db.ev', column => 'ts_days', cutoff => '2024-05-02')")
+        .collect().map(_.getString(0)).toSeq
+      assert(exp == Seq("2024-05-01"))
+      s2.sql("REFRESH TABLE hlake.db.ev")
+      assert(s2.sql("SELECT id FROM hlake.db.ev").collect()
+        .map(_.getInt(0)).toSeq == Seq(2))
       // bucket(n, key) maps to the lake bucket layout
       s2.sql(
         """CREATE TABLE hlake.db.bk (id INT, ts BIGINT, v DOUBLE)
@@ -164,6 +176,57 @@ class HiddenPartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     // unrelated columns stay evolvable
     t.renameColumn("v", "v2")
     assert(t.snapshotUser().columns.contains("v2"))
+  }
+
+  test("expirePartitions: metadata-only drop of dirs below the cutoff") {
+    val t = LakeTable.create(spark, tmp(), TableMeta(
+      "hp_exp", Seq("id"), "created_ts", Seq("ts_days"),
+      partitionDerivations = Map("ts_days" -> "days(created_ts)")))
+    t.upsert(rows(0 until 40, 0))   // 2024-05-01
+    t.upsert(rows(40 until 80, 1))  // 2024-05-02
+    t.upsert(rows(80 until 120, 2)) // 2024-05-03
+    val preExpiry = t.latestCommit.get
+    val dropped = t.expirePartitions("ts_days", "2024-05-03")
+    assert(dropped == Seq("2024-05-01", "2024-05-02"))
+    // snapshot excludes the expired dirs; nothing was read or rewritten
+    assert(t.snapshot().count() == 40)
+    assert(t.snapshotWithDerived()
+      .filter(col("ts_days") < "2024-05-03").count() == 0)
+    // time travel below the expiry still sees the rows
+    assert(t.snapshotAsOf(preExpiry).count() == 120)
+    // idempotent: nothing left below the cutoff
+    assert(t.expirePartitions("ts_days", "2024-05-03").isEmpty)
+    // the files go physical only via clean() after retention
+    val expiredFiles = t.timeline.instants().map(t.timeline.read)
+      .filter(_.extra.get("expire.column").contains("ts_days"))
+      .flatMap(_.removed)
+    assert(expiredFiles.nonEmpty && expiredFiles.forall(p =>
+      t.fs.exists(new org.apache.hadoop.fs.Path(t.path, p))))
+    t.upsert(rows(200 until 210, 2)); t.upsert(rows(210 until 220, 2))
+    t.clean(retainCommits = 1)
+    assert(expiredFiles.forall(p =>
+      !t.fs.exists(new org.apache.hadoop.fs.Path(t.path, p))),
+      "clean should physically delete expired files past retention")
+    assert(t.snapshot().count() == 60)
+  }
+
+  test("expirePartitions refuses MOR delta debt and non-partition columns") {
+    val s2 = spark
+    import s2.implicits._
+    val t = LakeTable.create(spark, tmp(), TableMeta(
+      "hp_expmor", Seq("id"), "created_ts", Seq("ts_days"), "mor",
+      partitionDerivations = Map("ts_days" -> "days(created_ts)")))
+    t.upsert(rows(0 until 20, 0))
+    t.upsert(rows(0 until 5, 1)) // MOR update delta
+    intercept[IllegalArgumentException] {
+      t.expirePartitions("ts_days", "2099-01-01")
+    }
+    t.compact()
+    assert(t.expirePartitions("ts_days", "2024-05-02") == Seq("2024-05-01"))
+    assert(t.snapshot().count() == 5) // the 5 updated keys moved to day 2
+    intercept[IllegalArgumentException] {
+      t.expirePartitions("created_ts", "0")
+    }
   }
 
   test("derivations require global index scope and a known transform") {

@@ -9,10 +9,11 @@ import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
 /** Hidden (transform) partitioning: Iceberg-style `days(ts)` etc. as
-  * DERIVED partition columns — values computed at write in UTC, never
-  * supplied by the writer; reads prune on the source column through the
-  * zone maps and on the derived column through ordinary partition
-  * pruning.
+  * DERIVED partition columns — never part of the user schema, values
+  * computed at write in UTC, never supplied by the writer; reads prune
+  * on the source column through the zone maps, plain reads stay
+  * derived-free, and `snapshotWithDerived` appends the values on
+  * demand. Plus the dir-granular retention lever (`expirePartitions`).
   */
 class HiddenPartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
 

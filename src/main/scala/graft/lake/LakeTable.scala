@@ -3282,6 +3282,23 @@ object LakeTable {
       require(meta.indexScope == "global",
         "hidden partitioning requires indexScope=global: the key-only " +
           "delete paths cannot re-derive partition-prefixed keys")
+      // fail the table DEFINITION, not every later write: a declared
+      // schema that carries the derived name would have alignUser drop
+      // the user's column and the required-column check reject each
+      // batch with a misleading "missing column" error
+      if (meta.schemaJson.nonEmpty) {
+        val declared = org.apache.spark.sql.types.DataType
+          .fromJson(meta.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+        require(!declared.contains(dcol),
+          s"derived partition column $dcol is HIDDEN and must not " +
+            "appear in the declared schema (it is re-derived from " +
+            s"'$spec' on every write)")
+        val DerivationSpec(_, src) = spec: @unchecked
+        require(declared.contains(src),
+          s"partition derivation '$spec' names source column $src, " +
+            "which is not in the declared schema")
+      }
     }
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())

@@ -17,10 +17,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * First start builds the index from the table's current snapshot and
   * begins the change stream AT that instant, so the feed carries only
   * post-build changes; restarts resume from the stream checkpoint.
-  * Updates are refused loudly: the tombstone mask is by vec_id, so an
-  * update's re-add would be masked by its own delete half — faiss's
-  * remove-then-re-add needs a rebuild here too (the documented
-  * compaction lever).
+  * Updates decompose into remove-then-add (the faiss update idiom): the
+  * update's vec_id joins the batch's tombstones AND its postimage joins
+  * the batch's adds — the index's order-aware mask lets a same-batch
+  * add win over its own tombstone while every OLDER copy of the key
+  * stays masked, so a changed embedding is probed at its new value
+  * immediately, no rebuild needed.
   *
   * Scale: per batch, assignment is a broadcast-centroid map-side job
   * over the batch only; deletes write KBs; probes stay partition
@@ -43,20 +45,43 @@ object AnnMaintain {
     val startPath = new org.apache.hadoop.fs.Path(indexRoot, "start.at")
     val fs = startPath
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readStartAt(): String = {
+      val in = fs.open(startPath)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    def writeStartAt(at: String): Unit = {
+      val out = fs.create(startPath, true)
+      try out.write(at.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    // start.at is written BEFORE the build and the build derives its
+    // input from it — a crash between the two leaves a file naming the
+    // instant the retried build will use, never an index whose start
+    // instant is unknowable. (The reverse order had exactly that crash
+    // window: exists==true, start.at missing, open() throws forever.)
     val startAt =
       if (!idx.exists) {
+        val at =
+          if (fs.exists(startPath)) readStartAt() // a prior crashed attempt
+          else {
+            val a = t.latestCommit.getOrElse(throw new IllegalStateException(
+              s"$tablePath has no commits to build the index from"))
+            writeStartAt(a); a
+          }
+        idx.build(t.snapshotAsOf(at).select("vec_id", "embedding"), cells)
+        at
+      } else if (fs.exists(startPath)) readStartAt()
+      else {
+        // legacy recovery: an index built by the old build-then-write
+        // order that crashed in its window — rebuild from the current
+        // snapshot so the stream can start cleanly
         val at = t.latestCommit.getOrElse(throw new IllegalStateException(
           s"$tablePath has no commits to build the index from"))
+        writeStartAt(at)
         idx.build(t.snapshotAsOf(at).select("vec_id", "embedding"), cells)
-        val out = fs.create(startPath, true)
-        try out.write(at.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
         at
-      } else {
-        val in = fs.open(startPath)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
       }
     spark.readStream.format("graft-lake")
       .option("query.type", "changes")
@@ -72,15 +97,15 @@ object AnnMaintain {
             .persist()
           try {
             val ct = col(LakeTable.ChangeTypeCol)
-            if (!batch.filter(ct === "update_postimage").isEmpty)
-              throw new IllegalStateException(
-                "ann-maintain supports insert/delete only (the faiss " +
-                  "add/remove contract): an update's re-add would be " +
-                  "masked by its own tombstone — rebuild the index to " +
-                  "absorb updates")
+            // updates = remove-then-add in the SAME batch: the
+            // postimage joins the adds, the key joins the tombstones;
+            // the index's order-aware mask resolves the tie add-wins
+            val ups = batch.filter(ct === "update_postimage")
             val dels = batch.filter(ct === "delete").select("vec_id")
+              .unionByName(ups.select("vec_id"))
             val adds = batch.filter(ct === "insert")
               .select("vec_id", "embedding")
+              .unionByName(ups.select("vec_id", "embedding"))
             if (!dels.isEmpty) idx.deleteBatch(dels, batchId)
             if (!adds.isEmpty) idx.addBatch(adds, batchId)
             if (rebuildEvery > 0 && idx.pendingBatches >= rebuildEvery)

@@ -41,6 +41,8 @@ import org.apache.spark.sql.functions._
   */
 object MultiMartHop {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Start the hop. Every element of `marts` names its own target table
     * (`targetTablePath`/`tableName`) and aggregation shape
     * (`aggKeys`/`aggCol`); the source, checkpoint, trigger, and
@@ -50,11 +52,11 @@ object MultiMartHop {
     */
   def runStreaming(spark: SparkSession, marts: Seq[PipelineConfig])
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val maintainEvery = marts.head.maintainEvery
-    val batchesSinceMaintain = new java.util.concurrent.atomic.AtomicInteger(0)
     require(marts.nonEmpty, "need at least one mart")
     require(marts.map(_.tablePath).distinct.size == marts.size,
       "each mart needs its own table path")
+    val maintainEvery = marts.head.maintainEvery
+    val batchesSinceMaintain = new java.util.concurrent.atomic.AtomicInteger(0)
     val src = marts.head.sourceTablePath
     val tables = marts.map(c => LakeTable.create(spark, c.tablePath,
       TableMeta(c.tableName, c.recordKeyFields, c.precombineField,
@@ -95,10 +97,19 @@ object MultiMartHop {
               TxnGroup.commit(ops)
               // auto-maintenance OUTSIDE the transaction (services are
               // per-table housekeeping commits, never txn participants)
+              // and BEST-EFFORT: the batch is already committed, so a
+              // housekeeping failure must not abort the stream
               if (maintainEvery > 0 &&
                   batchesSinceMaintain.incrementAndGet() >= maintainEvery) {
                 batchesSinceMaintain.set(0)
-                tables.foreach(_.maintain())
+                tables.foreach { dm =>
+                  try { dm.maintain(); () }
+                  catch {
+                    case scala.util.control.NonFatal(e) => log.warn(
+                      s"maintain() failed on ${dm.path} (batch already " +
+                        s"committed; will retry next cadence)", e)
+                  }
+                }
               }
               ()
             }

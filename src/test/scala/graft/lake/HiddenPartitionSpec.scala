@@ -243,4 +243,34 @@ class HiddenPartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
         partitionDerivations = Map("ts_trunc" -> "truncate(4, ts)")))
     }
   }
+
+  test("a declared schema that names the derived column (or lacks the source) is rejected at create") {
+    import org.apache.spark.sql.types._
+    def js(fields: (String, DataType)*): String =
+      StructType(fields.map { case (n, t) => StructField(n, t) }).json
+    // derived column in the declared schema: alignUser would drop the
+    // user's column and every write would fail "missing column" — the
+    // DEFINITION must be rejected instead
+    val e1 = intercept[IllegalArgumentException] {
+      LakeTable.create(spark, tmp(), TableMeta(
+        "hp_bad3", Seq("id"), "ts", Seq("ts_days"),
+        schemaJson = js("id" -> IntegerType, "ts" -> LongType,
+          "ts_days" -> StringType),
+        partitionDerivations = Map("ts_days" -> "days(ts)")))
+    }
+    assert(e1.getMessage.contains("HIDDEN"))
+    // the derivation's source column must exist in the declared schema
+    val e2 = intercept[IllegalArgumentException] {
+      LakeTable.create(spark, tmp(), TableMeta(
+        "hp_bad4", Seq("id"), "ts", Seq("ts_days"),
+        schemaJson = js("id" -> IntegerType, "v" -> DoubleType),
+        partitionDerivations = Map("ts_days" -> "days(ts)")))
+    }
+    assert(e2.getMessage.contains("source column"))
+    // a clean declared schema passes
+    LakeTable.create(spark, tmp(), TableMeta(
+      "hp_ok", Seq("id"), "ts", Seq("ts_days"),
+      schemaJson = js("id" -> IntegerType, "ts" -> LongType),
+      partitionDerivations = Map("ts_days" -> "days(ts)")))
+  }
 }

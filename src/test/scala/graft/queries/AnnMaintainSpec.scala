@@ -12,9 +12,10 @@ import java.nio.file.Files
 
 /** Streaming ANN maintenance ([[AnnMaintain]] / [[IvfStreamIndex]]):
   * an embeddings lake table's CDC feed keeps the staged IVF index
-  * current — adds as cell appends, deletes as tombstone appends —
-  * and the probed result equals a batch-built index over the same
-  * final corpus.
+  * current — adds as cell appends, deletes as tombstone appends,
+  * updates as same-batch remove-then-add — and the probed result
+  * equals a batch-built index over the same final corpus, including
+  * delete-then-re-insert revivals (the order-aware tombstone mask).
   */
 class AnnMaintainSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -25,10 +26,17 @@ class AnnMaintainSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def emb(id: Long): Array[Float] =
     Array.tabulate(8)(j => (((id * 7 + j * 3) % 17) - 8).toFloat + 0.5f)
 
-  private def vecs(ids: Seq[Long], ts: Long): DataFrame = {
+  /** A second deterministic embedding for the same id — the "updated"
+    * vector, far from emb(id) so a stale copy would change top-k.
+    */
+  private def embU(id: Long): Array[Float] =
+    Array.tabulate(8)(j => (((id * 11 + j * 5) % 19) - 9).toFloat - 0.25f)
+
+  private def vecs(ids: Seq[Long], ts: Long,
+      e: Long => Array[Float] = emb): DataFrame = {
     val s = spark
     import s.implicits._
-    ids.map(i => (i, emb(i), ts)).toDF("vec_id", "embedding", "created_ts")
+    ids.map(i => (i, e(i), ts)).toDF("vec_id", "embedding", "created_ts")
   }
 
   private def baseFiles(baseDir: String): Seq[(String, Long, Long)] = {
@@ -39,7 +47,7 @@ class AnnMaintainSpec extends AnyFunSuite with BeforeAndAfterAll {
         Files.getLastModifiedTime(f).toMillis)).toSeq.sortBy(_._1)
   }
 
-  test("CDC stream maintains the index: adds + deletes, equals batch-built on the final corpus") {
+  test("CDC stream maintains the index: adds, deletes, revivals, updates — equals batch-built on the final corpus") {
     val work = Files.createTempDirectory("annmaint").toString
     val t = LakeTable.create(spark, s"$work/emb",
       TableMeta("emb", Seq("vec_id"), "created_ts", Seq.empty))
@@ -59,19 +67,33 @@ class AnnMaintainSpec extends AnyFunSuite with BeforeAndAfterAll {
       q.processAllAvailable()
       t.upsert(vecs(50L until 55L, 4L)) // add batch 2
       q.processAllAvailable()
+      // REVIVAL: two deleted keys net-re-insert in a LATER batch — the
+      // lake revives them, and the order-aware mask must too (an
+      // order-blind vec_id anti join would mask them forever)
+      t.upsert(vecs(Seq(10L, 11L), 5L))
+      q.processAllAvailable()
+      // UPDATE: two live keys change embedding — decomposed into a
+      // same-batch tombstone + re-add; the add wins the tie, every
+      // older copy of the key stays masked
+      t.upsert(vecs(Seq(5L, 20L), 6L, embU))
+      q.processAllAvailable()
 
-      // the index files the build wrote are byte-untouched: adds and
-      // deletes landed ONLY as new batch dirs beside them
+      // the index files the build wrote are byte-untouched: adds,
+      // deletes, and updates landed ONLY as new batch dirs beside them
       assert(baseFiles(idx.baseDir) == frozen,
         "streaming maintenance must never rewrite the built index")
-      assert(idx.tombstones.exists(_.count() == 8))
+      // 8 deletes + 2 update tombstones
+      assert(idx.tombstones.exists(_.count() == 10))
 
       val finalCorpus = t.snapshotUser().select("vec_id", "embedding")
-      assert(finalCorpus.count() == 40 + 10 + 5 - 8)
+      assert(finalCorpus.count() == 40 + 10 + 5 - 8 + 2)
+      assert(idx.survivors.count() == finalCorpus.count(),
+        "exactly one live copy per surviving key")
 
       // FULL probe: the maintained index ≡ a fresh index batch-built
       // over the same final corpus (both ≡ brute force — completeness:
-      // nothing lost, nothing duplicated, every delete masked)
+      // nothing lost, nothing duplicated, every delete masked, revived
+      // keys present, updated keys at their NEW embedding)
       val fresh = IvfStreamIndex(spark, s"$work/idx_rebuild")
       fresh.build(finalCorpus, cells = 4)
       val got = idx.topK(probe = 4).collect().map(_.toSeq).toSeq
@@ -87,16 +109,6 @@ class AnnMaintainSpec extends AnyFunSuite with BeforeAndAfterAll {
         .ivfProbeTopK(idx.centroids, replayCorpus, probe = 2)
         .collect().map(_.toSeq).toSeq
       assert(idx.topK(probe = 2).collect().map(_.toSeq).toSeq == replay)
-
-      // updates are refused loudly: the tombstone mask is by vec_id, so
-      // an update's re-add would mask itself — rebuild is the lever
-      t.upsert(vecs(Seq(5L), 9L))
-      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-        q.processAllAvailable()
-      }
-      assert(err.getMessage.contains("ann-maintain supports insert/delete")
-        || Option(err.getCause).exists(_.getMessage
-          .contains("ann-maintain supports insert/delete")))
     } finally q.stop()
   }
 
@@ -123,6 +135,96 @@ class AnnMaintainSpec extends AnyFunSuite with BeforeAndAfterAll {
     // post-rebuild batches register normally
     idx.addBatch(vecs(Seq(50L), 3L).select("vec_id", "embedding"), 3L)
     assert(idx.pendingBatches == 1 && idx.corpus.count() == 38)
+  }
+
+  test("delete-then-re-insert revives the key; rebuild keeps it; update re-add wins its same-batch tombstone") {
+    val work = Files.createTempDirectory("annrevive").toString
+    val idx = IvfStreamIndex(spark, s"$work/idx")
+    idx.build(vecs(0L until 30L, 1L).select("vec_id", "embedding"), cells = 4)
+    idx.addBatch(vecs(30L until 35L, 2L).select("vec_id", "embedding"), 1L)
+    idx.deleteBatch(vecs(Seq(3L, 30L), 2L).select("vec_id"), 2L)
+    // batch 3 re-inserts both deleted keys (the revival) …
+    idx.addBatch(vecs(Seq(3L, 30L), 3L).select("vec_id", "embedding"), 3L)
+    // … and batch 4 is an UPDATE of key 7: tombstone + re-add under the
+    // SAME batch id (AnnMaintain's decomposition) — add wins the tie
+    idx.deleteBatch(vecs(Seq(7L), 4L).select("vec_id"), 4L)
+    idx.addBatch(vecs(Seq(7L), 4L, embU).select("vec_id", "embedding"), 4L)
+
+    // survivors: every key 0..34 alive exactly once, key 7 at embU
+    assert(idx.survivors.count() == 35)
+    val fresh = IvfStreamIndex(spark, s"$work/fresh")
+    fresh.build(
+      vecs(0L until 35L, 9L, i => if (i == 7L) embU(i) else emb(i))
+        .select("vec_id", "embedding"), cells = 4)
+    assert(idx.topK(probe = 4).collect().map(_.toSeq).toSeq ==
+      fresh.topK(probe = 4).collect().map(_.toSeq).toSeq)
+
+    // rebuild keeps revived + updated keys (same mask, folded in)
+    idx.rebuild(throughBatch = 4L, cells = 4)
+    assert(idx.corpus.count() == 35 && idx.tombstones.isEmpty)
+    assert(idx.topK(probe = 4).collect().map(_.toSeq).toSeq ==
+      fresh.topK(probe = 4).collect().map(_.toSeq).toSeq)
+  }
+
+  test("a rebuild racing a batch write cannot strand or duplicate the batch") {
+    val work = Files.createTempDirectory("annrace").toString
+    val idx = IvfStreamIndex(spark, s"$work/idx")
+    idx.build(vecs(0L until 30L, 1L).select("vec_id", "embedding"), cells = 4)
+    // a maintenance-window rebuild lands right after the batch dir is
+    // written, before the post-write pointer re-check (the race window)
+    idx.onBatchWrite = () => {
+      idx.onBatchWrite = () => ()
+      idx.rebuild(throughBatch = 0L, cells = 4)
+    }
+    idx.addBatch(vecs(30L until 33L, 2L).select("vec_id", "embedding"), 1L)
+    // the rebuild folded the just-written dir (its through watermark
+    // covers every dir it read), so the re-check no-ops: 33 vectors,
+    // present exactly once, no pending dir left behind
+    assert(idx.rebuiltThrough == 1L)
+    assert(idx.pendingBatches == 0)
+    assert(idx.corpus.count() == 33)
+    assert(idx.corpus.select("vec_id").distinct().count() == 33)
+    // and a generation swap that did NOT fold the in-flight dir (a
+    // rebuild whose scan missed it) forces a re-append into the live
+    // generation instead of stranding the batch in the superseded one
+    idx.onBatchWrite = () => {
+      idx.onBatchWrite = () => ()
+      idx.build(vecs(0L until 33L, 5L).select("vec_id", "embedding"),
+        cells = 4)
+    }
+    idx.addBatch(vecs(Seq(40L), 3L).select("vec_id", "embedding"), 2L)
+    assert(idx.pendingBatches == 1,
+      "the re-appended batch must land in the live generation")
+    assert(idx.corpus.count() == 34)
+    assert(idx.corpus.filter(col("vec_id") === 40L).count() == 1)
+  }
+
+  test("pointer is versioned: highest wins, a stale one beside it is harmless, legacy GEN still reads") {
+    val work = Files.createTempDirectory("annptr").toString
+    val idx = IvfStreamIndex(spark, s"$work/idx")
+    idx.build(vecs(0L until 20L, 1L).select("vec_id", "embedding"), cells = 4)
+    idx.rebuild(throughBatch = 5L, cells = 4)
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // exactly one live pointer after the swap retired the old one
+    val ptrs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$work/idx"))
+      .map(_.getPath.getName).filter(_.startsWith("GEN.g")).sorted
+    assert(ptrs.toSeq == Seq("GEN.g1"))
+    assert(idx.rebuiltThrough == 5L)
+    // a crashed swap's leftover STALE pointer must not win resolution
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$work/idx/GEN.g0"), true)
+    try out.write("0 -1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    assert(idx.rebuiltThrough == 5L, "highest pointer version must win")
+    assert(idx.corpus.count() == 20)
+    // legacy unversioned GEN file (pre-versioning layout) still resolves
+    fs.delete(new org.apache.hadoop.fs.Path(s"$work/idx/GEN.g1"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$work/idx/GEN.g0"), false)
+    val leg = fs.create(new org.apache.hadoop.fs.Path(s"$work/idx/GEN"), true)
+    try leg.write("1 5".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally leg.close()
+    assert(idx.rebuiltThrough == 5L && idx.exists)
   }
 
   test("streaming auto-rebuild: rebuildEvery folds the index inside the stream") {

@@ -251,11 +251,62 @@ object Curation {
     * candidate frame.
     */
   def bm25TopK(s: SparkSession, dir: String): DataFrame = {
-    val tk = bm25Tokens(s, dir)
-    val tf = tk.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    bm25Score(bm25Cap(tf), dfreq, dl, bm25Queries(tk))
+    // QUERY PARSING on the driver (the coordinator step every search
+    // engine has): the query term sets are bounded metadata — tokens
+    // of 3 documents — collected once. They make the gate's volume
+    // check exact and free (64·|pairs| needs no job), turn the query
+    // frame into a local relation (broadcast without a scan), and let
+    // tf restrict to query tokens INSIDE the corpus scan below.
+    val q = collectQueryTerms(s, dir)
+    val (tfQ, dl) = postingLookup(docs(s, dir), q.map(_._2).distinct.toSeq)
+    val dfreq = tfQ.groupBy("token").agg(count(lit(1)).as("df"))
+    bm25Score(bm25Cap(tfQ), dfreq, dl, queryFrame(s, q), 64L * q.length)
+  }
+
+  /** The per-query term sets (tokens of docs 0–2), driver-collected:
+    * bounded query metadata, identical rows to the old distributed
+    * `bm25Queries(tk)` frame.
+    */
+  private def collectQueryTerms(s: SparkSession,
+      dir: String): Array[(Long, String)] =
+    bm25Queries(bm25Tokens(s, dir))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(identity)
+
+  private def queryFrame(s: SparkSession,
+      q: Array[(Long, String)]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(q.map(p =>
+      org.apache.spark.sql.Row(p._1, p._2)).toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("token",
+          org.apache.spark.sql.types.StringType))))
+  }
+
+  /** Posting-list LOOKUP, not index scan: only the query's tokens can
+    * contribute to a score, and the per-term impact cap is independent
+    * across terms, so restricting tf to query tokens INSIDE the corpus
+    * scan (an array filter before the explode — no full-vocabulary
+    * explode, shuffle, or window) is byte-identical to capping the
+    * full vocabulary and joining after. Document length needs no
+    * explode either: dl = count of non-empty tokens is a per-row
+    * expression; docs with zero tokens drop out exactly as they do
+    * from an exploded groupBy. One corpus scan per frame, both
+    * map-side only.
+    */
+  private def postingLookup(d: DataFrame,
+      tokens: Seq[String]): (DataFrame, DataFrame) = {
+    val toks = split(col("text"), " ")
+    val inQuery: Column => Column =
+      if (tokens.isEmpty) _ => lit(false) else _.isInCollection(tokens)
+    val tfQ = d.select(col("doc_id"),
+        explode(filter(toks, t => inQuery(t))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = d.select(col("doc_id"),
+        size(filter(toks, t => length(t) > 0)).cast("long").as("dl"))
+      .filter(col("dl") > 0)
+    (tfQ, dl)
   }
 
   private def bm25Tokens(s: SparkSession, dir: String): DataFrame =
@@ -294,7 +345,11 @@ object Curation {
     * 64-posting cap ≈ tens of KBs of candidates, pruned at 2× the
     * naive plan's total cost). Production retrieval workloads cross
     * the floor through query COUNT: 10k queries × 100 low terms × 64
-    * capped postings ≈ 64M candidates, where the cut dominates.
+    * capped postings ≈ 64M candidates, where the cut dominates. The
+    * floor check itself costs one tiny query-frame count, never an
+    * impact-frame job: 64·|query-term pairs| bounds the low volume
+    * from above, so a below-floor workload short-circuits to the
+    * naive single-job plan before any bound analysis runs.
     * Session-overridable via [[Bm25BlockMaxMinLowConf]] (specs set 0
     * to force engagement on small fixtures).
     */
@@ -311,8 +366,9 @@ object Curation {
     * builds — see [[bm25TopK]] for the arithmetic derivation.
     */
   private def bm25Score(imp: DataFrame, dfreq: DataFrame,
-      dl: DataFrame, qt: DataFrame): DataFrame =
-    bm25ScorePlan(imp, dfreq, dl, qt).result
+      dl: DataFrame, qt: DataFrame,
+      volUpper: Long = Long.MaxValue): DataFrame =
+    bm25ScorePlan(imp, dfreq, dl, qt, volUpper).result
 
   /** Block-max (WAND-family) two-level shortlist — EXACT top-10, same
     * hash as the naive all-candidates sum, with the candidate frame cut
@@ -344,11 +400,16 @@ object Curation {
     * when some query's `ub_low < Σ tmax(high)`, a NECESSARY condition
     * for any prune to fire (t10 ≤ Σ high tmax always). On uniform-
     * impact corpora — block-max's worst case, where no bound can prove
-    * anything — the plan falls back to the naive one-join scoring over
-    * the shared cached impact frame, paying nothing for the machinery.
+    * anything — the plan falls back to the naive one-join scoring,
+    * paying nothing for the machinery. The volume floor itself is
+    * decided FIRST from the 64-posting cap alone (low volume ≤
+    * 64·|query-term pairs|), so a below-floor workload never runs the
+    * per-term bound-analysis job at all — its fallback IS the naive
+    * single-job plan, not naive-plus-an-analysis-stage.
     */
   private def bm25ScorePlan(imp: DataFrame, dfreq: DataFrame,
-      dl: DataFrame, qt: DataFrame): Bm25Plan = {
+      dl: DataFrame, qt: DataFrame,
+      volUpper: Long = Long.MaxValue): Bm25Plan = {
     val s = imp.sparkSession
     import scala.jdk.CollectionConverters._
     val high = s.conf.getOption(Bm25HighTermsConf)
@@ -365,10 +426,48 @@ object Curation {
     val satU = expr(
       "(CAST(44000000 AS DECIMAL(38,0)) * l * tf) DIV " +
         "(CAST(20 AS DECIMAL(38,0)) * l * tf + 6 * l + 18 * dl * n)")
+    val minLow = s.conf.getOption(Bm25BlockMaxMinLowConf)
+      .map(_.toLong).getOrElse(Bm25BlockMaxMinLow)
+    // ---- volume-floor SHORT-CIRCUIT: ZERO extra jobs on the naive
+    // path. Every capped posting list holds ≤ 64 entries, so the low
+    // candidate volume is ≤ 64·|query-term pairs| whatever the split;
+    // `volUpper` bounds that from the query docs' n_chars (a two-column
+    // driver mini-read the caller already pays). Below the floor, the
+    // gate's volume conjunct is already decided: the per-term
+    // tmax/count analysis (a distributed job over the impact frame)
+    // never runs and the fallback plans EXACTLY the naive one-join
+    // single-job shape — query terms broadcast in-plan, nothing
+    // persisted. The engaged path's decision is unchanged: when the
+    // bound clears the floor, the exact analysis below still applies
+    // every original conjunct (including the true volume floor).
+    def naive(qtF: DataFrame, release: DataFrame*): Bm25Plan = {
+      val cand = imp.join(broadcast(qtF), "token")
+        .filter(col("doc_id") =!= col("query_id"))
+        .join(dfreq, "token").join(dl, "doc_id")
+        .crossJoin(broadcast(cs))
+        .select(col("query_id"), col("doc_id"),
+          (idfM * satU).as("su_sum"), lit(1L).as("n"))
+      val sc = cand.groupBy("query_id", "doc_id")
+        .agg(sum("su_sum").as("score_u"), sum("n").as("n_terms"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score_u").desc, col("doc_id").asc)
+      val res = sc.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("doc_id"), col("score_u"),
+          col("n_terms"), col("rk").cast("int").as("rk"))
+        .orderBy("query_id", "rk")
+      Bm25Plan(
+        if (release.isEmpty) res else Dedup.releaseAfter(res, release: _*),
+        cand, cand)
+    }
+    if (volUpper < minLow) return naive(qt)
+    val qtC = qt.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // hint inconclusive (or absent — direct spec calls): one tiny count
+    // of the query frame still beats the impact-frame analysis job
+    if (64L * qtC.count() < minLow) return naive(qtC, qtC)
     // impacts only for terms some query asks about — O(query terms × 64)
     // postings touched, exactly the naive plan's candidate frame; cached
     // because both scoring paths and the bound analysis read it.
-    val qtC = qt.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val post = imp.join(broadcast(qtC.select("token").distinct()), "token")
       .join(dfreq, "token").join(dl, "doc_id")
       .crossJoin(broadcast(cs))
@@ -438,8 +537,6 @@ object Curation {
     // constant stage overhead — [[Bm25BlockMaxMinLowConf]]). Falling
     // back costs nothing in exactness — the naive one-join scoring
     // over the same cached impact frame.
-    val minLow = s.conf.getOption(Bm25BlockMaxMinLowConf)
-      .map(_.toLong).getOrElse(Bm25BlockMaxMinLow)
     if (splits.map(_.lowVol).sum < minLow ||
       !splits.exists(sp => sp.lowT.size > sp.highT.size &&
         sp.ubLow < sp.highSum)) {
@@ -512,10 +609,12 @@ object Curation {
     */
   private[queries] def bm25TopKPlan(s: SparkSession, dir: String): Bm25Plan = {
     val tk = bm25Tokens(s, dir)
-    val tf = tk.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val qt = bm25Queries(tk)
+    val tfQ = tk.join(broadcast(qt.select("token").distinct()), "token")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    bm25ScorePlan(bm25Cap(tf), dfreq, dl, bm25Queries(tk))
+    val dfreq = tfQ.groupBy("token").agg(count(lit(1)).as("df"))
+    bm25ScorePlan(bm25Cap(tfQ), dfreq, dl, qt)
   }
 
   /** Incremental BM25 (`text_bm25_incr`): the corpus impact index
@@ -545,12 +644,16 @@ object Curation {
   def bm25IncrementalAt(s: SparkSession, dir: String,
       split: Long): DataFrame = {
     val tk = bm25Tokens(s, dir)
+    val q = collectQueryTerms(s, dir)
+    val qtT = q.map(_._2).distinct.toSeq
     def parts(t: DataFrame): (DataFrame, DataFrame, DataFrame) = {
       val tf = t.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       (bm25Cap(tf),
         tf.groupBy("token").agg(count(lit(1)).as("df")),
         t.groupBy("doc_id").agg(count(lit(1)).as("dl")))
     }
+    // the STAGED corpus index stays full-vocabulary — it is the
+    // query-independent artifact every later query reuses
     val (cImp0, cDf0, cDl0) = parts(tk.filter(col("doc_id") < split))
     def staged(kind: String, df0: DataFrame): DataFrame =
       s.conf.getOption(Dedup.StageDirConf) match {
@@ -562,12 +665,22 @@ object Curation {
       }
     val (cImp, cDf, cDl) =
       (staged("imp", cImp0), staged("df", cDf0), staged("dl", cDl0))
-    val (iImp, iDf, iDl) = parts(tk.filter(col("doc_id") >= split))
-    val imp = bm25Cap(cImp.unionByName(iImp))
-    val dfreq = cDf.unionByName(iDf)
+    // READ-side posting-list lookup ([[postingLookup]]): the staged
+    // index restricts to the query's tokens (the lists an inverted
+    // index would fetch), and the increment's tf/dl come straight off
+    // the increment scan with no explode-shuffle; per-term cap
+    // independence keeps it byte-identical to the full re-cap
+    val inQ: Column => Column =
+      if (qtT.isEmpty) _ => lit(false) else _.isInCollection(qtT)
+    val (tfI, iDl) = postingLookup(
+      docs(s, dir).filter(col("doc_id") >= split), qtT)
+    val imp = bm25Cap(
+      cImp.filter(inQ(col("token"))).unionByName(bm25Cap(tfI)))
+    val dfreq = cDf.filter(inQ(col("token")))
+      .unionByName(tfI.groupBy("token").agg(count(lit(1)).as("df")))
       .groupBy("token").agg(sum("df").as("df"))
     val dl = cDl.unionByName(iDl)
-    bm25Score(imp, dfreq, dl, bm25Queries(tk))
+    bm25Score(imp, dfreq, dl, queryFrame(s, q), 64L * q.length)
   }
 
   /** Repetitiveness quality signal (the Gopher-rules family): the share

@@ -64,6 +64,11 @@ object Bench {
     if (stageDir.nonEmpty)
       try graft.queries.Similarity.warmIvfIndex(spark, sfDir)
       catch { case _: Throwable => () }
+    // the streaming-maintained IVF fixture (lake table + CDC stream +
+    // mid-stream rebuild) — sim_ivf_stream should time the probe, not
+    // the one-time stream drive
+    try graft.queries.Similarity.warmIvfStream(spark, sfDir)
+    catch { case _: Throwable => () }
     // and the INCREMENTAL index artifacts (split centroids + appended
     // cell layout, shared by sim_knn_incr and sim_ivf_incr)
     if (stageDir.nonEmpty)

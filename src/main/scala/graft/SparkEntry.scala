@@ -236,6 +236,7 @@ object SparkEntry {
     // IVF index DELETE maintenance (faiss remove_ids): tombstone
     // sidecar masks candidates at probe time, index files untouched
     "sim_ivf_delete" -> ((s, dir) => Similarity.ivfDeleteTopK(s, dir)),
+    "sim_ivf_stream" -> ((s, dir) => Similarity.ivfStreamTopK(s, dir)),
     // hybrid lexical+vector retrieval, reciprocal-rank fusion (k=60)
     "sim_hybrid_rrf" -> ((s, dir) => Similarity.hybridTopK(s, dir)),
     // MMR diversified rerank of the top-20 shortlist (lambda = 0.5)
@@ -525,6 +526,20 @@ object SparkEntry {
   private def ivfDeleteOracleSql: String =
     ivfProbeOracle("WHERE vec_id < 3", 10, "query_id", "vec_id",
       " AND a.vec_id % 10 <> 7")
+
+  /** The `sim_ivf_stream` oracle: trainer replay on the REBUILD-TIME
+    * survivor set (everything ever streamed in minus the pre-rebuild
+    * delete batch, `vec_id % 10 <> 3` — the mid-stream rebuild retrains
+    * on exactly that corpus), full assignment to those centroids, and
+    * candidates filtered to the FINAL survivors (the post-rebuild
+    * tombstone batch `% 20 = 4` masks without retraining) — masking
+    * post-assignment equals filtering pre-assignment because cell
+    * assignment is per-vector.
+    */
+  private def ivfStreamOracleSql: String =
+    ivfProbeOracle("WHERE vec_id < 3", 10, "query_id", "vec_id",
+      " AND a.vec_id % 10 <> 3 AND a.vec_id % 20 <> 4",
+      "WHERE vec_id % 10 <> 3")
 
   /** The `sim_knn_graph` oracle: the same trainer replay, but every
     * corpus vector is a query and the output keeps k=3 neighbors as
@@ -1182,9 +1197,10 @@ object SparkEntry {
   }
 
   private def ivfProbeOracle(queryWhere: String, k: Int,
-      outId: String, outNbr: String, candWhere: String = ""): String = {
+      outId: String, outNbr: String, candWhere: String = "",
+      trainWhere: String = ""): String = {
     import graft.queries.Similarity.{IvfIters, IvfProbe}
-    s"""$ivfTrainAssignCtes,
+    s"""${ivfTrainAssignCtes("", trainWhere)},
        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e $queryWhere),
        |qs AS (
        |  SELECT q.query_id, c.cell,
@@ -3780,6 +3796,7 @@ object SparkEntry {
       ("sim_knn_incr" -> knnIncrOracleSql) +
       ("sim_ivf_incr" -> ivfIncrOracleSql) +
       ("sim_ivf_delete" -> ivfDeleteOracleSql) +
+      ("sim_ivf_stream" -> ivfStreamOracleSql) +
       ("sim_components" -> componentsOracleSql()) +
       ("sim_filtered_topk" -> filteredTopKSql) +
       ("sim_probe_sweep" -> probeSweepSql()) +

@@ -1823,6 +1823,73 @@ object Similarity {
     }
   }
 
+  /** Streaming-maintained IVF index probe (`sim_ivf_stream`): the full
+    * [[graft.pipelines.AnnMaintain]] loop under the hash gate. The
+    * fixture drives a REAL structured stream — an embeddings lake table
+    * whose CDC feed folds into an [[IvfStreamIndex]] — through the
+    * whole maintenance lifecycle: initial build from the snapshot, two
+    * add batches and a delete batch, a MID-STREAM auto-rebuild
+    * (`rebuildEvery = 3` retrains on the survivors and folds the batch
+    * dirs away), then one more delete batch that stays as an unfolded
+    * tombstone at probe time. The probed top-10 therefore exercises
+    * generation swap + order-aware tombstone masking together, and the
+    * oracle replays it exactly: trainer on the rebuild-time survivor
+    * set (`vec_id % 10 <> 3` — everything ever inserted minus the
+    * pre-rebuild delete), full assignment, candidates filtered to the
+    * final survivors (also `% 20 <> 4`, the post-rebuild tombstones).
+    *
+    * Slices by vec_id: base = %10 ∉ {8,9}; add batch = %10 = 8; delete
+    * batch = %10 = 3; add batch = %10 = 9 (triggers the rebuild);
+    * delete batch = %20 = 4. One micro-batch per table commit
+    * (`processAllAvailable` after each), so batch boundaries — and
+    * with them the rebuild point — are deterministic at every SF.
+    */
+  def ivfStreamTopK(s: SparkSession, dir: String,
+      probe: Int = IvfProbe): DataFrame = {
+    val root = streamIdxRoots.getOrElseUpdate(dir,
+      buildIvfStreamFixture(s, dir))
+    IvfStreamIndex(s, root).topK(probe)
+  }
+
+  private val streamIdxRoots =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Pre-build the `sim_ivf_stream` fixture outside the timed query. */
+  private[graft] def warmIvfStream(s: SparkSession, dir: String): Unit = {
+    streamIdxRoots.getOrElseUpdate(dir, buildIvfStreamFixture(s, dir))
+    ()
+  }
+
+  private def buildIvfStreamFixture(s: SparkSession, dir: String): String = {
+    import graft.lake.{LakeTable, TableMeta}
+    val work = java.nio.file.Files.createTempDirectory("graft_ivfstream")
+      .toString
+    val e = Relational.t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    def slice(pred: Column, ts: Long) =
+      e.filter(pred).withColumn("created_ts", lit(ts))
+    val t = LakeTable.create(s, s"$work/emb",
+      TableMeta("ivfstream", Seq("vec_id"), "created_ts", Seq.empty))
+    t.upsert(slice(col("vec_id") % 10 =!= 8 && col("vec_id") % 10 =!= 9, 1L))
+    val q = graft.pipelines.AnnMaintain.runStream(s, t.path, s"$work/idx",
+      s"$work/ckpt", cells = IvfCells, rebuildEvery = 3)
+    try {
+      q.processAllAvailable() // index built from the base snapshot
+      t.upsert(slice(col("vec_id") % 10 === 8, 2L)); q.processAllAvailable()
+      t.delete(slice(col("vec_id") % 10 === 3, 3L)); q.processAllAvailable()
+      // third registered batch dir → the auto-rebuild fires here
+      t.upsert(slice(col("vec_id") % 10 === 9, 4L)); q.processAllAvailable()
+      t.delete(slice(col("vec_id") % 20 === 4, 5L)); q.processAllAvailable()
+    } finally q.stop()
+    val idx = IvfStreamIndex(s, s"$work/idx")
+    require(idx.rebuiltThrough >= 0,
+      "sim_ivf_stream fixture: the mid-stream rebuild did not fire")
+    require(idx.pendingBatches == 1,
+      "sim_ivf_stream fixture: the post-rebuild tombstone batch must " +
+        s"stay unfolded at probe time (got ${idx.pendingBatches})")
+    s"$work/idx"
+  }
+
   /** ANN recall evaluation harness (`sim_recall_eval`): recall@10 of
     * the LSH-bucketed and probed-IVF retrieval paths against the exact
     * brute-force top-10, per (method, query), in integer basis points.

@@ -110,6 +110,7 @@ object SparkEntry {
     // hidden partitioning: days(ets) derived at write (UTC), source-
     // column range read prunes day dirs, moved keys relocate
     "lake_hidden_partition" -> (LakeQueries.lakeHiddenPartition _),
+    "lake_partition_expire" -> (LakeQueries.lakePartitionExpire _),
     "lake_time_travel" -> (LakeQueries.lakeTimeTravel _),
     // savepoint-restore: roll back a destructive commit, read the snapshot
     "lake_restore" -> (LakeQueries.lakeRestore _),
@@ -2758,6 +2759,30 @@ object SparkEntry {
          |FROM m
          |WHERE ets >= 757382400000 AND ets < 820454400000
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // partition retention: the oracle replays the two-generation merge
+    // once, then emits the post-expire snapshot (months >= cutoff only)
+    // and the pre-expire time travel (every month) over the SAME slice
+    // straddling the cutoff — a retention leak on either side hash-fails
+    "lake_partition_expire" ->
+      s"""$lakeCtes, m AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    CASE WHEN l_orderkey < 200
+         |      THEN l_quantity + 5000 ELSE l_quantity END AS l_quantity,
+         |    CASE WHEN l_orderkey < 200
+         |      THEN created_ts * 1000 + CAST(31 AS BIGINT) * 86400000
+         |      ELSE created_ts * 1000 END AS ets
+         |  FROM b1),
+         |f AS (
+         |  SELECT l_orderkey, l_linenumber, l_quantity, ets,
+         |    strftime(DATE '1970-01-01' +
+         |      CAST(ets // 86400000 AS INTEGER), '%Y-%m') AS ts_months
+         |  FROM m
+         |  WHERE ets >= 820454400000 AND ets < 883612800000)
+         |SELECT 'post_expire' AS view, * FROM f WHERE ts_months >= '1997-01'
+         |UNION ALL
+         |SELECT 'time_travel' AS view, * FROM f
+         |ORDER BY view, l_orderkey, l_linenumber""".stripMargin,
 
     // hilbert clustering is a layout-only service: the oracle replays
     // the same merge + box filter the z-order gate replays

@@ -96,8 +96,14 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     * write path used, which equals the stored directory value
     * bit-for-bit (HiddenPartitionSpec pins dirs == derivation).
     */
-  def snapshotWithDerived(): DataFrame =
-    _meta.partitionDerivations.foldLeft(snapshot()) {
+  def snapshotWithDerived(): DataFrame = snapshotWithDerived(MaxInstant)
+
+  /** [[snapshotWithDerived]] as of `instant` — time travel with the
+    * hidden values appended (e.g. auditing what a retention
+    * [[expirePartitions]] dropped).
+    */
+  def snapshotWithDerived(instant: String): DataFrame =
+    _meta.partitionDerivations.foldLeft(snapshotAsOf(instant)) {
       case (d, (dcol, LakeTable.DerivationSpec(fn, src))) =>
         d.withColumn(dcol,
           LakeTable.partitionTransform(fn, col(src), d.schema(src).dataType))

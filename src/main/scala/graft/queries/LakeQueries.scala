@@ -101,6 +101,7 @@ object LakeQueries {
     timed("zorder")(zorderFixture(s, dir))
     timed("zorder_string")(zorderStrFixture(s, dir))
     timed("hidden_partition")(hiddenPartFixture(s, dir))
+    timed("partition_expire")(expireFixture(s, dir))
     timed("hilbert")(hilbertFixture(s, dir))
     timed("bucket_join")(bucketJoinFixture(s, dir))
     timed("group_asof")(groupFixture(s, dir))
@@ -353,6 +354,64 @@ object LakeQueries {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("ets"), col("ts_months"))
       .orderBy("l_orderkey", "l_linenumber")
+
+  /** The hidden-partition fixture AFTER retention: same two-generation
+    * build as [[hiddenPartFixture]] (its own table — that fixture's
+    * gate must keep seeing the unexpired state), then
+    * `expirePartitions("ts_months", "1995-01")` logically drops every
+    * month directory before 1995 in one metadata-only delete commit.
+    * The pre-expire commit instant rides along for the time-travel leg.
+    */
+  private val expireFixtures =
+    scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  private def expireFixture(s: SparkSession, dir: String): (LakeTable, String) = {
+    val (path, pre) = expireFixtures.getOrElseUpdate(dir, {
+      val work = Files.createTempDirectory("graft_lakeq").toString
+      val t = LakeTable.create(s, s"$work/t",
+        TableMeta("lakeq_expire", Seq("l_orderkey", "l_linenumber"),
+          "created_ts", Seq("ts_months"),
+          partitionDerivations = Map("ts_months" -> "months(ets)")))
+      val preExpire = withBatch1(s, dir) { b1 =>
+        val src = b1.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"), col("created_ts"))
+          .withColumn("ets", col("created_ts") * 1000)
+        t.upsert(src, combine = false)
+        t.upsert(src.filter(col("l_orderkey") < 200)
+          .withColumn("ets", col("ets") + 31L * 86400000L)
+          .withColumn("l_quantity", col("l_quantity") + 5000)
+          .withColumn("created_ts", col("created_ts") + 9),
+          combine = false)
+      }
+      val dropped = t.expirePartitions("ts_months", "1997-01")
+      require(dropped.nonEmpty && dropped.forall(_ < "1997-01"),
+        s"expire fixture: expected pre-1997 months dropped, got $dropped")
+      (t.path, preExpire)
+    })
+    (LakeTable.load(s, path), pre)
+  }
+
+  /** Partition retention under the gate (`lake_partition_expire`): one
+    * result frame carries BOTH sides of the retention contract over a
+    * slice that STRADDLES the cutoff — the post-expire snapshot must
+    * hold exactly the surviving months (an expired row leaking back, or
+    * an over-eager drop, hash-fails), while a time-travel read at the
+    * pre-expire instant must still see every expired row (the
+    * metadata-only drop promises old snapshots intact until clean() —
+    * the lake_txn_group widen-the-slice trick applied to retention).
+    */
+  def lakePartitionExpire(s: SparkSession, dir: String): DataFrame = {
+    val (t, pre) = expireFixture(s, dir)
+    // [1996-01-01, 1998-01-01) — straddles the 1997-01 retention cutoff
+    val range = col("ets") >= 820454400000L && col("ets") < 883612800000L
+    val cols = Seq(col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity"), col("ets"), col("ts_months"))
+    val post = t.snapshotWithDerived().filter(range)
+      .select(lit("post_expire").as("view") +: cols: _*)
+    val tt = t.snapshotWithDerived(pre).filter(range)
+      .select(lit("time_travel").as("view") +: cols: _*)
+    post.unionByName(tt).orderBy("view", "l_orderkey", "l_linenumber")
+  }
 
   /** Two co-bucketed tables (fixed 8-bucket hash layout on the record
     * key, `TableMeta.bucketCount`) for the storage-partitioned-join

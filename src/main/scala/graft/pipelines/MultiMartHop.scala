@@ -119,9 +119,22 @@ object MultiMartHop {
       .start()
   }
 
+  /** Parse the `name:aggKey[+aggKey...]:aggCol[,name:...]` marts spec
+    * into per-mart configs under `base` (shared by [[main]] and the
+    * `LakeCli multimart` subcommand). Record keys default to the
+    * grouping keys (one row per group).
+    */
+  private[graft] def parseMarts(base: PipelineConfig,
+      spec: String): Seq[PipelineConfig] =
+    spec.split(",").map(_.trim).filter(_.nonEmpty).map { m =>
+      val Array(name, keys, aggCol) = m.split(":")
+      val aggKeys = keys.split("\\+").toSeq
+      base.copy(tableName = name, targetTablePath = s"${base.basePath}/$name",
+        recordKeyFields = aggKeys, aggKeys = aggKeys, aggCol = aggCol)
+    }.toSeq
+
   /** CLI: `--source-table-path <dwd> --base-path <root> --checkpoint-dir
-    * <ckpt> --marts name:aggKey[+aggKey...]:aggCol[,name:...]`. Record
-    * keys default to the grouping keys (one row per group).
+    * <ckpt> --marts name:aggKey[+aggKey...]:aggCol[,name:...]`.
     */
   def main(args: Array[String]): Unit = {
     val (martArg, rest) = {
@@ -129,13 +142,7 @@ object MultiMartHop {
       require(i >= 0 && i + 1 < args.length, "--marts is required")
       (args(i + 1), args.patch(i, Nil, 2))
     }
-    val base = PipelineConfig.parse(rest)
-    val marts = martArg.split(",").map(_.trim).filter(_.nonEmpty).map { m =>
-      val Array(name, keys, aggCol) = m.split(":")
-      val aggKeys = keys.split("\\+").toSeq
-      base.copy(tableName = name, targetTablePath = s"${base.basePath}/$name",
-        recordKeyFields = aggKeys, aggKeys = aggKeys, aggCol = aggCol)
-    }.toSeq
+    val marts = parseMarts(PipelineConfig.parse(rest), martArg)
     val spark = Sessions.local("multimart-hop")
     spark.sparkContext.setLogLevel("WARN")
     runStreaming(spark, marts).awaitTermination()

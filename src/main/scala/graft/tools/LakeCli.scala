@@ -31,6 +31,7 @@ import graft.util.Sessions
   *   runMain graft.tools.LakeCli rollup-advance   <tablePath> <stateDir> <grp>[,grp...] <valueCol>
   *   runMain graft.tools.LakeCli branch      <tablePath> <destPath> <name>
   *   runMain graft.tools.LakeCli key-history <tablePath> <col=val[,col=val...]>
+  *   runMain graft.tools.LakeCli multimart   <sourceTablePath> <basePath> <ckptDir> <name:aggKey[+k2]:aggCol[,...]> [once]
   */
 object LakeCli {
   def main(args: Array[String]): Unit = {
@@ -204,6 +205,24 @@ object LakeCli {
             case (k, _) => schema(schema.fieldIndex(k))
           }))
         t.keyHistory(probe).show(100, truncate = false)
+      case "multimart" =>
+        // multimart <sourceTablePath> <basePath> <checkpointDir>
+        //   <name:aggKey[+k2]:aggCol[,name:...]> [once]
+        // `once` drains the available data and stops (spec smoke /
+        // catch-up runs); otherwise the hop streams until interrupted.
+        require(args.length > 4, "multimart needs <basePath> " +
+          "<checkpointDir> <name:aggKey[+k2]:aggCol[,...]> [once]")
+        val base = graft.pipelines.PipelineConfig.parse(Array(
+          "--source-table-path", path, "--base-path", args(2),
+          "--checkpoint-dir", args(3), "--trigger-seconds", "1"))
+        val marts = graft.pipelines.MultiMartHop.parseMarts(base, args(4))
+        val q = graft.pipelines.MultiMartHop.runStreaming(spark, marts)
+        if (args.length > 5 && args(5) == "once") {
+          q.processAllAvailable()
+          q.stop()
+          println(s"multimart hop drained into " +
+            marts.map(_.tablePath).mkString(", "))
+        } else q.awaitTermination()
       case other => sys.error(s"unknown command: $other")
     }
   }

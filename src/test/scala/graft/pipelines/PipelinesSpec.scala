@@ -843,6 +843,21 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("LakeCli multimart drives two marts through the CLI surface") {
+    val work = tmp()
+    val dwd = seedDwd(work)
+    graft.tools.LakeCli.run(spark, Array("multimart", dwd.path, work,
+      s"$work/ckpt_cli",
+      "mart_rf:l_returnflag:l_quantity,mart_ls:l_linestatus:l_quantity",
+      "once"))
+    assert(martMismatches(dwd, s"$work/mart_rf", "l_returnflag").isEmpty)
+    assert(martMismatches(dwd, s"$work/mart_ls", "l_linestatus").isEmpty)
+    // both marts advanced to the same watermark (one txn per batch)
+    def wm(p: String) = DwdToDm.resumeWatermark(LakeTable.load(spark, p))
+    assert(wm(s"$work/mart_rf").isDefined &&
+      wm(s"$work/mart_rf") == wm(s"$work/mart_ls"))
+  }
+
   private val addOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
     "java.base/java.lang.reflect", "java.base/java.io",

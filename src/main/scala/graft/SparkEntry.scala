@@ -529,18 +529,24 @@ object SparkEntry {
       " AND a.vec_id % 10 <> 7")
 
   /** The `sim_ivf_stream` oracle: trainer replay on the REBUILD-TIME
-    * survivor set (everything ever streamed in minus the pre-rebuild
-    * delete batch, `vec_id % 10 <> 3` — the mid-stream rebuild retrains
-    * on exactly that corpus), full assignment to those centroids, and
-    * candidates filtered to the FINAL survivors (the post-rebuild
-    * tombstone batch `% 20 = 4` masks without retraining) — masking
-    * post-assignment equals filtering pre-assignment because cell
-    * assignment is per-vector.
+    * survivor set (everything ever streamed in minus both delete
+    * batches, `% 10 <> 3 AND % 20 <> 4` — the mid-stream rebuild
+    * retrains on exactly that corpus, at its then-current ORIGINAL
+    * embeddings), then assignment/probing/scoring over the UPDATED
+    * corpus `eu` (the post-rebuild update batch negated `% 10 = 6`'s
+    * embeddings; its re-add assigns the new value to the old centroids
+    * — faiss's update idiom, no retrain), candidates filtered to the
+    * final survivors. Masking post-assignment equals filtering
+    * pre-assignment because cell assignment is per-vector.
     */
   private def ivfStreamOracleSql: String =
     ivfProbeOracle("WHERE vec_id < 3", 10, "query_id", "vec_id",
       " AND a.vec_id % 10 <> 3 AND a.vec_id % 20 <> 4",
-      "WHERE vec_id % 10 <> 3")
+      "WHERE vec_id % 10 <> 3 AND vec_id % 20 <> 4",
+      "\neu AS (SELECT vec_id, CASE WHEN vec_id % 10 = 6" +
+        " THEN list_transform(embedding, x -> -x)" +
+        " ELSE embedding END AS embedding FROM e),",
+      corpus = "eu")
 
   /** The `sim_knn_graph` oracle: the same trainer replay, but every
     * corpus vector is a query and the output keeps k=3 neighbors as
@@ -1035,7 +1041,8 @@ object SparkEntry {
     * `trainWhere` restricts the TRAINING sample's source rows (the
     * drift oracle trains on snapshot A only, like the Spark side).
     */
-  private def ivfTrainAssignCtes(preCtes: String, trainWhere: String): String = {
+  private def ivfTrainAssignCtes(preCtes: String, trainWhere: String,
+      assignFrom: String = "e"): String = {
     import graft.queries.Similarity.{IvfCells, IvfIters, IvfTrainN}
     def iter(n: Int, prev: String): String =
       s"""s$n AS (
@@ -1067,9 +1074,9 @@ object SparkEntry {
        |    FROM smp) WHERE rn <= $IvfCells),
        |$iterBlocks,
        |fs AS (
-       |  SELECT e.vec_id, c.cell,
-       |    ${cosineOf("e.embedding", "c.cv")} AS csim
-       |  FROM e, c$IvfIters c),
+       |  SELECT $assignFrom.vec_id, c.cell,
+       |    ${cosineOf(s"$assignFrom.embedding", "c.cv")} AS csim
+       |  FROM $assignFrom, c$IvfIters c),
        |asg AS (
        |  SELECT vec_id, cell, csim FROM (
        |    SELECT vec_id, cell, csim, row_number() OVER (
@@ -1197,12 +1204,18 @@ object SparkEntry {
        |ORDER BY query_id, vec_id""".stripMargin
   }
 
+  /** `corpus` names the CTE probing/assignment/scoring read embeddings
+    * from (default `e`; the streaming oracle passes an UPDATED corpus
+    * `eu` while training stays on `e`'s rebuild-time values — faiss's
+    * update idiom: re-assign new vectors to old centroids).
+    */
   private def ivfProbeOracle(queryWhere: String, k: Int,
       outId: String, outNbr: String, candWhere: String = "",
-      trainWhere: String = ""): String = {
+      trainWhere: String = "", preCtes: String = "",
+      corpus: String = "e"): String = {
     import graft.queries.Similarity.{IvfIters, IvfProbe}
-    s"""${ivfTrainAssignCtes("", trainWhere)},
-       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e $queryWhere),
+    s"""${ivfTrainAssignCtes(preCtes, trainWhere, corpus)},
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM $corpus $queryWhere),
        |qs AS (
        |  SELECT q.query_id, c.cell,
        |    ${cosineOf("q.qv", "c.cv")} AS csim
@@ -1219,8 +1232,8 @@ object SparkEntry {
        |  SELECT cand.query_id, cand.vec_id,
        |    ${cosineOf("ce.embedding", "qe.embedding")} AS sim
        |  FROM cand
-       |  JOIN e ce ON ce.vec_id = cand.vec_id
-       |  JOIN e qe ON qe.vec_id = cand.query_id),
+       |  JOIN $corpus ce ON ce.vec_id = cand.vec_id
+       |  JOIN $corpus qe ON qe.vec_id = cand.query_id),
        |r AS (SELECT query_id, vec_id, sim,
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS INT) AS rk
        |  FROM scored)

@@ -1839,10 +1839,14 @@ object Similarity {
     * final survivors (also `% 20 <> 4`, the post-rebuild tombstones).
     *
     * Slices by vec_id: base = %10 ∉ {8,9}; add batch = %10 = 8; delete
-    * batch = %10 = 3; add batch = %10 = 9 (triggers the rebuild);
-    * delete batch = %20 = 4. One micro-batch per table commit
-    * (`processAllAvailable` after each), so batch boundaries — and
-    * with them the rebuild point — are deterministic at every SF.
+    * batch = %10 = 3; add batch = %10 = 9; delete batch = %20 = 4
+    * (fourth registered dir — triggers the rebuild); UPDATE batch =
+    * %10 = 6 negates those embeddings (AnnMaintain decomposes it into
+    * a same-batch tombstone + re-add against the rebuilt generation's
+    * centroids — the faiss update idiom under the gate). One
+    * micro-batch per table commit (`processAllAvailable` after each),
+    * so batch boundaries — and with them the rebuild point — are
+    * deterministic at every SF.
     */
   def ivfStreamTopK(s: SparkSession, dir: String,
       probe: Int = IvfProbe): DataFrame = {
@@ -1872,21 +1876,28 @@ object Similarity {
       TableMeta("ivfstream", Seq("vec_id"), "created_ts", Seq.empty))
     t.upsert(slice(col("vec_id") % 10 =!= 8 && col("vec_id") % 10 =!= 9, 1L))
     val q = graft.pipelines.AnnMaintain.runStream(s, t.path, s"$work/idx",
-      s"$work/ckpt", cells = IvfCells, rebuildEvery = 3)
+      s"$work/ckpt", cells = IvfCells, rebuildEvery = 4)
     try {
       q.processAllAvailable() // index built from the base snapshot
       t.upsert(slice(col("vec_id") % 10 === 8, 2L)); q.processAllAvailable()
       t.delete(slice(col("vec_id") % 10 === 3, 3L)); q.processAllAvailable()
-      // third registered batch dir → the auto-rebuild fires here
       t.upsert(slice(col("vec_id") % 10 === 9, 4L)); q.processAllAvailable()
+      // fourth registered batch dir → the auto-rebuild fires here
       t.delete(slice(col("vec_id") % 20 === 4, 5L)); q.processAllAvailable()
+      // post-rebuild UPDATE: negate %6's embeddings — decomposed into
+      // a same-batch tombstone + re-add against the new generation
+      t.upsert(e.filter(col("vec_id") % 10 === 6)
+        .withColumn("embedding", transform(col("embedding"), x => -x))
+        .withColumn("created_ts", lit(6L)))
+      q.processAllAvailable()
     } finally q.stop()
     val idx = IvfStreamIndex(s, s"$work/idx")
     require(idx.rebuiltThrough >= 0,
       "sim_ivf_stream fixture: the mid-stream rebuild did not fire")
-    require(idx.pendingBatches == 1,
-      "sim_ivf_stream fixture: the post-rebuild tombstone batch must " +
-        s"stay unfolded at probe time (got ${idx.pendingBatches})")
+    require(idx.pendingBatches == 2,
+      "sim_ivf_stream fixture: the post-rebuild update batch (tombstone" +
+        s" + re-add dirs) must stay unfolded at probe time" +
+        s" (got ${idx.pendingBatches})")
     s"$work/idx"
   }
 

@@ -269,8 +269,22 @@ object Curation {
     */
   private def collectQueryTerms(s: SparkSession,
       dir: String): Array[(Long, String)] =
-    bm25Queries(bm25Tokens(s, dir))
-      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(identity)
+    // memoized per corpus-content fingerprint (Dedup.stageTag — the
+    // same keying discipline every staged artifact uses): the terms
+    // are a pure function of the corpus, so a repeat query against an
+    // unchanged corpus skips the parse job entirely
+    bm25QueryCache.getOrElseUpdate(Dedup.stageTag(s, dir),
+      bm25Queries(bm25Tokens(s, dir))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(identity))
+
+  private val bm25QueryCache =
+    scala.collection.concurrent.TrieMap[String, Array[(Long, String)]]()
+
+  /** Memoized 80% split point for [[bm25Incremental]] — corpus
+    * metadata, fingerprint-keyed like [[collectQueryTerms]].
+    */
+  private val bm25SplitCache =
+    scala.collection.concurrent.TrieMap[String, Long]()
 
   private def queryFrame(s: SparkSession,
       q: Array[(Long, String)]): DataFrame = {
@@ -631,13 +645,14 @@ object Curation {
     * exactly because doc sets are disjoint.
     */
   def bm25Incremental(s: SparkSession, dir: String): DataFrame = {
-    val maxIdRow = docs(s, dir).agg(max(col("doc_id"))).head()
-    // empty corpus: split 0 makes both halves empty and the scorer
-    // returns the empty frame with the right schema (the other curation
-    // entry points' empty-input contract), instead of an NPE here
-    val split =
+    val split = bm25SplitCache.getOrElseUpdate(Dedup.stageTag(s, dir), {
+      val maxIdRow = docs(s, dir).agg(max(col("doc_id"))).head()
+      // empty corpus: split 0 makes both halves empty and the scorer
+      // returns the empty frame with the right schema (the other
+      // curation entry points' empty-input contract), not an NPE here
       if (maxIdRow.isNullAt(0)) 0L
       else (maxIdRow.getLong(0) + 1L) * 8L / 10L
+    })
     bm25IncrementalAt(s, dir, split)
   }
 

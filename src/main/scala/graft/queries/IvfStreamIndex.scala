@@ -229,11 +229,13 @@ final case class IvfStreamIndex(s: SparkSession, root: String) {
         .write.mode("overwrite").parquet(f"${genDir(g)}/del/b$batchId%09d")
     }
 
-  /** `_SUCCESS`-complete batch dirs of the current generation, oldest
-    * first.
+  /** `_SUCCESS`-complete batch dirs of generation `g`, oldest first.
+    * Readers PIN a generation once per operation and pass it down —
+    * resolving the pointer per accessor would let a rebuild landing
+    * mid-probe mix two generations in one result.
     */
-  private def batchDirs(kind: String): Seq[String] = {
-    val d = new Path(s"${genDir(gen)}/$kind")
+  private def batchDirsAt(g: Long, kind: String): Seq[String] = {
+    val d = new Path(s"${genDir(g)}/$kind")
     if (!fs.exists(d)) return Seq.empty
     fs.listStatus(d).filter(_.isDirectory).map(_.getPath)
       .filter(p => fs.exists(new Path(p, "_SUCCESS")))
@@ -244,27 +246,32 @@ final case class IvfStreamIndex(s: SparkSession, root: String) {
     new Path(dir).getName.drop(1).toLong
 
   /** Count of registered (unfolded) batch dirs — the rebuild trigger. */
-  def pendingBatches: Int = batchDirs("add").size + batchDirs("del").size
+  def pendingBatches: Int = {
+    val g = gen
+    batchDirsAt(g, "add").size + batchDirsAt(g, "del").size
+  }
 
   /** The registered corpus: base ∪ complete add batches (tombstones NOT
     * applied — see [[survivors]]). May hold several rows per vec_id
     * when a key was deleted and later re-inserted; exactly one of them
     * survives the order-aware mask.
     */
-  def corpus: DataFrame =
-    (Seq(basePath) ++ batchDirs("add"))
+  def corpus: DataFrame = {
+    val g = gen
+    (Seq(s"${genDir(g)}/base") ++ batchDirsAt(g, "add"))
       .map(s.read.parquet(_)).reduce(_.unionByName(_))
+  }
 
   /** Corpus rows tagged with the batch id that registered them (base =
     * -1) — the order key the tombstone mask compares against.
     */
-  private def taggedCorpus(addDirs: Seq[String]): DataFrame =
-    ((s.read.parquet(basePath).withColumn("_ab", lit(-1L))) +:
+  private def taggedCorpus(g: Long, addDirs: Seq[String]): DataFrame =
+    ((s.read.parquet(s"${genDir(g)}/base").withColumn("_ab", lit(-1L))) +:
       addDirs.map(d =>
         s.read.parquet(d).withColumn("_ab", lit(batchIdOf(d)))))
       .reduce(_.unionByName(_))
 
-  def tombstones: Option[DataFrame] = batchDirs("del") match {
+  def tombstones: Option[DataFrame] = batchDirsAt(gen, "del") match {
     case Nil => None
     case ds  => Some(ds.map(s.read.parquet(_)).reduce(_.unionByName(_)))
   }
@@ -292,13 +299,15 @@ final case class IvfStreamIndex(s: SparkSession, root: String) {
     * the KB-scale (vec_id, newest delete) set; the cell-partitioned
     * index files are never rewritten.
     */
-  def survivors: DataFrame =
-    survivorsFrom(batchDirs("add"), batchDirs("del"))
+  def survivors: DataFrame = survivorsAt(gen)
 
-  private def survivorsFrom(addDirs: Seq[String],
+  private def survivorsAt(g: Long): DataFrame =
+    survivorsFrom(g, batchDirsAt(g, "add"), batchDirsAt(g, "del"))
+
+  private def survivorsFrom(g: Long, addDirs: Seq[String],
       delDirs: Seq[String]): DataFrame = taggedTombstones(delDirs) match {
-    case None => taggedCorpus(addDirs).drop("_ab")
-    case Some(t) => taggedCorpus(addDirs)
+    case None => taggedCorpus(g, addDirs).drop("_ab")
+    case Some(t) => taggedCorpus(g, addDirs)
       .join(broadcast(t), Seq("vec_id"), "left")
       .filter(col("_db").isNull || col("_db") <= col("_ab"))
       .drop("_ab", "_db")
@@ -325,14 +334,15 @@ final case class IvfStreamIndex(s: SparkSession, root: String) {
     */
   def rebuild(throughBatch: Long,
       cells: Int = Similarity.IvfCells): Unit = {
-    val addDirs = batchDirs("add")
-    val delDirs = batchDirs("del")
+    val g = gen // pin: dirs, survivors, and the next gen share one view
+    val addDirs = batchDirsAt(g, "add")
+    val delDirs = batchDirsAt(g, "del")
     val through =
       (throughBatch +: (addDirs ++ delDirs).map(batchIdOf)).max
     val snap = s"$root/rebuild_snap"
-    survivorsFrom(addDirs, delDirs).select(col("vec_id"), col("embedding"))
+    survivorsFrom(g, addDirs, delDirs).select(col("vec_id"), col("embedding"))
       .write.mode("overwrite").parquet(snap)
-    buildGen(s.read.parquet(snap), cells, gen + 1, through)
+    buildGen(s.read.parquet(snap), cells, g + 1, through)
     fs.delete(new Path(snap), true)
   }
 
@@ -340,7 +350,14 @@ final case class IvfStreamIndex(s: SparkSession, root: String) {
     * tombstone mask applies BEFORE any cosine ([[survivors]]), then
     * [[Similarity.ivfProbeTopK]] verbatim — so full probe ≡ brute force
     * over the surviving corpus, including delete-then-re-insert keys.
+    * The generation is pinned ONCE for the whole probe (centroids,
+    * base, batch dirs), so a rebuild swapping the pointer mid-probe
+    * cannot mix two generations in one result — retention keeps the
+    * pinned generation's files alive one swap back.
     */
-  def topK(probe: Int = Similarity.IvfProbe): DataFrame =
-    Similarity.ivfProbeTopK(centroids, survivors, probe)
+  def topK(probe: Int = Similarity.IvfProbe): DataFrame = {
+    val g = gen
+    Similarity.ivfProbeTopK(
+      s.read.parquet(s"${genDir(g)}/cent"), survivorsAt(g), probe)
+  }
 }

@@ -32,6 +32,7 @@ import graft.util.Sessions
   *   runMain graft.tools.LakeCli branch      <tablePath> <destPath> <name>
   *   runMain graft.tools.LakeCli key-history <tablePath> <col=val[,col=val...]>
   *   runMain graft.tools.LakeCli multimart   <sourceTablePath> <basePath> <ckptDir> <name:aggKey[+k2]:aggCol[,...]> [once]
+  *   runMain graft.tools.LakeCli ann-maintain <embeddingsTablePath> <indexRoot> <ckptDir> [rebuildEvery] [once]
   */
 object LakeCli {
   def main(args: Array[String]): Unit = {
@@ -205,6 +206,26 @@ object LakeCli {
             case (k, _) => schema(schema.fieldIndex(k))
           }))
         t.keyHistory(probe).show(100, truncate = false)
+      case "ann-maintain" =>
+        // ann-maintain <embeddingsTablePath> <indexRoot> <ckptDir>
+        //   [rebuildEvery] [once]
+        // `once` drains the available CDC feed and stops; otherwise the
+        // maintenance stream runs until interrupted.
+        require(args.length > 3,
+          "ann-maintain needs <indexRoot> <ckptDir> [rebuildEvery] [once]")
+        val rebuildEvery =
+          if (args.length > 4 && args(4).forall(_.isDigit)) args(4).toInt
+          else 0
+        val q = graft.pipelines.AnnMaintain.runStream(spark, path,
+          args(2), args(3), rebuildEvery = rebuildEvery)
+        if (args.last == "once") {
+          q.processAllAvailable()
+          q.stop()
+          val idx = graft.queries.IvfStreamIndex(spark, args(2))
+          println(s"ann index at ${args(2)} drained: " +
+            s"rebuiltThrough=${idx.rebuiltThrough} " +
+            s"pendingBatches=${idx.pendingBatches}")
+        } else q.awaitTermination()
       case "multimart" =>
         // multimart <sourceTablePath> <basePath> <checkpointDir>
         //   <name:aggKey[+k2]:aggCol[,name:...]> [once]

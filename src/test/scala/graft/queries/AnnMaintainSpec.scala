@@ -199,6 +199,25 @@ class AnnMaintainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(idx.corpus.filter(col("vec_id") === 40L).count() == 1)
   }
 
+  test("an in-flight probe pinned before a swap still reads its generation's files") {
+    val work = Files.createTempDirectory("annpin").toString
+    val idx = IvfStreamIndex(spark, s"$work/idx")
+    idx.build(vecs(0L until 30L, 1L).select("vec_id", "embedding"), cells = 4)
+    // the probe plan resolves (pins) generation 0 NOW, lazily
+    val inFlight = idx.topK(probe = 4)
+    val expected = inFlight.collect().map(_.toSeq).toSeq
+    // a rebuild swaps to generation 1; retention keeps g0 one back
+    idx.addBatch(vecs(Seq(50L), 2L).select("vec_id", "embedding"), 1L)
+    idx.rebuild(throughBatch = 1L, cells = 4)
+    assert(idx.corpus.count() == 31)
+    // the pinned probe still executes against g0 — same result, no
+    // FileNotFoundException, no mixing of g0 centroids with g1 corpus
+    assert(inFlight.collect().map(_.toSeq).toSeq == expected)
+    // a FRESH probe pins the new generation (vec 50 is a survivor)
+    assert(idx.survivors.count() == 31)
+    assert(idx.topK(probe = 4).collect().nonEmpty)
+  }
+
   test("pointer is versioned: highest wins, a stale one beside it is harmless, legacy GEN still reads") {
     val work = Files.createTempDirectory("annptr").toString
     val idx = IvfStreamIndex(spark, s"$work/idx")
@@ -248,6 +267,22 @@ class AnnMaintainSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(idx.topK(probe = 4).collect().map(_.toSeq).toSeq ==
         fresh.topK(probe = 4).collect().map(_.toSeq).toSeq)
     } finally q.stop()
+  }
+
+  test("LakeCli ann-maintain drives the maintenance stream from the CLI surface") {
+    val work = Files.createTempDirectory("anncli").toString
+    val t = LakeTable.create(spark, s"$work/emb",
+      TableMeta("emb3", Seq("vec_id"), "created_ts", Seq.empty))
+    t.upsert(vecs(0L until 25L, 1L))
+    graft.tools.LakeCli.run(spark, Array("ann-maintain", t.path,
+      s"$work/idx", s"$work/ckpt", "once"))
+    val idx = IvfStreamIndex(spark, s"$work/idx")
+    assert(idx.exists && idx.corpus.count() == 25)
+    // a second CLI run resumes the checkpoint and folds new changes
+    t.upsert(vecs(25L until 30L, 2L))
+    graft.tools.LakeCli.run(spark, Array("ann-maintain", t.path,
+      s"$work/idx", s"$work/ckpt", "once"))
+    assert(idx.corpus.count() == 30)
   }
 
   test("batch registration is idempotent per batch id (checkpoint replay converges)") {

@@ -278,7 +278,9 @@ class TxnGroupSpec extends AnyFunSuite with BeforeAndAfterAll {
       PrepareGauge.touch(); it
     }.map(i => (i.toInt + 100, 2L, i.toDouble)).toDF("id", "ts", "v")
     PrepareGauge.max.set(0)
-    TxnGroup.commit(ts.map(t => TxnGroup.TxnUpsert(t, slowDf)))
+    PrepareGauge.rendezvous = new java.util.concurrent.CountDownLatch(2)
+    try TxnGroup.commit(ts.map(t => TxnGroup.TxnUpsert(t, slowDf)))
+    finally PrepareGauge.rendezvous = null
     assert(PrepareGauge.max.get() >= 2,
       s"expected overlapping prepares, max concurrency = ${PrepareGauge.max.get()}")
     ts.foreach(t => assert(t.snapshot().count() == 6)) // 2 seeds + 4
@@ -433,12 +435,29 @@ class TxnGroupSpec extends AnyFunSuite with BeforeAndAfterAll {
   * local-mode executor threads share the JVM, so a static counter
   * observes overlap between different prepares' Spark jobs.
   */
+/** Concurrency gauge for the parallel-prepares test. Overlap detection
+  * is a LATCH RENDEZVOUS, not a timed sleep: the first prepare inside
+  * touch() waits (bounded) for a second one to arrive, so whenever the
+  * pool CAN overlap, max >= 2 is recorded regardless of how far apart
+  * a loaded box staggers the future starts — the old 300 ms sleep
+  * window read "serial" under heavy ambient load and flaked.
+  * A genuinely serial TxnGroup still fails: each toucher times out
+  * alone and max stays 1.
+  */
 object PrepareGauge {
   val cur = new java.util.concurrent.atomic.AtomicInteger(0)
   val max = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile var rendezvous: java.util.concurrent.CountDownLatch = null
   def touch(): Unit = {
     val c = cur.incrementAndGet()
     max.accumulateAndGet(c, math.max)
-    try Thread.sleep(300) finally cur.decrementAndGet()
+    try {
+      val l = rendezvous
+      if (l != null) {
+        l.countDown()
+        l.await(20, java.util.concurrent.TimeUnit.SECONDS)
+        ()
+      } else Thread.sleep(300)
+    } finally cur.decrementAndGet()
   }
 }

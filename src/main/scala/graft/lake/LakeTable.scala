@@ -519,7 +519,6 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         Seq(q -> rm, new Path(q).toUri.getPath -> rm)
       }
       .distinct.toDF("_src", "_rm")
-    val isDel = coalesce(col(DeletedCol), lit(false))
     val raw0 = readStats(allAdded)
     val raw = keyFilter.fold(raw0)(raw0.filter)
     val tagged = raw
@@ -533,16 +532,39 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     // collapse; within-commit duplicate keys (insert op) resolve by
     // precombine like the snapshot does. The copy chain reduces to: is
     // any holding file live, and when did the last one die.
-    val ver = tagged
+    val verW = tagged
       .groupBy(col(RecordKeyCol), col(CommitTimeCol))
       .agg(
         max_by(struct((u :+ DeletedCol).map(col): _*),
           struct(col(pc), col("_src"))).as("_img"),
         max(when(col("_rm") === "", 1).otherwise(0)).as("_live"),
         max(when(col("_rm") =!= "", col("_rm"))).as("_chain_end"))
-      .select(Seq(col(RecordKeyCol), col(CommitTimeCol), col("_live"),
-        col("_chain_end")) ++ (u :+ DeletedCol).map(n => col(s"_img.`$n`").as(n)): _*)
-      .withColumn("_isdel", isDel)
+    // r16 optimization (guide §2.3 / §8 — decide on skinny rows, attach
+    // the payload once): the event classification below is a chain of
+    // key-window passes that only ever READS (commit, precombine,
+    // tombstone flag, liveness, chain end) — but it used to carry every
+    // user column through all three window shuffles+sorts plus the final
+    // explode (full-width exchanges of the whole table history). Now the
+    // windows run over a skinny RESOLUTION aggregate computed directly
+    // from the scan — parquet column pruning makes that pass read only
+    // (key, commit, precombine, tombstone) — and each emitted event
+    // names the (key, commit) whose version image it needs; ONE join at
+    // the end re-attaches the image from the full-width aggregate, so
+    // the user columns cross the network exactly once before the final
+    // sort. Same within-commit winner as the image aggregate: both
+    // max_by on struct(precombine, _src). (Scd2Spec pins the plan: two
+    // scans total, only one at full width, constant in timeline length.)
+    val ver = tagged
+      .groupBy(col(RecordKeyCol), col(CommitTimeCol))
+      .agg(
+        max_by(struct(col(pc).as("_p"), col(DeletedCol).as("_d")),
+          struct(col(pc), col("_src"))).as("_r"),
+        max(when(col("_rm") === "", 1).otherwise(0)).as("_live"),
+        max(when(col("_rm") =!= "", col("_rm"))).as("_chain_end"))
+      .select(col(RecordKeyCol), col(CommitTimeCol),
+        col("_live"), col("_chain_end"),
+        col("_r.`_p`").as("_pc"),
+        coalesce(col("_r.`_d`"), lit(false)).as("_isdel"))
     // instants are zero-padded fixed-width, so lexicographic window
     // order IS commit order
     val wKey = Window.partitionBy(RecordKeyCol).orderBy(col(CommitTimeCol))
@@ -555,9 +577,10 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       // at each marker delete
       .withColumn("_barrier",
         max(when(col("_isdel"), col(CommitTimeCol))).over(wPrev))
-      // before-image for marker deletes (the net feed's "_b" side)
-      .withColumn("_fill", last(
-        when(!col("_isdel"), struct(u.map(col): _*)), ignoreNulls = true)
+      // before-image COMMIT for marker deletes (the net feed's "_b"
+      // side) — the image itself is joined back at the end
+      .withColumn("_fill_ct", last(
+        when(!col("_isdel"), col(CommitTimeCol)), ignoreNulls = true)
         .over(wPrevIncl))
     val wVis = Window.partitionBy(col(RecordKeyCol), col("_barrier"))
       .orderBy(col(CommitTimeCol))
@@ -565,9 +588,9 @@ class LakeTable private (val spark: SparkSession, val path: String) {
     val vis = staged
       .withColumn("_pmax",
         max(when(!col("_isdel"),
-          struct(col(pc), col(CommitTimeCol)))).over(wVis))
+          struct(col("_pc").as(pc), col(CommitTimeCol)))).over(wVis))
       .withColumn("_visible", !col("_isdel") && (col("_pmax").isNull ||
-        struct(col(pc), col(CommitTimeCol)) > col("_pmax")))
+        struct(col("_pc").as(pc), col(CommitTimeCol)) > col("_pmax")))
     // per-key neighborhood of each row among the VISIBLE asserts,
     // as conditional window aggregates so the whole derivation stays a
     // SINGLE pass (no filter-per-kind branches — each would re-execute
@@ -598,28 +621,36 @@ class LakeTable private (val spark: SparkSession, val path: String) {
         !col("_prev_vanished") &&
         !(col("_barrier").isNotNull && col("_barrier") > col("_prev_a.ct")))
     // classify each (key, commit) row into 0..2 events and explode —
-    // exactly the changes() single-pass idiom
-    def entry(img: Column, kind: Column, commit: Column) =
-      struct(img.as("img"), kind.as("t"), commit.as("c"))
-    val img = struct(u.map(col): _*)
+    // exactly the changes() single-pass idiom. Events are SKINNY: each
+    // carries the commit of the version image it needs (`ict`), not the
+    // image itself.
+    def entry(imgCt: Column, kind: Column, commit: Column) =
+      struct(imgCt.as("ict"), kind.as("t"), commit.as("c"))
+    val ownCt = col(CommitTimeCol)
     val arr =
       // a tombstone only deletes a key that was present (a tombstone for
       // an absent key is a no-op, like the net feed's unmatched before)
       when(col("_isdel") && col("_present"),
-        array(entry(col("_fill"), lit("delete"), col(CommitTimeCol))))
+        array(entry(col("_fill_ct"), lit("delete"), ownCt)))
       .when(col("_visible") && col("_vanish"),
-        array(entry(img, when(!col("_present"), "insert")
-            .otherwise("update_postimage"), col(CommitTimeCol)),
-          entry(img, lit("delete"), col("_chain_end"))))
+        array(entry(ownCt, when(!col("_present"), "insert")
+            .otherwise("update_postimage"), ownCt),
+          entry(ownCt, lit("delete"), col("_chain_end"))))
       .when(col("_visible"),
-        array(entry(img, when(!col("_present"), "insert")
-          .otherwise("update_postimage"), col(CommitTimeCol))))
+        array(entry(ownCt, when(!col("_present"), "insert")
+          .otherwise("update_postimage"), ownCt)))
     // no otherwise(): invisible versions and no-op tombstones yield
     // null, which explode() drops
-    full.select(explode(arr).as("_x"))
-      .select(u.map(n => col(s"_x.img.`$n`").as(n)) ++ Seq(
-        col("_x.t").as(ChangeTypeCol),
-        col("_x.c").as(ChangeCommitCol)): _*)
+    val events = full.select(col(RecordKeyCol), explode(arr).as("_x"))
+      .select(col(RecordKeyCol), col("_x.ict").as("_ict"),
+        col("_x.t").as(ChangeTypeCol), col("_x.c").as(ChangeCommitCol))
+    // the single wide pass: every event pulls its version image by
+    // (key, image commit) — verW is unique on that pair by construction
+    val images = verW.select(col(RecordKeyCol),
+      col(CommitTimeCol).as("_ict"), col("_img"))
+    events.join(images, Seq(RecordKeyCol, "_ict"))
+      .select(u.map(n => col(s"_img.`$n`").as(n)) ++ Seq(
+        col(ChangeTypeCol), col(ChangeCommitCol)): _*)
   }
 
   /** MOR read-optimized view: base files only, skipping un-compacted

@@ -706,8 +706,7 @@ object Curation {
     */
   def repetitionScore(s: SparkSession, dir: String): DataFrame = {
     val n = size(split(col("text"), " ")) - 2 // total 3-grams, with repeats
-    docs(s, dir)
-      .repartition(s.sparkContext.defaultParallelism) // single-file scan → fan out
+    graft.util.Fanout.scanPath(s, docs(s, dir), s"$dir/documents.parquet")
       .withColumn("n_sh", n.cast("long"))
       .filter(col("n_sh") > 0)
       .withColumn("n_uniq", size(shingles(col("text"), 3)).cast("long"))
@@ -946,8 +945,7 @@ object Curation {
 
   def diversitySample(s: SparkSession, dir: String,
       k: Int = DiversityK): DataFrame = {
-    val e = Relational.t(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism)
+    val e = Relational.tFan(s, dir, "embeddings")
     val cent = Similarity.ivfCentFor(s, dir, e)
     // single assignment = the shared multi-assign primitive at a=1 —
     // one place owns the tie semantics the trainer-replay oracles mirror
@@ -1008,8 +1006,8 @@ object Curation {
       ascii(reverse(t)) * lit(13) +
       ascii(substring(t, 2, 1)) * lit(17) +
       ascii(substring(reverse(t), 2, 1)) * lit(19)).cast("long")
-    val tok = docs(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    val tok = graft.util.Fanout.scanPath(s, docs(s, dir),
+      s"$dir/documents.parquet")
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("t"))
       .filter(length(t) > 0)

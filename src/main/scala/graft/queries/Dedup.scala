@@ -230,9 +230,7 @@ object Dedup {
       .filter(size(col("sh")) > 0)
 
   private[queries] def docsWithShingles(s: SparkSession, dir: String): DataFrame = {
-    val shingled = shingleDocs(
-      Relational.t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism))
+    val shingled = shingleDocs(Relational.tFan(s, dir, "documents"))
     // the shingle projection is interpreted (higher-order fn) and this
     // frame appears in 3 plan branches (index + two verify joins) —
     // cache it instead of shingling three times. Size ≈ corpus ×
@@ -609,8 +607,7 @@ object Dedup {
       ascii(reverse(t)) * lit(13) +
       ascii(substring(t, 2, 1)) * lit(17) +
       ascii(substring(reverse(t), 2, 1)) * lit(19)).cast("long")
-    val th = Relational.t(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism) // single-file scan → fan out
+    val th = Relational.tFan(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .select(col("doc_id"),
         // two multiplicative scrambles lift the ~15-bit probe hash into

@@ -69,7 +69,7 @@ object Profile {
     * regardless of input size.
     */
   def statsProfile(s: SparkSession, dir: String): DataFrame =
-    profile(Relational.t(s, dir, "lineitem"), Seq(
+    profile(Relational.tFan(s, dir, "lineitem"), Seq(
       ColSpec("l_orderkey", Some(col("l_orderkey").cast("double"))),
       ColSpec("l_quantity", Some(col("l_quantity").cast("double"))),
       ColSpec("l_extendedprice", Some(col("l_extendedprice").cast("double"))),
@@ -98,7 +98,7 @@ object Profile {
     * arithmetic, so the whole profile sits under the DuckDB hash gate.
     */
   def statsProfileSketch(s: SparkSession, dir: String): DataFrame = {
-    val df = Relational.t(s, dir, "lineitem")
+    val df = Relational.tFan(s, dir, "lineitem")
     def strTok(c: Column): Column =
       length(c) * lit(31L) + ascii(c) * lit(7L) + ascii(reverse(c)) * lit(13L)
     def d2(c: Column): Column = floor(c * lit(100.0) + lit(0.5)).cast("long")
@@ -527,7 +527,7 @@ object Profile {
     * aggregate slots, not a pass.
     */
   def statsMoments(s: SparkSession, dir: String): DataFrame = {
-    val proj = Relational.t(s, dir, "lineitem").select(
+    val proj = Relational.tFan(s, dir, "lineitem").select(
       col("l_quantity").cast("long").as("qty"),
       expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("price_c"),
       expr("CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)").as("disc_bp"))

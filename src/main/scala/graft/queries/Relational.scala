@@ -19,6 +19,13 @@ object Relational {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** [[t]] fanned out for CPU-heavy per-row work with the size-adaptive
+    * width of [[graft.util.Fanout]] (replaces the flat
+    * `repartition(defaultParallelism)` — see Fanout's scaling rationale).
+    */
+  def tFan(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.util.Fanout.scanPath(s, t(s, dir, name), s"$dir/$name.parquet")
+
   private val dec = DecimalType(18, 2)
   private val dec6 = DecimalType(22, 6)
 

@@ -246,8 +246,7 @@ object Similarity {
     * cartesian product by accident.
     */
   def cosinePairsExact(s: SparkSession, dir: String): DataFrame = {
-    val e = Relational.t(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism)
+    val e = Relational.tFan(s, dir, "embeddings")
     val cap = s.conf.getOption(AllPairsMaxConf).map(_.toLong)
       .getOrElse(AllPairsMaxRows)
     val n = e.count()
@@ -332,8 +331,7 @@ object Similarity {
     */
   def semanticPairs(s: SparkSession, dir: String): DataFrame = {
     val (cells, assign) = semKnobs(s)
-    val e = Relational.t(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism)
+    val e = Relational.tFan(s, dir, "embeddings")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // centroids are a staged index artifact under StageDirConf (shared
     // produce-once protocol; tagged with the cell count so a knob change
@@ -447,8 +445,7 @@ object Similarity {
     * naturally.
     */
   private[queries] def lshBucketsFresh(s: SparkSession, dir: String): DataFrame =
-    Relational.t(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism)
+    Relational.tFan(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         posexplode(expr(s"sequence(0, ${NumTables - 1})")).as(Seq("tbl", "toff")))
       .withColumn("bucket", lshBucketOffset(col("embedding"), col("toff")))
@@ -625,8 +622,7 @@ object Similarity {
     var eMat: DataFrame = null
     def e: DataFrame = {
       if (eMat == null)
-        eMat = Relational.t(s, dir, "embeddings")
-          .repartition(s.sparkContext.defaultParallelism)
+        eMat = Relational.tFan(s, dir, "embeddings")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       eMat
     }
@@ -700,8 +696,7 @@ object Similarity {
     var eMat: DataFrame = null
     def e: DataFrame = {
       if (eMat == null)
-        eMat = Relational.t(s, dir, "embeddings")
-          .repartition(s.sparkContext.defaultParallelism)
+        eMat = Relational.tFan(s, dir, "embeddings")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       eMat
     }
@@ -758,8 +753,7 @@ object Similarity {
     var eMat: DataFrame = null
     def e: DataFrame = {
       if (eMat == null)
-        eMat = Relational.t(s, dir, "embeddings")
-          .repartition(s.sparkContext.defaultParallelism)
+        eMat = Relational.tFan(s, dir, "embeddings")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       eMat
     }
@@ -774,34 +768,53 @@ object Similarity {
       .withColumn("crk", row_number().over(wq))
       .select("query_id", "qv", "cell", "crk")
     val csz = corpus.groupBy("cell").agg(count(lit(1)).as("sz"))
+    // r16 optimization (one pass instead of one leg per probe setting —
+    // the leg-per-p form re-ranked and re-aggregated `scored` five times,
+    // ~50 jobs of fixed overhead for KBs of data): ONE window pass over
+    // the scored candidates computes, per row, its rank within EVERY
+    // probe level at once — rank at probe p = running count of rows with
+    // crk ≤ p in the same (sim desc, vec_id) order, which equals the
+    // row_number the filtered leg computed (filtering preserves order).
+    // Membership in the exhaustive top-10 is the same row's unrestricted
+    // row_number ≤ 10 (scored rows are unique per (query, vec), so the
+    // old left_semi against bf is a per-row predicate). One groupBy then
+    // folds hits per probe level; candidate volumes fold the same way
+    // from the ranked cell list. Output is byte-identical (oracle
+    // re-verified at both gate SFs).
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val scored = corpus.join(broadcast(qr), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("crk"), col("vec_id"),
         cosine(col("embedding"), col("qv")).as("sim"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wr = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    val bf = scored.withColumn("rk", row_number().over(wr))
-      .filter(col("rk") <= 10).select("query_id", "vec_id")
-    val perP = probes.map { p =>
-      val hits = scored.filter(col("crk") <= p)
-        .withColumn("rk", row_number().over(wr))
-        .filter(col("rk") <= 10)
-        .join(bf, Seq("query_id", "vec_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("hits"))
-      val cands = qr.filter(col("crk") <= p).join(csz, "cell")
-        .groupBy("query_id").agg(sum(col("sz")).as("candidates"))
-      q.select("query_id")
-        .join(hits, Seq("query_id"), "left")
-        .join(cands, Seq("query_id"), "left")
-        .select(lit(p).as("probe"), col("query_id"),
-          coalesce(col("hits"), lit(0L)).as("hits"),
-          (coalesce(col("hits"), lit(0L)) * 1000L).as("recall_bp"),
-          coalesce(col("candidates"), lit(0L)).as("candidates"))
-    }.reduce(_ unionAll _)
-    val out = perP.orderBy("probe", "query_id")
-    if (eMat != null) Dedup.releaseAfter(out, eMat, scored)
-    else Dedup.releaseAfter(out, scored)
+    val ranked = probes.foldLeft(
+      scored.withColumn("rk_full", count(lit(1)).over(wr))) { (df, p) =>
+      df.withColumn(s"rk_$p",
+        sum(when(col("crk") <= p, 1L).otherwise(0L)).over(wr))
+    }
+    val hitAggs = probes.map(p => sum(when(
+        col("crk") <= p && col(s"rk_$p") <= 10 && col("rk_full") <= 10,
+        1L).otherwise(0L)).as(s"hits_$p"))
+    val hits = ranked.groupBy("query_id")
+      .agg(hitAggs.head, hitAggs.tail: _*)
+    val candAggs = probes.map(p =>
+      sum(when(col("crk") <= p, col("sz")).otherwise(0L)).as(s"cands_$p"))
+    val cands = qr.join(csz, "cell").groupBy("query_id")
+      .agg(candAggs.head, candAggs.tail: _*)
+    val rows = array(probes.map { p =>
+      struct(lit(p).as("probe"),
+        coalesce(col(s"hits_$p"), lit(0L)).as("hits"),
+        (coalesce(col(s"hits_$p"), lit(0L)) * 1000L).as("recall_bp"),
+        coalesce(col(s"cands_$p"), lit(0L)).as("candidates"))
+    }: _*)
+    val out = q.select("query_id")
+      .join(hits, Seq("query_id"), "left")
+      .join(cands, Seq("query_id"), "left")
+      .select(col("query_id"), inline(rows))
+      .select("probe", "query_id", "hits", "recall_bp", "candidates")
+      .orderBy("probe", "query_id")
+    if (eMat != null) Dedup.releaseAfter(out, eMat) else out
   }
 
   /** IVF RANGE search (the faiss `range_search` API surface): every
@@ -822,8 +835,7 @@ object Similarity {
     var eMat: DataFrame = null
     def e: DataFrame = {
       if (eMat == null)
-        eMat = Relational.t(s, dir, "embeddings")
-          .repartition(s.sparkContext.defaultParallelism)
+        eMat = Relational.tFan(s, dir, "embeddings")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       eMat
     }
@@ -1105,8 +1117,7 @@ object Similarity {
   def semanticIncrementalAt(s: SparkSession, dir: String,
       split: Long): DataFrame = {
     val (cells, assign) = semKnobs(s)
-    val e = Relational.t(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism)
+    val e = Relational.tFan(s, dir, "embeddings")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusE = e.filter(col("vec_id") < split)
     val cent = s.conf.getOption(Dedup.StageDirConf) match {
@@ -1296,8 +1307,7 @@ object Similarity {
     var eMat: DataFrame = null
     def e: DataFrame = {
       if (eMat == null)
-        eMat = Relational.t(s, dir, "embeddings")
-          .repartition(s.sparkContext.defaultParallelism)
+        eMat = Relational.tFan(s, dir, "embeddings")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       eMat
     }
@@ -1381,8 +1391,7 @@ object Similarity {
     * ride along as a broadcast row.
     */
   def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
-    val e = Relational.t(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism)
+    val e = Relational.tFan(s, dir, "embeddings")
     val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
     val split = (maxId + 1L) / 2L
     def eA = e.filter(col("vec_id") < split)
@@ -1426,8 +1435,7 @@ object Similarity {
     */
   def embeddingOutliers(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = Relational.t(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism)
+    val e = Relational.tFan(s, dir, "embeddings")
     val cent = ivfCentFor(s, dir, e)
     val asg = multiAssignCells(e, cent, 1) // top-1 keeps the winning csim
     val w = Window.partitionBy("cell").orderBy(col("csim").asc, col("vec_id").asc)
@@ -1454,8 +1462,7 @@ object Similarity {
     * groups) with map-side partials.
     */
   def kmeansStats(s: SparkSession, dir: String): DataFrame = {
-    val e = Relational.t(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism)
+    val e = Relational.tFan(s, dir, "embeddings")
     val cent = ivfCentFor(s, dir, e)
     multiAssignCells(e, cent, 1)
       .groupBy("cell")
@@ -1627,8 +1634,7 @@ object Similarity {
     var eMat: DataFrame = null
     def e: DataFrame = {
       if (eMat == null)
-        eMat = Relational.t(s, dir, "embeddings")
-          .repartition(s.sparkContext.defaultParallelism)
+        eMat = Relational.tFan(s, dir, "embeddings")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       eMat
     }
@@ -1675,8 +1681,7 @@ object Similarity {
     val maxId = Relational.t(s, dir, "embeddings")
       .agg(max(col("vec_id"))).head().getLong(0)
     val split = (maxId + 1L) * 8L / 10L
-    val e = Relational.t(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism)
+    val e = Relational.tFan(s, dir, "embeddings")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusE = e.filter(col("vec_id") < split)
     val cent = s.conf.getOption(Dedup.StageDirConf) match {
@@ -1731,8 +1736,7 @@ object Similarity {
     var eMat: DataFrame = null
     def e: DataFrame = {
       if (eMat == null)
-        eMat = Relational.t(s, dir, "embeddings")
-          .repartition(s.sparkContext.defaultParallelism)
+        eMat = Relational.tFan(s, dir, "embeddings")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       eMat
     }
@@ -1790,8 +1794,7 @@ object Similarity {
     var eMat: DataFrame = null
     def e: DataFrame = {
       if (eMat == null)
-        eMat = Relational.t(s, dir, "embeddings")
-          .repartition(s.sparkContext.defaultParallelism)
+        eMat = Relational.tFan(s, dir, "embeddings")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       eMat
     }
@@ -2012,8 +2015,7 @@ object Similarity {
     var eMat: DataFrame = null
     def e: DataFrame = {
       if (eMat == null)
-        eMat = Relational.t(s, dir, "embeddings")
-          .repartition(s.sparkContext.defaultParallelism)
+        eMat = Relational.tFan(s, dir, "embeddings")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       eMat
     }

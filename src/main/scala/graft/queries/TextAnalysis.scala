@@ -64,8 +64,7 @@ object TextAnalysis {
     */
   def chunks(s: SparkSession, dir: String, w: Int = 64,
       stride: Int = 48): DataFrame =
-    Relational.t(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+    Relational.tFan(s, dir, "documents")
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n", size(col("toks")))
@@ -275,8 +274,7 @@ object TextAnalysis {
       ((bl - 1) * 16).cast("long") +
         call_function("shiftright", c * 16, bl - 1) - 16L
     }
-    val tok = Relational.t(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+    val tok = Relational.tFan(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .filter(length(col("t")) > 0)
     val perDoc = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
@@ -476,8 +474,7 @@ object TextAnalysis {
     */
   def dupSpans(s: SparkSession, dir: String): DataFrame = {
     val W = 10
-    val spans = Relational.t(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism) // CPU-heavy per row
+    val spans = Relational.tFan(s, dir, "documents")
       .filter(size(words(col("text"))) >= W)
       .select(col("doc_id"), explode(spanHashes(col("text"), W)).as("h"))
       .distinct() // within-doc repeats count once (text_repetition's job)
@@ -516,8 +513,7 @@ object TextAnalysis {
     // span-hash computation at every element access (projection
     // collapse), going quadratic in interpreted expression evaluation.
     val W = 5; val win = 4
-    val spans = Relational.t(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism) // CPU-heavy per row
+    val spans = Relational.tFan(s, dir, "documents")
       .filter(size(words(col("text"))) >= W + win - 1)
       .select(col("doc_id"),
         posexplode(spanHashes(col("text"), W)).as(Seq("p0", "h")))
@@ -557,8 +553,7 @@ object TextAnalysis {
   def dupSpansIncrementalAt(s: SparkSession, dir: String,
       split: Long): DataFrame = {
     val W = 10
-    val spans = Relational.t(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+    val spans = Relational.tFan(s, dir, "documents")
       .filter(size(words(col("text"))) >= W)
       .select(col("doc_id"), explode(spanHashes(col("text"), W)).as("h"))
       .distinct()
@@ -931,8 +926,7 @@ object TextAnalysis {
     */
   def collocations(s: SparkSession, dir: String,
       minCount: Int = 5, k: Int = 50): DataFrame = {
-    val withToks = Relational.t(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+    val withToks = Relational.tFan(s, dir, "documents")
       .select(split(col("text"), " ").as("t"))
     val uni = withToks.select(explode(col("t")).as("w"))
       .filter(length(col("w")) > 0)
@@ -976,8 +970,7 @@ object TextAnalysis {
   def chi2Terms(s: SparkSession, dir: String,
       minDf: Int = 10, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = Relational.t(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+    val d = Relational.tFan(s, dir, "documents")
     val inc = d.select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
@@ -1085,17 +1078,18 @@ object TextAnalysis {
     */
   def nbClassify(s: SparkSession, dir: String): DataFrame =
     nbClassifyFor(s,
-      Relational.t(s, dir, "documents").select("doc_id", "lang", "text"))
+      Relational.t(s, dir, "documents").select("doc_id", "lang", "text"),
+      graft.util.Fanout.forTable(s, dir, "documents"))
 
   /** Core of [[nbClassify]] over an explicit (doc_id, lang, text) frame —
     * the planted-vocabulary spec drives this directly.
     */
-  private[queries] def nbClassifyFor(s: SparkSession,
-      docs: DataFrame): DataFrame = {
+  private[queries] def nbClassifyFor(s: SparkSession, docs: DataFrame,
+      fan: DataFrame => DataFrame = identity): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id")
       .orderBy(col("bits_q4").asc, col("cand").asc)
-    nbScores(s, docs)
+    nbScores(s, docs, fan)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("cand").as("pred"),
         col("bits_q4"), (col("cand") === col("lang")).cast("int").as("correct"))
@@ -1105,13 +1099,14 @@ object TextAnalysis {
   /** The full per-(doc, class) NB surprise table behind [[nbClassifyFor]]
     * and the uncertainty-sampling selection ([[nbUncertainty]]).
     */
-  private def nbScores(s: SparkSession, docs: DataFrame): DataFrame = {
+  private def nbScores(s: SparkSession, docs: DataFrame,
+      fan: DataFrame => DataFrame = identity): DataFrame = {
     def l2q4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
       val bl = length(bin(c))
       ((bl - 1) * 16).cast("long") +
         call_function("shiftright", c * 16, bl - 1) - 16L
     }
-    val tok = docs.repartition(s.sparkContext.defaultParallelism)
+    val tok = fan(docs)
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("t"))
       .filter(length(col("t")) > 0)
     val prior = docs.groupBy("lang").agg(count(lit(1)).as("d_c"))
@@ -1154,7 +1149,8 @@ object TextAnalysis {
     val w = Window.partitionBy("doc_id")
       .orderBy(col("bits_q4").asc, col("cand").asc)
     val ranked = nbScores(s,
-        Relational.t(s, dir, "documents").select("doc_id", "lang", "text"))
+        Relational.t(s, dir, "documents").select("doc_id", "lang", "text"),
+        graft.util.Fanout.forTable(s, dir, "documents"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
     val best = ranked.filter(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("cand").as("pred"),
@@ -1192,8 +1188,7 @@ object TextAnalysis {
   def rakeKeyphrases(s: SparkSession, dir: String, topk: Int = 3,
       maxLen: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Relational.t(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+    val toks = Relational.tFan(s, dir, "documents")
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "wrd")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("wrd"))
     val wRun = Window.partitionBy("doc_id").orderBy(col("pos").asc)

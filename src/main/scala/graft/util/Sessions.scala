@@ -21,6 +21,17 @@ object Sessions {
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // r16 optimization: let AQE re-optimize (coalesce partitions, fix
+      // skew) INSIDE cached plans too. The default (false) pins every
+      // persisted frame at the full spark.sql.shuffle.partitions width to
+      // preserve output-partitioning reuse — but the query pack's cached
+      // intermediates are re-read many times per plan, so every consumer
+      // stage inherited that width regardless of data size (measured:
+      // curate_centrality 1167 tasks → 60, 6.4 s → 2.5 s at sf0.1). At
+      // cluster scale the same setting is what lets a cached frame's
+      // partitioning track its actual size instead of a global constant.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       // Some fixture generations write events.ts as TIMESTAMP(NANOS),

@@ -72,11 +72,19 @@ class Scd2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st3.contains((2L, "b2", 4L, None, true)))
   }
 
-  test("bootstrap history plans ONE file scan regardless of timeline length") {
-    // the VERDICT-r12 plan-growth fix: a from-genesis bootstrap used one
-    // changes() plan per commit (4 scans+joins each, linear in timeline
-    // length); the fullHistoryChanges rewrite derives the same events
-    // from a single corpus scan, so analyzer cost is constant in commits
+  test("bootstrap history plans two scans, only one at full width") {
+    // the VERDICT-r12 plan-growth fix established that a from-genesis
+    // bootstrap derives all events from the corpus file set in one pass
+    // (constant in timeline length), not one changes() plan per commit
+    // (4 scans+joins each). The r16 optimization split that pass in two:
+    // the event classification (three key-window hops) runs over a
+    // SKINNY resolution aggregate — parquet column pruning keeps that
+    // scan to (key, commit, precombine, tombstone) — and the full-width
+    // user columns are scanned once more only to join the version image
+    // onto the classified events. So the contract is now: exactly TWO
+    // scans, and only ONE of them reads user payload columns — the
+    // skinny scan must stay pruned or the rework regresses to shuffling
+    // the payload through every window.
     import org.apache.spark.sql.execution.FileSourceScanExec
     val t = mkTable()
     def df(rows: (Long, String, Long)*) =
@@ -93,8 +101,14 @@ class Scd2Spec extends AnyFunSuite with BeforeAndAfterAll {
       h.queryExecution.executedPlan) {
       case f: FileSourceScanExec => f
     }
-    assert(scans.size == 1,
-      s"bootstrap must read the corpus ONCE, found ${scans.size} scans")
+    assert(scans.size == 2,
+      s"bootstrap must read the corpus exactly twice (skinny resolution " +
+        s"+ image attach), found ${scans.size} scans")
+    val wide = scans.filter(_.requiredSchema.fieldNames.contains("v"))
+    assert(wide.size == 1,
+      "only the image-attach scan may read user payload columns; " +
+        scans.map(_.requiredSchema.fieldNames.mkString("[", ",", "]"))
+          .mkString(" vs "))
     // and the single-scan history is internally consistent: per key,
     // version intervals tile [first, open/close) with no overlap
     val byKey = h.collect().groupBy(_.getAs[Long]("id"))

@@ -645,10 +645,14 @@ class LakeTable private (val spark: SparkSession, val path: String) {
       .select(col(RecordKeyCol), col("_x.ict").as("_ict"),
         col("_x.t").as(ChangeTypeCol), col("_x.c").as(ChangeCommitCol))
     // the single wide pass: every event pulls its version image by
-    // (key, image commit) — verW is unique on that pair by construction
+    // (key, image commit) — verW is unique on that pair by construction.
+    // The skinny EVENTS side is the hash build (guide §3.1): a
+    // sort-merge join would shuffle AND SORT the wide image side — the
+    // exact full-width sort this rework exists to avoid — while the
+    // per-partition build table is only event keys.
     val images = verW.select(col(RecordKeyCol),
       col(CommitTimeCol).as("_ict"), col("_img"))
-    events.join(images, Seq(RecordKeyCol, "_ict"))
+    images.join(events.hint("shuffle_hash"), Seq(RecordKeyCol, "_ict"))
       .select(u.map(n => col(s"_img.`$n`").as(n)) ++ Seq(
         col(ChangeTypeCol), col(ChangeCommitCol)): _*)
   }

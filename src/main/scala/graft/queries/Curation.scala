@@ -179,6 +179,16 @@ object Curation {
       .collect().map(_.getLong(0))
     val words = new Array[Long]((mBits / 64).toInt)
     setPos.foreach(p => words((p / 64).toInt) |= 1L << (p % 64).toInt)
+    // r16 optimization (guide §2.3/§2.4): the bloom branch and the exact
+    // branch used to be two separate per-doc aggregations over two fresh
+    // explode+hash passes, stitched by a left join — three evaluations
+    // of the interpreted shingle-hash fold and three shuffles for one
+    // result. A Bloom filter has no false negatives, so an exact hit
+    // implies a bloom hit and the old blooms-as-left-base semantics is
+    // exactly `bloom_hits > 0`: ONE pass over the corpus slice computes
+    // both counts as conditional aggregates (the bench slice's hashes
+    // are only ever computed in the bounded setPos job above — the two
+    // slices are disjoint, so total hash work is one corpus pass).
     val corpus = hashed.filter(col("doc_id") % 97 =!= 0)
       .withColumn("bm", lit(words))
     val probed = cs.zipWithIndex.foldLeft(corpus) { case (df, (c, i)) =>
@@ -190,16 +200,16 @@ object Curation {
       .reduce(_ && _)
     val bench = sh.filter(col("doc_id") % 97 === 0)
       .select(explode(col("sh")).as("s")).distinct()
-    val blooms = probed.filter(bloomHit)
-      .groupBy("doc_id").agg(count(lit(1)).as("bloom_hits"))
-    val exact = hashed.filter(col("doc_id") % 97 =!= 0)
-      .join(broadcast(bench), "s")
-      .groupBy("doc_id").agg(count(lit(1)).as("exact_hits"))
-    val out = blooms.join(exact, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("bloom_hits"),
-        coalesce(col("exact_hits"), lit(0L)).as("exact_hits"),
-        (col("bloom_hits") - coalesce(col("exact_hits"), lit(0L)))
-          .as("false_pos"))
+      .withColumn("_in_bench", lit(true))
+    val out = probed
+      .join(broadcast(bench), Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(
+        sum(when(bloomHit, 1L).otherwise(0L)).as("bloom_hits"),
+        sum(when(col("_in_bench"), 1L).otherwise(0L)).as("exact_hits"))
+      .filter(col("bloom_hits") > 0)
+      .select(col("doc_id"), col("bloom_hits"), col("exact_hits"),
+        (col("bloom_hits") - col("exact_hits")).as("false_pos"))
       .orderBy("doc_id")
     Dedup.releaseAfter(out, sh)
   }
@@ -1016,11 +1026,16 @@ object Curation {
           lit(DsirBuckets.toLong)).as("f"))
     // one tokenize feeds the model counts AND the per-doc counts
     val tokP = tok.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val src = tokP.groupBy("f").agg(count(lit(1)).as("cs"))
-    val tgt = tokP.filter(col("lang") === targetLang)
-      .groupBy("f").agg(count(lit(1)).as("ct"))
-    val tots = src.agg(sum(col("cs")).as("cs_tot"))
-      .crossJoin(tgt.agg(sum(col("ct")).as("ct_tot")))
+    // r16 optimization (guide §2.4): source and target bucket counts
+    // were two separate aggregation passes over the token stream (and
+    // their totals two more, stitched by a crossJoin); one conditional
+    // aggregate computes both — a bucket with no target tokens gets
+    // ct=0, exactly what the old left join + coalesce produced.
+    val model = tokP.groupBy("f").agg(
+      count(lit(1)).as("cs"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ct"))
+    val tots = model.agg(sum(col("cs")).as("cs_tot"),
+      sum(col("ct")).as("ct_tot"))
     // q4 piecewise-linear log2 of a positive count (shift amount is a
     // column, so the SQL shiftright — the Scala wrapper is literal-only)
     def l2q4(c: Column): Column = {
@@ -1029,10 +1044,9 @@ object Curation {
         call_function("shiftright", c * 16, bl - 1) - 16L
     }
     val perDoc = tokP.groupBy("doc_id", "f").agg(count(lit(1)).as("n"))
-      .join(broadcast(src), "f")
-      .join(broadcast(tgt), Seq("f"), "left")
+      .join(broadcast(model), "f")
       .select(col("doc_id"), col("n"),
-        (col("n") * (l2q4(coalesce(col("ct"), lit(0L)) + 1) -
+        (col("n") * (l2q4(col("ct") + 1) -
           l2q4(col("cs") + 1))).cast("long").as("w"))
       .groupBy("doc_id")
       .agg(sum(col("n")).as("n_tok"), sum(col("w")).as("fbits"))

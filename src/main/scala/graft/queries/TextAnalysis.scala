@@ -1112,23 +1112,39 @@ object TextAnalysis {
     val prior = docs.groupBy("lang").agg(count(lit(1)).as("d_c"))
       .crossJoin(broadcast(docs.agg(count(lit(1)).as("d_all"))))
       .select(col("lang").as("cand"), (l2q4(col("d_all")) - l2q4(col("d_c"))).as("prior_q4"))
+    // r16 optimization (guide §2.3): the class-conditional model counts
+    // were recomputed from the raw token stream for each of their three
+    // consumers, and the scoring pass joined every token OCCURRENCE ×
+    // every class by (cand, t). Now: the model aggregate is built once
+    // and persisted (vocab × classes rows — KBs); the token stream is
+    // first collapsed to per-(doc, term) COUNTS (one aggregation), the
+    // per-term class counts ride along as ONE map-typed join on t, and
+    // the class fan-out happens after that join, map-side, feeding the
+    // per-(doc, cand) partial aggregation. bits arithmetic is identical:
+    // summing (den−num) over n occurrences == n·(den−num) in exact
+    // integer math.
     val ct = tok.groupBy("lang", "t").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = ct.groupBy("lang").agg(sum(col("c")).as("t_c"))
     val vocab = ct.select("t").distinct().agg(count(lit(1)).as("v"))
     val denom = tot.crossJoin(vocab)
       .select(col("lang").as("cand"), l2q4(col("t_c") + col("v")).as("den_q4"))
-    val scored = tok
+    val ctByTerm = ct.groupBy("t").agg(
+      map_from_entries(collect_list(struct(col("lang"), col("c")))).as("cm"))
+    val perDocTok = tok.groupBy("doc_id", "lang", "t")
+      .agg(count(lit(1)).as("n"))
+    val scored = perDocTok
+      .join(ctByTerm, Seq("t")) // every doc term counts for its own lang
       .crossJoin(broadcast(prior.select(col("cand"))))
-      .join(ct.select(col("lang").as("cand"), col("t"), col("c")),
-        Seq("cand", "t"), "left")
-      .withColumn("num_q4", l2q4(coalesce(col("c"), lit(0L)) + lit(1L)))
+      .withColumn("num_q4", l2q4(
+        coalesce(try_element_at(col("cm"), col("cand")), lit(0L)) + lit(1L)))
       .join(broadcast(denom), "cand")
       .groupBy(col("doc_id"), col("lang"), col("cand"))
-      .agg((sum(col("den_q4") - col("num_q4"))).as("tok_bits"))
+      .agg(sum((col("den_q4") - col("num_q4")) * col("n")).as("tok_bits"))
       .join(broadcast(prior), "cand")
       .select(col("doc_id"), col("lang"), col("cand"),
         (col("tok_bits") + col("prior_q4")).as("bits_q4"))
-    scored
+    Dedup.releaseAfter(scored, ct)
   }
 
   /** Uncertainty sampling (`curate_uncertainty`) — the active-learning
@@ -1197,25 +1213,39 @@ object TextAnalysis {
       .withColumn("stop", col("wrd").isInCollection(Stopwords).cast("int"))
       .withColumn("grp", sum(col("stop")).over(wRun))
       .filter(col("stop") === 0)
+    // r16 optimization (guide §2.4): the old shape joined the filtered
+    // token stream back onto the phrase table twice (word scores, then
+    // phrase scores), re-evaluating the explode + running-sum window
+    // lineage up to four times. The phrase table now CARRIES its sorted
+    // word array, so both the word-score aggregation and the phrase
+    // scoring derive from one persisted phrase frame via a cheap
+    // explode — the token window pass runs exactly once. The exploded
+    // occurrences are exactly the rows the old nf⋈phr join produced
+    // (collect_list keeps duplicates), so every count/sum is identical.
     val phr = nf.groupBy("doc_id", "grp")
       .agg(count(lit(1)).as("len"),
-        array_join(transform(
+        transform(
           array_sort(collect_list(struct(col("pos"), col("wrd")))),
-          x => x.getField("wrd")), " ").as("phrase"))
+          x => x.getField("wrd")).as("ws"))
       .filter(col("len") <= maxLen)
-    val pw = nf.join(phr.select("doc_id", "grp", "len"), Seq("doc_id", "grp"))
-    val wsc = pw.groupBy("doc_id", "wrd")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val occ = phr.select(col("doc_id"), col("grp"), col("len"),
+      explode(col("ws")).as("wrd"))
+    val wsc = occ.groupBy("doc_id", "wrd")
       .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
       .withColumn("wscore_q4", expr("(deg * 16) DIV freq"))
     val wr = Window.partitionBy("doc_id")
       .orderBy(col("score_q4").desc, col("phrase").asc)
-    pw.join(wsc.select("doc_id", "wrd", "wscore_q4"), Seq("doc_id", "wrd"))
+    val out = occ.join(wsc.select("doc_id", "wrd", "wscore_q4"),
+        Seq("doc_id", "wrd"))
       .groupBy("doc_id", "grp").agg(sum(col("wscore_q4")).as("score_q4"))
-      .join(phr, Seq("doc_id", "grp"))
+      .join(phr.select(col("doc_id"), col("grp"), col("len"),
+        array_join(col("ws"), " ").as("phrase")), Seq("doc_id", "grp"))
       .withColumn("rk", row_number().over(wr))
       .filter(col("rk") <= topk)
       .select("doc_id", "rk", "phrase", "len", "score_q4")
       .orderBy("doc_id", "rk")
+    Dedup.releaseAfter(out, phr)
   }
 
   /** Per-source boilerplate removal (`text_boilerplate`) — the template
